@@ -1,0 +1,173 @@
+"""The extraction operator: salted repartition → Arrow-batched mapInPandas.
+
+This is the Spark-side realization of SURVEY.md §3.4 — the reference's
+entire per-document pipeline collapses into ONE mapInPandas stage because
+every operator from layout detection onward is per-document. Exactly one
+shuffle happens (the explicit salted repartition); the write is
+shuffle-free.
+
+Skew control (north rule, SURVEY.md §4.2.1): AQE rebalances by *bytes*, not
+by Python-kernel *cost*, so the skew handling is explicit job design:
+
+  * normal rows hash-spread by full-url xxhash64 over P partitions — a hot
+    host (50% of rows in the synthetic corpus) cannot concentrate because
+    the key is the url, not the host;
+  * oversized rows (``length(html) > big_threshold``) are routed to their
+    OWN P_big partitions, so one 10 MB document never stalls a partition of
+    thousands of normal documents — the two groups are unioned after
+    repartitioning, which concatenates (not reshuffles) their partitions.
+
+Output is the structured-JSON contract: extracted ``text`` plus
+``blocks/spans/matches`` JSON columns (+ typed views via ``from_json``
+with explicit schemas — the JSON→struct parse stays JVM-side).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType, DoubleType, IntegerType, LongType, StringType, StructField,
+    StructType,
+)
+
+DEFAULT_BIG_THRESHOLD = 2_000_000  # bytes of html → "oversized" route
+DEFAULT_BUCKETS = 64               # url-hash buckets: checkpoint/commit unit
+
+EXTRACT_RESULT_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("bucket", IntegerType(), True),
+    StructField("kind", StringType(), True),
+    StructField("text", StringType(), True),
+    StructField("n_pages", IntegerType(), True),
+    StructField("n_blocks", IntegerType(), True),
+    StructField("n_spans", IntegerType(), True),
+    StructField("n_matches", IntegerType(), True),
+    StructField("n_blocks_dropped", IntegerType(), True),
+    StructField("blocks_json", StringType(), True),
+    StructField("spans_json", StringType(), True),
+    StructField("matches_json", StringType(), True),
+    StructField("error", StringType(), True),
+    StructField("bytes_in", LongType(), True),
+    StructField("extract_ms", DoubleType(), True),
+])
+
+BLOCK_STRUCT = ArrayType(StructType([
+    StructField("block_id", IntegerType()),
+    StructField("page_index", IntegerType()),
+    StructField("label", StringType()),
+    StructField("bbox", ArrayType(DoubleType())),
+    StructField("text", StringType()),
+    StructField("char_start", IntegerType()),
+    StructField("char_end", IntegerType()),
+    StructField("section_info", StringType()),
+]))
+
+SPAN_STRUCT = ArrayType(StructType([
+    StructField("figure_text", StringType()),
+    StructField("text_box", ArrayType(DoubleType())),
+    StructField("raw_text", ArrayType(StringType())),
+    StructField("section_info", ArrayType(StringType())),
+]))
+
+MATCH_STRUCT = ArrayType(StructType([
+    StructField("figure_box", ArrayType(DoubleType())),
+    StructField("figure_page", IntegerType()),
+    StructField("page_num", IntegerType()),
+    StructField("raw_text", ArrayType(StringType())),
+    StructField("figure_text", StringType()),
+    StructField("text_box", ArrayType(DoubleType())),
+]))
+
+
+def salted_repartition(pages: DataFrame, partitions: int = 128,
+                       big_partitions: int = 8,
+                       big_threshold: int = DEFAULT_BIG_THRESHOLD,
+                       n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    """Explicit two-level skew-aware repartition (the job's ONE shuffle).
+
+    Adds ``bucket`` (stable url-hash output bucket, the checkpoint unit) and
+    ``is_big``; returns a frame whose partitions are: P url-hash-spread
+    normal partitions followed by P_big oversized-row partitions.
+    """
+    keyed = pages.withColumn(
+        "bucket",
+        F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets)).cast("int"),
+    ).withColumn("is_big", F.length("html") > F.lit(big_threshold))
+
+    normal = keyed.filter(~F.col("is_big")).repartition(partitions, "url")
+    big = keyed.filter(F.col("is_big")).repartition(big_partitions, "url")
+    # unionAll of two shuffles concatenates their partition lists — no
+    # third shuffle, and the giant rows stay physically isolated.
+    return normal.unionAll(big)
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: one Arrow batch in, one result batch out.
+
+    Imports stay inside the function so the worker resolves them from the
+    --py-files-shipped package, and heavyweight per-executor state (model
+    singletons in production, dictionaries here) initializes lazily once.
+    """
+    from ocr_spark.core.extract import extract_document
+
+    n_buckets = DEFAULT_BUCKETS
+
+    for pdf in batches:
+        rows = []
+        has_bucket = "bucket" in pdf.columns
+        for i in range(len(pdf)):
+            url = pdf["url"].iat[i]
+            raw = pdf["html"].iat[i]
+            if isinstance(raw, str):
+                raw = raw.encode("utf-8")
+            t0 = time.perf_counter()
+            res = extract_document(url, raw)
+            ms = (time.perf_counter() - t0) * 1000.0
+            rows.append({
+                "url": url,
+                "bucket": int(pdf["bucket"].iat[i]) if has_bucket else None,
+                "kind": res.kind,
+                "text": res.text,
+                "n_pages": res.n_pages,
+                "n_blocks": len(res.blocks),
+                "n_spans": len(res.spans),
+                "n_matches": len(res.matches),
+                "n_blocks_dropped": res.n_blocks_dropped,
+                "blocks_json": json.dumps(res.blocks, ensure_ascii=False),
+                "spans_json": json.dumps(res.spans, ensure_ascii=False),
+                "matches_json": json.dumps(res.matches, ensure_ascii=False),
+                "error": res.error,
+                "bytes_in": len(raw) if raw is not None else 0,
+                "extract_ms": ms,
+            })
+        yield pd.DataFrame(rows, columns=[f.name for f in EXTRACT_RESULT_SCHEMA])
+
+
+def run_extraction(pages: DataFrame, partitions: int = 128,
+                   big_partitions: int = 8,
+                   big_threshold: int = DEFAULT_BIG_THRESHOLD,
+                   n_buckets: int = DEFAULT_BUCKETS,
+                   salt: bool = True) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) → extracted results DataFrame."""
+    src = (salted_repartition(pages, partitions, big_partitions,
+                              big_threshold, n_buckets)
+           if salt else pages.withColumn(
+               "bucket",
+               F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets)).cast("int")))
+    # column pruning: the kernel only needs url/html/bucket — select BEFORE
+    # mapInPandas so Arrow never serializes warc_ts/text/lang to Python.
+    src = src.select("url", "html", "bucket")
+    return src.mapInPandas(_extract_batches, schema=EXTRACT_RESULT_SCHEMA)
+
+
+def with_typed_structs(extracted: DataFrame) -> DataFrame:
+    """JSON → typed ARRAY<STRUCT> columns, parsed JVM-side by Catalyst."""
+    return (extracted
+            .withColumn("blocks", F.from_json("blocks_json", BLOCK_STRUCT))
+            .withColumn("spans", F.from_json("spans_json", SPAN_STRUCT))
+            .withColumn("matches", F.from_json("matches_json", MATCH_STRUCT)))

@@ -1,0 +1,496 @@
+"""Driver-contract analytics queries with DuckDB oracles.
+
+Each entry here is a (spark_fn, oracle_sql) pair: the Spark side is
+DataFrame/SQL API (Catalyst-optimized, JVM-side expressions only — no
+Python UDFs in any hot path except the extraction engine itself), the
+oracle is ANSI SQL DuckDB runs over the same parquet views.
+
+Conventions that make the driver's order-insensitive value-hash compare
+work (see /root/repo/__spark_entry__.py docstring):
+  * every computed column is aliased IDENTICALLY on both sides;
+  * floating-point aggregates are rounded to 4 decimals on both sides
+    (double summation order differs between engines in the last bits);
+  * integer sums are cast to BIGINT in DuckDB (it widens to HUGEINT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# A. TPC-H-flavored relational queries (adapted to the testdata schema)
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy partial-aggregatable groupBy.
+    Plan check: single scan, partial agg before the 1-key shuffle."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 4) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + top-k. The customer/orders sides are
+    orders of magnitude smaller than lineitem → broadcast them."""
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+                "revenue")
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q4_priority_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → left-semi join, then a tiny aggregation."""
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1994-01-01"))
+        & (F.col("o_orderdate") < F.lit("1995-01-01")))
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+GROUP BY o_orderpriority
+"""
+
+
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: snowflake join; every dim side broadcast."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY n_name
+"""
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter+agg — should compile to one scan with
+    pushed predicates and no shuffle beyond the final single-row agg."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01"))
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"),
+             F.count("*").alias("n_items"))
+    )
+
+
+Q6_SQL = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q14_brand_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation over a broadcast join."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.groupBy("p_brand").agg(
+        F.round(F.sum(rev), 4).alias("brand_revenue"),
+        F.count("*").alias("n_items"),
+        F.round(F.avg("p_retailprice"), 4).alias("avg_retail"),
+    )
+
+
+Q14_SQL = """
+SELECT p_brand,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS brand_revenue,
+       COUNT(*) AS n_items,
+       ROUND(AVG(p_retailprice), 4) AS avg_retail
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def top3_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window ranking (W1/W2 analog at corpus level): top-3 customers by
+    revenue within each nation."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "c_custkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (rev.withColumn("rank_in_nation", F.row_number().over(w))
+            .filter(F.col("rank_in_nation") <= 3))
+
+
+TOP3_SQL = """
+SELECT * FROM (
+  SELECT n_name, c_custkey,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+         ROW_NUMBER() OVER (
+           PARTITION BY n_name
+           ORDER BY ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) DESC,
+                    c_custkey ASC) AS rank_in_nation
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, c_custkey
+) WHERE rank_in_nation <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# B. events: sessionization, windows, JSON
+# --------------------------------------------------------------------------
+
+def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity), fully window-expressed:
+    lag → new-session flag → running sum = session id → per-user rollup."""
+    ev = t(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn("prev_ts", F.lag("ts").over(w_user)).withColumn(
+        "is_new",
+        F.when(F.col("prev_ts").isNull()
+               | F.expr("ts - prev_ts > INTERVAL '30' MINUTE"),
+               1).otherwise(0))
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("is_new").over(
+            w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("session_events"))
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("session_events").alias("n_events"),
+        F.max("session_events").alias("max_session_events"),
+    )
+
+
+EV_SESSION_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, event_id,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), per_session AS (
+  SELECT user_id, session_id, COUNT(*) AS session_events
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT user_id, COUNT(*) AS n_sessions,
+       CAST(SUM(session_events) AS BIGINT) AS n_events,
+       CAST(MAX(session_events) AS BIGINT) AS max_session_events
+FROM per_session GROUP BY user_id
+"""
+
+
+def ev_daily_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                       "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("total_value")))
+
+
+EV_DAILY_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS n,
+       ROUND(SUM(value), 4) AS total_value
+FROM events GROUP BY strftime(ts, '%Y-%m-%d'), event_type
+"""
+
+
+def ev_user_top2_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 2)
+            .select("user_id", "event_id", "event_type", "value", "rn"))
+
+
+EV_TOP2_SQL = """
+SELECT user_id, event_id, event_type, value, rn FROM (
+  SELECT user_id, event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id ASC) AS rn
+  FROM events
+) WHERE rn <= 2
+"""
+
+
+def ev_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-path extraction stays JVM-side (get_json_object)."""
+    ev = t(spark, sf_dir, "events")
+    return (ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum("k").alias("sum_k"),
+                 F.max("k").alias("max_k")))
+
+
+EV_PROPS_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# C. documents: text analytics / training-data ops
+# --------------------------------------------------------------------------
+
+def docs_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+DOCS_LANG_SQL = """
+SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 4) AS avg_chars,
+       COUNT(DISTINCT source) AS n_sources
+FROM documents GROUP BY lang
+"""
+
+
+def docs_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting — JVM regexp, no Python."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return docs.select(
+        "doc_id",
+        F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+DOCS_TOKENS_SQL = """
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+       length(text) AS n_chars_actual
+FROM documents
+"""
+
+
+def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5-hash groupBy; keeper = min doc_id per text hash."""
+    docs = t(spark, sf_dir, "documents")
+    return (docs.groupBy(F.md5(F.col("text")).alias("text_md5"))
+            .agg(F.min("doc_id").alias("keeper_doc_id"),
+                 F.count("*").alias("n_dups")))
+
+
+DOCS_DEDUP_SQL = """
+SELECT md5(text) AS text_md5, MIN(doc_id) AS keeper_doc_id,
+       COUNT(*) AS n_dups
+FROM documents GROUP BY md5(text)
+"""
+
+
+_STOPWORD_PATTERN = r"\b(the|a|an|and|or|of|to|in|on|for|with|is|are)\b"
+
+
+def docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length + stopword-density features (JVM regexp)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim("text"), r"\s+"))
+    stop_hits = F.size(F.regexp_extract_all(F.lower("text"),
+                                            F.lit(_STOPWORD_PATTERN), F.lit(1)))
+    return docs.select(
+        "doc_id", "lang",
+        toks.alias("n_tokens"),
+        stop_hits.alias("stop_hits"),
+        F.round(stop_hits / toks, 4).alias("stop_density"),
+        F.round(
+            F.least(F.lit(1.0), toks / F.lit(100.0)) * 0.5
+            + F.least(F.lit(1.0), (stop_hits / toks) * F.lit(5.0)) * 0.5,
+            4).alias("quality_score"),
+    )
+
+
+DOCS_QUALITY_SQL = f"""
+SELECT doc_id, lang,
+       len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       len(regexp_extract_all(lower(text), '{_STOPWORD_PATTERN}', 1)) AS stop_hits,
+       ROUND(len(regexp_extract_all(lower(text), '{_STOPWORD_PATTERN}', 1))
+             / len(string_split_regex(trim(text), '\\s+')), 4) AS stop_density,
+       ROUND(LEAST(1.0, len(string_split_regex(trim(text), '\\s+')) / 100.0) * 0.5
+             + LEAST(1.0, (len(regexp_extract_all(lower(text), '{_STOPWORD_PATTERN}', 1))
+                           / len(string_split_regex(trim(text), '\\s+'))) * 5.0) * 0.5,
+             4) AS quality_score
+FROM documents
+"""
+
+
+def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: normalized-text md5 prefix as a stable id."""
+    docs = t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    return docs.select(
+        "doc_id",
+        F.substring(F.md5(norm), 1, 16).alias("fingerprint"),
+    )
+
+
+DOCS_FP_SQL = """
+SELECT doc_id,
+       substring(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 16)
+         AS fingerprint
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+SPARK_QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_segment_revenue": q3_segment_revenue,
+    "q4_priority_semijoin": q4_priority_semijoin,
+    "q5_nation_revenue": q5_nation_revenue,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q14_brand_share": q14_brand_share,
+    "top3_customers_per_nation": top3_customers_per_nation,
+    "ev_sessionize": ev_sessionize,
+    "ev_daily_type_counts": ev_daily_type_counts,
+    "ev_user_top2_by_value": ev_user_top2_by_value,
+    "ev_props_json": ev_props_json,
+    "docs_lang_stats": docs_lang_stats,
+    "docs_token_count": docs_token_count,
+    "docs_exact_dedup": docs_exact_dedup,
+    "docs_quality_score": docs_quality_score,
+    "docs_fingerprint": docs_fingerprint,
+}
+
+ORACLE_SQL = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_segment_revenue": Q3_SQL,
+    "q4_priority_semijoin": Q4_SQL,
+    "q5_nation_revenue": Q5_SQL,
+    "q6_forecast_revenue": Q6_SQL,
+    "q14_brand_share": Q14_SQL,
+    "top3_customers_per_nation": TOP3_SQL,
+    "ev_sessionize": EV_SESSION_SQL,
+    "ev_daily_type_counts": EV_DAILY_SQL,
+    "ev_user_top2_by_value": EV_TOP2_SQL,
+    "ev_props_json": EV_PROPS_SQL,
+    "docs_lang_stats": DOCS_LANG_SQL,
+    "docs_token_count": DOCS_TOKENS_SQL,
+    "docs_exact_dedup": DOCS_DEDUP_SQL,
+    "docs_quality_score": DOCS_QUALITY_SQL,
+    "docs_fingerprint": DOCS_FP_SQL,
+}

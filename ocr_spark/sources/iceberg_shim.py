@@ -1,0 +1,125 @@
+"""Iceberg-semantics shim over partitioned Parquet.
+
+No Iceberg jars ship in this sandbox's $SPARK_HOME, so the three Iceberg
+behaviors the north rule actually exercises are provided by a thin,
+swappable layer (SURVEY.md §7.0):
+
+  1. **snapshot-id lineage** — every commit writes an immutable manifest
+     ``_snapshots/snap-<id>.json`` listing its data directory, row count,
+     and parent snapshot;
+  2. **atomic pointer swap** — ``_snapshots/CURRENT`` is replaced with
+     ``os.replace`` (atomic on POSIX), so readers see either the old or the
+     new snapshot, never a torn state;
+  3. **incremental diff** — ``added_since(a, b)`` lists data paths present
+     in ``b`` but not ``a`` for incremental processing
+     (Trigger.AvailableNow-style batch increments, SURVEY.md §2.10).
+
+The interface is deliberately narrow (`write_snapshot`, `read_current`,
+`read_snapshot`, `added_since`) so a real Iceberg catalog drops in by
+swapping this module (``spark.read.format("iceberg")...``).
+
+On a real cluster this module's filesystem calls would target the shared
+object store (s3a/abfss path via the Hadoop FS API); locally plain ``os``
+suffices and keeps the shim dependency-free.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_SNAP_DIR = "_snapshots"
+_CURRENT = "CURRENT"
+
+
+def _snap_path(table_root: str, snapshot_id: str) -> str:
+    return os.path.join(table_root, _SNAP_DIR, f"snap-{snapshot_id}.json")
+
+
+def current_snapshot_id(table_root: str) -> str | None:
+    ptr = os.path.join(table_root, _SNAP_DIR, _CURRENT)
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr, encoding="utf-8") as fh:
+        return fh.read().strip() or None
+
+
+def read_manifest(table_root: str, snapshot_id: str) -> dict:
+    with open(_snap_path(table_root, snapshot_id), encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def write_snapshot(df: DataFrame, table_root: str,
+                   partition_by: list[str] | None = None,
+                   snapshot_id: str | None = None) -> str:
+    """Write ``df`` as a new immutable snapshot and atomically commit it.
+
+    Data lands under ``data/snap-<id>/`` (optionally partitioned), then the
+    manifest is written, then the CURRENT pointer swaps — crash at any
+    earlier point leaves the table at its previous snapshot.
+    """
+    snapshot_id = snapshot_id or uuid.uuid4().hex[:16]
+    data_dir = os.path.join(table_root, "data", f"snap-{snapshot_id}")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(data_dir)
+
+    row_count = None  # avoid re-scan; callers that need it count the read-back
+    parent = current_snapshot_id(table_root)
+    manifest = {
+        "snapshot_id": snapshot_id,
+        "parent_id": parent,
+        "created_at": time.time(),
+        "data_dir": data_dir,
+        "partition_by": partition_by or [],
+        "row_count": row_count,
+    }
+    os.makedirs(os.path.join(table_root, _SNAP_DIR), exist_ok=True)
+    with open(_snap_path(table_root, snapshot_id), "w", encoding="utf-8") as fh:
+        json.dump(manifest, fh, indent=2)
+
+    tmp = os.path.join(table_root, _SNAP_DIR, f".{_CURRENT}.{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(snapshot_id)
+    os.replace(tmp, os.path.join(table_root, _SNAP_DIR, _CURRENT))  # atomic
+    return snapshot_id
+
+
+def read_snapshot(spark: SparkSession, table_root: str,
+                  snapshot_id: str) -> DataFrame:
+    manifest = read_manifest(table_root, snapshot_id)
+    return spark.read.parquet(manifest["data_dir"])
+
+
+def read_current(spark: SparkSession, table_root: str) -> DataFrame:
+    sid = current_snapshot_id(table_root)
+    if sid is None:
+        raise FileNotFoundError(f"no CURRENT snapshot under {table_root}")
+    return read_snapshot(spark, table_root, sid)
+
+
+def history(table_root: str) -> list[str]:
+    """Snapshot ids, oldest → newest, by following parent links."""
+    sid = current_snapshot_id(table_root)
+    chain = []
+    while sid is not None:
+        chain.append(sid)
+        sid = read_manifest(table_root, sid).get("parent_id")
+    return list(reversed(chain))
+
+
+def added_since(table_root: str, old_snapshot_id: str | None,
+                new_snapshot_id: str) -> list[str]:
+    """Data dirs added strictly after ``old`` up to and including ``new``."""
+    added = []
+    sid = new_snapshot_id
+    while sid is not None and sid != old_snapshot_id:
+        m = read_manifest(table_root, sid)
+        added.append(m["data_dir"])
+        sid = m.get("parent_id")
+    return list(reversed(added))

@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the extraction job.
+
+Usage (north-rule launch shape — the pure-Python core ships as a zip):
+
+    python scripts/make_pyfiles.py                  # → dist/ocr_spark.zip
+    spark-submit --master local[32] \
+        --py-files dist/ocr_spark.zip \
+        --conf spark.sql.shuffle.partitions=64 \
+        submit.py --input /tmp/pages_tbl --work-dir /tmp/ocr_work \
+                  --partitions 128
+
+On a real cluster only --master/--conf change; the job itself is
+partition-count/skew agnostic (explicit salting, SURVEY.md §4.2.1).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="ocr_spark extraction job")
+    ap.add_argument("--input", required=True, help="input pages table root (iceberg-shim)")
+    ap.add_argument("--work-dir", required=True, help="output/bookkeeping root")
+    ap.add_argument("--partitions", type=int, default=128)
+    ap.add_argument("--big-partitions", type=int, default=8)
+    ap.add_argument("--big-threshold", type=int, default=2_000_000)
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--waves", type=int, default=4)
+    ap.add_argument("--master", default=None,
+                    help="override master when not launched via spark-submit")
+    args = ap.parse_args(argv)
+
+    from ocr_spark.job import run_extraction_job
+    from ocr_spark.session import get_spark
+
+    spark = get_spark("ocr_spark.extract", master=args.master)
+    try:
+        summary = run_extraction_job(
+            spark, args.input, args.work_dir,
+            partitions=args.partitions, big_partitions=args.big_partitions,
+            big_threshold=args.big_threshold, n_buckets=args.buckets,
+            waves=args.waves,
+        )
+        print(json.dumps(summary))
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
