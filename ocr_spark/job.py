@@ -85,11 +85,14 @@ def run_extraction_job(spark: SparkSession, input_table_root: str,
         )
         out_sids.append(out_sid)
 
-        committed = shim.read_snapshot(spark, output_root(work_dir), out_sid)
+        from ocr_spark.operators.extraction import EXTRACT_RESULT_SCHEMA
+        committed = shim.read_snapshot(spark, output_root(work_dir), out_sid,
+                                       schema=EXTRACT_RESULT_SCHEMA)
         commit_bucket_bookkeeping(
             spark, committed, work_dir, snapshot_id=input_sid, run_id=run_id,
             input_files=[manifest["data_dir"]],
             big_threshold=big_threshold, skew_salt=big_partitions,
+            buckets=bucket_group,
         )
         docs_total += committed.count()
 
@@ -115,7 +118,9 @@ def read_extracted(spark: SparkSession, work_dir: str) -> DataFrame:
             for sid in shim.history(root)]
     # each snapshot dir is its own partitioned table root (bucket=N leaves);
     # snapshots hold disjoint buckets, so a union is exact
-    dfs = [spark.read.option("basePath", d).parquet(d) for d in dirs]
+    from ocr_spark.operators.extraction import EXTRACT_RESULT_SCHEMA
+    dfs = [spark.read.schema(EXTRACT_RESULT_SCHEMA)
+           .option("basePath", d).parquet(d) for d in dirs]
     out = dfs[0]
     for df in dfs[1:]:
         out = out.unionByName(df)

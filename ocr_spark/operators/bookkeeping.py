@@ -75,9 +75,12 @@ def anti_join_processed_urls(pages: DataFrame, processed: DataFrame) -> DataFram
 def commit_bucket_bookkeeping(spark: SparkSession, extracted: DataFrame,
                               work_dir: str, snapshot_id: str, run_id: str,
                               input_files: list[str],
-                              big_threshold: int, skew_salt: int) -> None:
-    """Append checkpoint + lineage + metrics rows for every bucket present
-    in ``extracted`` (call AFTER the output data commit)."""
+                              big_threshold: int, skew_salt: int,
+                              buckets: list[int] | None = None) -> None:
+    """Append checkpoint + lineage + metrics rows for every bucket in the
+    committed wave (call AFTER the output data commit). ``buckets`` is the
+    wave's full bucket group — buckets with zero input rows still get a
+    checkpoint row (docs_done=0) so a resume never retries them."""
     per_bucket = (
         extracted.groupBy("bucket").agg(
             F.count("*").alias("doc_count"),
@@ -91,11 +94,17 @@ def commit_bucket_bookkeeping(spark: SparkSession, extracted: DataFrame,
     ).cache()
 
     now = time.time()
-    ckpt = per_bucket.select(
+    ckpt_base = per_bucket.select("bucket", "ok_count")
+    if buckets is not None:
+        all_buckets = spark.createDataFrame(
+            [(int(b),) for b in buckets], "bucket int")
+        ckpt_base = (all_buckets.join(ckpt_base, on="bucket", how="left")
+                     .withColumn("ok_count", F.coalesce("ok_count", F.lit(0))))
+    ckpt = ckpt_base.select(
         F.lit(snapshot_id).alias("snapshot_id"),
         F.col("bucket").alias("partition_id"),
         F.col("bucket").alias("url_hash_bucket"),
-        F.col("ok_count").alias("docs_done"),
+        F.col("ok_count").cast("long").alias("docs_done"),
         F.lit(now).cast("timestamp").alias("committed_at"),
     )
     _append(ckpt, checkpoints_path(work_dir))

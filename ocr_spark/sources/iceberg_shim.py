@@ -91,9 +91,13 @@ def write_snapshot(df: DataFrame, table_root: str,
 
 
 def read_snapshot(spark: SparkSession, table_root: str,
-                  snapshot_id: str) -> DataFrame:
+                  snapshot_id: str, schema=None) -> DataFrame:
     manifest = read_manifest(table_root, snapshot_id)
-    return spark.read.parquet(manifest["data_dir"])
+    reader = spark.read
+    if schema is not None:
+        # explicit schema also makes empty snapshots readable
+        reader = reader.schema(schema)
+    return reader.parquet(manifest["data_dir"])
 
 
 def read_current(spark: SparkSession, table_root: str) -> DataFrame:

@@ -1,0 +1,217 @@
+"""Kernel unit tests pinning the reference's tricky semantics
+(SURVEY.md §5.2.2). Each case cites the reference behavior it freezes."""
+
+from __future__ import annotations
+
+from ocr_spark.core.boxes import (
+    caption_distance, merge_adjacent_targets, pair_captions_with_targets,
+    remove_nested_boxes,
+)
+from ocr_spark.core.lines import reconstruct_lines
+from ocr_spark.core.match import create_reference_pairs, find_target_with_name
+from ocr_spark.core.mentions import tag_mentions
+from ocr_spark.core.sections import SectionTracker
+from ocr_spark.core.segment import segment_sentences
+from ocr_spark.core.wordseg import correct_segmentation_and_typos, segment_token
+
+
+def _box(label, coord, **kw):
+    return {"cls_id": 1, "label": label, "score": 0.9, "coordinate": coord, **kw}
+
+
+# ---- F5: nested removal with exact tolerances (pre.py:230-237) ------------
+
+def test_containment_tolerances():
+    outer = _box("text", [0.1, 0.1, 0.5, 0.5])
+    inner_within_tol = _box("number", [0.1 - 0.0085, 0.1 - 0.0076, 0.5, 0.5])
+    kept = remove_nested_boxes([outer, inner_within_tol])
+    # mutual containment removes BOTH (reference double-loop behavior)
+    assert kept == []
+
+
+def test_containment_just_outside_tolerance():
+    outer = _box("text", [0.1, 0.1, 0.5, 0.5])
+    inner = _box("number", [0.1 - 0.009, 0.2, 0.3, 0.3])  # x0 exceeds tol
+    kept = remove_nested_boxes([outer, inner])
+    assert len(kept) == 2
+
+
+def test_nested_box_removed():
+    outer = _box("text", [0.1, 0.1, 0.9, 0.5])
+    inner = _box("number", [0.2, 0.2, 0.4, 0.3])
+    other = _box("text", [0.1, 0.6, 0.9, 0.9])
+    kept = remove_nested_boxes([outer, inner, other])
+    assert [b["label"] for b in kept] == ["text", "text"]
+
+
+# ---- A1: adjacent-run merge (pre.py:18-57) ---------------------------------
+
+def test_adjacent_targets_merge_keeps_first_meta():
+    a = _box("figure", [0.1, 0.1, 0.4, 0.3])
+    narrow = _box("text", [0.41, 0.1, 0.44, 0.3])  # width < 0.05 → absorbed
+    b = _box("table", [0.45, 0.1, 0.8, 0.3])
+    merged = merge_adjacent_targets([a, narrow, b])
+    assert len(merged) == 1
+    m = merged[0]
+    assert m["label"] == "figure"  # first box's label (pre.py:45-50)
+    assert m["coordinate"] == [0.1, 0.1, 0.8, 0.3]
+    assert "glyphs" not in m  # merge drops extra fields
+
+
+def test_formula_number_not_absorbed_by_narrow_rule():
+    a = _box("figure", [0.1, 0.1, 0.4, 0.3])
+    fnum = _box("formula_number", [0.41, 0.1, 0.44, 0.3])  # narrow but exempt
+    merged = merge_adjacent_targets([a, fnum])
+    assert len(merged) == 2
+
+
+# ---- A2/A4: line clustering + space reconstruction (post.py:32-95) ---------
+
+def test_running_mean_line_clustering():
+    # three fragments; the third's center is within tolerance only because
+    # the running mean moved after adding the second
+    boxes = [[0, 0, 10, 20], [12, 4, 22, 24], [30, 7, 40, 27]]
+    texts = ["a", "b", "c"]
+    lines = reconstruct_lines(texts, boxes)
+    assert lines == ["a bc"] or lines == ["ab c"] or len(lines) == 1
+
+
+def test_space_iff_gap_exceeds_035_height():
+    h = 20  # threshold = 7
+    boxes = [[0, 0, 90, h], [98, 0, 150, h], [153, 0, 200, h]]
+    texts = ["hello", "wor", "ld"]
+    assert reconstruct_lines(texts, boxes) == ["hello wor" + "ld"]
+
+
+def test_reconstruct_raises_on_empty():
+    import pytest
+    with pytest.raises(Exception):
+        reconstruct_lines([], [])
+
+
+# ---- J1: greedy steal + image→figure recode (pre.py:113-224) ---------------
+
+def test_greedy_caption_steals_target():
+    fig = _box("image", [0.1, 0.30, 0.5, 0.50], glyphs=[])
+    cap1 = _box("figure_title", [0.1, 0.51, 0.5, 0.54],
+                glyphs=[{"text": "Figure 1: x", "box": [0, 0, 99, 20]}])
+    cap2 = _box("figure_title", [0.1, 0.55, 0.5, 0.58],
+                glyphs=[{"text": "Figure 2: y", "box": [0, 0, 99, 20]}])
+    out = pair_captions_with_targets([fig, cap1, cap2])
+    # cap1 (earlier in doc order) takes the only target; cap2 unmatched and
+    # silently dropped from title set; target label recoded image→figure
+    merged = [b for b in out if b.get("cls_id") == 99]
+    assert len(merged) == 1
+    assert merged[0]["label"] == "figure"
+    assert merged[0]["text"] == "Figure 1: x"
+
+
+def test_unmatched_target_relabeled_none():
+    lonely = _box("table", [0.1, 0.1, 0.5, 0.3])
+    out = pair_captions_with_targets([lonely])
+    assert out[0]["label"] == "None"  # pre.py:202-204
+
+
+def test_formula_number_distance_flag():
+    title = _box("formula_number", [0.72, 0.78, 0.78, 0.81])
+    target = _box("display_formula", [0.3, 0.77, 0.7, 0.82])
+    d = caption_distance(title, target, True)
+    assert abs(d - (abs(0.78 - 0.77) + abs(0.81 - 0.82))) < 1e-12
+
+
+# ---- W3: section state machine (layout.py:11-81) ---------------------------
+
+def test_header_parser_priority_and_state():
+    tr = SectionTracker()
+    assert tr.feed_page(["3.1 Intro"]) == "3.1"
+    assert tr.feed_page([]) == "3.1"           # state persists across pages
+    assert tr.feed_page(["Chapter 4"]) == ""   # chapter resets section
+    assert tr.feed_page(["4.2 Methods"]) == "4.2"
+    # same number + longer title updates silently, number unchanged
+    assert tr.feed_page(["4.2 Methods and Much More Detail"]) == "4.2"
+    assert tr.feed_page(["Section 7 Results"]) == "7"
+
+
+def test_header_parser_part_sorted_first():
+    tr = SectionTracker()
+    out = tr.feed_page(["2.9 Later", "Part II Basics"])
+    assert out == "2.9"
+    assert tr.part == "Part II Basics"
+
+
+# ---- X3/J2: mention regex skew + matching -----------------------------------
+
+def test_eq_mention_tagged_and_matched():
+    tagged = tag_mentions("The bound follows from Eq . (3) as stated in Section 2.1 above.")
+    assert "Eq. (3)" in tagged.ref_info  # clean_span_text collapses ' . ('
+    assert tagged.section_info == ["2.1"]
+    assert tagged.raw_texts  # raw sentence recorded
+
+
+def test_eqs_vs_eq_skew_replicated():
+    # graph-side accepts bare 'Eq' as equation keyword; a target captioned
+    # '(3)' matches via the bare-parenthesis fallback (graph.py:135-138)
+    src = {"id": "s", "type": "text", "page": 0, "bbox": [0, 0, 1, 1]}
+    tgt = {"id": "t", "type": "display_formula", "page": 0,
+           "bbox": [0, 0, 1, 1], "text": "(3)"}
+    assert find_target_with_name([tgt], "Eq. (3)", src) is tgt
+    assert find_target_with_name([tgt], "Eq. (4)", src) is None
+
+
+def test_first_name_match_wins_not_closest():
+    # the reference breaks on the FIRST name match in scope order
+    # (graph.py:150), even if a later candidate is closer
+    src = {"id": "s", "type": "text", "page": 0, "bbox": [0.0, 0.0, 0.1, 0.1]}
+    far = {"id": "far", "type": "figure", "page": 5,
+           "bbox": [0.9, 0.9, 1.0, 1.0], "text": "Figure 2: far away"}
+    near = {"id": "near", "type": "figure", "page": 0,
+            "bbox": [0.0, 0.0, 0.2, 0.2], "text": "Figure 2: right here"}
+    assert find_target_with_name([far, near], "Figure 2", src) is far
+
+
+def test_section_scope_fallback_to_global():
+    pages = [{
+        "page_index": 0,
+        "boxes": [
+            {"label": "text", "coordinate": [0.1, 0.6, 0.9, 0.7],
+             "ref_info": [{"figure_text": "Table 1", "text_box": [0, 0, 0, 0],
+                           "raw_text": ["see Table 1"],
+                           "section_info": ["99.1"]}]},  # 99 ∉ 1..29 → global
+            {"label": "table", "coordinate": [0.1, 0.1, 0.9, 0.5],
+             "text": "Table 1: data"},
+        ],
+    }]
+    pairs = create_reference_pairs(pages)
+    assert len(pairs) == 1
+    assert pairs[0]["ref"]["type"] == "table"
+
+
+# ---- X5/X6/U4: sentinel, segmentation, join quirks --------------------------
+
+def test_sentence_segmentation_roundtrip():
+    para = "First sentence here. Second one follows! Third?"
+    sents = segment_sentences(para)
+    assert sents == ["First sentence here.", "Second one follows!", "Third?"]
+    assert " ".join(sents) == para
+
+
+def test_abbreviations_do_not_split():
+    para = "See Fig. 3 for details. Then continue."
+    assert segment_sentences(para) == ["See Fig. 3 for details.",
+                                       "Then continue."]
+
+
+def test_x6_spacing_perturbation():
+    # the alpha/non-alpha token split + single-space join moves punctuation
+    # spacing exactly like the reference (post.py:12-30)
+    out = correct_segmentation_and_typos("is large.")
+    assert out == "is large ."
+
+
+def test_wordseg_identity_for_known_words():
+    assert segment_token("the") == "the"
+    assert segment_token("The") == "The"
+
+
+def test_wordseg_splits_concatenation():
+    assert segment_token("thedata") == "the data"

@@ -1,0 +1,142 @@
+"""Spark-level tests: mapInPandas ≡ sequential (batching/order safety),
+resume/checkpoint idempotency, skew smoke (SURVEY.md §5.2.3/5/7)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from ocr_spark.core.extract import extract_document
+from ocr_spark.gen.corpus import generate_pages
+
+N_ROWS = 150
+
+
+@pytest.fixture(scope="module")
+def pages_table(spark, tmp_path_factory):
+    from ocr_spark.sources import iceberg_shim as shim
+
+    root = str(tmp_path_factory.mktemp("pages_tbl"))
+    rows = generate_pages(N_ROWS, seed=42, oversized_rows=1)
+    df = spark.createDataFrame(
+        [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"]) for r in rows],
+        schema="url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    shim.write_snapshot(df, root)
+    return root, rows
+
+
+def test_spark_equals_sequential(spark, pages_table):
+    """Bit-for-bit: the distributed mapInPandas run must equal the pure
+    sequential run for every url (catches batching/order bugs)."""
+    from ocr_spark.operators.extraction import run_extraction
+
+    root, rows = pages_table
+    from ocr_spark.sources import iceberg_shim as shim
+    pages = shim.read_current(spark, root)
+    got = {
+        r["url"]: r for r in
+        run_extraction(pages, partitions=16, big_partitions=2)
+        .select("url", "text", "blocks_json", "spans_json", "matches_json",
+                "error").toPandas().to_dict("records")
+    }
+    assert len(got) == N_ROWS
+    for row in rows:
+        res = extract_document(row["url"], row["html"])
+        g = got[row["url"]]
+        assert g["error"] is None or g["error"] == res.error
+        assert g["text"] == res.text, row["url"]
+        assert json.loads(g["blocks_json"]) == json.loads(
+            json.dumps(res.blocks)), row["url"]
+        assert json.loads(g["matches_json"]) == json.loads(
+            json.dumps(res.matches)), row["url"]
+
+
+def test_resume_after_injected_failure(spark, pages_table, tmp_path):
+    """Kill-after-K-waves → rerun → identical final table, no
+    double-processing (SURVEY.md §5.2.5)."""
+    from ocr_spark.job import read_extracted, run_extraction_job
+
+    root, rows = pages_table
+    work = str(tmp_path / "work")
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_extraction_job(spark, root, work, partitions=16,
+                           big_partitions=2, waves=4, fail_after_waves=2)
+
+    partial = read_extracted(spark, work)
+    n_partial = partial.count()
+    assert 0 < n_partial < N_ROWS
+
+    summary = run_extraction_job(spark, root, work, partitions=16,
+                                 big_partitions=2, waves=4)
+    assert summary["buckets_skipped"] > 0
+
+    final = read_extracted(spark, work)
+    urls = [r.url for r in final.select("url").collect()]
+    assert len(urls) == N_ROWS
+    assert len(set(urls)) == N_ROWS, "double-processing detected"
+
+    # lineage rows complete: every bucket accounted exactly once
+    lineage = spark.read.parquet(os.path.join(work, "lineage"))
+    per_bucket = lineage.groupBy("partition_id").count().collect()
+    assert all(r["count"] == 1 for r in per_bucket)
+    assert lineage.groupBy().sum("doc_count").collect()[0][0] == N_ROWS
+
+
+def test_rerun_is_noop(spark, pages_table, tmp_path):
+    from ocr_spark.job import run_extraction_job
+
+    root, _rows = pages_table
+    work = str(tmp_path / "work2")
+    s1 = run_extraction_job(spark, root, work, partitions=16,
+                            big_partitions=2, waves=2)
+    s2 = run_extraction_job(spark, root, work, partitions=16,
+                            big_partitions=2, waves=2)
+    assert s1["docs"] == N_ROWS
+    assert s2["docs"] == 0 and s2["buckets_processed"] == 0
+
+
+def test_oversized_rows_isolated(spark, pages_table):
+    """Skew smoke: the ≥10MB row must land in the dedicated big-row
+    partitions, not among normal rows (SURVEY.md §5.2.7)."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.extraction import salted_repartition
+    from ocr_spark.sources import iceberg_shim as shim
+
+    root, _rows = pages_table
+    pages = shim.read_current(spark, root)
+    parts = 8
+    salted = salted_repartition(pages, partitions=parts, big_partitions=2)
+    dist = (salted.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .agg(F.max(F.length("html")).alias("max_len"),
+                 F.count("*").alias("n"))
+            .collect())
+    big_parts = [r.pid for r in dist if r.max_len > 2_000_000]
+    assert big_parts, "oversized row missing"
+    for r in dist:
+        if r.pid in big_parts:
+            assert r.n <= 3, "big partition should hold only oversized rows"
+    # big rows occupy partition ids >= the normal range
+    assert all(pid >= parts for pid in big_parts)
+
+
+def test_typed_struct_views(spark, pages_table):
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.extraction import run_extraction, with_typed_structs
+    from ocr_spark.sources import iceberg_shim as shim
+
+    root, _rows = pages_table
+    pages = shim.read_current(spark, root).limit(40)
+    typed = with_typed_structs(run_extraction(pages, partitions=4,
+                                              big_partitions=1))
+    row = (typed.filter(F.col("kind") == "fixture")
+           .select(F.explode("matches").alias("m")).first())
+    assert row is not None
+    assert set(row.m.asDict()) == {"figure_box", "figure_page", "page_num",
+                                   "raw_text", "figure_text", "text_box"}
