@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Headline benchmark for the ocr_spark engine.
+
+Runs the flagship extraction job plus the headline analytics queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` (default 32) and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is total wall-seconds across the headline set (lower = better).
+Per-query seconds are in ``queries``; the extraction job also reports
+docs/sec as ``extract_docs_per_sec`` (informational key, not a timing).
+
+Results are forced with the noop sink (or count for tiny outputs) so we
+measure cluster execution, not driver-side collect/pretty-print.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline subset: the extraction pipeline (the engine's reason to exist)
+# + one representative of each analytics shape (scan-agg, broadcast-join
+# top-k, snowflake join, window sessionization, window rank, dedup hash,
+# quality scoring).
+HEADLINE = [
+    "extract_roundtrip",
+    "q1_pricing_summary",
+    "q3_segment_revenue",
+    "q5_nation_revenue",
+    "ev_sessionize",
+    "top3_customers_per_nation",
+    "docs_exact_dedup",
+    "docs_quality_score",
+]
+
+
+def _force(df) -> int:
+    """Execute the full plan; return row count (cheap metadata-ish action
+    that still runs every stage — noop write would hide the count)."""
+    return df.count()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1
+
+    import __spark_entry__ as entrymod
+    from ocr_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]")
+    qs = entrymod.queries()
+
+    # warm the JVM + Python workers once (tiny query) so query #1 doesn't
+    # absorb executor-startup cost.
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        n = _force(fn(spark, sf_dir))
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        if name == "extract_roundtrip" and dt > 0:
+            extra["extract_docs_per_sec"] = round(n / dt, 2)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_total_sec (extraction + analytics)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": int(cpus),
+        **extra,
+    }
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
