@@ -67,14 +67,17 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q3_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: 3-way join + top-k. The customer/orders sides are
-    orders of magnitude smaller than lineitem → broadcast them."""
+    """TPC-H Q3 shape: 3-way join + top-k. orders/customer are FACT-sized
+    at scale (sf*1.5M / sf*150k rows) — no explicit broadcast hint; the
+    lineitem⋈orders join is a shuffle join on the join key and AQE
+    converts to broadcast automatically when a filtered side fits under
+    autoBroadcastJoinThreshold (true at test SF, false at 100 TB)."""
     cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15"))
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15"))
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -125,7 +128,10 @@ GROUP BY o_orderpriority
 
 
 def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: snowflake join; every dim side broadcast."""
+    """TPC-H Q5 shape: snowflake join. Broadcast only the genuinely tiny
+    dims (nation=25, region=5 rows — constant at any SF); orders/customer/
+    supplier grow with SF, so they join by shuffle and AQE may promote
+    them to broadcast at small SF."""
     li = t(spark, sf_dir, "lineitem")
     orders = t(spark, sf_dir, "orders")
     cust = t(spark, sf_dir, "customer")
@@ -133,9 +139,9 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = t(spark, sf_dir, "nation")
     region = t(spark, sf_dir, "region")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
@@ -215,8 +221,8 @@ def top3_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = t(spark, sf_dir, "customer")
     nation = t(spark, sf_dir, "nation")
     rev = (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name", "c_custkey")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))

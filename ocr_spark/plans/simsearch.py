@@ -1,0 +1,294 @@
+"""Similarity search over the ``embeddings`` table (vec_id, embedding
+FLOAT[64], label).
+
+Three tiers, mirroring how an ANN stack scales:
+  * ``emb_cosine_topk`` — brute-force cosine top-k: the exactness
+    baseline. O(Q·N); fine when the query set is small enough to
+    broadcast, which is exactly how it is written (broadcast the query
+    side, stream the corpus side — no shuffle of the big table).
+  * ``emb_ivf_topk`` — IVF-style cell-pruned top-k: vectors are
+    pre-assigned to coarse cells (here the ``label`` column plays the
+    trained coarse quantizer); a query probes only its own cell, so the
+    join is an equi-join on cell id — partition-prunable and skew-safe
+    at 100 TB, instead of a full cross join.
+  * ``emb_lsh_near_dup`` — random-hyperplane LSH bucketing + exact
+    cosine verification within buckets: the near-dup-pair path. The
+    signature is a narrow per-row map; the only shuffle is the bucket
+    self-join.
+  * ``emb_label_centroids`` — per-cell element-wise centroid (the IVF
+    "train" step): posexplode → groupBy(cell, dim) → avg; demonstrates
+    vector aggregation without any Python.
+
+Everything is JVM-side higher-order functions over array<double>; md5
+seeds the deterministic hyperplanes so Spark and the DuckDB oracle agree
+bit-for-bit (dot products are left-fold doubles on both engines:
+F.aggregate and list_reduce both fold left-to-right).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+DIM = 64
+N_QUERIES = 10          # vec_id < 10 are the demo query set
+TOPK = 5
+IVF_TOPK = 3
+LSH_PLANES = 16         # signature length
+LSH_BUCKET_BITS = 8     # bucket = signature prefix → 256 buckets
+NEAR_DUP_COS = 0.3
+
+
+def _planes() -> list[list[float]]:
+    """Deterministic ±1 hyperplanes: component d of plane p is +1 iff the
+    first hex digit of md5('<p>_<d>') has its high bit set. Reproducible
+    in any engine; no RNG state to ship."""
+    out = []
+    for p in range(LSH_PLANES):
+        row = []
+        for d in range(DIM):
+            h = hashlib.md5(f"{p}_{d}".encode()).hexdigest()
+            row.append(1.0 if h[0] in "89abcdef" else -1.0)
+        out.append(row)
+    return out
+
+
+PLANES = _planes()
+
+
+def t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _vecd(col: str = "embedding") -> Column:
+    return F.col(col).cast("array<double>")
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Left-to-right fold — same order as DuckDB list_reduce, so results
+    are bit-identical across engines."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+# SQL fragments (v = array<double> column name on each side)
+_SQL_VEC = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (f"list_reduce(list_transform(range(1, {DIM + 1}), "
+            f"i -> {a}[i] * {b}[i]), (x, y) -> x + y)")
+
+
+def _sql_norm(a: str) -> str:
+    return (f"sqrt(list_reduce(list_transform({a}, x -> x * x), "
+            f"(x, y) -> x + y))")
+
+
+# --------------------------------------------------------------------------
+# brute-force cosine top-k
+# --------------------------------------------------------------------------
+
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir).select(
+        "vec_id", _vecd().alias("v")).withColumn("nrm", _norm(F.col("v")))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"))
+    # broadcast the small query side; the corpus side streams — the plan
+    # is BroadcastNestedLoopJoin with zero shuffle of the big table.
+    j = emb.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    scored = j.select("q_id", F.col("vec_id").alias("neighbor_id"),
+                      F.round(cos, 6).alias("cos6"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos6"),
+                                           F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOPK)
+            .select("q_id", "neighbor_id",
+                    F.round("cos6", 4).alias("cos_sim"), "rank"))
+
+
+_COSINE_TOPK_SQL = f"""
+WITH e AS (
+  SELECT vec_id, {_SQL_VEC} AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, {_sql_norm('v')} AS nrm FROM e
+), q AS (
+  SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q.q_id, n.vec_id AS neighbor_id,
+         ROUND({_sql_dot('q.qv', 'n.v')} / (q.qn * n.nrm), 6) AS cos6
+  FROM q, n WHERE n.vec_id <> q.q_id
+), ranked AS (
+  SELECT q_id, neighbor_id, cos6,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cos6 DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, neighbor_id, ROUND(cos6, 4) AS cos_sim, rank
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+# --------------------------------------------------------------------------
+# IVF-style cell-pruned top-k
+# --------------------------------------------------------------------------
+
+def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe only the query's cell (label = pretrained coarse-quantizer
+    assignment): the cross join collapses to an equi-join on cell id.
+    At scale the table is partitioned by cell, so a probe touches one
+    partition instead of the corpus."""
+    emb = t(spark, sf_dir).select(
+        "vec_id", "label", _vecd().alias("v")
+    ).withColumn("nrm", _norm(F.col("v")))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("q_label"),
+        F.col("v").alias("qv"), F.col("nrm").alias("qn"))
+    j = emb.join(F.broadcast(q), (F.col("label") == F.col("q_label"))
+                 & (F.col("vec_id") != F.col("q_id")))
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    scored = j.select("q_id", F.col("label").alias("cell"),
+                      F.col("vec_id").alias("neighbor_id"),
+                      F.round(cos, 6).alias("cos6"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos6"),
+                                           F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= IVF_TOPK)
+            .select("q_id", "cell", "neighbor_id",
+                    F.round("cos6", 4).alias("cos_sim"), "rank"))
+
+
+_IVF_TOPK_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, {_SQL_VEC} AS v FROM embeddings
+), n AS (
+  SELECT vec_id, label, v, {_sql_norm('v')} AS nrm FROM e
+), q AS (
+  SELECT vec_id AS q_id, label AS q_label, v AS qv, nrm AS qn
+  FROM n WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q.q_id, n.label AS cell, n.vec_id AS neighbor_id,
+         ROUND({_sql_dot('q.qv', 'n.v')} / (q.qn * n.nrm), 6) AS cos6
+  FROM q JOIN n ON n.label = q.q_label AND n.vec_id <> q.q_id
+), ranked AS (
+  SELECT q_id, cell, neighbor_id, cos6,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cos6 DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, cell, neighbor_id, ROUND(cos6, 4) AS cos_sim, rank
+FROM ranked WHERE rank <= {IVF_TOPK}
+"""
+
+
+# --------------------------------------------------------------------------
+# per-cell centroids (the IVF "train" step)
+# --------------------------------------------------------------------------
+
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir).select("label", _vecd().alias("v"))
+    exploded = emb.select("label", F.posexplode("v").alias("pos", "x"))
+    return (exploded.groupBy("label", "pos")
+            .agg(F.round(F.avg("x"), 4).alias("centroid_val"),
+                 F.count("*").alias("n_vecs")))
+
+
+_CENTROIDS_SQL = f"""
+WITH e AS (
+  SELECT label, {_SQL_VEC} AS v FROM embeddings
+)
+SELECT label, g.i - 1 AS pos,
+       ROUND(AVG(v[g.i]), 4) AS centroid_val,
+       COUNT(*) AS n_vecs
+FROM e, generate_series(1, {DIM}) AS g(i)
+GROUP BY label, g.i - 1
+"""
+
+
+# --------------------------------------------------------------------------
+# hyperplane-LSH near-duplicate pairs
+# --------------------------------------------------------------------------
+
+def _lsh_signature(v: Column) -> Column:
+    bits = []
+    for p in range(LSH_PLANES):
+        plane = F.array(*[F.lit(x) for x in PLANES[p]])
+        bits.append(F.when(_dot(v, plane) > 0, F.lit("1"))
+                    .otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def _sql_plane_literal(p: int) -> str:
+    return "[" + ", ".join(f"{x:.1f}" for x in PLANES[p]) + "]"
+
+
+def _sql_signature() -> str:
+    bits = []
+    for p in range(LSH_PLANES):
+        dot = (f"list_reduce(list_transform(range(1, {DIM + 1}), "
+               f"i -> v[i] * ({_sql_plane_literal(p)})[i]), (x, y) -> x + y)")
+        bits.append(f"(CASE WHEN {dot} > 0 THEN '1' ELSE '0' END)")
+    return " || ".join(bits)
+
+
+def emb_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket by the first LSH_BUCKET_BITS sign bits, then verify exact
+    cosine within buckets. One narrow map (signatures) + one equi-join
+    shuffle on bucket — never an all-pairs cross join."""
+    emb = t(spark, sf_dir).select(
+        "vec_id", _vecd().alias("v")
+    ).withColumn("nrm", _norm(F.col("v")))
+    sig = emb.withColumn(
+        "bucket", F.substring(_lsh_signature(F.col("v")), 1, LSH_BUCKET_BITS))
+    a = sig.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+                   F.col("nrm").alias("na"), "bucket")
+    b = sig.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+                   F.col("nrm").alias("nb"), "bucket")
+    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (pairs.select("bucket", "id_a", "id_b",
+                         F.round(cos, 4).alias("cos_sim"))
+            .filter(F.col("cos_sim") >= NEAR_DUP_COS))
+
+
+_LSH_NEAR_DUP_SQL = f"""
+WITH e AS (
+  SELECT vec_id, {_SQL_VEC} AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, {_sql_norm('v')} AS nrm FROM e
+), sig AS (
+  SELECT vec_id, v, nrm,
+         substring({_sql_signature()}, 1, {LSH_BUCKET_BITS}) AS bucket
+  FROM n
+)
+SELECT a.bucket, a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND({_sql_dot('a.v', 'b.v')} / (a.nrm * b.nrm), 4) AS cos_sim
+FROM sig a JOIN sig b USING (bucket)
+WHERE a.vec_id < b.vec_id
+  AND ROUND({_sql_dot('a.v', 'b.v')} / (a.nrm * b.nrm), 4)
+      >= {NEAR_DUP_COS}
+"""
+
+
+SPARK_QUERIES = {
+    "emb_cosine_topk": emb_cosine_topk,
+    "emb_ivf_topk": emb_ivf_topk,
+    "emb_label_centroids": emb_label_centroids,
+    "emb_lsh_near_dup": emb_lsh_near_dup,
+}
+
+ORACLE_SQL = {
+    "emb_cosine_topk": _COSINE_TOPK_SQL,
+    "emb_ivf_topk": _IVF_TOPK_SQL,
+    "emb_label_centroids": _CENTROIDS_SQL,
+    "emb_lsh_near_dup": _LSH_NEAR_DUP_SQL,
+}
