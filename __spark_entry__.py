@@ -38,23 +38,29 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 / §7.8."""
-    from ocr_spark.plans import dataops, extract_queries, queries as q, simsearch
+    from ocr_spark.plans import (
+        dataops, extract_queries, multimodal_queries, queries as q, simsearch,
+    )
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(q.SPARK_QUERIES)
     out.update(extract_queries.SPARK_QUERIES)
     out.update(dataops.SPARK_QUERIES)
     out.update(simsearch.SPARK_QUERIES)
+    out.update(multimodal_queries.SPARK_QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (same column names/aliases)."""
-    from ocr_spark.plans import dataops, extract_queries, queries as q, simsearch
+    from ocr_spark.plans import (
+        dataops, extract_queries, multimodal_queries, queries as q, simsearch,
+    )
 
     out: dict[str, str] = {}
     out.update(q.ORACLE_SQL)
     out.update(extract_queries.ORACLE_SQL)
     out.update(dataops.ORACLE_SQL)
     out.update(simsearch.ORACLE_SQL)
+    out.update(multimodal_queries.ORACLE_SQL)
     return out

@@ -1,0 +1,53 @@
+"""Multimodal plumbing: FKIM codec round trip, error capture, resize."""
+
+import struct
+
+from ocr_spark.operators.multimodal import (
+    FRAME_BYTES, HEADER_BYTES, decode_media_meta, encode_media, frame_content,
+    media_dims, resize_stub, sample_frames, synthesize_media,
+)
+
+
+def test_codec_round_trip_pure():
+    for doc_id in (0, 1, 7, 123, 4999):
+        data = encode_media(doc_id)
+        w, h, nf = media_dims(doc_id)
+        assert data[:4] == b"FKIM"
+        assert struct.unpack(">BHHB", data[4:HEADER_BYTES]) == (1, w, h, nf)
+        assert len(data) == HEADER_BYTES + nf * FRAME_BYTES
+        assert data[HEADER_BYTES:HEADER_BYTES + FRAME_BYTES] == \
+            frame_content(doc_id, 0)
+
+
+def test_spark_decode_and_sample(spark):
+    docs = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    media = synthesize_media(docs)
+    meta = {r.doc_id: r for r in decode_media_meta(media).collect()}
+    assert len(meta) == 20
+    for i in range(20):
+        w, h, nf = media_dims(i)
+        assert (meta[i].width, meta[i].height, meta[i].n_frames) == (w, h, nf)
+        assert meta[i].error is None
+    frames = sample_frames(media, every_k=2).collect()
+    expected = sum((media_dims(i)[2] + 1) // 2 for i in range(20))
+    assert len(frames) == expected
+
+
+def test_decode_error_is_row_not_failure(spark):
+    rows = [(1, bytearray(b"NOTFKIM_GARBAGE")), (2, bytearray(b"FKIM\x01"))]
+    media = spark.createDataFrame(rows, "doc_id long, media binary")
+    out = {r.doc_id: r for r in decode_media_meta(media).collect()}
+    assert out[1].error is not None and "bad magic" in out[1].error
+    assert out[2].error is not None
+    assert out[1].width is None
+
+
+def test_resize_restamps_header(spark):
+    docs = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    media = synthesize_media(docs)
+    resized = resize_stub(media, 32, 48)
+    meta = {r.doc_id: r for r in decode_media_meta(resized).collect()}
+    for i in range(5):
+        assert (meta[i].width, meta[i].height) == (32, 48)
+        assert meta[i].n_frames == media_dims(i)[2]
+        assert meta[i].error is None
