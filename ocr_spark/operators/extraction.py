@@ -102,8 +102,11 @@ def salted_repartition(pages: DataFrame, partitions: int = 128,
     normal = keyed.filter(~F.col("is_big")).repartition(partitions, "url")
     big = keyed.filter(F.col("is_big")).repartition(big_partitions, "url")
     # unionAll of two shuffles concatenates their partition lists — no
-    # third shuffle, and the giant rows stay physically isolated.
-    return normal.unionAll(big)
+    # third shuffle, and the giant rows stay physically isolated. BIG
+    # partitions go FIRST: tasks are scheduled in partition order, and a
+    # multi-second oversized-row task launched last would run as a serial
+    # tail after every core has drained (longest-processing-time-first).
+    return big.unionAll(normal)
 
 
 def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -16,7 +16,7 @@ import os
 
 from pyspark.sql import SparkSession
 
-ARROW_BATCH_ROWS = 128
+ARROW_BATCH_ROWS = int(os.environ.get("OCR_SPARK_ARROW_BATCH", "128"))
 
 
 def get_spark(app_name: str = "ocr_spark", master: str | None = None,

@@ -121,8 +121,10 @@ def test_oversized_rows_isolated(spark, pages_table):
     for r in dist:
         if r.pid in big_parts:
             assert r.n <= 3, "big partition should hold only oversized rows"
-    # big rows occupy partition ids >= the normal range
-    assert all(pid >= parts for pid in big_parts)
+    # big rows occupy the FIRST partition ids: they are scheduled first
+    # so a multi-second oversized task never runs as a serial tail after
+    # the normal partitions have drained (LPT-first scheduling)
+    assert all(pid < 2 for pid in big_parts)
 
 
 def test_typed_struct_views(spark, pages_table):
