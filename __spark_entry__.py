@@ -39,7 +39,8 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 / §7.8."""
     from ocr_spark.plans import (
-        dataops, extract_queries, multimodal_queries, queries as q, simsearch,
+        dataops, extract_queries, multimodal_queries, queries as q,
+        relational_extra, simsearch,
     )
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -48,13 +49,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(dataops.SPARK_QUERIES)
     out.update(simsearch.SPARK_QUERIES)
     out.update(multimodal_queries.SPARK_QUERIES)
+    out.update(relational_extra.SPARK_QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (same column names/aliases)."""
     from ocr_spark.plans import (
-        dataops, extract_queries, multimodal_queries, queries as q, simsearch,
+        dataops, extract_queries, multimodal_queries, queries as q,
+        relational_extra, simsearch,
     )
 
     out: dict[str, str] = {}
@@ -63,4 +66,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(dataops.ORACLE_SQL)
     out.update(simsearch.ORACLE_SQL)
     out.update(multimodal_queries.ORACLE_SQL)
+    out.update(relational_extra.ORACLE_SQL)
     return out

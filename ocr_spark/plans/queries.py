@@ -106,8 +106,8 @@ LIMIT 10
 def q4_priority_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: EXISTS → left-semi join, then a tiny aggregation."""
     orders = t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1994-01-01"))
-        & (F.col("o_orderdate") < F.lit("1995-01-01")))
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01")))
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
     return (
         orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
@@ -119,8 +119,8 @@ def q4_priority_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q4_SQL = """
 SELECT o_orderpriority, COUNT(*) AS order_count
 FROM orders
-WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
-  AND o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
   AND EXISTS (SELECT 1 FROM lineitem
               WHERE l_orderkey = o_orderkey AND l_quantity > 45)
 GROUP BY o_orderpriority
@@ -170,8 +170,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     return (
         li.filter(
-            (F.col("l_shipdate") >= F.lit("1994-01-01"))
-            & (F.col("l_shipdate") < F.lit("1995-01-01"))
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
             & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24))
         .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"),
@@ -183,8 +183,8 @@ Q6_SQL = """
 SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
-  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
   AND l_discount BETWEEN 0.05 AND 0.07
   AND l_quantity < 24
 """

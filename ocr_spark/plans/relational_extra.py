@@ -1,0 +1,317 @@
+"""Extended relational operator coverage with DuckDB oracles.
+
+SURVEY.md §2 marks whole relational categories as absent from the
+reference (it is a per-document dataflow, not a SQL engine). This module
+demonstrates that the rebuild provides them anyway — because on Spark
+they are free, and a user of a corpus-scale engine needs them:
+
+  * ROLLUP grouping sets with grouping_id (R1)
+  * INTERSECT / EXCEPT set operations (R2)
+  * correlated scalar-subquery shape, decorrelated to an aggregate
+    broadcast join (R3, TPC-H Q17 shape)
+  * semi-join + anti-join combined (R4, TPC-H Q21 shape)
+  * scalar subquery + anti-join (R5, TPC-H Q22 shape)
+  * conditional aggregation (R6, TPC-H Q12 shape)
+  * as-of join via last_value(IGNORE NULLS) over a union (R7) — the
+    classic point-in-time join, no range-join blowup
+  * exact interpolated percentiles (R8)
+
+Scale notes are on each query: what shuffles, what broadcasts, what AQE
+does at larger SF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# R1: ROLLUP + grouping_id
+# --------------------------------------------------------------------------
+
+def li_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-aggregatable rollup: one scan, map-side partial aggs, a
+    single shuffle keyed on the grouping-set id + keys."""
+    li = t(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+                 F.count("*").alias("n_rows"),
+                 F.grouping_id().alias("gid")))
+
+
+_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 4) AS sum_qty,
+       COUNT(*) AS n_rows,
+       GROUPING(l_returnflag, l_linestatus) AS gid
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# --------------------------------------------------------------------------
+# R2: INTERSECT / EXCEPT
+# --------------------------------------------------------------------------
+
+def nations_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops over distinct key sets: both compile to aggregate +
+    shuffle on the key; the sides here are tiny, AQE broadcasts."""
+    cust_nations = (t(spark, sf_dir, "customer")
+                    .select(F.col("c_nationkey").alias("nationkey")))
+    supp_nations = (t(spark, sf_dir, "supplier")
+                    .select(F.col("s_nationkey").alias("nationkey")))
+    both = (cust_nations.intersect(supp_nations)
+            .withColumn("membership", F.lit("both")))
+    cust_only = (cust_nations.subtract(supp_nations)
+                 .withColumn("membership", F.lit("customer_only")))
+    return both.unionByName(cust_only)
+
+
+_SET_OPS_SQL = """
+SELECT nationkey, 'both' AS membership FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  INTERSECT
+  SELECT s_nationkey FROM supplier
+)
+UNION ALL
+SELECT DISTINCT nationkey, 'customer_only' AS membership FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  EXCEPT
+  SELECT s_nationkey FROM supplier
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# R3: correlated scalar subquery → decorrelated aggregate join (Q17)
+# --------------------------------------------------------------------------
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """avg-per-part computed once (shuffle on l_partkey), then joined
+    back — the decorrelation Catalyst would do for the correlated
+    subquery; the agg side is #parts rows, broadcastable at any SF where
+    parts fit (sf*200k rows — AQE decides)."""
+    li = t(spark, sf_dir, "lineitem")
+    avg_qty = (li.groupBy("l_partkey")
+               .agg((F.avg("l_quantity") * 0.5).alias("half_avg")))
+    return (li.join(avg_qty, "l_partkey")
+            .filter(F.col("l_quantity") < F.col("half_avg"))
+            .agg(F.round(F.sum("l_extendedprice") / 7.0, 4)
+                 .alias("avg_yearly"),
+                 F.count("*").alias("n_small")))
+
+
+_Q17_SQL = """
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 4) AS avg_yearly,
+       COUNT(*) AS n_small
+FROM lineitem l
+WHERE l_quantity < (SELECT 0.5 * AVG(l_quantity)
+                    FROM lineitem WHERE l_partkey = l.l_partkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# R4: semi + anti join combined (Q21 shape)
+# --------------------------------------------------------------------------
+
+def q21_exists_notexists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders that have a big-quantity lineitem (EXISTS → left_semi) but
+    no small-quantity one (NOT EXISTS → left_anti); both joins shuffle
+    on o_orderkey and AQE handles any hot order key."""
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    big = li.filter(F.col("l_quantity") > 45).select("l_orderkey")
+    small = li.filter(F.col("l_quantity") < 5).select("l_orderkey")
+    return (orders
+            .join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+            .join(small, orders.o_orderkey == small.l_orderkey, "left_anti")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_orders")))
+
+
+_Q21_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o.o_orderkey AND l_quantity > 45)
+  AND NOT EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o.o_orderkey AND l_quantity < 5)
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# R5: scalar subquery + anti join (Q22 shape)
+# --------------------------------------------------------------------------
+
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with above-average balance and no orders: the global
+    avg is a 1-row broadcast; the anti join shuffles on custkey."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal"))
+    rich = (cust.crossJoin(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("avg_bal")))
+    # "idle" = never placed a large order (every customer has SOME order
+    # in this dataset, so the anti-join side is the filtered orders)
+    large = orders.filter(F.col("o_totalprice") > 300_000)
+    idle = rich.join(large, rich.c_custkey == large.o_custkey,
+                     "left_anti")
+    return idle.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_custs"),
+        F.round(F.sum("c_acctbal"), 4).alias("total_bal"))
+
+
+_Q22_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_custs,
+       ROUND(SUM(c_acctbal), 4) AS total_bal
+FROM customer c
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                   WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c.c_custkey
+                    AND o_totalprice > 300000)
+GROUP BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# R6: conditional aggregation (Q12 shape)
+# --------------------------------------------------------------------------
+
+def q12_priority_class_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01")))
+    high = F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1) \
+            .otherwise(0)
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(F.sum(high).alias("high_line_count"),
+                 F.sum(1 - high).alias("low_line_count")))
+
+
+_Q12_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# R7: as-of join (point-in-time)
+# --------------------------------------------------------------------------
+
+def ev_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every click, the most recent prior purchase by the same user
+    — the classic as-of join. Implemented as ONE window pass over the
+    union (last_value IGNORE NULLS), not a range join: a range/theta
+    join explodes at scale, the union-window is a single shuffle on
+    user_id + a sort within partitions."""
+    ev = t(spark, sf_dir, "events")
+    tagged = ev.select(
+        "user_id", "event_id", "ts", "event_type",
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+         .alias("purchase_ts"),
+        F.when(F.col("event_type") == "purchase", F.col("event_id"))
+         .alias("purchase_id"),
+    )
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    withlast = tagged.withColumn(
+        "last_purchase_id", F.last("purchase_id", ignorenulls=True).over(w)
+    ).withColumn(
+        "last_purchase_ts", F.last("purchase_ts", ignorenulls=True).over(w))
+    return (withlast.filter(F.col("event_type") == "click")
+            .select("user_id", "event_id",
+                    F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+                     .alias("click_time"),
+                    "last_purchase_id",
+                    F.date_format("last_purchase_ts", "yyyy-MM-dd HH:mm:ss")
+                     .alias("purchase_time")))
+
+
+_ASOF_SQL = """
+WITH tagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN event_type = 'purchase' THEN ts END AS purchase_ts,
+         CASE WHEN event_type = 'purchase' THEN event_id END AS purchase_id
+  FROM events
+), withlast AS (
+  SELECT user_id, event_id, ts, event_type,
+         last_value(purchase_id IGNORE NULLS) OVER w AS last_purchase_id,
+         last_value(purchase_ts IGNORE NULLS) OVER w AS last_purchase_ts
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS click_time,
+       last_purchase_id,
+       strftime(last_purchase_ts, '%Y-%m-%d %H:%M:%S') AS purchase_time
+FROM withlast WHERE event_type = 'click'
+"""
+
+
+# --------------------------------------------------------------------------
+# R8: exact interpolated percentiles
+# --------------------------------------------------------------------------
+
+def li_quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (not approx) — sorts within groups; at 100 TB
+    switch to approx_percentile and accept the error bound, which the
+    oracle can't check value-for-value (that variant is why this one
+    stays exact)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.expr("percentile(l_quantity, 0.5)"), 4)
+                 .alias("p50"),
+                 F.round(F.expr("percentile(l_quantity, 0.9)"), 4)
+                 .alias("p90"),
+                 F.round(F.expr("percentile(l_quantity, 0.99)"), 4)
+                 .alias("p99")))
+
+
+_PCT_SQL = """
+SELECT l_returnflag,
+       ROUND(CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE), 4) AS p50,
+       ROUND(CAST(quantile_cont(l_quantity, 0.9) AS DOUBLE), 4) AS p90,
+       ROUND(CAST(quantile_cont(l_quantity, 0.99) AS DOUBLE), 4) AS p99
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+SPARK_QUERIES = {
+    "li_rollup": li_rollup,
+    "nations_set_ops": nations_set_ops,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q21_exists_notexists": q21_exists_notexists,
+    "q22_idle_rich_customers": q22_idle_rich_customers,
+    "q12_priority_class_counts": q12_priority_class_counts,
+    "ev_asof_last_purchase": ev_asof_last_purchase,
+    "li_quantity_percentiles": li_quantity_percentiles,
+}
+
+ORACLE_SQL = {
+    "li_rollup": _ROLLUP_SQL,
+    "nations_set_ops": _SET_OPS_SQL,
+    "q17_small_quantity_revenue": _Q17_SQL,
+    "q21_exists_notexists": _Q21_SQL,
+    "q22_idle_rich_customers": _Q22_SQL,
+    "q12_priority_class_counts": _Q12_SQL,
+    "ev_asof_last_purchase": _ASOF_SQL,
+    "li_quantity_percentiles": _PCT_SQL,
+}
