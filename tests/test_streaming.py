@@ -1,0 +1,99 @@
+"""Structured Streaming: incremental extraction (exactly-once across
+restarts), watermark windowed metrics, custom stateful counters."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from ocr_spark.gen.corpus import generate_pages
+from ocr_spark.streaming.ingest import (
+    stream_extract, stream_host_counters, stream_page_metrics,
+)
+
+
+def _write_pages_batch(spark, rows, path):
+    df = spark.createDataFrame(
+        [(r["url"], r["warc_ts"], bytearray(r["html"]), r["text"], r["lang"])
+         for r in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string")
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+@pytest.fixture()
+def stream_dirs(tmp_path):
+    d = {k: str(tmp_path / k) for k in ("in", "out", "ckpt1", "ckpt2", "ckpt3")}
+    os.makedirs(d["in"], exist_ok=True)
+    return d
+
+
+def test_stream_extract_incremental_exactly_once(spark, stream_dirs):
+    rows = generate_pages(40, oversized_rows=0)
+    _write_pages_batch(spark, rows[:25], stream_dirs["in"])
+
+    q = stream_extract(spark, stream_dirs["in"], stream_dirs["out"],
+                       stream_dirs["ckpt1"])
+    q.awaitTermination()
+    first = spark.read.parquet(stream_dirs["out"])
+    assert first.count() == 25
+
+    # second wave of files: ONLY the new ones are processed
+    _write_pages_batch(spark, rows[25:], stream_dirs["in"])
+    q = stream_extract(spark, stream_dirs["in"], stream_dirs["out"],
+                       stream_dirs["ckpt1"])
+    q.awaitTermination()
+    result = spark.read.parquet(stream_dirs["out"])
+    assert result.count() == 40
+    # no duplicates: every url exactly once
+    assert result.select("url").distinct().count() == 40
+    # extraction output matches the batch kernel byte-for-byte
+    from ocr_spark.core.extract import extract_document
+    got = {r.url: r.text for r in result.collect()}
+    for r in rows[:5]:
+        assert got[r["url"]] == extract_document(r["url"], r["html"]).text
+
+
+def test_stream_page_metrics_watermark(spark, stream_dirs):
+    rows = generate_pages(30, oversized_rows=0)
+    _write_pages_batch(spark, rows, stream_dirs["in"])
+    q = stream_page_metrics(spark, stream_dirs["in"], stream_dirs["ckpt2"])
+    q.awaitTermination()
+    got = spark.sql("select * from page_metrics").toPandas()
+    # append-mode with watermark emits only CLOSED windows; with a single
+    # availableNow drain the final windows stay open, so emitted rows are
+    # a prefix — validate consistency rather than totals
+    assert set(got.columns) == {"window_start", "window_end", "lang",
+                                "n_pages", "bytes_in"}
+    if len(got):
+        assert (got["n_pages"] > 0).all()
+        assert (pd.to_datetime(got["window_end"])
+                > pd.to_datetime(got["window_start"])).all()
+
+
+def test_stream_host_counters_stateful(spark, stream_dirs, tmp_path):
+    out = str(tmp_path / "counters")
+    rows = generate_pages(30, oversized_rows=0)
+    _write_pages_batch(spark, rows[:15], stream_dirs["in"])
+    q = stream_host_counters(spark, stream_dirs["in"], out,
+                             stream_dirs["ckpt3"])
+    q.awaitTermination()
+    _write_pages_batch(spark, rows[15:], stream_dirs["in"])
+    q = stream_host_counters(spark, stream_dirs["in"], out,
+                             stream_dirs["ckpt3"])
+    q.awaitTermination()
+
+    got = spark.read.parquet(out).toPandas()
+    # state persisted across the two runs: the LAST update row per host
+    # carries the all-time totals
+    latest = (got.groupby("host").agg({"docs_total": "max",
+                                       "bytes_total": "max"}))
+    import collections
+    expect = collections.Counter()
+    expect_bytes = collections.Counter()
+    for r in rows:
+        host = r["url"].split("/")[2]
+        expect[host] += 1
+        expect_bytes[host] += len(r["html"])
+    for host, n in expect.items():
+        assert latest.loc[host, "docs_total"] == n
+        assert latest.loc[host, "bytes_total"] == expect_bytes[host]
