@@ -1,0 +1,88 @@
+"""Physical-plan quality gates: these assertions pin the *scale*
+properties of the plans — pushdown, pruning, broadcast, shuffle count —
+so a refactor that silently degrades the 100 TB story fails CI even
+though results stay correct.
+"""
+
+import re
+
+SF = "/root/testdata/sf0.01"
+
+
+def fmt(df) -> str:
+    qe = df._jdf.queryExecution()
+    return df._sc._jvm.org.apache.spark.sql.api.python.PythonSQLUtils \
+        .explainString(qe, "formatted")
+
+
+def n_shuffles(plan: str) -> int:
+    """Count shuffle exchanges only (a BroadcastExchange is not a
+    shuffle — it is the thing that AVOIDS one)."""
+    return len(re.findall(r"\(\d+\) Exchange\b", plan))
+
+
+def test_q1_pushdown_and_pruning(spark):
+    """Filter reaches the parquet scan; only 7 of 11 lineitem columns
+    are read."""
+    from ocr_spark.plans.queries import q1_pricing_summary
+    df = q1_pricing_summary(spark, SF)
+    plan = fmt(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual" in plan
+    assert "l_orderkey" not in plan.split("ReadSchema:")[1].split("\n")[0]
+    # map-side combine: partial aggregation before the 1-key shuffle
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in simple
+    # the whole agg pipeline compiles into WholeStageCodegen subtrees
+    codegen = df._sc._jvm.org.apache.spark.sql.api.python.PythonSQLUtils \
+        .explainString(df._jdf.queryExecution(), "codegen")
+    assert "WholeStageCodegen subtrees" in codegen
+
+
+def test_q6_multi_predicate_pushdown(spark):
+    from ocr_spark.plans.queries import q6_forecast_revenue
+    plan = fmt(q6_forecast_revenue(spark, SF))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed \
+        and "l_quantity" in pushed
+
+
+def test_q5_broadcasts_at_small_sf(spark):
+    """At sf0.01 every dim fits under autoBroadcastJoinThreshold: the
+    whole snowflake becomes broadcast joins — no sort-merge shuffles."""
+    from ocr_spark.plans.queries import q5_nation_revenue
+    plan = fmt(q5_nation_revenue(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "SortMergeJoin" not in plan
+
+
+def test_minhash_is_narrow_map(spark):
+    """Signature computation must stay a scan→project: zero shuffles."""
+    from ocr_spark.plans.dataops import docs_minhash_signature
+    plan = fmt(docs_minhash_signature(spark, SF))
+    assert n_shuffles(plan) == 0 and "BroadcastExchange" not in plan
+
+
+def test_extraction_has_exactly_two_shuffles_and_prunes(spark):
+    """The salted extraction job: one shuffle for the normal route + one
+    for the big route, nothing else; and the scan under the html-wrap
+    UDF reads only the columns the kernel needs."""
+    from ocr_spark.operators.extraction import run_extraction
+    from ocr_spark.plans.extract_queries import pages_from_documents
+    df = run_extraction(pages_from_documents(spark, SF), partitions=8,
+                        big_partitions=2)
+    plan = fmt(df)
+    assert n_shuffles(plan) == 2
+    for ln in plan.splitlines():
+        if "ReadSchema" in ln:
+            assert "lang" not in ln and "source" not in ln, (
+                "column pruning lost: " + ln)
+
+
+def test_emb_topk_no_shuffle_of_corpus(spark):
+    """Brute-force ANN must broadcast the query side; the corpus side
+    streams without an exchange before the join."""
+    from ocr_spark.plans.simsearch import emb_cosine_topk
+    plan = fmt(emb_cosine_topk(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    # the only shuffle allowed is the final window's partitionBy(q_id)
+    assert n_shuffles(plan) <= 1
