@@ -37,6 +37,10 @@ HEADLINE = [
     "top3_customers_per_nation",
     "docs_exact_dedup",
     "docs_quality_score",
+    "docs_minhash_lsh_pairs",
+    "emb_cosine_topk",
+    "ev_asof_last_purchase",
+    "mm_frame_rollup",
 ]
 
 

