@@ -118,37 +118,42 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """
     from ocr_spark.core.extract import extract_document
 
-    n_buckets = DEFAULT_BUCKETS
+    col_names = [f.name for f in EXTRACT_RESULT_SCHEMA]
 
     for pdf in batches:
-        rows = []
+        # column-wise accumulation: pd.DataFrame from dict-of-lists is
+        # ~5× cheaper than from list-of-dicts in this hot path
+        cols: dict[str, list] = {name: [] for name in col_names}
         has_bucket = "bucket" in pdf.columns
-        for i in range(len(pdf)):
-            url = pdf["url"].iat[i]
-            raw = pdf["html"].iat[i]
+        urls = pdf["url"].tolist()
+        htmls = pdf["html"].tolist()
+        buckets = pdf["bucket"].tolist() if has_bucket else None
+        for i, (url, raw) in enumerate(zip(urls, htmls)):
             if isinstance(raw, str):
                 raw = raw.encode("utf-8")
             t0 = time.perf_counter()
             res = extract_document(url, raw)
             ms = (time.perf_counter() - t0) * 1000.0
-            rows.append({
-                "url": url,
-                "bucket": int(pdf["bucket"].iat[i]) if has_bucket else None,
-                "kind": res.kind,
-                "text": res.text,
-                "n_pages": res.n_pages,
-                "n_blocks": len(res.blocks),
-                "n_spans": len(res.spans),
-                "n_matches": len(res.matches),
-                "n_blocks_dropped": res.n_blocks_dropped,
-                "blocks_json": json.dumps(res.blocks, ensure_ascii=False),
-                "spans_json": json.dumps(res.spans, ensure_ascii=False),
-                "matches_json": json.dumps(res.matches, ensure_ascii=False),
-                "error": res.error,
-                "bytes_in": len(raw) if raw is not None else 0,
-                "extract_ms": ms,
-            })
-        yield pd.DataFrame(rows, columns=[f.name for f in EXTRACT_RESULT_SCHEMA])
+            cols["url"].append(url)
+            cols["bucket"].append(int(buckets[i]) if buckets is not None
+                                  else None)
+            cols["kind"].append(res.kind)
+            cols["text"].append(res.text)
+            cols["n_pages"].append(res.n_pages)
+            cols["n_blocks"].append(len(res.blocks))
+            cols["n_spans"].append(len(res.spans))
+            cols["n_matches"].append(len(res.matches))
+            cols["n_blocks_dropped"].append(res.n_blocks_dropped)
+            cols["blocks_json"].append(json.dumps(res.blocks,
+                                                  ensure_ascii=False))
+            cols["spans_json"].append(json.dumps(res.spans,
+                                                 ensure_ascii=False))
+            cols["matches_json"].append(json.dumps(res.matches,
+                                                   ensure_ascii=False))
+            cols["error"].append(res.error)
+            cols["bytes_in"].append(len(raw) if raw is not None else 0)
+            cols["extract_ms"].append(ms)
+        yield pd.DataFrame(cols, columns=col_names)
 
 
 def run_extraction(pages: DataFrame, partitions: int = 128,
