@@ -12,17 +12,18 @@ Text analysis:
   * stopword-vote language identification.
 
 Design rules (why this file looks the way it does):
-  * Everything is pyspark.sql.functions higher-order expressions —
-    transform/aggregate/filter over token arrays — so the whole operator
-    runs inside WholeStageCodegen on the JVM. NO Python UDFs: at 100 TB
-    a per-row Python hop on `documents` would dominate the job.
-  * Every hash is md5-based because md5 is the one hash Spark and DuckDB
-    compute identically, which makes each operator oracle-checkable
-    value-for-value (xxhash64/murmur differ between engines).
-  * MinHash uses k=16 hash functions as ``min(md5(i || '|' || shingle))``
-    — the "one hash family, k salts" construction from the original
-    MinHash paper (Broder '97), string-min over hex is order-isomorphic
-    to integer-min over the 128-bit value.
+  * Operators stay JVM-side pyspark.sql.functions expressions wherever
+    those are compiled; but nested higher-order functions
+    (transform/aggregate chains) are evaluated INTERPRETED
+    (CodegenFallback), so the MinHash signature — the one genuinely
+    hash-loop-heavy kernel — is an Arrow-batched pandas UDF instead
+    (measured faster; see _minhash_vec_udf). Simple regexp/array ops
+    remain JVM expressions.
+  * Every hash is md5-based because md5 is the one hash Spark, DuckDB,
+    and hashlib compute identically, which makes each operator
+    oracle-checkable value-for-value (xxhash64/murmur differ between
+    engines). MinHash derives its k=16 hash family from one md5 via
+    Kirsch-Mitzenmacher ``h1 + i*h2 mod 2^31-1``.
 
 Reference parity note: the reference (CMDF/ocr) has no corpus-level ops
 at all (it is a one-document-at-a-time service, see SURVEY.md §2.3
@@ -456,6 +457,82 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# BPE-ish tokenization + rolling-hash fingerprint
+# --------------------------------------------------------------------------
+
+# GPT-2-style pre-tokenizer pattern, ASCII-restricted so the Java (Spark)
+# and RE2 (DuckDB) dialects agree byte-for-byte on this corpus
+_BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def docs_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish pre-tokenizer regex (the unit a
+    training pipeline budgets by) next to plain whitespace counts.
+    JVM regexp — narrow map, zero shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all("text", F.lit(_BPE_PAT), 0)
+    ws = F.split(F.trim("text"), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.size(F.filter(bpe, lambda x: ~x.rlike(r"^\s+$")))
+         .alias("n_bpe_nonspace"),
+        F.when(F.length(F.trim("text")) == 0, F.lit(0))
+         .otherwise(F.size(ws)).alias("n_ws_tokens"),
+    )
+
+
+_BPE_SQL_PAT = _BPE_PAT.replace("'", "''")
+_BPE_COUNT_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_BPE_SQL_PAT}', 0)) AS n_bpe_tokens,
+       len(list_filter(regexp_extract_all(text, '{_BPE_SQL_PAT}', 0),
+                       x -> NOT regexp_matches(x, '^\\s+$')))
+         AS n_bpe_nonspace,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(text), '\\s+'))
+       END AS n_ws_tokens
+FROM documents
+"""
+
+_RH_BASE = 31
+_RH_MOD = 1_000_000_007
+
+
+def docs_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash fingerprint (Rabin-Karp family) of the
+    whitespace-normalized text: acc = acc*31 + ascii(c) mod 1e9+7.
+    A single left fold — order-fixed, engine-agnostic, zero shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    chars = F.split(norm, "")
+    rh = F.aggregate(
+        chars, F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * _RH_BASE + F.ascii(c)) % _RH_MOD)
+    return docs.select("doc_id", rh.alias("rolling_hash"),
+                       F.length(norm).alias("n_chars_norm"))
+
+
+_ROLLING_HASH_SQL = f"""
+WITH n AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN length(norm) = 0 THEN 0
+            ELSE list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                     list_transform(string_split(norm, ''),
+                                    c -> CAST(ascii(c) AS BIGINT))),
+                   (a, b) -> (a * {_RH_BASE} + b) % {_RH_MOD})
+       END AS rolling_hash,
+       length(norm) AS n_chars_norm
+FROM n
+"""
+
+
 SPARK_QUERIES = {
     "docs_minhash_signature": docs_minhash_signature,
     "docs_minhash_lsh_pairs": docs_minhash_lsh_pairs,
@@ -463,6 +540,8 @@ SPARK_QUERIES = {
     "docs_ngram_jaccard_pairs": docs_ngram_jaccard_pairs,
     "docs_langid": docs_langid,
     "docs_dedup_keepers": docs_dedup_keepers,
+    "docs_bpe_token_count": docs_bpe_token_count,
+    "docs_rolling_hash": docs_rolling_hash,
 }
 
 ORACLE_SQL = {
@@ -472,4 +551,6 @@ ORACLE_SQL = {
     "docs_ngram_jaccard_pairs": _JACCARD_SQL,
     "docs_langid": _LANGID_SQL,
     "docs_dedup_keepers": _DEDUP_KEEPERS_SQL,
+    "docs_bpe_token_count": _BPE_COUNT_SQL,
+    "docs_rolling_hash": _ROLLING_HASH_SQL,
 }

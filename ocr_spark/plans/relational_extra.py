@@ -294,6 +294,50 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+# --------------------------------------------------------------------------
+# R9: native session windows
+# --------------------------------------------------------------------------
+
+def ev_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native session_window (gap-merged event-time sessions) —
+    the batch form of the streaming session operator. Oracle replays the
+    same semantics with the lag/cumsum islands idiom: a new session
+    starts when the gap >= 30 min; window end = last event + gap."""
+    ev = t(spark, sf_dir, "events")
+    return (ev.groupBy(F.session_window("ts", "30 minutes").alias("w"),
+                       "user_id")
+            .agg(F.count("*").alias("n_events"))
+            .select("user_id",
+                    F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                     .alias("session_start"),
+                    F.date_format("w.end", "yyyy-MM-dd HH:mm:ss")
+                     .alias("session_end"),
+                    "n_events"))
+
+
+_SESSION_WINDOW_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+         AS session_end,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, sid
+"""
+
+
 SPARK_QUERIES = {
     "li_rollup": li_rollup,
     "nations_set_ops": nations_set_ops,
@@ -303,6 +347,7 @@ SPARK_QUERIES = {
     "q12_priority_class_counts": q12_priority_class_counts,
     "ev_asof_last_purchase": ev_asof_last_purchase,
     "li_quantity_percentiles": li_quantity_percentiles,
+    "ev_session_window_native": ev_session_window_native,
 }
 
 ORACLE_SQL = {
@@ -314,4 +359,5 @@ ORACLE_SQL = {
     "q12_priority_class_counts": _Q12_SQL,
     "ev_asof_last_purchase": _ASOF_SQL,
     "li_quantity_percentiles": _PCT_SQL,
+    "ev_session_window_native": _SESSION_WINDOW_SQL,
 }
