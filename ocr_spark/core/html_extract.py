@@ -98,9 +98,14 @@ class RawBlock:
     in_boiler_container: bool = False
     bad_class: bool = False
     dom_index: int = 0
+    _text_cache: str | None = None
 
     def text(self) -> str:
-        return _WS_RE.sub(" ", "".join(self.text_parts)).strip()
+        # memoized: called from _flush, extract_html, and _classify; the
+        # parts list is final once the block is flushed
+        if self._text_cache is None:
+            self._text_cache = _WS_RE.sub(" ", "".join(self.text_parts)).strip()
+        return self._text_cache
 
 
 @dataclass
@@ -158,14 +163,20 @@ class _BlockParser(HTMLParser):
             self._drop_depth += 1
             self._stack.append(tag)
             return
-        attr_map = dict(attrs)
-        classish = " ".join(
-            v for k, v in attr_map.items() if k in ("class", "id", "role") and v
-        )
-        is_bad_class = bool(classish) and bool(_BAD_CLASS_RE.search(classish))
-        is_boiler = tag in BOILERPLATE_CONTAINERS or (
-            attr_map.get("role") in ("navigation", "banner", "contentinfo", "complementary")
-        )
+        if attrs:
+            attr_map = dict(attrs)
+            classish = " ".join(
+                v for k, v in attr_map.items()
+                if k in ("class", "id", "role") and v
+            )
+            is_bad_class = bool(classish) and bool(_BAD_CLASS_RE.search(classish))
+            is_boiler = tag in BOILERPLATE_CONTAINERS or (
+                attr_map.get("role") in ("navigation", "banner",
+                                         "contentinfo", "complementary")
+            )
+        else:
+            is_bad_class = False
+            is_boiler = tag in BOILERPLATE_CONTAINERS
         if is_boiler:
             self._boiler_depth += 1
         if is_bad_class:
@@ -251,14 +262,94 @@ def _classify(raw: RawBlock) -> tuple[bool, str, float, float, int]:
     return True, label, link_density, stop_density, n_words
 
 
-def extract_html(html: str) -> tuple[str, list[Block]]:
-    """Extract main content text + classified blocks from an HTML string.
+# ---------------------------------------------------------------------------
+# Fast tag scanner
+# ---------------------------------------------------------------------------
+# stdlib html.parser is pure Python and was ~65% of kernel time under
+# profile; this regex scanner drives the SAME _BlockParser handlers with
+# the same event semantics (charref-converted data, lowercased tag/attr
+# names, startendtag = start+end, script/style/textarea/title treated as
+# raw text). Equivalence with the stdlib path is pinned by
+# tests/test_properties.py::test_fast_scanner_equals_stdlib; extract_html
+# falls back to the stdlib parser if the scanner throws.
 
-    Returns ``(text, blocks)`` where ``text`` is the byte-stable extracted
-    main content (content blocks joined with ``"\\n\\n"``) and ``blocks``
-    covers *kept* blocks with char offsets into ``text`` (boilerplate blocks
-    are recorded with ``char_start == char_end == -1``).
-    """
+from html import unescape as _unescape  # noqa: E402
+
+RAWTEXT_TAGS = frozenset({"script", "style", "textarea", "title"})
+
+_TAG_RE = re.compile(
+    r"<(/?)([a-zA-Z][^\s/>]*)"
+    r"((?:\s+[^\s/>=]+(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s>]*))?)*)\s*"
+    r"(/?)>",
+    re.DOTALL)
+_ATTR_RE = re.compile(
+    r"([^\s/>=]+)(?:\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>]*))?")
+_RAWTEXT_CLOSE = {
+    t: re.compile(r"</" + t + r"\s*>", re.IGNORECASE) for t in RAWTEXT_TAGS
+}
+
+
+def _scan_fast(html: str, p: _BlockParser) -> None:
+    pos, n = 0, len(html)
+    find = html.find
+    while pos < n:
+        lt = find("<", pos)
+        if lt < 0:
+            data = html[pos:]
+            p.handle_data(_unescape(data) if "&" in data else data)
+            break
+        if lt > pos:
+            data = html[pos:lt]
+            p.handle_data(_unescape(data) if "&" in data else data)
+        nxt = html[lt + 1:lt + 2]
+        if nxt == "!":
+            if html.startswith("<!--", lt):
+                end = find("-->", lt + 4)
+                pos = n if end < 0 else end + 3
+            else:
+                end = find(">", lt)
+                pos = n if end < 0 else end + 1
+            continue
+        if nxt == "?":
+            end = find(">", lt)
+            pos = n if end < 0 else end + 1
+            continue
+        m = _TAG_RE.match(html, lt)
+        if m is None:
+            p.handle_data("<")
+            pos = lt + 1
+            continue
+        closing, name, attrstr, selfclose = m.groups()
+        name = name.lower()
+        pos = m.end()
+        if closing:
+            p.handle_endtag(name)
+            continue
+        attrs: list[tuple[str, str | None]] = []
+        if attrstr:
+            for am in _ATTR_RE.finditer(attrstr):
+                v = am.group(2)
+                if v is not None:
+                    if v[:1] in "\"'":
+                        v = v[1:-1]
+                    if "&" in v:
+                        v = _unescape(v)
+                attrs.append((am.group(1).lower(), v))
+        p.handle_starttag(name, attrs)
+        if selfclose:
+            p.handle_endtag(name)
+        elif name in RAWTEXT_TAGS:
+            cm = _RAWTEXT_CLOSE[name].search(html, pos)
+            if cm:
+                p.handle_data(html[pos:cm.start()])
+                pos = cm.end()
+            else:
+                p.handle_data(html[pos:])
+                pos = n
+            p.handle_endtag(name)
+
+
+def _parse_blocks_stdlib(html: str) -> _BlockParser:
     parser = _BlockParser()
     try:
         parser.feed(html)
@@ -266,6 +357,28 @@ def extract_html(html: str) -> tuple[str, list[Block]]:
     except Exception:
         # html.parser is forgiving; any residual error → best-effort flush
         parser._flush()
+    return parser
+
+
+def _parse_blocks(html: str) -> _BlockParser:
+    try:
+        parser = _BlockParser()
+        _scan_fast(html, parser)
+        parser._flush()
+        return parser
+    except Exception:
+        return _parse_blocks_stdlib(html)
+
+
+def extract_html(html: str, _stdlib: bool = False) -> tuple[str, list[Block]]:
+    """Extract main content text + classified blocks from an HTML string.
+
+    Returns ``(text, blocks)`` where ``text`` is the byte-stable extracted
+    main content (content blocks joined with ``"\\n\\n"``) and ``blocks``
+    covers *kept* blocks with char offsets into ``text`` (boilerplate blocks
+    are recorded with ``char_start == char_end == -1``).
+    """
+    parser = _parse_blocks_stdlib(html) if _stdlib else _parse_blocks(html)
 
     blocks: list[Block] = []
     text_parts: list[str] = []

@@ -85,3 +85,31 @@ def test_garbage_bytes_never_raise(data):
     from ocr_spark.core.extract import extract_document
     res = extract_document("https://x.test/garbage", data)
     assert res.text is not None or res.error is not None
+
+@settings(max_examples=40, deadline=None)
+@given(_paragraphs, _nav_words, st.integers(0, 10**6))
+def test_fast_scanner_equals_stdlib_generated(paragraphs, nav_words,
+                                              script_body):
+    """The fast tag scanner must produce byte-identical output to the
+    stdlib html.parser path on generated pages."""
+    html = _page(paragraphs, nav_words, script_body)
+    fast_text, fast_blocks = extract_html(html)
+    std_text, std_blocks = extract_html(html, _stdlib=True)
+    assert fast_text == std_text
+    assert [(b.text, b.char_start, b.char_end, b.label, b.is_content)
+            for b in fast_blocks] == \
+        [(b.text, b.char_start, b.char_end, b.label, b.is_content)
+         for b in std_blocks]
+
+
+def test_fast_scanner_equals_stdlib_corpus():
+    """Same equivalence over the realistic seeded corpus generator
+    (entities, comments, nested boilerplate, both payload kinds)."""
+    from ocr_spark.gen.corpus import generate_pages
+    rows = generate_pages(120, oversized_rows=0)
+    for r in rows:
+        if r["url"].endswith(".pdf"):
+            continue
+        html = r["html"].decode("utf-8")
+        assert extract_html(html)[0] == extract_html(html, _stdlib=True)[0], \
+            r["url"]
