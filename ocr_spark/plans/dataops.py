@@ -533,6 +533,54 @@ FROM n
 """
 
 
+# --------------------------------------------------------------------------
+# Python UDTF: sentence explosion
+# --------------------------------------------------------------------------
+
+_SENT_PAT = r"[^.]+(?:\.|$)"
+
+
+def docs_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence explosion via a Python UDTF (the generator-shaped UDF
+    surface): one doc row → N (sent_idx, sentence) rows through a
+    LATERAL join. The per-row regex is identical to the DuckDB oracle's
+    so values match exactly."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx int, sentence string")
+    class SplitSentences:
+        def eval(self, text: str):
+            import re as _re
+            i = 0
+            for s in _re.findall(_SENT_PAT, text or ""):
+                s = s.strip()
+                if s:
+                    yield i, s
+                    i += 1
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    docs = t(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("_docs_for_udtf")
+    return spark.sql(
+        "SELECT doc_id, s.sent_idx, s.sentence "
+        "FROM _docs_for_udtf, LATERAL split_sentences(text) s")
+
+
+_SENTENCES_SQL = r"""
+WITH s AS (
+  SELECT doc_id,
+         list_filter(list_transform(
+             regexp_extract_all(text, '[^.]+(\.|$)', 0), x -> trim(x)),
+           x -> x <> '') AS sents
+  FROM documents
+), idx AS (
+  SELECT doc_id, sents, unnest(range(1, len(sents) + 1)) AS i FROM s
+)
+SELECT doc_id, CAST(i - 1 AS INT) AS sent_idx, sents[i] AS sentence
+FROM idx
+"""
+
+
 SPARK_QUERIES = {
     "docs_minhash_signature": docs_minhash_signature,
     "docs_minhash_lsh_pairs": docs_minhash_lsh_pairs,
@@ -542,6 +590,7 @@ SPARK_QUERIES = {
     "docs_dedup_keepers": docs_dedup_keepers,
     "docs_bpe_token_count": docs_bpe_token_count,
     "docs_rolling_hash": docs_rolling_hash,
+    "docs_sentences_udtf": docs_sentences_udtf,
 }
 
 ORACLE_SQL = {
@@ -553,4 +602,5 @@ ORACLE_SQL = {
     "docs_dedup_keepers": _DEDUP_KEEPERS_SQL,
     "docs_bpe_token_count": _BPE_COUNT_SQL,
     "docs_rolling_hash": _ROLLING_HASH_SQL,
+    "docs_sentences_udtf": _SENTENCES_SQL,
 }
