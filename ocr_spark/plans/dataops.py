@@ -178,21 +178,21 @@ FROM mh
 # Banded LSH candidate pairs
 # --------------------------------------------------------------------------
 
-def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup candidate pairs via banded LSH: 4 bands × 4 rows.
+LSH_BUCKET_CAP = 50   # skip degenerate buckets: pair count is O(n²) per
+                      # bucket, and a mass-duplicated page (spam) would
+                      # otherwise send millions of rows to ONE bucket.
+                      # Docs in capped buckets are near-exact duplicates;
+                      # the exact-dedup pass (docs_dedup_keepers) owns them.
 
-    Scale shape: signatures are a narrow map; explode to (band, bucket)
-    is 4 rows/doc; the single shuffle is the self-join on (band, bucket)
-    whose groups are tiny unless documents actually collide — exactly
-    the work LSH is supposed to save vs the O(n²) all-pairs join.
-    """
+
+def _lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     rows_per_band = MINHASH_K // LSH_BANDS
     sig = (docs.select("doc_id", _minhash_vec_udf().alias("minvec"))
            .filter(F.col("minvec").isNotNull()))
     # the generator references the materialized minvec COLUMN (4 cheap
     # slices), never re-deriving the md5 chain per band
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(F.array(*[
             F.struct(
@@ -206,6 +206,23 @@ def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(LSH_BANDS)
         ])).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs via banded LSH: 4 bands × 4 rows.
+
+    Scale shape: signatures are a narrow map; explode to (band, bucket)
+    is 4 rows/doc; the single shuffle is the self-join on (band, bucket).
+    Degenerate-skew guard: buckets larger than LSH_BUCKET_CAP are
+    excluded BEFORE the self-join (a window count, same shuffle key), so
+    a mass-duplicated page can never force an O(n²) bucket — those docs
+    are exact-dup territory, owned by docs_dedup_keepers.
+    """
+    bands = _lsh_bands(spark, sf_dir)
+    w = Window.partitionBy("band", "bucket")
+    bands = (bands.withColumn("bucket_n", F.count("*").over(w))
+             .filter(F.col("bucket_n") <= LSH_BUCKET_CAP)
+             .drop("bucket_n"))
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (a.join(b, ["band", "bucket"])
              .filter(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -233,10 +250,16 @@ WITH sh AS (
           for r in range(_ROWS_PER_BAND))
       + ") AS bucket FROM mh"
       for b in range(LSH_BANDS))}
+), capped AS (
+  SELECT * FROM (
+    SELECT doc_id, band, bucket,
+           COUNT(*) OVER (PARTITION BY band, bucket) AS bucket_n
+    FROM bands
+  ) WHERE bucket_n <= {LSH_BUCKET_CAP}
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        COUNT(*) AS n_shared_bands
-FROM bands a JOIN bands b USING (band, bucket)
+FROM capped a JOIN capped b USING (band, bucket)
 WHERE a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 """

@@ -1,0 +1,48 @@
+"""Dataops scale-guard behavior not covered by the value oracle."""
+
+from pyspark.sql import functions as F
+
+from ocr_spark.plans.dataops import (
+    LSH_BUCKET_CAP, docs_minhash_lsh_pairs, docs_minhash_signature,
+)
+
+
+def _write_docs(spark, tmp_path, texts):
+    df = spark.createDataFrame(
+        [(i, t, "en", "test", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_lsh_bucket_cap_guards_degenerate_duplicates(spark, tmp_path):
+    """A mass-duplicated page must NOT produce O(n²) candidate pairs:
+    its buckets exceed LSH_BUCKET_CAP and are excluded (exact dedup owns
+    those docs). Distinct docs still pair normally."""
+    spam = "buy cheap widgets now best price free shipping today only deal"
+    near_a = "the quick brown fox jumps over the lazy dog every day"
+    near_b = "the quick brown fox jumps over the lazy dog every night"
+    texts = [spam] * (LSH_BUCKET_CAP + 30) + [near_a, near_b]
+    sf_dir = _write_docs(spark, tmp_path, texts)
+
+    pairs = docs_minhash_lsh_pairs(spark, sf_dir).collect()
+    spam_ids = set(range(LSH_BUCKET_CAP + 30))
+    spam_pairs = [p for p in pairs
+                  if p.doc_a in spam_ids and p.doc_b in spam_ids]
+    assert not spam_pairs, "degenerate bucket leaked O(n^2) pairs"
+    # the two genuine near-dups still collide on at least one band
+    others = [(p.doc_a, p.doc_b) for p in pairs]
+    assert (len(texts) - 2, len(texts) - 1) in others
+
+
+def test_signature_stable_under_partitioning(spark, tmp_path):
+    texts = [f"alpha beta gamma delta epsilon zeta eta theta doc {i}"
+             for i in range(40)]
+    sf_dir = _write_docs(spark, tmp_path, texts)
+    one = {r.doc_id: r.minhash_sig
+           for r in docs_minhash_signature(spark, sf_dir).collect()}
+    many = {r.doc_id: r.minhash_sig
+            for r in docs_minhash_signature(spark, sf_dir)
+            .repartition(16).collect()}
+    assert one == many
