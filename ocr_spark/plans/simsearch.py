@@ -279,11 +279,75 @@ WHERE a.vec_id < b.vec_id
 """
 
 
+# --------------------------------------------------------------------------
+# IVF cell assignment (the "index build" step)
+# --------------------------------------------------------------------------
+
+def emb_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every vector to its nearest coarse centroid — the IVF
+    index-build step. Centroids (k rows) broadcast against the streaming
+    corpus: one narrow pass, no corpus shuffle except the final window
+    on vec_id (tiny: k rows per vec before rank-1 filter).
+
+    Determinism across engines: centroid components are ROUNDED to 6
+    decimals on both sides (float avg order differs between engines in
+    the last bits); distances then fold identically left-to-right."""
+    emb = t(spark, sf_dir).select("vec_id",
+                                  F.col("label").alias("own_label"),
+                                  _vecd().alias("v"))
+    exploded = emb.select("own_label", F.posexplode("v").alias("pos", "x"))
+    cent = (exploded.groupBy(F.col("own_label").alias("cell"), F.col("pos"))
+            .agg(F.round(F.avg("x"), 6).alias("cv")))
+    cvecs = (cent.groupBy("cell")
+             .agg(F.transform(
+                 F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                 lambda s: s.cv).alias("cvec")))
+    j = emb.crossJoin(F.broadcast(cvecs))
+    dist = F.round(F.sqrt(F.aggregate(
+        F.zip_with(F.col("v"), F.col("cvec"),
+                   lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0), lambda acc, x: acc + x)), 6)
+    scored = j.select("vec_id", "own_label", "cell", dist.alias("dist6"))
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist6"), F.asc("cell"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "own_label",
+                    F.col("cell").alias("assigned_cell"),
+                    F.round("dist6", 4).alias("dist")))
+
+
+_IVF_ASSIGN_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label AS own_label, {_SQL_VEC} AS v FROM embeddings
+), c0 AS (
+  SELECT own_label AS cell, g.i AS pos, ROUND(AVG(v[g.i]), 6) AS cv
+  FROM e, generate_series(1, {DIM}) AS g(i)
+  GROUP BY own_label, g.i
+), c AS (
+  SELECT cell, list(cv ORDER BY pos) AS cvec FROM c0 GROUP BY cell
+), d AS (
+  SELECT e.vec_id, e.own_label, c.cell,
+         ROUND(sqrt(list_reduce(
+             list_transform(range(1, {DIM + 1}),
+                            i -> (e.v[i] - c.cvec[i]) * (e.v[i] - c.cvec[i])),
+             (x, y) -> x + y)), 6) AS dist6
+  FROM e, c
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY dist6 ASC, cell ASC) AS rn
+  FROM d
+)
+SELECT vec_id, own_label, cell AS assigned_cell, ROUND(dist6, 4) AS dist
+FROM r WHERE rn = 1
+"""
+
+
 SPARK_QUERIES = {
     "emb_cosine_topk": emb_cosine_topk,
     "emb_ivf_topk": emb_ivf_topk,
     "emb_label_centroids": emb_label_centroids,
     "emb_lsh_near_dup": emb_lsh_near_dup,
+    "emb_ivf_assign": emb_ivf_assign,
 }
 
 ORACLE_SQL = {
@@ -291,4 +355,5 @@ ORACLE_SQL = {
     "emb_ivf_topk": _IVF_TOPK_SQL,
     "emb_label_centroids": _CENTROIDS_SQL,
     "emb_lsh_near_dup": _LSH_NEAR_DUP_SQL,
+    "emb_ivf_assign": _IVF_ASSIGN_SQL,
 }
