@@ -66,19 +66,21 @@ def _extract_fixture_doc(url: str, raw: bytes) -> ExtractResult:
     page_texts = [p["text"] for p in result["pages"]]
     doc_text = PAGE_SEP.join(page_texts)
 
-    # char offsets: page p starts at sum(len(prev pages)) + p separators
-    page_start = []
+    # char offsets keyed by the page's OWN page_index (fixtures may
+    # number pages 1-based or sparsely; positional indexing would point
+    # a page's blocks into its neighbor's region of doc_text)
+    page_start: dict[int, int] = {}
     pos = 0
-    for t in page_texts:
-        page_start.append(pos)
-        pos += len(t) + len(PAGE_SEP)
+    for p_row in result["pages"]:
+        page_start[p_row["page_num"]] = pos
+        pos += len(p_row["text"]) + len(PAGE_SEP)
 
     blocks: list[dict] = []
     spans: list[dict] = []
     for page in result["structured_pages"]:
         p = page["page_index"]
         # per-page running offset over text boxes (A5 empty separator)
-        offset = page_start[p] if p < len(page_start) else -1
+        offset = page_start.get(p, -1)
         for box in page["boxes"]:
             label = box.get("label")
             btext = None

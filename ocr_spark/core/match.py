@@ -81,11 +81,24 @@ def node_distance(a: dict, b: dict) -> float:
 
 
 def _normalize_kind(kind: str) -> str:
+    """MENTION-side normalization (graph.py:126-128): fig→figure AND
+    eq→equation."""
     kind = kind.lower()
     if kind == "fig":
         return "figure"
     if kind == "eq":
         return "equation"
+    return kind
+
+
+def _normalize_target_kind(kind: str) -> str:
+    """TARGET-side normalization (graph.py:140,145): ONLY fig→figure —
+    the reference never maps eq→equation here, so a caption "Eq. 3"
+    keeps kind 'eq' and does NOT match mention kind 'equation'. This
+    asymmetry is a reference quirk replicated verbatim."""
+    kind = kind.lower()
+    if kind == "fig":
+        return "figure"
     return kind
 
 
@@ -95,10 +108,10 @@ def _parse_target_name(text: str) -> tuple[str, str] | None:
     "(n)" as an equation (graph.py:131-146)."""
     m = _LABEL_REVERSED_RE.search(text)
     if m:
-        return _normalize_kind(m.group(3)), m.group(1)
+        return _normalize_target_kind(m.group(3)), m.group(1)
     m = _LABEL_RE.search(text)
     if m:
-        return _normalize_kind(m.group(1)), m.group(2)
+        return _normalize_target_kind(m.group(1)), m.group(2)
     m = _BARE_EQNUM_RE.search(text)
     if m:
         return "equation", m.group(1)

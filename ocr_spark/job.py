@@ -25,7 +25,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ocr_spark.operators.bookkeeping import (
-    commit_bucket_bookkeeping, completed_buckets,
+    checkpointed_out_snapshots, commit_bucket_bookkeeping, completed_buckets,
 )
 from ocr_spark.operators.extraction import (
     DEFAULT_BIG_THRESHOLD, DEFAULT_BUCKETS, run_extraction,
@@ -37,17 +37,36 @@ def output_root(work_dir: str) -> str:
     return os.path.join(work_dir, "extracted")
 
 
+def _roll_forward_orphans(spark: SparkSession, work_dir: str) -> int:
+    """Crash recovery for the bookkeeping→publish window: any output
+    snapshot referenced by a checkpoint row but not yet visible in the
+    output table's history is published now (idempotent pointer swap).
+    The inverse window (staged data, no checkpoint yet) needs nothing —
+    the staged snapshot is unreachable and its buckets simply re-run."""
+    root = output_root(work_dir)
+    published = 0
+    for sid in checkpointed_out_snapshots(spark, work_dir):
+        if not shim.is_published(root, sid):
+            shim.publish_snapshot(root, sid)
+            published += 1
+    return published
+
+
 def run_extraction_job(spark: SparkSession, input_table_root: str,
                        work_dir: str, partitions: int = 128,
                        big_partitions: int = 8,
                        big_threshold: int = DEFAULT_BIG_THRESHOLD,
                        n_buckets: int = DEFAULT_BUCKETS,
                        waves: int = 4,
-                       fail_after_waves: int | None = None) -> dict:
+                       fail_after_waves: int | None = None,
+                       fail_point: str = "after_wave") -> dict:
     """Run (or resume) extraction of the input table's CURRENT snapshot.
 
-    ``fail_after_waves`` is a test hook: raise after N wave commits to
-    simulate a mid-job crash for the resume test (SURVEY.md §5.2.5).
+    ``fail_after_waves``/``fail_point`` are test hooks simulating a
+    mid-job crash for the resume tests (SURVEY.md §5.2.5): raise after N
+    waves, either ``after_wave`` (full commit done), ``after_stage``
+    (data staged, no bookkeeping, no publish) or ``after_bookkeeping``
+    (bookkeeping appended, publish skipped → exercises roll-forward).
 
     Returns a summary dict (snapshot ids, bucket/doc counts, skipped).
     """
@@ -57,6 +76,7 @@ def run_extraction_job(spark: SparkSession, input_table_root: str,
     manifest = shim.read_manifest(input_table_root, input_sid)
     pages = shim.read_snapshot(spark, input_table_root, input_sid)
 
+    rolled_forward = _roll_forward_orphans(spark, work_dir)
     done = completed_buckets(spark, work_dir, input_sid)
     run_id = uuid.uuid4().hex[:12]
 
@@ -79,24 +99,37 @@ def run_extraction_job(spark: SparkSession, input_table_root: str,
             wave_pages, partitions=partitions, big_partitions=big_partitions,
             big_threshold=big_threshold, n_buckets=n_buckets,
         )
-        out_sid = shim.write_snapshot(
+        # two-phase commit: stage data (invisible) → bookkeeping append →
+        # publish (atomic pointer swap). Crash between stage and
+        # bookkeeping: snapshot unreachable, buckets re-run. Crash between
+        # bookkeeping and publish: rolled forward at next job start.
+        out_sid = shim.prepare_snapshot(
             extracted, output_root(work_dir), partition_by=["bucket"],
             snapshot_id=f"{input_sid[:8]}-{run_id}-w{w}",
         )
-        out_sids.append(out_sid)
+        if fail_after_waves is not None and (w + 1) >= fail_after_waves \
+                and fail_point == "after_stage":
+            raise RuntimeError(f"injected failure after stage, wave {w}")
 
         from ocr_spark.operators.extraction import EXTRACT_RESULT_SCHEMA
-        committed = shim.read_snapshot(spark, output_root(work_dir), out_sid,
-                                       schema=EXTRACT_RESULT_SCHEMA)
-        commit_bucket_bookkeeping(
-            spark, committed, work_dir, snapshot_id=input_sid, run_id=run_id,
+        staged = shim.read_snapshot(spark, output_root(work_dir), out_sid,
+                                    schema=EXTRACT_RESULT_SCHEMA)
+        docs_total += commit_bucket_bookkeeping(
+            spark, staged, work_dir, snapshot_id=input_sid, run_id=run_id,
             input_files=[manifest["data_dir"]],
             big_threshold=big_threshold, skew_salt=big_partitions,
-            buckets=bucket_group,
+            buckets=bucket_group, out_snapshot_id=out_sid,
         )
-        docs_total += committed.count()
+        if fail_after_waves is not None and (w + 1) >= fail_after_waves \
+                and fail_point == "after_bookkeeping":
+            raise RuntimeError(
+                f"injected failure after bookkeeping, wave {w}")
 
-        if fail_after_waves is not None and (w + 1) >= fail_after_waves:
+        shim.publish_snapshot(output_root(work_dir), out_sid)
+        out_sids.append(out_sid)
+
+        if fail_after_waves is not None and (w + 1) >= fail_after_waves \
+                and fail_point == "after_wave":
             raise RuntimeError(f"injected failure after wave {w}")
 
     return {
@@ -106,6 +139,7 @@ def run_extraction_job(spark: SparkSession, input_table_root: str,
         "buckets_skipped": len(done),
         "buckets_processed": len(todo),
         "docs": docs_total,
+        "rolled_forward": rolled_forward,
     }
 
 
@@ -114,10 +148,15 @@ def read_extracted(spark: SparkSession, work_dir: str) -> DataFrame:
     disjoint across snapshots by construction — checkpointed buckets are
     never reprocessed)."""
     root = output_root(work_dir)
-    dirs = [shim.read_manifest(root, sid)["data_dir"]
-            for sid in shim.history(root)]
+    sids = shim.history(root) if shim.current_snapshot_id(root) else []
+    if not sids:
+        raise FileNotFoundError(
+            f"no extraction output committed yet under {root}")
+    dirs = [shim.read_manifest(root, sid)["data_dir"] for sid in sids]
     # each snapshot dir is its own partitioned table root (bucket=N leaves);
-    # snapshots hold disjoint buckets, so a union is exact
+    # PUBLISHED snapshots hold disjoint buckets (two-phase commit: a
+    # bucket is only checkpointed together with its snapshot, and only
+    # checkpointed buckets are skipped), so a union is exact
     from ocr_spark.operators.extraction import EXTRACT_RESULT_SCHEMA
     dfs = [spark.read.schema(EXTRACT_RESULT_SCHEMA)
            .option("basePath", d).parquet(d) for d in dirs]

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 CHECKPOINT_SCHEMA = ("snapshot_id string, partition_id int, "
                      "url_hash_bucket int, docs_done bigint, "
-                     "committed_at timestamp")
+                     "committed_at timestamp, out_snapshot_id string")
 LINEAGE_SCHEMA = ("snapshot_id string, partition_id int, "
                   "input_files array<string>, doc_count bigint, "
                   "ok_count bigint, failed_count bigint, "
@@ -76,11 +76,16 @@ def commit_bucket_bookkeeping(spark: SparkSession, extracted: DataFrame,
                               work_dir: str, snapshot_id: str, run_id: str,
                               input_files: list[str],
                               big_threshold: int, skew_salt: int,
-                              buckets: list[int] | None = None) -> None:
+                              buckets: list[int] | None = None,
+                              out_snapshot_id: str | None = None) -> int:
     """Append checkpoint + lineage + metrics rows for every bucket in the
-    committed wave (call AFTER the output data commit). ``buckets`` is the
-    wave's full bucket group — buckets with zero input rows still get a
-    checkpoint row (docs_done=0) so a resume never retries them."""
+    wave. Called AFTER the wave's data is staged but BEFORE it is
+    published (two-phase commit: a crash after this append is rolled
+    FORWARD at the next job start by publishing ``out_snapshot_id``; a
+    crash before it leaves an invisible staged snapshot that is simply
+    redone). ``buckets`` is the wave's full bucket group — buckets with
+    zero input rows still get a checkpoint row (docs_done=0) so a resume
+    never retries them. Returns the wave's total document count."""
     per_bucket = (
         extracted.groupBy("bucket").agg(
             F.count("*").alias("doc_count"),
@@ -106,6 +111,7 @@ def commit_bucket_bookkeeping(spark: SparkSession, extracted: DataFrame,
         F.col("bucket").alias("url_hash_bucket"),
         F.col("ok_count").cast("long").alias("docs_done"),
         F.lit(now).cast("timestamp").alias("committed_at"),
+        F.lit(out_snapshot_id).cast("string").alias("out_snapshot_id"),
     )
     _append(ckpt, checkpoints_path(work_dir))
 
@@ -143,4 +149,19 @@ def commit_bucket_bookkeeping(spark: SparkSession, extracted: DataFrame,
         "oversized_count",
     )
     _append(metrics, metrics_path(work_dir))
+    docs_total = (per_bucket.agg(F.sum("doc_count")).collect()[0][0]) or 0
     per_bucket.unpersist()
+    return int(docs_total)
+
+
+def checkpointed_out_snapshots(spark: SparkSession, work_dir: str) -> set[str]:
+    """Output snapshot ids referenced by ANY checkpoint row — the set the
+    job roll-forward publishes if a crash landed between the bookkeeping
+    append and the pointer swap."""
+    path = checkpoints_path(work_dir)
+    if not os.path.exists(path):
+        return set()
+    rows = (spark.read.schema(CHECKPOINT_SCHEMA).parquet(path)
+            .filter(F.col("out_snapshot_id").isNotNull())
+            .select("out_snapshot_id").distinct().collect())
+    return {r.out_snapshot_id for r in rows}

@@ -97,7 +97,13 @@ def salted_repartition(pages: DataFrame, partitions: int = 128,
     keyed = pages.withColumn(
         "bucket",
         F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets)).cast("int"),
-    ).withColumn("is_big", F.length("html") > F.lit(big_threshold))
+    ).withColumn(
+        # NULL html must route to the normal path (coalesce, not a bare
+        # length comparison — NULL > t is NULL, which both filters drop,
+        # silently losing the row); the kernel then emits its null_html
+        # failure row so lineage accounts for every input document.
+        "is_big",
+        F.coalesce(F.length("html"), F.lit(0)) > F.lit(big_threshold))
 
     normal = keyed.filter(~F.col("is_big")).repartition(partitions, "url")
     big = keyed.filter(F.col("is_big")).repartition(big_partitions, "url")

@@ -53,15 +53,15 @@ def read_manifest(table_root: str, snapshot_id: str) -> dict:
         return json.load(fh)
 
 
-def write_snapshot(df: DataFrame, table_root: str,
-                   partition_by: list[str] | None = None,
-                   snapshot_id: str | None = None) -> str:
-    """Write ``df`` as a new immutable snapshot and atomically commit it.
-
-    Data lands under ``data/snap-<id>/`` (optionally partitioned), then the
-    manifest is written, then the CURRENT pointer swaps — crash at any
-    earlier point leaves the table at its previous snapshot.
-    """
+def prepare_snapshot(df: DataFrame, table_root: str,
+                     partition_by: list[str] | None = None,
+                     snapshot_id: str | None = None) -> str:
+    """Stage a new immutable snapshot WITHOUT publishing it: data lands
+    under ``data/snap-<id>/`` and the manifest is written, but CURRENT is
+    not touched — the snapshot is invisible to ``history``/``read_current``
+    until ``publish_snapshot``. This is the Iceberg commit shape: the
+    metadata pointer swap is the commit point, everything before it is
+    crash-discardable staging."""
     snapshot_id = snapshot_id or uuid.uuid4().hex[:16]
     data_dir = os.path.join(table_root, "data", f"snap-{snapshot_id}")
     writer = df.write.mode("overwrite")
@@ -82,12 +82,40 @@ def write_snapshot(df: DataFrame, table_root: str,
     os.makedirs(os.path.join(table_root, _SNAP_DIR), exist_ok=True)
     with open(_snap_path(table_root, snapshot_id), "w", encoding="utf-8") as fh:
         json.dump(manifest, fh, indent=2)
+    return snapshot_id
 
-    tmp = os.path.join(table_root, _SNAP_DIR, f".{_CURRENT}.{uuid.uuid4().hex[:8]}")
+
+def is_published(table_root: str, snapshot_id: str) -> bool:
+    try:
+        return snapshot_id in history(table_root)
+    except FileNotFoundError:
+        return False
+
+
+def publish_snapshot(table_root: str, snapshot_id: str) -> None:
+    """Atomic commit point: swap CURRENT to ``snapshot_id``. Idempotent —
+    republishing an already-visible snapshot is a no-op (used by crash
+    roll-forward in the job layer)."""
+    if is_published(table_root, snapshot_id):
+        return
+    if not os.path.exists(_snap_path(table_root, snapshot_id)):
+        raise FileNotFoundError(
+            f"cannot publish unknown snapshot {snapshot_id} at {table_root}")
+    tmp = os.path.join(table_root, _SNAP_DIR,
+                       f".{_CURRENT}.{uuid.uuid4().hex[:8]}")
     with open(tmp, "w", encoding="utf-8") as fh:
         fh.write(snapshot_id)
     os.replace(tmp, os.path.join(table_root, _SNAP_DIR, _CURRENT))  # atomic
-    return snapshot_id
+
+
+def write_snapshot(df: DataFrame, table_root: str,
+                   partition_by: list[str] | None = None,
+                   snapshot_id: str | None = None) -> str:
+    """Write ``df`` as a new immutable snapshot and atomically commit it
+    (prepare + publish in one call)."""
+    sid = prepare_snapshot(df, table_root, partition_by, snapshot_id)
+    publish_snapshot(table_root, sid)
+    return sid
 
 
 def read_snapshot(spark: SparkSession, table_root: str,

@@ -215,3 +215,53 @@ def test_wordseg_identity_for_known_words():
 
 def test_wordseg_splits_concatenation():
     assert segment_token("thedata") == "the data"
+
+
+def test_target_side_eq_not_normalized():
+    """Reference quirk (graph.py:140,145): the TARGET side maps only
+    fig->figure, never eq->equation — so a caption 'Eq. 3' keeps kind
+    'eq' and does NOT match a mention of kind 'equation'; a caption
+    'Equation 3' does."""
+    src = {"id": "s", "type": "text", "page": 0, "bbox": [0, 0, 1, 1]}
+    eq_caption = {"id": "t1", "type": "display_formula", "page": 0,
+                  "bbox": [0, 0, 1, 1], "text": "Eq. 3 shows the bound"}
+    equation_caption = {"id": "t2", "type": "display_formula", "page": 0,
+                        "bbox": [0, 0, 1, 1], "text": "Equation 3 bound"}
+    fig_caption = {"id": "t3", "type": "figure", "page": 0,
+                   "bbox": [0, 0, 1, 1], "text": "Fig. 7 overview"}
+    assert find_target_with_name([eq_caption], "Equation 3", src) is None
+    assert find_target_with_name([equation_caption], "Equation 3",
+                                 src) is equation_caption
+    # fig IS normalized on the target side
+    assert find_target_with_name([fig_caption], "Figure 7",
+                                 src) is fig_caption
+
+
+def test_fixture_offsets_with_one_based_pages():
+    """Block char offsets must key by the page's own page_index, not its
+    position: a 1-based fixture's offsets still index doc_text exactly."""
+    import json as _json
+
+    from ocr_spark.core.extract import FIXTURE_MAGIC, extract_document
+
+    def glyph(ch, i):
+        return {"text": ch, "box": [10 + 20 * i, 10, 28 + 20 * i, 26]}
+
+    doc = {"doc_id": "d", "pages": [
+        {"page_index": 1, "width": 600, "height": 800, "boxes": [
+            {"cls_id": 0, "label": "text", "score": 0.9,
+             "coordinate": [0.1, 0.1, 0.9, 0.3],
+             "glyphs": [glyph(c, i) for i, c in enumerate("first")]},
+        ]},
+        {"page_index": 2, "width": 600, "height": 800, "boxes": [
+            {"cls_id": 0, "label": "text", "score": 0.9,
+             "coordinate": [0.1, 0.1, 0.9, 0.3],
+             "glyphs": [glyph(c, i) for i, c in enumerate("second")]},
+        ]},
+    ]}
+    raw = FIXTURE_MAGIC + _json.dumps(doc).encode()
+    res = extract_document("https://x.test/d.pdf", raw)
+    assert res.error is None
+    for b in res.blocks:
+        if b["char_start"] >= 0:
+            assert res.text[b["char_start"]:b["char_end"]] == b["text"], b

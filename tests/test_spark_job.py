@@ -142,3 +142,61 @@ def test_typed_struct_views(spark, pages_table):
     assert row is not None
     assert set(row.m.asDict()) == {"figure_box", "figure_page", "page_num",
                                    "raw_text", "figure_text", "text_box"}
+
+
+def test_crash_after_stage_no_duplicates(spark, pages_table, tmp_path):
+    """Crash window #1: data staged, no bookkeeping, no publish. The
+    staged snapshot is unreachable; resume re-runs its buckets and the
+    final table has exactly one row per url."""
+    import pytest
+
+    from ocr_spark.job import read_extracted, run_extraction_job
+
+    root, _rows = pages_table
+    work = str(tmp_path / "work_stage")
+    with pytest.raises(RuntimeError, match="after stage"):
+        run_extraction_job(spark, root, work, partitions=16,
+                           big_partitions=2, waves=4, fail_after_waves=2,
+                           fail_point="after_stage")
+    run_extraction_job(spark, root, work, partitions=16,
+                       big_partitions=2, waves=4)
+    urls = [r.url for r in read_extracted(spark, work).select("url").collect()]
+    assert len(urls) == N_ROWS and len(set(urls)) == N_ROWS
+
+
+def test_crash_after_bookkeeping_rolls_forward(spark, pages_table, tmp_path):
+    """Crash window #2: bookkeeping appended, publish skipped. The next
+    run must roll the orphan snapshot forward (publish it), NOT skip its
+    buckets while their data stays invisible — that would silently lose
+    documents."""
+    import pytest
+
+    from ocr_spark.job import read_extracted, run_extraction_job
+
+    root, _rows = pages_table
+    work = str(tmp_path / "work_bk")
+    with pytest.raises(RuntimeError, match="after bookkeeping"):
+        run_extraction_job(spark, root, work, partitions=16,
+                           big_partitions=2, waves=4, fail_after_waves=2,
+                           fail_point="after_bookkeeping")
+    summary = run_extraction_job(spark, root, work, partitions=16,
+                                 big_partitions=2, waves=4)
+    assert summary["rolled_forward"] >= 1
+    urls = [r.url for r in read_extracted(spark, work).select("url").collect()]
+    assert len(urls) == N_ROWS and len(set(urls)) == N_ROWS
+
+
+def test_null_html_becomes_failure_row(spark, tmp_path):
+    """NULL html must survive the salted repartition and surface as a
+    kernel failure row (null_html), never vanish silently."""
+    from ocr_spark.operators.extraction import run_extraction
+
+    df = spark.createDataFrame(
+        [("https://x.test/ok", bytearray(b"<p>some real content here ok</p>")),
+         ("https://x.test/null", None)],
+        "url string, html binary")
+    out = {r.url: r for r in run_extraction(df, partitions=4,
+                                            big_partitions=1).collect()}
+    assert len(out) == 2
+    assert out["https://x.test/null"].error == "null_html"
+    assert out["https://x.test/ok"].error is None
