@@ -1,0 +1,150 @@
+"""SQL-registerable function surface of the engine.
+
+``register_all(spark)`` exposes the engine's scalar/tabular text ops to
+plain ``spark.sql`` users, so every capability is reachable from SQL as
+well as the DataFrame API:
+
+    ocr_extract_text(html)       -> main-content text (boilerplate-stripped)
+    ocr_minhash_sig(text)        -> 32-hex MinHash signature digest
+    ocr_simhash(text)            -> 32-char SimHash bit string
+    ocr_rolling_hash(text)       -> Rabin-Karp polynomial hash (bigint)
+    ocr_langid(text)             -> stopword-vote language guess
+    ocr_token_count(text)        -> BPE-ish pre-tokenizer token count
+    split_sentences(text)        -> UDTF: (sent_idx, sentence) rows
+
+Scalar functions are Arrow-batched pandas UDFs (never row-at-a-time
+Python); the bodies delegate to the same kernels the DataFrame queries
+use, so SQL and DataFrame results are identical by construction.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pandas as pd
+from pyspark.sql import SparkSession, functions as F
+
+_KM_MOD = 2_147_483_647
+_MINHASH_K = 16
+_SIMHASH_BITS = 32
+_BPE_RE = re.compile(
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+")
+_WS_RE = re.compile(r"\s+")
+
+_LANG_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "for", "with", "on"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "von", "mit", "auf", "ein"},
+    "fr": {"le", "la", "les", "et", "est", "pas", "pour", "dans", "que", "une"},
+    "es": {"el", "la", "los", "y", "es", "no", "por", "con", "para", "una"},
+}
+_LANG_ORDER = ("en", "de", "fr", "es")
+
+
+def _minhash_sig(text: str) -> str | None:
+    toks = _WS_RE.split((text or "").lower().strip())
+    shingles = [" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)]
+    if not shingles or toks == [""]:
+        return None
+    mins = [_KM_MOD] * _MINHASH_K
+    for s in shingles:
+        m = hashlib.md5(s.encode()).hexdigest()
+        h1 = int(m[0:15], 16) % _KM_MOD
+        h2 = int(m[16:31], 16) % _KM_MOD
+        for i in range(_MINHASH_K):
+            v = (h1 + i * h2) % _KM_MOD
+            if v < mins[i]:
+                mins[i] = v
+    return hashlib.md5("|".join(str(v) for v in mins).encode()).hexdigest()
+
+
+def _simhash(text: str) -> str | None:
+    toks = _WS_RE.split((text or "").lower().strip())
+    if not toks or toks == [""]:
+        return None
+    votes = [0] * _SIMHASH_BITS
+    for t in toks:
+        m = hashlib.md5(t.encode()).hexdigest()
+        for b in range(_SIMHASH_BITS):
+            votes[b] += 1 if m[b] in "89abcdef" else -1
+    return "".join("1" if v > 0 else "0" for v in votes)
+
+
+def _rolling_hash(text: str) -> int:
+    norm = _WS_RE.sub(" ", (text or "").lower().strip())
+    acc = 0
+    for ch in norm:
+        acc = (acc * 31 + ord(ch)) % 1_000_000_007
+    return acc
+
+
+def _langid(text: str) -> str:
+    toks = _WS_RE.split((text or "").lower().strip())
+    hits = {lg: sum(1 for t in toks if t in ws)
+            for lg, ws in _LANG_STOPWORDS.items()}
+    best = "und"
+    for lg in reversed(_LANG_ORDER):
+        ok = hits[lg] > 0
+        for o in _LANG_ORDER:
+            if o == lg:
+                continue
+            if _LANG_ORDER.index(o) < _LANG_ORDER.index(lg):
+                ok = ok and hits[lg] > hits[o]
+            else:
+                ok = ok and hits[lg] >= hits[o]
+        if ok:
+            best = lg
+    return best
+
+
+def register_all(spark: SparkSession) -> None:
+    """Register every function on the session (idempotent)."""
+
+    @F.pandas_udf("string")
+    def ocr_extract_text(html: pd.Series) -> pd.Series:
+        from ocr_spark.core.html_extract import extract_html
+        return html.map(lambda h: extract_html(h or "")[0])
+
+    @F.pandas_udf("string")
+    def ocr_minhash_sig(text: pd.Series) -> pd.Series:
+        return text.map(_minhash_sig)
+
+    @F.pandas_udf("string")
+    def ocr_simhash(text: pd.Series) -> pd.Series:
+        return text.map(_simhash)
+
+    @F.pandas_udf("long")
+    def ocr_rolling_hash(text: pd.Series) -> pd.Series:
+        return text.map(_rolling_hash)
+
+    @F.pandas_udf("string")
+    def ocr_langid(text: pd.Series) -> pd.Series:
+        return text.map(_langid)
+
+    @F.pandas_udf("int")
+    def ocr_token_count(text: pd.Series) -> pd.Series:
+        return text.map(lambda t: len(_BPE_RE.findall(t or "")))
+
+    for name, fn in [
+        ("ocr_extract_text", ocr_extract_text),
+        ("ocr_minhash_sig", ocr_minhash_sig),
+        ("ocr_simhash", ocr_simhash),
+        ("ocr_rolling_hash", ocr_rolling_hash),
+        ("ocr_langid", ocr_langid),
+        ("ocr_token_count", ocr_token_count),
+    ]:
+        spark.udf.register(name, fn)
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx int, sentence string")
+    class SplitSentences:
+        def eval(self, text: str):
+            i = 0
+            for s in re.findall(r"[^.]+(?:\.|$)", text or ""):
+                s = s.strip()
+                if s:
+                    yield i, s
+                    i += 1
+
+    spark.udtf.register("split_sentences", SplitSentences)
