@@ -86,3 +86,28 @@ def test_emb_topk_no_shuffle_of_corpus(spark):
     assert "BroadcastNestedLoopJoin" in plan
     # the only shuffle allowed is the final window's partitionBy(q_id)
     assert n_shuffles(plan) <= 1
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts must
+    sort-merge join with ZERO exchanges — the co-located join that makes
+    resume anti-joins and output:metrics joins shuffle-free at 100 TB."""
+    from ocr_spark.operators.bucketing import bucketed_join, write_bucketed
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    write_bucketed(docs.select("doc_id", "lang"), "t_bkt_left",
+                   "doc_id", n_buckets=8, sort_col="doc_id")
+    write_bucketed(docs.select("doc_id", "n_chars"), "t_bkt_right",
+                   "doc_id", n_buckets=8, sort_col="doc_id")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketed_join(spark, "t_bkt_left", "t_bkt_right", "doc_id")
+        plan = fmt(joined)
+        assert "SortMergeJoin" in plan
+        assert n_shuffles(plan) == 0, plan
+        assert joined.count() == docs.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_bkt_left")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_right")
