@@ -342,12 +342,58 @@ FROM r WHERE rn = 1
 """
 
 
+# --------------------------------------------------------------------------
+# scalar quantization (vector compression for the storage tier)
+# --------------------------------------------------------------------------
+
+def emb_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization: code_i = round(255 *
+    (x_i - min) / (max - min)) - 128. The storage-tier compression step
+    of an ANN stack (4x smaller than float32); a narrow map, zero
+    shuffle. Output digests the code array so the oracle verifies every
+    code byte without hauling arrays through the compare."""
+    emb = t(spark, sf_dir).select("vec_id", _vecd().alias("v"))
+    vmin, vmax = F.array_min("v"), F.array_max("v")
+    scale = F.when(vmax > vmin, vmax - vmin).otherwise(F.lit(1.0))
+    codes = F.transform(
+        "v", lambda x: (F.round((x - vmin) / scale * 255.0, 0)
+                        .cast("int") - 128))
+    return emb.select(
+        "vec_id",
+        F.round(vmin, 6).alias("qmin"),
+        F.round(vmax, 6).alias("qmax"),
+        F.md5(F.array_join(F.transform(codes, lambda c: c.cast("string")),
+                           ",")).alias("codes_md5"),
+    )
+
+
+_SCALAR_QUANT_SQL = f"""
+WITH e AS (
+  SELECT vec_id, {_SQL_VEC} AS v FROM embeddings
+), mm AS (
+  SELECT vec_id, v, list_min(v) AS vmin, list_max(v) AS vmax,
+         CASE WHEN list_max(v) > list_min(v)
+              THEN list_max(v) - list_min(v) ELSE 1.0 END AS scale
+  FROM e
+)
+SELECT vec_id,
+       ROUND(vmin, 6) AS qmin,
+       ROUND(vmax, 6) AS qmax,
+       md5(list_aggregate(
+         list_transform(v, x -> CAST(CAST(round((x - vmin) / scale * 255.0, 0)
+                                          AS INT) - 128 AS VARCHAR)),
+         'string_agg', ',')) AS codes_md5
+FROM mm
+"""
+
+
 SPARK_QUERIES = {
     "emb_cosine_topk": emb_cosine_topk,
     "emb_ivf_topk": emb_ivf_topk,
     "emb_label_centroids": emb_label_centroids,
     "emb_lsh_near_dup": emb_lsh_near_dup,
     "emb_ivf_assign": emb_ivf_assign,
+    "emb_scalar_quantize": emb_scalar_quantize,
 }
 
 ORACLE_SQL = {
@@ -356,4 +402,5 @@ ORACLE_SQL = {
     "emb_label_centroids": _CENTROIDS_SQL,
     "emb_lsh_near_dup": _LSH_NEAR_DUP_SQL,
     "emb_ivf_assign": _IVF_ASSIGN_SQL,
+    "emb_scalar_quantize": _SCALAR_QUANT_SQL,
 }
