@@ -86,14 +86,16 @@ def _extract_fixture_doc(url: str, raw: bytes) -> ExtractResult:
             btext = None
             char_start = char_end = -1
             if label == "text":
-                glyphs = box.get("glyphs") or []
-                try:
-                    from ocr_spark.core.lines import reconstruct_lines
-                    btext = " ".join(
-                        reconstruct_lines([g["text"] for g in glyphs],
-                                          [g["box"] for g in glyphs]))
-                except Exception:
-                    btext = ""
+                btext = box.get("_paragraph")
+                if btext is None:  # box not visited by the text pass
+                    glyphs = box.get("glyphs") or []
+                    try:
+                        from ocr_spark.core.lines import reconstruct_lines
+                        btext = " ".join(
+                            reconstruct_lines([g["text"] for g in glyphs],
+                                              [g["box"] for g in glyphs]))
+                    except Exception:
+                        btext = ""
                 if offset >= 0:
                     char_start = offset
                     char_end = offset + len(btext)

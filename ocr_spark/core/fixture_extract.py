@@ -134,6 +134,10 @@ def extract_page_texts_and_mentions(structured_pages: list[dict]) -> tuple[
             except Exception:
                 lines = [""]  # services.py:121-124
             paragraph = " ".join(lines)
+            # cache for the block exporter (extract.py) — reconstructing
+            # lines is the hottest per-document kernel; doing it twice
+            # per text box doubled fixture extraction cost
+            tb["_paragraph"] = paragraph
 
             if paragraph != "":
                 line_height = (coord[3] - coord[1]) / len(lines)

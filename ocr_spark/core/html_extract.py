@@ -43,6 +43,15 @@ DROP_TAGS = frozenset({
 # Structural containers that are boilerplate by role.
 BOILERPLATE_CONTAINERS = frozenset({"nav", "header", "footer", "aside", "form", "menu"})
 
+# HTML void elements: never have content or an end tag. Those that are
+# also DROP_TAGS (meta, link, embed) must NOT increment the drop depth —
+# with no end tag ever coming, a bare <meta> would otherwise suppress
+# every byte of text after it.
+VOID_TAGS = frozenset({
+    "area", "base", "br", "col", "embed", "hr", "img", "input", "link",
+    "meta", "param", "source", "track", "wbr",
+})
+
 # Tags that open a new text block.
 BLOCK_TAGS = frozenset({
     "p", "div", "section", "article", "main", "body", "blockquote", "pre",
@@ -159,7 +168,17 @@ class _BlockParser(HTMLParser):
     # -- HTMLParser hooks --------------------------------------------------
     def handle_starttag(self, tag: str, attrs) -> None:
         tag = tag.lower()
+        if tag == "body":
+            # HTML allows omitting </head>; real Common-Crawl pages do.
+            # <body> implicitly closes an open <head> — without this, the
+            # head's drop-frame would swallow the entire document.
+            for f in self._stack:
+                if f.split("!", 1)[0] == "head":
+                    self.handle_endtag("head")
+                    break
         if tag in DROP_TAGS:
+            if tag in VOID_TAGS:
+                return  # contentless; no end tag will ever balance it
             self._drop_depth += 1
             self._stack.append(tag)
             return

@@ -37,9 +37,15 @@ EQUATION_PATTERN_PREDICT = re.compile(
 
 # --- whitespace-tolerant candidate scanners (post-X8 text has padded
 #     dots/brackets, so allow \s* at every seam) ---------------------------
+# Identifier alternatives: numbers, roman numerals (case-sensitive via
+# the (?-i:...) group — 'Table IV' is a reference the post-filter regex
+# [A-Za-z]+ accepts, but lowercase prose after the keyword, e.g. 'the
+# table shows', must NOT become a mention; the reference's CRF gates
+# that case, our deterministic stand-in gates by form), or a single
+# letter ('Figure A').
 _CANDIDATE_REF_RE = re.compile(
     r"\b(Figure|Fig|Table|Formula|Algorithm|Chart|Equation|Eqs|Eq)"
-    r"\s*\.?\s*\(?\s*(\d+(\.\d+)?|[A-Za-z]\b)\s*\)?",
+    r"\s*\.?\s*\(?\s*(\d+(\.\d+)?|(?-i:[IVXLCDM]+)\b|[A-Za-z]\b)\s*\)?",
     re.IGNORECASE,
 )
 _CANDIDATE_SEC_RE = re.compile(

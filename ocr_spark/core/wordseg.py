@@ -1,105 +1,109 @@
 """Dictionary-driven word segmentation — deterministic port of the
 reference's SymSpell usage (U7/X6).
 
-The reference builds ``SymSpell(max_dictionary_edit_distance=0)`` over an
-80k term-frequency list and calls only ``word_segmentation`` on purely
-alphabetic tokens (/root/reference/service/core/post.py:6-30).  With edit
-distance 0, SymSpell's word segmentation reduces to a pure Viterbi split:
-insert spaces to maximize the product of unigram probabilities, where an
-unknown chunk of length L gets the standard SymSpell smoothing probability
-``10 / (N * 10**L)`` (public algorithm, Wolf Garbe's SymSpell; MIT).
+The reference builds ``SymSpell(max_dictionary_edit_distance=0)`` over
+the public SymSpell ``en-80k.txt`` term-frequency list (80,000 rows,
+from the symspellpy distribution — MIT; the same file ships in the
+reference's data dir) and calls only ``word_segmentation`` on purely
+alphabetic tokens (/root/reference/service/core/post.py:6-30). We ship
+that dictionary at ``ocr_spark/data/en-80k.txt`` and load it lazily per
+process (executor-local singleton; ~1.3 MB).
 
-We ship our own compact frequency dictionary (see ``_DEFAULT_FREQS``) —
-the reference's en-80k.txt is an external artifact; behavior is frozen by
-this repo's golden fixtures instead.
+Port semantics (SymSpell WordSegmentation at edit distance 0 — public
+algorithm, Wolf Garbe): compositions are ranked primarily by MINIMUM
+distance_sum — each unknown chunk costs its length, each additional
+chunk costs one separator — with log10 unigram probability as the
+tiebreak (unknown chunk probability = 10 / (N * 10^len)). A known token
+therefore always stays whole (distance 0 beats any split's separator).
+
+Documented deviation: lookups here are case-insensitive with original
+casing preserved in the output. symspellpy's raw ``lookup`` is
+case-sensitive (dictionary is all lowercase), under which every
+sentence-initial capitalized word would be "unknown" and get mangled
+('The' → 'T he'); that reading cannot be verified offline (symspellpy
+is not installed here) and would corrupt ordinary text, so the
+case-insensitive reading is frozen in this repo's golden fixtures.
 """
 
 from __future__ import annotations
 
 import math
+import os
 import re
 from functools import lru_cache
 
 _ALPHA_SPLIT_RE = re.compile(r"([a-zA-Z]+|[^a-zA-Z]+)")
 
-# Compact English frequency list: function words + the synthetic-corpus
-# vocabulary. Counts are Zipf-ish; only relative order matters.
-_COMMON = {
-    "the": 23135851162, "of": 13151942776, "and": 12997637966,
-    "to": 12136980858, "a": 9081174698, "in": 8469404971, "for": 5933321709,
-    "is": 4705743816, "on": 3750423199, "that": 3400031103,
-    "by": 3350048871, "this": 3228469771, "with": 3183110675,
-    "it": 2968014579, "as": 2566495821, "at": 2166216256, "from": 1840903977,
-    "be": 1767991766, "are": 1708604110, "was": 1549361350, "or": 1536049200,
-    "an": 1344997229, "not": 1026482692, "we": 959579472, "can": 751746294,
-    "has": 749269936, "when": 621819042, "its": 515303485,
-    "which": 494902125, "do": 460657598, "their": 444866979,
-    "only": 326343984, "so": 307570839, "no": 297873290, "if": 284357115,
-    "while": 110001440, "any": 236998579, "most": 188704137,
-    "than": 269169714, "into": 209151414, "every": 68269125,
-    "above": 45838189, "below": 32765297, "see": 120594750, "both": 111733062,
-}
-_DOMAIN = (
-    "data pipeline reads stream documents writes extracted text partitioned "
-    "table optimizer prunes columns pushes filters down scan required bytes "
-    "move across network executor keeps partition memory duration stage why "
-    "shuffle expensive step large join should avoided small side broadcast "
-    "workers instead moving big results show approach scales number cores "
-    "cost dominates pushed order matters largest inputs set kernel design "
-    "filter window batch vector column sort merge hash index cache spill "
-    "codegen runs before drops lists throughput parallelism levels bound "
-    "follows stated section figure fig table formula algorithm chart "
-    "equation eq eqs image diagram shown gain proof uses first second third "
-    "next previous following page part chapter appendix preface contents "
-    "bibliography problems notes exercises index x"
-).split()
+_DICT_PATH = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                          "data", "en-80k.txt")
 
-_DEFAULT_FREQS: dict[str, int] = dict(_COMMON)
-for _i, _w in enumerate(_DOMAIN):
-    _DEFAULT_FREQS.setdefault(_w, 50_000_000 - _i * 1000)
+_freqs_cache: dict[str, int] | None = None
+_total_cache: int = 0
+_maxlen_cache: int = 0
 
-_TOTAL = sum(_DEFAULT_FREQS.values())
-_MAX_WORD_LEN = max(len(w) for w in _DEFAULT_FREQS)
+
+def _freqs() -> dict[str, int]:
+    """Lazy per-process dictionary load (executor singleton)."""
+    global _freqs_cache, _total_cache, _maxlen_cache
+    if _freqs_cache is None:
+        freqs: dict[str, int] = {}
+        with open(_DICT_PATH, encoding="utf-8") as fh:
+            for line in fh:
+                parts = line.split()
+                if len(parts) == 2:
+                    freqs[parts[0]] = int(parts[1])
+        _freqs_cache = freqs
+        _total_cache = sum(freqs.values())
+        _maxlen_cache = max(map(len, freqs))
+    return _freqs_cache
 
 
 def _log_prob(chunk_lower: str) -> float:
-    cnt = _DEFAULT_FREQS.get(chunk_lower)
+    freqs = _freqs()
+    cnt = freqs.get(chunk_lower)
     if cnt is not None:
-        return math.log10(cnt / _TOTAL)
+        return math.log10(cnt / _total_cache)
     # SymSpell smoothing for unknown chunks: 10 / (N * 10^len)
-    return math.log10(10.0 / _TOTAL) - len(chunk_lower)
+    return math.log10(10.0 / _total_cache) - len(chunk_lower)
+
+
+def _cost(chunk_lower: str) -> int:
+    """distance_sum contribution: 0 for a dictionary word, else its
+    length (every character counts as an edit)."""
+    return 0 if chunk_lower in _freqs() else len(chunk_lower)
 
 
 @lru_cache(maxsize=65536)
 def segment_token(token: str) -> str:
-    """Insert spaces into an alphabetic token to maximize unigram likelihood.
-
-    Equivalent to SymSpell ``word_segmentation(...).corrected_string`` at
-    edit distance 0 (reference post.py:22). Case-insensitive lookup; the
-    original casing of the input is preserved in the output segments.
-    """
+    """Insert spaces into an alphabetic token, SymSpell-style: minimize
+    (distance_sum, -log_prob_sum); ties keep the earlier composition.
+    Known words always stay whole."""
     n = len(token)
     if n == 0:
         return token
+    freqs = _freqs()
     lower = token.lower()
-    if lower in _DEFAULT_FREQS:
+    if lower in freqs:
         return token
-    # Viterbi over split positions
-    best = [-math.inf] * (n + 1)
+    max_len = _maxlen_cache
+    # DP over prefix lengths: state = (distance_sum, neg_log_prob)
+    INF = (1 << 60, math.inf)
+    best: list[tuple[int, float]] = [INF] * (n + 1)
     back = [0] * (n + 1)
-    best[0] = 0.0
+    best[0] = (0, 0.0)
     for j in range(1, n + 1):
-        lo = max(0, j - _MAX_WORD_LEN)
+        lo = max(0, j - max_len)
         for i in range(lo, j):
-            if best[i] == -math.inf:
+            if best[i] == INF:
                 continue
-            sc = best[i] + _log_prob(lower[i:j])
-            if sc > best[j]:
-                best[j] = sc
+            part = lower[i:j]
+            sep = 1 if i > 0 else 0
+            cand = (best[i][0] + sep + _cost(part),
+                    best[i][1] - _log_prob(part))
+            if cand < best[j]:
+                best[j] = cand
                 back[j] = i
-    # If no split beats keeping the token whole, keep it whole.
-    whole = _log_prob(lower)
-    if whole >= best[n]:
+    if best[n] == INF:  # token longer than any dictionary span chain
         return token
     cuts = []
     j = n
@@ -107,6 +111,8 @@ def segment_token(token: str) -> str:
         cuts.append(j)
         j = back[j]
     cuts.reverse()
+    if len(cuts) == 1:
+        return token
     out = []
     prev = 0
     for c in cuts:
