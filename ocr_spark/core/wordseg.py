@@ -42,16 +42,27 @@ _total_cache: int = 0
 _maxlen_cache: int = 0
 
 
+def _read_dict_text() -> str:
+    """Read the dictionary whether the package lives on the filesystem
+    or inside a --py-files zip (importlib.resources handles both; the
+    plain open() is the fast path for filesystem installs)."""
+    if os.path.exists(_DICT_PATH):
+        with open(_DICT_PATH, encoding="utf-8") as fh:
+            return fh.read()
+    from importlib import resources
+    return (resources.files("ocr_spark") / "data" / "en-80k.txt") \
+        .read_text(encoding="utf-8")
+
+
 def _freqs() -> dict[str, int]:
     """Lazy per-process dictionary load (executor singleton)."""
     global _freqs_cache, _total_cache, _maxlen_cache
     if _freqs_cache is None:
         freqs: dict[str, int] = {}
-        with open(_DICT_PATH, encoding="utf-8") as fh:
-            for line in fh:
-                parts = line.split()
-                if len(parts) == 2:
-                    freqs[parts[0]] = int(parts[1])
+        for line in _read_dict_text().splitlines():
+            parts = line.split()
+            if len(parts) == 2:
+                freqs[parts[0]] = int(parts[1])
         _freqs_cache = freqs
         _total_cache = sum(freqs.values())
         _maxlen_cache = max(map(len, freqs))

@@ -16,7 +16,10 @@ def main() -> str:
             if "__pycache__" in dirpath:
                 continue
             for fn in sorted(filenames):
-                if fn.endswith(".py"):
+                # .txt: the SymSpell en-80k dictionary ships with the
+                # package (wordseg loads it via importlib.resources,
+                # which works from inside the zip)
+                if fn.endswith((".py", ".txt")):
                     full = os.path.join(dirpath, fn)
                     zf.write(full, os.path.relpath(full, ROOT))
     print(out)
