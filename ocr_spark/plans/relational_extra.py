@@ -338,6 +338,36 @@ FROM sess GROUP BY user_id, sid
 """
 
 
+# --------------------------------------------------------------------------
+# R10: pivot
+# --------------------------------------------------------------------------
+
+_EV_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def ev_pivot_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: event counts per user with one column per event type.
+    The explicit value list keeps the schema static (no extra pass to
+    discover pivot values — required at scale, and required here for a
+    deterministic column set)."""
+    ev = t(spark, sf_dir, "events")
+    return (ev.groupBy("user_id")
+            .pivot("event_type", list(_EV_TYPES))
+            .agg(F.count(F.lit(1)))
+            .na.fill(0, list(_EV_TYPES))
+            .select("user_id",
+                    *[F.col(c).alias(f"n_{c}") for c in _EV_TYPES]))
+
+
+_PIVOT_SQL = f"""
+SELECT user_id,
+       {", ".join(
+           "CAST(SUM(CASE WHEN event_type = '" + c + "' THEN 1 ELSE 0 END)"
+           f" AS BIGINT) AS n_{c}" for c in _EV_TYPES)}
+FROM events GROUP BY user_id
+"""
+
+
 SPARK_QUERIES = {
     "li_rollup": li_rollup,
     "nations_set_ops": nations_set_ops,
@@ -348,6 +378,7 @@ SPARK_QUERIES = {
     "ev_asof_last_purchase": ev_asof_last_purchase,
     "li_quantity_percentiles": li_quantity_percentiles,
     "ev_session_window_native": ev_session_window_native,
+    "ev_pivot_type_counts": ev_pivot_type_counts,
 }
 
 ORACLE_SQL = {
@@ -360,4 +391,5 @@ ORACLE_SQL = {
     "ev_asof_last_purchase": _ASOF_SQL,
     "li_quantity_percentiles": _PCT_SQL,
     "ev_session_window_native": _SESSION_WINDOW_SQL,
+    "ev_pivot_type_counts": _PIVOT_SQL,
 }
