@@ -13,8 +13,10 @@ well as the DataFrame API:
     split_sentences(text)        -> UDTF: (sent_idx, sentence) rows
 
 Scalar functions are Arrow-batched pandas UDFs (never row-at-a-time
-Python); the bodies delegate to the same kernels the DataFrame queries
-use, so SQL and DataFrame results are identical by construction.
+Python). The MinHash body delegates to the SAME kernel the DataFrame
+query uses (identical by construction); the expression-based ops
+(simhash/rolling-hash/langid) are Python mirrors whose equality with
+the DataFrame queries is pinned by tests/test_functions.py.
 """
 
 from __future__ import annotations
@@ -42,19 +44,11 @@ _LANG_ORDER = ("en", "de", "fr", "es")
 
 
 def _minhash_sig(text: str) -> str | None:
-    toks = _WS_RE.split((text or "").lower().strip())
-    shingles = [" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)]
-    if not shingles or toks == [""]:
+    # delegates to the SAME kernel the DataFrame query uses
+    from ocr_spark.plans.dataops import minhash_vec_py
+    mins = minhash_vec_py(text)
+    if mins is None:
         return None
-    mins = [_KM_MOD] * _MINHASH_K
-    for s in shingles:
-        m = hashlib.md5(s.encode()).hexdigest()
-        h1 = int(m[0:15], 16) % _KM_MOD
-        h2 = int(m[16:31], 16) % _KM_MOD
-        for i in range(_MINHASH_K):
-            v = (h1 + i * h2) % _KM_MOD
-            if v < mins[i]:
-                mins[i] = v
     return hashlib.md5("|".join(str(v) for v in mins).encode()).hexdigest()
 
 

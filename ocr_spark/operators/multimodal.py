@@ -144,9 +144,15 @@ def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
         for pdf in batches:
             out = {"doc_id": [], "frame_idx": [], "frame_md5": []}
             for doc_id, data in zip(pdf["doc_id"], pdf["media"]):
-                if data is None or data[:4] != MAGIC:
+                # same data-errors-never-kill-tasks discipline as
+                # decode_media_meta: truncated headers/payloads are
+                # skipped, not raised
+                if (data is None or len(data) < HEADER_BYTES
+                        or data[:4] != MAGIC):
                     continue
                 nf = data[9]
+                if len(data) < HEADER_BYTES + nf * FRAME_BYTES:
+                    continue
                 for f in range(0, nf, every_k):
                     start = HEADER_BYTES + f * FRAME_BYTES
                     frame = bytes(data[start:start + FRAME_BYTES])

@@ -84,6 +84,31 @@ _SQL_SHINGLES = (
 _KM_MOD = 2_147_483_647  # 2^31-1: keeps h1 + 15*h2 far from int64 overflow
 
 
+def minhash_vec_py(text: str | None) -> list[int] | None:
+    """Pure-Python MinHash signature (shared kernel: the pandas UDF below
+    AND the SQL-registered ocr_minhash_sig in ocr_spark.functions both
+    call THIS function, so DataFrame and SQL results are identical by
+    construction, not by parallel copies)."""
+    import hashlib
+    import re as _re
+
+    toks = _re.split(r"\s+", (text or "").lower().strip())
+    shingles = [" ".join(toks[i:i + SHINGLE_W])
+                for i in range(len(toks) - SHINGLE_W + 1)]
+    if not shingles or toks == [""]:
+        return None
+    mins = [_KM_MOD] * MINHASH_K
+    for sh in shingles:
+        m = hashlib.md5(sh.encode()).hexdigest()
+        h1 = int(m[0:15], 16) % _KM_MOD
+        h2 = int(m[16:31], 16) % _KM_MOD
+        for i in range(MINHASH_K):
+            v = (h1 + i * h2) % _KM_MOD
+            if v < mins[i]:
+                mins[i] = v
+    return mins
+
+
 def _minhash_vec_udf() -> Column:
     """MinHash signature as an Arrow-batched pandas UDF over ``text``.
 
@@ -97,30 +122,9 @@ def _minhash_vec_udf() -> Column:
     md5, same Kirsch-Mitzenmacher h1+i·h2 mod 2^31-1 derivation) and the
     DuckDB oracle pins them value-for-value.
     """
-    import hashlib
-    import re as _re
-
     @F.pandas_udf("array<long>")
     def minhash_udf(texts: pd.Series) -> pd.Series:
-        out = []
-        for raw in texts:
-            toks = _re.split(r"\s+", (raw or "").lower().strip())
-            shingles = [" ".join(toks[i:i + SHINGLE_W])
-                        for i in range(len(toks) - SHINGLE_W + 1)]
-            if not shingles or toks == [""]:
-                out.append(None)
-                continue
-            mins = [_KM_MOD] * MINHASH_K
-            for s in shingles:
-                m = hashlib.md5(s.encode()).hexdigest()
-                h1 = int(m[0:15], 16) % _KM_MOD
-                h2 = int(m[16:31], 16) % _KM_MOD
-                for i in range(MINHASH_K):
-                    v = (h1 + i * h2) % _KM_MOD
-                    if v < mins[i]:
-                        mins[i] = v
-            out.append(mins)
-        return pd.Series(out)
+        return texts.map(minhash_vec_py)
 
     return minhash_udf("text")
 

@@ -30,17 +30,8 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import (
-    BinaryType, StringType, StructField, StructType, TimestampType,
-)
 
-PAGES_SCHEMA = StructType([
-    StructField("url", StringType()),
-    StructField("warc_ts", TimestampType()),
-    StructField("html", BinaryType()),
-    StructField("text", StringType()),
-    StructField("lang", StringType()),
-])
+from ocr_spark.sources import PAGES_SCHEMA
 
 _CRLF2 = b"\r\n\r\n"
 

@@ -34,17 +34,9 @@ from typing import Any
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import (
-    BinaryType, LongType, StringType, StructField, StructType, TimestampType,
-)
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-PAGES_SCHEMA = StructType([
-    StructField("url", StringType()),
-    StructField("warc_ts", TimestampType()),
-    StructField("html", BinaryType()),
-    StructField("text", StringType()),
-    StructField("lang", StringType()),
-])
+from ocr_spark.sources import PAGES_SCHEMA
 
 HOST_STATE_SCHEMA = StructType([
     StructField("docs", LongType()),
@@ -143,7 +135,9 @@ def stream_host_counters(spark: SparkSession, input_dir: str,
     foreachBatch is the production pattern for update-mode state)."""
     pages = read_pages_stream(spark, input_dir)
     hosts = pages.select(
-        F.regexp_extract("url", r"https?://([^/]+)/", 1).alias("host"),
+        # no trailing slash in the pattern: a path-less url like
+        # 'https://example.com' must still attribute to its host
+        F.regexp_extract("url", r"https?://([^/]+)", 1).alias("host"),
         F.length("html").alias("page_bytes"))
     counters = hosts.groupBy("host").applyInPandasWithState(
         _update_host_state,

@@ -57,19 +57,8 @@ def build_corpus() -> None:
     are seeded per-index so generation distributes over a range()."""
     if os.path.exists(os.path.join(CORPUS_DIR, "_SUCCESS")):
         return
-    from pyspark.sql.types import (
-        BinaryType, StringType, StructField, StructType, TimestampType,
-    )
-
     from ocr_spark.session import get_spark
-
-    schema = StructType([
-        StructField("url", StringType()),
-        StructField("warc_ts", TimestampType()),
-        StructField("html", BinaryType()),
-        StructField("text", StringType()),
-        StructField("lang", StringType()),
-    ])
+    from ocr_spark.sources import PAGES_SCHEMA as schema
 
     def gen(batches):
         import pandas as pd
@@ -116,6 +105,14 @@ def measure(parallelism: int, corpus_dir: str) -> None:
     spark.stop()
 
 
+def _mp_init() -> None:
+    """Pool initializer: runs in EVERY worker, so import cost is paid
+    before the timed window at every parallelism level equally (warming
+    via a single task would leave procs-1 workers cold and bias the
+    high-parallelism ceiling downward)."""
+    import ocr_spark.core.extract  # noqa: F401
+
+
 def _mp_work(args: tuple[list, list]) -> int:
     from ocr_spark.core.extract import extract_document
     urls, htmls = args
@@ -139,8 +136,8 @@ def kernel_calibration() -> dict:
         step = (n + k - 1) // k
         chunks = [(urls[i:i + step], htmls[i:i + step])
                   for i in range(0, n, step)]
-        with mp.Pool(procs) as pool:
-            pool.map(_mp_work, chunks[:1])       # warm imports
+        with mp.Pool(procs, initializer=_mp_init) as pool:
+            pool.map(_mp_work, chunks[:1])       # warm the map machinery
             t0 = time.perf_counter()
             total = sum(pool.map(_mp_work, chunks))
             dt = time.perf_counter() - t0
