@@ -75,7 +75,19 @@ def run_extraction_job(spark: SparkSession, input_table_root: str,
         raise FileNotFoundError(f"no input snapshot at {input_table_root}")
     manifest = shim.read_manifest(input_table_root, input_sid)
     pages = shim.read_snapshot(spark, input_table_root, input_sid)
+    return _run_waves(
+        spark, pages, work_dir, input_sid, [manifest["data_dir"]],
+        partitions=partitions, big_partitions=big_partitions,
+        big_threshold=big_threshold, n_buckets=n_buckets, waves=waves,
+        fail_after_waves=fail_after_waves, fail_point=fail_point)
 
+
+def _run_waves(spark: SparkSession, pages: DataFrame, work_dir: str,
+               input_sid: str, input_files: list[str], *,
+               partitions: int, big_partitions: int, big_threshold: int,
+               n_buckets: int, waves: int,
+               fail_after_waves: int | None = None,
+               fail_point: str = "after_wave") -> dict:
     rolled_forward = _roll_forward_orphans(spark, work_dir)
     done = completed_buckets(spark, work_dir, input_sid)
     run_id = uuid.uuid4().hex[:12]
@@ -116,7 +128,7 @@ def run_extraction_job(spark: SparkSession, input_table_root: str,
                                     schema=EXTRACT_RESULT_SCHEMA)
         docs_total += commit_bucket_bookkeeping(
             spark, staged, work_dir, snapshot_id=input_sid, run_id=run_id,
-            input_files=[manifest["data_dir"]],
+            input_files=input_files,
             big_threshold=big_threshold, skew_salt=big_partitions,
             buckets=bucket_group, out_snapshot_id=out_sid,
         )
@@ -143,10 +155,72 @@ def run_extraction_job(spark: SparkSession, input_table_root: str,
     }
 
 
+def run_incremental_extraction_job(spark: SparkSession,
+                                   input_table_root: str, work_dir: str,
+                                   partitions: int = 128,
+                                   big_partitions: int = 8,
+                                   big_threshold: int = DEFAULT_BIG_THRESHOLD,
+                                   n_buckets: int = DEFAULT_BUCKETS,
+                                   waves: int = 4) -> dict:
+    """Process ONLY the input data added since the last processed
+    snapshot (shim.added_since diff) — Trigger.AvailableNow semantics
+    over the snapshot chain, without Structured Streaming.
+
+    Logic: walk the input table's parent chain from CURRENT back to the
+    most recent snapshot that has checkpoint rows; read only the data
+    dirs added after it; run the normal salted wave pipeline keyed on
+    the NEW snapshot id (so bucket-level resume works within the
+    increment too). Falls back to the full job when nothing was ever
+    processed; no-ops when CURRENT is already processed... except for
+    bucket-level resume of a partially processed CURRENT, which the
+    full-job path already handles over the same snapshot.
+    """
+    input_sid = shim.current_snapshot_id(input_table_root)
+    if input_sid is None:
+        raise FileNotFoundError(f"no input snapshot at {input_table_root}")
+
+    from ocr_spark.operators.bookkeeping import processed_input_snapshots
+    processed = processed_input_snapshots(spark, work_dir)
+
+    if input_sid in processed or not processed:
+        # partially-done CURRENT (bucket resume) or first-ever run
+        return run_extraction_job(
+            spark, input_table_root, work_dir, partitions=partitions,
+            big_partitions=big_partitions, big_threshold=big_threshold,
+            n_buckets=n_buckets, waves=waves)
+
+    # nearest processed ancestor
+    base = None
+    sid = shim.read_manifest(input_table_root, input_sid).get("parent_id")
+    while sid is not None:
+        if sid in processed:
+            base = sid
+            break
+        sid = shim.read_manifest(input_table_root, sid).get("parent_id")
+    if base is None:
+        return run_extraction_job(
+            spark, input_table_root, work_dir, partitions=partitions,
+            big_partitions=big_partitions, big_threshold=big_threshold,
+            n_buckets=n_buckets, waves=waves)
+
+    added_dirs = shim.added_since(input_table_root, base, input_sid)
+    from ocr_spark.sources import PAGES_SCHEMA
+    pages = spark.read.schema(PAGES_SCHEMA).parquet(*added_dirs)
+    summary = _run_waves(
+        spark, pages, work_dir, input_sid, added_dirs,
+        partitions=partitions, big_partitions=big_partitions,
+        big_threshold=big_threshold, n_buckets=n_buckets, waves=waves)
+    summary["incremental_base"] = base
+    summary["added_dirs"] = len(added_dirs)
+    return summary
+
+
 def read_extracted(spark: SparkSession, work_dir: str) -> DataFrame:
-    """All committed extraction output across snapshots (buckets are
-    disjoint across snapshots by construction — checkpointed buckets are
-    never reprocessed)."""
+    """All committed extraction output across snapshots. The union is
+    exact: within one input snapshot, checkpointed buckets are never
+    reprocessed (two-phase commit); across input snapshots, incremental
+    runs read only the added data dirs, so their documents are disjoint
+    by construction."""
     root = output_root(work_dir)
     sids = shim.history(root) if shim.current_snapshot_id(root) else []
     if not sids:

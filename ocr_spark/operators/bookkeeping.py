@@ -154,6 +154,18 @@ def commit_bucket_bookkeeping(spark: SparkSession, extracted: DataFrame,
     return int(docs_total)
 
 
+def processed_input_snapshots(spark: SparkSession, work_dir: str) -> set[str]:
+    """Input snapshot ids with any checkpoint rows — the incremental
+    job walks the input snapshot chain back to the newest member of
+    this set and processes only data added after it."""
+    path = checkpoints_path(work_dir)
+    if not os.path.exists(path):
+        return set()
+    rows = (spark.read.schema(CHECKPOINT_SCHEMA).parquet(path)
+            .select("snapshot_id").distinct().collect())
+    return {r.snapshot_id for r in rows}
+
+
 def checkpointed_out_snapshots(spark: SparkSession, work_dir: str) -> set[str]:
     """Output snapshot ids referenced by ANY checkpoint row — the set the
     job roll-forward publishes if a crash landed between the bookkeeping

@@ -200,3 +200,45 @@ def test_null_html_becomes_failure_row(spark, tmp_path):
     assert len(out) == 2
     assert out["https://x.test/null"].error == "null_html"
     assert out["https://x.test/ok"].error is None
+
+
+def test_incremental_job_processes_only_added_snapshot(spark, tmp_path):
+    """Snapshot s1 processed fully; snapshot s2 appends new rows; the
+    incremental job must extract ONLY the added rows (added_since diff),
+    and the union of outputs covers both waves exactly once."""
+    from ocr_spark.job import (
+        read_extracted, run_extraction_job, run_incremental_extraction_job,
+    )
+    from ocr_spark.sources import iceberg_shim as shim
+
+    root = str(tmp_path / "inc_pages")
+    work = str(tmp_path / "inc_work")
+    rows = generate_pages(80, seed=7, oversized_rows=0)
+
+    def to_df(rs):
+        return spark.createDataFrame(
+            [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"])
+             for r in rs],
+            "url string, warc_ts timestamp, html binary, text string, "
+            "lang string")
+
+    shim.write_snapshot(to_df(rows[:50]), root, snapshot_id="s1")
+    s1 = run_extraction_job(spark, root, work, partitions=8,
+                            big_partitions=1, waves=2)
+    assert s1["docs"] == 50
+
+    # second crawl wave: only the NEW 30 rows land in s2's data dir
+    shim.write_snapshot(to_df(rows[50:]), root, snapshot_id="s2")
+    s2 = run_incremental_extraction_job(spark, root, work, partitions=8,
+                                        big_partitions=1, waves=2)
+    assert s2["docs"] == 30, s2
+    assert s2["incremental_base"] == "s1"
+    assert s2["added_dirs"] == 1
+
+    urls = [r.url for r in read_extracted(spark, work).select("url").collect()]
+    assert len(urls) == 80 and len(set(urls)) == 80
+
+    # idempotent: rerunning the incremental job is a no-op
+    s3 = run_incremental_extraction_job(spark, root, work, partitions=8,
+                                        big_partitions=1, waves=2)
+    assert s3["docs"] == 0 and s3["buckets_processed"] == 0
