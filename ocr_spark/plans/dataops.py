@@ -340,10 +340,13 @@ FROM v
 
 def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard over distinct word-3-gram sets, blocked by
-    (lang, length-bucket) so the self-join is bucket-local — the O(n²)
-    blowup is bounded per block instead of per corpus. At 100 TB this is
-    the verifier applied to LSH candidates; array_intersect/array_union
-    stay JVM-side."""
+    (lang, length-bucket). SMALL-SF CROSS-CHECK ONLY: the blocked
+    self-join is O(n²) per block, and at 100 TB an (en, common-length)
+    block is corpus-sized. The scale path is
+    ``docs_jaccard_verify_candidates`` below, which applies the same
+    exact-Jaccard verification to the MinHash-LSH candidate list — this
+    query exists so small-SF runs can cross-check that the LSH candidate
+    set did not miss a high-Jaccard pair inside a block."""
     docs = t(spark, sf_dir, "documents")
     base = (docs.select(
         "doc_id", "lang",
@@ -378,6 +381,52 @@ FROM nz a JOIN nz b USING (lang, len_bucket)
 WHERE a.doc_id < b.doc_id
   AND ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
             / len(list_distinct(a.grams || b.grams)), 4) >= {JACCARD_MIN}
+"""
+
+
+# --------------------------------------------------------------------------
+# Candidate-driven exact-Jaccard verification (the 100 TB verify path)
+# --------------------------------------------------------------------------
+
+def docs_jaccard_verify_candidates(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Exact-Jaccard verification driven by the MinHash-LSH candidate
+    list: join each candidate pair's distinct 3-gram sets on and compute
+    true Jaccard. This is the scale-safe verify shape — the pair list is
+    LSH-bounded (banded buckets, pre-join cap), so the two gram joins are
+    linear equi-joins on doc_id, never a blocked self-join. Compare
+    ``docs_ngram_jaccard_pairs``, which is the small-SF O(n²)
+    cross-check of this path."""
+    cands = docs_minhash_lsh_pairs(spark, sf_dir)
+    docs = t(spark, sf_dir, "documents")
+    grams = (docs.select(
+        "doc_id", F.array_distinct(_shingles(_tokens())).alias("grams"))
+        .filter(F.size("grams") > 0))
+    ga = grams.select(F.col("doc_id").alias("doc_a"),
+                      F.col("grams").alias("grams_a"))
+    gb = grams.select(F.col("doc_id").alias("doc_b"),
+                      F.col("grams").alias("grams_b"))
+    j = cands.join(ga, "doc_a").join(gb, "doc_b")
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    union = F.size(F.array_union("grams_a", "grams_b"))
+    return j.select("doc_a", "doc_b", "n_shared_bands",
+                    F.round(inter / union, 4).alias("jaccard"))
+
+
+_JACCARD_VERIFY_SQL = f"""
+WITH cand AS (
+{_LSH_PAIRS_SQL}
+), g AS (
+  SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS grams FROM documents
+), nz AS (
+  SELECT * FROM g WHERE len(grams) > 0
+)
+SELECT c.doc_a, c.doc_b, c.n_shared_bands,
+       ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / len(list_distinct(a.grams || b.grams)), 4) AS jaccard
+FROM cand c
+JOIN nz a ON a.doc_id = c.doc_a
+JOIN nz b ON b.doc_id = c.doc_b
 """
 
 
@@ -613,6 +662,7 @@ SPARK_QUERIES = {
     "docs_minhash_lsh_pairs": docs_minhash_lsh_pairs,
     "docs_simhash": docs_simhash,
     "docs_ngram_jaccard_pairs": docs_ngram_jaccard_pairs,
+    "docs_jaccard_verify_candidates": docs_jaccard_verify_candidates,
     "docs_langid": docs_langid,
     "docs_dedup_keepers": docs_dedup_keepers,
     "docs_bpe_token_count": docs_bpe_token_count,
@@ -625,6 +675,7 @@ ORACLE_SQL = {
     "docs_minhash_lsh_pairs": _LSH_PAIRS_SQL,
     "docs_simhash": _SIMHASH_SQL,
     "docs_ngram_jaccard_pairs": _JACCARD_SQL,
+    "docs_jaccard_verify_candidates": _JACCARD_VERIFY_SQL,
     "docs_langid": _LANGID_SQL,
     "docs_dedup_keepers": _DEDUP_KEEPERS_SQL,
     "docs_bpe_token_count": _BPE_COUNT_SQL,

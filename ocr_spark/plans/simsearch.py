@@ -37,7 +37,15 @@ N_QUERIES = 10          # vec_id < 10 are the demo query set
 TOPK = 5
 IVF_TOPK = 3
 LSH_PLANES = 16         # signature length
-LSH_BUCKET_BITS = 8     # bucket = signature prefix → 256 buckets
+EMB_LSH_BANDS = 2       # bands over the signature (OR-amplification)
+EMB_BAND_BITS = LSH_PLANES // EMB_LSH_BANDS   # 8 sign bits per band
+EMB_BUCKET_CAP = 100    # pre-join degenerate-bucket guard: pair count is
+                        # O(n²) per bucket, and with clustered real
+                        # embeddings a single 8-bit bucket can hold a
+                        # large corpus fraction. Mirrors the MinHash-LSH
+                        # discipline (dataops.LSH_BUCKET_CAP); vectors in
+                        # capped buckets are near-identical-direction
+                        # territory owned by exact dedup.
 NEAR_DUP_COS = 0.3
 
 
@@ -241,23 +249,45 @@ def _sql_signature() -> str:
 
 
 def emb_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucket by the first LSH_BUCKET_BITS sign bits, then verify exact
-    cosine within buckets. One narrow map (signatures) + one equi-join
-    shuffle on bucket — never an all-pairs cross join."""
+    """Hyperplane-LSH near-dup pairs, banded: the 16-bit sign signature is
+    split into EMB_LSH_BANDS bands of EMB_BAND_BITS bits; vectors sharing
+    ANY band bucket are candidates (OR-amplification — better recall than
+    a single prefix), then exact cosine verifies within buckets.
+
+    Scale shape: signatures are a narrow map; the only shuffle is the
+    equi-join on (band, bucket) — never an all-pairs cross join — and
+    buckets larger than EMB_BUCKET_CAP are dropped BEFORE the self-join
+    (window count on the same shuffle key), so clustered real embeddings
+    can never force an O(n²) bucket."""
     emb = t(spark, sf_dir).select(
         "vec_id", _vecd().alias("v")
     ).withColumn("nrm", _norm(F.col("v")))
-    sig = emb.withColumn(
-        "bucket", F.substring(_lsh_signature(F.col("v")), 1, LSH_BUCKET_BITS))
-    a = sig.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
-                   F.col("nrm").alias("na"), "bucket")
-    b = sig.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
-                   F.col("nrm").alias("nb"), "bucket")
-    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    sig = emb.withColumn("sig", _lsh_signature(F.col("v")))
+    bands = sig.select(
+        "vec_id", "v", "nrm",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.substring("sig", b * EMB_BAND_BITS + 1,
+                            EMB_BAND_BITS).alias("bucket"))
+            for b in range(EMB_LSH_BANDS)
+        ])).alias("bb"),
+    ).select("vec_id", "v", "nrm", "bb.band", "bb.bucket")
+    w = Window.partitionBy("band", "bucket")
+    bands = (bands.withColumn("bucket_n", F.count(F.lit(1)).over(w))
+             .filter(F.col("bucket_n") <= EMB_BUCKET_CAP)
+             .drop("bucket_n"))
+    a = bands.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+                     F.col("nrm").alias("na"), "band", "bucket")
+    b = bands.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+                     F.col("nrm").alias("nb"), "band", "bucket")
+    pairs = a.join(b, ["band", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
     cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return (pairs.select("bucket", "id_a", "id_b",
-                         F.round(cos, 4).alias("cos_sim"))
-            .filter(F.col("cos_sim") >= NEAR_DUP_COS))
+    cand = (pairs.select("id_a", "id_b", F.round(cos, 4).alias("cos4"))
+            .filter(F.col("cos4") >= NEAR_DUP_COS))
+    return (cand.groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_shared_bands"),
+                 F.round(F.max("cos4"), 4).alias("cos_sim")))
 
 
 _LSH_NEAR_DUP_SQL = f"""
@@ -266,16 +296,29 @@ WITH e AS (
 ), n AS (
   SELECT vec_id, v, {_sql_norm('v')} AS nrm FROM e
 ), sig AS (
-  SELECT vec_id, v, nrm,
-         substring({_sql_signature()}, 1, {LSH_BUCKET_BITS}) AS bucket
-  FROM n
+  SELECT vec_id, v, nrm, {_sql_signature()} AS sig FROM n
+), bands AS (
+  {" UNION ALL ".join(
+      f"SELECT vec_id, v, nrm, {b} AS band, "
+      f"substring(sig, {b * EMB_BAND_BITS + 1}, {EMB_BAND_BITS}) AS bucket "
+      f"FROM sig"
+      for b in range(EMB_LSH_BANDS))}
+), capped AS (
+  SELECT * FROM (
+    SELECT vec_id, v, nrm, band, bucket,
+           COUNT(*) OVER (PARTITION BY band, bucket) AS bucket_n
+    FROM bands
+  ) WHERE bucket_n <= {EMB_BUCKET_CAP}
+), cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND({_sql_dot('a.v', 'b.v')} / (a.nrm * b.nrm), 4) AS cos4
+  FROM capped a JOIN capped b USING (band, bucket)
+  WHERE a.vec_id < b.vec_id
 )
-SELECT a.bucket, a.vec_id AS id_a, b.vec_id AS id_b,
-       ROUND({_sql_dot('a.v', 'b.v')} / (a.nrm * b.nrm), 4) AS cos_sim
-FROM sig a JOIN sig b USING (bucket)
-WHERE a.vec_id < b.vec_id
-  AND ROUND({_sql_dot('a.v', 'b.v')} / (a.nrm * b.nrm), 4)
-      >= {NEAR_DUP_COS}
+SELECT id_a, id_b, COUNT(*) AS n_shared_bands,
+       ROUND(MAX(cos4), 4) AS cos_sim
+FROM cand WHERE cos4 >= {NEAR_DUP_COS}
+GROUP BY id_a, id_b
 """
 
 

@@ -88,6 +88,33 @@ def test_emb_topk_no_shuffle_of_corpus(spark):
     assert n_shuffles(plan) <= 1
 
 
+def test_lsh_self_joins_are_bucket_capped(spark):
+    """Both LSH near-dup paths must drop degenerate buckets BEFORE the
+    bucket self-join: the window-count cap column must appear in the
+    optimized plan (a refactor that removes the cap turns a mass-dup
+    page / clustered embeddings into an O(n²) bucket at 100 TB)."""
+    from ocr_spark.plans.dataops import docs_minhash_lsh_pairs
+    from ocr_spark.plans.simsearch import emb_lsh_near_dup
+    for q in (docs_minhash_lsh_pairs, emb_lsh_near_dup):
+        plan = q(spark, SF)._jdf.queryExecution().optimizedPlan().toString()
+        assert "bucket_n" in plan, f"{q.__name__} lost its bucket cap"
+        # the cap filter must sit below the join, not above it
+        # (rendered as e.g. "bucket_n#24L <= 50" in the optimized plan)
+        cap = re.search(r"bucket_n#\d+L? <=", plan)
+        assert cap and plan.index("Join") < cap.start(), plan
+
+
+def test_jaccard_verify_is_candidate_driven(spark):
+    """The scale-path Jaccard verifier must consume the LSH candidate
+    list via linear doc_id equi-joins — never the (lang, len_bucket)
+    blocked self-join (that one is the small-SF cross-check only)."""
+    from ocr_spark.plans.dataops import docs_jaccard_verify_candidates
+    plan = docs_jaccard_verify_candidates(spark, SF) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    assert "len_bucket" not in plan
+    assert "bucket_n" in plan  # inherits the capped LSH candidates
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     """Two tables bucketed on the join key with equal bucket counts must
     sort-merge join with ZERO exchanges — the co-located join that makes
