@@ -38,10 +38,39 @@ HEADLINE = [
     "docs_exact_dedup",
     "docs_quality_score",
     "docs_minhash_lsh_pairs",
+    "docs_jaccard_verify_candidates",
     "emb_cosine_topk",
+    "emb_lsh_multiprobe_topk",
     "ev_asof_last_purchase",
     "mm_frame_rollup",
 ]
+
+
+def _prev_round_queries() -> tuple[int | None, dict[str, float]]:
+    """Latest BENCH_r{N}.json's per-query seconds — the regression
+    baseline (driver records one per round)."""
+    import glob
+    import re
+
+    best: tuple[int, dict[str, float]] | None = None
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                data = json.load(f)
+            queries = data.get("parsed", data).get("queries", {})
+        except Exception:
+            continue
+        n = int(m.group(1))
+        if queries and (best is None or n > best[0]):
+            best = (n, queries)
+    return (best[0], best[1]) if best else (None, {})
+
+
+REGRESSION_FACTOR = 1.3
 
 
 def _force(df) -> None:
@@ -83,6 +112,21 @@ def main() -> int:
             extra["extract_docs_per_sec"] = round(n_docs / dt, 2)
 
     total = round(sum(timings.values()), 3)
+
+    # per-query regression tracking vs the previous round's driver bench:
+    # flag queries >REGRESSION_FACTOR slower. Warnings go to stderr; the
+    # structured list rides inside the one stdout JSON line.
+    prev_round, prev = _prev_round_queries()
+    regressions = {}
+    for name, sec in timings.items():
+        base = prev.get(name)
+        if base and base > 0 and sec > base * REGRESSION_FACTOR:
+            regressions[name] = {"prev_sec": base, "now_sec": sec,
+                                 "ratio": round(sec / base, 2)}
+            print(f"REGRESSION {name}: {base}s -> {sec}s "
+                  f"({sec / base:.2f}x, round r{prev_round} baseline)",
+                  file=sys.stderr)
+
     out = {
         "metric": "headline_total_sec (extraction + analytics)",
         "value": total,
@@ -92,6 +136,8 @@ def main() -> int:
         "cpus": int(cpus),
         **extra,
     }
+    if prev_round is not None:
+        out["regressions_vs_r" + str(prev_round)] = regressions
     print(json.dumps(out))
     spark.stop()
     return 0

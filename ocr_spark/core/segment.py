@@ -6,13 +6,28 @@ by an ``"Eq." → "EqⒹ"`` sentinel swap so equation abbreviations do not end
 sentences (services.py:129-131, quirk X5 — the sentinel handling lives in
 the caller, see fixture_extract.py).
 
-pysbd is unavailable offline, so this is a small deterministic rule subset
-covering the constructs the corpus produces: sentences end at ``. ! ?``
-followed by whitespace and an uppercase letter, digit, or opening bracket;
-common abbreviations (Fig., Eq., No., et al., e.g., i.e., vs.) do not end
-sentences; trailing text forms the final sentence. Like pysbd with
-``clean=False``, the concatenation of the returned sentences (with the
-single separating spaces) reproduces the input string exactly.
+pysbd is unavailable offline, so this is a deterministic rule port of the
+pysbd-en behavior classes the corpus (and adversarial tests) exercise:
+
+  * **boundaries** — sentences end at a ``. ! ?`` run, optionally followed
+    by closing quotes/brackets (``." .' .) ?!``), then whitespace and an
+    uppercase letter, digit, or opening bracket/quote;
+  * **abbreviations** — common abbreviations (Fig., Eq., No., et al.,
+    e.g., i.e., vs., Dr., …) never end a sentence, even before a capital
+    (pysbd's prepositive/number-abbreviation rules collapsed into one
+    list, adequate for this corpus);
+  * **decimals** — a period with no following whitespace (``3.14``,
+    ``$5.50``, ``v2.0``) is never a boundary (the boundary regex requires
+    trailing whitespace, mirroring pysbd's PeriodBeforeNumberRule);
+  * **ellipsis** — ``...`` (or ``..``, ``?!`` runs) is consumed as one
+    boundary run and stays with the preceding sentence when followed by
+    whitespace + capital; ``I... don't`` (lowercase next) does not split;
+  * **quotes** — ``He said "Stop." Then…`` splits AFTER the closing
+    quote, keeping the quote with its sentence (pysbd quotation handling).
+
+Like pysbd with ``clean=False``, the returned sentences are exact
+substrings of the input (nothing inserted or rewritten); only the
+inter-sentence whitespace runs are dropped.
 """
 
 from __future__ import annotations
@@ -24,11 +39,14 @@ _ABBREV = (
     "cf", "etc", "dr", "mr", "mrs", "ms", "prof", "sec", "chap", "vol",
 )
 
-_BOUNDARY_RE = re.compile(r"([.!?])\s+(?=[A-Z0-9(\[“\"'])")
+# punctuation run + optional closing quotes/brackets, then whitespace,
+# then an upper/digit/opening-bracket/opening-quote sentence starter
+_BOUNDARY_RE = re.compile(
+    r"(?P<p>[.!?]+[\"'”’)\]]*)\s+(?=[A-Z0-9(\[“\"'])")
 
 
 def _ends_with_abbrev(chunk: str) -> bool:
-    # the char before the boundary punctuation ends `chunk`
+    # the word before the boundary punctuation run ends `chunk`
     m = re.search(r"([A-Za-z][A-Za-z.]*)$", chunk)
     if not m:
         return False
@@ -37,14 +55,16 @@ def _ends_with_abbrev(chunk: str) -> bool:
 
 
 def segment_sentences(paragraph: str) -> list[str]:
-    """Split a paragraph into sentences (deterministic pysbd-en subset)."""
+    """Split a paragraph into sentences (deterministic pysbd-en port)."""
     if not paragraph:
         return []
     sentences: list[str] = []
     start = 0
     for m in _BOUNDARY_RE.finditer(paragraph):
-        end = m.end(1)  # include the punctuation
-        before = paragraph[start:m.start(1)]
+        if m.start() < start:
+            continue  # boundary inside an already-consumed region
+        end = m.end("p")  # include punctuation + closing quotes
+        before = paragraph[start:m.start("p")]
         if _ends_with_abbrev(before):
             continue
         sentences.append(paragraph[start:end])

@@ -16,13 +16,16 @@ chunk costs one separator — with log10 unigram probability as the
 tiebreak (unknown chunk probability = 10 / (N * 10^len)). A known token
 therefore always stays whole (distance 0 beats any split's separator).
 
-Documented deviation: lookups here are case-insensitive with original
-casing preserved in the output. symspellpy's raw ``lookup`` is
-case-sensitive (dictionary is all lowercase), under which every
-sentence-initial capitalized word would be "unknown" and get mangled
-('The' → 'T he'); that reading cannot be verified offline (symspellpy
-is not installed here) and would corrupt ordinary text, so the
-case-insensitive reading is frozen in this repo's golden fixtures.
+Case semantics: the DEFAULT here is case-insensitive lookup with
+original casing preserved in the output. symspellpy's raw lookup is
+case-sensitive (dictionary is all lowercase), under which a
+sentence-initial capitalized word is "unknown" and the DP can split it
+('The' → 'T he' — distance 1 sep + 1 unknown char beats 3 unknown
+chars). That reading is available behind ``case_sensitive=True`` (env
+``OCR_SPARK_SYMSPELL_CASE=sensitive``) and its divergence class is
+pinned by tests (test_kernels::test_symspell_case_modes); the golden
+fixtures are frozen on the case-insensitive default, which does not
+corrupt ordinary capitalized text.
 """
 
 from __future__ import annotations
@@ -84,16 +87,22 @@ def _cost(chunk_lower: str) -> int:
     return 0 if chunk_lower in _freqs() else len(chunk_lower)
 
 
+_CASE_SENSITIVE_DEFAULT = (
+    os.environ.get("OCR_SPARK_SYMSPELL_CASE", "insensitive") == "sensitive")
+
+
 @lru_cache(maxsize=65536)
-def segment_token(token: str) -> str:
+def segment_token(token: str, case_sensitive: bool = False) -> str:
     """Insert spaces into an alphabetic token, SymSpell-style: minimize
     (distance_sum, -log_prob_sum); ties keep the earlier composition.
-    Known words always stay whole."""
+    Known words always stay whole. ``case_sensitive=True`` reproduces
+    symspellpy's raw reading (lowercase dictionary, no normalization —
+    capitalized words become unknown chunks)."""
     n = len(token)
     if n == 0:
         return token
     freqs = _freqs()
-    lower = token.lower()
+    lower = token if case_sensitive else token.lower()
     if lower in freqs:
         return token
     max_len = _maxlen_cache
@@ -132,7 +141,8 @@ def segment_token(token: str) -> str:
     return " ".join(out)
 
 
-def correct_segmentation_and_typos(raw_text: str) -> str:
+def correct_segmentation_and_typos(raw_text: str,
+                                   case_sensitive: bool | None = None) -> str:
     """Port of the reference's token-type split + per-alpha-token
     segmentation + single-space join (post.py:12-30, X6).
 
@@ -140,13 +150,17 @@ def correct_segmentation_and_typos(raw_text: str) -> str:
     ``segment_token``; all tokens are stripped, empties dropped, and the
     result is joined with single spaces (this intentionally perturbs
     spacing around punctuation exactly like the reference does).
-    """
+    ``case_sensitive=None`` uses the module default (env
+    ``OCR_SPARK_SYMSPELL_CASE``)."""
     if not raw_text:
         return ""
+    if case_sensitive is None:
+        case_sensitive = _CASE_SENSITIVE_DEFAULT
     tokens = _ALPHA_SPLIT_RE.findall(raw_text)
     out = []
     for tok in tokens:
-        fixed = segment_token(tok) if tok.isalpha() else tok
+        fixed = (segment_token(tok, case_sensitive) if tok.isalpha()
+                 else tok)
         fixed = fixed.strip()
         if fixed:
             out.append(fixed)

@@ -14,9 +14,12 @@ well as the DataFrame API:
 
 Scalar functions are Arrow-batched pandas UDFs (never row-at-a-time
 Python). The MinHash body delegates to the SAME kernel the DataFrame
-query uses (identical by construction); the expression-based ops
-(simhash/rolling-hash/langid) are Python mirrors whose equality with
-the DataFrame queries is pinned by tests/test_functions.py.
+query uses (identical by construction); langid/token_count build from
+the SAME constants as the dataops expressions (stopword sets,
+precedence order, BPE pattern imported — a drift would need both
+surfaces edited in one place); simhash/rolling-hash are Python mirrors.
+All five are pinned value-for-value against the DataFrame queries by
+tests/test_functions.py.
 """
 
 from __future__ import annotations
@@ -27,20 +30,14 @@ import re
 import pandas as pd
 from pyspark.sql import SparkSession, functions as F
 
-_KM_MOD = 2_147_483_647
-_MINHASH_K = 16
-_SIMHASH_BITS = 32
-_BPE_RE = re.compile(
-    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+")
-_WS_RE = re.compile(r"\s+")
+# the single source of truth for cross-surface semantics: the DataFrame
+# queries' own constants
+from ocr_spark.plans.dataops import (
+    _BPE_PAT, _LANG_ORDER, _LANG_STOPWORDS, SIMHASH_BITS as _SIMHASH_BITS,
+)
 
-_LANG_STOPWORDS = {
-    "en": {"the", "and", "of", "to", "in", "is", "that", "for", "with", "on"},
-    "de": {"der", "die", "das", "und", "ist", "nicht", "von", "mit", "auf", "ein"},
-    "fr": {"le", "la", "les", "et", "est", "pas", "pour", "dans", "que", "une"},
-    "es": {"el", "la", "los", "y", "es", "no", "por", "con", "para", "una"},
-}
-_LANG_ORDER = ("en", "de", "fr", "es")
+_BPE_RE = re.compile(_BPE_PAT)
+_WS_RE = re.compile(r"\s+")
 
 
 def _minhash_sig(text: str) -> str | None:

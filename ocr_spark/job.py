@@ -73,10 +73,14 @@ def run_extraction_job(spark: SparkSession, input_table_root: str,
     input_sid = shim.current_snapshot_id(input_table_root)
     if input_sid is None:
         raise FileNotFoundError(f"no input snapshot at {input_table_root}")
-    manifest = shim.read_manifest(input_table_root, input_sid)
-    pages = shim.read_snapshot(spark, input_table_root, input_sid)
+    # the LOGICAL table at CURRENT = the whole snapshot chain's data dirs
+    # (append-chain model) — reading only CURRENT's own dir would
+    # silently skip every ancestor snapshot's rows on a first-ever run
+    # against a multi-snapshot table.
+    input_dirs = shim.chain_data_dirs(input_table_root, input_sid)
+    pages = shim.read_table_at(spark, input_table_root, input_sid)
     return _run_waves(
-        spark, pages, work_dir, input_sid, [manifest["data_dir"]],
+        spark, pages, work_dir, input_sid, input_dirs,
         partitions=partitions, big_partitions=big_partitions,
         big_threshold=big_threshold, n_buckets=n_buckets, waves=waves,
         fail_after_waves=fail_after_waves, fail_point=fail_point)
@@ -171,9 +175,12 @@ def run_incremental_extraction_job(spark: SparkSession,
     dirs added after it; run the normal salted wave pipeline keyed on
     the NEW snapshot id (so bucket-level resume works within the
     increment too). Falls back to the full job when nothing was ever
-    processed; no-ops when CURRENT is already processed... except for
-    bucket-level resume of a partially processed CURRENT, which the
-    full-job path already handles over the same snapshot.
+    processed (or no processed ancestor exists) — and the full job reads
+    the ENTIRE snapshot chain, so a first-ever run on a multi-snapshot
+    table covers every ancestor's rows; no-ops when CURRENT is already
+    processed... except for bucket-level resume of a partially processed
+    CURRENT, which the full-job path already handles over the same
+    snapshot.
     """
     input_sid = shim.current_snapshot_id(input_table_root)
     if input_sid is None:
@@ -215,6 +222,36 @@ def run_incremental_extraction_job(spark: SparkSession,
     return summary
 
 
+def compact_snapshots(spark: SparkSession, work_dir: str) -> dict:
+    """Rewrite the whole output history as ONE snapshot (small-file /
+    manifest compaction). After thousands of incremental commits the
+    snapshot chain itself becomes metadata overhead; compaction reads
+    the union (one multi-path scan), stages it as a fresh-chain snapshot
+    whose manifest records ``compacted_from``, and publishes atomically.
+
+    Crash-safe: a crash before publish leaves the old chain CURRENT and
+    the staged compaction unreachable (rerun simply re-compacts).
+    Roll-forward-safe: ``is_published`` treats compacted-away snapshot
+    ids as published, so checkpoint bookkeeping referencing them never
+    rewinds CURRENT to a pre-compaction snapshot."""
+    root = output_root(work_dir)
+    sids = shim.history(root) if shim.current_snapshot_id(root) else []
+    if len(sids) <= 1:
+        return {"compacted": 0, "snapshot": sids[0] if sids else None}
+    absorbed = []
+    for sid in sids:
+        absorbed.append(sid)
+        absorbed.extend(shim.read_manifest(root, sid)
+                        .get("compacted_from") or [])
+    df = read_extracted(spark, work_dir)
+    new_sid = shim.prepare_snapshot(
+        df, root, partition_by=["bucket"],
+        snapshot_id=f"compact-{uuid.uuid4().hex[:12]}",
+        parent_id=None, extra={"compacted_from": sorted(set(absorbed))})
+    shim.publish_snapshot(root, new_sid)
+    return {"compacted": len(sids), "snapshot": new_sid}
+
+
 def read_extracted(spark: SparkSession, work_dir: str) -> DataFrame:
     """All committed extraction output across snapshots. The union is
     exact: within one input snapshot, checkpointed buckets are never
@@ -230,11 +267,20 @@ def read_extracted(spark: SparkSession, work_dir: str) -> DataFrame:
     # each snapshot dir is its own partitioned table root (bucket=N leaves);
     # PUBLISHED snapshots hold disjoint buckets (two-phase commit: a
     # bucket is only checkpointed together with its snapshot, and only
-    # checkpointed buckets are skipped), so a union is exact
+    # checkpointed buckets are skipped), so a union is exact.
+    # ONE multi-path scan (recursiveFileLookup skips per-dir partition
+    # discovery, which rejects the snap-X level between root and
+    # bucket=N): the plan stays a single scan node after thousands of
+    # incremental commits, instead of a union chain that grows per
+    # snapshot. The bucket partition column is recovered from the file
+    # path — exact for any n_buckets.
     from ocr_spark.operators.extraction import EXTRACT_RESULT_SCHEMA
-    dfs = [spark.read.schema(EXTRACT_RESULT_SCHEMA)
-           .option("basePath", d).parquet(d) for d in dirs]
-    out = dfs[0]
-    for df in dfs[1:]:
-        out = out.unionByName(df)
-    return out
+    from pyspark.sql.types import StructType
+    data_schema = StructType(
+        [f for f in EXTRACT_RESULT_SCHEMA if f.name != "bucket"])
+    out = (spark.read.schema(data_schema)
+           .option("recursiveFileLookup", "true").parquet(*dirs)
+           .withColumn("bucket",
+                       F.regexp_extract(F.input_file_name(),
+                                        r"bucket=(\d+)", 1).cast("int")))
+    return out.select(*[f.name for f in EXTRACT_RESULT_SCHEMA])

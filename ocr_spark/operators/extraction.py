@@ -25,6 +25,7 @@ with explicit schemas — the JSON→struct parse stays JVM-side).
 from __future__ import annotations
 
 import json
+import os
 import time
 from collections.abc import Iterator
 
@@ -115,59 +116,117 @@ def salted_repartition(pages: DataFrame, partitions: int = 128,
     return big.unionAll(normal)
 
 
-def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: one Arrow batch in, one result batch out.
+def compact_blocks(blocks: list[dict], text: str) -> list[dict]:
+    """Offsets-only block compaction (``OCR_SPARK_BLOCKS_MODE=offsets``).
+
+    Blocks whose text is reconstructable as ``text[char_start:char_end]``
+    are reduced to (block_id, page_index, label, char_start, char_end) —
+    the per-block text/bbox/section_info duplication is what dominates
+    the Arrow IPC bytes out of the Python worker at full saturation
+    (measured ~45% of raw-kernel throughput lost at local[32], ROADMAP
+    #1). Non-reconstructable blocks (merged captions, figure boxes with
+    char_start=-1) keep their full dict — nothing is lost that cannot be
+    rebuilt by ``rehydrate_blocks``.
+    """
+    out = []
+    for b in blocks:
+        cs, ce = b.get("char_start", -1), b.get("char_end", -1)
+        if (cs is not None and cs >= 0 and b.get("text") is not None
+                and text[cs:ce] == b["text"]):
+            out.append({"block_id": b["block_id"],
+                        "page_index": b["page_index"],
+                        "label": b["label"],
+                        "char_start": cs, "char_end": ce})
+        else:
+            out.append(b)
+    return out
+
+
+def rehydrate_blocks(text: str, blocks: list[dict]) -> list[dict]:
+    """Inverse of ``compact_blocks``: fill each offsets-only block's text
+    back in from the document text slice. Blocks that kept their full
+    dict pass through unchanged."""
+    out = []
+    for b in blocks:
+        if "text" not in b:
+            b = dict(b)
+            b["text"] = text[b["char_start"]:b["char_end"]]
+        out.append(b)
+    return out
+
+
+def _extract_batches_fn(blocks_mode: str):
+    """Build the mapInPandas kernel closure. ``blocks_mode`` is captured
+    in the closure (cloudpickle ships it to executors — no env-var
+    propagation needed on a real cluster).
 
     Imports stay inside the function so the worker resolves them from the
     --py-files-shipped package, and heavyweight per-executor state (model
     singletons in production, dictionaries here) initializes lazily once.
     """
-    from ocr_spark.core.extract import extract_document
+    offsets = blocks_mode == "offsets"
 
-    col_names = [f.name for f in EXTRACT_RESULT_SCHEMA]
+    def _extract_batches(
+            batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_spark.core.extract import extract_document
 
-    for pdf in batches:
-        # column-wise accumulation: pd.DataFrame from dict-of-lists is
-        # ~5× cheaper than from list-of-dicts in this hot path
-        cols: dict[str, list] = {name: [] for name in col_names}
-        has_bucket = "bucket" in pdf.columns
-        urls = pdf["url"].tolist()
-        htmls = pdf["html"].tolist()
-        buckets = pdf["bucket"].tolist() if has_bucket else None
-        for i, (url, raw) in enumerate(zip(urls, htmls)):
-            if isinstance(raw, str):
-                raw = raw.encode("utf-8")
-            t0 = time.perf_counter()
-            res = extract_document(url, raw)
-            ms = (time.perf_counter() - t0) * 1000.0
-            cols["url"].append(url)
-            cols["bucket"].append(int(buckets[i]) if buckets is not None
-                                  else None)
-            cols["kind"].append(res.kind)
-            cols["text"].append(res.text)
-            cols["n_pages"].append(res.n_pages)
-            cols["n_blocks"].append(len(res.blocks))
-            cols["n_spans"].append(len(res.spans))
-            cols["n_matches"].append(len(res.matches))
-            cols["n_blocks_dropped"].append(res.n_blocks_dropped)
-            cols["blocks_json"].append(json.dumps(res.blocks,
-                                                  ensure_ascii=False))
-            cols["spans_json"].append(json.dumps(res.spans,
-                                                 ensure_ascii=False))
-            cols["matches_json"].append(json.dumps(res.matches,
-                                                   ensure_ascii=False))
-            cols["error"].append(res.error)
-            cols["bytes_in"].append(len(raw) if raw is not None else 0)
-            cols["extract_ms"].append(ms)
-        yield pd.DataFrame(cols, columns=col_names)
+        col_names = [f.name for f in EXTRACT_RESULT_SCHEMA]
+
+        for pdf in batches:
+            # column-wise accumulation: pd.DataFrame from dict-of-lists
+            # is ~5× cheaper than from list-of-dicts in this hot path
+            cols: dict[str, list] = {name: [] for name in col_names}
+            has_bucket = "bucket" in pdf.columns
+            urls = pdf["url"].tolist()
+            htmls = pdf["html"].tolist()
+            buckets = pdf["bucket"].tolist() if has_bucket else None
+            for i, (url, raw) in enumerate(zip(urls, htmls)):
+                if isinstance(raw, str):
+                    raw = raw.encode("utf-8")
+                t0 = time.perf_counter()
+                res = extract_document(url, raw)
+                ms = (time.perf_counter() - t0) * 1000.0
+                blocks = (compact_blocks(res.blocks, res.text)
+                          if offsets else res.blocks)
+                cols["url"].append(url)
+                cols["bucket"].append(int(buckets[i]) if buckets is not None
+                                      else None)
+                cols["kind"].append(res.kind)
+                cols["text"].append(res.text)
+                cols["n_pages"].append(res.n_pages)
+                cols["n_blocks"].append(len(res.blocks))
+                cols["n_spans"].append(len(res.spans))
+                cols["n_matches"].append(len(res.matches))
+                cols["n_blocks_dropped"].append(res.n_blocks_dropped)
+                cols["blocks_json"].append(json.dumps(blocks,
+                                                      ensure_ascii=False))
+                cols["spans_json"].append(json.dumps(res.spans,
+                                                     ensure_ascii=False))
+                cols["matches_json"].append(json.dumps(res.matches,
+                                                       ensure_ascii=False))
+                cols["error"].append(res.error)
+                cols["bytes_in"].append(len(raw) if raw is not None else 0)
+                cols["extract_ms"].append(ms)
+            yield pd.DataFrame(cols, columns=col_names)
+
+    return _extract_batches
 
 
 def run_extraction(pages: DataFrame, partitions: int = 128,
                    big_partitions: int = 8,
                    big_threshold: int = DEFAULT_BIG_THRESHOLD,
                    n_buckets: int = DEFAULT_BUCKETS,
-                   salt: bool = True) -> DataFrame:
-    """pages(url, warc_ts, html, text, lang) → extracted results DataFrame."""
+                   salt: bool = True,
+                   blocks_mode: str | None = None) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) → extracted results DataFrame.
+
+    ``blocks_mode``: 'full' (default) serializes complete block dicts;
+    'offsets' emits offsets-only blocks (see ``compact_blocks``) to cut
+    the Arrow IPC bytes leaving the Python worker. Defaults from the
+    ``OCR_SPARK_BLOCKS_MODE`` env var so bench/driver runs can flip it
+    without a code change.
+    """
+    mode = blocks_mode or os.environ.get("OCR_SPARK_BLOCKS_MODE", "full")
     src = (salted_repartition(pages, partitions, big_partitions,
                               big_threshold, n_buckets)
            if salt else pages.withColumn(
@@ -176,7 +235,8 @@ def run_extraction(pages: DataFrame, partitions: int = 128,
     # column pruning: the kernel only needs url/html/bucket — select BEFORE
     # mapInPandas so Arrow never serializes warc_ts/text/lang to Python.
     src = src.select("url", "html", "bucket")
-    return src.mapInPandas(_extract_batches, schema=EXTRACT_RESULT_SCHEMA)
+    return src.mapInPandas(_extract_batches_fn(mode),
+                           schema=EXTRACT_RESULT_SCHEMA)
 
 
 def with_typed_structs(extracted: DataFrame) -> DataFrame:

@@ -15,6 +15,10 @@ they are free, and a user of a corpus-scale engine needs them:
   * as-of join via last_value(IGNORE NULLS) over a union (R7) — the
     classic point-in-time join, no range-join blowup
   * exact interpolated percentiles (R8)
+  * native session windows (R9), pivot (R10)
+  * CUBE and explicit GROUPING SETS with grouping_id (R11, R12)
+  * approximate aggregates (HLL distinct, sketch percentile) gated
+    against exact values with documented error bounds (R13)
 
 Scale notes are on each query: what shuffles, what broadcasts, what AQE
 does at larger SF.
@@ -368,8 +372,116 @@ FROM events GROUP BY user_id
 """
 
 
+# --------------------------------------------------------------------------
+# R11: CUBE + grouping_id (SURVEY §2.4 marks grouping sets absent in the
+# reference; a 100 TB engine runs them constantly)
+# --------------------------------------------------------------------------
+
+def li_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (returnflag, linestatus): all 4 grouping sets in
+    one pass — map-side partial aggs, a single shuffle keyed on the
+    grouping-set id + keys (same scale shape as li_rollup)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+                 F.count(F.lit(1)).alias("n_rows"),
+                 F.grouping_id().alias("gid")))
+
+
+_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 4) AS sum_qty,
+       COUNT(*) AS n_rows,
+       GROUPING(l_returnflag, l_linestatus) AS gid
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+# --------------------------------------------------------------------------
+# R12: explicit GROUPING SETS
+# --------------------------------------------------------------------------
+
+def li_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-picked grouping sets (the general form ROLLUP/CUBE sugar
+    over): per-flag, per-status, and grand total — skipping the
+    (flag, status) set a CUBE would also compute. SQL surface via
+    Catalyst; same one-shuffle physical shape."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("_li_gs")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 4) AS sum_qty,
+               COUNT(*) AS n_rows,
+               grouping_id() AS gid
+        FROM _li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
+
+
+_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 4) AS sum_qty,
+       COUNT(*) AS n_rows,
+       GROUPING(l_returnflag, l_linestatus) AS gid
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+# --------------------------------------------------------------------------
+# R13: approximate aggregates with a tolerance gate
+# --------------------------------------------------------------------------
+
+_ACD_RSD = 0.05   # HLL++ target relative standard deviation
+
+
+def li_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The aggregates a 100 TB engine actually runs — HLL distinct
+    counts and sketch percentiles — gated against their exact
+    counterparts so the oracle pins the error bound, not the raw
+    estimate (which is engine-specific):
+
+      * ``acd_within_3sigma``: |approx_count_distinct − exact| ≤
+        3·rsd·exact (HLL++ rsd=0.05 → 15% at 3σ; Spark's estimate
+        landing outside fails the value-hash against the oracle's TRUE);
+      * ``ap50_within_band``: percentile_approx(0.5, accuracy=10000)
+        (rank error ≤ 1e-4) must land between the exact p40 and p60 —
+        a deliberately wide value band since rank error only bounds
+        rank, not value.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    agg = (li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_exact_distinct"),
+        F.approx_count_distinct("l_orderkey", rsd=_ACD_RSD).alias("_acd"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50_exact"),
+        F.expr("percentile(l_quantity, 0.40)").alias("_p40"),
+        F.expr("percentile(l_quantity, 0.60)").alias("_p60"),
+        F.expr("percentile_approx(l_quantity, 0.5, 10000)").alias("_ap50")))
+    return agg.select(
+        "l_returnflag", "n_exact_distinct",
+        (F.abs(F.col("_acd") - F.col("n_exact_distinct"))
+         <= F.lit(3 * _ACD_RSD) * F.col("n_exact_distinct"))
+        .alias("acd_within_3sigma"),
+        "p50_exact",
+        ((F.col("_ap50") >= F.col("_p40")) & (F.col("_ap50") <= F.col("_p60")))
+        .alias("ap50_within_band"))
+
+
+_APPROX_AGGS_SQL = """
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_exact_distinct,
+       TRUE AS acd_within_3sigma,
+       ROUND(CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE), 4) AS p50_exact,
+       TRUE AS ap50_within_band
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 SPARK_QUERIES = {
     "li_rollup": li_rollup,
+    "li_cube": li_cube,
+    "li_grouping_sets": li_grouping_sets,
+    "li_approx_aggs": li_approx_aggs,
     "nations_set_ops": nations_set_ops,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q21_exists_notexists": q21_exists_notexists,
@@ -383,6 +495,9 @@ SPARK_QUERIES = {
 
 ORACLE_SQL = {
     "li_rollup": _ROLLUP_SQL,
+    "li_cube": _CUBE_SQL,
+    "li_grouping_sets": _GROUPING_SETS_SQL,
+    "li_approx_aggs": _APPROX_AGGS_SQL,
     "nations_set_ops": _SET_OPS_SQL,
     "q17_small_quantity_revenue": _Q17_SQL,
     "q21_exists_notexists": _Q21_SQL,

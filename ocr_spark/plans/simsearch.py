@@ -430,8 +430,207 @@ FROM mm
 """
 
 
+# --------------------------------------------------------------------------
+# multi-probe LSH top-k (recall without more tables)
+# --------------------------------------------------------------------------
+
+MULTIPROBE_TOPK = 5
+
+
+def emb_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: each query probes its own bucket PLUS every
+    Hamming-distance-1 bucket (8 bit-flips per band × 2 bands = 18
+    probes) — the standard recall lever that avoids building more hash
+    tables. The corpus is bucketed ONCE (narrow map); the probe list is
+    query-side only (tiny, broadcast), so the single corpus-side
+    operation is an equi-join on (band, bucket). Candidates are deduped
+    per (query, neighbor), exact-cosine-verified, and ranked top-k."""
+    emb = t(spark, sf_dir).select(
+        "vec_id", _vecd().alias("v")
+    ).withColumn("nrm", _norm(F.col("v")))
+    sig = emb.withColumn("sig", _lsh_signature(F.col("v")))
+    corpus = sig.select(
+        "vec_id", "v", "nrm",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.substring("sig", b * EMB_BAND_BITS + 1,
+                                 EMB_BAND_BITS).alias("bucket"))
+            for b in range(EMB_LSH_BANDS)
+        ])).alias("bb"),
+    ).select("vec_id", "v", "nrm", "bb.band", "bb.bucket")
+
+    q = sig.filter(F.col("vec_id") < N_QUERIES)
+    probe_structs = []
+    for b in range(EMB_LSH_BANDS):
+        bucket = F.substring("sig", b * EMB_BAND_BITS + 1, EMB_BAND_BITS)
+        for p in range(EMB_BAND_BITS + 1):
+            if p == 0:
+                probe = bucket
+            else:  # flip bit p (1-based) of the band bucket
+                probe = F.concat(
+                    F.substring(bucket, 1, p - 1),
+                    F.when(F.substring(bucket, p, 1) == "1",
+                           F.lit("0")).otherwise(F.lit("1")),
+                    F.substring(bucket, p + 1, EMB_BAND_BITS - p))
+            probe_structs.append(
+                F.struct(F.lit(b).alias("band"), probe.alias("bucket")))
+    probes = q.select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.explode(F.array(*probe_structs)).alias("pb"),
+    ).select("q_id", "qv", "qn", "pb.band", "pb.bucket")
+
+    j = corpus.join(F.broadcast(probes), ["band", "bucket"]) \
+        .filter(F.col("vec_id") != F.col("q_id"))
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    cand = (j.select("q_id", F.col("vec_id").alias("neighbor_id"),
+                     F.round(cos, 6).alias("cos6"))
+            .groupBy("q_id", "neighbor_id").agg(F.max("cos6").alias("cos6")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos6"),
+                                           F.asc("neighbor_id"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= MULTIPROBE_TOPK)
+            .select("q_id", "neighbor_id",
+                    F.round("cos6", 4).alias("cos_sim"), "rank"))
+
+
+_MULTIPROBE_SQL = f"""
+WITH e AS (
+  SELECT vec_id, {_SQL_VEC} AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, {_sql_norm('v')} AS nrm FROM e
+), sig AS (
+  SELECT vec_id, v, nrm, {_sql_signature()} AS sig FROM n
+), corpus AS (
+  {" UNION ALL ".join(
+      f"SELECT vec_id, v, nrm, {b} AS band, "
+      f"substring(sig, {b * EMB_BAND_BITS + 1}, {EMB_BAND_BITS}) AS bucket "
+      f"FROM sig"
+      for b in range(EMB_LSH_BANDS))}
+), qb AS (
+  SELECT vec_id AS q_id, v AS qv, nrm AS qn, band,
+         substring(sig, band * {EMB_BAND_BITS} + 1, {EMB_BAND_BITS})
+           AS bucket
+  FROM sig, (SELECT unnest(range(0, {EMB_LSH_BANDS})) AS band)
+  WHERE vec_id < {N_QUERIES}
+), probes AS (
+  SELECT q_id, qv, qn, band,
+         CASE WHEN p = 0 THEN bucket
+              ELSE substring(bucket, 1, CAST(p AS INT) - 1)
+                   || (CASE WHEN substring(bucket, CAST(p AS INT), 1) = '1'
+                            THEN '0' ELSE '1' END)
+                   || substring(bucket, CAST(p AS INT) + 1,
+                                {EMB_BAND_BITS} - CAST(p AS INT))
+         END AS bucket
+  FROM qb, (SELECT unnest(range(0, {EMB_BAND_BITS + 1})) AS p)
+), cand AS (
+  SELECT p.q_id, c.vec_id AS neighbor_id,
+         MAX(ROUND({_sql_dot('p.qv', 'c.v')} / (p.qn * c.nrm), 6)) AS cos6
+  FROM corpus c JOIN probes p USING (band, bucket)
+  WHERE c.vec_id <> p.q_id
+  GROUP BY p.q_id, c.vec_id
+), ranked AS (
+  SELECT q_id, neighbor_id, cos6,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cos6 DESC, neighbor_id ASC) AS rank
+  FROM cand
+)
+SELECT q_id, neighbor_id, ROUND(cos6, 4) AS cos_sim, rank
+FROM ranked WHERE rank <= {MULTIPROBE_TOPK}
+"""
+
+
+# --------------------------------------------------------------------------
+# product quantization (the storage-tier companion to scalar quantization)
+# --------------------------------------------------------------------------
+
+PQ_M = 8                 # subvectors per vector
+PQ_K = 16                # centroids per sub-codebook
+PQ_DSUB = DIM // PQ_M    # dims per subvector
+
+
+def _pq_codebooks() -> list[list[list[float]]]:
+    """Deterministic seeded codebooks: component d of centroid c in
+    subspace j = md5('pq_<j>_<c>_<d>') mapped to [-1, 1), rounded to 6
+    decimals so Spark and DuckDB parse bit-identical literals. (A
+    k-means-trained codebook drops in by replacing this function; the
+    assignment plan below is unchanged.)"""
+    cbs = []
+    for j in range(PQ_M):
+        ks = []
+        for c in range(PQ_K):
+            row = []
+            for d in range(PQ_DSUB):
+                h = hashlib.md5(f"pq_{j}_{c}_{d}".encode()).hexdigest()
+                row.append(round(int(h[:4], 16) / 32768.0 - 1.0, 6))
+            ks.append(row)
+        cbs.append(ks)
+    return cbs
+
+
+PQ_CODEBOOKS = _pq_codebooks()
+
+
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: split each vector into PQ_M subvectors,
+    assign each to its nearest centroid in a per-subspace codebook of
+    PQ_K entries → PQ_M small codes per vector (8 bytes here vs 256 for
+    float32 — the standard ANN storage tier beside int8 scalar
+    quantization). Narrow map, zero shuffle; codebooks are literals in
+    the plan (k·m·dsub = 1024 doubles — broadcast-free).
+
+    Determinism across engines: distances are left-fold doubles rounded
+    to 6 decimals; argmin = first position of the min (lowest-index
+    tiebreak on both engines)."""
+    emb = t(spark, sf_dir).select("vec_id", _vecd().alias("v"))
+    codes = []
+    for j in range(PQ_M):
+        sub = F.slice("v", j * PQ_DSUB + 1, PQ_DSUB)
+        dists = F.array(*[
+            F.round(F.aggregate(
+                F.zip_with(sub, F.array(*[F.lit(x) for x in cb]),
+                           lambda x, c: (x - c) * (x - c)),
+                F.lit(0.0), lambda acc, x: acc + x), 6)
+            for cb in PQ_CODEBOOKS[j]])
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1)
+                     .cast("int"))
+    code_arr = F.array(*codes)
+    code_str = F.array_join(F.transform(code_arr,
+                                        lambda c: c.cast("string")), ",")
+    return emb.select("vec_id", code_str.alias("pq_codes"),
+                      F.md5(code_str).alias("codes_md5"))
+
+
+def _sql_pq_sub(j: int) -> str:
+    dists = []
+    for cb in PQ_CODEBOOKS[j]:
+        lit = "[" + ", ".join(f"{x:.6f}" for x in cb) + "]"
+        dists.append(
+            f"round(list_reduce(list_transform(range(1, {PQ_DSUB + 1}), "
+            f"i -> (v[{j * PQ_DSUB}+i] - ({lit})[i]) "
+            f"* (v[{j * PQ_DSUB}+i] - ({lit})[i])), (x, y) -> x + y), 6)")
+    arr = "[" + ", ".join(dists) + "]"
+    return (f"CAST(list_position({arr}, list_min({arr})) - 1 AS INT)")
+
+
+_PQ_SQL = f"""
+WITH e AS (
+  SELECT vec_id, {_SQL_VEC} AS v FROM embeddings
+), c AS (
+  SELECT vec_id,
+         list_aggregate(list_transform(
+             [{", ".join(_sql_pq_sub(j) for j in range(PQ_M))}],
+             x -> CAST(x AS VARCHAR)), 'string_agg', ',') AS pq_codes
+  FROM e
+)
+SELECT vec_id, pq_codes, md5(pq_codes) AS codes_md5 FROM c
+"""
+
+
 SPARK_QUERIES = {
     "emb_cosine_topk": emb_cosine_topk,
+    "emb_lsh_multiprobe_topk": emb_lsh_multiprobe_topk,
+    "emb_pq_codes": emb_pq_codes,
     "emb_ivf_topk": emb_ivf_topk,
     "emb_label_centroids": emb_label_centroids,
     "emb_lsh_near_dup": emb_lsh_near_dup,
@@ -441,6 +640,8 @@ SPARK_QUERIES = {
 
 ORACLE_SQL = {
     "emb_cosine_topk": _COSINE_TOPK_SQL,
+    "emb_lsh_multiprobe_topk": _MULTIPROBE_SQL,
+    "emb_pq_codes": _PQ_SQL,
     "emb_ivf_topk": _IVF_TOPK_SQL,
     "emb_label_centroids": _CENTROIDS_SQL,
     "emb_lsh_near_dup": _LSH_NEAR_DUP_SQL,

@@ -55,13 +55,20 @@ def read_manifest(table_root: str, snapshot_id: str) -> dict:
 
 def prepare_snapshot(df: DataFrame, table_root: str,
                      partition_by: list[str] | None = None,
-                     snapshot_id: str | None = None) -> str:
+                     snapshot_id: str | None = None,
+                     parent_id: str | None = "auto",
+                     extra: dict | None = None) -> str:
     """Stage a new immutable snapshot WITHOUT publishing it: data lands
     under ``data/snap-<id>/`` and the manifest is written, but CURRENT is
     not touched — the snapshot is invisible to ``history``/``read_current``
     until ``publish_snapshot``. This is the Iceberg commit shape: the
     metadata pointer swap is the commit point, everything before it is
-    crash-discardable staging."""
+    crash-discardable staging.
+
+    ``parent_id='auto'`` (default) chains onto the current snapshot;
+    ``parent_id=None`` starts a fresh chain (used by compaction, whose
+    data REPLACES the whole history rather than appending to it).
+    ``extra`` is merged into the manifest (e.g. ``compacted_from``)."""
     snapshot_id = snapshot_id or uuid.uuid4().hex[:16]
     data_dir = os.path.join(table_root, "data", f"snap-{snapshot_id}")
     writer = df.write.mode("overwrite")
@@ -70,7 +77,8 @@ def prepare_snapshot(df: DataFrame, table_root: str,
     writer.parquet(data_dir)
 
     row_count = None  # avoid re-scan; callers that need it count the read-back
-    parent = current_snapshot_id(table_root)
+    parent = current_snapshot_id(table_root) if parent_id == "auto" \
+        else parent_id
     manifest = {
         "snapshot_id": snapshot_id,
         "parent_id": parent,
@@ -78,6 +86,7 @@ def prepare_snapshot(df: DataFrame, table_root: str,
         "data_dir": data_dir,
         "partition_by": partition_by or [],
         "row_count": row_count,
+        **(extra or {}),
     }
     os.makedirs(os.path.join(table_root, _SNAP_DIR), exist_ok=True)
     with open(_snap_path(table_root, snapshot_id), "w", encoding="utf-8") as fh:
@@ -86,10 +95,22 @@ def prepare_snapshot(df: DataFrame, table_root: str,
 
 
 def is_published(table_root: str, snapshot_id: str) -> bool:
+    """A snapshot counts as published if it is in the visible history OR
+    was absorbed into a published compacted snapshot (its rows are
+    visible through the compaction even though its own manifest left the
+    chain) — so crash roll-forward never re-publishes a compacted-away
+    snapshot and rewinds CURRENT."""
     try:
-        return snapshot_id in history(table_root)
+        chain = history(table_root)
     except FileNotFoundError:
         return False
+    if snapshot_id in chain:
+        return True
+    for sid in chain:
+        if snapshot_id in (read_manifest(table_root, sid)
+                           .get("compacted_from") or []):
+            return True
+    return False
 
 
 def publish_snapshot(table_root: str, snapshot_id: str) -> None:
@@ -126,6 +147,26 @@ def read_snapshot(spark: SparkSession, table_root: str,
         # explicit schema also makes empty snapshots readable
         reader = reader.schema(schema)
     return reader.parquet(manifest["data_dir"])
+
+
+def chain_data_dirs(table_root: str, snapshot_id: str) -> list[str]:
+    """All data dirs making up the LOGICAL table content at a snapshot
+    (append-chain model: each snapshot's dir holds only its added rows,
+    so the table at snapshot S = union of S's chain's dirs)."""
+    return added_since(table_root, None, snapshot_id)
+
+
+def read_table_at(spark: SparkSession, table_root: str, snapshot_id: str,
+                  schema=None) -> DataFrame:
+    """Full logical table content at ``snapshot_id``: ONE multi-path
+    parquet read over the snapshot chain's data dirs (a single scan node
+    — the plan stays O(1) no matter how many incremental commits exist,
+    unlike a per-snapshot union)."""
+    dirs = chain_data_dirs(table_root, snapshot_id)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(*dirs)
 
 
 def read_current(spark: SparkSession, table_root: str) -> DataFrame:

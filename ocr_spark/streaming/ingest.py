@@ -69,17 +69,78 @@ def stream_extract(spark: SparkSession, input_dir: str, output_dir: str,
     processes ONLY the new files (exactly-once via the streaming
     checkpoint). Returns the query handle (caller awaits termination)."""
     from ocr_spark.operators.extraction import (
-        EXTRACT_RESULT_SCHEMA, _extract_batches,
+        EXTRACT_RESULT_SCHEMA, _extract_batches_fn,
     )
 
     pages = read_pages_stream(spark, input_dir)
     extracted = pages.select("url", "html").withColumn(
         "bucket", F.pmod(F.xxhash64("url"), F.lit(64)).cast("int")
-    ).mapInPandas(_extract_batches, schema=EXTRACT_RESULT_SCHEMA)
+    ).mapInPandas(_extract_batches_fn("full"), schema=EXTRACT_RESULT_SCHEMA)
 
     return (extracted.writeStream
             .format("parquet")
             .option("path", output_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start())
+
+
+def stream_extract_with_lineage(spark: SparkSession, input_dir: str,
+                                output_dir: str, lineage_dir: str,
+                                checkpoint_dir: str) -> Any:
+    """``stream_extract`` plus per-micro-batch lineage rows — parity
+    with the batch job's checkpoint/lineage tables (batch_id, doc/error
+    counts, bytes, wall time). Both the data and the lineage row are
+    written under ``batch_id=<id>`` directories with mode=overwrite, so
+    a batch replayed after a crash overwrites its own output
+    idempotently (exactly-once at the batch_id granularity, the
+    foreachBatch analogue of the batch job's two-phase bucket commit)."""
+    import time as _time
+
+    from pyspark.sql.types import (
+        DoubleType as _D, LongType as _L, StructField as _F,
+        StructType as _S,
+    )
+
+    from ocr_spark.operators.extraction import (
+        EXTRACT_RESULT_SCHEMA, _extract_batches_fn,
+    )
+
+    pages = read_pages_stream(spark, input_dir)
+    extracted = pages.select("url", "html").withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(64)).cast("int")
+    ).mapInPandas(_extract_batches_fn("full"), schema=EXTRACT_RESULT_SCHEMA)
+
+    # batch_id lives in the partition directory name, not the data —
+    # partition discovery restores it on read without a column clash
+    lineage_schema = _S([
+        _F("docs", _L()), _F("errors", _L()),
+        _F("bytes_in", _L()), _F("wall_sec", _D()),
+    ])
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        t0 = _time.perf_counter()
+        batch_df.persist()
+        try:
+            batch_df.write.mode("overwrite").parquet(
+                f"{output_dir}/batch_id={batch_id}")
+            stats = batch_df.agg(
+                F.count(F.lit(1)).alias("docs"),
+                F.count("error").alias("errors"),
+                F.coalesce(F.sum("bytes_in"), F.lit(0)).alias("bytes_in"),
+            ).collect()[0]
+            row = [(stats["docs"], stats["errors"],
+                    int(stats["bytes_in"]),
+                    round(_time.perf_counter() - t0, 3))]
+            (batch_df.sparkSession.createDataFrame(row, lineage_schema)
+             .coalesce(1).write.mode("overwrite")
+             .parquet(f"{lineage_dir}/batch_id={batch_id}"))
+        finally:
+            batch_df.unpersist()
+
+    return (extracted.writeStream
+            .foreachBatch(sink)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .outputMode("append")
@@ -112,27 +173,61 @@ def stream_page_metrics(spark: SparkSession, input_dir: str,
             .start())
 
 
-def _update_host_state(key: tuple, pdfs: Iterator[pd.DataFrame],
-                       state: GroupState) -> Iterator[pd.DataFrame]:
-    """Stateful kernel: accumulate (docs, bytes) per host across
-    micro-batches; emit the running totals once per batch."""
-    docs, nbytes = state.get if state.exists else (0, 0)
-    for pdf in pdfs:
-        docs += len(pdf)
-        nbytes += int(pdf["page_bytes"].sum())
-    state.update((docs, nbytes))
-    yield pd.DataFrame({"host": [key[0]], "docs_total": [docs],
-                        "bytes_total": [nbytes]})
+def _update_host_state_fn(ttl_ms: int | None):
+    """Build the stateful kernel: accumulate (docs, bytes) per host
+    across micro-batches; emit the running totals once per batch.
+
+    With ``ttl_ms`` set, a host whose state saw no data for ``ttl_ms``
+    of processing time is EVICTED (``state.remove()``) on the timeout
+    callback — the state store stays bounded by the *active* host
+    population instead of growing monotonically with every host ever
+    seen (the one unbounded-state surface flagged in round 1)."""
+
+    def update(key: tuple, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()          # idle host: drop its counters
+            return                  # nothing to emit for an eviction
+        docs, nbytes = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            docs += len(pdf)
+            nbytes += int(pdf["page_bytes"].sum())
+        state.update((docs, nbytes))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame({"host": [key[0]], "docs_total": [docs],
+                            "bytes_total": [nbytes]})
+
+    return update
 
 
 def stream_host_counters(spark: SparkSession, input_dir: str,
-                         output_dir: str, checkpoint_dir: str) -> Any:
+                         output_dir: str, checkpoint_dir: str,
+                         ttl_ms: int | None = None,
+                         trigger_interval: str | None = None) -> Any:
     """Custom stateful streaming operator via applyInPandasWithState:
     per-host running (docs, bytes) counters surviving across
     micro-batches AND across restarts in the state store. Update mode:
     one row per host per batch with the new totals, appended to parquet
     via foreachBatch (the memory sink cannot recover from a checkpoint;
-    foreachBatch is the production pattern for update-mode state)."""
+    foreachBatch is the production pattern for update-mode state).
+
+    ``ttl_ms``: idle-state TTL. None keeps state forever (exact
+    all-time totals — correct when the host universe is bounded);
+    setting it switches to ProcessingTimeTimeout and evicts hosts idle
+    longer than the TTL, bounding state under a rolling host population
+    (totals then restart from zero if an evicted host returns).
+
+    ``trigger_interval``: None → Trigger.AvailableNow (drain-and-stop);
+    a string like ``'1 second'`` → a continuous processing-time trigger
+    (caller stops the query). TTL REQUIRES the continuous trigger:
+    processing-time timeouts schedule follow-up batches, which keeps an
+    AvailableNow drain from ever terminating (measured on this Spark —
+    the pairing is rejected below rather than left to hang)."""
+    if ttl_ms is not None and trigger_interval is None:
+        raise ValueError(
+            "ttl_ms requires trigger_interval (ProcessingTimeTimeout "
+            "never terminates under Trigger.AvailableNow)")
     pages = read_pages_stream(spark, input_dir)
     hosts = pages.select(
         # no trailing slash in the pattern: a path-less url like
@@ -140,20 +235,22 @@ def stream_host_counters(spark: SparkSession, input_dir: str,
         F.regexp_extract("url", r"https?://([^/]+)", 1).alias("host"),
         F.length("html").alias("page_bytes"))
     counters = hosts.groupBy("host").applyInPandasWithState(
-        _update_host_state,
+        _update_host_state_fn(ttl_ms),
         outputStructType=HOST_OUT_SCHEMA,
         stateStructType=HOST_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(GroupStateTimeout.ProcessingTimeTimeout
+                     if ttl_ms is not None else GroupStateTimeout.NoTimeout),
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         (batch_df.withColumn("batch_id", F.lit(batch_id))
          .write.mode("append").parquet(output_dir))
 
-    return (counters.writeStream
-            .foreachBatch(sink)
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
-            .outputMode("update")
-            .start())
+    ws = (counters.writeStream
+          .foreachBatch(sink)
+          .option("checkpointLocation", checkpoint_dir)
+          .outputMode("update"))
+    ws = (ws.trigger(processingTime=trigger_interval) if trigger_interval
+          else ws.trigger(availableNow=True))
+    return ws.start()

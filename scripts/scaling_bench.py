@@ -265,17 +265,20 @@ def main() -> int:
         "",
         "## Reading the numbers",
         "",
-        "* **local[2] -> local[8] is the primary criterion pair.** The",
-        "  criterion models 4N EXECUTORS = 4x silicon; on this shared",
-        "  host even the raw no-Spark kernel does not get 4x throughput",
-        "  from 4x threads (hardware-ceiling column). The judgeable",
-        "  quantity is therefore Spark's efficiency RELATIVE to what the",
-        "  silicon delivers: "
-        + ("**PASS**" if pair_rows[0]["spark_vs_hw"] >= 0.8 else "**FAIL**")
-        + f" at **{pair_rows[0]['spark_vs_hw']}** (raw thread-scaling "
-        + f"{pair_rows[0]['spark_eff_median']} vs the hardware's own "
-        + f"{pair_rows[0]['hw_eff_median_no_spark']}). On a real cluster "
-        + "the hardware term is ~1 and this ratio IS the efficiency.",
+        "* **local[2] -> local[8] is the primary criterion pair** —",
+        "  both numbers stated symmetrically:",
+        f"  raw Spark thread-scaling efficiency is"
+        f" **{pair_rows[0]['spark_eff_median']}**, which"
+        + (" meets" if pair_rows[0]["spark_eff_median"] >= 0.8
+           else " does NOT meet")
+        + " the literal 0.8 bar on this host; the hardware's own",
+        "  no-Spark ceiling for the same kernel on the same pair is",
+        f"  {pair_rows[0]['hw_eff_median_no_spark']}, giving"
+        f" Spark-vs-silicon = **{pair_rows[0]['spark_vs_hw']}** — the",
+        "  argued-equivalent quantity (the criterion models 4N EXECUTORS",
+        "  = 4x silicon; on a real cluster the hardware term is ~1 and",
+        "  this ratio is the efficiency). Any pass claimed on the ratio",
+        "  is in that argued sense only.",
         "* local[8] -> local[32] saturates the whole box: per-core",
         "  clocks drop and all 32 workers share one memory bus — the",
         "  hardware-ceiling column shows the identical kernel under raw",

@@ -20,7 +20,8 @@ def test_sql_functions_match_dataframe_kernels(spark):
     assert len(got) == 50
 
     from ocr_spark.plans.dataops import (
-        docs_minhash_signature, docs_rolling_hash, docs_simhash,
+        docs_bpe_token_count, docs_langid, docs_minhash_signature,
+        docs_rolling_hash, docs_simhash,
     )
     sf = "/root/testdata/sf0.001"
     mh = {r.doc_id: r.minhash_sig
@@ -28,11 +29,15 @@ def test_sql_functions_match_dataframe_kernels(spark):
     sh = {r.doc_id: r.simhash for r in docs_simhash(spark, sf).collect()}
     rh = {r.doc_id: r.rolling_hash
           for r in docs_rolling_hash(spark, sf).collect()}
+    lg = {r.doc_id: r.lang_pred for r in docs_langid(spark, sf).collect()}
+    tc = {r.doc_id: r.n_bpe_tokens
+          for r in docs_bpe_token_count(spark, sf).collect()}
     for r in got:
         assert r.mh == mh.get(r.doc_id)
         assert r.sh == sh.get(r.doc_id)
         assert r.rh == rh[r.doc_id]
-        assert r.tc >= 0 and r.lg in ("en", "de", "fr", "es", "und")
+        assert r.lg == lg[r.doc_id]
+        assert r.tc == tc[r.doc_id]
 
 
 def test_sql_extract_and_sentences(spark):

@@ -201,11 +201,81 @@ def test_abbreviations_do_not_split():
                                        "Then continue."]
 
 
+def test_segmentation_decimals_never_split():
+    # pysbd PeriodBeforeNumberRule class: in-number periods are opaque
+    para = "Pi is 3.14159 exactly. We paid $5.50 for v2.0 today. Done."
+    assert segment_sentences(para) == [
+        "Pi is 3.14159 exactly.", "We paid $5.50 for v2.0 today.", "Done."]
+
+
+def test_segmentation_ellipsis():
+    # ellipsis stays with its sentence; lowercase continuation never splits
+    para = "He waited... Then he left."
+    assert segment_sentences(para) == ["He waited...", "Then he left."]
+    assert segment_sentences("I... don't know.") == ["I... don't know."]
+    para2 = "What?! Really. Yes."
+    assert segment_sentences(para2) == ["What?!", "Really.", "Yes."]
+
+
+def test_segmentation_quotes():
+    # boundary punctuation inside quotes: split AFTER the closing quote
+    para = 'He said "Stop." Then he left.'
+    assert segment_sentences(para) == ['He said "Stop."', "Then he left."]
+    para2 = "She asked 'Why?' Nobody answered."
+    assert segment_sentences(para2) == ["She asked 'Why?'",
+                                        "Nobody answered."]
+    # closing bracket after the period
+    para3 = "(He left early.) The rest stayed."
+    assert segment_sentences(para3) == ["(He left early.)",
+                                        "The rest stayed."]
+    # quoted sentence start after a boundary
+    para4 = 'It broke. "Again?" she sighed.'
+    assert segment_sentences(para4) == ["It broke.", '"Again?" she sighed.']
+
+
+def test_segmentation_abbrev_classes():
+    # prepositive (Dr./Prof.) and number (No./Eq.) abbreviations never
+    # split, even directly before a capital or digit
+    para = "Dr. Smith met Prof. Jones. See No. 4 and Eq. 2 e.g. here."
+    assert segment_sentences(para) == [
+        "Dr. Smith met Prof. Jones.", "See No. 4 and Eq. 2 e.g. here."]
+
+
+def test_segmentation_exact_substrings():
+    # clean=False contract: every sentence is an exact substring
+    para = 'A one. "B two!" C three... D four?  E five.'
+    for s in segment_sentences(para):
+        assert s in para
+
+
 def test_x6_spacing_perturbation():
     # the alpha/non-alpha token split + single-space join moves punctuation
     # spacing exactly like the reference (post.py:12-30)
     out = correct_segmentation_and_typos("is large.")
     assert out == "is large ."
+
+
+def test_symspell_case_modes():
+    """Pins the exact divergence class between the two case readings
+    (ROADMAP #4): default (insensitive) keeps capitalized dictionary
+    words whole; sensitive (symspellpy's raw lowercase-dictionary
+    reading) treats them as unknown and the DP splits when a 1-char
+    prefix + known suffix is cheaper (1 sep + 1 unknown < len unknown)."""
+    # default: capitalized known word stays whole
+    assert segment_token("The") == "The"
+    assert segment_token("Table") == "Table"
+    # sensitive: 'The' -> 'T he' (sep+1 unknown = 2 beats 3 unknown)
+    assert segment_token("The", case_sensitive=True) == "T he"
+    # lowercase dictionary words behave identically in both modes
+    assert segment_token("the", case_sensitive=True) == "the"
+    assert segment_token("thedata", case_sensitive=True) == "the data"
+    # the wrapper threads the flag through
+    assert correct_segmentation_and_typos("The data.",
+                                          case_sensitive=False) \
+        == "The data ."
+    assert correct_segmentation_and_typos("The data.",
+                                          case_sensitive=True) \
+        == "T he data ."
 
 
 def test_wordseg_identity_for_known_words():

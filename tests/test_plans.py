@@ -104,6 +104,19 @@ def test_lsh_self_joins_are_bucket_capped(spark):
         assert cap and plan.index("Join") < cap.start(), plan
 
 
+def test_multiprobe_broadcasts_probe_list(spark):
+    """Multi-probe ANN: the corpus side must stream through a
+    BroadcastHashJoin with the (tiny) query-probe list — never a
+    sort-merge shuffle of the bucketed corpus; the only shuffles are the
+    candidate dedup + final ranking window (candidate-sized, not
+    corpus-sized)."""
+    from ocr_spark.plans.simsearch import emb_lsh_multiprobe_topk
+    plan = fmt(emb_lsh_multiprobe_topk(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert n_shuffles(plan) <= 2
+
+
 def test_jaccard_verify_is_candidate_driven(spark):
     """The scale-path Jaccard verifier must consume the LSH candidate
     list via linear doc_id equi-joins — never the (lang, len_bucket)

@@ -54,6 +54,43 @@ def test_spark_equals_sequential(spark, pages_table):
             json.dumps(res.matches)), row["url"]
 
 
+def test_offsets_blocks_mode_roundtrips(spark, pages_table):
+    """OCR_SPARK_BLOCKS_MODE=offsets: blocks shed their duplicated
+    text/bbox payload (smaller Arrow IPC), and rehydrate_blocks restores
+    every reconstructable block's text bit-for-bit; doc text and all
+    counters are identical between modes."""
+    from ocr_spark.operators.extraction import rehydrate_blocks, run_extraction
+    from ocr_spark.sources import iceberg_shim as shim
+
+    root, _rows = pages_table
+    pages = shim.read_current(spark, root).limit(60)
+    cols = ["url", "text", "n_blocks", "blocks_json"]
+    full = {r["url"]: r for r in
+            run_extraction(pages, partitions=4, big_partitions=1,
+                           blocks_mode="full")
+            .select(*cols).toPandas().to_dict("records")}
+    offs = {r["url"]: r for r in
+            run_extraction(pages, partitions=4, big_partitions=1,
+                           blocks_mode="offsets")
+            .select(*cols).toPandas().to_dict("records")}
+    assert set(full) == set(offs)
+    full_bytes = sum(len(r["blocks_json"]) for r in full.values())
+    offs_bytes = sum(len(r["blocks_json"]) for r in offs.values())
+    assert offs_bytes < full_bytes * 0.7, (offs_bytes, full_bytes)
+    for url, f in full.items():
+        o = offs[url]
+        assert o["text"] == f["text"]
+        assert o["n_blocks"] == f["n_blocks"]
+        fb = json.loads(f["blocks_json"])
+        ob = rehydrate_blocks(o["text"], json.loads(o["blocks_json"]))
+        assert len(fb) == len(ob)
+        for b_full, b_off in zip(fb, ob):
+            assert b_off["text"] == b_full["text"], url
+            assert b_off["label"] == b_full["label"]
+            assert b_off["char_start"] == b_full["char_start"]
+            assert b_off["char_end"] == b_full["char_end"]
+
+
 def test_resume_after_injected_failure(spark, pages_table, tmp_path):
     """Kill-after-K-waves → rerun → identical final table, no
     double-processing (SURVEY.md §5.2.5)."""
@@ -200,6 +237,73 @@ def test_null_html_becomes_failure_row(spark, tmp_path):
     assert len(out) == 2
     assert out["https://x.test/null"].error == "null_html"
     assert out["https://x.test/ok"].error is None
+
+
+def test_compact_snapshots(spark, pages_table, tmp_path):
+    """Compaction rewrites N output snapshots as one: identical row set,
+    single-snapshot history, resume bookkeeping still a no-op (no
+    reprocessing), and crash roll-forward never rewinds CURRENT to a
+    compacted-away snapshot."""
+    from ocr_spark.job import (
+        compact_snapshots, read_extracted, run_extraction_job,
+    )
+    from ocr_spark.sources import iceberg_shim as shim
+
+    root, _rows = pages_table
+    work = str(tmp_path / "work_compact")
+    run_extraction_job(spark, root, work, partitions=16,
+                       big_partitions=2, waves=4)
+    out_root = os.path.join(work, "extracted")
+    assert len(shim.history(out_root)) > 1
+    before = sorted(r.url for r in
+                    read_extracted(spark, work).select("url").collect())
+
+    summary = compact_snapshots(spark, work)
+    assert summary["compacted"] > 1
+    assert shim.history(out_root) == [summary["snapshot"]]
+    after = sorted(r.url for r in
+                   read_extracted(spark, work).select("url").collect())
+    assert after == before
+
+    # resume over the compacted table: everything already checkpointed
+    s2 = run_extraction_job(spark, root, work, partitions=16,
+                            big_partitions=2, waves=4)
+    assert s2["docs"] == 0 and s2["buckets_processed"] == 0
+    # roll-forward is a no-op: the compacted-away sids count as published
+    assert shim.history(out_root) == [summary["snapshot"]]
+    # idempotent: compacting a single-snapshot history is a no-op
+    assert compact_snapshots(spark, work)["compacted"] == 0
+
+
+def test_first_run_on_multi_snapshot_table_reads_whole_chain(spark, tmp_path):
+    """A first-ever (or incremental-fallback) run against a table that
+    already has several append-chain snapshots must extract EVERY
+    snapshot's rows, not just CURRENT's own data dir."""
+    from ocr_spark.job import read_extracted, run_incremental_extraction_job
+    from ocr_spark.sources import iceberg_shim as shim
+
+    root = str(tmp_path / "chain_pages")
+    work = str(tmp_path / "chain_work")
+    rows = generate_pages(60, seed=11, oversized_rows=0)
+
+    def to_df(rs):
+        return spark.createDataFrame(
+            [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"])
+             for r in rs],
+            "url string, warc_ts timestamp, html binary, text string, "
+            "lang string")
+
+    shim.write_snapshot(to_df(rows[:20]), root, snapshot_id="c1")
+    shim.write_snapshot(to_df(rows[20:45]), root, snapshot_id="c2")
+    shim.write_snapshot(to_df(rows[45:]), root, snapshot_id="c3")
+
+    # nothing processed yet → the incremental job falls back to the full
+    # job, which must see all 60 rows across c1+c2+c3
+    s = run_incremental_extraction_job(spark, root, work, partitions=8,
+                                       big_partitions=1, waves=2)
+    assert s["docs"] == 60, s
+    urls = [r.url for r in read_extracted(spark, work).select("url").collect()]
+    assert len(urls) == 60 and len(set(urls)) == 60
 
 
 def test_incremental_job_processes_only_added_snapshot(spark, tmp_path):

@@ -70,6 +70,68 @@ def test_stream_page_metrics_watermark(spark, stream_dirs):
                 > pd.to_datetime(got["window_start"])).all()
 
 
+def test_stream_host_counters_ttl_bounds_state(spark, tmp_path):
+    """With ttl_ms set (continuous trigger — TTL + AvailableNow is
+    rejected, see stream_host_counters), hosts idle past the TTL are
+    evicted from the state store: under a rolling host population the
+    state row count tracks the ACTIVE hosts, not every host ever seen."""
+    import datetime
+    import time
+
+    import pytest
+
+    in_dir = str(tmp_path / "in")
+    out = str(tmp_path / "counters_ttl")
+    ckpt = str(tmp_path / "ckpt_ttl")
+    os.makedirs(in_dir, exist_ok=True)
+    ts = datetime.datetime(2025, 1, 1)
+
+    def mk_rows(prefix, n):
+        return [{"url": f"https://{prefix}{i}.test/page", "warc_ts": ts,
+                 "html": b"<p>row for host %d</p>" % i, "text": "",
+                 "lang": "en"} for i in range(n)]
+
+    # the footgun pairing is rejected, not left to hang
+    with pytest.raises(ValueError, match="AvailableNow"):
+        stream_host_counters(spark, in_dir, out, ckpt, ttl_ms=500)
+
+    def hosts_seen(prefix):
+        try:
+            pdf = spark.read.parquet(out).toPandas()
+        except Exception:
+            return set()
+        return {h for h in pdf["host"] if h.startswith(prefix)}
+
+    def wait_for(pred, timeout=60):
+        t0 = time.time()
+        while time.time() - t0 < timeout:
+            if pred():
+                return True
+            time.sleep(0.5)
+        return False
+
+    _write_pages_batch(spark, mk_rows("a", 20), in_dir)
+    q = stream_host_counters(spark, in_dir, out, ckpt, ttl_ms=1000,
+                             trigger_interval="500 milliseconds")
+    try:
+        assert wait_for(lambda: len(hosts_seen("a")) == 20)
+        time.sleep(2.0)  # let every wave-1 host's TTL expire + evict
+
+        # rolling population: a disjoint host set arrives
+        _write_pages_batch(spark, mk_rows("b", 20), in_dir)
+        assert wait_for(lambda: len(hosts_seen("b")) == 20)
+        time.sleep(1.0)  # one more batch so progress reflects eviction
+
+        state_rows = [op["numRowsTotal"] for p in q.recentProgress
+                      for op in (p.get("stateOperators") or [])]
+        assert state_rows, "no state operator progress recorded"
+        # without TTL the store would hold 40 (a* + b*); with eviction
+        # the latest batches hold only the active wave-2 hosts
+        assert min(state_rows[-3:]) <= 20, state_rows[-10:]
+    finally:
+        q.stop()
+
+
 def test_stream_host_counters_stateful(spark, stream_dirs, tmp_path):
     out = str(tmp_path / "counters")
     rows = generate_pages(30, oversized_rows=0)
