@@ -243,7 +243,11 @@ def compact_snapshots(spark: SparkSession, work_dir: str) -> dict:
         absorbed.append(sid)
         absorbed.extend(shim.read_manifest(root, sid)
                         .get("compacted_from") or [])
-    df = read_extracted(spark, work_dir)
+    # repartition ON the partition column before the partitionBy write:
+    # without it every task writes a sliver into every bucket dir
+    # (tasks × buckets small files — the problem compaction exists to
+    # fix); with it each bucket's rows land in one task → one file.
+    df = read_extracted(spark, work_dir).repartition("bucket")
     new_sid = shim.prepare_snapshot(
         df, root, partition_by=["bucket"],
         snapshot_id=f"compact-{uuid.uuid4().hex[:12]}",

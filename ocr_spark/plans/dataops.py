@@ -4,12 +4,15 @@ Deduplication (exact dedup lives in plans/queries.py):
   * MinHash signatures + banded LSH candidate pairs (the scale path for
     near-dup detection: signature computation is a narrow per-row map —
     no shuffle — and the only shuffle is the band-bucket self-join, whose
-    key cardinality is controlled by the band hash);
+    key cardinality is controlled by the band hash and capped pre-join);
   * SimHash bit-vote fingerprints;
-  * exact n-gram Jaccard within blocking buckets (the verify path that
-    LSH candidates would feed at scale).
-Text analysis:
-  * stopword-vote language identification.
+  * candidate-driven exact-Jaccard verification over the LSH pair list
+    (the 100 TB verify path), with the blocked all-pairs variant kept as
+    the small-SF cross-check.
+Text analysis / filtering:
+  * stopword-vote language identification;
+  * Gopher/C4-style quality-filter decisions (word-count bounds, mean
+    word length, alpha fraction, stopword presence).
 
 Design rules (why this file looks the way it does):
   * Operators stay JVM-side pyspark.sql.functions expressions wherever
@@ -503,6 +506,95 @@ FROM counts
 
 
 # --------------------------------------------------------------------------
+# Gopher/C4-style quality filter decision
+# --------------------------------------------------------------------------
+
+# corpus-scaled Gopher-style thresholds (the canonical 50-word minimum
+# would drop this synthetic corpus wholesale; the FILTER SHAPE is what
+# scales, the constants are config)
+_GF_MIN_WORDS = 10
+_GF_MAX_WORDS = 100_000
+_GF_MIN_MEAN_WLEN = 2.0
+_GF_MAX_MEAN_WLEN = 12.0
+_GF_MIN_ALPHA_FRAC = 0.6
+_GF_MIN_STOP_HITS = 2
+_GF_STOPWORDS = ("the", "and", "of", "to", "in", "with", "that", "for")
+
+
+def docs_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style document quality gate: word count bounds, mean
+    word length band, alphabetic-word fraction, distinct-stopword
+    presence — each emitted as a feature column plus the conjunction
+    ``keep``. Everything is a narrow JVM-expression map (zero shuffle,
+    scales linearly with splits); the decision column is what a
+    training-data pipeline's filter stage materializes."""
+    docs = t(spark, sf_dir, "documents")
+    toks = _tokens()
+    base = (docs.select("doc_id", toks.alias("toks"))
+            .withColumn("n_words",
+                        F.when((F.size("toks") == 1)
+                               & (F.col("toks")[0] == ""), F.lit(0))
+                        .otherwise(F.size("toks"))))
+    mean_wlen = F.round(
+        F.when(F.col("n_words") > 0,
+               F.aggregate("toks", F.lit(0).cast("bigint"),
+                           lambda acc, x: acc + F.length(x))
+               / F.col("n_words")).otherwise(F.lit(0.0)), 4)
+    alpha_frac = F.round(
+        F.when(F.col("n_words") > 0,
+               F.size(F.filter("toks", lambda x: x.rlike("^[a-z]+$")))
+               / F.col("n_words")).otherwise(F.lit(0.0)), 4)
+    stop_hits = F.size(F.array_intersect(
+        F.array_distinct("toks"),
+        F.array(*[F.lit(w) for w in _GF_STOPWORDS])))
+    feat = base.select(
+        "doc_id", "n_words", mean_wlen.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        stop_hits.alias("distinct_stop_hits"))
+    keep = ((F.col("n_words") >= _GF_MIN_WORDS)
+            & (F.col("n_words") <= _GF_MAX_WORDS)
+            & (F.col("mean_word_len") >= _GF_MIN_MEAN_WLEN)
+            & (F.col("mean_word_len") <= _GF_MAX_MEAN_WLEN)
+            & (F.col("alpha_frac") >= _GF_MIN_ALPHA_FRAC)
+            & (F.col("distinct_stop_hits") >= _GF_MIN_STOP_HITS))
+    return feat.withColumn("keep", keep)
+
+
+_GOPHER_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+), base AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) = 1 AND toks[1] = '' THEN 0
+              ELSE len(toks) END AS n_words
+  FROM tk
+), feat AS (
+  SELECT doc_id, n_words,
+         ROUND(CASE WHEN n_words > 0
+               THEN CAST(list_sum(list_transform(toks, x -> length(x)))
+                         AS DOUBLE) / n_words
+               ELSE 0.0 END, 4) AS mean_word_len,
+         ROUND(CASE WHEN n_words > 0
+               THEN CAST(len(list_filter(toks,
+                        x -> regexp_matches(x, '^[a-z]+$'))) AS DOUBLE)
+                    / n_words
+               ELSE 0.0 END, 4) AS alpha_frac,
+         len(list_intersect(list_distinct(toks),
+             [{", ".join(f"'{w}'" for w in _GF_STOPWORDS)}]))
+           AS distinct_stop_hits
+  FROM base
+)
+SELECT doc_id, n_words, mean_word_len, alpha_frac, distinct_stop_hits,
+       (n_words >= {_GF_MIN_WORDS} AND n_words <= {_GF_MAX_WORDS}
+        AND mean_word_len >= {_GF_MIN_MEAN_WLEN}
+        AND mean_word_len <= {_GF_MAX_MEAN_WLEN}
+        AND alpha_frac >= {_GF_MIN_ALPHA_FRAC}
+        AND distinct_stop_hits >= {_GF_MIN_STOP_HITS}) AS keep
+FROM feat
+"""
+
+
+# --------------------------------------------------------------------------
 # Dedup keeper selection (end-to-end: who survives dedup?)
 # --------------------------------------------------------------------------
 
@@ -663,6 +755,7 @@ SPARK_QUERIES = {
     "docs_simhash": docs_simhash,
     "docs_ngram_jaccard_pairs": docs_ngram_jaccard_pairs,
     "docs_jaccard_verify_candidates": docs_jaccard_verify_candidates,
+    "docs_gopher_filters": docs_gopher_filters,
     "docs_langid": docs_langid,
     "docs_dedup_keepers": docs_dedup_keepers,
     "docs_bpe_token_count": docs_bpe_token_count,
@@ -676,6 +769,7 @@ ORACLE_SQL = {
     "docs_simhash": _SIMHASH_SQL,
     "docs_ngram_jaccard_pairs": _JACCARD_SQL,
     "docs_jaccard_verify_candidates": _JACCARD_VERIFY_SQL,
+    "docs_gopher_filters": _GOPHER_SQL,
     "docs_langid": _LANGID_SQL,
     "docs_dedup_keepers": _DEDUP_KEEPERS_SQL,
     "docs_bpe_token_count": _BPE_COUNT_SQL,

@@ -1,7 +1,7 @@
 """Similarity search over the ``embeddings`` table (vec_id, embedding
 FLOAT[64], label).
 
-Three tiers, mirroring how an ANN stack scales:
+The tiers of an ANN stack, each as an oracle-checked query:
   * ``emb_cosine_topk`` — brute-force cosine top-k: the exactness
     baseline. O(Q·N); fine when the query set is small enough to
     broadcast, which is exactly how it is written (broadcast the query
@@ -11,13 +11,17 @@ Three tiers, mirroring how an ANN stack scales:
     trained coarse quantizer); a query probes only its own cell, so the
     join is an equi-join on cell id — partition-prunable and skew-safe
     at 100 TB, instead of a full cross join.
-  * ``emb_lsh_near_dup`` — random-hyperplane LSH bucketing + exact
-    cosine verification within buckets: the near-dup-pair path. The
-    signature is a narrow per-row map; the only shuffle is the bucket
-    self-join.
+  * ``emb_lsh_near_dup`` — banded random-hyperplane LSH bucketing
+    (pre-join bucket cap) + exact cosine verification within buckets:
+    the near-dup-pair path. The signature is a narrow per-row map; the
+    only shuffle is the capped bucket self-join.
+  * ``emb_lsh_multiprobe_topk`` — Hamming-1 probe expansion on the
+    query side (broadcast) for recall without more hash tables.
   * ``emb_label_centroids`` — per-cell element-wise centroid (the IVF
     "train" step): posexplode → groupBy(cell, dim) → avg; demonstrates
     vector aggregation without any Python.
+  * ``emb_scalar_quantize`` / ``emb_pq_codes`` — the storage tier:
+    int8 scalar quantization and product quantization.
 
 Everything is JVM-side higher-order functions over array<double>; md5
 seeds the deterministic hyperplanes so Spark and the DuckDB oracle agree

@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Recall measurement for the approximate operators against their exact
+ground truth — the ANN/dedup analogue of the throughput bench ("measure,
+don't guess", ROADMAP):
+
+  * ANN: recall@k of emb_lsh_multiprobe_topk and emb_ivf_topk against
+    the brute-force cosine ranking (the exactness baseline computed by
+    emb_cosine_topk with k widened);
+  * dedup: recall of the MinHash-LSH candidate pairs (as verified by
+    docs_jaccard_verify_candidates) against all true high-Jaccard pairs
+    found by the exhaustive blocked self-join (docs_ngram_jaccard_pairs)
+    at several Jaccard thresholds.
+
+Caveat (recorded in the output): the synthetic embeddings have no real
+cluster structure (TESTDATA.md), so ANN recall here characterizes the
+operator shape on near-random vectors — a lower bound, not a tuned
+figure. Writes BENCH/recall.json.
+
+Usage: python scripts/recall_bench.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from ocr_spark.plans import dataops, simsearch
+    from ocr_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else SF_DIR
+    spark = get_spark("recall_bench", master="local[8]")
+    out: dict = {"sf_dir": sf_dir,
+                 "caveat": ("synthetic embeddings have no cluster "
+                            "structure; ANN recall is a near-random-"
+                            "vector lower bound")}
+
+    # ---- ANN recall@k vs brute force --------------------------------
+    k = simsearch.TOPK
+    truth = {(r.q_id, r.neighbor_id)
+             for r in simsearch.emb_cosine_topk(spark, sf_dir).collect()}
+    n_truth = len(truth)
+
+    emb = simsearch.t(spark, sf_dir)
+    n_vecs = emb.count()
+    n_cells = emb.select("label").distinct().count()
+
+    # per-method truth at the method's own k (IVF returns top-3)
+    truth3 = {(r.q_id, r.neighbor_id)
+              for r in simsearch.emb_cosine_topk(spark, sf_dir)
+              .filter(F.col("rank") <= simsearch.IVF_TOPK).collect()}
+
+    mp = {(r.q_id, r.neighbor_id)
+          for r in simsearch.emb_lsh_multiprobe_topk(spark, sf_dir)
+          .filter(F.col("rank") <= k).collect()}
+    ivf = {(r.q_id, r.neighbor_id)
+           for r in simsearch.emb_ivf_topk(spark, sf_dir).collect()}
+
+    # analytic chance baseline: a method that examines an expected c
+    # candidates per query AT RANDOM gets recall ≈ c/(N-1); lift =
+    # recall/chance isolates what the bucketing itself contributes,
+    # which matters because on these unclustered synthetic vectors
+    # absolute recall is structurally low.
+    mp_cand = (simsearch.EMB_LSH_BANDS * (simsearch.EMB_BAND_BITS + 1)
+               * n_vecs / (2 ** simsearch.EMB_BAND_BITS))
+    ivf_cand = n_vecs / max(1, n_cells) - 1
+    mp_recall = len(mp & truth) / n_truth
+    ivf_recall = len(ivf & truth3) / max(1, len(truth3))
+    out["ann"] = {
+        "n_vectors": n_vecs,
+        "multiprobe": {
+            "k": k, "recall_at_k": round(mp_recall, 4),
+            "expected_candidates_per_query": round(mp_cand, 1),
+            "chance_recall": round(mp_cand / (n_vecs - 1), 4),
+            "lift_over_chance": round(mp_recall
+                                      / (mp_cand / (n_vecs - 1)), 2),
+        },
+        "ivf": {
+            "k": simsearch.IVF_TOPK, "recall_at_k": round(ivf_recall, 4),
+            "expected_candidates_per_query": round(ivf_cand, 1),
+            "chance_recall": round(ivf_cand / (n_vecs - 1), 4),
+            "lift_over_chance": round(ivf_recall
+                                      / (ivf_cand / (n_vecs - 1)), 2),
+            "note": ("IVF probes the pretrained label cells, which are "
+                     "NOT cosine clusters on this synthetic corpus "
+                     "(TESTDATA.md) — recall ≈ chance here by "
+                     "construction; with k-means cells (emb_ivf_assign "
+                     "is the assignment op) the cell prior returns"),
+        },
+    }
+
+    # ---- dedup recall: LSH candidates vs exhaustive high-Jaccard ----
+    exact = {(r.doc_a, r.doc_b): r.jaccard
+             for r in dataops.docs_ngram_jaccard_pairs(spark, sf_dir)
+             .collect()}
+    lsh = {(r.doc_a, r.doc_b)
+           for r in dataops.docs_jaccard_verify_candidates(spark, sf_dir)
+           .collect()}
+    dd = {}
+    for thr in (0.2, 0.3, 0.5, 0.8):
+        truth_pairs = {p for p, j in exact.items() if j >= thr}
+        dd[str(thr)] = {
+            "n_true_pairs": len(truth_pairs),
+            "recall": (round(len(lsh & truth_pairs) / len(truth_pairs), 4)
+                       if truth_pairs else None),
+        }
+    out["dedup"] = {"lsh_candidate_pairs": len(lsh),
+                    "recall_by_jaccard_threshold": dd}
+
+    print(json.dumps(out, indent=2))
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "recall.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -287,6 +287,68 @@ def main() -> int:
         "  bring their own memory bandwidth and this term returns to ~1.",
         "* The Spark/mp column bounds total framework overhead (Arrow",
         "  IPC + the one salted shuffle + scheduling) per level.",
+    ]
+
+    # cross-session history: this shared host's background load varies on
+    # 10-minute scales, so whole SESSIONS land differently; keep every
+    # session's medians visible instead of silently replacing them
+    # (BENCH/scaling_session<N>.json are frozen copies).
+    import glob as _glob
+    sessions = sorted(_glob.glob(os.path.join(REPO, "BENCH",
+                                              "scaling_session*.json")))
+    if sessions:
+        lines += [
+            "",
+            "## Cross-session spread (same code unless noted)",
+            "",
+            "| session | primary pair raw | vs hardware ceiling |",
+            "|---|---|---|",
+        ]
+        for sp in sessions:
+            with open(sp) as f:
+                sd = json.load(f)
+            lines.append(
+                f"| {os.path.basename(sp)} | {sd['primary_pair_raw']} "
+                f"| {sd['primary_pair_vs_hardware']} |")
+        lines.append(
+            f"| scaling.json (latest) | {summary['primary_pair_raw']} "
+            f"| {summary['primary_pair_vs_hardware']} |")
+        lines += [
+            "",
+            "Sessions are identical protocol on the same corpus; the",
+            "spread is the host's background load (an interleaved A/B of",
+            "round-1 vs round-2 code at local[2] measured per-cycle",
+            "ratio median 1.01 — no code regression; the session-level",
+            "differences are environment).",
+        ]
+
+    # preserve the offsets-mode before/after section across regenerations
+    offs_path = os.path.join(REPO, "BENCH", "offsets.json")
+    if os.path.exists(offs_path):
+        with open(offs_path) as f:
+            o = json.load(f)
+        lines += [
+            "",
+            "## Offsets-only blocks mode (`OCR_SPARK_BLOCKS_MODE=offsets`)",
+            "",
+            f"Before/after at {o['level']}, same corpus, interleaved cycles",
+            f"(BENCH/offsets.json): full median "
+            f"{o['full_docs_per_sec_median']} docs/sec (Spark/mp "
+            f"{o['spark_over_mp_full_median']}),",
+            f"offsets median {o['offsets_docs_per_sec_median']} docs/sec "
+            f"(Spark/mp {o['spark_over_mp_offsets_median']}); per-cycle",
+            f"offsets/full ratio median "
+            f"{o['speedup_offsets_over_full_median']} — within this host's "
+            "noise floor, i.e. no",
+            "measurable end-to-end effect. The mode cuts blocks_json bytes",
+            ">30% (pinned by test_offsets_blocks_mode_roundtrips) and",
+            "therefore output-table size and cluster network egress; it is",
+            "claimed as a storage/network optimization, not a throughput",
+            "win (the saturation gap is Arrow-IN + per-batch overhead,",
+            "not blocks-out).",
+        ]
+
+    lines += [
         "",
         "Reproduce: `python scripts/scaling_bench.py` (env",
         "`SCALING_BENCH_DOCS`, `SCALING_BENCH_CYCLES`). The reference",

@@ -30,21 +30,34 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--big-threshold", type=int, default=2_000_000)
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--waves", type=int, default=4)
+    ap.add_argument("--incremental", action="store_true",
+                    help="process only data added since the last "
+                         "processed input snapshot (snapshot diff)")
+    ap.add_argument("--compact", action="store_true",
+                    help="after the job, compact the output history "
+                         "into a single snapshot")
     ap.add_argument("--master", default=None,
                     help="override master when not launched via spark-submit")
     args = ap.parse_args(argv)
 
-    from ocr_spark.job import run_extraction_job
+    from ocr_spark.job import (
+        compact_snapshots, run_extraction_job,
+        run_incremental_extraction_job,
+    )
     from ocr_spark.session import get_spark
 
     spark = get_spark("ocr_spark.extract", master=args.master)
     try:
-        summary = run_extraction_job(
+        run = (run_incremental_extraction_job if args.incremental
+               else run_extraction_job)
+        summary = run(
             spark, args.input, args.work_dir,
             partitions=args.partitions, big_partitions=args.big_partitions,
             big_threshold=args.big_threshold, n_buckets=args.buckets,
             waves=args.waves,
         )
+        if args.compact:
+            summary["compaction"] = compact_snapshots(spark, args.work_dir)
         print(json.dumps(summary))
         return 0
     finally:

@@ -62,6 +62,14 @@ def test_minhash_is_narrow_map(spark):
     assert n_shuffles(plan) == 0 and "BroadcastExchange" not in plan
 
 
+def test_gopher_filter_is_narrow_map(spark):
+    """The quality-filter decision is a per-row expression map: zero
+    shuffles, zero broadcasts — scales linearly with input splits."""
+    from ocr_spark.plans.dataops import docs_gopher_filters
+    plan = fmt(docs_gopher_filters(spark, SF))
+    assert n_shuffles(plan) == 0 and "BroadcastExchange" not in plan
+
+
 def test_extraction_has_exactly_two_shuffles_and_prunes(spark):
     """The salted extraction job: one shuffle for the normal route + one
     for the big route, nothing else; and the scan under the html-wrap

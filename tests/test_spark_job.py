@@ -264,6 +264,13 @@ def test_compact_snapshots(spark, pages_table, tmp_path):
     after = sorted(r.url for r in
                    read_extracted(spark, work).select("url").collect())
     assert after == before
+    # small-file compaction: one data file per populated bucket (the
+    # pre-write repartition("bucket") routes each bucket to one task)
+    import glob
+    data_dir = shim.read_manifest(out_root, summary["snapshot"])["data_dir"]
+    files = glob.glob(os.path.join(data_dir, "bucket=*", "*.parquet"))
+    n_buckets_present = len(glob.glob(os.path.join(data_dir, "bucket=*")))
+    assert len(files) == n_buckets_present, (len(files), n_buckets_present)
 
     # resume over the compacted table: everything already checkpointed
     s2 = run_extraction_job(spark, root, work, partitions=16,
