@@ -373,6 +373,67 @@ FROM events GROUP BY user_id
 
 
 # --------------------------------------------------------------------------
+# R14: sequential-pattern funnel (view → click → purchase, in order)
+# --------------------------------------------------------------------------
+
+def ev_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel per user: earliest view, earliest click AFTER that
+    view, earliest purchase AFTER that click — the MATCH_RECOGNIZE-shaped
+    analytics every event pipeline runs. Three small aggregates chained
+    by equi-joins on user_id (each join input is one-row-per-user, so
+    every shuffle is user-cardinality, never event-cardinality); stage =
+    how deep the user got."""
+    ev = t(spark, sf_dir, "events")
+    v = (ev.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("view_ts")))
+    c = (ev.join(v, "user_id")
+         .filter((F.col("event_type") == "click")
+                 & (F.col("ts") > F.col("view_ts")))
+         .groupBy("user_id").agg(F.min("ts").alias("click_ts")))
+    p = (ev.join(c, "user_id")
+         .filter((F.col("event_type") == "purchase")
+                 & (F.col("ts") > F.col("click_ts")))
+         .groupBy("user_id").agg(F.min("ts").alias("purchase_ts")))
+    funnel = (v.join(c, "user_id", "left").join(p, "user_id", "left"))
+    stage = (F.lit(1)
+             + F.when(F.col("click_ts").isNotNull(), 1).otherwise(0)
+             + F.when(F.col("purchase_ts").isNotNull(), 1).otherwise(0))
+    fmt_ts = "yyyy-MM-dd HH:mm:ss"
+    return funnel.select(
+        "user_id", stage.alias("funnel_stage"),
+        F.date_format("view_ts", fmt_ts).alias("view_time"),
+        F.date_format("click_ts", fmt_ts).alias("click_time"),
+        F.date_format("purchase_ts", fmt_ts).alias("purchase_time"))
+
+
+_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS view_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS click_ts
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.view_ts
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS purchase_ts
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+  GROUP BY e.user_id
+)
+SELECT v.user_id,
+       1 + (CASE WHEN c.click_ts IS NOT NULL THEN 1 ELSE 0 END)
+         + (CASE WHEN p.purchase_ts IS NOT NULL THEN 1 ELSE 0 END)
+         AS funnel_stage,
+       strftime(v.view_ts, '%Y-%m-%d %H:%M:%S') AS view_time,
+       strftime(c.click_ts, '%Y-%m-%d %H:%M:%S') AS click_time,
+       strftime(p.purchase_ts, '%Y-%m-%d %H:%M:%S') AS purchase_time
+FROM v LEFT JOIN c ON v.user_id = c.user_id
+       LEFT JOIN p ON v.user_id = p.user_id
+"""
+
+
+# --------------------------------------------------------------------------
 # R11: CUBE + grouping_id (SURVEY §2.4 marks grouping sets absent in the
 # reference; a 100 TB engine runs them constantly)
 # --------------------------------------------------------------------------
@@ -482,6 +543,7 @@ SPARK_QUERIES = {
     "li_cube": li_cube,
     "li_grouping_sets": li_grouping_sets,
     "li_approx_aggs": li_approx_aggs,
+    "ev_funnel_conversion": ev_funnel_conversion,
     "nations_set_ops": nations_set_ops,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q21_exists_notexists": q21_exists_notexists,
@@ -498,6 +560,7 @@ ORACLE_SQL = {
     "li_cube": _CUBE_SQL,
     "li_grouping_sets": _GROUPING_SETS_SQL,
     "li_approx_aggs": _APPROX_AGGS_SQL,
+    "ev_funnel_conversion": _FUNNEL_SQL,
     "nations_set_ops": _SET_OPS_SQL,
     "q17_small_quantity_revenue": _Q17_SQL,
     "q21_exists_notexists": _Q21_SQL,
