@@ -46,9 +46,13 @@ HEADLINE = [
 ]
 
 
-def _prev_round_queries() -> tuple[int | None, dict[str, float]]:
+def _prev_round_queries(sf: float,
+                        cpus: int) -> tuple[int | None, dict[str, float]]:
     """Latest BENCH_r{N}.json's per-query seconds — the regression
-    baseline (driver records one per round)."""
+    baseline (driver records one per round). Baselines measured at a
+    different sf or cpu count are SKIPPED: comparing sf0.01 timings to
+    an sf0.1 baseline would produce spurious regressions (or mask real
+    ones)."""
     import glob
     import re
 
@@ -61,7 +65,14 @@ def _prev_round_queries() -> tuple[int | None, dict[str, float]]:
         try:
             with open(path) as f:
                 data = json.load(f)
-            queries = data.get("parsed", data).get("queries", {})
+            parsed = data.get("parsed", data)
+            queries = parsed.get("queries", {})
+            if parsed.get("sf") != sf or parsed.get("cpus") != cpus:
+                print(f"bench: skipping baseline {os.path.basename(path)}"
+                      f" (sf={parsed.get('sf')}, cpus={parsed.get('cpus')}"
+                      f" != current sf={sf}, cpus={cpus})",
+                      file=sys.stderr)
+                continue
         except Exception:
             continue
         n = int(m.group(1))
@@ -116,7 +127,7 @@ def main() -> int:
     # per-query regression tracking vs the previous round's driver bench:
     # flag queries >REGRESSION_FACTOR slower. Warnings go to stderr; the
     # structured list rides inside the one stdout JSON line.
-    prev_round, prev = _prev_round_queries()
+    prev_round, prev = _prev_round_queries(sf, int(cpus))
     regressions = {}
     for name, sec in timings.items():
         base = prev.get(name)

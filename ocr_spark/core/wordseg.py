@@ -87,8 +87,13 @@ def _cost(chunk_lower: str) -> int:
     return 0 if chunk_lower in _freqs() else len(chunk_lower)
 
 
-_CASE_SENSITIVE_DEFAULT = (
-    os.environ.get("OCR_SPARK_SYMSPELL_CASE", "insensitive") == "sensitive")
+def _case_sensitive_default() -> bool:
+    """Read the env flag at CALL time, not import time: an executor's
+    module import happens before any job-specific env could land, and
+    the extraction kernel propagates the driver's value by setting the
+    worker env (extraction.py captures it in the mapInPandas closure)."""
+    return os.environ.get("OCR_SPARK_SYMSPELL_CASE",
+                          "insensitive") == "sensitive"
 
 
 @lru_cache(maxsize=65536)
@@ -155,7 +160,7 @@ def correct_segmentation_and_typos(raw_text: str,
     if not raw_text:
         return ""
     if case_sensitive is None:
-        case_sensitive = _CASE_SENSITIVE_DEFAULT
+        case_sensitive = _case_sensitive_default()
     tokens = _ALPHA_SPLIT_RE.findall(raw_text)
     out = []
     for tok in tokens:

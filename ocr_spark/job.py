@@ -60,7 +60,11 @@ def run_extraction_job(spark: SparkSession, input_table_root: str,
                        waves: int = 4,
                        fail_after_waves: int | None = None,
                        fail_point: str = "after_wave") -> dict:
-    """Run (or resume) extraction of the input table's CURRENT snapshot.
+    """Run (or resume) extraction of the input table's full logical
+    content at CURRENT — the whole snapshot chain, processed
+    per-snapshot (oldest first) so checkpoints stay (snapshot, bucket)
+    granular and already-processed ancestors are skipped, not
+    re-extracted.
 
     ``fail_after_waves``/``fail_point`` are test hooks simulating a
     mid-job crash for the resume tests (SURVEY.md §5.2.5): raise after N
@@ -73,17 +77,52 @@ def run_extraction_job(spark: SparkSession, input_table_root: str,
     input_sid = shim.current_snapshot_id(input_table_root)
     if input_sid is None:
         raise FileNotFoundError(f"no input snapshot at {input_table_root}")
-    # the LOGICAL table at CURRENT = the whole snapshot chain's data dirs
-    # (append-chain model) — reading only CURRENT's own dir would
-    # silently skip every ancestor snapshot's rows on a first-ever run
-    # against a multi-snapshot table.
-    input_dirs = shim.chain_data_dirs(input_table_root, input_sid)
-    pages = shim.read_table_at(spark, input_table_root, input_sid)
-    return _run_waves(
-        spark, pages, work_dir, input_sid, input_dirs,
-        partitions=partitions, big_partitions=big_partitions,
+    # The LOGICAL table at CURRENT = the whole snapshot chain (append-
+    # chain model), but resume bookkeeping is bucket-granular PER
+    # SNAPSHOT — so the chain is processed one snapshot at a time,
+    # oldest first, each keyed on its own sid. A first-ever run on a
+    # multi-snapshot table covers every ancestor's rows; a rerun after
+    # an append skips fully-processed ancestors through their own
+    # checkpoints instead of re-extracting them (which would duplicate
+    # every ancestor document in the output).
+    return _run_chain(
+        spark, input_table_root, work_dir, shim.history(input_table_root),
+        input_sid, partitions=partitions, big_partitions=big_partitions,
         big_threshold=big_threshold, n_buckets=n_buckets, waves=waves,
         fail_after_waves=fail_after_waves, fail_point=fail_point)
+
+
+def _run_chain(spark: SparkSession, input_table_root: str, work_dir: str,
+               sids: list[str], input_sid: str, *, partitions: int,
+               big_partitions: int, big_threshold: int, n_buckets: int,
+               waves: int, fail_after_waves: int | None = None,
+               fail_point: str = "after_wave") -> dict:
+    """Process ``sids`` (oldest → newest), each snapshot's own data dir
+    keyed on its own sid — the uniform (snapshot, bucket) checkpoint
+    granularity that lets full runs, incremental runs, and reruns
+    compose without ever re-extracting (duplicating) a processed
+    snapshot's rows."""
+    from ocr_spark.sources import PAGES_SCHEMA
+    combined: dict = {"run_id": None, "input_snapshot": input_sid,
+                      "output_snapshots": [], "buckets_skipped": 0,
+                      "buckets_processed": 0, "docs": 0,
+                      "rolled_forward": 0, "snapshots_processed": 0}
+    for sid in sids:
+        data_dir = shim.read_manifest(input_table_root, sid)["data_dir"]
+        pages = spark.read.schema(PAGES_SCHEMA).parquet(data_dir)
+        s = _run_waves(
+            spark, pages, work_dir, sid, [data_dir],
+            partitions=partitions, big_partitions=big_partitions,
+            big_threshold=big_threshold, n_buckets=n_buckets, waves=waves,
+            fail_after_waves=fail_after_waves, fail_point=fail_point)
+        combined["run_id"] = s["run_id"]
+        combined["output_snapshots"] += s["output_snapshots"]
+        combined["buckets_skipped"] += s["buckets_skipped"]
+        combined["buckets_processed"] += s["buckets_processed"]
+        combined["docs"] += s["docs"]
+        combined["rolled_forward"] += s["rolled_forward"]
+        combined["snapshots_processed"] += 1
+    return combined
 
 
 def _run_waves(spark: SparkSession, pages: DataFrame, work_dir: str,
@@ -210,15 +249,18 @@ def run_incremental_extraction_job(spark: SparkSession,
             big_partitions=big_partitions, big_threshold=big_threshold,
             n_buckets=n_buckets, waves=waves)
 
-    added_dirs = shim.added_since(input_table_root, base, input_sid)
-    from ocr_spark.sources import PAGES_SCHEMA
-    pages = spark.read.schema(PAGES_SCHEMA).parquet(*added_dirs)
-    summary = _run_waves(
-        spark, pages, work_dir, input_sid, added_dirs,
+    # the snapshots strictly after base, oldest → newest, each processed
+    # keyed on ITS OWN sid (same (snapshot, bucket) checkpoint unit as
+    # the full job, so the two paths compose: a later full run sees the
+    # increment's per-snapshot checkpoints and skips them)
+    chain = shim.history(input_table_root)
+    added_sids = chain[chain.index(base) + 1:]
+    summary = _run_chain(
+        spark, input_table_root, work_dir, added_sids, input_sid,
         partitions=partitions, big_partitions=big_partitions,
         big_threshold=big_threshold, n_buckets=n_buckets, waves=waves)
     summary["incremental_base"] = base
-    summary["added_dirs"] = len(added_dirs)
+    summary["added_dirs"] = len(added_sids)
     return summary
 
 
@@ -259,9 +301,10 @@ def compact_snapshots(spark: SparkSession, work_dir: str) -> dict:
 def read_extracted(spark: SparkSession, work_dir: str) -> DataFrame:
     """All committed extraction output across snapshots. The union is
     exact: within one input snapshot, checkpointed buckets are never
-    reprocessed (two-phase commit); across input snapshots, incremental
-    runs read only the added data dirs, so their documents are disjoint
-    by construction."""
+    reprocessed (two-phase commit); across input snapshots, both the
+    full-chain and incremental paths process each input snapshot's own
+    data dir keyed on its own sid, so their documents are disjoint by
+    construction."""
     root = output_root(work_dir)
     sids = shim.history(root) if shim.current_snapshot_id(root) else []
     if not sids:

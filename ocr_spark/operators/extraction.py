@@ -120,23 +120,20 @@ def compact_blocks(blocks: list[dict], text: str) -> list[dict]:
     """Offsets-only block compaction (``OCR_SPARK_BLOCKS_MODE=offsets``).
 
     Blocks whose text is reconstructable as ``text[char_start:char_end]``
-    are reduced to (block_id, page_index, label, char_start, char_end) —
-    the per-block text/bbox/section_info duplication is what dominates
-    the Arrow IPC bytes out of the Python worker at full saturation
-    (measured ~45% of raw-kernel throughput lost at local[32], ROADMAP
-    #1). Non-reconstructable blocks (merged captions, figure boxes with
-    char_start=-1) keep their full dict — nothing is lost that cannot be
-    rebuilt by ``rehydrate_blocks``.
+    drop ONLY that duplicated text string (the bulk of the per-block
+    payload); everything non-derivable — bbox, section_info — is kept,
+    so ``rehydrate_blocks`` restores the full dict losslessly.
+    Non-reconstructable blocks (merged captions, figure boxes with
+    char_start=-1) pass through untouched.
     """
     out = []
     for b in blocks:
         cs, ce = b.get("char_start", -1), b.get("char_end", -1)
         if (cs is not None and cs >= 0 and b.get("text") is not None
                 and text[cs:ce] == b["text"]):
-            out.append({"block_id": b["block_id"],
-                        "page_index": b["page_index"],
-                        "label": b["label"],
-                        "char_start": cs, "char_end": ce})
+            slim = dict(b)
+            del slim["text"]
+            out.append(slim)
         else:
             out.append(b)
     return out
@@ -163,11 +160,19 @@ def _extract_batches_fn(blocks_mode: str):
     Imports stay inside the function so the worker resolves them from the
     --py-files-shipped package, and heavyweight per-executor state (model
     singletons in production, dictionaries here) initializes lazily once.
+
+    Kernel-behavior env flags are captured HERE, driver-side, and
+    re-exported into the worker env — executors on a real cluster do not
+    inherit the driver's environment, and a flag read lazily in a core
+    module would silently fall back to the executor's default.
     """
     offsets = blocks_mode == "offsets"
+    symspell_case = os.environ.get("OCR_SPARK_SYMSPELL_CASE")
 
     def _extract_batches(
             batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if symspell_case is not None:
+            os.environ["OCR_SPARK_SYMSPELL_CASE"] = symspell_case
         from ocr_spark.core.extract import extract_document
 
         col_names = [f.name for f in EXTRACT_RESULT_SCHEMA]

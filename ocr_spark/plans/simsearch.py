@@ -252,6 +252,45 @@ def _sql_signature() -> str:
     return " || ".join(bits)
 
 
+def _banded_corpus(spark: SparkSession, sf_dir: str,
+                   cap: int | None) -> DataFrame:
+    """Corpus vectors exploded to (vec_id, v, nrm, band, bucket) — the
+    shared banding scheme (EMB_LSH_BANDS bands of EMB_BAND_BITS sign
+    bits each). ``cap`` drops degenerate buckets BEFORE any self-join
+    (the near-dup path, where a hot bucket is O(n²)); ``None`` keeps
+    all buckets (the probing path, whose per-query work is bounded by
+    the probe list, not by bucket²)."""
+    emb = t(spark, sf_dir).select(
+        "vec_id", _vecd().alias("v")
+    ).withColumn("nrm", _norm(F.col("v")))
+    sig = emb.withColumn("sig", _lsh_signature(F.col("v")))
+    bands = sig.select(
+        "vec_id", "v", "nrm", "sig",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.substring("sig", b * EMB_BAND_BITS + 1,
+                            EMB_BAND_BITS).alias("bucket"))
+            for b in range(EMB_LSH_BANDS)
+        ])).alias("bb"),
+    ).select("vec_id", "v", "nrm", "bb.band", "bb.bucket")
+    if cap is not None:
+        w = Window.partitionBy("band", "bucket")
+        bands = (bands.withColumn("bucket_n", F.count(F.lit(1)).over(w))
+                 .filter(F.col("bucket_n") <= cap)
+                 .drop("bucket_n"))
+    return bands
+
+
+# the same banding scheme as a SQL fragment (corpus side of both the
+# near-dup and multi-probe oracles)
+_SQL_BANDS_FRAGMENT = " UNION ALL ".join(
+    f"SELECT vec_id, v, nrm, {b} AS band, "
+    f"substring(sig, {b * EMB_BAND_BITS + 1}, {EMB_BAND_BITS}) AS bucket "
+    f"FROM sig"
+    for b in range(EMB_LSH_BANDS))
+
+
 def emb_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH near-dup pairs, banded: the 16-bit sign signature is
     split into EMB_LSH_BANDS bands of EMB_BAND_BITS bits; vectors sharing
@@ -263,24 +302,7 @@ def emb_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets larger than EMB_BUCKET_CAP are dropped BEFORE the self-join
     (window count on the same shuffle key), so clustered real embeddings
     can never force an O(n²) bucket."""
-    emb = t(spark, sf_dir).select(
-        "vec_id", _vecd().alias("v")
-    ).withColumn("nrm", _norm(F.col("v")))
-    sig = emb.withColumn("sig", _lsh_signature(F.col("v")))
-    bands = sig.select(
-        "vec_id", "v", "nrm",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.substring("sig", b * EMB_BAND_BITS + 1,
-                            EMB_BAND_BITS).alias("bucket"))
-            for b in range(EMB_LSH_BANDS)
-        ])).alias("bb"),
-    ).select("vec_id", "v", "nrm", "bb.band", "bb.bucket")
-    w = Window.partitionBy("band", "bucket")
-    bands = (bands.withColumn("bucket_n", F.count(F.lit(1)).over(w))
-             .filter(F.col("bucket_n") <= EMB_BUCKET_CAP)
-             .drop("bucket_n"))
+    bands = _banded_corpus(spark, sf_dir, cap=EMB_BUCKET_CAP)
     a = bands.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
                      F.col("nrm").alias("na"), "band", "bucket")
     b = bands.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
@@ -302,11 +324,7 @@ WITH e AS (
 ), sig AS (
   SELECT vec_id, v, nrm, {_sql_signature()} AS sig FROM n
 ), bands AS (
-  {" UNION ALL ".join(
-      f"SELECT vec_id, v, nrm, {b} AS band, "
-      f"substring(sig, {b * EMB_BAND_BITS + 1}, {EMB_BAND_BITS}) AS bucket "
-      f"FROM sig"
-      for b in range(EMB_LSH_BANDS))}
+  {_SQL_BANDS_FRAGMENT}
 ), capped AS (
   SELECT * FROM (
     SELECT vec_id, v, nrm, band, bucket,
@@ -449,20 +467,12 @@ def emb_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query-side only (tiny, broadcast), so the single corpus-side
     operation is an equi-join on (band, bucket). Candidates are deduped
     per (query, neighbor), exact-cosine-verified, and ranked top-k."""
+    corpus = _banded_corpus(spark, sf_dir, cap=None)
+
     emb = t(spark, sf_dir).select(
         "vec_id", _vecd().alias("v")
     ).withColumn("nrm", _norm(F.col("v")))
     sig = emb.withColumn("sig", _lsh_signature(F.col("v")))
-    corpus = sig.select(
-        "vec_id", "v", "nrm",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     F.substring("sig", b * EMB_BAND_BITS + 1,
-                                 EMB_BAND_BITS).alias("bucket"))
-            for b in range(EMB_LSH_BANDS)
-        ])).alias("bb"),
-    ).select("vec_id", "v", "nrm", "bb.band", "bb.bucket")
-
     q = sig.filter(F.col("vec_id") < N_QUERIES)
     probe_structs = []
     for b in range(EMB_LSH_BANDS):
@@ -506,11 +516,7 @@ WITH e AS (
 ), sig AS (
   SELECT vec_id, v, nrm, {_sql_signature()} AS sig FROM n
 ), corpus AS (
-  {" UNION ALL ".join(
-      f"SELECT vec_id, v, nrm, {b} AS band, "
-      f"substring(sig, {b * EMB_BAND_BITS + 1}, {EMB_BAND_BITS}) AS bucket "
-      f"FROM sig"
-      for b in range(EMB_LSH_BANDS))}
+  {_SQL_BANDS_FRAGMENT}
 ), qb AS (
   SELECT vec_id AS q_id, v AS qv, nrm AS qn, band,
          substring(sig, band * {EMB_BAND_BITS} + 1, {EMB_BAND_BITS})

@@ -16,10 +16,10 @@ def main() -> str:
             if "__pycache__" in dirpath:
                 continue
             for fn in sorted(filenames):
-                # .txt: the SymSpell en-80k dictionary ships with the
-                # package (wordseg loads it via importlib.resources,
-                # which works from inside the zip)
-                if fn.endswith((".py", ".txt")):
+                # .txt: the SymSpell en-80k dictionary; .json: model
+                # artifacts (layout_stub_v1.json) — both loaded via
+                # importlib.resources, which works from inside the zip
+                if fn.endswith((".py", ".txt", ".json")):
                     full = os.path.join(dirpath, fn)
                     zf.write(full, os.path.relpath(full, ROOT))
     print(out)

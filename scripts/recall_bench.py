@@ -45,9 +45,11 @@ def main() -> int:
                             "vector lower bound")}
 
     # ---- ANN recall@k vs brute force --------------------------------
+    # ONE brute-force run; both truth sets (top-5 and the IVF top-3
+    # subset) come from the same collected ranking
     k = simsearch.TOPK
-    truth = {(r.q_id, r.neighbor_id)
-             for r in simsearch.emb_cosine_topk(spark, sf_dir).collect()}
+    truth_rows = simsearch.emb_cosine_topk(spark, sf_dir).collect()
+    truth = {(r.q_id, r.neighbor_id) for r in truth_rows}
     n_truth = len(truth)
 
     emb = simsearch.t(spark, sf_dir)
@@ -55,9 +57,8 @@ def main() -> int:
     n_cells = emb.select("label").distinct().count()
 
     # per-method truth at the method's own k (IVF returns top-3)
-    truth3 = {(r.q_id, r.neighbor_id)
-              for r in simsearch.emb_cosine_topk(spark, sf_dir)
-              .filter(F.col("rank") <= simsearch.IVF_TOPK).collect()}
+    truth3 = {(r.q_id, r.neighbor_id) for r in truth_rows
+              if r.rank <= simsearch.IVF_TOPK}
 
     mp = {(r.q_id, r.neighbor_id)
           for r in simsearch.emb_lsh_multiprobe_topk(spark, sf_dir)

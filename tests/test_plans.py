@@ -62,6 +62,31 @@ def test_minhash_is_narrow_map(spark):
     assert n_shuffles(plan) == 0 and "BroadcastExchange" not in plan
 
 
+def test_cube_and_grouping_sets_single_shuffle(spark):
+    """CUBE / GROUPING SETS must stay expand → partial agg → ONE
+    shuffle keyed on (gid, keys) — a grouping-set implementation that
+    unions N separate aggregations would show N shuffles."""
+    from ocr_spark.plans.relational_extra import li_cube, li_grouping_sets
+    for q in (li_cube, li_grouping_sets):
+        df = q(spark, SF)
+        assert n_shuffles(fmt(df)) == 1, q.__name__
+        assert "partial" in df._jdf.queryExecution().executedPlan() \
+            .toString()
+
+
+def test_funnel_joins_are_user_cardinality(spark):
+    """The funnel chains per-user aggregates: every join input is
+    one-row-per-user (aggregated before joining), so no join can be
+    event×event; partial aggregation must survive."""
+    from ocr_spark.plans.relational_extra import ev_funnel_conversion
+    df = ev_funnel_conversion(spark, SF)
+    plan = fmt(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_min" in df._jdf.queryExecution().executedPlan() \
+        .toString()
+
+
 def test_gopher_filter_is_narrow_map(spark):
     """The quality-filter decision is a per-row expression map: zero
     shuffles, zero broadcasts — scales linearly with input splits."""
