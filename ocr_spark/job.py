@@ -101,26 +101,35 @@ def _run_chain(spark: SparkSession, input_table_root: str, work_dir: str,
     keyed on its own sid — the uniform (snapshot, bucket) checkpoint
     granularity that lets full runs, incremental runs, and reruns
     compose without ever re-extracting (duplicating) a processed
-    snapshot's rows."""
+    snapshot's rows.
+
+    Chain-invariant bookkeeping happens ONCE per job, not per snapshot:
+    one roll-forward pass, one checkpoint-table scan (grouped by
+    snapshot), one run_id shared by every snapshot's metrics rows."""
+    from ocr_spark.operators.bookkeeping import completed_buckets_by_snapshot
     from ocr_spark.sources import PAGES_SCHEMA
-    combined: dict = {"run_id": None, "input_snapshot": input_sid,
+
+    rolled_forward = _roll_forward_orphans(spark, work_dir)
+    done_by_sid = completed_buckets_by_snapshot(spark, work_dir)
+    run_id = uuid.uuid4().hex[:12]
+    combined: dict = {"run_id": run_id, "input_snapshot": input_sid,
                       "output_snapshots": [], "buckets_skipped": 0,
                       "buckets_processed": 0, "docs": 0,
-                      "rolled_forward": 0, "snapshots_processed": 0}
+                      "rolled_forward": rolled_forward,
+                      "snapshots_processed": 0}
     for sid in sids:
         data_dir = shim.read_manifest(input_table_root, sid)["data_dir"]
         pages = spark.read.schema(PAGES_SCHEMA).parquet(data_dir)
         s = _run_waves(
             spark, pages, work_dir, sid, [data_dir],
+            run_id=run_id, done=done_by_sid.get(sid, set()),
             partitions=partitions, big_partitions=big_partitions,
             big_threshold=big_threshold, n_buckets=n_buckets, waves=waves,
             fail_after_waves=fail_after_waves, fail_point=fail_point)
-        combined["run_id"] = s["run_id"]
         combined["output_snapshots"] += s["output_snapshots"]
         combined["buckets_skipped"] += s["buckets_skipped"]
         combined["buckets_processed"] += s["buckets_processed"]
         combined["docs"] += s["docs"]
-        combined["rolled_forward"] += s["rolled_forward"]
         combined["snapshots_processed"] += 1
     return combined
 
@@ -129,11 +138,17 @@ def _run_waves(spark: SparkSession, pages: DataFrame, work_dir: str,
                input_sid: str, input_files: list[str], *,
                partitions: int, big_partitions: int, big_threshold: int,
                n_buckets: int, waves: int,
+               run_id: str | None = None,
+               done: set[int] | None = None,
                fail_after_waves: int | None = None,
                fail_point: str = "after_wave") -> dict:
-    rolled_forward = _roll_forward_orphans(spark, work_dir)
-    done = completed_buckets(spark, work_dir, input_sid)
-    run_id = uuid.uuid4().hex[:12]
+    """One snapshot's waves. ``run_id``/``done`` are normally provided
+    by _run_chain (shared id, single checkpoint scan); standalone calls
+    fall back to computing them here."""
+    if done is None:
+        _roll_forward_orphans(spark, work_dir)
+        done = completed_buckets(spark, work_dir, input_sid)
+    run_id = run_id or uuid.uuid4().hex[:12]
 
     all_buckets = list(range(n_buckets))
     todo = [b for b in all_buckets if b not in done]
@@ -194,7 +209,6 @@ def _run_waves(spark: SparkSession, pages: DataFrame, work_dir: str,
         "buckets_skipped": len(done),
         "buckets_processed": len(todo),
         "docs": docs_total,
-        "rolled_forward": rolled_forward,
     }
 
 
@@ -210,36 +224,30 @@ def run_incremental_extraction_job(spark: SparkSession,
     over the snapshot chain, without Structured Streaming.
 
     Logic: walk the input table's parent chain from CURRENT back to the
-    most recent snapshot that has checkpoint rows; read only the data
-    dirs added after it; run the normal salted wave pipeline keyed on
-    the NEW snapshot id (so bucket-level resume works within the
-    increment too). Falls back to the full job when nothing was ever
-    processed (or no processed ancestor exists) — and the full job reads
-    the ENTIRE snapshot chain, so a first-ever run on a multi-snapshot
-    table covers every ancestor's rows; no-ops when CURRENT is already
-    processed... except for bucket-level resume of a partially processed
-    CURRENT, which the full-job path already handles over the same
-    snapshot.
+    most recent snapshot whose bucket set is FULLY checkpointed (a
+    snapshot with only partial checkpoints is NOT a valid base — its
+    unfinished buckets would be silently lost); process everything
+    after it, each snapshot keyed on its own sid (so bucket-level resume
+    works within the increment too). Falls back to the full job when no
+    fully-processed ancestor exists — and the full job walks the ENTIRE
+    chain, skipping completed buckets per snapshot; no-ops when CURRENT
+    (and its ancestors) are already fully processed.
     """
     input_sid = shim.current_snapshot_id(input_table_root)
     if input_sid is None:
         raise FileNotFoundError(f"no input snapshot at {input_table_root}")
 
-    from ocr_spark.operators.bookkeeping import processed_input_snapshots
-    processed = processed_input_snapshots(spark, work_dir)
+    from ocr_spark.operators.bookkeeping import completed_buckets_by_snapshot
+    done_by_sid = completed_buckets_by_snapshot(spark, work_dir)
 
-    if input_sid in processed or not processed:
-        # partially-done CURRENT (bucket resume) or first-ever run
-        return run_extraction_job(
-            spark, input_table_root, work_dir, partitions=partitions,
-            big_partitions=big_partitions, big_threshold=big_threshold,
-            n_buckets=n_buckets, waves=waves)
+    def fully_done(sid: str) -> bool:
+        return len(done_by_sid.get(sid, ())) >= n_buckets
 
-    # nearest processed ancestor
+    # newest FULLY-processed ancestor (or CURRENT itself)
     base = None
-    sid = shim.read_manifest(input_table_root, input_sid).get("parent_id")
+    sid = input_sid
     while sid is not None:
-        if sid in processed:
+        if fully_done(sid):
             base = sid
             break
         sid = shim.read_manifest(input_table_root, sid).get("parent_id")
@@ -252,7 +260,9 @@ def run_incremental_extraction_job(spark: SparkSession,
     # the snapshots strictly after base, oldest → newest, each processed
     # keyed on ITS OWN sid (same (snapshot, bucket) checkpoint unit as
     # the full job, so the two paths compose: a later full run sees the
-    # increment's per-snapshot checkpoints and skips them)
+    # increment's per-snapshot checkpoints and skips them). base being
+    # fully done makes excluding it safe; any PARTIALLY-done snapshot is
+    # after base by construction and gets its remaining buckets resumed.
     chain = shim.history(input_table_root)
     added_sids = chain[chain.index(base) + 1:]
     summary = _run_chain(

@@ -154,6 +154,23 @@ def commit_bucket_bookkeeping(spark: SparkSession, extracted: DataFrame,
     return int(docs_total)
 
 
+def completed_buckets_by_snapshot(spark: SparkSession,
+                                  work_dir: str) -> dict[str, set[int]]:
+    """Committed buckets for EVERY input snapshot in one checkpoint-table
+    scan — the chain-processing loop and the incremental base walk both
+    need per-snapshot completion state, and N separate filtered reads of
+    a growing parquet would pay N Spark jobs for one table's content."""
+    path = checkpoints_path(work_dir)
+    if not os.path.exists(path):
+        return {}
+    rows = (spark.read.schema(CHECKPOINT_SCHEMA).parquet(path)
+            .select("snapshot_id", "url_hash_bucket").distinct().collect())
+    out: dict[str, set[int]] = {}
+    for r in rows:
+        out.setdefault(r.snapshot_id, set()).add(r.url_hash_bucket)
+    return out
+
+
 def processed_input_snapshots(spark: SparkSession, work_dir: str) -> set[str]:
     """Input snapshot ids with any checkpoint rows — the incremental
     job walks the input snapshot chain back to the newest member of

@@ -173,6 +173,10 @@ def _extract_batches_fn(blocks_mode: str):
             batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if symspell_case is not None:
             os.environ["OCR_SPARK_SYMSPELL_CASE"] = symspell_case
+        else:
+            # reused Python workers outlive jobs: clear any value a
+            # previous job exported, or this job silently inherits it
+            os.environ.pop("OCR_SPARK_SYMSPELL_CASE", None)
         from ocr_spark.core.extract import extract_document
 
         col_names = [f.name for f in EXTRACT_RESULT_SCHEMA]

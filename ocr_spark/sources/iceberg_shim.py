@@ -161,7 +161,12 @@ def read_table_at(spark: SparkSession, table_root: str, snapshot_id: str,
     """Full logical table content at ``snapshot_id``: ONE multi-path
     parquet read over the snapshot chain's data dirs (a single scan node
     — the plan stays O(1) no matter how many incremental commits exist,
-    unlike a per-snapshot union)."""
+    unlike a per-snapshot union).
+
+    This is the READ-side API (analytics over an append-chain table).
+    The extraction JOB deliberately does not use it: processing walks
+    the chain per-snapshot so resume checkpoints stay (snapshot, bucket)
+    granular (see job._run_chain)."""
     dirs = chain_data_dirs(table_root, snapshot_id)
     reader = spark.read
     if schema is not None:

@@ -55,10 +55,12 @@ def test_spark_equals_sequential(spark, pages_table):
 
 
 def test_offsets_blocks_mode_roundtrips(spark, pages_table):
-    """OCR_SPARK_BLOCKS_MODE=offsets: blocks shed their duplicated
-    text/bbox payload (smaller Arrow IPC), and rehydrate_blocks restores
-    every reconstructable block's text bit-for-bit; doc text and all
-    counters are identical between modes."""
+    """OCR_SPARK_BLOCKS_MODE=offsets: reconstructable blocks shed ONLY
+    their duplicated text string (bbox/section_info are kept — not
+    derivable from offsets), and rehydrate_blocks restores the complete
+    block dict losslessly; doc text and all counters are identical
+    between modes. The 0.7 size bound holds because block text dominates
+    blocks_json on this corpus (whole-document spans for HTML blocks)."""
     from ocr_spark.operators.extraction import rehydrate_blocks, run_extraction
     from ocr_spark.sources import iceberg_shim as shim
 
@@ -342,6 +344,52 @@ def test_full_job_after_append_does_not_duplicate(spark, tmp_path):
 
     urls = [r.url for r in read_extracted(spark, work).select("url").collect()]
     assert len(urls) == 50 and len(set(urls)) == 50, "duplicates!"
+
+
+def test_incremental_resumes_partial_ancestor(spark, tmp_path):
+    """Crash mid-chain: s1 fully processed, s2 partially checkpointed,
+    s3 appended. The incremental base walk must NOT treat partially-done
+    s2 as processed — its remaining buckets resume, s3 extracts, and the
+    final table is complete with no duplicates."""
+    import pytest
+
+    from ocr_spark.job import (
+        read_extracted, run_extraction_job, run_incremental_extraction_job,
+    )
+    from ocr_spark.sources import iceberg_shim as shim
+
+    root = str(tmp_path / "pa_pages")
+    work = str(tmp_path / "pa_work")
+    rows = generate_pages(60, seed=17, oversized_rows=0)
+
+    def to_df(rs):
+        return spark.createDataFrame(
+            [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"])
+             for r in rs],
+            "url string, warc_ts timestamp, html binary, text string, "
+            "lang string")
+
+    shim.write_snapshot(to_df(rows[:20]), root, snapshot_id="p1")
+    assert run_extraction_job(spark, root, work, partitions=8,
+                              big_partitions=1, waves=2)["docs"] == 20
+
+    # s2 appended; the full run crashes after s2's first wave (s1 is
+    # already fully checkpointed, so the failure hits s2's processing)
+    shim.write_snapshot(to_df(rows[20:45]), root, snapshot_id="p2")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_extraction_job(spark, root, work, partitions=8,
+                           big_partitions=1, waves=4, fail_after_waves=1)
+    n_partial = read_extracted(spark, work).count()
+    assert 20 < n_partial < 45  # s2 partially committed
+
+    shim.write_snapshot(to_df(rows[45:]), root, snapshot_id="p3")
+    s = run_incremental_extraction_job(spark, root, work, partitions=8,
+                                       big_partitions=1, waves=2)
+    assert s["incremental_base"] == "p1", s  # p2 partial -> NOT a base
+    assert s["docs"] == 60 - n_partial, s
+
+    urls = [r.url for r in read_extracted(spark, work).select("url").collect()]
+    assert len(urls) == 60 and len(set(urls)) == 60
 
 
 def test_incremental_job_processes_only_added_snapshot(spark, tmp_path):
