@@ -315,6 +315,46 @@ FROM events GROUP BY strftime(ts, '%Y-%m-%d'), event_type
 """
 
 
+def ev_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) event-time windows: 1-hour windows every 30
+    minutes — each event lands in duration/slide = 2 windows. Spark's
+    ``F.window(ts, dur, slide)`` aligns window starts to the epoch; the
+    oracle replays that alignment with floor(epoch/slide) arithmetic.
+    Completes the windowing family next to tumbling (ev_daily) and
+    session (ev_session_window_native) windows."""
+    ev = t(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"),
+                       "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 4).alias("total_value"))
+            .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("window_start"),
+                    F.date_format("w.end", "yyyy-MM-dd HH:mm:ss")
+                    .alias("window_end"),
+                    "event_type", "n", "total_value"))
+
+
+EV_HOPPING_SQL = """
+WITH hopped AS (
+  SELECT event_type, value,
+         to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)
+                      - j.off * 1800) AS window_start,
+         ts
+  FROM events, (SELECT unnest(range(0, 2)) AS off) j
+), valid AS (
+  SELECT * FROM hopped
+  WHERE ts >= window_start
+    AND ts < window_start + INTERVAL 1 HOUR
+)
+SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(window_start + INTERVAL 1 HOUR,
+                '%Y-%m-%d %H:%M:%S') AS window_end,
+       event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+FROM valid
+GROUP BY window_start, event_type
+"""
+
+
 def ev_user_top2_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
@@ -473,6 +513,7 @@ SPARK_QUERIES = {
     "top3_customers_per_nation": top3_customers_per_nation,
     "ev_sessionize": ev_sessionize,
     "ev_daily_type_counts": ev_daily_type_counts,
+    "ev_hopping_counts": ev_hopping_counts,
     "ev_user_top2_by_value": ev_user_top2_by_value,
     "ev_props_json": ev_props_json,
     "docs_lang_stats": docs_lang_stats,
@@ -492,6 +533,7 @@ ORACLE_SQL = {
     "top3_customers_per_nation": TOP3_SQL,
     "ev_sessionize": EV_SESSION_SQL,
     "ev_daily_type_counts": EV_DAILY_SQL,
+    "ev_hopping_counts": EV_HOPPING_SQL,
     "ev_user_top2_by_value": EV_TOP2_SQL,
     "ev_props_json": EV_PROPS_SQL,
     "docs_lang_stats": DOCS_LANG_SQL,
