@@ -248,6 +248,42 @@ def test_segmentation_exact_substrings():
         assert s in para
 
 
+def test_compact_rehydrate_edge_cases():
+    """Offsets-mode kernel edges: only blocks whose text EXACTLY equals
+    the doc-text slice are compacted; caption blocks (no offsets), null
+    text, and stale offsets pass through untouched."""
+    from ocr_spark.operators.extraction import compact_blocks, rehydrate_blocks
+
+    text = "hello world of text"
+    blocks = [
+        # reconstructable: compacted, text dropped, bbox kept
+        {"block_id": 0, "page_index": 0, "label": "text",
+         "bbox": [0.1, 0.2, 0.3, 0.4], "text": "hello world",
+         "char_start": 0, "char_end": 11, "section_info": "2"},
+        # caption with text but no offsets: untouched
+        {"block_id": 1, "page_index": 0, "label": "figure",
+         "bbox": None, "text": "Figure 1: a caption",
+         "char_start": -1, "char_end": -1, "section_info": None},
+        # null text: untouched
+        {"block_id": 2, "page_index": 0, "label": "image",
+         "bbox": [0, 0, 1, 1], "text": None,
+         "char_start": -1, "char_end": -1, "section_info": None},
+        # STALE offsets (slice mismatch): must NOT be compacted, or
+        # rehydration would silently corrupt the text
+        {"block_id": 3, "page_index": 0, "label": "text",
+         "bbox": None, "text": "does not match slice",
+         "char_start": 0, "char_end": 20, "section_info": None},
+    ]
+    compacted = compact_blocks(blocks, text)
+    assert "text" not in compacted[0]
+    assert compacted[0]["bbox"] == [0.1, 0.2, 0.3, 0.4]
+    assert compacted[0]["section_info"] == "2"
+    assert compacted[1] == blocks[1]
+    assert compacted[2] == blocks[2]
+    assert compacted[3] == blocks[3]  # stale offsets kept verbatim
+    assert rehydrate_blocks(text, compacted) == blocks
+
+
 def test_x6_spacing_perturbation():
     # the alpha/non-alpha token split + single-space join moves punctuation
     # spacing exactly like the reference (post.py:12-30)
