@@ -402,9 +402,17 @@ def docs_jaccard_verify_candidates(spark: SparkSession,
     cross-check of this path."""
     cands = docs_minhash_lsh_pairs(spark, sf_dir)
     docs = t(spark, sf_dir, "documents")
-    grams = (docs.select(
-        "doc_id", F.array_distinct(_shingles(_tokens())).alias("grams"))
-        .filter(F.size("grams") > 0))
+    # shingle ONLY the docs that appear in a candidate pair (left-semi
+    # against the tiny candidate id set): the verify stage's work is
+    # bounded by the candidates, not the corpus — at 100 TB the
+    # candidate set is orders of magnitude smaller than the input
+    cand_ids = (cands.select(F.col("doc_a").alias("doc_id"))
+                .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+                .distinct())
+    grams = (docs.join(cand_ids, "doc_id", "left_semi")
+             .select("doc_id",
+                     F.array_distinct(_shingles(_tokens())).alias("grams"))
+             .filter(F.size("grams") > 0))
     ga = grams.select(F.col("doc_id").alias("doc_a"),
                       F.col("grams").alias("grams_a"))
     gb = grams.select(F.col("doc_id").alias("doc_b"),
