@@ -405,9 +405,13 @@ def docs_jaccard_verify_candidates(spark: SparkSession,
     # shingle ONLY the docs that appear in a candidate pair (left-semi
     # against the tiny candidate id set): the verify stage's work is
     # bounded by the candidates, not the corpus — at 100 TB the
-    # candidate set is orders of magnitude smaller than the input
-    cand_ids = (cands.select(F.col("doc_a").alias("doc_id"))
-                .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+    # candidate set is orders of magnitude smaller than the input.
+    # cand_ids references the LSH subtree ONCE (explode, not a
+    # two-select union) so the plan carries 2 references to it total;
+    # exchange reuse collapses them at runtime, and a real pipeline
+    # materializes the candidate table between the stages anyway.
+    cand_ids = (cands.select(F.explode(F.array("doc_a", "doc_b"))
+                             .alias("doc_id"))
                 .distinct())
     grams = (docs.join(cand_ids, "doc_id", "left_semi")
              .select("doc_id",

@@ -337,8 +337,12 @@ def ev_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 EV_HOPPING_SQL = """
 WITH hopped AS (
   SELECT event_type, value,
-         to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)
-                      - j.off * 1800) AS window_start,
+         -- make_timestamp keeps the window start in the NAIVE timestamp
+         -- domain; to_timestamp would return TIMESTAMPTZ and the
+         -- naive-vs-tz comparison below silently drops every row on any
+         -- non-UTC host
+         make_timestamp((CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)
+                         - j.off * 1800) * 1000000) AS window_start,
          ts
   FROM events, (SELECT unnest(range(0, 2)) AS off) j
 ), valid AS (
