@@ -5,11 +5,18 @@ order-insensitive value hash (floats rounded) — a local approximation of
 the driver's CORRECTNESS gate.
 
 Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+
+Env ``ORACLE_TZ`` sets the DuckDB session TimeZone (default UTC-as-is):
+oracles must be timezone-independent (naive-timestamp domain only —
+DuckDB's to_timestamp/TIMESTAMPTZ comparisons silently change results
+with the host zone); run once with ORACLE_TZ=America/New_York to catch
+that class.
 """
 
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 import time
 
@@ -49,6 +56,9 @@ def main() -> int:
 
     spark = get_spark("check_oracle", master="local[8]")
     con = duckdb.connect()
+    tz = os.environ.get("ORACLE_TZ")
+    if tz:
+        con.execute(f"SET TimeZone='{tz}'")
     for name in TABLES:
         con.execute(
             f"CREATE VIEW {name} AS SELECT * FROM "
