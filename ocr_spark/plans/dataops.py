@@ -338,6 +338,86 @@ FROM v
 
 
 # --------------------------------------------------------------------------
+# SimHash near-duplicate pairs (banded Hamming search)
+# --------------------------------------------------------------------------
+
+SIMHASH_BANDS = 4                       # 4 bands × 8 bits over 32 bits
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+SIMHASH_MAX_HAMMING = 3                 # near-dup verification threshold
+SIMHASH_BUCKET_CAP = 50                 # same pre-join discipline as LSH
+
+
+def docs_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs over SimHash fingerprints: by pigeonhole, two
+    32-bit fingerprints within Hamming distance 3 agree EXACTLY on at
+    least one of 4 bands — so candidates come from equi-joins on band
+    buckets (never an all-pairs scan), then the true Hamming distance
+    verifies ≤ SIMHASH_MAX_HAMMING. Same scale shape as the MinHash
+    path: narrow fingerprint map, one capped band-bucket self-join."""
+    fp = docs_simhash(spark, sf_dir)
+    bands = fp.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.substring("simhash", b * SIMHASH_BAND_BITS + 1,
+                                 SIMHASH_BAND_BITS).alias("bucket"))
+            for b in range(SIMHASH_BANDS)
+        ])).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bucket")
+    w = Window.partitionBy("band", "bucket")
+    bands = (bands.withColumn("bucket_n", F.count(F.lit(1)).over(w))
+             .filter(F.col("bucket_n") <= SIMHASH_BUCKET_CAP)
+             .drop("bucket_n"))
+    a = bands.select(F.col("doc_id").alias("doc_a"),
+                     F.col("simhash").alias("sh_a"), "band", "bucket")
+    b = bands.select(F.col("doc_id").alias("doc_b"),
+                     F.col("simhash").alias("sh_b"), "band", "bucket")
+    pairs = (a.join(b, ["band", "bucket"])
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b", "sh_a", "sh_b").distinct())
+    hamming = F.aggregate(
+        F.zip_with(F.split("sh_a", ""), F.split("sh_b", ""),
+                   lambda x, y: F.when(x == y, 0).otherwise(1)),
+        F.lit(0), lambda acc, x: acc + x)
+    return (pairs.withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+            .select("doc_a", "doc_b", "hamming"))
+
+
+_SIMHASH_NEAR_DUP_SQL = f"""
+WITH fp AS (
+{_SIMHASH_SQL}
+), bands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, simhash, {b} AS band, "
+      f"substring(simhash, {b * SIMHASH_BAND_BITS + 1}, "
+      f"{SIMHASH_BAND_BITS}) AS bucket FROM fp"
+      for b in range(SIMHASH_BANDS))}
+), capped AS (
+  SELECT * FROM (
+    SELECT doc_id, simhash, band, bucket,
+           COUNT(*) OVER (PARTITION BY band, bucket) AS bucket_n
+    FROM bands
+  ) WHERE bucket_n <= {SIMHASH_BUCKET_CAP}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM capped a JOIN capped b USING (band, bucket)
+  WHERE a.doc_id < b.doc_id
+), ham AS (
+  SELECT doc_a, doc_b,
+         list_sum(list_transform(range(1, {SIMHASH_BITS + 1}),
+                  i -> CASE WHEN substring(sh_a, i, 1)
+                            = substring(sh_b, i, 1)
+                       THEN 0 ELSE 1 END)) AS hamming
+  FROM pairs
+)
+SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
+FROM ham WHERE hamming <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+# --------------------------------------------------------------------------
 # Exact n-gram Jaccard within blocking buckets
 # --------------------------------------------------------------------------
 
@@ -765,6 +845,7 @@ SPARK_QUERIES = {
     "docs_minhash_signature": docs_minhash_signature,
     "docs_minhash_lsh_pairs": docs_minhash_lsh_pairs,
     "docs_simhash": docs_simhash,
+    "docs_simhash_near_dup": docs_simhash_near_dup,
     "docs_ngram_jaccard_pairs": docs_ngram_jaccard_pairs,
     "docs_jaccard_verify_candidates": docs_jaccard_verify_candidates,
     "docs_gopher_filters": docs_gopher_filters,
@@ -779,6 +860,7 @@ ORACLE_SQL = {
     "docs_minhash_signature": _MINHASH_SIG_SQL,
     "docs_minhash_lsh_pairs": _LSH_PAIRS_SQL,
     "docs_simhash": _SIMHASH_SQL,
+    "docs_simhash_near_dup": _SIMHASH_NEAR_DUP_SQL,
     "docs_ngram_jaccard_pairs": _JACCARD_SQL,
     "docs_jaccard_verify_candidates": _JACCARD_VERIFY_SQL,
     "docs_gopher_filters": _GOPHER_SQL,

@@ -126,9 +126,12 @@ def test_lsh_self_joins_are_bucket_capped(spark):
     bucket self-join: the window-count cap column must appear in the
     optimized plan (a refactor that removes the cap turns a mass-dup
     page / clustered embeddings into an O(n²) bucket at 100 TB)."""
-    from ocr_spark.plans.dataops import docs_minhash_lsh_pairs
+    from ocr_spark.plans.dataops import (
+        docs_minhash_lsh_pairs, docs_simhash_near_dup,
+    )
     from ocr_spark.plans.simsearch import emb_lsh_near_dup
-    for q in (docs_minhash_lsh_pairs, emb_lsh_near_dup):
+    for q in (docs_minhash_lsh_pairs, emb_lsh_near_dup,
+              docs_simhash_near_dup):
         plan = q(spark, SF)._jdf.queryExecution().optimizedPlan().toString()
         assert "bucket_n" in plan, f"{q.__name__} lost its bucket cap"
         # the cap filter must sit below the join, not above it
