@@ -1,10 +1,21 @@
-"""Deterministic HTML wrapper for the driver's `documents` table.
+"""Deterministic multi-block HTML wrapper for the driver's `documents` table.
 
-Wraps each document's text in a boilerplate-laden page such that the
-extraction core provably round-trips: extracted text == the original
-``documents.text`` byte-for-byte. This turns the whole extraction engine
-into an oracle-checkable query — DuckDB just selects the original text
-(see plans/queries.py::extract_roundtrip).
+Wraps each document's text in a boilerplate-laden page whose CONTENT
+block structure varies deterministically with doc_id:
+
+  * an ``<h1>`` title block            — always        (label doc_title)
+  * an ``<h2>`` section heading        — doc_id % 3 == 0 (paragraph_title)
+  * the document text ``<p>``          — always        (label text)
+  * a closing ``<p>`` paragraph        — doc_id % 2 == 0 (label text)
+
+so every page yields 2–4 content blocks with non-trivial labels and char
+offsets, all recomputable in ANSI SQL from (doc_id, text) alone — the
+DuckDB oracle checks REAL block structure (labels, offsets, sequence
+edges), not a 1-block identity. Extracted text equals
+``expected_text_for_document(doc_id, text)`` byte-for-byte (content
+blocks join with "\\n\\n", core/html_extract.py::extract_html), so the
+driver's value-hash compare remains the north rule's
+byte-identical-text gate, executed end-to-end through Spark.
 
 The boilerplate shell (nav/ads/sidebar/footer, link-dense, bad-class
 containers) is derived deterministically from doc_id — no RNG, no state.
@@ -22,6 +33,42 @@ def url_for_document(doc_id: int) -> str:
     return f"doc://{doc_id}"
 
 
+def title_for_document(doc_id: int) -> str:
+    return f"Document {doc_id} Report"
+
+
+def heading_for_document(doc_id: int) -> str | None:
+    if doc_id % 3 == 0:
+        return f"Section {doc_id % 7} overview and summary"
+    return None
+
+
+def closing_for_document(doc_id: int) -> str | None:
+    if doc_id % 2 == 0:
+        return (f"This is the closing paragraph of document {doc_id} "
+                "in the corpus.")
+    return None
+
+
+def content_blocks_for_document(doc_id: int, text: str) -> list[tuple[str, str]]:
+    """The (label, text) content blocks the extractor must produce, in
+    order. Mirrored in SQL by plans/extract_queries.py's oracles."""
+    blocks = [("doc_title", title_for_document(doc_id))]
+    h2 = heading_for_document(doc_id)
+    if h2 is not None:
+        blocks.append(("paragraph_title", h2))
+    blocks.append(("text", text))
+    tail = closing_for_document(doc_id)
+    if tail is not None:
+        blocks.append(("text", tail))
+    return blocks
+
+
+def expected_text_for_document(doc_id: int, text: str) -> str:
+    return "\n\n".join(t for _lbl, t in
+                       content_blocks_for_document(doc_id, text))
+
+
 def html_for_document(doc_id: int, text: str) -> bytes:
     nav = "".join(
         f'<li><a href="/{w}{doc_id % 7}">{w}</a></li>' for w in _NAV_WORDS
@@ -29,11 +76,19 @@ def html_for_document(doc_id: int, text: str) -> bytes:
     foot = " ".join(
         f'<a href="/{w}">{w} {doc_id % 5}</a>' for w in _FOOT_WORDS
     )
+    h2 = heading_for_document(doc_id)
+    tail = closing_for_document(doc_id)
+    article = (
+        f"<h1>{_html.escape(title_for_document(doc_id))}</h1>"
+        + (f"<h2>{_html.escape(h2)}</h2>" if h2 is not None else "")
+        + f"<p>{_html.escape(text)}</p>"
+        + (f"<p>{_html.escape(tail)}</p>" if tail is not None else "")
+    )
     body = (
         f'<nav class="navbar"><ul>{nav}</ul></nav>'
         f'<header class="masthead"><span>site {doc_id % 13}</span></header>'
         f'<div class="ad-banner"><a href="/ad{doc_id % 11}">buy now today</a></div>'
-        f"<main><article><p>{_html.escape(text)}</p></article></main>"
+        f"<main><article>{article}</article></main>"
         f'<aside class="sidebar"><ul><li><a href="/r1">related one</a></li>'
         f'<li><a href="/r2">related two</a></li></ul></aside>'
         f"<footer><div>{foot}</div></footer>"

@@ -285,7 +285,13 @@ def compact_snapshots(spark: SparkSession, work_dir: str) -> dict:
     the staged compaction unreachable (rerun simply re-compacts).
     Roll-forward-safe: ``is_published`` treats compacted-away snapshot
     ids as published, so checkpoint bookkeeping referencing them never
-    rewinds CURRENT to a pre-compaction snapshot."""
+    rewinds CURRENT to a pre-compaction snapshot. Orphans are rolled
+    forward FIRST: a checkpointed-but-unpublished wave snapshot is
+    committed data, so it must be published (and thus absorbed) before
+    the chain is rewritten — otherwise the next job's roll-forward
+    would swap CURRENT to the orphan, whose parent chain is the
+    pre-compaction history, silently undoing the compaction."""
+    _roll_forward_orphans(spark, work_dir)
     root = output_root(work_dir)
     sids = shim.history(root) if shim.current_snapshot_id(root) else []
     if len(sids) <= 1:

@@ -3,15 +3,26 @@ membership) — relational form of the reference's networkx build.
 
 The reference materializes a ``networkx.DiGraph`` per document
 (/root/reference/service/core/graph.py:90-110): nodes are layout boxes
-(ids ``pg{p}_box{i}``, graph.py:18) filtered to VALID_NODE_TYPES, plus
-synthetic ``Section_1..29`` nodes; edges are ``sequence`` (next box per
-page in box order, graph.py:60-76) and ``hierarchical`` (box →
-``Section_<int(section_info)>``, graph.py:78-88). A driver-side graph
-object cannot exist at 100 TB; both edge types are pure relational
-operators over the typed blocks column:
+with ids ``pg{p}_box{i}`` where ``i`` is the box's ENUMERATE index
+within its page's box list, assigned over ALL boxes BEFORE any label
+filter (graph.py:16-18 ``load_and_transform_data``); the filter is the
+IGNORED_NODE_TYPES BLACKLIST (graph.py:92-94), so labels in neither
+list — notably the ``'None'`` relabel of unmatched caption targets
+(pre.py:202-204) — become real nodes with sequence edges. Synthetic
+``Section_1..29`` nodes carry ``hierarchical`` edges (box →
+``Section_<int(float(section_info))>``, graph.py:78-88); ``sequence``
+chains consecutive surviving boxes per page in box order
+(graph.py:60-76). A driver-side graph object cannot exist at 100 TB;
+both edge types are pure relational operators over the typed blocks
+column:
 
+  * box index = ``row_number() over (partition by url, page order by
+    block_id) - 1`` computed BEFORE the blacklist filter (blocks are
+    emitted in per-page box order, so this reproduces the reference's
+    per-page enumerate including ignored boxes);
   * sequence  = ``lead(node_id) over (partition by url, page order by
-    block order)`` — one window pass, shuffle keyed on (url, page);
+    block order)`` after the blacklist filter — one window pass,
+    shuffle keyed on (url, page);
   * hierarchical = a projection of blocks carrying ``section_info``
     (the synthetic section node id is derived, not joined — the
     reference's ``graph.has_node`` guard becomes a range filter).
@@ -25,13 +36,19 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
-# node-type whitelist/ignore lists: reference graph.py:40-48
+# node-type lists: reference graph.py:40-48. build_document_graph
+# filters with the IGNORED blacklist only (graph.py:92-94);
+# VALID_NODE_TYPES is exported for parity/documentation but is NOT the
+# node filter — labels in neither list (e.g. 'None') are nodes.
 VALID_NODE_TYPES = (
     "doc_title", "paragraph_title", "section",
     "text", "abstract", "references", "sidebar_text",
     "display_formula", "algorithm",
     "table", "figure", "chart", "image",
     "formula_number", "page_number", "number", "footnote", "chart_title",
+)
+IGNORED_NODE_TYPES = (
+    "header", "footer", "header_image", "footer_image", "seal",
 )
 N_SECTION_NODES = 29   # synthetic Section_1..29, graph.py:79-82
 
@@ -47,15 +64,21 @@ def document_graph_edges(extracted_typed: DataFrame) -> DataFrame:
 
     Blocks arrive in reading order (W1 restored them; block_id is the
     emission index), so the per-page sequence chain is a single
-    ``lead`` window — no driver-side graph object, no self-join."""
+    ``lead`` window — no driver-side graph object, no self-join. The
+    per-page box index (the ``i`` in ``pg{p}_box{i}``) is assigned over
+    ALL blocks, then ignored types are dropped by blacklist — both
+    exactly as the reference (graph.py:16-18, 92-94)."""
+    wi = Window.partitionBy("url", "page").orderBy("block_id")
     blocks = (extracted_typed
               .select("url", F.explode("blocks").alias("b"))
-              .filter(F.col("b.label").isin(*VALID_NODE_TYPES))
               .select("url",
                       F.col("b.page_index").alias("page"),
                       F.col("b.block_id").alias("block_id"),
-                      F.col("b.section_info").alias("section_info")))
-    nid = _node_id(F.col("page"), F.col("block_id"))
+                      F.col("b.label").alias("label"),
+                      F.col("b.section_info").alias("section_info"))
+              .withColumn("box_idx", F.row_number().over(wi) - F.lit(1))
+              .filter(~F.col("label").isin(*IGNORED_NODE_TYPES)))
+    nid = _node_id(F.col("page"), F.col("box_idx"))
 
     w = Window.partitionBy("url", "page").orderBy("block_id")
     seq = (blocks

@@ -353,7 +353,16 @@ def docs_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     least one of 4 bands — so candidates come from equi-joins on band
     buckets (never an all-pairs scan), then the true Hamming distance
     verifies ≤ SIMHASH_MAX_HAMMING. Same scale shape as the MinHash
-    path: narrow fingerprint map, one capped band-bucket self-join."""
+    path: narrow fingerprint map, one capped band-bucket self-join.
+
+    Recall caveat (same trade as emb_lsh_near_dup): SIMHASH_BUCKET_CAP
+    drops band buckets larger than 50 rows BEFORE the self-join, so the
+    pigeonhole guarantee holds only for pairs with at least one shared
+    band in a sub-cap bucket — a true near-dup pair whose EVERY shared
+    band lands in a hot bucket is not emitted. The output is a
+    recall-bounded candidate set (O(n²)-safety over completeness);
+    ``docs_simhash_dropped_bucket_rows`` reports the dropped coverage
+    so callers can see the trade at their data's skew."""
     fp = docs_simhash(spark, sf_dir)
     bands = fp.select(
         "doc_id", "simhash",
@@ -414,6 +423,59 @@ WITH fp AS (
 )
 SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
 FROM ham WHERE hamming <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+def docs_simhash_dropped_buckets(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Coverage observability for the SIMHASH_BUCKET_CAP recall trade:
+    per band, how many buckets exceeded the cap and how many fingerprint
+    rows were therefore excluded from the near-dup self-join. A caller
+    seeing a large dropped-row share knows the candidate set is
+    recall-bounded at their data's skew (see docs_simhash_near_dup)."""
+    fp = docs_simhash(spark, sf_dir)
+    bands = fp.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.substring("simhash", b * SIMHASH_BAND_BITS + 1,
+                                 SIMHASH_BAND_BITS).alias("bucket"))
+            for b in range(SIMHASH_BANDS)
+        ])).alias("bb"),
+    ).select("bb.band", "bb.bucket")
+    per_bucket = bands.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("bucket_n"))
+    return (per_bucket.groupBy("band").agg(
+        F.sum(F.when(F.col("bucket_n") > SIMHASH_BUCKET_CAP, 1)
+              .otherwise(0)).cast("long").alias("n_hot_buckets"),
+        F.sum(F.when(F.col("bucket_n") > SIMHASH_BUCKET_CAP,
+                     F.col("bucket_n")).otherwise(0)).cast("long")
+        .alias("n_dropped_rows"),
+    ).select(F.col("band").cast("int").alias("band"),
+             "n_hot_buckets", "n_dropped_rows"))
+
+
+_SIMHASH_DROPPED_SQL = f"""
+WITH fp AS (
+{_SIMHASH_SQL}
+), bands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {b} AS band, "
+      f"substring(simhash, {b * SIMHASH_BAND_BITS + 1}, "
+      f"{SIMHASH_BAND_BITS}) AS bucket FROM fp"
+      for b in range(SIMHASH_BANDS))}
+), per_bucket AS (
+  SELECT band, bucket, COUNT(*) AS bucket_n
+  FROM bands GROUP BY band, bucket
+)
+SELECT CAST(band AS INT) AS band,
+       CAST(COALESCE(SUM(CASE WHEN bucket_n > {SIMHASH_BUCKET_CAP}
+                          THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_hot_buckets,
+       CAST(COALESCE(SUM(CASE WHEN bucket_n > {SIMHASH_BUCKET_CAP}
+                          THEN bucket_n ELSE 0 END), 0) AS BIGINT)
+         AS n_dropped_rows
+FROM per_bucket GROUP BY band
 """
 
 
@@ -846,6 +908,7 @@ SPARK_QUERIES = {
     "docs_minhash_lsh_pairs": docs_minhash_lsh_pairs,
     "docs_simhash": docs_simhash,
     "docs_simhash_near_dup": docs_simhash_near_dup,
+    "docs_simhash_dropped_buckets": docs_simhash_dropped_buckets,
     "docs_ngram_jaccard_pairs": docs_ngram_jaccard_pairs,
     "docs_jaccard_verify_candidates": docs_jaccard_verify_candidates,
     "docs_gopher_filters": docs_gopher_filters,
@@ -861,6 +924,7 @@ ORACLE_SQL = {
     "docs_minhash_lsh_pairs": _LSH_PAIRS_SQL,
     "docs_simhash": _SIMHASH_SQL,
     "docs_simhash_near_dup": _SIMHASH_NEAR_DUP_SQL,
+    "docs_simhash_dropped_buckets": _SIMHASH_DROPPED_SQL,
     "docs_ngram_jaccard_pairs": _JACCARD_SQL,
     "docs_jaccard_verify_candidates": _JACCARD_VERIFY_SQL,
     "docs_gopher_filters": _GOPHER_SQL,

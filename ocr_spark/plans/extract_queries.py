@@ -1,11 +1,22 @@
 """Extraction-engine queries for the driver contract.
 
 ``extract_roundtrip`` is the flagship: wrap every ``documents`` row in a
-deterministic boilerplate-laden HTML page, push it through the full salted
-mapInPandas extraction pipeline, and return (url, text). The DuckDB oracle
-simply selects the original text — so the driver's value-hash compare
-*is* the north rule's byte-identical-text gate, executed end-to-end
-through Spark.
+deterministic boilerplate-laden MULTI-BLOCK HTML page (gen/wrap.py:
+title + optional section heading + document text + optional closing
+paragraph, 2-4 content blocks per page), push it through the full salted
+mapInPandas extraction pipeline, and return (url, text). The DuckDB
+oracle recomputes the expected extracted text from (doc_id, text) alone
+— so the driver's value-hash compare *is* the north rule's
+byte-identical-text gate, executed end-to-end through Spark.
+
+``extract_block_stats`` checks the structured output one level deeper:
+one row PER CONTENT BLOCK with label and char offsets, all recomputed
+independently in SQL (labels, block order, and the cumulative
+"\\n\\n"-joined offset arithmetic).
+
+``document_graph_edges`` closes the J4 loop: the per-page sequence
+chain over extracted typed blocks (operators/graph.py, reference
+graph.py:60-76) vs the SQL-derived expected chain.
 """
 
 from __future__ import annotations
@@ -15,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import BinaryType
 
 from ocr_spark.operators.extraction import run_extraction, with_typed_structs
+from ocr_spark.operators.graph import document_graph_edges
 
 
 def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -45,45 +57,111 @@ def extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extracted.select("url", "text")
 
 
-EXTRACT_ROUNDTRIP_SQL = """
-SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, text
-FROM documents
+# The expected content blocks, as SQL — MUST mirror
+# gen/wrap.py::content_blocks_for_document exactly.
+_BLOCKS_CTE = """
+WITH b AS (
+  SELECT doc_id, text,
+         'Document ' || CAST(doc_id AS VARCHAR) || ' Report' AS t_title,
+         CASE WHEN doc_id % 3 = 0
+              THEN 'Section ' || CAST(doc_id % 7 AS VARCHAR)
+                   || ' overview and summary' END AS t_heading,
+         CASE WHEN doc_id % 2 = 0
+              THEN 'This is the closing paragraph of document '
+                   || CAST(doc_id AS VARCHAR) || ' in the corpus.'
+              END AS t_closing
+  FROM documents
+), rows0 AS (
+  SELECT doc_id, 0 AS pos, 'doc_title' AS label, t_title AS btext FROM b
+  UNION ALL
+  SELECT doc_id, 1, 'paragraph_title', t_heading FROM b
+  WHERE t_heading IS NOT NULL
+  UNION ALL
+  SELECT doc_id, 2, 'text', text FROM b
+  UNION ALL
+  SELECT doc_id, 3, 'text', t_closing FROM b WHERE t_closing IS NOT NULL
+), seq AS (
+  SELECT doc_id, label, btext,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1
+              AS INT) AS block_id,
+         CAST(COALESCE(SUM(length(btext) + 2) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS INT) AS char_start
+  FROM rows0
+)
+"""
+
+EXTRACT_ROUNDTRIP_SQL = _BLOCKS_CTE + """
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+       string_agg(btext, chr(10) || chr(10) ORDER BY block_id) AS text
+FROM seq GROUP BY doc_id
 """
 
 
 def extract_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Block-level rollup over the structured output: content blocks per
-    document with char-offset integrity. Oracle-checkable because the
-    deterministic wrapper yields exactly ONE content block per document
-    spanning the full text."""
+    """One row per content block of the structured output: (url,
+    block_id, label, char_start, char_end, block_len) — the oracle
+    recomputes every value from (doc_id, text), so labels, block order,
+    and the cumulative offset arithmetic are all value-checked through
+    the full Spark pipeline."""
     pages = pages_from_documents(spark, sf_dir)
     extracted = with_typed_structs(run_extraction(pages, partitions=32,
                                                   big_partitions=2))
-    blocks = extracted.select("url", F.length("text").alias("text_len"),
-                              F.explode("blocks").alias("b"))
-    return blocks.groupBy("url").agg(
-        F.count("*").alias("n_blocks"),
-        F.min("b.char_start").alias("first_char"),
-        F.max("b.char_end").alias("last_char"),
-        F.first("text_len").alias("text_len"),
-    )
+    return (extracted.select("url", F.explode("blocks").alias("b"))
+            .select("url",
+                    F.col("b.block_id").alias("block_id"),
+                    F.col("b.label").alias("label"),
+                    F.col("b.char_start").alias("char_start"),
+                    F.col("b.char_end").alias("char_end"),
+                    F.length("b.text").alias("block_len")))
 
 
-EXTRACT_BLOCK_STATS_SQL = """
+EXTRACT_BLOCK_STATS_SQL = _BLOCKS_CTE + """
 SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
-       CAST(1 AS BIGINT) AS n_blocks,
-       CAST(0 AS INT) AS first_char,
-       CAST(length(text) AS INT) AS last_char,
-       CAST(length(text) AS INT) AS text_len
-FROM documents
+       block_id, label, char_start,
+       CAST(char_start + length(btext) AS INT) AS char_end,
+       CAST(length(btext) AS INT) AS block_len
+FROM seq
+"""
+
+
+def graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 through the full pipeline: extraction → typed blocks →
+    relational sequence edges (operators/graph.py). The wrapped HTML
+    corpus yields one page-0 chain per document over its 2-4 content
+    blocks; the oracle derives the same chain from doc_id. (The
+    hierarchical/blacklist/per-page-index semantics over multi-page
+    documents are pinned by tests/test_graph.py's reference replay —
+    HTML pages carry no section_info.)"""
+    pages = pages_from_documents(spark, sf_dir)
+    extracted = with_typed_structs(run_extraction(pages, partitions=32,
+                                                  big_partitions=2))
+    return document_graph_edges(extracted)
+
+
+GRAPH_EDGES_SQL = """
+WITH k AS (
+  SELECT doc_id,
+         2 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+           + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS n
+  FROM documents
+)
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+       'pg0_box' || CAST(i AS VARCHAR) AS src,
+       'pg0_box' || CAST(i + 1 AS VARCHAR) AS dst,
+       'sequence' AS edge_type
+FROM k, unnest(range(n - 1)) AS t(i)
 """
 
 SPARK_QUERIES = {
     "extract_roundtrip": extract_roundtrip,
     "extract_block_stats": extract_block_stats,
+    "document_graph_edges": graph_edges,
 }
 
 ORACLE_SQL = {
     "extract_roundtrip": EXTRACT_ROUNDTRIP_SQL,
     "extract_block_stats": EXTRACT_BLOCK_STATS_SQL,
+    "document_graph_edges": GRAPH_EDGES_SQL,
 }

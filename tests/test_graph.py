@@ -6,31 +6,36 @@ import json
 from ocr_spark.core.extract import extract_document
 from ocr_spark.gen.corpus import generate_pages
 from ocr_spark.operators.graph import (
-    N_SECTION_NODES, VALID_NODE_TYPES, document_graph_edges,
+    IGNORED_NODE_TYPES, N_SECTION_NODES, document_graph_edges,
 )
 
 
 def _expected_edges(url, blocks):
-    """Sequential replay of the reference semantics (graph.py:60-88):
-    per page, chain consecutive VALID nodes in block order; every node
-    with section_info in 1..29 points at its synthetic section node."""
-    nodes = [b for b in blocks if b["label"] in VALID_NODE_TYPES]
-    edges = set()
+    """Sequential replay of the reference semantics (graph.py:16-18,
+    60-94): node ids use the per-page enumerate index over ALL boxes
+    (assigned before any filter); nodes are filtered by the IGNORED
+    blacklist ('None' labels survive); per page, consecutive surviving
+    nodes chain in box order; every node with section_info in 1..29
+    points at its synthetic section node."""
     by_page: dict = {}
-    for b in nodes:
+    for b in sorted(blocks, key=lambda b: b["block_id"]):
         by_page.setdefault(b["page_index"], []).append(b)
+    edges = set()
+    nodes = []
     for page, pb in by_page.items():
-        pb.sort(key=lambda b: b["block_id"])
-        for a, b in zip(pb, pb[1:]):
-            edges.add((url, f"pg{page}_box{a['block_id']}",
-                       f"pg{page}_box{b['block_id']}", "sequence"))
-    for b in nodes:
+        kept = [(i, b) for i, b in enumerate(pb)
+                if b["label"] not in IGNORED_NODE_TYPES]
+        nodes.extend((page, i, b) for i, b in kept)
+        for (ia, _a), (ib, _b) in zip(kept, kept[1:]):
+            edges.add((url, f"pg{page}_box{ia}",
+                       f"pg{page}_box{ib}", "sequence"))
+    for page, i, b in nodes:
         si = b.get("section_info")
         if si is None:
             continue
         sec = int(float(si))
         if 1 <= sec <= N_SECTION_NODES:
-            edges.add((url, f"pg{b['page_index']}_box{b['block_id']}",
+            edges.add((url, f"pg{page}_box{i}",
                        f"Section_{sec}", "hierarchical"))
     return edges
 

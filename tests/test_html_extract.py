@@ -72,10 +72,17 @@ def test_entities_decoded():
 def test_wrap_roundtrip_random_texts():
     rng = random.Random(7)
     vocab = "the a of data scan filter join sort merge group stream".split()
+    from ocr_spark.gen.wrap import (
+        content_blocks_for_document, expected_text_for_document,
+    )
+
     for i in range(50):
         doc_text = " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 200)))
-        text, _ = extract_html(html_for_document(i, doc_text).decode())
-        assert text == doc_text, f"roundtrip drift at doc {i}"
+        text, blocks = extract_html(html_for_document(i, doc_text).decode())
+        assert text == expected_text_for_document(i, doc_text), \
+            f"roundtrip drift at doc {i}"
+        kept = [(b.label, b.text) for b in blocks if b.is_content]
+        assert kept == content_blocks_for_document(i, doc_text), i
 
 
 def test_extracted_is_subsequence_of_visible():

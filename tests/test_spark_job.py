@@ -282,6 +282,43 @@ def test_compact_snapshots(spark, pages_table, tmp_path):
     assert compact_snapshots(spark, work)["compacted"] == 0
 
 
+def test_compact_rolls_forward_orphans_first(spark, pages_table, tmp_path):
+    """A checkpointed-but-unpublished wave snapshot (crash window #2)
+    existing at compaction time must be published and ABSORBED by the
+    compacted snapshot — otherwise the next job's roll-forward swaps
+    CURRENT to the orphan (whose parent chain is the pre-compaction
+    history), making the compacted snapshot unreachable and silently
+    undoing the compaction."""
+    from ocr_spark.job import (
+        compact_snapshots, read_extracted, run_extraction_job,
+    )
+    from ocr_spark.sources import iceberg_shim as shim
+
+    root, _rows = pages_table
+    work = str(tmp_path / "work_compact_orphan")
+    with pytest.raises(RuntimeError, match="after bookkeeping"):
+        run_extraction_job(spark, root, work, partitions=16,
+                           big_partitions=2, waves=4, fail_after_waves=2,
+                           fail_point="after_bookkeeping")
+    out_root = os.path.join(work, "extracted")
+
+    summary = compact_snapshots(spark, work)
+    # the orphan was published first, so it is absorbed: single-snapshot
+    # history, orphan data included
+    assert summary["compacted"] == 2
+    assert shim.history(out_root) == [summary["snapshot"]]
+
+    # next run completes the remaining buckets WITHOUT resurrecting the
+    # pre-compaction chain: nothing left to roll forward, and the
+    # compacted snapshot stays reachable as an ancestor of CURRENT
+    s2 = run_extraction_job(spark, root, work, partitions=16,
+                            big_partitions=2, waves=4)
+    assert s2["rolled_forward"] == 0
+    assert summary["snapshot"] in shim.history(out_root)
+    urls = [r.url for r in read_extracted(spark, work).select("url").collect()]
+    assert len(urls) == N_ROWS and len(set(urls)) == N_ROWS
+
+
 def test_first_run_on_multi_snapshot_table_reads_whole_chain(spark, tmp_path):
     """A first-ever (or incremental-fallback) run against a table that
     already has several append-chain snapshots must extract EVERY
