@@ -187,3 +187,47 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_bkt_left")
         spark.sql("DROP TABLE IF EXISTS t_bkt_right")
+
+
+def test_near_dup_cluster_iteration_keyed_on_doc_id(spark):
+    """One label-propagation round must be: equi-join on src + groupBy
+    doc_id — every shuffle hash-partitioned on a doc-id key, no
+    cartesian/broadcast-nested-loop anywhere, so a round's cost is
+    O(edges) shuffled once at any scale."""
+    from pyspark.sql import functions as F
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long")
+    edges = (pairs.select(F.col("doc_a").alias("src"),
+                          F.col("doc_b").alias("dst"))
+             .union(pairs.select(F.col("doc_b").alias("src"),
+                                 F.col("doc_a").alias("dst"))).distinct())
+    labels = (edges.select(F.col("src").alias("doc_id")).distinct()
+              .withColumn("label", F.col("doc_id")))
+    prop = (edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
+            .select(F.col("dst").alias("doc_id"), "label"))
+    one_round = (labels.union(prop).groupBy("doc_id")
+                 .agg(F.min("label").alias("label")))
+    plan = fmt(one_round)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # every shuffle exchange is keyed on a doc-id column (src/doc_id)
+    for ln in plan.splitlines():
+        if "Arguments: hashpartitioning" in ln:
+            assert re.search(r"hashpartitioning\((?:src|doc_id)#", ln), ln
+
+
+def test_near_dup_clusters_chain_and_isolated(spark):
+    """Min-label propagation over a 5-node path (diameter 4 — needs
+    several rounds), a separate 2-clique, and no isolated nodes in the
+    output (docs with no verified pair are not 'clusters of one')."""
+    from ocr_spark.plans.dataops import near_dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (4, 5), (10, 11)],
+        "doc_a long, doc_b long")
+    got = {r.doc_id: (r.cluster_id, r.is_keeper)
+           for r in near_dup_clusters(pairs).collect()}
+    assert got == {1: (1, True), 2: (1, False), 3: (1, False),
+                   4: (1, False), 5: (1, False),
+                   10: (10, True), 11: (10, False)}
