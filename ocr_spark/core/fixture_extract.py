@@ -24,8 +24,10 @@ from __future__ import annotations
 
 import copy
 import json
+import os
 import re
 
+from ocr_spark.core.artifacts import load_artifact
 from ocr_spark.core.boxes import TARGET_LABELS, process_page_boxes
 from ocr_spark.core.lines import reconstruct_lines
 from ocr_spark.core.mentions import tag_mentions
@@ -78,6 +80,54 @@ def _page_header_strings(raw_boxes: list[dict]) -> list[str]:
     return out
 
 
+DEFAULT_LAYOUT_ARTIFACT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data",
+    "layout_head_v1.json")
+
+
+def apply_layout_head(raw_boxes: list[dict]) -> list[dict]:
+    """U1 model-artifact seam (the slot-in dry run, ROADMAP #2 /
+    VERDICT r2 next-round #4).
+
+    Default (``OCR_SPARK_LAYOUT_IMPL=fixture``): the payload's boxes ARE
+    the layout-model output — pass through.
+
+    ``OCR_SPARK_LAYOUT_IMPL=artifact``: every box is routed through a
+    REAL artifact file loaded once per worker (core/artifacts.py, the
+    same executor-lazy path a GPU model would use): labels are encoded
+    into the artifact's class-id vocabulary and decoded back
+    (reference layout head shape: detector emits cls_id+score, the
+    vocab maps id→label, layout.py:88-89), and the artifact's
+    ``score_threshold`` gates boxes (F7 — 0.0 in the shipped artifact,
+    preserving the reference's disabled threshold, pre.py). Output is
+    byte-identical to the fixture path (pinned by goldens run under
+    the flag) — swapping real detector weights in changes what fills
+    ``cls_id``/``score``, not this plumbing. A vocabulary mismatch
+    raises loudly (KeyError), exactly like a wrong label map in
+    production — the negative test pins that the artifact is live."""
+    if os.environ.get("OCR_SPARK_LAYOUT_IMPL", "fixture") != "artifact":
+        return raw_boxes
+    path = os.environ.get("OCR_SPARK_LAYOUT_ARTIFACT",
+                          DEFAULT_LAYOUT_ARTIFACT)
+    model = load_artifact(path)
+    index = model.get("_label_index")
+    if index is None:
+        index = {lbl: i for i, lbl in enumerate(model["labels"])}
+        model["_label_index"] = index   # memoized on the cached artifact
+    vocab = model["labels"]
+    thr = float(model["score_threshold"])
+    out = []
+    for b in raw_boxes:
+        cls = index[b["label"]]        # encode: label -> class id
+        if float(b.get("score", 1.0)) < thr:
+            continue
+        nb = dict(b)
+        nb["cls_id"] = cls
+        nb["label"] = vocab[cls]       # decode: class id -> label
+        out.append(nb)
+    return out
+
+
 def build_structured_pages(doc: dict) -> list[dict]:
     """layout_detection analog (layout.py:85-177): geometry passes + section
     stamping; returns pages with final box lists, sorted by page_index."""
@@ -86,7 +136,7 @@ def build_structured_pages(doc: dict) -> list[dict]:
     structured = []
     prev_raw: list[dict] | None = None
     for page in pages_in:
-        raw_boxes = page.get("boxes") or []
+        raw_boxes = apply_layout_head(page.get("boxes") or [])
         # the reference re-reads pristine model output for the header scan
         # (layout.py:127,145 re-fetch res.json['res']) while the geometry
         # passes mutate a shared copy — deep-copy so both views exist

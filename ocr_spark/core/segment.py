@@ -23,7 +23,24 @@ pysbd-en behavior classes the corpus (and adversarial tests) exercise:
     boundary run and stays with the preceding sentence when followed by
     whitespace + capital; ``I... don't`` (lowercase next) does not split;
   * **quotes** — ``He said "Stop." Then…`` splits AFTER the closing
-    quote, keeping the quote with its sentence (pysbd quotation handling).
+    quote, keeping the quote with its sentence (pysbd quotation handling);
+  * **list markers** (pysbd ListItemReplacer / alphabetical-list rules,
+    long-tail classes from VERDICT r2 #6) — a numbered or lettered list
+    marker (``1.``, ``(12)``, ``a.``, ``B.``, roman-style single
+    letters) that is the ENTIRE sentence-so-far attaches to its item
+    instead of becoming a one-token sentence: ``1. Install it. 2. Run
+    it.`` → ``["1. Install it.", "2. Run it."]``. The same rule keeps
+    name initials (``A. Einstein``) and roman section markers
+    (``I. Introduction``) unsplit;
+  * **multi-char punctuation** — ``!!``/``?!``/``!?`` runs and the
+    Unicode ellipsis ``…`` are consumed as ONE boundary run (``Stop!!
+    Now.`` splits after ``!!``; ``Wait… what?`` does not split before a
+    lowercase continuation).
+
+Known unported tail (documented deviation): pysbd's newline-anchored
+list re-flow (items split across ``\\n`` without terminal punctuation)
+and roman-numeral MULTI-char markers (``IV.``) — the corpus never
+produces either (fixture OCR text is single-line per paragraph).
 
 Like pysbd with ``clean=False``, the returned sentences are exact
 substrings of the input (nothing inserted or rewritten); only the
@@ -42,7 +59,12 @@ _ABBREV = (
 # punctuation run + optional closing quotes/brackets, then whitespace,
 # then an upper/digit/opening-bracket/opening-quote sentence starter
 _BOUNDARY_RE = re.compile(
-    r"(?P<p>[.!?]+[\"'”’)\]]*)\s+(?=[A-Z0-9(\[“\"'])")
+    r"(?P<p>[.!?…]+[\"'”’)\]]*)\s+(?=[A-Z0-9(\[“\"'])")
+
+# a sentence-so-far that is ONLY a list marker: optional open bracket,
+# a 1-3 digit number or a single letter, optional close bracket (the
+# boundary's own punctuation run is not part of the candidate)
+_LIST_MARKER_RE = re.compile(r"^\(?(?:\d{1,3}|[A-Za-z])\)?$")
 
 
 def _ends_with_abbrev(chunk: str) -> bool:
@@ -67,6 +89,8 @@ def segment_sentences(paragraph: str) -> list[str]:
         before = paragraph[start:m.start("p")]
         if _ends_with_abbrev(before):
             continue
+        if _LIST_MARKER_RE.match(before.strip()):
+            continue  # list marker / initial stays with its item
         sentences.append(paragraph[start:end])
         # skip the whitespace run after the boundary
         ws = re.match(r"\s+", paragraph[end:])

@@ -167,16 +167,21 @@ def _extract_batches_fn(blocks_mode: str):
     module would silently fall back to the executor's default.
     """
     offsets = blocks_mode == "offsets"
-    symspell_case = os.environ.get("OCR_SPARK_SYMSPELL_CASE")
+    kernel_env = {k: os.environ.get(k) for k in (
+        "OCR_SPARK_SYMSPELL_CASE",       # U7 case-mode flag (wordseg.py)
+        "OCR_SPARK_LAYOUT_IMPL",         # U1 artifact-head seam
+        "OCR_SPARK_LAYOUT_ARTIFACT",     # (fixture_extract.py)
+    )}
 
     def _extract_batches(
             batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if symspell_case is not None:
-            os.environ["OCR_SPARK_SYMSPELL_CASE"] = symspell_case
-        else:
-            # reused Python workers outlive jobs: clear any value a
-            # previous job exported, or this job silently inherits it
-            os.environ.pop("OCR_SPARK_SYMSPELL_CASE", None)
+        for k, v in kernel_env.items():
+            if v is not None:
+                os.environ[k] = v
+            else:
+                # reused Python workers outlive jobs: clear any value a
+                # previous job exported, or this job silently inherits it
+                os.environ.pop(k, None)
         from ocr_spark.core.extract import extract_document
 
         col_names = [f.name for f in EXTRACT_RESULT_SCHEMA]

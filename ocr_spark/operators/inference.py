@@ -24,7 +24,6 @@ once-per-worker load guarantee from the outside.
 
 from __future__ import annotations
 
-import json
 import os
 from collections.abc import Iterator
 
@@ -38,36 +37,18 @@ DEFAULT_ARTIFACT = os.path.join(
     os.path.dirname(os.path.dirname(__file__)), "data",
     "layout_stub_v1.json")
 
-# executor-lazy singleton: worker-global, keyed by path; the load
-# counter is observable output so tests can assert loads == 1/worker
-_MODEL_CACHE: dict = {}
-_LOAD_COUNTS: dict = {}
-
-
-def _load_count(path: str) -> int:
-    """Read the worker-local load counter THROUGH a module function:
-    a nested mapInPandas kernel that referenced ``_LOAD_COUNTS``
-    directly would have the dict captured BY VALUE into its pickled
-    globals (cloudpickle copies plain objects a by-value function
-    references), silently diverging from the dict ``_load_model``
-    (pickled by reference) mutates in the worker."""
-    return _LOAD_COUNTS.get(path, 0)
-
-
-def _load_model(path: str) -> dict:
-    model = _MODEL_CACHE.get(path)
-    if model is None:
-        if os.path.exists(path):
-            with open(path, encoding="utf-8") as fh:
-                model = json.load(fh)
-        else:  # zip-shipped package data (--py-files) fallback
-            from importlib import resources
-            model = json.loads(
-                (resources.files("ocr_spark") / "data"
-                 / os.path.basename(path)).read_text(encoding="utf-8"))
-        _MODEL_CACHE[path] = model
-        _LOAD_COUNTS[path] = _LOAD_COUNTS.get(path, 0) + 1
-    return model
+# executor-lazy singleton now lives in core/artifacts.py (shared with
+# the U1 layout-head seam in core/fixture_extract.py); these aliases
+# keep this module's test surface. The load counter must be read
+# THROUGH a module function: a nested mapInPandas kernel referencing
+# the dict directly would get a frozen cloudpickle copy (cloudpickle
+# copies plain objects a by-value function references), silently
+# diverging from the dict the loader (pickled by reference) mutates
+# in the worker.
+from ocr_spark.core.artifacts import (  # noqa: E402
+    artifact_load_count as _load_count,
+    load_artifact as _load_model,
+)
 
 
 def score_bytes(payload: bytes | None, model: dict) -> float:

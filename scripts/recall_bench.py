@@ -99,6 +99,61 @@ def main() -> int:
         },
     }
 
+    # ---- clustered fixture: recall with real structure + tuning -----
+    # (VERDICT r2 #5) the driver corpus has no cosine clusters, so the
+    # numbers above are a structureless lower bound; re-measure on the
+    # seeded mixture-of-Gaussians fixture and sweep bands × bits.
+    from ocr_spark.gen.embeddings import write_clustered_fixture
+    cdir = write_clustered_fixture(
+        os.path.join(REPO, ".bench_tmp", "clustered_emb"))
+    ct_rows = simsearch.emb_cosine_topk(spark, cdir).collect()
+    ctruth = {(r.q_id, r.neighbor_id) for r in ct_rows}
+    ctruth3 = {(r.q_id, r.neighbor_id) for r in ct_rows
+               if r.rank <= simsearch.IVF_TOPK}
+    cn = simsearch.t(spark, cdir).count()
+    c_cells = simsearch.t(spark, cdir).select("label").distinct().count()
+
+    sweep = {}
+    saved = (simsearch.EMB_LSH_BANDS, simsearch.EMB_BAND_BITS)
+    try:
+        for bands in (1, 2, 4):
+            bits = simsearch.LSH_PLANES // bands
+            simsearch.EMB_LSH_BANDS = bands
+            simsearch.EMB_BAND_BITS = bits
+            got = {(r.q_id, r.neighbor_id)
+                   for r in simsearch.emb_lsh_multiprobe_topk(spark, cdir)
+                   .filter(F.col("rank") <= k).collect()}
+            cand = (bands * (bits + 1) * cn / (2 ** bits))
+            chance = cand / (cn - 1)
+            rec = len(got & ctruth) / max(1, len(ctruth))
+            sweep[f"{bands}x{bits}"] = {
+                "recall_at_k": round(rec, 4),
+                "expected_candidates_per_query": round(cand, 1),
+                "chance_recall": round(chance, 4),
+                "lift_over_chance": round(rec / chance, 1) if chance else None,
+            }
+    finally:
+        simsearch.EMB_LSH_BANDS, simsearch.EMB_BAND_BITS = saved
+
+    civf = {(r.q_id, r.neighbor_id)
+            for r in simsearch.emb_ivf_topk(spark, cdir).collect()}
+    civf_cand = cn / max(1, c_cells) - 1
+    civf_rec = len(civf & ctruth3) / max(1, len(ctruth3))
+    out["ann_clustered"] = {
+        "fixture": "gen/embeddings.py mixture-of-Gaussians "
+                   "(10 clusters, noise 0.35, seed 1234)",
+        "n_vectors": cn,
+        "multiprobe_sweep_bands_x_bits": sweep,
+        "ivf": {
+            "k": simsearch.IVF_TOPK,
+            "recall_at_k": round(civf_rec, 4),
+            "chance_recall": round(civf_cand / (cn - 1), 4),
+            "lift_over_chance": round(civf_rec / (civf_cand / (cn - 1)), 1),
+            "note": "labels ARE the true clusters on this fixture, so "
+                    "the cell prior is live",
+        },
+    }
+
     # ---- dedup recall: LSH candidates vs exhaustive high-Jaccard ----
     exact = {(r.doc_a, r.doc_b): r.jaccard
              for r in dataops.docs_ngram_jaccard_pairs(spark, sf_dir)

@@ -46,3 +46,25 @@ def test_signature_stable_under_partitioning(spark, tmp_path):
             for r in docs_minhash_signature(spark, sf_dir)
             .repartition(16).collect()}
     assert one == many
+
+
+def test_clustered_embedding_fixture_has_structure():
+    """The mixture-of-Gaussians fixture must be deterministic and have
+    REAL cosine cluster structure (within-cluster >> cross-cluster) —
+    the property the driver's synthetic embeddings lack, and the one
+    ANN recall tuning depends on (VERDICT r2 #5)."""
+    import numpy as np
+
+    from ocr_spark.gen.embeddings import clustered_embeddings
+
+    v1, l1 = clustered_embeddings(n=200, n_clusters=10, seed=1234)
+    v2, l2 = clustered_embeddings(n=200, n_clusters=10, seed=1234)
+    assert np.array_equal(v1, v2) and np.array_equal(l1, l2)
+    # all unit-norm
+    assert np.allclose(np.linalg.norm(v1, axis=1), 1.0, atol=1e-5)
+    sims = v1 @ v1.T
+    same = sims[l1[:, None] == l1[None, :]]
+    cross = sims[(l1[:, None] != l1[None, :])]
+    assert same.mean() > 0.6
+    assert abs(cross.mean()) < 0.2
+    assert same.mean() > cross.mean() + 0.5

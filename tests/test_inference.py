@@ -44,3 +44,75 @@ def test_scorer_edge_cases():
     a = score_bytes(b"<html>content a</html>", model)
     b = score_bytes(b"<html>content a</html>", model)
     assert a == b  # pure function
+
+
+def test_layout_artifact_head_goldens_byte_identical(monkeypatch):
+    """The U1 slot-in dry run's DONE condition (VERDICT r2 #4): swap the
+    fixture layout kernel for the artifact-backed head and the goldens
+    still pass byte-identical — texts AND typed block structs — while
+    the artifact file is genuinely live in the path (loaded exactly
+    once, and a vocabulary mismatch breaks extraction loudly)."""
+    import json as _json
+
+    from ocr_spark.core.artifacts import artifact_load_count
+    from ocr_spark.core.extract import extract_document
+    from ocr_spark.core.fixture_extract import DEFAULT_LAYOUT_ARTIFACT
+    from ocr_spark.gen.corpus import generate_pages
+    from tests.test_goldens import _load_goldens
+
+    goldens = _load_goldens()
+    corpus = [r for r in generate_pages(120, seed=42, oversized_rows=0)]
+    monkeypatch.setenv("OCR_SPARK_LAYOUT_IMPL", "artifact")
+    n_loads_before = artifact_load_count(DEFAULT_LAYOUT_ARTIFACT)
+    for row in corpus:
+        res = extract_document(row["url"], row["html"])
+        want = goldens[row["url"]]
+        assert res.error is None, (row["url"], res.error)
+        assert res.text == want["text"], row["url"]
+        assert _json.loads(_json.dumps(res.blocks)) == want["blocks"], \
+            row["url"]
+    # executor-lazy singleton: 120 documents, at most one actual load
+    assert artifact_load_count(DEFAULT_LAYOUT_ARTIFACT) <= \
+        n_loads_before + 1
+
+
+def test_layout_artifact_vocab_mismatch_is_loud(monkeypatch, tmp_path):
+    """A wrong artifact must BREAK extraction (surface as the per-row
+    error column), not silently fall back to the fixture path — this
+    pins that the artifact genuinely feeds the output."""
+    import json as _json
+
+    from ocr_spark.core.extract import extract_document
+    from ocr_spark.gen.corpus import generate_pages
+
+    bad = tmp_path / "layout_bad.json"
+    bad.write_text(_json.dumps({"version": "bad", "score_threshold": 0.0,
+                                "labels": ["text"]}))
+    monkeypatch.setenv("OCR_SPARK_LAYOUT_IMPL", "artifact")
+    monkeypatch.setenv("OCR_SPARK_LAYOUT_ARTIFACT", str(bad))
+    fixture_rows = [r for r in generate_pages(40, seed=42, oversized_rows=0)
+                    if r["html"].startswith(b"%OCRFIX1")]
+    res = extract_document(fixture_rows[0]["url"], fixture_rows[0]["html"])
+    assert res.error is not None and "KeyError" in res.error
+
+
+def test_layout_artifact_head_through_spark_job(spark, monkeypatch):
+    """Same dry run through the REAL surface: mapInPandas extraction
+    with the artifact head enabled (env captured driver-side, re-exported
+    in the worker) produces byte-identical text to the fixture path for
+    every url."""
+    from ocr_spark.operators.extraction import run_extraction
+    from ocr_spark.gen.corpus import generate_pages
+    from tests.test_goldens import _load_goldens
+
+    goldens = _load_goldens()
+    rows = generate_pages(120, seed=42, oversized_rows=0)
+    df = spark.createDataFrame(
+        [(r["url"], r["html"]) for r in rows], "url string, html binary")
+    monkeypatch.setenv("OCR_SPARK_LAYOUT_IMPL", "artifact")
+    got = {r.url: r for r in run_extraction(df, partitions=8,
+                                            big_partitions=1).collect()}
+    assert len(got) == 120
+    for url, r in got.items():
+        assert r.error is None, (url, r.error)
+        assert r.text == goldens[url]["text"], url

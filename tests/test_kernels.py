@@ -371,3 +371,48 @@ def test_fixture_offsets_with_one_based_pages():
     for b in res.blocks:
         if b["char_start"] >= 0:
             assert res.text[b["char_start"]:b["char_end"]] == b["text"], b
+
+
+def test_segmentation_numbered_lists():
+    """pysbd ListItemReplacer class: the list marker attaches to its
+    item, never becomes a one-token sentence."""
+    para = "1. Install the package. 2. Run the job. 3. Read the output."
+    assert segment_sentences(para) == [
+        "1. Install the package.", "2. Run the job.", "3. Read the output."]
+    para = "(1) First step. (2) Second step."
+    assert segment_sentences(para) == ["(1) First step.", "(2) Second step."]
+
+
+def test_segmentation_alphabetical_lists_and_initials():
+    para = "A. Prepare the data. B. Train the model."
+    assert segment_sentences(para) == [
+        "A. Prepare the data.", "B. Train the model."]
+    # name initials are the same shape — never split off
+    para = "A. Einstein wrote it. B. Riemann proved it."
+    assert segment_sentences(para) == [
+        "A. Einstein wrote it.", "B. Riemann proved it."]
+    # roman-style single-letter section markers
+    assert segment_sentences("I. Introduction comes first.") == [
+        "I. Introduction comes first."]
+
+
+def test_segmentation_list_marker_mid_sentence_still_splits():
+    """The marker rule applies only when the marker is the WHOLE
+    sentence-so-far: 'No. 5.' is a complete sentence and must split."""
+    assert segment_sentences("See No. 5. The result follows.") == [
+        "See No. 5.", "The result follows."]
+
+
+def test_segmentation_multichar_punctuation():
+    assert segment_sentences("Stop!! Now move on.") == [
+        "Stop!!", "Now move on."]
+    assert segment_sentences("Really?! Yes, really.") == [
+        "Really?!", "Yes, really."]
+    # Unicode ellipsis: boundary before a capital, no split before
+    # a lowercase continuation
+    assert segment_sentences("He waited… Then he left.") == [
+        "He waited…", "Then he left."]
+    assert segment_sentences("Wait… what happened?") == [
+        "Wait… what happened?"]
+    assert segment_sentences('She said "Go!?" Then silence.') == [
+        'She said "Go!?"', "Then silence."]
