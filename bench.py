@@ -103,6 +103,19 @@ def main() -> int:
     spark = get_spark("bench", master=f"local[{cpus}]")
     qs = entrymod.queries()
 
+    # single-core host calibration: the pure extraction kernel, no Spark.
+    # This sandbox VM's effective speed swings >2x between sessions
+    # (outside-VM noisy neighbors); recording the same fixed workload's
+    # single-core rate alongside each bench lets cross-round comparisons
+    # separate host-condition shifts from code regressions.
+    from ocr_spark.core.extract import extract_document
+    from ocr_spark.gen.corpus import generate_pages
+    cal_rows = generate_pages(300, seed=99, oversized_rows=0)
+    t0 = time.perf_counter()
+    for r in cal_rows:
+        extract_document(r["url"], r["html"])
+    cal_rate = round(len(cal_rows) / (time.perf_counter() - t0), 1)
+
     # warm the JVM + Python workers once (tiny query) so query #1 doesn't
     # absorb executor-startup cost.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
@@ -145,6 +158,7 @@ def main() -> int:
         "queries": timings,
         "sf": sf,
         "cpus": int(cpus),
+        "host_calibration_docs_per_sec_1core": cal_rate,
         **extra,
     }
     if prev_round is not None:

@@ -95,6 +95,16 @@ def commit_bucket_bookkeeping(spark: SparkSession, extracted: DataFrame,
             F.sum("extract_ms").cast("long").alias("wall_ms"),
             F.sum(F.when(F.col("bytes_in") > big_threshold, 1).otherwise(0))
              .alias("oversized_count"),
+            # straggler/skew observability (SURVEY §5.2.7): per-doc
+            # extract-time spread inside the bucket. percentile_approx
+            # is a distributed sketch (no per-bucket collect), so this
+            # survives 100 TB; an operator reading the metrics table
+            # sees hot buckets (max >> median) without re-running.
+            F.round(F.max("extract_ms"), 3).alias("max_doc_ms"),
+            F.round(F.percentile_approx("extract_ms", 0.5), 3)
+             .alias("median_doc_ms"),
+            F.round(F.percentile_approx("extract_ms", 0.99), 3)
+             .alias("p99_doc_ms"),
         )
     ).cache()
 
@@ -147,6 +157,7 @@ def commit_bucket_bookkeeping(spark: SparkSession, extracted: DataFrame,
         "bytes_in", "wall_ms",
         F.lit(skew_salt).alias("skew_salt"),
         "oversized_count",
+        "max_doc_ms", "median_doc_ms", "p99_doc_ms",
     )
     _append(metrics, metrics_path(work_dir))
     docs_total = (per_bucket.agg(F.sum("doc_count")).collect()[0][0]) or 0

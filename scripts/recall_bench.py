@@ -144,6 +144,13 @@ def main() -> int:
                    "(10 clusters, noise 0.35, seed 1234)",
         "n_vectors": cn,
         "multiprobe_sweep_bands_x_bits": sweep,
+        "tuning_note": (
+            "the shipped default 2 bands x 8 bits is the operating "
+            "point: 1x16 prunes hardest but under-recalls (collisions "
+            "too rare for Hamming-1 probes to rescue), 4x4 reaches "
+            "full recall only by examining MORE candidates than the "
+            "corpus (no pruning at all); 2x8 combines high recall "
+            "with a ~7% candidate fraction"),
         "ivf": {
             "k": simsearch.IVF_TOPK,
             "recall_at_k": round(civf_rec, 4),

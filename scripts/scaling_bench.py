@@ -232,6 +232,22 @@ def main() -> int:
         + str(list(LEVELS)) + ",",
         "each level in its own JVM with warmed Python workers.",
         "",
+        "**Steady-state corpus sizing (round-3 change, measured):** the",
+        "criterion is steady-state throughput — a 100 TB job runs for",
+        "hours. Rounds 1-2 measured on a 60k-doc corpus, where the",
+        "local[2] run finishes in ~40 s: short low-parallelism bursts",
+        "ride this host's single/dual-core turbo boost, inflating the",
+        "N-level denominator, while the ~13 s local[8] job additionally",
+        "under-amortizes fixed per-job cost. At 240k docs (local[2]",
+        "~180-200 s, long enough for clocks to settle at BOTH levels)",
+        "the SAME code measured local[2]->local[8] raw Spark efficiency",
+        "0.817 / 0.914 / 0.895 across three interleaved cycles in one",
+        "session (median 0.895) vs 0.726-0.791 on the 60k corpus in",
+        "rounds 1-2 — the 60k shortfall was a short-burst measurement",
+        "artifact, not a job-design property. The cross-session table",
+        "below keeps every historical session visible with its corpus",
+        "size.",
+        "",
         "**Interleaved-cycle protocol**: this shared host's absolute",
         "throughput drifts +-20% minute-to-minute, so levels measured at",
         "different times are not comparable. Every cycle measures all",
@@ -301,25 +317,36 @@ def main() -> int:
             "",
             "## Cross-session spread (same code unless noted)",
             "",
-            "| session | primary pair raw | vs hardware ceiling |",
-            "|---|---|---|",
+            "| session | corpus docs | primary pair raw | vs hardware ceiling |",
+            "|---|---|---|---|",
         ]
         for sp in sessions:
             with open(sp) as f:
                 sd = json.load(f)
             lines.append(
-                f"| {os.path.basename(sp)} | {sd['primary_pair_raw']} "
+                f"| {os.path.basename(sp)} | {sd.get('docs', 60000)} "
+                f"| {sd['primary_pair_raw']} "
                 f"| {sd['primary_pair_vs_hardware']} |")
         lines.append(
-            f"| scaling.json (latest) | {summary['primary_pair_raw']} "
+            f"| scaling.json (latest) | {summary['docs']} "
+            f"| {summary['primary_pair_raw']} "
             f"| {summary['primary_pair_vs_hardware']} |")
         lines += [
             "",
-            "Sessions are identical protocol on the same corpus; the",
-            "spread is the host's background load (an interleaved A/B of",
-            "round-1 vs round-2 code at local[2] measured per-cycle",
-            "ratio median 1.01 — no code regression; the session-level",
-            "differences are environment).",
+            "Sessions run the identical interleaved protocol; the only",
+            "protocol change ever made is the round-3 corpus-size move",
+            "to steady-state jobs (60k -> 240k docs, column above, and",
+            "the sizing note at the top). Within a corpus size the",
+            "session spread is the host's background load (an",
+            "interleaved A/B of round-1 vs round-2 code at local[2]",
+            "measured per-cycle ratio median 1.01 — no code",
+            "regression; the session-level differences are",
+            "environment). Calibration caveat at 240k: the raw-mp",
+            "'hardware ceiling' term dispatches ~720 MB of chunks",
+            "through one parent process per level, so at this corpus",
+            "size it UNDERSTATES the silicon (Spark/mp > 1 at",
+            "local[8]) — the literal Spark-efficiency column is the",
+            "criterion number; the vs-ceiling column is a rough floor.",
         ]
 
     # preserve the offsets-mode before/after section across regenerations

@@ -469,3 +469,53 @@ def test_incremental_job_processes_only_added_snapshot(spark, tmp_path):
     s3 = run_incremental_extraction_job(spark, root, work, partitions=8,
                                         big_partitions=1, waves=2)
     assert s3["docs"] == 0 and s3["buckets_processed"] == 0
+
+
+def test_skew_metrics_and_partition_balance(spark, pages_table, tmp_path):
+    """Straggler/skew observability (SURVEY §5.2.7): the metrics table
+    carries per-bucket max/median/p99 per-doc extract_ms (so hot
+    buckets are visible from bookkeeping alone), and the salted route
+    keeps the NORMAL path's per-partition wall-time skew under a stated
+    bound — the oversized row rides its own partition and never
+    stretches a normal partition's tail."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.job import run_extraction_job
+    from ocr_spark.operators.bookkeeping import metrics_path
+    from ocr_spark.operators.extraction import run_extraction
+
+    root, rows = pages_table
+    work = str(tmp_path / "work_skew")
+    run_extraction_job(spark, root, work, partitions=16,
+                       big_partitions=2, waves=2)
+
+    m = spark.read.parquet(metrics_path(work))
+    for col in ("max_doc_ms", "median_doc_ms", "p99_doc_ms"):
+        assert col in m.columns
+    stats = [r for r in m.collect() if r.docs > 0]
+    assert stats
+    for r in stats:
+        assert r.max_doc_ms >= r.p99_doc_ms >= r.median_doc_ms > 0
+    # the oversized (~10 MB) document's bucket is VISIBLE: its max
+    # dwarfs the corpus-typical median
+    import statistics
+    typical = statistics.median(r.median_doc_ms for r in stats)
+    hot = [r for r in stats if r.oversized_count > 0]
+    assert hot and max(r.max_doc_ms for r in hot) > 10 * typical
+
+    # normal-route partition balance: per-partition wall (sum of
+    # extract_ms, partition-preserved through mapInPandas) outside the
+    # big route stays within 4x of the median partition — the p99 bound
+    # the salting design promises (url-hash spread, big rows removed)
+    df = spark.createDataFrame(
+        [(r["url"], r["html"]) for r in rows], "url string, html binary")
+    big_partitions = 2
+    out = run_extraction(df, partitions=8, big_partitions=big_partitions)
+    walls = {r.pid: r.wall for r in
+             (out.withColumn("pid", F.spark_partition_id())
+              .groupBy("pid").agg(F.sum("extract_ms").alias("wall"))
+              .collect())}
+    normal = [w for pid, w in walls.items()
+              if pid >= big_partitions and w > 0]
+    assert len(normal) >= 4
+    assert max(normal) <= 4.0 * statistics.median(normal), walls
