@@ -40,7 +40,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 / §7.8."""
     from ocr_spark.plans import (
         dataops, extract_queries, multimodal_queries, queries as q,
-        relational_extra, simsearch,
+        relational_extra, simsearch, webops,
     )
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(simsearch.SPARK_QUERIES)
     out.update(multimodal_queries.SPARK_QUERIES)
     out.update(relational_extra.SPARK_QUERIES)
+    out.update(webops.SPARK_QUERIES)
     return out
 
 
@@ -57,7 +58,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (same column names/aliases)."""
     from ocr_spark.plans import (
         dataops, extract_queries, multimodal_queries, queries as q,
-        relational_extra, simsearch,
+        relational_extra, simsearch, webops,
     )
 
     out: dict[str, str] = {}
@@ -67,4 +68,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(simsearch.ORACLE_SQL)
     out.update(multimodal_queries.ORACLE_SQL)
     out.update(relational_extra.ORACLE_SQL)
+    out.update(webops.ORACLE_SQL)
     return out

@@ -33,6 +33,18 @@ def url_for_document(doc_id: int) -> str:
     return f"doc://{doc_id}"
 
 
+def contact_email_for_document(doc_id: int) -> str:
+    """Deterministic PII-shaped email in the footer boilerplate — the
+    substrate for the PII-scan/redaction operators (plans/webops.py).
+    Lives in a boilerplate container so extracted content text (and all
+    goldens/oracles over it) are untouched."""
+    return f"contact{doc_id % 50}@example{doc_id % 7}.com"
+
+
+def contact_phone_for_document(doc_id: int) -> str:
+    return f"555-01{doc_id % 100:02d}"
+
+
 def title_for_document(doc_id: int) -> str:
     return f"Document {doc_id} Report"
 
@@ -91,7 +103,11 @@ def html_for_document(doc_id: int, text: str) -> bytes:
         f"<main><article>{article}</article></main>"
         f'<aside class="sidebar"><ul><li><a href="/r1">related one</a></li>'
         f'<li><a href="/r2">related two</a></li></ul></aside>'
-        f"<footer><div>{foot}</div></footer>"
+        f"<footer><div>{foot}</div>"
+        f'<div class="contact-line">Contact '
+        f'<a href="mailto:{contact_email_for_document(doc_id)}">'
+        f"{contact_email_for_document(doc_id)}</a>"
+        f" or call {contact_phone_for_document(doc_id)}.</div></footer>"
     )
     page = (
         "<!DOCTYPE html><html><head><title>t</title>"

@@ -30,7 +30,7 @@ import time
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import (
     ArrayType, DoubleType, IntegerType, LongType, StringType, StructField,
     StructType,
@@ -38,6 +38,41 @@ from pyspark.sql.types import (
 
 DEFAULT_BIG_THRESHOLD = 2_000_000  # bytes of html → "oversized" route
 DEFAULT_BUCKETS = 64               # url-hash buckets: checkpoint/commit unit
+
+# JVM-side boilerplate pre-scan (OCR_SPARK_JVM_PRESCAN=1): delete
+# comments / <script> / <style> spans BEFORE the Arrow boundary, so the
+# bytes that dominate real Common-Crawl pages (scripts are commonly well
+# over half the html) never reach the Python worker. One alternation
+# regex applied left-to-right replicates the kernel scanner's own
+# left-to-right region discovery (html_extract._scan_fast): at each
+# position the leftmost of comment-open / script-open / style-open wins,
+# and each region ends exactly where the scanner ends it (first '-->',
+# first '</script\\s*>' / '</style\\s*>' — rawtext semantics, no tag
+# nesting). Since every deleted span is one the kernel never emits text
+# from, extraction output is unchanged — pinned byte-identical over the
+# golden corpus + adversarial cases by tests/test_webops.py. Known
+# residual edge (documented, not reachable by the kernel's own
+# semantics): a comment INSIDE a quoted attribute value is deleted here
+# but treated as attribute text by the kernel; if that attribute was a
+# class/id whose boilerplate-ness depended on the comment bytes, the
+# block's classification could differ. Default therefore stays OFF.
+PRESCAN_PAT = (
+    r"(?is)<!--.*?-->"
+    r"|<script\b[^>]*>.*?</script\s*>"
+    r"|<style\b[^>]*>.*?</style\s*>"
+)
+
+
+def jvm_boilerplate_prescan(html: Column) -> Column:
+    """binary/string html → string html with kernel-invisible spans
+    removed, entirely JVM-side (whole-stage codegen regexp_replace).
+
+    Non-HTML documents (fixture payloads, identified by the same
+    ``%OCRFIX1\\n`` magic the kernel routes on) pass through untouched —
+    a regex hit inside a fixture's JSON body would corrupt it."""
+    s = html.cast("string")
+    return F.when(s.startswith("%OCRFIX1\n"), s) \
+            .otherwise(F.regexp_replace(s, PRESCAN_PAT, ""))
 
 EXTRACT_RESULT_SCHEMA = StructType([
     StructField("url", StringType(), False),
@@ -231,7 +266,8 @@ def run_extraction(pages: DataFrame, partitions: int = 128,
                    big_threshold: int = DEFAULT_BIG_THRESHOLD,
                    n_buckets: int = DEFAULT_BUCKETS,
                    salt: bool = True,
-                   blocks_mode: str | None = None) -> DataFrame:
+                   blocks_mode: str | None = None,
+                   jvm_prescan: bool | None = None) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → extracted results DataFrame.
 
     ``blocks_mode``: 'full' (default) serializes complete block dicts;
@@ -239,8 +275,21 @@ def run_extraction(pages: DataFrame, partitions: int = 128,
     the Arrow IPC bytes leaving the Python worker. Defaults from the
     ``OCR_SPARK_BLOCKS_MODE`` env var so bench/driver runs can flip it
     without a code change.
+
+    ``jvm_prescan`` (default off, env ``OCR_SPARK_JVM_PRESCAN=1``):
+    strip comment/script/style spans JVM-side before the Arrow boundary
+    (see ``jvm_boilerplate_prescan``) — cuts Arrow-IN bytes on
+    script-heavy pages with byte-identical extraction output. Note
+    ``bytes_in`` / the oversized-row threshold then measure the
+    pre-scanned size (scripts no longer make a row "big", which is
+    exactly right: the Python kernel's cost scales with what IT parses).
     """
     mode = blocks_mode or os.environ.get("OCR_SPARK_BLOCKS_MODE", "full")
+    if jvm_prescan is None:
+        jvm_prescan = os.environ.get("OCR_SPARK_JVM_PRESCAN") == "1"
+    if jvm_prescan:
+        pages = pages.withColumn("html",
+                                 jvm_boilerplate_prescan(F.col("html")))
     src = (salted_repartition(pages, partitions, big_partitions,
                               big_threshold, n_buckets)
            if salt else pages.withColumn(

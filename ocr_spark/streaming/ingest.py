@@ -86,6 +86,45 @@ def stream_extract(spark: SparkSession, input_dir: str, output_dir: str,
             .start())
 
 
+def stream_extract_dedup(spark: SparkSession, input_dir: str,
+                         output_dir: str, checkpoint_dir: str,
+                         dedup_window: str = "10 minutes") -> Any:
+    """``stream_extract`` with a streaming re-crawl dedup stage: a url
+    seen again within ``dedup_window`` of event time (warc_ts) is
+    dropped BEFORE the expensive Python extraction kernel runs.
+
+    ``dropDuplicatesWithinWatermark`` keys state by url and — unlike
+    plain ``dropDuplicates`` on a streaming frame, whose state grows
+    forever — evicts each key once the watermark passes its event time,
+    so state is bounded by (crawl rate × window) regardless of how long
+    the stream runs. That bounded-state property is the 100 TB
+    requirement: a continuous crawl ingests the same hot urls
+    repeatedly, and unbounded url state would OOM the state store in
+    days. Duplicates arriving FARTHER apart than the window are handled
+    by the batch layer's exact dedup (plans/queries.py
+    docs_exact_dedup / docs_dedup_keepers) — the classic
+    streaming-approximate + batch-exact split."""
+    from ocr_spark.operators.extraction import (
+        EXTRACT_RESULT_SCHEMA, _extract_batches_fn,
+    )
+
+    pages = read_pages_stream(spark, input_dir)
+    deduped = (pages
+               .withWatermark("warc_ts", dedup_window)
+               .dropDuplicatesWithinWatermark(["url"]))
+    extracted = deduped.select("url", "html").withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(64)).cast("int")
+    ).mapInPandas(_extract_batches_fn("full"), schema=EXTRACT_RESULT_SCHEMA)
+
+    return (extracted.writeStream
+            .format("parquet")
+            .option("path", output_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start())
+
+
 def stream_extract_with_lineage(spark: SparkSession, input_dir: str,
                                 output_dir: str, lineage_dir: str,
                                 checkpoint_dir: str) -> Any:

@@ -159,3 +159,27 @@ def test_stream_host_counters_stateful(spark, stream_dirs, tmp_path):
     for host, n in expect.items():
         assert latest.loc[host, "docs_total"] == n
         assert latest.loc[host, "bytes_total"] == expect_bytes[host]
+
+
+def test_stream_extract_dedup_within_watermark(spark, stream_dirs):
+    """Re-crawled urls inside the dedup window are extracted once;
+    state is watermark-bounded (dropDuplicatesWithinWatermark), so a
+    perpetual crawl can't grow url state without bound."""
+    import datetime as dt
+
+    from ocr_spark.streaming.ingest import stream_extract_dedup
+
+    rows = generate_pages(20, oversized_rows=0)
+    dups = []
+    for r in rows[:10]:  # re-crawl of the same urls, 30s later
+        d = dict(r)
+        d["warc_ts"] = r["warc_ts"] + dt.timedelta(seconds=30)
+        dups.append(d)
+    _write_pages_batch(spark, rows + dups, stream_dirs["in"])
+
+    q = stream_extract_dedup(spark, stream_dirs["in"], stream_dirs["out"],
+                             stream_dirs["ckpt1"], dedup_window="10 minutes")
+    q.awaitTermination()
+    out = spark.read.parquet(stream_dirs["out"])
+    assert out.count() == 20
+    assert out.select("url").distinct().count() == 20

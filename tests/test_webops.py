@@ -1,0 +1,131 @@
+"""Web-corpus pipeline operators (plans/webops.py): plan-shape gates +
+end-to-end semantics at tiny SF. Value parity vs DuckDB is the driver
+oracle's job (scripts/check_oracle.py covers all five); these tests pin
+the scale shapes and the regex-dialect compatibility the oracles rely
+on."""
+
+from __future__ import annotations
+
+import re
+
+SF = "/root/testdata/sf0.01"
+SF_TINY = "/root/testdata/sf0.001"
+
+
+def fmt(df) -> str:
+    qe = df._jdf.queryExecution()
+    return df._sc._jvm.org.apache.spark.sql.api.python.PythonSQLUtils \
+        .explainString(qe, "formatted")
+
+
+def n_shuffles(plan: str) -> int:
+    return len(re.findall(r"\(\d+\) Exchange\b", plan))
+
+
+def test_pii_scan_is_narrow_map(spark):
+    """PII detection/redaction must stay a zero-shuffle JVM regexp map
+    — the 100 TB shape is scan → project, nothing crosses to Python
+    except the deterministic html synthesis UDF."""
+    from ocr_spark.plans.webops import pages_pii_scan
+    plan = fmt(pages_pii_scan(spark, SF))
+    assert n_shuffles(plan) == 0
+
+
+def test_outlinks_is_narrow_generate(spark):
+    """Edge-list extraction is scan → project → generate: no shuffle."""
+    from ocr_spark.plans.webops import pages_outlinks
+    plan = fmt(pages_outlinks(spark, SF))
+    assert n_shuffles(plan) == 0
+    assert "Generate" in plan  # the explode
+
+
+def test_para_dedup_shuffle_budget(spark):
+    """Extraction contributes its two route exchanges; the dedup itself
+    adds exactly one paragraph-hash window exchange and one url
+    reassembly exchange."""
+    from ocr_spark.plans.webops import pages_para_dedup
+    plan = fmt(pages_para_dedup(spark, SF))
+    assert n_shuffles(plan) <= 4, plan
+    # the global first-occurrence window is keyed on the paragraph hash
+    assert "md5" in plan.lower()
+
+
+def test_repetition_metrics_partial_agg(spark):
+    """Two groupBys, both with map-side partial aggregation: the
+    shuffled volume is distinct-gram counts, not token volume."""
+    from ocr_spark.plans.webops import docs_repetition_metrics
+    df = docs_repetition_metrics(spark, SF)
+    plan = fmt(df)
+    assert n_shuffles(plan) == 2, plan
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in simple or "partial_sum" in simple
+
+
+def test_new_vs_snapshot_is_anti_join(spark):
+    from ocr_spark.plans.webops import docs_new_vs_snapshot
+    plan = fmt(docs_new_vs_snapshot(spark, SF))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_pii_regex_dialect_parity(spark):
+    """The email/phone patterns must behave identically in Java regex
+    (Spark) and RE2 (DuckDB) on adversarial inputs — backtracking vs
+    leftmost-longest differences would silently skew redaction."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from ocr_spark.plans.webops import EMAIL_PAT, PHONE_PAT
+
+    cases = [
+        "plain a.b-c_d%e+f@sub.domain-x.co.uk trailing",
+        "mailto:u@example.com</a> then u@example.com.",
+        "no pii at all here",
+        "almost@an@email and 555-12345 overlong",
+        "x@y.z too-short-tld then real one x@y.ab done",
+        "call 555-0042 or 555-0042x now",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], ["s"])
+    got = (
+        df.select(
+            "s",
+            F.regexp_extract_all("s", F.lit(EMAIL_PAT), 0).alias("em"),
+            F.regexp_extract_all("s", F.lit(PHONE_PAT), 0).alias("ph"),
+            F.regexp_replace(
+                F.regexp_replace("s", EMAIL_PAT, "<EMAIL>"),
+                PHONE_PAT, "<PHONE>").alias("red"),
+        )
+        .collect()
+    )
+    con = duckdb.connect()
+    for row in got:
+        em, ph, red = con.execute(
+            "SELECT regexp_extract_all(?, ?), regexp_extract_all(?, ?),"
+            " regexp_replace(regexp_replace(?, ?, '<EMAIL>', 'g'),"
+            " ?, '<PHONE>', 'g')",
+            [row.s, EMAIL_PAT, row.s, PHONE_PAT, row.s, EMAIL_PAT,
+             PHONE_PAT],
+        ).fetchone()
+        assert list(row.em) == em, row.s
+        assert list(row.ph) == ph, row.s
+        assert row.red == red, row.s
+
+
+def test_para_dedup_collapses_boilerplate_headings(spark):
+    """Corpus-wide: only 7 distinct section headings exist, so across
+    ~17 heading-bearing docs at sf0.001 most heading paragraphs must be
+    deduplicated away while every doc keeps its unique title + body."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.plans.webops import pages_para_dedup
+    out = pages_para_dedup(spark, SF_TINY)
+    agg = out.agg(
+        F.sum("n_paras").alias("total"),
+        F.sum("n_kept").alias("kept"),
+        F.sum((F.col("n_kept") < F.col("n_paras")).cast("long"))
+         .alias("docs_shrunk"),
+        F.min("n_kept").alias("min_kept"),
+    ).collect()[0]
+    assert agg.kept < agg.total          # something was deduplicated
+    assert agg.docs_shrunk >= 5          # the repeated headings
+    assert agg.min_kept >= 2             # title + body always survive
