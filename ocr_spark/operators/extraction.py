@@ -42,7 +42,12 @@ DEFAULT_BUCKETS = 64               # url-hash buckets: checkpoint/commit unit
 # JVM-side boilerplate pre-scan (OCR_SPARK_JVM_PRESCAN=1): delete
 # comments / <script> / <style> spans BEFORE the Arrow boundary, so the
 # bytes that dominate real Common-Crawl pages (scripts are commonly well
-# over half the html) never reach the Python worker. One alternation
+# over half the html) never reach the Python worker. MEASURED VERDICT
+# (BENCH/prescan.json): a net wall-time LOSS on this host at both 12 KB
+# and 48 KB of script per page — the kernel's rawtext skip is cheaper
+# than the JVM regexp_replace — so the mode stays default-OFF and is
+# claimed only as a bytes-in-flight reduction for plans that shuffle or
+# persist pages between stages. One alternation
 # regex applied left-to-right replicates the kernel scanner's own
 # left-to-right region discovery (html_extract._scan_fast): at each
 # position the leftmost of comment-open / script-open / style-open wins,
@@ -56,10 +61,14 @@ DEFAULT_BUCKETS = 64               # url-hash buckets: checkpoint/commit unit
 # but treated as attribute text by the kernel; if that attribute was a
 # class/id whose boilerplate-ness depended on the comment bytes, the
 # block's classification could differ. Default therefore stays OFF.
+# Each branch uses the "unrolled loop" form ([^x]* runs + guarded x)
+# instead of a lazy .*? — same first-close semantics, but the Java regex
+# engine consumes long script bodies in linear chunk scans rather than
+# re-attempting the close-tag match at every character.
 PRESCAN_PAT = (
-    r"(?is)<!--.*?-->"
-    r"|<script\b[^>]*>.*?</script\s*>"
-    r"|<style\b[^>]*>.*?</style\s*>"
+    r"(?is)<!--[^-]*(?:-(?!->)[^-]*)*-->"
+    r"|<script\b[^>]*>[^<]*(?:<(?!/script\s*>)[^<]*)*</script\s*>"
+    r"|<style\b[^>]*>[^<]*(?:<(?!/style\s*>)[^<]*)*</style\s*>"
 )
 
 
@@ -279,7 +288,9 @@ def run_extraction(pages: DataFrame, partitions: int = 128,
     ``jvm_prescan`` (default off, env ``OCR_SPARK_JVM_PRESCAN=1``):
     strip comment/script/style spans JVM-side before the Arrow boundary
     (see ``jvm_boilerplate_prescan``) — cuts Arrow-IN bytes on
-    script-heavy pages with byte-identical extraction output. Note
+    script-heavy pages with byte-identical extraction output, at a
+    measured net CPU cost (BENCH/prescan.json) — use only when bytes
+    in flight, not CPU, is the constraint. Note
     ``bytes_in`` / the oversized-row threshold then measure the
     pre-scanned size (scripts no longer make a row "big", which is
     exactly right: the Python kernel's cost scales with what IT parses).
