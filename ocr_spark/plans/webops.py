@@ -13,6 +13,9 @@ operator here is specified by public pipeline literature:
     line/paragraph-hash form (first occurrence corpus-wide wins);
   * repetition filters — Gopher's repetition signals (Rae et al.
     2021): fraction of duplicate n-grams + most-frequent-n-gram mass;
+  * exact-substring duplication coverage — Lee et al. 2022's
+    suffix-array dedup, in a Spark shape (K-token shingle hashing +
+    per-doc interval union);
   * PII scan — regex email/phone detection + redaction over RAW page
     html (pre-extraction, as CC pipelines do);
   * outlink extraction — the web-graph edge list (url → href);
@@ -61,6 +64,17 @@ HREF_PAT = r'href="([^"]*)"'
 # Gopher-style repetition thresholds (Rae et al. 2021 table A1 family).
 TOP_2GRAM_MAX_FRAC = 0.20
 DUP_2GRAM_MAX_FRAC = 0.30
+
+# Exact-substring dedup (Lee et al. 2022 "Deduplicating Training Data
+# Makes Language Models Better" family): window length in tokens. The
+# paper uses 50 BPE tokens over a suffix array; the Spark-shaped
+# equivalent below detects every duplicated window of K consecutive
+# tokens via shingle hashing, which finds exactly the duplicated
+# substrings of length >= K (any longer shared substring is a run of
+# shared K-shingles, so its token coverage is fully recovered by the
+# interval union).
+SUBSTR_K = 8
+DUP_SUBSTR_MAX_FRAC = 0.5
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -293,6 +307,116 @@ FROM a
 
 
 # ---------------------------------------------------------------------------
+# exact-substring duplication coverage (Lee et al. 2022 family)
+# ---------------------------------------------------------------------------
+
+def docs_substring_dup_coverage(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Per-document fraction of tokens covered by a duplicated substring
+    of >= SUBSTR_K tokens (counting occurrences anywhere in the corpus,
+    including elsewhere in the same document) — the detection half of
+    exact-substring dedup (Lee et al. 2022), whose suffix-array global
+    scan becomes, in Spark form:
+
+      1. narrow map: every K-token shingle's hash + start position;
+      2. groupBy(shingle hash) with map-side partial counts — a shingle
+         with total count > 1 is a duplicated window;
+      3. left-semi join shingle starts against the duplicated set;
+      4. per-doc interval union (window: running max of interval end
+         over starts) → covered-token count.
+
+    The shuffle volume of step 2 is token volume — that is the price of
+    EXACT substring detection (the sequential equivalent is a global
+    suffix array over the whole corpus); the approximate families
+    (MinHash/SimHash, plans/dataops.py) exist for when that price is
+    not worth paying. Step 4 reuses the doc_id partitioning between the
+    window and the final groupBy, so it adds one exchange, not two."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    with_n = docs.select("doc_id", toks.alias("t")) \
+                 .withColumn("n_tokens", F.size("t"))
+    shingle_hashes = F.when(
+        F.col("n_tokens") >= SUBSTR_K,
+        F.transform(
+            F.sequence(F.lit(0), F.col("n_tokens") - SUBSTR_K),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("t"), i + 1,
+                                                     SUBSTR_K))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    starts = with_n.select(
+        "doc_id",
+        F.posexplode(shingle_hashes).alias("pos", "h"),
+    )
+    dup_h = (starts.groupBy("h").agg(F.count("*").alias("c"))
+             .filter(F.col("c") > 1).select("h"))
+    dup_starts = starts.join(dup_h, "h", "left_semi")
+
+    w_prev = (Window.partitionBy("doc_id").orderBy("pos")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    prev_end = F.max(F.col("pos") + SUBSTR_K).over(w_prev)
+    contrib = F.greatest(
+        F.lit(0),
+        (F.col("pos") + SUBSTR_K)
+        - F.greatest(F.coalesce(prev_end, F.lit(0)), F.col("pos")))
+    per_doc = (dup_starts.withColumn("contrib", contrib)
+               .groupBy("doc_id")
+               .agg(F.sum("contrib").alias("dup_tokens")))
+
+    joined = (with_n.select("doc_id", "n_tokens")
+              .join(per_doc, "doc_id", "left")
+              .withColumn("dup_tokens",
+                          F.coalesce(F.col("dup_tokens"), F.lit(0))))
+    frac = F.round(F.col("dup_tokens") / F.col("n_tokens"), 4)
+    return joined.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("dup_tokens").cast("long").alias("dup_tokens"),
+        frac.alias("dup_substr_frac"),
+        (frac <= DUP_SUBSTR_MAX_FRAC).alias("keep_substr"),
+    )
+
+
+DOCS_SUBSTR_DUP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents
+), n AS (
+  SELECT doc_id, t, len(t) AS n_tokens FROM toks
+), starts AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(list_slice(t, i, i + {SUBSTR_K} - 1), ' '))
+           AS h
+  FROM (SELECT doc_id, t,
+               unnest(range(1, len(t) - {SUBSTR_K} + 2)) AS i
+        FROM toks
+        WHERE len(t) >= {SUBSTR_K})
+), dup_h AS (
+  SELECT h FROM starts GROUP BY h HAVING COUNT(*) > 1
+), dup_starts AS (
+  SELECT doc_id, pos FROM starts WHERE h IN (SELECT h FROM dup_h)
+), cov AS (
+  SELECT doc_id,
+         GREATEST(0, (pos + {SUBSTR_K})
+           - GREATEST(COALESCE(MAX(pos + {SUBSTR_K}) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0),
+               pos)) AS contrib
+  FROM dup_starts
+), per_doc AS (
+  SELECT doc_id, SUM(contrib) AS dup_tokens FROM cov GROUP BY doc_id
+)
+SELECT n.doc_id,
+       CAST(n.n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(per_doc.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       round(COALESCE(per_doc.dup_tokens, 0) / n.n_tokens, 4)
+         AS dup_substr_frac,
+       (round(COALESCE(per_doc.dup_tokens, 0) / n.n_tokens, 4)
+          <= {DUP_SUBSTR_MAX_FRAC}) AS keep_substr
+FROM n LEFT JOIN per_doc ON n.doc_id = per_doc.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # incremental snapshot dedup
 # ---------------------------------------------------------------------------
 
@@ -327,6 +451,7 @@ SPARK_QUERIES = {
     "pages_pii_scan": pages_pii_scan,
     "pages_para_dedup": pages_para_dedup,
     "docs_repetition_metrics": docs_repetition_metrics,
+    "docs_substring_dup_coverage": docs_substring_dup_coverage,
     "docs_new_vs_snapshot": docs_new_vs_snapshot,
 }
 
@@ -335,5 +460,6 @@ ORACLE_SQL = {
     "pages_pii_scan": PAGES_PII_SQL,
     "pages_para_dedup": PAGES_PARA_DEDUP_SQL,
     "docs_repetition_metrics": DOCS_REPETITION_SQL,
+    "docs_substring_dup_coverage": DOCS_SUBSTR_DUP_SQL,
     "docs_new_vs_snapshot": DOCS_NEW_VS_SNAPSHOT_SQL,
 }

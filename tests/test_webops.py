@@ -129,3 +129,21 @@ def test_para_dedup_collapses_boilerplate_headings(spark):
     assert agg.kept < agg.total          # something was deduplicated
     assert agg.docs_shrunk >= 5          # the repeated headings
     assert agg.min_kept >= 2             # title + body always survive
+
+
+def test_substring_dup_coverage_shape(spark):
+    """Token-volume shuffle is the declared price; the doc_id
+    partitioning must be reused between the interval-union window and
+    the per-doc aggregation (one exchange, not two), and both groupBys
+    partial-aggregate map-side."""
+    from ocr_spark.plans.webops import docs_substring_dup_coverage
+    df = docs_substring_dup_coverage(spark, SF)
+    plan = fmt(df)
+    assert n_shuffles(plan) <= 5, plan
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in simple or "partial_sum" in simple
+    # exact-dup documents must be fully covered: dup_substr_frac == 1.0
+    rows = df.collect()
+    full = [r for r in rows if r.dup_substr_frac is not None
+            and r.dup_substr_frac >= 1.0]
+    assert full, "sf0.01 contains exact-duplicate docs; none marked 1.0"
