@@ -125,6 +125,42 @@ def _vertical_gap(a: dict, b: dict) -> float:
     return cb[1] - ca[3]
 
 
+DEFAULT_OCR_ARTIFACT = "ocr_head_v1.json"
+
+
+def _apply_ocr_head(texts: list[str]) -> list[str]:
+    """U2 model-artifact seam (same dry-run pattern as the layout head,
+    fixture_extract.py::apply_layout_head).
+
+    Default (``OCR_SPARK_OCR_IMPL=fixture``): glyph texts ARE the OCR
+    output — pass through. ``OCR_SPARK_OCR_IMPL=artifact``: every glyph
+    string round-trips through a REAL recognition-head artifact loaded
+    once per worker — encoded into the artifact's charset ids and
+    decoded back (the CTC-decode shape of the reference's PP-OCRv5
+    head, /root/reference/service/core/ocr.py:10-22: crop → id sequence
+    → charset lookup). A character missing from the charset raises
+    loudly (KeyError → per-row error), exactly like a wrong charset
+    file in production; swapping real recognition weights in changes
+    what produces the id sequence, not this plumbing."""
+    import os as _os
+
+    if _os.environ.get("OCR_SPARK_OCR_IMPL", "fixture") != "artifact":
+        return texts
+    from ocr_spark.core.artifacts import load_artifact
+    model = load_artifact(_os.environ.get("OCR_SPARK_OCR_ARTIFACT",
+                                          DEFAULT_OCR_ARTIFACT))
+    index = model.get("_char_index")
+    if index is None:
+        index = {c: i for i, c in enumerate(model["charset"])}
+        model["_char_index"] = index   # memoized on the cached artifact
+    charset = model["charset"]
+    out = []
+    for t in texts:
+        ids = [index[c] for c in t]    # encode: char -> class id
+        out.append("".join(charset[i] for i in ids))  # decode
+    return out
+
+
 def _ocr_title_text(box: dict) -> str:
     """Fixture-OCR of a caption box: the reference crops the page PNG and
     runs PP-OCRv5 (pre.py:146-149); here glyphs ARE the OCR ground truth.
@@ -136,7 +172,7 @@ def _ocr_title_text(box: dict) -> str:
     glyphs = box.get("glyphs") or []
     if not glyphs:
         return ""
-    texts = [g["text"] for g in glyphs]
+    texts = _apply_ocr_head([g["text"] for g in glyphs])
     if box.get("label") == "formula_number":
         return texts[0]
     frags = sort_fragments_reading_order(texts, [g["box"] for g in glyphs])

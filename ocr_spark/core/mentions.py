@@ -82,6 +82,47 @@ def clean_span_text(text: str) -> str:
     return text
 
 
+DEFAULT_CRF_ARTIFACT = "crf_tags_v1.json"
+
+
+def _apply_crf_head(out: MentionResult) -> MentionResult:
+    """U6 model-artifact seam (same dry-run pattern as the layout/OCR
+    heads). ``OCR_SPARK_CRF_IMPL=artifact``: every emitted span's BIO
+    tag round-trips through a REAL tag-vocabulary artifact loaded once
+    per worker (the reference CRF's tagger emits tag ids the vocabulary
+    decodes, predict.py:153-181; its model file is gitignored there).
+    The spans are rebuilt FROM the decoded tags, so a truncated or
+    reordered vocabulary either raises loudly (KeyError) or visibly
+    changes output — the artifact is live in the dataflow, not
+    decorative. Swapping a real CRF in replaces what ASSIGNS the tags,
+    not this plumbing."""
+    import os as _os
+
+    if _os.environ.get("OCR_SPARK_CRF_IMPL", "fixture") != "artifact":
+        return out
+    from ocr_spark.core.artifacts import load_artifact
+    model = load_artifact(_os.environ.get("OCR_SPARK_CRF_ARTIFACT",
+                                          DEFAULT_CRF_ARTIFACT))
+    index = model.get("_tag_index")
+    if index is None:
+        index = {t: i for i, t in enumerate(model["labels"])}
+        model["_tag_index"] = index    # memoized on the cached artifact
+    labels = model["labels"]
+    tags = ["B-REF"] * len(out.ref_info) + ["B-SEC"] * len(out.section_info)
+    ids = [index[t] for t in tags]           # encode: tag -> id
+    decoded = [labels[i] for i in ids]       # decode: id -> tag
+    spans = list(out.ref_info) + list(out.section_info)
+    routed = MentionResult()
+    routed.raw_texts = out.raw_texts
+    routed.order_info = out.order_info
+    for tag, span in zip(decoded, spans):
+        if tag == "B-REF":
+            routed.ref_info.append(span)
+        elif tag == "B-SEC":
+            routed.section_info.append(span)
+    return routed
+
+
 def tag_mentions(sentence: str) -> MentionResult:
     """Deterministic stand-in for ``predict_from_text`` (predict.py:153-181).
 
@@ -105,4 +146,4 @@ def tag_mentions(sentence: str) -> MentionResult:
     if out.ref_info or out.section_info:
         out.raw_texts.append(sentence)
 
-    return out
+    return _apply_crf_head(out)

@@ -215,6 +215,10 @@ def _extract_batches_fn(blocks_mode: str):
         "OCR_SPARK_SYMSPELL_CASE",       # U7 case-mode flag (wordseg.py)
         "OCR_SPARK_LAYOUT_IMPL",         # U1 artifact-head seam
         "OCR_SPARK_LAYOUT_ARTIFACT",     # (fixture_extract.py)
+        "OCR_SPARK_OCR_IMPL",            # U2 artifact-head seam (boxes.py)
+        "OCR_SPARK_OCR_ARTIFACT",
+        "OCR_SPARK_CRF_IMPL",            # U6 artifact-head seam
+        "OCR_SPARK_CRF_ARTIFACT",        # (mentions.py)
     )}
 
     def _extract_batches(
