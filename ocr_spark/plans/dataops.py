@@ -542,16 +542,27 @@ def docs_jaccard_verify_candidates(spark: SparkSession,
     linear equi-joins on doc_id, never a blocked self-join. Compare
     ``docs_ngram_jaccard_pairs``, which is the small-SF O(n²)
     cross-check of this path."""
+    # The plan references the LSH subtree 3× (cand_ids + both sides of
+    # the final join) and the grams subtree 2×, and they genuinely
+    # recompute — no exchange reuse survives to the executed plan
+    # (measured: 8 scans / 12 Arrow evals, 0 ReusedExchange). Measured
+    # three ways at sf0.1/local[32] (interleaved reps): recompute
+    # 5.7-6.3 s < persist(MEMORY_AND_DISK) 7.5-8.0 s <
+    # localCheckpoint 7.0-8.9 s — with idle cores the redundant
+    # compute is free while materialization taxes the critical path
+    # with cache writes and driver barriers, so the query form stays
+    # unmaterialized. At production scale (cores saturated, corpus-wide
+    # MinHash the dominant cost) the same 3× redundancy is NOT free:
+    # there the pipeline writes the candidate pair list as a real
+    # intermediate table between job stages (job.py's wave model), and
+    # the verify stage reads it back — a storage write, not an
+    # in-session checkpoint.
     cands = docs_minhash_lsh_pairs(spark, sf_dir)
     docs = t(spark, sf_dir, "documents")
     # shingle ONLY the docs that appear in a candidate pair (left-semi
     # against the tiny candidate id set): the verify stage's work is
     # bounded by the candidates, not the corpus — at 100 TB the
     # candidate set is orders of magnitude smaller than the input.
-    # cand_ids references the LSH subtree ONCE (explode, not a
-    # two-select union) so the plan carries 2 references to it total;
-    # exchange reuse collapses them at runtime, and a real pipeline
-    # materializes the candidate table between the stages anyway.
     cand_ids = (cands.select(F.explode(F.array("doc_a", "doc_b"))
                              .alias("doc_id"))
                 .distinct())
