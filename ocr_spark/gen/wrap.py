@@ -45,6 +45,13 @@ def contact_phone_for_document(doc_id: int) -> str:
     return f"555-01{doc_id % 100:02d}"
 
 
+def partner_url_for_document(doc_id: int) -> str:
+    """Deterministic absolute external outlink (footer boilerplate) —
+    gives the web-graph operators (plans/webops.py pages_outlinks /
+    pages_host_outdegree) a host-bearing edge to aggregate."""
+    return f"https://partner{doc_id % 5}.example.org/p/{doc_id % 13}"
+
+
 def title_for_document(doc_id: int) -> str:
     return f"Document {doc_id} Report"
 
@@ -107,7 +114,9 @@ def html_for_document(doc_id: int, text: str) -> bytes:
         f'<div class="contact-line">Contact '
         f'<a href="mailto:{contact_email_for_document(doc_id)}">'
         f"{contact_email_for_document(doc_id)}</a>"
-        f" or call {contact_phone_for_document(doc_id)}.</div></footer>"
+        f" or call {contact_phone_for_document(doc_id)}. "
+        f'<a href="{partner_url_for_document(doc_id)}">partner site</a>'
+        f"</div></footer>"
     )
     page = (
         "<!DOCTYPE html><html><head><title>t</title>"

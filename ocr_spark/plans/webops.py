@@ -95,7 +95,8 @@ def pages_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Narrow map (regexp_extract_all + explode), zero shuffle; the oracle
     regenerates the expected hrefs closed-form from doc_id (gen/wrap.py
-    emits 6 nav + 1 ad + 2 sidebar + 5 footer + 1 mailto link)."""
+    emits 6 nav + 1 ad + 2 sidebar + 5 footer + 1 mailto + 1 external
+    partner link)."""
     pages = pages_from_documents(spark, sf_dir)
     return (
         pages.select(
@@ -106,7 +107,7 @@ def pages_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "url", "href",
-            (~F.col("href").startswith("mailto:")).alias("is_internal"),
+            F.col("href").startswith("/").alias("is_internal"),
         )
     )
 
@@ -114,7 +115,7 @@ def pages_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
 PAGES_OUTLINKS_SQL = """
 SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
        u.href AS href,
-       NOT starts_with(u.href, 'mailto:') AS is_internal
+       starts_with(u.href, '/') AS is_internal
 FROM documents, LATERAL unnest([
     '/home'     || CAST(doc_id % 7 AS VARCHAR),
     '/about'    || CAST(doc_id % 7 AS VARCHAR),
@@ -126,8 +127,36 @@ FROM documents, LATERAL unnest([
     '/r1', '/r2',
     '/privacy', '/terms', '/contact', '/sitemap', '/subscribe',
     'mailto:contact' || CAST(doc_id % 50 AS VARCHAR)
-        || '@example' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+        || '@example' || CAST(doc_id % 7 AS VARCHAR) || '.com',
+    'https://partner' || CAST(doc_id % 5 AS VARCHAR)
+        || '.example.org/p/' || CAST(doc_id % 13 AS VARCHAR)
 ]) AS u(href)
+"""
+
+
+def pages_host_outdegree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-graph rollup: external outlinks aggregated by target host —
+    the shape behind domain-level crawl policies (per-host budgets,
+    link-spam scoring). Host extraction is a JVM regexp over the edge
+    list; one partial-aggregated groupBy(host) is the only shuffle, and
+    its key cardinality is the distinct-host count (bounded far below
+    edge volume at any scale)."""
+    edges = pages_outlinks(spark, sf_dir)
+    host = F.regexp_extract("href", r"^https?://([^/]+)", 1)
+    return (edges.filter(~F.col("is_internal")
+                         & F.col("href").rlike("^https?://"))
+            .select(host.alias("host"), "url")
+            .groupBy("host")
+            .agg(F.count("*").alias("n_links"),
+                 F.countDistinct("url").alias("n_pages")))
+
+
+PAGES_HOST_OUTDEGREE_SQL = """
+SELECT 'partner' || CAST(doc_id % 5 AS VARCHAR) || '.example.org' AS host,
+       CAST(COUNT(*) AS BIGINT) AS n_links,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_pages
+FROM documents
+GROUP BY host
 """
 
 
@@ -446,8 +475,69 @@ WHERE doc_id % 3 = 2
 """
 
 
+# ---------------------------------------------------------------------------
+# end-to-end curation verdict (filter-family composition)
+# ---------------------------------------------------------------------------
+
+def docs_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's final per-document keep/drop decision, composing
+    the whole filter family: Gopher quality bounds + 2-gram repetition
+    + exact-substring duplication + exact-dedup keeper election. This
+    is the materialized column a training-data pipeline actually
+    filters on; each constituent stays independently oracle-checked,
+    and this query oracle-checks the COMPOSITION (join semantics, null
+    handling for short docs, final conjunction).
+
+    Shape: four narrow/windowed subplans equi-joined on doc_id — no new
+    shuffle classes beyond the constituents'. Docs too short to have
+    2-grams trivially pass the repetition filter (COALESCE true), the
+    same convention in both engines."""
+    from ocr_spark.plans.dataops import (
+        docs_dedup_keepers, docs_gopher_filters,
+    )
+
+    g = docs_gopher_filters(spark, sf_dir) \
+        .select("doc_id", F.col("keep").alias("keep_gopher"))
+    r = docs_repetition_metrics(spark, sf_dir) \
+        .select("doc_id", "keep_repetition")
+    s = docs_substring_dup_coverage(spark, sf_dir) \
+        .select("doc_id", "keep_substr")
+    k = docs_dedup_keepers(spark, sf_dir).select("doc_id", "is_dup")
+    out = (k.join(g, "doc_id")
+           .join(s, "doc_id")
+           .join(r, "doc_id", "left")
+           .withColumn("keep_repetition",
+                       F.coalesce("keep_repetition", F.lit(True))))
+    keep = (F.col("keep_gopher") & F.col("keep_repetition")
+            & F.col("keep_substr") & (F.col("is_dup") == 0))
+    return out.select("doc_id", "keep_gopher", "keep_repetition",
+                      "keep_substr", "is_dup", keep.alias("keep"))
+
+
+def _curation_sql() -> str:
+    from ocr_spark.plans.dataops import _DEDUP_KEEPERS_SQL, _GOPHER_SQL
+
+    return f"""
+WITH g AS (SELECT doc_id, keep AS keep_gopher FROM ({_GOPHER_SQL})),
+r AS (SELECT doc_id, keep_repetition FROM ({DOCS_REPETITION_SQL})),
+s AS (SELECT doc_id, keep_substr FROM ({DOCS_SUBSTR_DUP_SQL})),
+k AS (SELECT doc_id, is_dup FROM ({_DEDUP_KEEPERS_SQL}))
+SELECT k.doc_id, g.keep_gopher,
+       COALESCE(r.keep_repetition, TRUE) AS keep_repetition,
+       s.keep_substr, k.is_dup,
+       (g.keep_gopher AND COALESCE(r.keep_repetition, TRUE)
+        AND s.keep_substr AND k.is_dup = 0) AS keep
+FROM k
+JOIN g ON g.doc_id = k.doc_id
+JOIN s ON s.doc_id = k.doc_id
+LEFT JOIN r ON r.doc_id = k.doc_id
+"""
+
+
 SPARK_QUERIES = {
     "pages_outlinks": pages_outlinks,
+    "pages_host_outdegree": pages_host_outdegree,
+    "docs_curation_verdict": docs_curation_verdict,
     "pages_pii_scan": pages_pii_scan,
     "pages_para_dedup": pages_para_dedup,
     "docs_repetition_metrics": docs_repetition_metrics,
@@ -457,6 +547,8 @@ SPARK_QUERIES = {
 
 ORACLE_SQL = {
     "pages_outlinks": PAGES_OUTLINKS_SQL,
+    "pages_host_outdegree": PAGES_HOST_OUTDEGREE_SQL,
+    "docs_curation_verdict": _curation_sql(),
     "pages_pii_scan": PAGES_PII_SQL,
     "pages_para_dedup": PAGES_PARA_DEDUP_SQL,
     "docs_repetition_metrics": DOCS_REPETITION_SQL,
