@@ -39,8 +39,8 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 / §7.8."""
     from ocr_spark.plans import (
-        dataops, extract_queries, multimodal_queries, queries as q,
-        relational_extra, simsearch, webops,
+        curation, dataops, extract_queries, multimodal_queries,
+        queries as q, relational_extra, simsearch, webops,
     )
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -51,14 +51,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(multimodal_queries.SPARK_QUERIES)
     out.update(relational_extra.SPARK_QUERIES)
     out.update(webops.SPARK_QUERIES)
+    out.update(curation.SPARK_QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (same column names/aliases)."""
     from ocr_spark.plans import (
-        dataops, extract_queries, multimodal_queries, queries as q,
-        relational_extra, simsearch, webops,
+        curation, dataops, extract_queries, multimodal_queries,
+        queries as q, relational_extra, simsearch, webops,
     )
 
     out: dict[str, str] = {}
@@ -69,4 +70,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(multimodal_queries.ORACLE_SQL)
     out.update(relational_extra.ORACLE_SQL)
     out.update(webops.ORACLE_SQL)
+    out.update(curation.ORACLE_SQL)
     return out

@@ -1,0 +1,198 @@
+"""Corpus curation operators: statistical quality scoring, deterministic
+sampling, and training-shard packing.
+
+The stages that come AFTER filtering/dedup in a training-data pipeline:
+score what survived, choose a mixture, and pack it into shards. The
+reference (CMDF/ocr) has none of these (one-document service); each is
+specified by public pipeline literature:
+
+  * unigram log-prob scoring — the CCNet recipe (Wenzek et al. 2020)
+    scores documents with a language-model perplexity and splits the
+    corpus into head/middle/tail terciles; here the LM is a corpus-wide
+    add-1-smoothed unigram model (two passes: global counts, then
+    per-doc average log-prob) — swapping a real KenLM in replaces the
+    probability lookup, not the Spark shape;
+  * deterministic hash sampling — mixture construction needs samples
+    that are reproducible across runs and engines, so selection is
+    "md5(key) < threshold" (uniform in [0,1) over the hash hex), with
+    per-language rates — no RNG, no seed state, re-runnable;
+  * shard packing — greedy token-budget packing via a running-sum
+    window: shard_id = floor(exclusive-prefix-sum / budget), windowed
+    PER LANGUAGE so the packing parallelizes across strata (a single
+    global ordered window would serialize; at production scale packing
+    runs per output partition and the shard key is (partition, local
+    shard) — this per-stratum form keeps that shape while staying
+    oracle-checkable).
+
+Scale notes (100 TB):
+  * the unigram-count pass is explode → partial-agg groupBy(token) —
+    shuffle volume is distinct-token counts; the score pass joins
+    tokens to counts on token (the LM table; with a real trimmed LM it
+    broadcasts) then one groupBy(doc_id);
+  * hash sampling is a narrow zero-shuffle filter;
+  * shard packing shuffles once on the stratum key; the running sum is
+    a window within each stratum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+LOGPROB_ROUND = 4
+SHARD_TOKEN_BUDGET = 2000
+
+# per-language deterministic sampling rates: md5 hex is uniform, so
+# "first hex char < '8'" = rate 1/2, "< '4'" = 1/4, etc.
+SAMPLE_THRESHOLDS = {"en": "8", "de": "4", "fr": "4", "es": "4", "zh": "2"}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+_TOKS = r"\s+"
+
+
+def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style statistical quality score: per-document mean token
+    log-probability under a corpus-wide add-1-smoothed unigram model,
+    plus CCNet's head/middle/tail split as PER-LANGUAGE terciles
+    (ntile within each language, doc_id tie-break for determinism) —
+    per-language both because that is the published recipe (Wenzek et
+    al. split each language separately) and because it keeps the rank
+    window partitioned. At 10^12 docs even a per-language exact rank is
+    a monster sort; there the terciles come from two approx_percentile
+    cutoffs broadcast against the scored table — same output contract,
+    different physical plan — while this exact form is what the oracle
+    can value-check."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), _TOKS)
+    exploded = docs.select("doc_id", "lang", F.explode(toks).alias("tok"))
+
+    counts = exploded.groupBy("tok").agg(F.count("*").alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("n_total"),
+        F.count("*").alias("vocab"))  # 1 row → broadcast cross join
+
+    scored = (exploded
+              .join(counts, "tok")
+              .crossJoin(F.broadcast(totals))
+              .groupBy("doc_id", "lang")
+              .agg(
+                  F.count("*").alias("n_tokens"),
+                  F.round(F.avg(F.log((F.col("c") + 1)
+                                      / (F.col("n_total") + F.col("vocab")))),
+                          LOGPROB_ROUND).alias("avg_logprob")))
+    w = Window.partitionBy("lang").orderBy("avg_logprob", "doc_id")
+    return scored.select(
+        "doc_id", "lang", "n_tokens", "avg_logprob",
+        F.ntile(3).over(w).alias("tercile"))
+
+
+UNIGRAM_LOGPROB_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, lang,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+), counts AS (
+  SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok
+), totals AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_total,
+         CAST(COUNT(*) AS BIGINT) AS vocab
+  FROM counts
+), scored AS (
+  SELECT tk.doc_id, tk.lang,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         round(AVG(ln((counts.c + 1)
+                      / CAST(totals.n_total + totals.vocab AS DOUBLE))),
+               {LOGPROB_ROUND}) AS avg_logprob
+  FROM tk JOIN counts USING (tok) CROSS JOIN totals
+  GROUP BY tk.doc_id, tk.lang
+)
+SELECT doc_id, lang, n_tokens, avg_logprob,
+       CAST(ntile(3) OVER (PARTITION BY lang
+                           ORDER BY avg_logprob, doc_id) AS INT)
+         AS tercile
+FROM scored
+"""
+
+
+def docs_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language mixture sampling: a document is kept
+    iff the first hex char of md5('sample:' || doc_id) is below its
+    language's threshold — reproducible bit-for-bit across runs,
+    engines, and cluster sizes (no RNG), which is what makes training
+    mixtures auditable. Narrow zero-shuffle filter."""
+    docs = _docs(spark, sf_dir)
+    h = F.substring(
+        F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))),
+        1, 1)
+    thr = F.create_map(
+        *[x for k, v in SAMPLE_THRESHOLDS.items()
+          for x in (F.lit(k), F.lit(v))])
+    return (docs.select("doc_id", "lang", h.alias("h"))
+            .filter(F.col("h") < thr[F.col("lang")])
+            .select("doc_id", "lang"))
+
+
+_SAMPLE_CASES = "\n".join(
+    f"    WHEN '{k}' THEN '{v}'" for k, v in SAMPLE_THRESHOLDS.items())
+
+SAMPLE_STRATIFIED_SQL = f"""
+SELECT doc_id, lang
+FROM documents
+WHERE substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 1)
+      < CASE lang
+{_SAMPLE_CASES}
+      END
+"""
+
+
+def docs_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget shard packing, windowed per language: each
+    document lands in shard floor(exclusive-prefix-tokens / budget) of
+    its language stream (doc_id order). The per-stratum window is what
+    keeps this distributed — shards for different languages pack in
+    parallel, and the production form windows per output partition."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), _TOKS)
+    n = F.when((F.size(toks) == 1) & (toks[0] == ""), F.lit(0)) \
+         .otherwise(F.size(toks))
+    base = docs.select("doc_id", "lang", n.cast("long").alias("n_tokens"))
+    w = (Window.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    prefix = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return base.select(
+        "doc_id", "lang", "n_tokens",
+        F.floor(prefix / SHARD_TOKEN_BUDGET).cast("int").alias("shard_id"))
+
+
+TOKEN_SHARDS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lang,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END
+              AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, lang, n_tokens,
+       CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                PARTITION BY lang ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             / {SHARD_TOKEN_BUDGET}) AS INT) AS shard_id
+FROM base
+"""
+
+
+SPARK_QUERIES = {
+    "docs_unigram_logprob": docs_unigram_logprob,
+    "docs_sample_stratified": docs_sample_stratified,
+    "docs_token_shards": docs_token_shards,
+}
+
+ORACLE_SQL = {
+    "docs_unigram_logprob": UNIGRAM_LOGPROB_SQL,
+    "docs_sample_stratified": SAMPLE_STRATIFIED_SQL,
+    "docs_token_shards": TOKEN_SHARDS_SQL,
+}

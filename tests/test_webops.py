@@ -147,3 +147,22 @@ def test_substring_dup_coverage_shape(spark):
     full = [r for r in rows if r.dup_substr_frac is not None
             and r.dup_substr_frac >= 1.0]
     assert full, "sf0.01 contains exact-duplicate docs; none marked 1.0"
+
+
+def test_curation_module_plan_shapes(spark):
+    """Scoring/sampling/packing scale shapes: sampling is a zero-shuffle
+    filter; shard packing shuffles once on the stratum key; the unigram
+    LM pass partial-aggregates and never degenerates to a cartesian."""
+    from ocr_spark.plans.curation import (
+        docs_sample_stratified, docs_token_shards, docs_unigram_logprob,
+    )
+
+    assert n_shuffles(fmt(docs_sample_stratified(spark, SF))) == 0
+    shards_plan = fmt(docs_token_shards(spark, SF))
+    assert n_shuffles(shards_plan) == 1, shards_plan
+
+    df = docs_unigram_logprob(spark, SF)
+    plan = fmt(df)
+    assert "CartesianProduct" not in plan
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in simple or "partial_sum" in simple
