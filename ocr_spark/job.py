@@ -314,6 +314,159 @@ def compact_snapshots(spark: SparkSession, work_dir: str) -> dict:
     return {"compacted": len(sids), "snapshot": new_sid}
 
 
+def curation_root(work_dir: str) -> str:
+    return os.path.join(work_dir, "curated")
+
+
+def run_curation_job(spark: SparkSession, work_dir: str, *,
+                     shard_token_budget: int = 2000) -> dict:
+    """Corpus-wide curation stage over the committed extraction output:
+    C4-style paragraph dedup → quality + repetition filters → keep/drop
+    verdict with drop reason → token-budget shard packing of the kept
+    set → ONE published snapshot + a metrics row.
+
+    Deliberately NOT wave/bucket-resumable: paragraph dedup and
+    repetition are cross-bucket GLOBAL operators (the first occurrence
+    of a paragraph may be in any bucket), so partial commits could
+    change which copy survives. The input is immutable committed
+    extraction output, so a crashed run simply reruns deterministically;
+    the stage commits atomically through the same two-phase
+    prepare/publish as the extraction waves.
+
+    Filter thresholds are shared with the oracle-checked query surface
+    (plans/dataops.py Gopher constants, plans/webops.py repetition
+    bound) — the queries are the unit-verifiable form, this job is the
+    pipeline form."""
+    from ocr_spark.plans.dataops import (
+        _GF_MIN_ALPHA_FRAC, _GF_MIN_MEAN_WLEN, _GF_MIN_STOP_HITS,
+        _GF_MIN_WORDS, _GF_MAX_MEAN_WLEN, _GF_MAX_WORDS, _GF_STOPWORDS,
+    )
+    from ocr_spark.plans.webops import DUP_2GRAM_MAX_FRAC
+    from pyspark.sql.window import Window
+
+    run_id = uuid.uuid4().hex[:12]
+    input_sids = shim.history(output_root(work_dir))
+    docs = (read_extracted(spark, work_dir)
+            .filter(F.col("error").isNull() & F.col("text").isNotNull()
+                    & (F.col("text") != ""))
+            .select("url", "text"))
+
+    # ---- stage 1: corpus-wide paragraph dedup (global first occurrence)
+    paras = docs.select(
+        "url", F.posexplode(F.split("text", "\n\n")).alias("para_idx", "para"))
+    w_first = Window.partitionBy(F.md5("para")).orderBy("url", "para_idx")
+    ranked = paras.withColumn("rn", F.row_number().over(w_first))
+    kept_struct = F.when(F.col("rn") == 1, F.struct("para_idx", "para"))
+    deduped = (ranked.groupBy("url")
+               .agg(F.count("*").alias("n_paras"),
+                    F.sum((F.col("rn") == 1).cast("long")).alias("n_kept"),
+                    F.array_join(
+                        F.transform(F.array_sort(F.collect_list(kept_struct)),
+                                    lambda s: s["para"]),
+                        "\n\n").alias("text_deduped")))
+
+    # ---- stage 2: quality (Gopher bounds) over the DEDUPED text
+    toks = F.split(F.lower(F.trim(F.col("text_deduped"))), r"\s+")
+    base = deduped.withColumn("toks", toks).withColumn(
+        "n_words",
+        F.when((F.size("toks") == 1) & (F.col("toks")[0] == ""), F.lit(0))
+        .otherwise(F.size("toks")))
+    mean_wlen = F.when(
+        F.col("n_words") > 0,
+        F.aggregate("toks", F.lit(0).cast("bigint"),
+                    lambda a, x: a + F.length(x)) / F.col("n_words")
+    ).otherwise(F.lit(0.0))
+    alpha_frac = F.when(
+        F.col("n_words") > 0,
+        F.size(F.filter("toks", lambda x: x.rlike("^[a-z]+$")))
+        / F.col("n_words")).otherwise(F.lit(0.0))
+    stop_hits = F.size(F.array_intersect(
+        F.array_distinct("toks"),
+        F.array(*[F.lit(w) for w in _GF_STOPWORDS])))
+    quality_ok = ((F.col("n_words") >= _GF_MIN_WORDS)
+                  & (F.col("n_words") <= _GF_MAX_WORDS)
+                  & (mean_wlen >= _GF_MIN_MEAN_WLEN)
+                  & (mean_wlen <= _GF_MAX_MEAN_WLEN)
+                  & (alpha_frac >= _GF_MIN_ALPHA_FRAC)
+                  & (stop_hits >= _GF_MIN_STOP_HITS))
+    with_quality = base.withColumn("quality_ok", quality_ok)
+
+    # ---- stage 3: 2-gram repetition over the deduped text
+    grams = F.when(
+        F.size("toks") >= 2,
+        F.transform(F.sequence(F.lit(0), F.size("toks") - 2),
+                    lambda i: F.concat_ws(" ", F.slice("toks", i + 1, 2))),
+    ).otherwise(F.array().cast("array<string>"))
+    gcounts = (with_quality.select("url", F.explode(grams).alias("g"))
+               .groupBy("url", "g").agg(F.count("*").alias("c"))
+               .groupBy("url")
+               .agg((F.sum(F.col("c") - 1) / F.sum("c"))
+                    .alias("dup_2gram_frac")))
+    verdict = (with_quality.join(gcounts, "url", "left")
+               .withColumn("dup_2gram_frac",
+                           F.coalesce("dup_2gram_frac", F.lit(0.0)))
+               .withColumn("repetition_ok",
+                           F.col("dup_2gram_frac") <= DUP_2GRAM_MAX_FRAC)
+               .withColumn("keep", F.col("quality_ok")
+                           & F.col("repetition_ok"))
+               .withColumn("drop_reason",
+                           F.when(~F.col("quality_ok"), "quality")
+                           .when(~F.col("repetition_ok"), "repetition")))
+
+    # ---- stage 4: token-budget shard packing of the kept set, windowed
+    # per url-hash stratum (16 parallel streams; production packs per
+    # output partition — same shape)
+    stratum = F.substring(F.md5("url"), 1, 1)
+    w_pack = (Window.partitionBy("stratum").orderBy("url")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    prefix = F.coalesce(F.sum("n_words").over(w_pack), F.lit(0))
+    kept = (verdict.filter("keep").withColumn("stratum", stratum)
+            .withColumn("shard_id",
+                        F.concat_ws("-", "stratum",
+                                    F.floor(prefix / shard_token_budget)
+                                    .cast("string"))))
+    out = (verdict.join(kept.select("url", "shard_id"), "url", "left")
+           .select("url", "text_deduped", "n_paras", "n_kept", "n_words",
+                   F.round("dup_2gram_frac", 4).alias("dup_2gram_frac"),
+                   "quality_ok", "repetition_ok", "keep", "drop_reason",
+                   "shard_id"))
+
+    out_sid = shim.prepare_snapshot(
+        out, curation_root(work_dir), snapshot_id=f"cur-{run_id}",
+        extra={"curated_from": input_sids})
+    shim.publish_snapshot(curation_root(work_dir), out_sid)
+
+    stats = (shim.read_snapshot(spark, curation_root(work_dir), out_sid)
+             .agg(F.count("*").alias("docs"),
+                  F.sum("n_paras").alias("paras_total"),
+                  F.sum("n_kept").alias("paras_kept"),
+                  F.sum(F.col("keep").cast("long")).alias("docs_kept"),
+                  F.sum((F.col("drop_reason") == "quality").cast("long"))
+                  .alias("dropped_quality"),
+                  F.sum((F.col("drop_reason") == "repetition").cast("long"))
+                  .alias("dropped_repetition"),
+                  F.countDistinct("shard_id").alias("shards"))
+             .collect()[0])
+    metrics = spark.createDataFrame(
+        [(run_id, out_sid, int(stats.docs), int(stats.paras_total),
+          int(stats.paras_kept), int(stats.docs_kept),
+          int(stats.dropped_quality), int(stats.dropped_repetition),
+          int(stats.shards))],
+        "run_id string, snapshot string, docs long, paras_total long, "
+        "paras_kept long, docs_kept long, dropped_quality long, "
+        "dropped_repetition long, shards long")
+    metrics.coalesce(1).write.mode("append").parquet(
+        os.path.join(work_dir, "curation_metrics"))
+
+    return {"run_id": run_id, "snapshot": out_sid,
+            "input_snapshots": input_sids,
+            "docs": int(stats.docs), "docs_kept": int(stats.docs_kept),
+            "paras_removed": int(stats.paras_total - stats.paras_kept),
+            "dropped_quality": int(stats.dropped_quality),
+            "dropped_repetition": int(stats.dropped_repetition),
+            "shards": int(stats.shards)}
+
+
 def read_extracted(spark: SparkSession, work_dir: str) -> DataFrame:
     """All committed extraction output across snapshots. The union is
     exact: within one input snapshot, checkpointed buckets are never

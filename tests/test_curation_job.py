@@ -1,0 +1,86 @@
+"""Corpus-wide curation job stage (job.py run_curation_job): extraction
+output → paragraph dedup → quality/repetition verdict → shard packing,
+committed as one snapshot with a metrics row."""
+
+from __future__ import annotations
+
+import pytest
+
+from ocr_spark.job import (
+    curation_root, run_curation_job, run_extraction_job,
+)
+from ocr_spark.sources import iceberg_shim as shim
+
+
+@pytest.fixture(scope="module")
+def curated(spark, tmp_path_factory):
+    """Extraction job + curation job over the wrapped documents corpus
+    (whose repeated section headings give paragraph dedup real work)."""
+    from ocr_spark.plans.extract_queries import pages_from_documents
+
+    input_root = str(tmp_path_factory.mktemp("cur_in"))
+    work = str(tmp_path_factory.mktemp("cur_work"))
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001")
+    shim.write_snapshot(pages, input_root)
+    run_extraction_job(spark, input_root, work, partitions=8,
+                       big_partitions=1, waves=2)
+    summary = run_curation_job(spark, work)
+    return spark, work, summary
+
+
+def test_curation_commits_one_snapshot_with_lineage(curated):
+    spark, work, summary = curated
+    sids = shim.history(curation_root(work))
+    assert sids == [summary["snapshot"]]
+    manifest = shim.read_manifest(curation_root(work), summary["snapshot"])
+    assert manifest["curated_from"] == summary["input_snapshots"]
+    assert len(summary["input_snapshots"]) >= 1
+
+
+def test_paragraph_dedup_collapsed_boilerplate(curated):
+    spark, work, summary = curated
+    # only 7 distinct section headings exist corpus-wide → repeats die
+    assert summary["paras_removed"] > 0
+    out = shim.read_snapshot(spark, curation_root(work),
+                             summary["snapshot"])
+    row = out.filter("n_kept < n_paras").limit(1).collect()
+    assert row, "some document must have lost a duplicated paragraph"
+
+
+def test_verdict_and_shards_consistent(curated):
+    spark, work, summary = curated
+    out = shim.read_snapshot(spark, curation_root(work),
+                             summary["snapshot"])
+    assert out.count() == summary["docs"]
+    # kept docs have a shard, dropped docs have a reason and no shard
+    assert out.filter("keep AND shard_id IS NULL").count() == 0
+    assert out.filter("NOT keep AND drop_reason IS NULL").count() == 0
+    assert out.filter("NOT keep AND shard_id IS NOT NULL").count() == 0
+    assert summary["docs_kept"] + summary["dropped_quality"] \
+        + summary["dropped_repetition"] == summary["docs"]
+    assert summary["docs_kept"] > 0 and summary["shards"] > 0
+
+
+def test_metrics_row_appended(curated):
+    spark, work, summary = curated
+    import os
+
+    m = spark.read.parquet(os.path.join(work, "curation_metrics"))
+    rows = {r.run_id: r for r in m.collect()}
+    r = rows[summary["run_id"]]
+    assert r.docs == summary["docs"]
+    assert r.docs_kept == summary["docs_kept"]
+    assert r.snapshot == summary["snapshot"]
+
+
+def test_rerun_is_deterministic(curated):
+    """A second run over the same immutable extraction output produces a
+    new snapshot with identical content — the crash-recovery story."""
+    spark, work, summary = curated
+    again = run_curation_job(spark, work)
+    assert again["snapshot"] != summary["snapshot"]
+    a = shim.read_snapshot(spark, curation_root(work), summary["snapshot"])
+    b = shim.read_snapshot(spark, curation_root(work), again["snapshot"])
+    cols = ["url", "text_deduped", "keep", "drop_reason", "shard_id"]
+    assert sorted(map(tuple, a.select(cols).collect())) \
+        == sorted(map(tuple, b.select(cols).collect()))
