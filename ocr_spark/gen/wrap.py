@@ -52,6 +52,14 @@ def partner_url_for_document(doc_id: int) -> str:
     return f"https://partner{doc_id % 5}.example.org/p/{doc_id % 13}"
 
 
+def canonical_url_for_document(doc_id: int) -> str:
+    """Deterministic canonical self-url (head <link>, invisible to
+    extraction) — gives each page a source HOST so the host graph
+    (canonical host → partner host) is parseable from page bytes alone
+    (plans/webops.py hosts_pagerank)."""
+    return f"https://site{doc_id % 13}.example.com/doc/{doc_id}"
+
+
 def title_for_document(doc_id: int) -> str:
     return f"Document {doc_id} Report"
 
@@ -120,6 +128,7 @@ def html_for_document(doc_id: int, text: str) -> bytes:
     )
     page = (
         "<!DOCTYPE html><html><head><title>t</title>"
+        f'<link rel="canonical" href="{canonical_url_for_document(doc_id)}">'
         "<script>var x=1;</script><style>.a{}</style></head>"
         f"<body>{body}</body></html>"
     )

@@ -95,8 +95,8 @@ def pages_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Narrow map (regexp_extract_all + explode), zero shuffle; the oracle
     regenerates the expected hrefs closed-form from doc_id (gen/wrap.py
-    emits 6 nav + 1 ad + 2 sidebar + 5 footer + 1 mailto + 1 external
-    partner link)."""
+    emits 1 canonical <link> + 6 nav + 1 ad + 2 sidebar + 5 footer +
+    1 mailto + 1 external partner link)."""
     pages = pages_from_documents(spark, sf_dir)
     return (
         pages.select(
@@ -129,7 +129,9 @@ FROM documents, LATERAL unnest([
     'mailto:contact' || CAST(doc_id % 50 AS VARCHAR)
         || '@example' || CAST(doc_id % 7 AS VARCHAR) || '.com',
     'https://partner' || CAST(doc_id % 5 AS VARCHAR)
-        || '.example.org/p/' || CAST(doc_id % 13 AS VARCHAR)
+        || '.example.org/p/' || CAST(doc_id % 13 AS VARCHAR),
+    'https://site' || CAST(doc_id % 13 AS VARCHAR)
+        || '.example.com/doc/' || CAST(doc_id AS VARCHAR)
 ]) AS u(href)
 """
 
@@ -152,12 +154,122 @@ def pages_host_outdegree(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PAGES_HOST_OUTDEGREE_SQL = """
-SELECT 'partner' || CAST(doc_id % 5 AS VARCHAR) || '.example.org' AS host,
+WITH h AS (
+  SELECT 'partner' || CAST(doc_id % 5 AS VARCHAR) || '.example.org'
+           AS host, doc_id
+  FROM documents
+  UNION ALL
+  SELECT 'site' || CAST(doc_id % 13 AS VARCHAR) || '.example.com',
+         doc_id
+  FROM documents
+)
+SELECT host,
        CAST(COUNT(*) AS BIGINT) AS n_links,
        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_pages
-FROM documents
-GROUP BY host
+FROM h GROUP BY host
 """
+
+
+PAGERANK_ITERS = 10
+PAGERANK_DAMPING = 0.85
+
+
+def hosts_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the host graph parsed from page bytes:
+    edges (canonical host → partner host) weighted by page count,
+    PAGERANK_ITERS fixed power iterations at damping 0.85.
+
+    The iterative shape is the point: each iteration is one equi-join
+    of the edge list with the current rank vector (keyed src) plus one
+    partial-aggregated groupBy(dst) — the same per-round
+    shuffle-keyed-on-node-id pattern as near_dup_clusters' label
+    propagation, which is how Spark expresses graph analytics without a
+    graph runtime. Dangling nodes (partners have no outlinks) leak
+    their damped mass — the standard simplified formulation, identical
+    in the oracle (10 unrolled CTEs, same float arithmetic), so values
+    match to far below the 4-decimal rounding."""
+    pages = pages_from_documents(spark, sf_dir)
+    h = _html_str()
+    src = F.regexp_extract(
+        h, r'rel="canonical" href="https://([^/"]+)', 1)
+    dst = F.regexp_extract(h, r'href="https://(partner[^/"]+)', 1)
+    page_edges = pages.select(src.alias("src"), dst.alias("dst")) \
+                      .filter((F.col("src") != "") & (F.col("dst") != ""))
+    # materialize the aggregated edge table: it is tiny (distinct host
+    # pairs) but referenced once per iteration — without this the page
+    # scan + html-synthesis UDF would recompute PAGERANK_ITERS times.
+    # (Contrast docs_jaccard_verify_candidates, where measurement said
+    # NOT to materialize: there the reuse count is 3 and the subtree is
+    # the whole corpus pass; here it is 10+ and the result is ~|hosts|².)
+    edges = (page_edges.groupBy("src", "dst").agg(F.count("*").alias("w"))
+             .localCheckpoint())
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    weighted = edges.join(out_w, "src")
+
+    nodes = (edges.select(F.col("src").alias("host"))
+             .union(edges.select(F.col("dst").alias("host")))
+             .distinct())
+    n = nodes.agg(F.count("*").alias("n"))  # 1 row → broadcast
+    ranks = nodes.crossJoin(F.broadcast(n)) \
+                 .select("host", "n", (F.lit(1.0) / F.col("n")).alias("r"))
+    for _ in range(PAGERANK_ITERS):
+        contrib = (weighted
+                   .join(ranks.select(F.col("host").alias("src"), "r"),
+                         "src")
+                   .groupBy(F.col("dst").alias("host"))
+                   .agg(F.sum(F.col("r") * F.col("w") / F.col("out_w"))
+                        .alias("inflow")))
+        ranks = (ranks.join(contrib, "host", "left")
+                 .select("host", "n",
+                         ((1.0 - PAGERANK_DAMPING) / F.col("n")
+                          + PAGERANK_DAMPING
+                          * F.coalesce("inflow", F.lit(0.0))).alias("r"))
+                 # truncate lineage per round: without this the final
+                 # plan nests PAGERANK_ITERS joins and Catalyst
+                 # re-analyzes the whole tower every iteration
+                 .localCheckpoint())
+    return ranks.select("host", F.round("r", 4).alias("pagerank"))
+
+
+def _pagerank_sql() -> str:
+    """10 unrolled power-iteration CTEs (recursive CTEs disallow
+    aggregates in the recursive term, so unrolling IS the SQL form)."""
+    base = f"""
+WITH page_edges AS (
+  SELECT 'site' || CAST(doc_id % 13 AS VARCHAR) || '.example.com' AS src,
+         'partner' || CAST(doc_id % 5 AS VARCHAR) || '.example.org' AS dst
+  FROM documents
+), edges AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM page_edges GROUP BY src, dst
+), out_w AS (
+  SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM edges GROUP BY src
+), weighted AS (
+  SELECT edges.src, edges.dst, edges.w, out_w.out_w
+  FROM edges JOIN out_w USING (src)
+), nodes AS (
+  SELECT src AS host FROM edges UNION SELECT dst FROM edges
+), nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes
+), r0 AS (
+  SELECT host, n, 1.0 / n AS r FROM nodes CROSS JOIN nn
+)"""
+    steps = []
+    for i in range(PAGERANK_ITERS):
+        steps.append(f""", c{i} AS (
+  SELECT weighted.dst AS host, SUM(r{i}.r * weighted.w / weighted.out_w)
+           AS inflow
+  FROM weighted JOIN r{i} ON r{i}.host = weighted.src
+  GROUP BY weighted.dst
+), r{i + 1} AS (
+  SELECT r{i}.host, r{i}.n,
+         (1.0 - {PAGERANK_DAMPING}) / r{i}.n
+           + {PAGERANK_DAMPING} * COALESCE(c{i}.inflow, 0.0) AS r
+  FROM r{i} LEFT JOIN c{i} ON c{i}.host = r{i}.host
+)""")
+    return (base + "".join(steps)
+            + f"\nSELECT host, round(r, 4) AS pagerank "
+              f"FROM r{PAGERANK_ITERS}")
 
 
 # ---------------------------------------------------------------------------
@@ -537,6 +649,7 @@ LEFT JOIN r ON r.doc_id = k.doc_id
 SPARK_QUERIES = {
     "pages_outlinks": pages_outlinks,
     "pages_host_outdegree": pages_host_outdegree,
+    "hosts_pagerank": hosts_pagerank,
     "docs_curation_verdict": docs_curation_verdict,
     "pages_pii_scan": pages_pii_scan,
     "pages_para_dedup": pages_para_dedup,
@@ -548,6 +661,7 @@ SPARK_QUERIES = {
 ORACLE_SQL = {
     "pages_outlinks": PAGES_OUTLINKS_SQL,
     "pages_host_outdegree": PAGES_HOST_OUTDEGREE_SQL,
+    "hosts_pagerank": _pagerank_sql(),
     "docs_curation_verdict": _curation_sql(),
     "pages_pii_scan": PAGES_PII_SQL,
     "pages_para_dedup": PAGES_PARA_DEDUP_SQL,

@@ -166,3 +166,17 @@ def test_curation_module_plan_shapes(spark):
     assert "CartesianProduct" not in plan
     simple = df._jdf.queryExecution().executedPlan().toString()
     assert "partial_count" in simple or "partial_sum" in simple
+
+
+def test_hosts_pagerank_structure(spark):
+    """18 hosts; partner hosts (receiving all damped mass) must outrank
+    site hosts (in-degree 0); total mass < 1 because dangling partner
+    nodes leak their damped share (the documented simplification)."""
+    from ocr_spark.plans.webops import hosts_pagerank
+    rows = hosts_pagerank(spark, SF).collect()
+    assert len(rows) == 18
+    ranks = {r.host: r.pagerank for r in rows}
+    worst_partner = min(v for h, v in ranks.items() if h.startswith("partner"))
+    best_site = max(v for h, v in ranks.items() if h.startswith("site"))
+    assert worst_partner > best_site
+    assert 0 < sum(ranks.values()) < 1.0
