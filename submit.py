@@ -36,6 +36,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--compact", action="store_true",
                     help="after the job, compact the output history "
                          "into a single snapshot")
+    ap.add_argument("--curate", action="store_true",
+                    help="after the job, run the corpus-wide curation "
+                         "stage (paragraph dedup + quality/repetition "
+                         "verdict + shard packing) over the committed "
+                         "output")
     ap.add_argument("--master", default=None,
                     help="override master when not launched via spark-submit")
     args = ap.parse_args(argv)
@@ -58,6 +63,9 @@ def main(argv: list[str] | None = None) -> int:
         )
         if args.compact:
             summary["compaction"] = compact_snapshots(spark, args.work_dir)
+        if args.curate:
+            from ocr_spark.job import run_curation_job
+            summary["curation"] = run_curation_job(spark, args.work_dir)
         print(json.dumps(summary))
         return 0
     finally:
