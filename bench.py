@@ -43,9 +43,10 @@ HEADLINE = [
     "emb_lsh_multiprobe_topk",
     "ev_asof_last_purchase",
     "mm_frame_rollup",
-    # round 3: near-dup clustering + corpus paragraph dedup
+    # round 3: near-dup clustering + corpus paragraph/span dedup
     "docs_near_dup_clusters",
     "pages_para_dedup",
+    "pages_span_dedup",
 ]
 
 

@@ -7,8 +7,12 @@ block structure varies deterministically with doc_id:
   * an ``<h2>`` section heading        — doc_id % 3 == 0 (paragraph_title)
   * the document text ``<p>``          — always        (label text)
   * a closing ``<p>`` paragraph        — doc_id % 2 == 0 (label text)
+  * a 4-sentence disclaimer ``<p>``    — doc_id % 4 == 1 (label text);
+    only 3 distinct variants exist corpus-wide, so the corpus carries
+    REAL duplicated three-sentence spans — the substrate for C4-style
+    sentence-span dedup (plans/webops.py)
 
-so every page yields 2–4 content blocks with non-trivial labels and char
+so every page yields 2–5 content blocks with non-trivial labels and char
 offsets, all recomputable in ANSI SQL from (doc_id, text) alone — the
 DuckDB oracle checks REAL block structure (labels, offsets, sequence
 edges), not a 1-block identity. Extracted text equals
@@ -77,6 +81,23 @@ def closing_for_document(doc_id: int) -> str | None:
     return None
 
 
+def disclaimer_for_document(doc_id: int) -> str | None:
+    """Deterministic 4-sentence disclaimer, shared verbatim by every
+    fourth document (3 variants corpus-wide) — gives the extracted
+    corpus genuine duplicated three-sentence spans for the C4-style
+    span-dedup operator, while titles/body/closing stay doc-unique."""
+    if doc_id % 4 == 1:
+        return (
+            "All material on this site is provided for general "
+            "information only. Reproduction of variant "
+            f"{doc_id % 3} content requires prior written permission. "
+            "The publisher accepts no liability for errors or "
+            "omissions in this text. Nothing here constitutes "
+            "professional advice of any kind."
+        )
+    return None
+
+
 def content_blocks_for_document(doc_id: int, text: str) -> list[tuple[str, str]]:
     """The (label, text) content blocks the extractor must produce, in
     order. Mirrored in SQL by plans/extract_queries.py's oracles."""
@@ -88,6 +109,9 @@ def content_blocks_for_document(doc_id: int, text: str) -> list[tuple[str, str]]
     tail = closing_for_document(doc_id)
     if tail is not None:
         blocks.append(("text", tail))
+    disc = disclaimer_for_document(doc_id)
+    if disc is not None:
+        blocks.append(("text", disc))
     return blocks
 
 
@@ -105,11 +129,13 @@ def html_for_document(doc_id: int, text: str) -> bytes:
     )
     h2 = heading_for_document(doc_id)
     tail = closing_for_document(doc_id)
+    disc = disclaimer_for_document(doc_id)
     article = (
         f"<h1>{_html.escape(title_for_document(doc_id))}</h1>"
         + (f"<h2>{_html.escape(h2)}</h2>" if h2 is not None else "")
         + f"<p>{_html.escape(text)}</p>"
         + (f"<p>{_html.escape(tail)}</p>" if tail is not None else "")
+        + (f"<p>{_html.escape(disc)}</p>" if disc is not None else "")
     )
     body = (
         f'<nav class="navbar"><ul>{nav}</ul></nav>'

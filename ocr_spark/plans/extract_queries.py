@@ -3,7 +3,7 @@
 ``extract_roundtrip`` is the flagship: wrap every ``documents`` row in a
 deterministic boilerplate-laden MULTI-BLOCK HTML page (gen/wrap.py:
 title + optional section heading + document text + optional closing
-paragraph, 2-4 content blocks per page), push it through the full salted
+paragraph, 2-5 content blocks per page), push it through the full salted
 mapInPandas extraction pipeline, and return (url, text). The DuckDB
 oracle recomputes the expected extracted text from (doc_id, text) alone
 — so the driver's value-hash compare *is* the north rule's
@@ -69,7 +69,16 @@ WITH b AS (
          CASE WHEN doc_id % 2 = 0
               THEN 'This is the closing paragraph of document '
                    || CAST(doc_id AS VARCHAR) || ' in the corpus.'
-              END AS t_closing
+              END AS t_closing,
+         CASE WHEN doc_id % 4 = 1
+              THEN 'All material on this site is provided for general '
+                   || 'information only. Reproduction of variant '
+                   || CAST(doc_id % 3 AS VARCHAR)
+                   || ' content requires prior written permission. '
+                   || 'The publisher accepts no liability for errors '
+                   || 'or omissions in this text. Nothing here '
+                   || 'constitutes professional advice of any kind.'
+              END AS t_disclaimer
   FROM documents
 ), rows0 AS (
   SELECT doc_id, 0 AS pos, 'doc_title' AS label, t_title AS btext FROM b
@@ -80,6 +89,9 @@ WITH b AS (
   SELECT doc_id, 2, 'text', text FROM b
   UNION ALL
   SELECT doc_id, 3, 'text', t_closing FROM b WHERE t_closing IS NOT NULL
+  UNION ALL
+  SELECT doc_id, 4, 'text', t_disclaimer FROM b
+  WHERE t_disclaimer IS NOT NULL
 ), seq AS (
   SELECT doc_id, label, btext,
          CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1
@@ -129,7 +141,7 @@ FROM seq
 def graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 through the full pipeline: extraction → typed blocks →
     relational sequence edges (operators/graph.py). The wrapped HTML
-    corpus yields one page-0 chain per document over its 2-4 content
+    corpus yields one page-0 chain per document over its 2-5 content
     blocks; the oracle derives the same chain from doc_id. (The
     hierarchical/blacklist/per-page-index semantics over multi-page
     documents are pinned by tests/test_graph.py's reference replay —
@@ -144,7 +156,8 @@ GRAPH_EDGES_SQL = """
 WITH k AS (
   SELECT doc_id,
          2 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
-           + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS n
+           + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+           + CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS n
   FROM documents
 )
 SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,

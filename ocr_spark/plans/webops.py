@@ -380,6 +380,143 @@ FROM ranked GROUP BY url
 
 
 # ---------------------------------------------------------------------------
+# corpus-level three-sentence-span dedup (C4's literal rule)
+# ---------------------------------------------------------------------------
+
+# One sentence = maximal period-terminated run; identical semantics in
+# Java regex (Spark) and RE2 (DuckDB) for text without a trailing
+# newline (extracted text never ends with one). Same pattern as
+# dataops.py's sentence UDTF oracle.
+SENT_PAT = r"[^.]+(\.|$)"
+
+
+def pages_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's literal dedup rule (Raffel et al. 2020 §2.2): remove every
+    occurrence-but-the-first of any THREE-SENTENCE SPAN that appears
+    more than once in the corpus. Downstream of extraction: split each
+    document's extracted text into sentences, hash every sliding
+    3-sentence window, keep the globally-first occurrence of each
+    duplicated span (ordered by url, then span position), drop the
+    sentences covered by every later occurrence, reassemble.
+
+    On the wrapped corpus the only repeated 3-sentence spans are the
+    disclaimer variants (gen/wrap.py::disclaimer_for_document, 3
+    distinct variants shared by every fourth document), so the rule
+    strips the disclaimer tail from all but one document per variant
+    while doc-unique prose survives.
+
+    Scale shape: sentence split + span windows are narrow per-row maps;
+    one exchange keyed md5(span) for the global first-occurrence
+    window; one exchange keyed url to fold removed sentence indices
+    back onto the document. Span-hash keys are near-unique except for
+    genuinely duplicated boilerplate — exactly the mass the operator
+    deletes — so no hot keys survive the first iteration of a real
+    pipeline."""
+    pages = pages_from_documents(spark, sf_dir)
+    extracted = run_extraction(pages, partitions=32, big_partitions=2)
+    sents = extracted.select(
+        "url",
+        F.filter(
+            F.transform(
+                F.regexp_extract_all("text", F.lit(SENT_PAT), 0),
+                # one-arg lambda on purpose: a bare F.trim is two-arg in
+                # Spark 4 (col, trimstr) and transform would feed it the
+                # element INDEX as the trim-character set
+                lambda x: F.trim(x)),
+            lambda x: x != "",
+        ).alias("sents"),
+    )
+    spans = sents.select(
+        "url",
+        F.posexplode(
+            F.when(
+                F.size("sents") >= 3,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("sents") - 3),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("sents", i + 1),
+                        F.element_at("sents", i + 2),
+                        F.element_at("sents", i + 3),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("span_idx", "span"),
+    )
+    w = Window.partitionBy(F.md5("span")).orderBy("url", "span_idx")
+    removed = (
+        spans.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select(
+            "url",
+            F.explode(
+                F.sequence(F.col("span_idx"), F.col("span_idx") + 2)
+            ).alias("sent_idx"),
+        )
+        .distinct()
+        .groupBy("url")
+        .agg(F.collect_set("sent_idx").alias("removed"))
+    )
+    joined = sents.join(removed, "url", "left")
+    kept = F.filter(
+        "sents",
+        lambda x, i: F.coalesce(
+            ~F.array_contains(F.col("removed"), i), F.lit(True)),
+    )
+    return joined.select(
+        "url",
+        F.size("sents").alias("n_sents"),
+        F.coalesce(F.size("removed"), F.lit(0)).alias("n_removed"),
+        F.array_join(kept, " ").alias("text_span_deduped"),
+    )
+
+
+PAGES_SPAN_DEDUP_SQL = _BLOCKS_CTE + r"""
+, ext AS (
+  SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+         string_agg(btext, chr(10) || chr(10) ORDER BY block_id) AS text
+  FROM seq GROUP BY doc_id
+), s AS (
+  SELECT url, list_filter(list_transform(
+             regexp_extract_all(text, '[^.]+(\.|$)', 0), x -> trim(x)),
+           x -> x <> '') AS sents
+  FROM ext
+), sp AS (
+  SELECT url, i - 1 AS span_idx,
+         sents[i] || ' ' || sents[i+1] || ' ' || sents[i+2] AS span
+  FROM (SELECT url, sents, unnest(range(1, len(sents) - 1)) AS i FROM s)
+), ranked AS (
+  SELECT url, span_idx,
+         ROW_NUMBER() OVER (PARTITION BY span
+                            ORDER BY url, span_idx) AS rn
+  FROM sp
+), removed AS (
+  SELECT DISTINCT url, span_idx + j AS sent_idx
+  FROM ranked, unnest(range(0, 3)) AS t(j)
+  WHERE rn > 1
+), sent_rows AS (
+  SELECT url, i - 1 AS sent_idx, sents[i] AS sentence
+  FROM (SELECT url, sents, unnest(range(1, len(sents) + 1)) AS i FROM s)
+), kept AS (
+  SELECT sr.url, sr.sent_idx, sr.sentence
+  FROM sent_rows sr
+  LEFT JOIN removed rm
+    ON rm.url = sr.url AND rm.sent_idx = sr.sent_idx
+  WHERE rm.url IS NULL
+)
+SELECT s.url,
+       CAST(len(s.sents) AS INT) AS n_sents,
+       CAST(COALESCE(ra.n_removed, 0) AS INT) AS n_removed,
+       COALESCE(k.text2, '') AS text_span_deduped
+FROM s
+LEFT JOIN (SELECT url, COUNT(*) AS n_removed
+           FROM removed GROUP BY url) ra ON ra.url = s.url
+LEFT JOIN (SELECT url, string_agg(sentence, ' ' ORDER BY sent_idx) AS text2
+           FROM kept GROUP BY url) k ON k.url = s.url
+"""
+
+
+# ---------------------------------------------------------------------------
 # Gopher-style repetition metrics
 # ---------------------------------------------------------------------------
 
@@ -653,6 +790,7 @@ SPARK_QUERIES = {
     "docs_curation_verdict": docs_curation_verdict,
     "pages_pii_scan": pages_pii_scan,
     "pages_para_dedup": pages_para_dedup,
+    "pages_span_dedup": pages_span_dedup,
     "docs_repetition_metrics": docs_repetition_metrics,
     "docs_substring_dup_coverage": docs_substring_dup_coverage,
     "docs_new_vs_snapshot": docs_new_vs_snapshot,
@@ -665,6 +803,7 @@ ORACLE_SQL = {
     "docs_curation_verdict": _curation_sql(),
     "pages_pii_scan": PAGES_PII_SQL,
     "pages_para_dedup": PAGES_PARA_DEDUP_SQL,
+    "pages_span_dedup": PAGES_SPAN_DEDUP_SQL,
     "docs_repetition_metrics": DOCS_REPETITION_SQL,
     "docs_substring_dup_coverage": DOCS_SUBSTR_DUP_SQL,
     "docs_new_vs_snapshot": DOCS_NEW_VS_SNAPSHOT_SQL,

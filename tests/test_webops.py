@@ -131,6 +131,44 @@ def test_para_dedup_collapses_boilerplate_headings(spark):
     assert agg.min_kept >= 2             # title + body always survive
 
 
+def test_span_dedup_strips_duplicated_disclaimers(spark):
+    """C4's literal three-sentence-span rule: only the 4-sentence
+    disclaimer (3 corpus-wide variants, every fourth doc) yields
+    duplicated spans, so exactly one doc per variant keeps it
+    (n_removed=0) and every other disclaimer doc loses exactly the 3
+    sentences of its duplicated span; doc-unique prose is untouched."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.plans.webops import pages_span_dedup
+    out = pages_span_dedup(spark, SF_TINY).collect()
+    disc = [r for r in out if "All material on this site" in
+            r.text_span_deduped or r.n_removed > 0]
+    keepers = [r for r in disc if r.n_removed == 0]
+    shrunk = [r for r in disc if r.n_removed > 0]
+    assert len(keepers) == 3                     # one per variant
+    assert len(shrunk) >= 100                    # the rest of %4==1 docs
+    assert all(r.n_removed == 3 for r in shrunk)
+    # a shrunk doc keeps its unique prefix and loses the disclaimer tail
+    assert all("prior written permission" not in r.text_span_deduped
+               for r in shrunk)
+    assert all(r.text_span_deduped.startswith("Document ")
+               for r in shrunk)
+    # docs without duplicated spans pass through fully assembled
+    no_disc = [r for r in out if r not in disc]
+    assert all(r.n_removed == 0 for r in no_disc)
+
+
+def test_span_dedup_shuffle_budget(spark):
+    """Extraction contributes its two route exchanges; the span dedup
+    adds one span-hash window exchange, one removed-index fold, and the
+    url join — all keyed, never all-pairs."""
+    from ocr_spark.plans.webops import pages_span_dedup
+    plan = fmt(pages_span_dedup(spark, SF))
+    assert n_shuffles(plan) <= 6, plan
+    assert "md5" in plan.lower()     # first-occurrence window key
+    assert "CartesianProduct" not in plan
+
+
 def test_substring_dup_coverage_shape(spark):
     """Token-volume shuffle is the declared price; the doc_id
     partitioning must be reused between the interval-union window and
