@@ -52,8 +52,15 @@ def contact_phone_for_document(doc_id: int) -> str:
 def partner_url_for_document(doc_id: int) -> str:
     """Deterministic absolute external outlink (footer boilerplate) —
     gives the web-graph operators (plans/webops.py pages_outlinks /
-    pages_host_outdegree) a host-bearing edge to aggregate."""
-    return f"https://partner{doc_id % 5}.example.org/p/{doc_id % 13}"
+    pages_host_outdegree) a host-bearing edge to aggregate.
+
+    Host site11 (doc_id % 13 == 11) is a deterministic LINK FARM: every
+    one of its pages points at partner2, so its outlink concentration
+    is 1.0 while honest hosts spread across all 5 partners (gcd(13,5)=1
+    cycles them) — the substrate for the link-spam operators
+    (plans/webops.py hosts_link_spam / hosts_spam_mass)."""
+    idx = 2 if doc_id % 13 == 11 else doc_id % 5
+    return f"https://partner{idx}.example.org/p/{doc_id % 13}"
 
 
 def canonical_url_for_document(doc_id: int) -> str:

@@ -128,7 +128,8 @@ FROM documents, LATERAL unnest([
     '/privacy', '/terms', '/contact', '/sitemap', '/subscribe',
     'mailto:contact' || CAST(doc_id % 50 AS VARCHAR)
         || '@example' || CAST(doc_id % 7 AS VARCHAR) || '.com',
-    'https://partner' || CAST(doc_id % 5 AS VARCHAR)
+    'https://partner' || CAST(CASE WHEN doc_id % 13 = 11 THEN 2
+                                   ELSE doc_id % 5 END AS VARCHAR)
         || '.example.org/p/' || CAST(doc_id % 13 AS VARCHAR),
     'https://site' || CAST(doc_id % 13 AS VARCHAR)
         || '.example.com/doc/' || CAST(doc_id AS VARCHAR)
@@ -155,8 +156,9 @@ def pages_host_outdegree(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PAGES_HOST_OUTDEGREE_SQL = """
 WITH h AS (
-  SELECT 'partner' || CAST(doc_id % 5 AS VARCHAR) || '.example.org'
-           AS host, doc_id
+  SELECT 'partner' || CAST(CASE WHEN doc_id % 13 = 11 THEN 2
+                                ELSE doc_id % 5 END AS VARCHAR)
+           || '.example.org' AS host, doc_id
   FROM documents
   UNION ALL
   SELECT 'site' || CAST(doc_id % 13 AS VARCHAR) || '.example.com',
@@ -237,7 +239,9 @@ def _pagerank_sql() -> str:
     base = f"""
 WITH page_edges AS (
   SELECT 'site' || CAST(doc_id % 13 AS VARCHAR) || '.example.com' AS src,
-         'partner' || CAST(doc_id % 5 AS VARCHAR) || '.example.org' AS dst
+         'partner' || CAST(CASE WHEN doc_id % 13 = 11 THEN 2
+                                ELSE doc_id % 5 END AS VARCHAR)
+           || '.example.org' AS dst
   FROM documents
 ), edges AS (
   SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
@@ -270,6 +274,123 @@ WITH page_edges AS (
     return (base + "".join(steps)
             + f"\nSELECT host, round(r, 4) AS pagerank "
               f"FROM r{PAGERANK_ITERS}")
+
+
+# ---------------------------------------------------------------------------
+# link-spam scoring over the host graph
+# ---------------------------------------------------------------------------
+
+# A host whose single most-linked target receives >= this fraction of
+# its external outlinks is flagged as a link farm (Fetterly et al. 2004
+# "Spam, Damn Spam, and Statistics" / Ntoulas et al. 2006 outlink-
+# concentration family — thresholded single-feature form).
+LINK_FARM_MIN_FRAC = 0.8
+
+# the host-graph edge CTE shared by the spam oracles (mirrors
+# gen/wrap.py: canonical host → partner host; site11 is the link farm)
+_HOST_EDGES_CTE = """
+WITH page_edges AS (
+  SELECT 'site' || CAST(doc_id % 13 AS VARCHAR) || '.example.com' AS src,
+         'partner' || CAST(CASE WHEN doc_id % 13 = 11 THEN 2
+                                ELSE doc_id % 5 END AS VARCHAR)
+           || '.example.org' AS dst
+  FROM documents
+), pair AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM page_edges GROUP BY src, dst
+)
+"""
+
+
+def hosts_link_spam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE-host outlink-distribution spam features: external
+    link volume, distinct target hosts, and the mass fraction of the
+    single most-linked target; ``link_farm`` applies the concentration
+    threshold. On the wrapped corpus, honest site hosts cycle through
+    all 5 partners (top_target_frac ≈ 0.2) while site11 concentrates
+    100% on partner2 and is flagged.
+
+    Scale shape: the page scan collapses immediately to (src, dst)
+    pair counts — one partial-aggregated groupBy keyed on the host
+    pair, then a groupBy(src) over distinct-pair rows (bounded by the
+    distinct host-pair count, far below edge volume). Nothing here is
+    per-page after the first aggregation."""
+    pages = pages_from_documents(spark, sf_dir)
+    h = _html_str()
+    src = F.regexp_extract(
+        h, r'rel="canonical" href="https://([^/"]+)', 1)
+    dst = F.regexp_extract(h, r'href="https://(partner[^/"]+)', 1)
+    pair = (pages.select(src.alias("src"), dst.alias("dst"))
+            .filter((F.col("src") != "") & (F.col("dst") != ""))
+            .groupBy("src", "dst").agg(F.count("*").alias("w")))
+    frac = F.round(F.max("w") / F.sum("w"), 4)
+    return (pair.groupBy(F.col("src").alias("host"))
+            .agg(F.sum("w").alias("n_ext_links"),
+                 F.count("*").alias("out_hosts"),
+                 frac.alias("top_target_frac"),
+                 (frac >= LINK_FARM_MIN_FRAC).alias("link_farm")))
+
+
+HOSTS_LINK_SPAM_SQL = _HOST_EDGES_CTE + f"""
+SELECT src AS host,
+       CAST(SUM(w) AS BIGINT) AS n_ext_links,
+       CAST(COUNT(*) AS BIGINT) AS out_hosts,
+       round(MAX(w) * 1.0 / SUM(w), 4) AS top_target_frac,
+       (round(MAX(w) * 1.0 / SUM(w), 4) >= {LINK_FARM_MIN_FRAC})
+         AS link_farm
+FROM pair GROUP BY src
+"""
+
+
+def hosts_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-TARGET-host spam mass: the fraction of weighted inlinks
+    that originate from link-farm sources (Gyöngyi et al. 2004
+    TrustRank / spam-mass family, in its direct edge-weight form —
+    the rank-propagated form composes this with hosts_pagerank). On
+    the wrapped corpus partner2 absorbs site11's concentrated links,
+    so its spam_mass is the highest of the 5 partners.
+
+    Scale shape: reuses the (src, dst) pair counts; the link-farm
+    flags join back on src (distinct-host cardinality, broadcast at
+    any realistic host count) and one groupBy(dst) folds the mass."""
+    pages = pages_from_documents(spark, sf_dir)
+    h = _html_str()
+    src = F.regexp_extract(
+        h, r'rel="canonical" href="https://([^/"]+)', 1)
+    dst = F.regexp_extract(h, r'href="https://(partner[^/"]+)', 1)
+    pair = (pages.select(src.alias("src"), dst.alias("dst"))
+            .filter((F.col("src") != "") & (F.col("dst") != ""))
+            .groupBy("src", "dst").agg(F.count("*").alias("w")))
+    frac = F.round(F.max("w") / F.sum("w"), 4)
+    flags = (pair.groupBy("src")
+             .agg((frac >= LINK_FARM_MIN_FRAC).alias("link_farm")))
+    return (pair.join(F.broadcast(flags), "src")
+            .groupBy(F.col("dst").alias("host"))
+            .agg(F.sum("w").alias("n_inlinks"),
+                 F.sum(F.when(F.col("link_farm"), F.col("w"))
+                       .otherwise(F.lit(0))).alias("spam_inlinks"),
+                 F.round(
+                     F.sum(F.when(F.col("link_farm"), F.col("w"))
+                           .otherwise(F.lit(0))) / F.sum("w"), 4)
+                  .alias("spam_mass")))
+
+
+HOSTS_SPAM_MASS_SQL = _HOST_EDGES_CTE + f"""
+, flags AS (
+  SELECT src,
+         (round(MAX(w) * 1.0 / SUM(w), 4) >= {LINK_FARM_MIN_FRAC})
+           AS link_farm
+  FROM pair GROUP BY src
+)
+SELECT pair.dst AS host,
+       CAST(SUM(w) AS BIGINT) AS n_inlinks,
+       CAST(SUM(CASE WHEN flags.link_farm THEN w ELSE 0 END)
+            AS BIGINT) AS spam_inlinks,
+       round(SUM(CASE WHEN flags.link_farm THEN w ELSE 0 END) * 1.0
+             / SUM(w), 4) AS spam_mass
+FROM pair JOIN flags ON flags.src = pair.src
+GROUP BY pair.dst
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -787,6 +908,8 @@ SPARK_QUERIES = {
     "pages_outlinks": pages_outlinks,
     "pages_host_outdegree": pages_host_outdegree,
     "hosts_pagerank": hosts_pagerank,
+    "hosts_link_spam": hosts_link_spam,
+    "hosts_spam_mass": hosts_spam_mass,
     "docs_curation_verdict": docs_curation_verdict,
     "pages_pii_scan": pages_pii_scan,
     "pages_para_dedup": pages_para_dedup,
@@ -800,6 +923,8 @@ ORACLE_SQL = {
     "pages_outlinks": PAGES_OUTLINKS_SQL,
     "pages_host_outdegree": PAGES_HOST_OUTDEGREE_SQL,
     "hosts_pagerank": _pagerank_sql(),
+    "hosts_link_spam": HOSTS_LINK_SPAM_SQL,
+    "hosts_spam_mass": HOSTS_SPAM_MASS_SQL,
     "docs_curation_verdict": _curation_sql(),
     "pages_pii_scan": PAGES_PII_SQL,
     "pages_para_dedup": PAGES_PARA_DEDUP_SQL,

@@ -131,6 +131,31 @@ def test_para_dedup_collapses_boilerplate_headings(spark):
     assert agg.min_kept >= 2             # title + body always survive
 
 
+def test_link_spam_flags_the_link_farm(spark):
+    """site11 concentrates every external link on partner2 → flagged;
+    honest hosts cycle all 5 partners (gcd(13,5)=1) → never flagged."""
+    from ocr_spark.plans.webops import hosts_link_spam
+    out = {r.host: r for r in hosts_link_spam(spark, SF_TINY).collect()}
+    farm = out["site11.example.com"]
+    assert farm.link_farm and farm.top_target_frac == 1.0 \
+        and farm.out_hosts == 1
+    honest = [r for h, r in out.items() if h != "site11.example.com"]
+    assert honest and all(not r.link_farm for r in honest)
+    assert all(r.out_hosts == 5 for r in honest)
+
+
+def test_spam_mass_concentrates_on_the_farm_target(spark):
+    """partner2 absorbs all of site11's links → positive spam mass;
+    every other partner's inlinks come only from honest hosts."""
+    from ocr_spark.plans.webops import hosts_spam_mass
+    out = {r.host: r for r in hosts_spam_mass(spark, SF_TINY).collect()}
+    assert set(out) == {f"partner{i}.example.org" for i in range(5)}
+    assert out["partner2.example.org"].spam_inlinks > 0
+    assert out["partner2.example.org"].spam_mass > 0.2
+    for i in (0, 1, 3, 4):
+        assert out[f"partner{i}.example.org"].spam_mass == 0.0
+
+
 def test_span_dedup_strips_duplicated_disclaimers(spark):
     """C4's literal three-sentence-span rule: only the 4-sentence
     disclaimer (3 corpus-wide variants, every fourth doc) yields
