@@ -37,10 +37,20 @@ pysbd-en behavior classes the corpus (and adversarial tests) exercise:
     Now.`` splits after ``!!``; ``Wait… what?`` does not split before a
     lowercase continuation).
 
-Known unported tail (documented deviation): pysbd's newline-anchored
-list re-flow (items split across ``\\n`` without terminal punctuation)
-and roman-numeral MULTI-char markers (``IV.``) — the corpus never
-produces either (fixture OCR text is single-line per paragraph).
+  * **roman-numeral markers** — MULTI-char roman markers (``IV.``,
+    ``xii)``) follow the same whole-chunk list rule: ``IV. Deploy the
+    job.`` keeps the marker with its item, while ``He became Henry
+    IV. Then the war began.`` still splits (the chunk before the
+    boundary is a full sentence, not a bare marker);
+  * **newline list re-flow** (pysbd ListItemReplacer's line-anchored
+    rule) — a newline followed by a list marker (``1.``, ``(2)``,
+    ``a)``, ``IV.``) is a boundary even when the previous line has no
+    terminal punctuation: ``"1. install\\n2. run"`` → two items.
+
+Known unported tail (documented deviation): pysbd's paired-punctuation
+between_punctuation scanner (splits suppressed INSIDE unbalanced
+parens/quotes spanning boundaries) — the rules above handle the
+balanced cases the corpus and tests exercise.
 
 Like pysbd with ``clean=False``, the returned sentences are exact
 substrings of the input (nothing inserted or rewritten); only the
@@ -62,9 +72,18 @@ _BOUNDARY_RE = re.compile(
     r"(?P<p>[.!?…]+[\"'”’)\]]*)\s+(?=[A-Z0-9(\[“\"'])")
 
 # a sentence-so-far that is ONLY a list marker: optional open bracket,
-# a 1-3 digit number or a single letter, optional close bracket (the
-# boundary's own punctuation run is not part of the candidate)
-_LIST_MARKER_RE = re.compile(r"^\(?(?:\d{1,3}|[A-Za-z])\)?$")
+# a 1-3 digit number, a single letter, or a multi-char roman numeral,
+# optional close bracket (the boundary's own punctuation run is not
+# part of the candidate)
+_LIST_MARKER_RE = re.compile(
+    r"^\(?(?:\d{1,3}|[A-Za-z]|[IVXLCDM]{2,7}|[ivxlcdm]{2,7})\)?$")
+
+# newline-anchored list item: the whitespace run containing a newline,
+# followed (unconsumed) by a list marker + '.' or ')' + space — a
+# boundary even without terminal punctuation on the previous line
+_NL_LIST_RE = re.compile(
+    r"[ \t]*\n\s*"
+    r"(?=\(?(?:\d{1,3}|[A-Za-z]|[IVXLCDM]{2,7}|[ivxlcdm]{2,7})[.)]\s)")
 
 
 def _ends_with_abbrev(chunk: str) -> bool:
@@ -80,6 +99,12 @@ def segment_sentences(paragraph: str) -> list[str]:
     """Split a paragraph into sentences (deterministic pysbd-en port)."""
     if not paragraph:
         return []
+    parts = _NL_LIST_RE.split(paragraph)
+    if len(parts) > 1:
+        out: list[str] = []
+        for p in parts:
+            out.extend(segment_sentences(p))
+        return out
     sentences: list[str] = []
     start = 0
     for m in _BOUNDARY_RE.finditer(paragraph):

@@ -403,6 +403,33 @@ def test_segmentation_list_marker_mid_sentence_still_splits():
         "See No. 5.", "The result follows."]
 
 
+def test_segmentation_roman_multichar_markers():
+    """pysbd roman-numeral list rule: a multi-char roman marker follows
+    the whole-chunk rule — attaches to its item when it IS the chunk,
+    but a real sentence ending in a roman numeral still splits."""
+    assert segment_sentences("IV. Deploy the job. V. Monitor it.") == [
+        "IV. Deploy the job.", "V. Monitor it."]
+    assert segment_sentences("xii) Check the logs\nxiii) Stop now.") == [
+        "xii) Check the logs", "xiii) Stop now."]
+    # adversarial: roman numeral ends a REAL sentence → must split
+    assert segment_sentences("He became Henry IV. Then the war began.") \
+        == ["He became Henry IV.", "Then the war began."]
+
+
+def test_segmentation_newline_list_reflow():
+    """pysbd ListItemReplacer line-anchored rule: a newline before a
+    list marker is a boundary even without terminal punctuation."""
+    assert segment_sentences("1. install it\n2. run it\n3. done.") == [
+        "1. install it", "2. run it", "3. done."]
+    assert segment_sentences("Steps:\nIV. Deploy it\nV. Monitor it.") \
+        == ["Steps:", "IV. Deploy it", "V. Monitor it."]
+    assert segment_sentences("(1) first\n(2) second") == [
+        "(1) first", "(2) second"]
+    # a newline NOT followed by a list marker is not a boundary
+    assert segment_sentences("line one\nstill the same sentence.") == [
+        "line one\nstill the same sentence."]
+
+
 def test_segmentation_multichar_punctuation():
     assert segment_sentences("Stop!! Now move on.") == [
         "Stop!!", "Now move on."]
