@@ -50,8 +50,9 @@ HEADLINE = [
 ]
 
 
-def _prev_round_queries(sf: float,
-                        cpus: int) -> tuple[int | None, dict[str, float]]:
+def _prev_round_queries(
+        sf: float, cpus: int,
+) -> tuple[int | None, dict[str, float], float | None]:
     """Latest BENCH_r{N}.json's per-query seconds — the regression
     baseline (driver records one per round). Baselines measured at a
     different sf or cpu count are SKIPPED: comparing sf0.01 timings to
@@ -60,7 +61,7 @@ def _prev_round_queries(sf: float,
     import glob
     import re
 
-    best: tuple[int, dict[str, float]] | None = None
+    best: tuple[int, dict[str, float], float | None] | None = None
     here = os.path.dirname(os.path.abspath(__file__))
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
@@ -81,8 +82,9 @@ def _prev_round_queries(sf: float,
             continue
         n = int(m.group(1))
         if queries and (best is None or n > best[0]):
-            best = (n, queries)
-    return (best[0], best[1]) if best else (None, {})
+            best = (n, queries,
+                    parsed.get("host_calibration_docs_per_sec_1core"))
+    return best if best else (None, {}, None)
 
 
 REGRESSION_FACTOR = 1.3
@@ -144,15 +146,23 @@ def main() -> int:
     # per-query regression tracking vs the previous round's driver bench:
     # flag queries >REGRESSION_FACTOR slower. Warnings go to stderr; the
     # structured list rides inside the one stdout JSON line.
-    prev_round, prev = _prev_round_queries(sf, int(cpus))
+    prev_round, prev, prev_cal = _prev_round_queries(sf, int(cpus))
+    # normalize the baseline for host drift when both rounds carry the
+    # single-core calibration: if the box is measured 2x slower today,
+    # a query is only a regression when it is slow BEYOND that.
+    host_scale = (prev_cal / cal_rate
+                  if prev_cal and cal_rate else 1.0)
     regressions = {}
     for name, sec in timings.items():
         base = prev.get(name)
-        if base and base > 0 and sec > base * REGRESSION_FACTOR:
+        if base and base > 0 \
+                and sec > base * host_scale * REGRESSION_FACTOR:
             regressions[name] = {"prev_sec": base, "now_sec": sec,
-                                 "ratio": round(sec / base, 2)}
+                                 "ratio": round(sec / base, 2),
+                                 "host_scale": round(host_scale, 3)}
             print(f"REGRESSION {name}: {base}s -> {sec}s "
-                  f"({sec / base:.2f}x, round r{prev_round} baseline)",
+                  f"({sec / base:.2f}x, round r{prev_round} baseline, "
+                  f"host-drift-normalized x{host_scale:.2f})",
                   file=sys.stderr)
 
     out = {

@@ -71,6 +71,14 @@ def canonical_url_for_document(doc_id: int) -> str:
     return f"https://site{doc_id % 13}.example.com/doc/{doc_id}"
 
 
+def robots_for_document(doc_id: int) -> str:
+    """Deterministic page-level robots directive (head <meta>,
+    invisible to extraction) — every 17th document opts out of
+    indexing, the substrate for pages_robots_filter
+    (plans/webops.py)."""
+    return "noindex,nofollow" if doc_id % 17 == 3 else "index,follow"
+
+
 def title_for_document(doc_id: int) -> str:
     return f"Document {doc_id} Report"
 
@@ -162,6 +170,7 @@ def html_for_document(doc_id: int, text: str) -> bytes:
     page = (
         "<!DOCTYPE html><html><head><title>t</title>"
         f'<link rel="canonical" href="{canonical_url_for_document(doc_id)}">'
+        f'<meta name="robots" content="{robots_for_document(doc_id)}">'
         "<script>var x=1;</script><style>.a{}</style></head>"
         f"<body>{body}</body></html>"
     )

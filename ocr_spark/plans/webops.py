@@ -394,6 +394,73 @@ GROUP BY pair.dst
 
 
 # ---------------------------------------------------------------------------
+# robots directives + host-blocklist filtering
+# ---------------------------------------------------------------------------
+
+ROBOTS_PAT = r'name="robots" content="([^"]*)"'
+
+
+def pages_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Respect page-level robots directives — the HTML meta-robots
+    counterpart of robots.txt handling in Common-Crawl-style pipelines:
+    ``noindex`` pages are excluded from the training corpus, ``nofollow``
+    pages keep their text but should contribute no web-graph outlinks.
+    Narrow per-row JVM regexp map over raw page bytes, zero shuffle."""
+    pages = pages_from_documents(spark, sf_dir)
+    robots = F.regexp_extract(_html_str(), ROBOTS_PAT, 1)
+    directives = F.split(robots, ",")
+    noindex = F.array_contains(directives, "noindex")
+    return pages.select(
+        "url",
+        robots.alias("robots"),
+        noindex.alias("noindex"),
+        F.array_contains(directives, "nofollow").alias("nofollow"),
+        (~noindex).alias("keep"),
+    )
+
+
+PAGES_ROBOTS_SQL = """
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+       CASE WHEN doc_id % 17 = 3 THEN 'noindex,nofollow'
+            ELSE 'index,follow' END AS robots,
+       (doc_id % 17 = 3) AS noindex,
+       (doc_id % 17 = 3) AS nofollow,
+       (doc_id % 17 <> 3) AS keep
+FROM documents
+"""
+
+
+def pages_spam_host_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-blocklist page filtering with the blocklist COMPUTED from
+    the graph instead of hand-curated (the UT1/url-blocklist stage of
+    CC pipelines, fed by hosts_link_spam): a page is blocked when its
+    canonical host is a flagged link farm.
+
+    Scale shape: the flag table is distinct-host cardinality —
+    broadcast to the page scan, so the filter is one map-side hash
+    probe per page; the flag computation itself is the two tiny
+    pair-count aggregations from hosts_link_spam."""
+    pages = pages_from_documents(spark, sf_dir)
+    h = _html_str()
+    host = F.regexp_extract(
+        h, r'rel="canonical" href="https://([^/"]+)', 1)
+    flags = hosts_link_spam(spark, sf_dir) \
+        .select("host", "link_farm")
+    return (pages.select("url", host.alias("host"))
+            .join(F.broadcast(flags), "host", "left")
+            .select("url", "host",
+                    F.coalesce("link_farm", F.lit(False)).alias("blocked")))
+
+
+PAGES_SPAM_HOST_FILTER_SQL = """
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+       'site' || CAST(doc_id % 13 AS VARCHAR) || '.example.com' AS host,
+       (doc_id % 13 = 11) AS blocked
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # PII scan + redaction
 # ---------------------------------------------------------------------------
 
@@ -910,6 +977,8 @@ SPARK_QUERIES = {
     "hosts_pagerank": hosts_pagerank,
     "hosts_link_spam": hosts_link_spam,
     "hosts_spam_mass": hosts_spam_mass,
+    "pages_robots_filter": pages_robots_filter,
+    "pages_spam_host_filter": pages_spam_host_filter,
     "docs_curation_verdict": docs_curation_verdict,
     "pages_pii_scan": pages_pii_scan,
     "pages_para_dedup": pages_para_dedup,
@@ -925,6 +994,8 @@ ORACLE_SQL = {
     "hosts_pagerank": _pagerank_sql(),
     "hosts_link_spam": HOSTS_LINK_SPAM_SQL,
     "hosts_spam_mass": HOSTS_SPAM_MASS_SQL,
+    "pages_robots_filter": PAGES_ROBOTS_SQL,
+    "pages_spam_host_filter": PAGES_SPAM_HOST_FILTER_SQL,
     "docs_curation_verdict": _curation_sql(),
     "pages_pii_scan": PAGES_PII_SQL,
     "pages_para_dedup": PAGES_PARA_DEDUP_SQL,

@@ -131,6 +131,24 @@ def test_para_dedup_collapses_boilerplate_headings(spark):
     assert agg.min_kept >= 2             # title + body always survive
 
 
+def test_robots_filter_is_narrow_map(spark):
+    """Directive parsing is a per-row JVM regexp over raw page bytes:
+    zero shuffles, zero broadcasts."""
+    from ocr_spark.plans.webops import pages_robots_filter
+    plan = fmt(pages_robots_filter(spark, SF))
+    assert n_shuffles(plan) == 0 and "BroadcastExchange" not in plan
+
+
+def test_spam_host_filter_broadcasts_the_blocklist(spark):
+    """The computed link-farm blocklist is distinct-host cardinality —
+    it must reach the page scan as a broadcast hash probe, never a
+    shuffle of the page side on host."""
+    from ocr_spark.plans.webops import pages_spam_host_filter
+    plan = fmt(pages_spam_host_filter(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_link_spam_flags_the_link_farm(spark):
     """site11 concentrates every external link on partner2 → flagged;
     honest hosts cycle all 5 partners (gcd(13,5)=1) → never flagged."""
