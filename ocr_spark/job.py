@@ -37,6 +37,12 @@ def output_root(work_dir: str) -> str:
     return os.path.join(work_dir, "extracted")
 
 
+# meta-robots noindex, matched against raw page bytes (same directive
+# surface as plans/webops.py::pages_robots_filter — kept as a plain
+# pattern here so the job layer does not import the query plans)
+_ROBOTS_NOINDEX = r'name="robots" content="[^"]*noindex'
+
+
 def _roll_forward_orphans(spark: SparkSession, work_dir: str) -> int:
     """Crash recovery for the bookkeeping→publish window: any output
     snapshot referenced by a checkpoint row but not yet visible in the
@@ -58,6 +64,7 @@ def run_extraction_job(spark: SparkSession, input_table_root: str,
                        big_threshold: int = DEFAULT_BIG_THRESHOLD,
                        n_buckets: int = DEFAULT_BUCKETS,
                        waves: int = 4,
+                       respect_robots: bool = False,
                        fail_after_waves: int | None = None,
                        fail_point: str = "after_wave") -> dict:
     """Run (or resume) extraction of the input table's full logical
@@ -65,6 +72,14 @@ def run_extraction_job(spark: SparkSession, input_table_root: str,
     per-snapshot (oldest first) so checkpoints stay (snapshot, bucket)
     granular and already-processed ancestors are skipped, not
     re-extracted.
+
+    ``respect_robots=True`` drops pages whose meta-robots directive
+    contains ``noindex`` BEFORE the Arrow boundary (a narrow JVM regexp
+    filter fused into the scan stage) — the crawl-politeness gate a
+    production pipeline applies at ingest so excluded pages never cost
+    kernel CPU. Default off: the driver-contract corpora are extracted
+    in full, and the robots signal stays queryable via
+    plans/webops.py::pages_robots_filter.
 
     ``fail_after_waves``/``fail_point`` are test hooks simulating a
     mid-job crash for the resume tests (SURVEY.md §5.2.5): raise after N
@@ -89,13 +104,15 @@ def run_extraction_job(spark: SparkSession, input_table_root: str,
         spark, input_table_root, work_dir, shim.history(input_table_root),
         input_sid, partitions=partitions, big_partitions=big_partitions,
         big_threshold=big_threshold, n_buckets=n_buckets, waves=waves,
+        respect_robots=respect_robots,
         fail_after_waves=fail_after_waves, fail_point=fail_point)
 
 
 def _run_chain(spark: SparkSession, input_table_root: str, work_dir: str,
                sids: list[str], input_sid: str, *, partitions: int,
                big_partitions: int, big_threshold: int, n_buckets: int,
-               waves: int, fail_after_waves: int | None = None,
+               waves: int, respect_robots: bool = False,
+               fail_after_waves: int | None = None,
                fail_point: str = "after_wave") -> dict:
     """Process ``sids`` (oldest → newest), each snapshot's own data dir
     keyed on its own sid — the uniform (snapshot, bucket) checkpoint
@@ -117,9 +134,14 @@ def _run_chain(spark: SparkSession, input_table_root: str, work_dir: str,
                       "buckets_processed": 0, "docs": 0,
                       "rolled_forward": rolled_forward,
                       "snapshots_processed": 0}
+    if respect_robots:
+        combined["respect_robots"] = True
     for sid in sids:
         data_dir = shim.read_manifest(input_table_root, sid)["data_dir"]
         pages = spark.read.schema(PAGES_SCHEMA).parquet(data_dir)
+        if respect_robots:
+            pages = pages.filter(
+                ~F.col("html").cast("string").rlike(_ROBOTS_NOINDEX))
         s = _run_waves(
             spark, pages, work_dir, sid, [data_dir],
             run_id=run_id, done=done_by_sid.get(sid, set()),
@@ -218,7 +240,8 @@ def run_incremental_extraction_job(spark: SparkSession,
                                    big_partitions: int = 8,
                                    big_threshold: int = DEFAULT_BIG_THRESHOLD,
                                    n_buckets: int = DEFAULT_BUCKETS,
-                                   waves: int = 4) -> dict:
+                                   waves: int = 4,
+                                   respect_robots: bool = False) -> dict:
     """Process ONLY the input data added since the last processed
     snapshot (shim.added_since diff) — Trigger.AvailableNow semantics
     over the snapshot chain, without Structured Streaming.
@@ -255,7 +278,8 @@ def run_incremental_extraction_job(spark: SparkSession,
         return run_extraction_job(
             spark, input_table_root, work_dir, partitions=partitions,
             big_partitions=big_partitions, big_threshold=big_threshold,
-            n_buckets=n_buckets, waves=waves)
+            n_buckets=n_buckets, waves=waves,
+            respect_robots=respect_robots)
 
     # the snapshots strictly after base, oldest → newest, each processed
     # keyed on ITS OWN sid (same (snapshot, bucket) checkpoint unit as
@@ -268,7 +292,8 @@ def run_incremental_extraction_job(spark: SparkSession,
     summary = _run_chain(
         spark, input_table_root, work_dir, added_sids, input_sid,
         partitions=partitions, big_partitions=big_partitions,
-        big_threshold=big_threshold, n_buckets=n_buckets, waves=waves)
+        big_threshold=big_threshold, n_buckets=n_buckets, waves=waves,
+        respect_robots=respect_robots)
     summary["incremental_base"] = base
     summary["added_dirs"] = len(added_sids)
     return summary

@@ -30,6 +30,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--big-threshold", type=int, default=2_000_000)
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--waves", type=int, default=4)
+    ap.add_argument("--respect-robots", action="store_true",
+                    help="drop pages whose meta-robots directive "
+                         "contains noindex before extraction")
     ap.add_argument("--incremental", action="store_true",
                     help="process only data added since the last "
                          "processed input snapshot (snapshot diff)")
@@ -59,7 +62,7 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.input, args.work_dir,
             partitions=args.partitions, big_partitions=args.big_partitions,
             big_threshold=args.big_threshold, n_buckets=args.buckets,
-            waves=args.waves,
+            waves=args.waves, respect_robots=args.respect_robots,
         )
         if args.compact:
             summary["compaction"] = compact_snapshots(spark, args.work_dir)

@@ -519,3 +519,31 @@ def test_skew_metrics_and_partition_balance(spark, pages_table, tmp_path):
               if pid >= big_partitions and w > 0]
     assert len(normal) >= 4
     assert max(normal) <= 4.0 * statistics.median(normal), walls
+
+
+def test_respect_robots_drops_noindex_pages(spark, tmp_path):
+    """respect_robots=True: pages whose meta-robots directive carries
+    noindex (doc_id % 17 == 3 in the wrap corpus) are filtered before
+    the Arrow boundary and never reach the output; every other page
+    extracts normally. Default-off path is covered by every other job
+    test (all 500 docs extracted)."""
+    from ocr_spark.job import read_extracted, run_extraction_job
+    from ocr_spark.plans.extract_queries import pages_from_documents
+    from ocr_spark.sources import iceberg_shim as shim
+
+    in_root = str(tmp_path / "in")
+    work = str(tmp_path / "work")
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001")
+    shim.write_snapshot(pages, in_root)
+    summary = run_extraction_job(spark, in_root, work, partitions=8,
+                                 big_partitions=1, waves=2,
+                                 respect_robots=True)
+    assert summary["respect_robots"] is True
+
+    all_ids = {int(r.doc_id) for r in spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id").collect()}
+    got_ids = {int(r.url.split("//")[1]) for r in
+               read_extracted(spark, work).select("url").collect()}
+    assert got_ids == {i for i in all_ids if i % 17 != 3}
+    assert summary["docs"] == len(got_ids)
