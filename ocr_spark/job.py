@@ -344,11 +344,19 @@ def curation_root(work_dir: str) -> str:
 
 
 def run_curation_job(spark: SparkSession, work_dir: str, *,
-                     shard_token_budget: int = 2000) -> dict:
+                     shard_token_budget: int = 2000,
+                     dedup: str = "para") -> dict:
     """Corpus-wide curation stage over the committed extraction output:
-    C4-style paragraph dedup → quality + repetition filters → keep/drop
+    C4-style corpus dedup → quality + repetition filters → keep/drop
     verdict with drop reason → token-budget shard packing of the kept
     set → ONE published snapshot + a metrics row.
+
+    ``dedup`` picks the corpus-dedup granularity: ``"para"`` (default)
+    removes repeated paragraphs (the common line/paragraph-hash form);
+    ``"span"`` applies C4's LITERAL three-sentence-span rule
+    (plans/webops.py::span_dedup_frame). In span mode the n_paras /
+    n_kept columns count SENTENCES — same schema, different unit,
+    recorded in the snapshot manifest.
 
     Deliberately NOT wave/bucket-resumable: paragraph dedup and
     repetition are cross-bucket GLOBAL operators (the first occurrence
@@ -369,6 +377,8 @@ def run_curation_job(spark: SparkSession, work_dir: str, *,
     from ocr_spark.plans.webops import DUP_2GRAM_MAX_FRAC
     from pyspark.sql.window import Window
 
+    if dedup not in ("para", "span"):
+        raise ValueError(f"dedup must be 'para' or 'span', got {dedup!r}")
     run_id = uuid.uuid4().hex[:12]
     input_sids = shim.history(output_root(work_dir))
     docs = (read_extracted(spark, work_dir)
@@ -376,19 +386,31 @@ def run_curation_job(spark: SparkSession, work_dir: str, *,
                     & (F.col("text") != ""))
             .select("url", "text"))
 
-    # ---- stage 1: corpus-wide paragraph dedup (global first occurrence)
-    paras = docs.select(
-        "url", F.posexplode(F.split("text", "\n\n")).alias("para_idx", "para"))
-    w_first = Window.partitionBy(F.md5("para")).orderBy("url", "para_idx")
-    ranked = paras.withColumn("rn", F.row_number().over(w_first))
-    kept_struct = F.when(F.col("rn") == 1, F.struct("para_idx", "para"))
-    deduped = (ranked.groupBy("url")
-               .agg(F.count("*").alias("n_paras"),
-                    F.sum((F.col("rn") == 1).cast("long")).alias("n_kept"),
-                    F.array_join(
-                        F.transform(F.array_sort(F.collect_list(kept_struct)),
-                                    lambda s: s["para"]),
-                        "\n\n").alias("text_deduped")))
+    # ---- stage 1: corpus-wide dedup (global first occurrence)
+    if dedup == "span":
+        from ocr_spark.plans.webops import span_dedup_frame
+        sd = span_dedup_frame(docs)
+        deduped = sd.select(
+            "url",
+            F.col("n_sents").alias("n_paras"),
+            (F.col("n_sents") - F.col("n_removed")).alias("n_kept"),
+            F.col("text_span_deduped").alias("text_deduped"))
+    else:
+        paras = docs.select(
+            "url",
+            F.posexplode(F.split("text", "\n\n")).alias("para_idx", "para"))
+        w_first = Window.partitionBy(F.md5("para")).orderBy("url", "para_idx")
+        ranked = paras.withColumn("rn", F.row_number().over(w_first))
+        kept_struct = F.when(F.col("rn") == 1, F.struct("para_idx", "para"))
+        deduped = (ranked.groupBy("url")
+                   .agg(F.count("*").alias("n_paras"),
+                        F.sum((F.col("rn") == 1).cast("long"))
+                        .alias("n_kept"),
+                        F.array_join(
+                            F.transform(
+                                F.array_sort(F.collect_list(kept_struct)),
+                                lambda s: s["para"]),
+                            "\n\n").alias("text_deduped")))
 
     # ---- stage 2: quality (Gopher bounds) over the DEDUPED text
     toks = F.split(F.lower(F.trim(F.col("text_deduped"))), r"\s+")
@@ -458,7 +480,7 @@ def run_curation_job(spark: SparkSession, work_dir: str, *,
 
     out_sid = shim.prepare_snapshot(
         out, curation_root(work_dir), snapshot_id=f"cur-{run_id}",
-        extra={"curated_from": input_sids})
+        extra={"curated_from": input_sids, "dedup_mode": dedup})
     shim.publish_snapshot(curation_root(work_dir), out_sid)
 
     stats = (shim.read_snapshot(spark, curation_root(work_dir), out_sid)
@@ -483,7 +505,7 @@ def run_curation_job(spark: SparkSession, work_dir: str, *,
     metrics.coalesce(1).write.mode("append").parquet(
         os.path.join(work_dir, "curation_metrics"))
 
-    return {"run_id": run_id, "snapshot": out_sid,
+    return {"run_id": run_id, "snapshot": out_sid, "dedup": dedup,
             "input_snapshots": input_sids,
             "docs": int(stats.docs), "docs_kept": int(stats.docs_kept),
             "paras_removed": int(stats.paras_total - stats.paras_kept),

@@ -602,7 +602,14 @@ def pages_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline."""
     pages = pages_from_documents(spark, sf_dir)
     extracted = run_extraction(pages, partitions=32, big_partitions=2)
-    sents = extracted.select(
+    return span_dedup_frame(extracted)
+
+
+def span_dedup_frame(docs: DataFrame) -> DataFrame:
+    """The span-dedup core over any (url, text) frame — shared by the
+    oracle-checked query above and the curation job's span mode
+    (job.py run_curation_job(dedup='span'))."""
+    sents = docs.select(
         "url",
         F.filter(
             F.transform(

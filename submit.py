@@ -44,6 +44,11 @@ def main(argv: list[str] | None = None) -> int:
                          "stage (paragraph dedup + quality/repetition "
                          "verdict + shard packing) over the committed "
                          "output")
+    ap.add_argument("--curate-dedup", choices=("para", "span"),
+                    default="para",
+                    help="curation dedup granularity: repeated "
+                         "paragraphs (default) or C4's literal "
+                         "three-sentence spans")
     ap.add_argument("--master", default=None,
                     help="override master when not launched via spark-submit")
     args = ap.parse_args(argv)
@@ -68,7 +73,8 @@ def main(argv: list[str] | None = None) -> int:
             summary["compaction"] = compact_snapshots(spark, args.work_dir)
         if args.curate:
             from ocr_spark.job import run_curation_job
-            summary["curation"] = run_curation_job(spark, args.work_dir)
+            summary["curation"] = run_curation_job(
+                spark, args.work_dir, dedup=args.curate_dedup)
         print(json.dumps(summary))
         return 0
     finally:

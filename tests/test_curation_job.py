@@ -84,3 +84,26 @@ def test_rerun_is_deterministic(curated):
     cols = ["url", "text_deduped", "keep", "drop_reason", "shard_id"]
     assert sorted(map(tuple, a.select(cols).collect())) \
         == sorted(map(tuple, b.select(cols).collect()))
+
+
+def test_span_mode_strips_duplicated_disclaimers(curated):
+    """dedup='span': the same committed extraction output curated with
+    C4's literal three-sentence rule — all but one occurrence of each
+    disclaimer variant lose exactly its 3-sentence span, counts stay
+    self-consistent in sentence units."""
+    spark, work, _ = curated
+    summary = run_curation_job(spark, work, dedup="span")
+    assert summary["dedup"] == "span"
+    out = shim.read_snapshot(spark, curation_root(work),
+                             summary["snapshot"])
+    rows = out.select("url", "n_paras", "n_kept",
+                      "text_deduped").collect()
+    shrunk = [r for r in rows if r.n_kept < r.n_paras]
+    assert shrunk and all(r.n_paras - r.n_kept == 3 for r in shrunk)
+    assert all("prior written permission" not in r.text_deduped
+               for r in shrunk)
+    # exactly one keeper per disclaimer variant survives with its span
+    keepers = [r for r in rows
+               if "prior written permission" in r.text_deduped]
+    assert len(keepers) == 3
+    assert summary["paras_removed"] == 3 * len(shrunk)
