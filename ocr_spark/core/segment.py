@@ -47,10 +47,18 @@ pysbd-en behavior classes the corpus (and adversarial tests) exercise:
     ``a)``, ``IV.``) is a boundary even when the previous line has no
     terminal punctuation: ``"1. install\\n2. run"`` → two items.
 
-Known unported tail (documented deviation): pysbd's paired-punctuation
-between_punctuation scanner (splits suppressed INSIDE unbalanced
-parens/quotes spanning boundaries) — the rules above handle the
-balanced cases the corpus and tests exercise.
+  * **between-punctuation suppression** (pysbd's BetweenPunctuation
+    scanner, the last r2-documented tail) — boundary punctuation
+    strictly INSIDE a matched paren/bracket/quote span never splits:
+    ``He said (it is done. Truly) and left.`` stays one sentence. A
+    span-FINAL run (``works.)``, ``Stop."``) still splits after the
+    closing delimiter — pysbd reaches the same end state through its
+    quotation/parens end-of-sentence rules, and this port's boundary
+    regex already consumes the closing run. Matched pairs only: an
+    unclosed ``(`` or ``"`` suppresses nothing (pysbd's regexes
+    likewise require the closing delimiter). Single-quote spans use
+    pysbd's whitespace-anchored open + non-word close so apostrophes
+    (``don't``, ``cats'``) never open a span.
 
 Like pysbd with ``clean=False``, the returned sentences are exact
 substrings of the input (nothing inserted or rewritten); only the
@@ -86,6 +94,45 @@ _NL_LIST_RE = re.compile(
     r"(?=\(?(?:\d{1,3}|[A-Za-z]|[IVXLCDM]{2,7}|[ivxlcdm]{2,7})[.)]\s)")
 
 
+# single-quote span: opening ' must follow whitespace/start, closing '
+# must not be followed by a word char; an apostrophe inside a word
+# (don't) satisfies neither side. pysbd: between_punctuation.py's
+# BETWEEN_SINGLE_QUOTES_REGEX uses the same whitespace-anchored shape.
+_SQUOTE_RE = re.compile(r"(?:(?<=\s)|^)'(?:[^']|'(?=[A-Za-z]))*'(?!\w)")
+_DQUOTE_RE = re.compile(r"\"[^\"]*\"|“[^”]*”")
+_TERM = ".!?…"
+_CLOSERS = "\"'”’)]"
+
+
+def _suppressed_boundaries(paragraph: str) -> set[int]:
+    """Positions of terminal punctuation that sit strictly inside a
+    matched paren/bracket/quote span (pysbd BetweenPunctuation): these
+    never start a sentence boundary. A run that extends through
+    closing-delimiter characters to the span's own close (``ok.)``) is
+    span-final and is NOT suppressed — the split lands after the close."""
+    spans: list[tuple[int, int]] = []
+    stack: dict[str, list[int]] = {"(": [], "[": []}
+    for i, ch in enumerate(paragraph):
+        if ch in "([":
+            stack[ch].append(i)
+        elif ch == ")" and stack["("]:
+            spans.append((stack["("].pop(), i))
+        elif ch == "]" and stack["["]:
+            spans.append((stack["["].pop(), i))
+    for rx in (_DQUOTE_RE, _SQUOTE_RE):
+        spans.extend((m.start(), m.end() - 1) for m in rx.finditer(paragraph))
+    out: set[int] = set()
+    for lo, hi in spans:
+        for i in range(lo + 1, hi):
+            if paragraph[i] not in _TERM:
+                continue
+            tail = paragraph[i:hi]
+            if all(c in _TERM or c in _CLOSERS for c in tail):
+                continue  # span-final run — boundary after the close
+            out.add(i)
+    return out
+
+
 def _ends_with_abbrev(chunk: str) -> bool:
     # the word before the boundary punctuation run ends `chunk`
     m = re.search(r"([A-Za-z][A-Za-z.]*)$", chunk)
@@ -106,10 +153,13 @@ def segment_sentences(paragraph: str) -> list[str]:
             out.extend(segment_sentences(p))
         return out
     sentences: list[str] = []
+    suppressed = _suppressed_boundaries(paragraph)
     start = 0
     for m in _BOUNDARY_RE.finditer(paragraph):
         if m.start() < start:
             continue  # boundary inside an already-consumed region
+        if m.start("p") in suppressed:
+            continue  # inside a matched paren/quote span
         end = m.end("p")  # include punctuation + closing quotes
         before = paragraph[start:m.start("p")]
         if _ends_with_abbrev(before):

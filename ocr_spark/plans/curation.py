@@ -16,6 +16,12 @@ specified by public pipeline literature:
     that are reproducible across runs and engines, so selection is
     "md5(key) < threshold" (uniform in [0,1) over the hash hex), with
     per-language rates — no RNG, no seed state, re-runnable;
+  * model-based quality scoring — the fastText-style linear
+    bag-of-words classifier of the DCLM / FineWeb-Edu quality-filter
+    recipes: a broadcast (token, weight) table from a versioned
+    offline-trained artifact, sigmoid(mean weight + bias), keep/drop
+    at 0.5 — the LM/classifier-table broadcast-lookup seam (a real
+    fastText vocab swaps in by replacing the artifact file);
   * shard packing — greedy token-budget packing via a running-sum
     window: shard_id = floor(exclusive-prefix-sum / budget), windowed
     PER LANGUAGE so the packing parallelizes across strata (a single
@@ -36,8 +42,12 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
+
+from ocr_spark.core.artifacts import load_artifact
 
 LOGPROB_ROUND = 4
 SHARD_TOKEN_BUDGET = 2000
@@ -185,14 +195,96 @@ FROM base
 """
 
 
+QUALITY_ARTIFACT = os.path.join(
+    os.path.dirname(os.path.dirname(__file__)), "data",
+    "quality_stub_v1.json")
+SCORE_ROUND = 4
+
+
+def _quality_model() -> dict:
+    """The classifier's weight table, loaded from a versioned artifact
+    file (ocr_spark/data/quality_stub_v1.json) through the same
+    load-once path the layout/OCR/CRF heads use. Unlike those heads
+    this seam is DRIVER-side: a linear bag-of-words classifier
+    (fastText-style, the DCLM / FineWeb-Edu quality-filter family) is
+    a (token, weight) table produced by offline training, and its
+    production Spark shape is a broadcast-joined dimension — the model
+    never enters a Python worker at all. Weights are integers (×10) so
+    the per-document sum is exact under any Spark partial-aggregation
+    order, keeping the score bit-stable across cluster sizes."""
+    return load_artifact(QUALITY_ARTIFACT)
+
+
+def docs_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality classifier: score =
+    sigmoid(mean-token-weight + bias) from a broadcast (token, weight)
+    table; label = keep iff score ≥ 0.5. The reference has no corpus
+    curation at all (SURVEY §2 absent lists); the recipe is the public
+    model-based quality filter used by DCLM / FineWeb-Edu — at 10^12
+    docs the weight table (even a few million n-grams) broadcasts, the
+    explode→join stays map-side, and the only shuffle is the per-doc
+    partial-agg groupBy. OOV tokens contribute weight 0 (left join +
+    coalesce), exactly as a hashed-bow model with absent buckets."""
+    model = _quality_model()
+    docs = _docs(spark, sf_dir)
+    vocab = spark.createDataFrame(
+        list(model["weights_x10"].items()), "tok string, w10 long")
+    toks = F.split(F.lower(F.trim(F.col("text"))), _TOKS)
+    exploded = docs.select("doc_id", "lang", F.explode(toks).alias("tok"))
+    agg = (exploded
+           .join(F.broadcast(vocab), "tok", "left")
+           .groupBy("doc_id", "lang")
+           .agg(F.count("*").alias("n_tokens"),
+                F.sum(F.coalesce(F.col("w10"), F.lit(0))).alias("sw10")))
+    z = (F.col("sw10") / (F.col("n_tokens") * 10.0)
+         + F.lit(model["bias_x10"] / 10.0))
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), SCORE_ROUND)
+    return agg.select(
+        "doc_id", "lang", "n_tokens", score.alias("score"),
+        F.when(score >= 0.5, F.lit("keep")).otherwise(F.lit("drop"))
+         .alias("label"))
+
+
+def _classifier_sql() -> str:
+    model = _quality_model()
+    rows = ",\n    ".join(
+        f"('{t}', {w})" for t, w in model["weights_x10"].items())
+    return f"""
+WITH vocab(tok, w10) AS (VALUES
+    {rows}
+), tk AS (
+  SELECT doc_id, lang,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+), agg AS (
+  SELECT tk.doc_id, tk.lang,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(SUM(vocab.w10), 0) AS BIGINT) AS sw10
+  FROM tk LEFT JOIN vocab USING (tok)
+  GROUP BY tk.doc_id, tk.lang
+)
+SELECT doc_id, lang, n_tokens,
+       round(1.0 / (1.0 + exp(-(sw10 / (n_tokens * 10.0)
+                                + {model["bias_x10"]} / 10.0))),
+             {SCORE_ROUND}) AS score,
+       CASE WHEN round(1.0 / (1.0 + exp(-(sw10 / (n_tokens * 10.0)
+                                          + {model["bias_x10"]} / 10.0))),
+                 {SCORE_ROUND}) >= 0.5
+            THEN 'keep' ELSE 'drop' END AS label
+FROM agg
+"""
+
+
 SPARK_QUERIES = {
     "docs_unigram_logprob": docs_unigram_logprob,
     "docs_sample_stratified": docs_sample_stratified,
     "docs_token_shards": docs_token_shards,
+    "docs_classifier_score": docs_classifier_score,
 }
 
 ORACLE_SQL = {
     "docs_unigram_logprob": UNIGRAM_LOGPROB_SQL,
     "docs_sample_stratified": SAMPLE_STRATIFIED_SQL,
     "docs_token_shards": TOKEN_SHARDS_SQL,
+    "docs_classifier_score": _classifier_sql(),
 }

@@ -233,6 +233,42 @@ def test_segmentation_quotes():
     assert segment_sentences(para4) == ["It broke.", '"Again?" she sighed.']
 
 
+def test_segmentation_between_punctuation_suppression():
+    # pysbd BetweenPunctuation: boundary punctuation strictly inside a
+    # matched paren/bracket/quote span never splits
+    para = "He said (it is done. Truly) and left."
+    assert segment_sentences(para) == [para]
+    para2 = 'She wrote "Why? Because." And left.'
+    assert segment_sentences(para2) == ['She wrote "Why? Because."',
+                                        "And left."]
+    para3 = "[cite. Ref] then more. End."
+    assert segment_sentences(para3) == ["[cite. Ref] then more.", "End."]
+    # nested parens: everything inside the outer span is suppressed
+    para4 = "Nested (outer (inner. Deep) mid. Out) tail. End."
+    assert segment_sentences(para4) == [
+        "Nested (outer (inner. Deep) mid. Out) tail.", "End."]
+    # single-quote span suppresses; apostrophes never open a span
+    assert segment_sentences("'A quoted. Sentence' stays whole.") == [
+        "'A quoted. Sentence' stays whole."]
+    assert segment_sentences("Don't stop. Apostrophes are fine. OK.") == [
+        "Don't stop.", "Apostrophes are fine.", "OK."]
+
+
+def test_segmentation_unmatched_pairs_do_not_suppress():
+    # pysbd's span regexes require the closing delimiter: an unclosed
+    # open paren/quote suppresses nothing
+    para = "Unmatched (open. Still splits here. Yes."
+    assert segment_sentences(para) == [
+        "Unmatched (open.", "Still splits here.", "Yes."]
+    para2 = 'An unclosed "quote. Still splits. Done.'
+    assert segment_sentences(para2) == [
+        'An unclosed "quote.', "Still splits.", "Done."]
+    # span-final runs keep splitting AFTER the close (the r2 behavior)
+    para3 = "(He left early.) The rest stayed."
+    assert segment_sentences(para3) == ["(He left early.)",
+                                        "The rest stayed."]
+
+
 def test_segmentation_abbrev_classes():
     # prepositive (Dr./Prof.) and number (No./Eq.) abbreviations never
     # split, even directly before a capital or digit

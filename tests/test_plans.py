@@ -231,3 +231,19 @@ def test_near_dup_clusters_chain_and_isolated(spark):
     assert got == {1: (1, True), 2: (1, False), 3: (1, False),
                    4: (1, False), 5: (1, False),
                    10: (10, True), 11: (10, False)}
+
+
+def test_classifier_score_broadcasts_weight_table(spark):
+    """The fastText-style quality classifier must broadcast its weight
+    table (the model is a dimension, even at a few million n-grams)
+    and shuffle only for the per-doc partial agg — never sort-merge
+    the token stream against the vocab."""
+    from ocr_spark.plans.curation import docs_classifier_score
+
+    plan = fmt(docs_classifier_score(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # one shuffle: the groupBy(doc_id) partial agg
+    assert n_shuffles(plan) == 1
+    # partial aggregation happens map-side before the exchange
+    assert plan.count("HashAggregate") >= 2
