@@ -637,6 +637,118 @@ SELECT vec_id, pq_codes, md5(pq_codes) AS codes_md5 FROM c
 """
 
 
+# --------------------------------------------------------------------------
+# SemDeDup: semantic within-cluster deduplication
+# --------------------------------------------------------------------------
+
+SEMDEDUP_COS = 0.3       # pair-cosine threshold (the paper's eps knob)
+SEMDEDUP_CELL_CAP = 200  # guard: within-cell pairing is O(cell²); SemDeDup's
+                         # own premise is that k (cluster count) is chosen so
+                         # cells stay small (~n/k). Cells above the cap skip
+                         # pairing and keep all rows, flagged cell_capped —
+                         # owned by re-clustering with a larger k, the same
+                         # discipline as EMB_BUCKET_CAP on the LSH path.
+
+
+def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup WITHIN coarse
+    clusters — never across the corpus. Each vector's cell is its
+    coarse-quantizer assignment (``label``, as in emb_ivf_topk); within
+    a cell, members are ordered by ascending cosine-to-centroid (the
+    paper keeps the LOW-centroid-similarity representative — the
+    "edge" example — from each duplicate group; vec_id breaks ties)
+    and a vector is dropped iff it has pair cosine ≥ SEMDEDUP_COS with
+    some EARLIER vector in that order. Pairwise-greedy against earlier
+    keepers is the standard published implementation shape.
+
+    Scale shape (100 TB): centroids are one partial-agg groupBy over
+    (cell, dim) then broadcast (k·DIM doubles); the pairing is an
+    equi-join on cell — never corpus-wide — and SemDeDup's design knob
+    (k) bounds cell size, with SEMDEDUP_CELL_CAP as the explicit guard
+    asserted in the plan test. The reference has no embedding stage at
+    all (SURVEY §2 absent lists)."""
+    emb = t(spark, sf_dir).select(
+        "vec_id", F.col("label").alias("cell"), _vecd().alias("v")
+    ).withColumn("nrm", _norm(F.col("v")))
+    exploded = emb.select("cell", F.posexplode("v").alias("pos", "x"))
+    cent = (exploded.groupBy("cell", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("cv")))
+    cvecs = (cent.groupBy("cell")
+             .agg(F.transform(
+                 F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                 lambda s: s.cv).alias("cvec")))
+    j = emb.join(F.broadcast(cvecs), "cell")
+    ccos = F.round(_dot(F.col("v"), F.col("cvec"))
+                   / (F.col("nrm") * _norm(F.col("cvec"))), 6)
+    scored = j.select("vec_id", "cell", "v", "nrm", ccos.alias("ccos"))
+    ranked = (scored
+              .withColumn("cell_n",
+                          F.count(F.lit(1)).over(Window.partitionBy("cell")))
+              .withColumn("rn", F.row_number().over(
+                  Window.partitionBy("cell")
+                  .orderBy(F.asc("ccos"), F.asc("vec_id")))))
+    small = ranked.filter(F.col("cell_n") <= SEMDEDUP_CELL_CAP)
+    a = small.select("cell", F.col("rn").alias("rn_a"),
+                     F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = small.select("cell", F.col("rn").alias("rn_b"),
+                     F.col("vec_id").alias("vec_id_b"),
+                     F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    pair_cos = F.round(_dot(F.col("va"), F.col("vb"))
+                       / (F.col("na") * F.col("nb")), 4)
+    dups = (a.join(b, "cell").filter(F.col("rn_a") < F.col("rn_b"))
+            .select("vec_id_b", pair_cos.alias("cos4"))
+            .filter(F.col("cos4") >= SEMDEDUP_COS)
+            .groupBy(F.col("vec_id_b").alias("vec_id"))
+            .agg(F.count(F.lit(1)).alias("n_dup_earlier")))
+    out = ranked.join(dups, "vec_id", "left")
+    n_dup = F.coalesce(F.col("n_dup_earlier"), F.lit(0))
+    action = (F.when(F.col("cell_n") > SEMDEDUP_CELL_CAP, F.lit("keep"))
+              .when(n_dup > 0, F.lit("drop")).otherwise(F.lit("keep")))
+    return out.select(
+        "vec_id", "cell", F.round("ccos", 4).alias("centroid_cos"),
+        (F.col("cell_n") > SEMDEDUP_CELL_CAP).alias("cell_capped"),
+        n_dup.alias("n_dup_earlier"), action.alias("action"))
+
+
+_SEMDEDUP_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label AS cell, {_SQL_VEC} AS v FROM embeddings
+), n AS (
+  SELECT vec_id, cell, v, {_sql_norm('v')} AS nrm FROM e
+), c0 AS (
+  SELECT cell, g.i AS pos, ROUND(AVG(v[g.i]), 6) AS cv
+  FROM n, generate_series(1, {DIM}) AS g(i)
+  GROUP BY cell, g.i
+), c AS (
+  SELECT cell, list(cv ORDER BY pos) AS cvec FROM c0 GROUP BY cell
+), s AS (
+  SELECT n.vec_id, n.cell, n.v, n.nrm,
+         ROUND({_sql_dot('n.v', 'c.cvec')}
+               / (n.nrm * {_sql_norm('c.cvec')}), 6) AS ccos
+  FROM n JOIN c USING (cell)
+), r AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY cell) AS cell_n,
+         ROW_NUMBER() OVER (PARTITION BY cell
+                            ORDER BY ccos ASC, vec_id ASC) AS rn
+  FROM s
+), d AS (
+  SELECT b.vec_id, COUNT(*) AS n_dup_earlier
+  FROM r a JOIN r b ON a.cell = b.cell AND a.rn < b.rn
+  WHERE a.cell_n <= {SEMDEDUP_CELL_CAP}
+    AND ROUND({_sql_dot('a.v', 'b.v')} / (a.nrm * b.nrm), 4)
+        >= {SEMDEDUP_COS}
+  GROUP BY b.vec_id
+)
+SELECT r.vec_id, r.cell, ROUND(r.ccos, 4) AS centroid_cos,
+       r.cell_n > {SEMDEDUP_CELL_CAP} AS cell_capped,
+       COALESCE(d.n_dup_earlier, 0) AS n_dup_earlier,
+       CASE WHEN r.cell_n > {SEMDEDUP_CELL_CAP} THEN 'keep'
+            WHEN COALESCE(d.n_dup_earlier, 0) > 0 THEN 'drop'
+            ELSE 'keep' END AS action
+FROM r LEFT JOIN d ON d.vec_id = r.vec_id
+"""
+
+
 SPARK_QUERIES = {
     "emb_cosine_topk": emb_cosine_topk,
     "emb_lsh_multiprobe_topk": emb_lsh_multiprobe_topk,
@@ -646,6 +758,7 @@ SPARK_QUERIES = {
     "emb_lsh_near_dup": emb_lsh_near_dup,
     "emb_ivf_assign": emb_ivf_assign,
     "emb_scalar_quantize": emb_scalar_quantize,
+    "emb_semdedup": emb_semdedup,
 }
 
 ORACLE_SQL = {
@@ -657,4 +770,5 @@ ORACLE_SQL = {
     "emb_lsh_near_dup": _LSH_NEAR_DUP_SQL,
     "emb_ivf_assign": _IVF_ASSIGN_SQL,
     "emb_scalar_quantize": _SCALAR_QUANT_SQL,
+    "emb_semdedup": _SEMDEDUP_SQL,
 }

@@ -247,3 +247,17 @@ def test_classifier_score_broadcasts_weight_table(spark):
     assert n_shuffles(plan) == 1
     # partial aggregation happens map-side before the exchange
     assert plan.count("HashAggregate") >= 2
+
+
+def test_semdedup_broadcasts_centroids_no_cross_join(spark):
+    """SemDeDup's scale contract: the k-cell centroid table broadcasts
+    against the streaming corpus, and the within-cell pairing is an
+    equi-join on cell — never a corpus-wide cartesian/BNLJ."""
+    from ocr_spark.plans.simsearch import emb_semdedup
+
+    plan = fmt(emb_semdedup(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the cell-cap guard is IN the plan (window count before pairing)
+    assert "cell_n" in plan
