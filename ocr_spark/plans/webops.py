@@ -1007,6 +1007,157 @@ LEFT JOIN r ON r.doc_id = k.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# URL canonicalization + URL-level dedup
+# ---------------------------------------------------------------------------
+
+# tracking query params stripped by canonicalization (the common
+# crawl-pipeline blocklist: Google/Facebook click ids + utm_* family)
+TRACKING_PARAM_PAT = r"^(utm_[^=]*|fbclid|gclid|ref)="
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Crawl-frontier URL canonicalization as one JVM expression tree
+    (zero Python, whole-stage codegen): lowercase scheme+host, strip
+    a leading ``www.``, strip the scheme's default port (:80 http,
+    :443 https), drop the fragment, strip a trailing slash on
+    non-root paths, drop tracking query params (TRACKING_PARAM_PAT)
+    and sort the survivors. Scheme is NOT merged (http ≠ https) and
+    path case is preserved — both are standard canonicalizer choices
+    (paths are case-sensitive; scheme merge changes identity)."""
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(url, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?#]*)", 1))
+    host = F.regexp_replace(hostport, r"^www\.", "")
+    host = F.when(scheme == "http", F.regexp_replace(host, r":80$", "")) \
+            .when(scheme == "https", F.regexp_replace(host, r":443$", "")) \
+            .otherwise(host)
+    tail = F.regexp_replace(  # path?query#frag → path?query
+        F.regexp_replace(rest, r"^[^/?#]*", ""), r"#.*$", "")
+    path = F.regexp_extract(tail, r"^([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")) \
+            .when(path == "/", F.lit("/")) \
+            .otherwise(F.regexp_replace(path, r"/$", ""))
+    query = F.regexp_extract(tail, r"\?(.*)$", 1)
+    kept = F.array_join(
+        F.array_sort(F.filter(F.split(query, "&"),
+                              lambda p: ~p.rlike(TRACKING_PARAM_PAT)
+                              & (p != ""))), "&")
+    return F.concat(scheme, F.lit("://"), host, path,
+                    F.when(kept == "", F.lit(""))
+                     .otherwise(F.concat(F.lit("?"), kept)))
+
+
+def pages_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup over a deterministic messy crawl log: each doc
+    contributes one raw URL whose shape cycles through 5 crawl-noise
+    variants (uppercase scheme/host + www + default port + fragment;
+    tracking-only query; default http port + trailing slash + unsorted
+    params; tracking params interleaved with real ones), derived
+    closed-form from doc_id so the oracle regenerates them exactly.
+    Canonicalization collapses the variants; the keeper is the lowest
+    doc_id per canonical URL (crawl pipelines keep first-fetched).
+
+    Scale shape: canonicalization is a narrow per-row expression map;
+    the dedup is ONE shuffle keyed on url_canon (window count +
+    min-keeper on the same key). The reference fetches by presigned
+    URL one document at a time and has no frontier dedup (SURVEY §2.1
+    S1); this is the stage every crawl pipeline runs before fetch."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    h = (F.col("doc_id") % 4).cast("string")
+    p = (F.col("doc_id") % 40).cast("string")
+    base = F.concat(F.lit("site"), h, F.lit(".example.com/page/"), p)
+    variant = (F.floor(F.col("doc_id") / 40) % 5).cast("int")
+    v1 = F.concat(F.lit("HTTPS://WWW.SITE"), h,
+                  F.lit(".EXAMPLE.COM:443/page/"), p, F.lit("#section2"))
+    url_raw = (
+        F.when(variant == 0, F.concat(F.lit("https://"), base))
+        .when(variant == 1, v1)
+        .when(variant == 2, F.concat(F.lit("https://"), base,
+                                     F.lit("?utm_source=feed&utm_campaign=x")))
+        .when(variant == 3, F.concat(F.lit("http://site"), h,
+                                     F.lit(".example.com:80/page/"), p,
+                                     F.lit("/?b=2&a=1")))
+        .otherwise(F.concat(F.lit("https://"), base,
+                            F.lit("?a=1&fbclid=XYZ"),
+                            F.col("doc_id").cast("string"), F.lit("&b=2"))))
+    with_canon = docs.select(
+        "doc_id", url_raw.alias("url_raw"),
+        canonicalize_url(url_raw).alias("url_canon"))
+    w = Window.partitionBy("url_canon")
+    return (with_canon
+            .withColumn("n_dups", F.count(F.lit(1)).over(w))
+            .withColumn("keeper_doc_id", F.min("doc_id").over(w))
+            .select("doc_id", "url_raw", "url_canon", "n_dups",
+                    (F.col("doc_id") == F.col("keeper_doc_id"))
+                    .alias("is_keeper")))
+
+
+PAGES_URL_DEDUP_SQL = """
+WITH raw AS (
+  SELECT doc_id,
+         CASE CAST((doc_id // 40) % 5 AS INT)
+           WHEN 0 THEN 'https://site' || CAST(doc_id % 4 AS VARCHAR)
+                       || '.example.com/page/' || CAST(doc_id % 40 AS VARCHAR)
+           WHEN 1 THEN 'HTTPS://WWW.SITE' || CAST(doc_id % 4 AS VARCHAR)
+                       || '.EXAMPLE.COM:443/page/' || CAST(doc_id % 40 AS VARCHAR)
+                       || '#section2'
+           WHEN 2 THEN 'https://site' || CAST(doc_id % 4 AS VARCHAR)
+                       || '.example.com/page/' || CAST(doc_id % 40 AS VARCHAR)
+                       || '?utm_source=feed&utm_campaign=x'
+           WHEN 3 THEN 'http://site' || CAST(doc_id % 4 AS VARCHAR)
+                       || '.example.com:80/page/' || CAST(doc_id % 40 AS VARCHAR)
+                       || '/?b=2&a=1'
+           ELSE 'https://site' || CAST(doc_id % 4 AS VARCHAR)
+                || '.example.com/page/' || CAST(doc_id % 40 AS VARCHAR)
+                || '?a=1&fbclid=XYZ' || CAST(doc_id AS VARCHAR) || '&b=2'
+         END AS url_raw
+  FROM documents
+), parts AS (
+  SELECT doc_id, url_raw,
+         lower(regexp_extract(url_raw,
+               '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         regexp_replace(url_raw, '^[A-Za-z][A-Za-z0-9+.-]*://', '')
+           AS rest
+  FROM raw
+), hp AS (
+  SELECT *, regexp_replace(
+           lower(regexp_extract(rest, '^([^/?#]*)', 1)),
+           '^www\\.', '') AS host0,
+         regexp_replace(regexp_replace(rest, '^[^/?#]*', ''),
+                        '#.*$', '') AS tail
+  FROM parts
+), norm AS (
+  SELECT doc_id, url_raw, scheme,
+         CASE WHEN scheme = 'http'  THEN regexp_replace(host0, ':80$', '')
+              WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+              ELSE host0 END AS host,
+         regexp_extract(tail, '^([^?]*)', 1) AS path0,
+         regexp_extract(tail, '\\?(.*)$', 1) AS query
+  FROM hp
+), canon AS (
+  SELECT doc_id, url_raw,
+         scheme || '://' || host
+         || (CASE WHEN path0 = '' THEN '/'
+                  WHEN length(path0) > 1 AND path0 LIKE '%/'
+                    THEN substring(path0, 1, length(path0) - 1)
+                  ELSE path0 END)
+         || (CASE WHEN kept = '' THEN '' ELSE '?' || kept END) AS url_canon
+  FROM (
+    SELECT *, COALESCE(list_aggregate(list_sort(list_filter(
+             string_split(query, '&'),
+             x -> NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|ref)=')
+                  AND x <> '')), 'string_agg', '&'), '') AS kept
+    FROM norm
+  )
+)
+SELECT doc_id, url_raw, url_canon,
+       COUNT(*) OVER (PARTITION BY url_canon) AS n_dups,
+       doc_id = MIN(doc_id) OVER (PARTITION BY url_canon) AS is_keeper
+FROM canon
+"""
+
+
 SPARK_QUERIES = {
     "pages_outlinks": pages_outlinks,
     "pages_host_outdegree": pages_host_outdegree,
@@ -1023,6 +1174,7 @@ SPARK_QUERIES = {
     "docs_repetition_metrics": docs_repetition_metrics,
     "docs_substring_dup_coverage": docs_substring_dup_coverage,
     "docs_new_vs_snapshot": docs_new_vs_snapshot,
+    "pages_url_dedup": pages_url_dedup,
 }
 
 ORACLE_SQL = {
@@ -1041,4 +1193,5 @@ ORACLE_SQL = {
     "docs_repetition_metrics": DOCS_REPETITION_SQL,
     "docs_substring_dup_coverage": DOCS_SUBSTR_DUP_SQL,
     "docs_new_vs_snapshot": DOCS_NEW_VS_SNAPSHOT_SQL,
+    "pages_url_dedup": PAGES_URL_DEDUP_SQL,
 }

@@ -261,3 +261,49 @@ def test_hosts_pagerank_structure(spark):
     best_site = max(v for h, v in ranks.items() if h.startswith("site"))
     assert worst_partner > best_site
     assert 0 < sum(ranks.values()) < 1.0
+
+
+def test_canonicalize_url_adversarial(spark):
+    """Edge cases of the URL canonicalizer beyond the crawl-log
+    variants: root paths, non-default ports kept, unknown schemes,
+    tracking-only queries, ref param, repeated slashes preserved."""
+    from pyspark.sql import functions as F
+    from ocr_spark.plans.webops import canonicalize_url
+
+    cases = [
+        # (raw, expected canonical)
+        ("https://Site.COM", "https://site.com/"),
+        ("https://site.com/", "https://site.com/"),
+        ("http://www.site.com:80", "http://site.com/"),
+        ("http://site.com:8080/x/", "http://site.com:8080/x"),  # real port kept
+        ("https://site.com:443/a/b/#x", "https://site.com/a/b"),
+        ("ftp://Site.com:443/f", "ftp://site.com:443/f"),  # not https: port kept
+        ("https://site.com/x?utm_source=a&utm_medium=b", "https://site.com/x"),
+        ("https://site.com/x?ref=tw&z=1&a=2", "https://site.com/x?a=2&z=1"),
+        ("https://site.com/x?", "https://site.com/x"),
+        ("https://site.com/A/B", "https://site.com/A/B"),  # path case kept
+        ("https://site.com//x/", "https://site.com//x"),
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], "url string")
+    got = [r.c for r in
+           df.select(canonicalize_url(F.col("url")).alias("c")).collect()]
+    assert got == [e for _, e in cases]
+
+
+def test_pages_url_dedup_shape(spark):
+    """Canonicalization is a narrow map; the dedup is exactly one
+    shuffle (the url_canon window) and really collapses variants."""
+    from ocr_spark.plans.webops import pages_url_dedup
+
+    df = pages_url_dedup(spark, SF)
+    plan = fmt(df)
+    assert n_shuffles(plan) == 1, plan
+    rows = df.collect()
+    assert len(rows) == 500
+    # variants 0/1/2 of the same (host, page) must share a canonical url
+    by_doc = {r.doc_id: r for r in rows}
+    assert by_doc[0].url_canon == by_doc[40].url_canon  # v0 vs v1
+    assert by_doc[0].url_canon == by_doc[80].url_canon  # v0 vs v2
+    assert by_doc[120].url_canon != by_doc[0].url_canon  # v3 is http
+    keepers = [r for r in rows if r.is_keeper]
+    assert 0 < len(keepers) < 500
