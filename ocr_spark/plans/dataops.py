@@ -1011,6 +1011,73 @@ FROM idx
 """
 
 
+# --------------------------------------------------------------------------
+# corpus-level boilerplate-phrase mining (top n-grams per language)
+# --------------------------------------------------------------------------
+
+TOP_NGRAMS_K = 10
+
+
+def docs_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-K word bigrams per language — the phrase table
+    behind boilerplate-blocklist construction (the C4/RefinedWeb recipe
+    mines the corpus's most frequent n-grams, reviews the head, and
+    filters docs dominated by them; docs_repetition_metrics is the
+    per-doc consumer of exactly these phrases).
+
+    Scale shape: the explode is narrow; the groupBy(lang, gram) partial
+    aggregation combines map-side so the shuffle carries distinct-gram
+    volume, not token volume; n_docs rides the same key via a
+    (doc-level distinct first) two-step; the final top-K window
+    partitions by lang over an already-aggregated table whose size is
+    the distinct-gram count."""
+    docs = t(spark, sf_dir, "documents")
+    toks = _tokens()
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - 2),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2))),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = docs.select("doc_id", "lang", F.explode(grams).alias("gram"))
+    # per-(doc, gram) first: n_in_doc partial-aggregates map-side, and
+    # the doc-distinct count then needs no expensive count_distinct
+    per_doc = (exploded.groupBy("lang", "gram", "doc_id")
+               .agg(F.count(F.lit(1)).alias("n_in_doc")))
+    agg = (per_doc.groupBy("lang", "gram")
+           .agg(F.sum("n_in_doc").alias("n_occurrences"),
+                F.count(F.lit(1)).alias("n_docs")))
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("n_occurrences"), F.asc("gram"))
+    return (agg.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_NGRAMS_K)
+            .select("lang", "gram", "n_occurrences", "n_docs", "rank"))
+
+
+_TOP_NGRAMS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, {_SQL_TOKENS} AS tk FROM documents
+), grams AS (
+  SELECT doc_id, lang, tk[i] || ' ' || tk[i+1] AS gram
+  FROM toks, LATERAL unnest(range(1, len(tk))) AS g(i)
+  WHERE len(tk) >= 2
+), per_doc AS (
+  SELECT lang, gram, doc_id, COUNT(*) AS n_in_doc
+  FROM grams GROUP BY lang, gram, doc_id
+), agg AS (
+  SELECT lang, gram,
+         CAST(SUM(n_in_doc) AS BIGINT) AS n_occurrences,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM per_doc GROUP BY lang, gram
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+             ORDER BY n_occurrences DESC, gram ASC) AS rank
+  FROM agg
+)
+SELECT lang, gram, n_occurrences, n_docs, rank
+FROM ranked WHERE rank <= {TOP_NGRAMS_K}
+"""
+
+
 SPARK_QUERIES = {
     "docs_minhash_signature": docs_minhash_signature,
     "docs_minhash_lsh_pairs": docs_minhash_lsh_pairs,
@@ -1026,6 +1093,7 @@ SPARK_QUERIES = {
     "docs_bpe_token_count": docs_bpe_token_count,
     "docs_rolling_hash": docs_rolling_hash,
     "docs_sentences_udtf": docs_sentences_udtf,
+    "docs_top_ngrams": docs_top_ngrams,
 }
 
 ORACLE_SQL = {
@@ -1043,4 +1111,5 @@ ORACLE_SQL = {
     "docs_bpe_token_count": _BPE_COUNT_SQL,
     "docs_rolling_hash": _ROLLING_HASH_SQL,
     "docs_sentences_udtf": _SENTENCES_SQL,
+    "docs_top_ngrams": _TOP_NGRAMS_SQL,
 }

@@ -261,3 +261,16 @@ def test_semdedup_broadcasts_centroids_no_cross_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # the cell-cap guard is IN the plan (window count before pairing)
     assert "cell_n" in plan
+
+
+def test_top_ngrams_partial_agg_bounded_shuffles(spark):
+    """Phrase mining must combine map-side (shuffle carries
+    distinct-gram volume, not token volume) and never exceed the
+    three keyed exchanges of its agg→agg→window shape."""
+    from ocr_spark.plans.dataops import docs_top_ngrams
+
+    df = docs_top_ngrams(spark, SF)
+    plan = fmt(df)
+    assert n_shuffles(plan) <= 3, plan
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in simple or "partial_sum" in simple
