@@ -47,6 +47,10 @@ HEADLINE = [
     "docs_near_dup_clusters",
     "pages_para_dedup",
     "pages_span_dedup",
+    # round 3 (late): semantic dedup, URL frontier dedup, phrase mining
+    "emb_semdedup",
+    "pages_url_dedup",
+    "docs_top_ngrams",
 ]
 
 

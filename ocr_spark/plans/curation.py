@@ -275,11 +275,93 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# benchmark decontamination (eval-overlap removal)
+# ---------------------------------------------------------------------------
+
+DECONTAM_K = 4   # word n-gram width. Real pipelines use 8-13 tokens
+                 # (GPT-3 13-gram, FineWeb 10-gram family); 4 is
+                 # calibrated to this synthetic corpus's short docs and
+                 # tiny vocabulary so genuine overlaps exist at test SF
+                 # (8 contaminated docs at sf0.01) — the knob, not the
+                 # shape, changes with a real corpus.
+BENCH_MOD = 97   # doc_id % 97 == 0 plays the held-out eval set
+
+
+def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the GPT-3/FineWeb train-test-overlap
+    stage: a training document is dropped when it shares any
+    DECONTAM_K-word n-gram with the held-out eval set. N-grams are
+    md5-hashed so only fixed-width digests travel (the production
+    reason: the eval side becomes a compact hash set).
+
+    Scale shape: the eval set is small by definition (benchmarks are
+    MBs against a 100 TB corpus), so its distinct hashed n-grams
+    BROADCAST; the train side is a narrow explode, the probe is a
+    map-side broadcast join, and the only shuffle is the per-doc
+    groupBy — decontamination never shuffles the corpus by gram. The
+    reference has no corpus curation (SURVEY §2 absent lists)."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), _TOKS)
+    grams = F.when(
+        F.size(toks) >= DECONTAM_K,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - DECONTAM_K),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice(toks, i + 1, DECONTAM_K)))),
+    ).otherwise(F.array().cast("array<string>"))
+    with_g = docs.select("doc_id", grams.alias("gh"))
+    is_eval = F.col("doc_id") % BENCH_MOD == 0
+    eval_set = (with_g.filter(is_eval)
+                .select(F.explode("gh").alias("bh")).distinct())
+    train = (with_g.filter(~is_eval)
+             .select("doc_id", F.explode("gh").alias("gh")))
+    hits = (train.join(F.broadcast(eval_set), train.gh == eval_set.bh,
+                       "left")
+            .groupBy("doc_id")
+            .agg(F.count("bh").alias("n_contaminated_ngrams")))
+    base = docs.filter(~is_eval).select("doc_id")
+    n = F.coalesce(F.col("n_contaminated_ngrams"), F.lit(0))
+    return (base.join(hits, "doc_id", "left")
+            .select("doc_id", n.alias("n_contaminated_ngrams"),
+                    (n > 0).alias("is_contaminated"),
+                    F.when(n > 0, F.lit("drop")).otherwise(F.lit("keep"))
+                     .alias("action")))
+
+
+DECONTAMINATE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         md5(list_aggregate(tk[i:i+{DECONTAM_K - 1}], 'string_agg', ' '))
+           AS gh
+  FROM toks, LATERAL unnest(range(1, len(tk) - {DECONTAM_K - 2})) AS u(i)
+  WHERE len(tk) >= {DECONTAM_K}
+), bench AS (
+  SELECT DISTINCT gh AS bh FROM grams WHERE doc_id % {BENCH_MOD} = 0
+), train AS (
+  SELECT doc_id, gh FROM grams WHERE doc_id % {BENCH_MOD} <> 0
+), hits AS (
+  SELECT t.doc_id, COUNT(b.bh) AS n
+  FROM train t LEFT JOIN bench b ON t.gh = b.bh
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(h.n, 0) AS n_contaminated_ngrams,
+       COALESCE(h.n, 0) > 0 AS is_contaminated,
+       CASE WHEN COALESCE(h.n, 0) > 0 THEN 'drop' ELSE 'keep' END AS action
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+WHERE d.doc_id % {BENCH_MOD} <> 0
+"""
+
+
 SPARK_QUERIES = {
     "docs_unigram_logprob": docs_unigram_logprob,
     "docs_sample_stratified": docs_sample_stratified,
     "docs_token_shards": docs_token_shards,
     "docs_classifier_score": docs_classifier_score,
+    "docs_decontaminate": docs_decontaminate,
 }
 
 ORACLE_SQL = {
@@ -287,4 +369,5 @@ ORACLE_SQL = {
     "docs_sample_stratified": SAMPLE_STRATIFIED_SQL,
     "docs_token_shards": TOKEN_SHARDS_SQL,
     "docs_classifier_score": _classifier_sql(),
+    "docs_decontaminate": DECONTAMINATE_SQL,
 }
