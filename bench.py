@@ -47,10 +47,13 @@ HEADLINE = [
     "docs_near_dup_clusters",
     "pages_para_dedup",
     "pages_span_dedup",
-    # round 3 (late): semantic dedup, URL frontier dedup, phrase mining
+    # round 3 (late): semantic dedup, URL frontier dedup, phrase mining,
+    # eval decontamination, bigram-LM scoring
     "emb_semdedup",
     "pages_url_dedup",
     "docs_top_ngrams",
+    "docs_decontaminate",
+    "docs_bigram_logprob",
 ]
 
 

@@ -276,6 +276,130 @@ FROM agg
 
 
 # ---------------------------------------------------------------------------
+# domain mixture weights (temperature sampling over language strata)
+# ---------------------------------------------------------------------------
+
+MIXTURE_ALPHA = 0.5   # temperature exponent; the multilingual alpha-
+                      # sampling recipe (Conneau & Lample 2019, XLM-R
+                      # uses 0.3) — upweights low-resource domains
+MIX_ROUND = 6
+EPOCH_ROUND = 4
+
+
+def docs_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture construction over language domains: each
+    domain's sampling weight is n_tokens^alpha normalized (temperature
+    sampling — the XLM-R / DoReMi-baseline recipe), alongside its
+    natural share and the effective epoch count a full mixture pass
+    implies (weight · total / n_tokens — the over-sampling factor on
+    low-resource strata that the alpha exists to bound).
+
+    Scale shape: one partial-agg groupBy(lang) collapses the corpus to
+    one row per domain (dozens of rows at any corpus size), then a
+    1-row totals broadcast — the whole query's shuffle volume is the
+    domain count, independent of corpus bytes. The reference has no
+    corpus-level stages (SURVEY §2 absent lists)."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), _TOKS)
+    n = F.when((F.size(toks) == 1) & (toks[0] == ""), F.lit(0)) \
+         .otherwise(F.size(toks)).cast("long")
+    per = (docs.select("lang", n.alias("n"))
+           .groupBy("lang")
+           .agg(F.count("*").alias("n_docs"), F.sum("n").alias("n_tokens")))
+    tot = per.agg(
+        F.sum("n_tokens").alias("tot_tokens"),
+        F.sum(F.pow("n_tokens", MIXTURE_ALPHA)).alias("z"))  # 1 row
+    w = F.pow("n_tokens", MIXTURE_ALPHA) / F.col("z")
+    return (per.crossJoin(F.broadcast(tot))
+            .select(
+                "lang", "n_docs", "n_tokens",
+                F.round(F.col("n_tokens") / F.col("tot_tokens"), MIX_ROUND)
+                 .alias("natural_frac"),
+                F.round(w, MIX_ROUND).alias("mixture_weight"),
+                F.round(w * F.col("tot_tokens") / F.col("n_tokens"),
+                        EPOCH_ROUND).alias("effective_epochs")))
+
+
+DOMAIN_MIXTURE_SQL = f"""
+WITH per AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END)
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+), tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+         SUM(power(n_tokens, {MIXTURE_ALPHA})) AS z
+  FROM per
+)
+SELECT lang, n_docs, n_tokens,
+       round(n_tokens / CAST(tot_tokens AS DOUBLE), {MIX_ROUND})
+         AS natural_frac,
+       round(power(n_tokens, {MIXTURE_ALPHA}) / z, {MIX_ROUND})
+         AS mixture_weight,
+       round(power(n_tokens, {MIXTURE_ALPHA}) / z * tot_tokens / n_tokens,
+             {EPOCH_ROUND}) AS effective_epochs
+FROM per CROSS JOIN tot
+"""
+
+
+# ---------------------------------------------------------------------------
+# shard manifests (reproducible-sink verification artifact)
+# ---------------------------------------------------------------------------
+
+
+def shards_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard manifest over the docs_token_shards packing: document
+    count, token sum, and an order-independent-to-compute but
+    order-PINNED content digest — md5 over the shard's per-doc text
+    digests concatenated in doc_id order. This is the sink-side
+    verification artifact a reproducible training-data export writes
+    next to each shard: re-running the pipeline (any cluster size, any
+    engine) must reproduce the digest bit-for-bit, which is exactly
+    what the DuckDB oracle asserts.
+
+    Scale shape: reuses the per-language prefix-sum packing, then one
+    groupBy(lang, shard_id); sort_array makes the digest deterministic
+    under Spark's unordered collect_list. A shard is budget-bounded
+    (SHARD_TOKEN_BUDGET), so the collected list per group is small by
+    construction — no unbounded-group risk."""
+    packed = docs_token_shards(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.md5(F.col("text")).alias("dg"))
+    return (packed.join(docs, "doc_id")
+            .groupBy("lang", "shard_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("n_tokens"),
+                 F.md5(F.concat_ws(",", F.transform(
+                     F.sort_array(F.collect_list(F.struct("doc_id", "dg"))),
+                     lambda s: s["dg"]))).alias("content_digest")))
+
+
+SHARDS_MANIFEST_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lang, md5(text) AS dg,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END
+              AS BIGINT) AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT doc_id, lang, dg, n_tokens,
+         CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                  PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / {SHARD_TOKEN_BUDGET}) AS INT) AS shard_id
+  FROM base
+)
+SELECT lang, shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       md5(string_agg(dg, ',' ORDER BY doc_id)) AS content_digest
+FROM packed
+GROUP BY lang, shard_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # benchmark decontamination (eval-overlap removal)
 # ---------------------------------------------------------------------------
 
@@ -356,18 +480,133 @@ WHERE d.doc_id % {BENCH_MOD} <> 0
 """
 
 
+# ---------------------------------------------------------------------------
+# bigram LM with Stupid Backoff (the KenLM seam, one order up)
+# ---------------------------------------------------------------------------
+
+BACKOFF_ALPHA = 0.4   # Brants et al. 2007's fixed backoff weight
+LM_TRAIN_MOD = 2      # doc_id % 2 == 0 plays the offline LM training set
+
+
+def docs_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality score, one order up from
+    docs_unigram_logprob: per-document mean log-score under a BIGRAM
+    model with Stupid Backoff (Brants et al. 2007) —
+    s(w|p) = c(p,w)/c(p·) if the bigram was seen in training, else
+    ALPHA · add-1-smoothed unigram. The LM is trained on a disjoint
+    half of the corpus (doc_id % 2 == 0), mirroring CCNet's
+    offline-KenLM-scores-the-crawl split, so backoff genuinely fires
+    on the held-out half (backoff_frac column proves it).
+
+    Scale shape: the document side builds bigrams with a narrow array
+    transform — no window, no shuffle — then joins the count tables.
+    At 10^12 docs the real recipe replaces the count tables with a
+    pruned KenLM broadcast (same seam as docs_classifier_score's
+    weight table); this exact-count form is what the oracle can
+    value-check. Context counts c(p·) come from the bigram table
+    itself (sum over continuations), as Stupid Backoff specifies.
+    The reference has no corpus scoring (SURVEY §2 absent lists)."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), _TOKS)
+    empty = F.array().cast("array<struct<prev:string,tok:string>>")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - 2),
+                    lambda i: F.struct(
+                        F.element_at(toks, i + 1).alias("prev"),
+                        F.element_at(toks, i + 2).alias("tok"))),
+    ).otherwise(empty)
+    big = (docs.select("doc_id", "lang", F.explode(bigrams).alias("bg"))
+           .select("doc_id", "lang",
+                   F.col("bg.prev").alias("prev"),
+                   F.col("bg.tok").alias("tok")))
+    is_train = F.col("doc_id") % LM_TRAIN_MOD == 0
+    bc = (big.filter(is_train)
+          .groupBy("prev", "tok").agg(F.count("*").alias("bc")))
+    ctx = bc.groupBy("prev").agg(F.sum("bc").alias("cc"))
+    uc = (docs.filter(is_train)
+          .select(F.explode(toks).alias("tok"))
+          .groupBy("tok").agg(F.count("*").alias("uc")))
+    totals = uc.agg(F.sum("uc").alias("n_total"),
+                    F.count("*").alias("vocab"))  # 1 row → broadcast
+    seen = F.col("bc").isNotNull()
+    s = F.when(seen, F.col("bc") / F.col("cc")).otherwise(
+        F.lit(BACKOFF_ALPHA) * (F.coalesce(F.col("uc"), F.lit(0)) + 1)
+        / (F.col("n_total") + F.col("vocab")))
+    return (big
+            .join(bc, ["prev", "tok"], "left")
+            .join(ctx, "prev", "left")
+            .join(uc, "tok", "left")
+            .crossJoin(F.broadcast(totals))
+            .groupBy("doc_id", "lang")
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.round(F.avg(F.log(s)), LOGPROB_ROUND)
+                  .alias("avg_logprob"),
+                 F.round(F.avg(F.when(seen, 0.0).otherwise(1.0)),
+                         LOGPROB_ROUND).alias("backoff_frac")))
+
+
+BIGRAM_LOGPROB_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, lang,
+         string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents
+), big AS (
+  SELECT doc_id, lang, t[i] AS prev, t[i + 1] AS tok
+  FROM tk, LATERAL unnest(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+), bc AS (
+  SELECT prev, tok, COUNT(*) AS bc FROM big
+  WHERE doc_id % {LM_TRAIN_MOD} = 0 GROUP BY prev, tok
+), ctx AS (
+  SELECT prev, SUM(bc) AS cc FROM bc GROUP BY prev
+), uc AS (
+  SELECT tok, COUNT(*) AS uc
+  FROM (SELECT unnest(t) AS tok FROM tk
+        WHERE doc_id % {LM_TRAIN_MOD} = 0)
+  GROUP BY tok
+), totals AS (
+  SELECT CAST(SUM(uc) AS BIGINT) AS n_total,
+         CAST(COUNT(*) AS BIGINT) AS vocab
+  FROM uc
+)
+SELECT big.doc_id, big.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       round(AVG(ln(CASE WHEN bc.bc IS NOT NULL
+                         THEN bc.bc / CAST(ctx.cc AS DOUBLE)
+                         ELSE {BACKOFF_ALPHA} * (COALESCE(uc.uc, 0) + 1)
+                              / CAST(totals.n_total + totals.vocab
+                                     AS DOUBLE)
+                    END)), {LOGPROB_ROUND}) AS avg_logprob,
+       round(AVG(CASE WHEN bc.bc IS NOT NULL THEN 0.0 ELSE 1.0 END),
+             {LOGPROB_ROUND}) AS backoff_frac
+FROM big
+LEFT JOIN bc USING (prev, tok)
+LEFT JOIN ctx USING (prev)
+LEFT JOIN uc ON uc.tok = big.tok
+CROSS JOIN totals
+GROUP BY big.doc_id, big.lang
+"""
+
+
 SPARK_QUERIES = {
     "docs_unigram_logprob": docs_unigram_logprob,
+    "docs_bigram_logprob": docs_bigram_logprob,
     "docs_sample_stratified": docs_sample_stratified,
     "docs_token_shards": docs_token_shards,
     "docs_classifier_score": docs_classifier_score,
     "docs_decontaminate": docs_decontaminate,
+    "docs_domain_mixture": docs_domain_mixture,
+    "shards_manifest": shards_manifest,
 }
 
 ORACLE_SQL = {
     "docs_unigram_logprob": UNIGRAM_LOGPROB_SQL,
+    "docs_bigram_logprob": BIGRAM_LOGPROB_SQL,
     "docs_sample_stratified": SAMPLE_STRATIFIED_SQL,
     "docs_token_shards": TOKEN_SHARDS_SQL,
     "docs_classifier_score": _classifier_sql(),
     "docs_decontaminate": DECONTAMINATE_SQL,
+    "docs_domain_mixture": DOMAIN_MIXTURE_SQL,
+    "shards_manifest": SHARDS_MANIFEST_SQL,
 }

@@ -307,3 +307,56 @@ def test_pages_url_dedup_shape(spark):
     assert by_doc[120].url_canon != by_doc[0].url_canon  # v3 is http
     keepers = [r for r in rows if r.is_keeper]
     assert 0 < len(keepers) < 500
+
+
+def test_bigram_lm_backoff_and_shape(spark):
+    """Bigram Stupid-Backoff LM: the document-side bigram build is a
+    narrow array transform (no Window exchange in the plan); training
+    on the even-doc_id half means backoff NEVER fires on training docs
+    and genuinely fires somewhere on the held-out half."""
+    from ocr_spark.plans.curation import docs_bigram_logprob
+
+    df = docs_bigram_logprob(spark, SF)
+    plan = fmt(df)
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    train = [r for r in rows if r.doc_id % 2 == 0]
+    held = [r for r in rows if r.doc_id % 2 == 1]
+    assert train and held
+    assert all(r.backoff_frac == 0.0 for r in train)
+    assert any(r.backoff_frac > 0.0 for r in held)
+    assert all(r.avg_logprob < 0.0 for r in rows)
+
+
+def test_domain_mixture_weights(spark):
+    """Temperature sampling (alpha=0.5): weights and natural shares
+    each sum to 1; the smallest domain is upweighted relative to its
+    natural share and has the largest effective epoch count."""
+    from ocr_spark.plans.curation import docs_domain_mixture
+
+    mix = docs_domain_mixture(spark, SF).collect()
+    assert len(mix) >= 2
+    assert abs(sum(r.mixture_weight for r in mix) - 1.0) < 1e-4
+    assert abs(sum(r.natural_frac for r in mix) - 1.0) < 1e-4
+    lo = min(mix, key=lambda r: r.n_tokens)
+    assert lo.mixture_weight > lo.natural_frac
+    assert lo.effective_epochs == max(r.effective_epochs for r in mix)
+
+
+def test_shards_manifest_digest_is_partitioning_invariant(spark):
+    """The per-shard content digest must be bit-identical under a
+    different shuffle-partition count — sort_array pins the order that
+    collect_list leaves unspecified, which is the whole point of a
+    reproducibility manifest."""
+    from ocr_spark.plans.curation import shards_manifest
+
+    a = {(r.lang, r.shard_id): (r.n_docs, r.n_tokens, r.content_digest)
+         for r in shards_manifest(spark, SF).collect()}
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        b = {(r.lang, r.shard_id): (r.n_docs, r.n_tokens, r.content_digest)
+             for r in shards_manifest(spark, SF).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    assert a == b and len(a) > 1
