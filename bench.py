@@ -89,9 +89,42 @@ def _prev_round_queries(
             continue
         n = int(m.group(1))
         if queries and (best is None or n > best[0]):
+            # prefer the parallel calibration for host-drift normalization:
+            # single-core turbo can hold steady while all-core throughput
+            # (memory bus, noisy neighbors) drops 2x — which is exactly
+            # the drift that moves Spark local[32] timings.
             best = (n, queries,
-                    parsed.get("host_calibration_docs_per_sec_1core"))
+                    parsed.get("host_calibration_docs_per_sec_8core")
+                    or parsed.get("host_calibration_docs_per_sec_1core"))
     return best if best else (None, {}, None)
+
+
+def _calibrate_kernel() -> tuple[float, float]:
+    """(1-core, 8-core-parallel) extraction-kernel docs/sec on a fixed
+    workload, measured WITHOUT Spark. The 1-core rate tracks silicon
+    speed; the 8-core rate additionally sees memory-bandwidth and
+    noisy-neighbor contention — the component that actually moves
+    local[32] wall-clock between sessions. Runs before the JVM starts
+    so the worker processes fork a clean interpreter."""
+    import multiprocessing as mp
+
+    from ocr_spark.core.extract import extract_document
+    from ocr_spark.gen.corpus import generate_pages
+
+    rows = [(r["url"], r["html"])
+            for r in generate_pages(300, seed=99, oversized_rows=0)]
+    t0 = time.perf_counter()
+    for url, html in rows:
+        extract_document(url, html)
+    rate1 = round(len(rows) / (time.perf_counter() - t0), 1)
+
+    nworkers = 8
+    with mp.Pool(nworkers) as pool:
+        t0 = time.perf_counter()
+        pool.starmap(extract_document, rows * nworkers, chunksize=50)
+        dt = time.perf_counter() - t0
+    rate8 = round(len(rows) * nworkers / dt, 1)
+    return rate1, rate8
 
 
 REGRESSION_FACTOR = 1.3
@@ -110,24 +143,18 @@ def main() -> int:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1
 
+    # host calibration first (pre-JVM): this sandbox VM's effective
+    # speed swings >2x between sessions (outside-VM noisy neighbors);
+    # recording a fixed no-Spark workload's single-core AND 8-core
+    # rates alongside each bench lets cross-round comparisons separate
+    # host-condition shifts from code regressions.
+    cal_rate, cal_rate8 = _calibrate_kernel()
+
     import __spark_entry__ as entrymod
     from ocr_spark.session import get_spark
 
     spark = get_spark("bench", master=f"local[{cpus}]")
     qs = entrymod.queries()
-
-    # single-core host calibration: the pure extraction kernel, no Spark.
-    # This sandbox VM's effective speed swings >2x between sessions
-    # (outside-VM noisy neighbors); recording the same fixed workload's
-    # single-core rate alongside each bench lets cross-round comparisons
-    # separate host-condition shifts from code regressions.
-    from ocr_spark.core.extract import extract_document
-    from ocr_spark.gen.corpus import generate_pages
-    cal_rows = generate_pages(300, seed=99, oversized_rows=0)
-    t0 = time.perf_counter()
-    for r in cal_rows:
-        extract_document(r["url"], r["html"])
-    cal_rate = round(len(cal_rows) / (time.perf_counter() - t0), 1)
 
     # warm the JVM + Python workers once (tiny query) so query #1 doesn't
     # absorb executor-startup cost.
@@ -154,11 +181,11 @@ def main() -> int:
     # flag queries >REGRESSION_FACTOR slower. Warnings go to stderr; the
     # structured list rides inside the one stdout JSON line.
     prev_round, prev, prev_cal = _prev_round_queries(sf, int(cpus))
-    # normalize the baseline for host drift when both rounds carry the
-    # single-core calibration: if the box is measured 2x slower today,
-    # a query is only a regression when it is slow BEYOND that.
-    host_scale = (prev_cal / cal_rate
-                  if prev_cal and cal_rate else 1.0)
+    # normalize the baseline for host drift when both rounds carry a
+    # calibration (8-core preferred): if the box is measured 2x slower
+    # today, a query is only a regression when it is slow BEYOND that.
+    host_scale = (prev_cal / cal_rate8
+                  if prev_cal and cal_rate8 else 1.0)
     regressions = {}
     for name, sec in timings.items():
         base = prev.get(name)
@@ -180,6 +207,7 @@ def main() -> int:
         "sf": sf,
         "cpus": int(cpus),
         "host_calibration_docs_per_sec_1core": cal_rate,
+        "host_calibration_docs_per_sec_8core": cal_rate8,
         **extra,
     }
     if prev_round is not None:
