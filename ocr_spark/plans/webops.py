@@ -1158,6 +1158,206 @@ FROM canon
 """
 
 
+# ---------------------------------------------------------------------------
+# full Gopher repetition profile (n = 2..10)
+# ---------------------------------------------------------------------------
+
+# Rae et al. 2021 table A1: top n-gram character-mass thresholds for
+# n in {2,3,4}, duplicate n-gram thresholds for n in {5..10}. The
+# dup-n-gram metric here is position-based (fraction of n-gram slots
+# that are repeats — same formula as docs_repetition_metrics' 2-gram
+# form) rather than the paper's character-coverage form, a documented
+# simplification that avoids double-counting overlapping grams; the
+# top-n-gram metric IS the paper's character-mass form.
+GOPHER_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11,
+                        10: 0.10}
+REP_NS = sorted(GOPHER_TOP_NGRAM_MAX) + sorted(GOPHER_DUP_NGRAM_MAX)
+REP_ROUND = 4
+
+
+def docs_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Gopher repetition-signal suite per document: the
+    character mass of the single most frequent n-gram for n in {2,3,4}
+    (ties broken toward the longer gram — deterministic and
+    output-identical, since the fraction depends only on (count,
+    chars)), the duplicate-slot fraction for n in {5..10}, and the
+    combined keep flag at the published thresholds. Line/paragraph
+    duplicate signals live in pages_para_dedup (documents.text carries
+    no newlines). Docs with <2 tokens emit no row in either engine;
+    widths longer than the doc contribute 0.0.
+
+    Scale shape: one narrow per-width array transform (n is a column —
+    no per-width scan), explode, then two partial-agg groupBys keyed
+    (doc_id, n, gram) and (doc_id, n) and a final 9-way conditional
+    pivot on doc_id — shuffle volume is distinct-gram counts (~9x
+    token count pre-combine, collapsed map-side), never all-pairs.
+    Character base is the single-space-joined token stream, so the
+    metric is whitespace-run-insensitive in both engines."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    base = docs.select(
+        "doc_id", toks.alias("t"),
+        F.length(F.concat_ws(" ", toks)).alias("total_chars"))
+    wn = base.select(
+        "doc_id", "total_chars", "t",
+        F.explode(F.array(*[F.lit(n) for n in REP_NS])).alias("n"))
+    grams = F.when(
+        F.size("t") >= F.col("n"),
+        F.transform(
+            F.sequence(F.lit(0), F.size("t") - F.col("n")),
+            lambda i: F.concat_ws(
+                " ", F.slice(F.col("t"), i + 1, F.col("n")))),
+    ).otherwise(F.array().cast("array<string>"))
+    g = wn.select("doc_id", "total_chars", "n", F.explode(grams).alias("g"))
+    counts = (g.groupBy("doc_id", "total_chars", "n", "g")
+              .agg(F.count("*").alias("cnt"))
+              .withColumn("chars", F.length("g")))
+    per_n = (counts.groupBy("doc_id", "total_chars", "n")
+             .agg(F.sum("cnt").alias("tot"),
+                  F.sum(F.col("cnt") - 1).alias("dup"),
+                  F.max(F.struct(F.col("cnt"), F.col("chars")))
+                   .alias("top")))
+    per_n = per_n.select(
+        "doc_id", "n",
+        F.round(F.col("top.cnt") * F.col("top.chars")
+                / F.col("total_chars"), REP_ROUND).alias("tf"),
+        F.round(F.col("dup") / F.col("tot"), REP_ROUND).alias("df"))
+    aggs = [
+        F.coalesce(F.max(F.when(F.col("n") == n, F.col("tf"))), F.lit(0.0))
+         .alias(f"top_{n}gram_char_frac")
+        for n in sorted(GOPHER_TOP_NGRAM_MAX)
+    ] + [
+        F.coalesce(F.max(F.when(F.col("n") == n, F.col("df"))), F.lit(0.0))
+         .alias(f"dup_{n}gram_frac")
+        for n in sorted(GOPHER_DUP_NGRAM_MAX)
+    ]
+    out = per_n.groupBy("doc_id").agg(*aggs)
+    keep = F.lit(True)
+    for n, thr in GOPHER_TOP_NGRAM_MAX.items():
+        keep = keep & (F.col(f"top_{n}gram_char_frac") <= thr)
+    for n, thr in GOPHER_DUP_NGRAM_MAX.items():
+        keep = keep & (F.col(f"dup_{n}gram_frac") <= thr)
+    return out.select("*", keep.alias("keep_repetition_full"))
+
+
+def _repetition_profile_sql() -> str:
+    ns = ", ".join(str(n) for n in REP_NS)
+    tops = "\n".join(
+        f"  COALESCE(MAX(CASE WHEN n = {n} THEN tf END), 0.0)"
+        f" AS top_{n}gram_char_frac," for n in sorted(GOPHER_TOP_NGRAM_MAX))
+    dups = "\n".join(
+        f"  COALESCE(MAX(CASE WHEN n = {n} THEN df END), 0.0)"
+        f" AS dup_{n}gram_frac," for n in sorted(GOPHER_DUP_NGRAM_MAX))
+    flags = "\n   AND ".join(
+        [f"COALESCE(MAX(CASE WHEN n = {n} THEN tf END), 0.0) <= {thr}"
+         for n, thr in GOPHER_TOP_NGRAM_MAX.items()]
+        + [f"COALESCE(MAX(CASE WHEN n = {n} THEN df END), 0.0) <= {thr}"
+           for n, thr in GOPHER_DUP_NGRAM_MAX.items()])
+    return f"""
+WITH tk AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents
+), base AS (
+  SELECT doc_id, t, len(array_to_string(t, ' ')) AS total_chars FROM tk
+), g AS (
+  SELECT doc_id, total_chars, n,
+         array_to_string(t[i:i + n - 1], ' ') AS g
+  FROM base, unnest([{ns}]) AS ns(n),
+       LATERAL unnest(range(1, len(t) - n + 2)) AS u(i)
+  WHERE len(t) >= n
+), c AS (
+  SELECT doc_id, total_chars, n, g, COUNT(*) AS cnt, len(g) AS chars
+  FROM g GROUP BY doc_id, total_chars, n, g
+), pn AS (
+  SELECT doc_id, total_chars, n,
+         SUM(cnt) AS tot, SUM(cnt - 1) AS dup,
+         max({{'cnt': cnt, 'chars': chars}}) AS top
+  FROM c GROUP BY doc_id, total_chars, n
+), f AS (
+  SELECT doc_id, n,
+         round(top.cnt * top.chars / CAST(total_chars AS DOUBLE),
+               {REP_ROUND}) AS tf,
+         round(dup / CAST(tot AS DOUBLE), {REP_ROUND}) AS df
+  FROM pn
+)
+SELECT doc_id,
+{tops}
+{dups}
+  ({flags}) AS keep_repetition_full
+FROM f GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# static blocklist filter (UT1 / C4-badwords family)
+# ---------------------------------------------------------------------------
+
+# A versioned static blocklist — the UT1-blacklist / C4
+# "List-of-Dirty-Naughty-Words" stage. Lists here name synthetic
+# corpus values (real lists swap in as data, not code): two blocked
+# provenance sources and a word set whose per-doc density gates the
+# page.
+BLOCK_SOURCES = ("src7", "src13")
+BAD_WORDS = ("slow", "stale", "skew")
+BAD_WORD_MAX_FRAC = 0.06
+
+
+def docs_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static-blocklist gate: a document is dropped when its provenance
+    source is blocklisted (the UT1 domain-blacklist analogue) or when
+    blocklisted-word density exceeds BAD_WORD_MAX_FRAC (the C4
+    badwords-filter analogue). Complements pages_spam_host_filter,
+    which derives its blocklist from the link graph — this one is the
+    static, human-curated list every production pipeline ALSO runs.
+
+    Scale shape: zero-shuffle narrow map — the word list is a plan
+    literal (array_intersect-free: a filter over the token array via
+    isin-in-lambda), density computed per row, no explode, no join.
+    At real list sizes (UT1 is ~4M URLs) the source check becomes a
+    broadcast left-anti join; the word list stays a plan literal."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n = F.size(toks)
+    bad = F.size(F.filter(toks, lambda t: t.isin(*BAD_WORDS)))
+    frac = F.round(bad / n, REP_ROUND)
+    src_blocked = F.col("source").isin(*BLOCK_SOURCES)
+    return docs.select(
+        "doc_id", "source",
+        n.cast("long").alias("n_tokens"),
+        bad.cast("long").alias("n_bad_tokens"),
+        frac.alias("bad_word_frac"),
+        src_blocked.alias("source_blocked"),
+        (~src_blocked & (frac <= BAD_WORD_MAX_FRAC)).alias("keep_blocklist"))
+
+
+def _blocklist_sql() -> str:
+    srcs = ", ".join(f"'{s}'" for s in BLOCK_SOURCES)
+    words = ", ".join(f"'{w}'" for w in BAD_WORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id, source,
+         string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents
+), m AS (
+  SELECT doc_id, source,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(t, x -> x IN ({words}))) AS BIGINT)
+           AS n_bad_tokens,
+         source IN ({srcs}) AS source_blocked
+  FROM base
+)
+SELECT doc_id, source, n_tokens, n_bad_tokens,
+       round(n_bad_tokens / CAST(n_tokens AS DOUBLE), {REP_ROUND})
+         AS bad_word_frac,
+       source_blocked,
+       (NOT source_blocked
+        AND round(n_bad_tokens / CAST(n_tokens AS DOUBLE), {REP_ROUND})
+            <= {BAD_WORD_MAX_FRAC}) AS keep_blocklist
+FROM m
+"""
+
+
 SPARK_QUERIES = {
     "pages_outlinks": pages_outlinks,
     "pages_host_outdegree": pages_host_outdegree,
@@ -1175,6 +1375,8 @@ SPARK_QUERIES = {
     "docs_substring_dup_coverage": docs_substring_dup_coverage,
     "docs_new_vs_snapshot": docs_new_vs_snapshot,
     "pages_url_dedup": pages_url_dedup,
+    "docs_repetition_profile": docs_repetition_profile,
+    "docs_blocklist_filter": docs_blocklist_filter,
 }
 
 ORACLE_SQL = {
@@ -1194,4 +1396,6 @@ ORACLE_SQL = {
     "docs_substring_dup_coverage": DOCS_SUBSTR_DUP_SQL,
     "docs_new_vs_snapshot": DOCS_NEW_VS_SNAPSHOT_SQL,
     "pages_url_dedup": PAGES_URL_DEDUP_SQL,
+    "docs_repetition_profile": _repetition_profile_sql(),
+    "docs_blocklist_filter": _blocklist_sql(),
 }

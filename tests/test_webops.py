@@ -360,3 +360,47 @@ def test_shards_manifest_digest_is_partitioning_invariant(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", "32")
     assert a == b and len(a) > 1
+
+
+def test_repetition_profile_shape_and_semantics(spark):
+    """Full Gopher suite: 9 widths from one narrow transform (no
+    CartesianProduct, partial-agg combine); wider-gram metrics are
+    monotonically informative — a doc with dup_10gram_frac > 0 must
+    also repeat at every shorter width (a duplicated 10-gram contains
+    duplicated 5..9-grams)."""
+    from ocr_spark.plans.webops import docs_repetition_profile
+
+    df = docs_repetition_profile(spark, SF)
+    plan = fmt(df)
+    assert "CartesianProduct" not in plan
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in simple or "partial_sum" in simple
+    rows = df.collect()
+    assert len(rows) == 500
+    for r in rows:
+        if r.dup_10gram_frac > 0:
+            for n in (5, 6, 7, 8, 9):
+                assert getattr(r, f"dup_{n}gram_frac") > 0, r
+        assert 0.0 <= r.top_2gram_char_frac <= 1.0
+    assert any(not r.keep_repetition_full for r in rows)
+    assert any(r.keep_repetition_full for r in rows)
+
+
+def test_blocklist_filter_is_narrow_map(spark):
+    """The static-blocklist gate is the UT1/C4-badwords stage: must be
+    a zero-shuffle JVM map (word list is a plan literal, no explode,
+    no join), and both gate arms must actually fire on the corpus."""
+    from ocr_spark.plans.webops import (
+        BLOCK_SOURCES, docs_blocklist_filter)
+
+    df = docs_blocklist_filter(spark, SF)
+    assert n_shuffles(fmt(df)) == 0
+    rows = df.collect()
+    blocked_src = [r for r in rows if r.source_blocked]
+    assert blocked_src and all(
+        r.source in BLOCK_SOURCES and not r.keep_blocklist
+        for r in blocked_src)
+    dense = [r for r in rows
+             if not r.source_blocked and not r.keep_blocklist]
+    assert dense, "word-density arm never fired at sf0.01"
+    assert any(r.keep_blocklist for r in rows)
