@@ -514,6 +514,105 @@ def run_curation_job(spark: SparkSession, work_dir: str, *,
             "shards": int(stats.shards)}
 
 
+def export_root(work_dir: str) -> str:
+    return os.path.join(work_dir, "export")
+
+
+def run_export_job(spark: SparkSession, work_dir: str, *,
+                   snapshot: str | None = None) -> dict:
+    """Training-data export stage — the pipeline's end product: the
+    KEPT, shard-packed curation output written as one parquet dataset
+    partitioned by shard_id, plus a per-shard manifest row (doc count,
+    token sum, order-pinned content digest over the per-doc text
+    digests in url order).
+
+    The manifest is the reproducibility contract: re-exporting the
+    same curated snapshot must reproduce every digest bit-for-bit on
+    any cluster size (sort_array pins the order collect_list leaves
+    unspecified), and a consumer can verify a downloaded shard against
+    its manifest row without trusting the transport —
+    ``verify_export`` below is exactly that check, run from the
+    published data. Atomic via the same two-phase prepare/publish as
+    the other stages; the manifest rides INSIDE the snapshot manifest
+    json (small: one entry per shard), so data + digests commit
+    together or not at all.
+
+    Scale shape: one groupBy(shard_id) for the manifest (groups are
+    token-budget-bounded by construction) and a partitionBy(shard_id)
+    write fed by one repartition on the same key — each shard lands as
+    one file, no small-files explosion, no second shuffle."""
+    run_id = uuid.uuid4().hex[:12]
+    cur_root = curation_root(work_dir)
+    sid = snapshot or shim.current_snapshot_id(cur_root)
+    if sid is None:
+        raise FileNotFoundError(f"no curated snapshot under {cur_root}")
+    kept = (shim.read_snapshot(spark, cur_root, sid)
+            .filter(F.col("keep") & F.col("shard_id").isNotNull())
+            .select("url", "text_deduped", "n_words", "shard_id"))
+    digests = kept.withColumn("dg", F.md5("text_deduped"))
+    manifest_rows = (digests.groupBy("shard_id")
+                     .agg(F.count("*").alias("n_docs"),
+                          F.sum("n_words").alias("n_tokens"),
+                          F.md5(F.concat_ws(",", F.transform(
+                              F.sort_array(
+                                  F.collect_list(F.struct("url", "dg"))),
+                              lambda s: s["dg"]))).alias("content_digest"))
+                     .collect())
+    shard_manifest = {r.shard_id: {"n_docs": r.n_docs,
+                                   "n_tokens": int(r.n_tokens),
+                                   "content_digest": r.content_digest}
+                      for r in manifest_rows}
+    out_sid = shim.prepare_snapshot(
+        kept.repartition("shard_id"), export_root(work_dir),
+        partition_by=["shard_id"],
+        snapshot_id=f"exp-{run_id}", parent_id=None,
+        extra={"exported_from": sid, "shards": shard_manifest})
+    shim.publish_snapshot(export_root(work_dir), out_sid)
+    return {"run_id": run_id, "snapshot": out_sid, "exported_from": sid,
+            "shards": len(shard_manifest),
+            "docs": sum(m["n_docs"] for m in shard_manifest.values()),
+            "tokens": sum(m["n_tokens"] for m in shard_manifest.values())}
+
+
+def verify_export(spark: SparkSession, work_dir: str,
+                  snapshot: str | None = None) -> dict:
+    """Consumer-side shard verification: recompute every shard's doc
+    count, token sum, and content digest FROM THE PUBLISHED DATA and
+    diff against the manifest committed with the snapshot. Returns
+    {"snapshot", "shards_checked", "mismatches": {shard_id: reason}} —
+    an empty mismatches dict is the integrity proof."""
+    root = export_root(work_dir)
+    sid = snapshot or shim.current_snapshot_id(root)
+    if sid is None:
+        raise FileNotFoundError(f"no export snapshot under {root}")
+    manifest = shim.read_manifest(root, sid)
+    expected = manifest.get("shards") or {}
+    actual_rows = (shim.read_snapshot(spark, root, sid)
+                   .withColumn("dg", F.md5("text_deduped"))
+                   .groupBy("shard_id")
+                   .agg(F.count("*").alias("n_docs"),
+                        F.sum("n_words").alias("n_tokens"),
+                        F.md5(F.concat_ws(",", F.transform(
+                            F.sort_array(
+                                F.collect_list(F.struct("url", "dg"))),
+                            lambda s: s["dg"]))).alias("content_digest"))
+                   .collect())
+    actual = {r.shard_id: {"n_docs": r.n_docs, "n_tokens": int(r.n_tokens),
+                           "content_digest": r.content_digest}
+              for r in actual_rows}
+    mismatches: dict = {}
+    for shard in set(expected) | set(actual):
+        if shard not in expected:
+            mismatches[shard] = "not in manifest"
+        elif shard not in actual:
+            mismatches[shard] = "missing from data"
+        elif expected[shard] != actual[shard]:
+            mismatches[shard] = (f"manifest {expected[shard]}"
+                                 f" != data {actual[shard]}")
+    return {"snapshot": sid, "shards_checked": len(expected),
+            "mismatches": mismatches}
+
+
 def read_extracted(spark: SparkSession, work_dir: str) -> DataFrame:
     """All committed extraction output across snapshots. The union is
     exact: within one input snapshot, checkpointed buckets are never

@@ -1007,6 +1007,80 @@ LEFT JOIN r ON r.doc_id = k.doc_id
 """
 
 
+def docs_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus datasheet (data card): per-language document/token
+    inventory, token share, and post-curation survival rates — the
+    report a corpus release publishes next to the shards (Datasheets
+    for Datasets / Dolma-style summary tables). Composes the full
+    curation verdict, so the card reflects what the pipeline would
+    actually ship, not the raw crawl.
+
+    Scale shape: the verdict's constituent subplans plus ONE extra
+    groupBy(lang) — output cardinality is the language count, so the
+    final aggregation collapses to dozens of rows at any corpus size;
+    the totals row broadcasts."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    base = docs.select("doc_id", "lang",
+                       F.size(toks).cast("long").alias("n"))
+    v = docs_curation_verdict(spark, sf_dir).select("doc_id", "keep")
+    per = (base.join(v, "doc_id")
+           .groupBy("lang")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("n").alias("n_tokens"),
+                F.sum(F.when(F.col("keep"), 1).otherwise(0))
+                 .cast("long").alias("n_kept"),
+                F.sum(F.when(F.col("keep"), F.col("n")).otherwise(0))
+                 .cast("long").alias("kept_tokens")))
+    tot = per.agg(F.sum("n_tokens").alias("tot"))  # 1 row → broadcast
+    return (per.crossJoin(F.broadcast(tot))
+            .select(
+                "lang", "n_docs", "n_tokens",
+                F.round(F.col("n_tokens") / F.col("tot"), 6)
+                 .alias("token_share"),
+                F.round(F.col("n_tokens") / F.col("n_docs"), 2)
+                 .alias("mean_doc_tokens"),
+                "n_kept",
+                F.round(F.col("n_kept") / F.col("n_docs"), 4)
+                 .alias("keep_rate"),
+                "kept_tokens",
+                F.round(F.col("kept_tokens") / F.col("n_tokens"), 4)
+                 .alias("kept_token_frac")))
+
+
+def _data_card_sql() -> str:
+    return f"""
+WITH v AS (SELECT doc_id, keep FROM ({_curation_sql()})),
+base AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
+              AS BIGINT) AS n
+  FROM documents
+), per AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN v.keep THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+         CAST(SUM(CASE WHEN v.keep THEN n ELSE 0 END) AS BIGINT)
+           AS kept_tokens
+  FROM base JOIN v USING (doc_id)
+  GROUP BY lang
+), tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM per
+)
+SELECT lang, n_docs, n_tokens,
+       round(n_tokens / CAST(tot AS DOUBLE), 6) AS token_share,
+       round(n_tokens / CAST(n_docs AS DOUBLE), 2) AS mean_doc_tokens,
+       n_kept,
+       round(n_kept / CAST(n_docs AS DOUBLE), 4) AS keep_rate,
+       kept_tokens,
+       round(kept_tokens / CAST(n_tokens AS DOUBLE), 4)
+         AS kept_token_frac
+FROM per CROSS JOIN tot
+"""
+
+
 # ---------------------------------------------------------------------------
 # URL canonicalization + URL-level dedup
 # ---------------------------------------------------------------------------
@@ -1377,6 +1451,7 @@ SPARK_QUERIES = {
     "pages_url_dedup": pages_url_dedup,
     "docs_repetition_profile": docs_repetition_profile,
     "docs_blocklist_filter": docs_blocklist_filter,
+    "docs_data_card": docs_data_card,
 }
 
 ORACLE_SQL = {
@@ -1398,4 +1473,5 @@ ORACLE_SQL = {
     "pages_url_dedup": PAGES_URL_DEDUP_SQL,
     "docs_repetition_profile": _repetition_profile_sql(),
     "docs_blocklist_filter": _blocklist_sql(),
+    "docs_data_card": _data_card_sql(),
 }

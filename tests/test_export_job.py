@@ -1,0 +1,83 @@
+"""Training-data export stage (job.py run_export_job): curated snapshot
+→ kept docs partitioned by shard_id + per-shard content-digest manifest,
+verified consumer-side by verify_export."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from ocr_spark.job import (
+    export_root, run_curation_job, run_export_job, run_extraction_job,
+    verify_export,
+)
+from ocr_spark.sources import iceberg_shim as shim
+
+
+@pytest.fixture(scope="module")
+def exported(spark, tmp_path_factory):
+    from ocr_spark.plans.extract_queries import pages_from_documents
+
+    input_root = str(tmp_path_factory.mktemp("exp_in"))
+    work = str(tmp_path_factory.mktemp("exp_work"))
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001")
+    shim.write_snapshot(pages, input_root)
+    run_extraction_job(spark, input_root, work, partitions=8,
+                       big_partitions=1, waves=2)
+    cur = run_curation_job(spark, work)
+    summary = run_export_job(spark, work)
+    return spark, work, cur, summary
+
+
+def test_export_commits_manifest_with_digests(exported):
+    spark, work, cur, summary = exported
+    assert shim.history(export_root(work)) == [summary["snapshot"]]
+    manifest = shim.read_manifest(export_root(work), summary["snapshot"])
+    assert manifest["exported_from"] == cur["snapshot"]
+    shards = manifest["shards"]
+    assert len(shards) == summary["shards"] == cur["shards"] > 0
+    for m in shards.values():
+        assert m["n_docs"] > 0 and len(m["content_digest"]) == 32
+
+
+def test_export_contains_exactly_the_kept_docs(exported):
+    spark, work, cur, summary = exported
+    out = shim.read_snapshot(spark, export_root(work), summary["snapshot"])
+    assert out.count() == summary["docs"] == cur["docs_kept"]
+    assert out.filter("shard_id IS NULL").count() == 0
+    # physically partitioned by shard: hive-style directories, one per shard
+    data_dir = shim.read_manifest(export_root(work),
+                                  summary["snapshot"])["data_dir"]
+    parts = [d for d in os.listdir(data_dir) if d.startswith("shard_id=")]
+    assert len(parts) == summary["shards"]
+
+
+def test_verify_export_passes_and_catches_missing_shard(exported):
+    spark, work, cur, summary = exported
+    ok = verify_export(spark, work)
+    assert ok["snapshot"] == summary["snapshot"]
+    assert ok["shards_checked"] == summary["shards"]
+    assert ok["mismatches"] == {}
+    # consumer-side integrity: drop one shard partition → flagged
+    data_dir = shim.read_manifest(export_root(work),
+                                  summary["snapshot"])["data_dir"]
+    victim = sorted(d for d in os.listdir(data_dir)
+                    if d.startswith("shard_id="))[0]
+    shutil.rmtree(os.path.join(data_dir, victim))
+    bad = verify_export(spark, work)
+    shard = victim.split("=", 1)[1]
+    assert bad["mismatches"] == {shard: "missing from data"}
+
+
+def test_reexport_reproduces_digests(exported):
+    """Re-exporting the same curated snapshot must reproduce every
+    content digest bit-for-bit — the reproducibility contract a
+    training run relies on when it re-materializes shards."""
+    spark, work, cur, summary = exported
+    again = run_export_job(spark, work, snapshot=cur["snapshot"])
+    assert again["snapshot"] != summary["snapshot"]
+    a = shim.read_manifest(export_root(work), summary["snapshot"])["shards"]
+    b = shim.read_manifest(export_root(work), again["snapshot"])["shards"]
+    assert a == b
