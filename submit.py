@@ -49,6 +49,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="curation dedup granularity: repeated "
                          "paragraphs (default) or C4's literal "
                          "three-sentence spans")
+    ap.add_argument("--export", action="store_true",
+                    help="after curation, export the kept shard-packed "
+                         "docs partitioned by shard_id with a per-shard "
+                         "content-digest manifest, then verify the "
+                         "published data against the manifest "
+                         "(implies --curate)")
     ap.add_argument("--master", default=None,
                     help="override master when not launched via spark-submit")
     args = ap.parse_args(argv)
@@ -71,10 +77,19 @@ def main(argv: list[str] | None = None) -> int:
         )
         if args.compact:
             summary["compaction"] = compact_snapshots(spark, args.work_dir)
-        if args.curate:
+        if args.curate or args.export:
             from ocr_spark.job import run_curation_job
             summary["curation"] = run_curation_job(
                 spark, args.work_dir, dedup=args.curate_dedup)
+        if args.export:
+            from ocr_spark.job import run_export_job, verify_export
+            summary["export"] = run_export_job(spark, args.work_dir)
+            check = verify_export(spark, args.work_dir)
+            summary["export"]["verified"] = not check["mismatches"]
+            if check["mismatches"]:
+                print(f"export verification FAILED: {check['mismatches']}",
+                      file=sys.stderr)
+                return 1
         print(json.dumps(summary))
         return 0
     finally:

@@ -81,3 +81,32 @@ def test_reexport_reproduces_digests(exported):
     a = shim.read_manifest(export_root(work), summary["snapshot"])["shards"]
     b = shim.read_manifest(export_root(work), again["snapshot"])["shards"]
     assert a == b
+
+
+def test_submit_cli_export_chain(spark, tmp_path):
+    """The spark-submit entry runs extraction → curation → export →
+    verification as one CLI invocation (--export implies --curate) and
+    reports verified=true. Subprocess because submit.py owns (and
+    stops) its own SparkSession."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    from ocr_spark.plans.extract_queries import pages_from_documents
+
+    input_root = str(tmp_path / "in")
+    work = str(tmp_path / "work")
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001")
+    shim.write_snapshot(pages, input_root)
+    proc = subprocess.run(
+        [_sys.executable, os.path.join(os.path.dirname(__file__),
+                                       "..", "submit.py"),
+         "--input", input_root, "--work-dir", work,
+         "--partitions", "8", "--big-partitions", "1", "--waves", "1",
+         "--export", "--master", "local[8]"],
+        capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["export"]["verified"] is True
+    assert summary["export"]["shards"] == summary["curation"]["shards"]
+    assert summary["export"]["docs"] == summary["curation"]["docs_kept"]
