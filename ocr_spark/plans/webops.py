@@ -918,6 +918,118 @@ FROM n LEFT JOIN per_doc ON n.doc_id = per_doc.doc_id
 """
 
 
+def docs_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL half of exact-substring dedup (Lee et al. 2022) —
+    docs_substring_dup_coverage measures; this one edits. Every
+    duplicated K-token window keeps its global first occurrence
+    (min (doc_id, pos) corpus-wide — the same first-wins convention as
+    pages_para_dedup / pages_span_dedup) and every LATER occurrence's
+    covered tokens are removed; the surviving tokens reassemble in
+    position order. Output text is the normalized token stream
+    (lowercased, single-space-joined) — the operator is token-space by
+    construction, exactly like the suffix-array original which works
+    on the tokenized corpus.
+
+    Scale shape: the detection shuffle is token volume (the price of
+    EXACT dedup — the approximate families exist when that price is
+    too high); removal adds one explode of remove-window indices
+    (bounded by K x duplicated-window count, NOT corpus size), an
+    anti-join on (doc_id, idx), and one per-doc reassembly groupBy
+    that reuses the doc_id partitioning."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    base = docs.select("doc_id", toks.alias("t")) \
+               .withColumn("n_tokens", F.size("t"))
+    shingle_hashes = F.when(
+        F.col("n_tokens") >= SUBSTR_K,
+        F.transform(
+            F.sequence(F.lit(0), F.col("n_tokens") - SUBSTR_K),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("t"), i + 1,
+                                                     SUBSTR_K))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    starts = base.select("doc_id", F.posexplode(shingle_hashes)
+                         .alias("pos", "h"))
+    firsts = (starts.groupBy("h")
+              .agg(F.count("*").alias("c"),
+                   F.min(F.struct("doc_id", "pos")).alias("first"))
+              .filter(F.col("c") > 1))
+    remove_starts = (starts.join(firsts, "h")
+                     .filter(~((F.col("doc_id") == F.col("first.doc_id"))
+                               & (F.col("pos") == F.col("first.pos"))))
+                     .select("doc_id", "pos"))
+    remove_idx = (remove_starts
+                  .select("doc_id", F.explode(
+                      F.sequence(F.col("pos"),
+                                 F.col("pos") + SUBSTR_K - 1)).alias("idx"))
+                  .distinct())
+    tok_pos = base.select("doc_id", F.posexplode("t").alias("idx", "tok"))
+    kept = tok_pos.join(remove_idx, ["doc_id", "idx"], "left_anti")
+    reassembled = (kept.groupBy("doc_id")
+                   .agg(F.count("*").alias("n_kept"),
+                        F.array_join(
+                            F.transform(
+                                F.array_sort(F.collect_list(
+                                    F.struct("idx", "tok"))),
+                                lambda s: s["tok"]),
+                            " ").alias("text_deduped")))
+    return (base.select("doc_id", F.col("n_tokens").cast("long")
+                        .alias("n_tokens"))
+            .join(reassembled, "doc_id", "left")
+            .select(
+                "doc_id", "n_tokens",
+                (F.col("n_tokens")
+                 - F.coalesce(F.col("n_kept"), F.lit(0)))
+                .cast("long").alias("n_removed_tokens"),
+                F.coalesce(F.col("text_deduped"), F.lit(""))
+                 .alias("text_deduped")))
+
+
+DOCS_SUBSTR_DEDUP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents
+), starts AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(list_slice(t, i, i + {SUBSTR_K} - 1), ' '))
+           AS h
+  FROM (SELECT doc_id, t,
+               unnest(range(1, len(t) - {SUBSTR_K} + 2)) AS i
+        FROM toks
+        WHERE len(t) >= {SUBSTR_K})
+), firsts AS (
+  SELECT h, COUNT(*) AS c,
+         MIN({{'doc_id': doc_id, 'pos': pos}}) AS first
+  FROM starts GROUP BY h HAVING COUNT(*) > 1
+), remove_starts AS (
+  SELECT s.doc_id, s.pos
+  FROM starts s JOIN firsts f USING (h)
+  WHERE NOT (s.doc_id = (f.first).doc_id AND s.pos = (f.first).pos)
+), remove_idx AS (
+  SELECT DISTINCT doc_id, CAST(u.idx AS INT) AS idx
+  FROM remove_starts, LATERAL unnest(
+      range(pos, pos + {SUBSTR_K})) AS u(idx)
+), tok_pos AS (
+  SELECT doc_id, CAST(u.i AS INT) - 1 AS idx, t[u.i] AS tok
+  FROM toks, LATERAL unnest(range(1, len(t) + 1)) AS u(i)
+), kept AS (
+  SELECT tp.doc_id, tp.idx, tp.tok
+  FROM tok_pos tp
+  ANTI JOIN remove_idx r ON r.doc_id = tp.doc_id AND r.idx = tp.idx
+), re AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         string_agg(tok, ' ' ORDER BY idx) AS text_deduped
+  FROM kept GROUP BY doc_id
+)
+SELECT toks.doc_id,
+       CAST(len(toks.t) AS BIGINT) AS n_tokens,
+       CAST(len(toks.t) - COALESCE(re.n_kept, 0) AS BIGINT)
+         AS n_removed_tokens,
+       COALESCE(re.text_deduped, '') AS text_deduped
+FROM toks LEFT JOIN re ON re.doc_id = toks.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # incremental snapshot dedup
 # ---------------------------------------------------------------------------
@@ -1452,6 +1564,7 @@ SPARK_QUERIES = {
     "docs_repetition_profile": docs_repetition_profile,
     "docs_blocklist_filter": docs_blocklist_filter,
     "docs_data_card": docs_data_card,
+    "docs_substring_dedup": docs_substring_dedup,
 }
 
 ORACLE_SQL = {
@@ -1474,4 +1587,5 @@ ORACLE_SQL = {
     "docs_repetition_profile": _repetition_profile_sql(),
     "docs_blocklist_filter": _blocklist_sql(),
     "docs_data_card": _data_card_sql(),
+    "docs_substring_dedup": DOCS_SUBSTR_DEDUP_SQL,
 }

@@ -404,3 +404,39 @@ def test_blocklist_filter_is_narrow_map(spark):
              if not r.source_blocked and not r.keep_blocklist]
     assert dense, "word-density arm never fired at sf0.01"
     assert any(r.keep_blocklist for r in rows)
+
+
+def test_decontaminate_broadcasts_eval_set(spark):
+    """Decontamination must probe the train side against a BROADCAST
+    eval n-gram hash set — the corpus is never shuffled by gram (the
+    eval set is MBs against 100 TB). Pin the physical plan."""
+    from ocr_spark.plans.curation import docs_decontaminate
+
+    plan = fmt(docs_decontaminate(spark, SF))
+    assert "BroadcastExchange" in plan
+    rows = docs_decontaminate(spark, SF).collect()
+    hit = [r for r in rows if r.is_contaminated]
+    assert hit and all(r.action == "drop" for r in hit)
+    assert all(r.doc_id % 97 != 0 for r in rows)
+
+
+def test_substring_dedup_removal_semantics(spark):
+    """Exact-substring REMOVAL: exact-duplicate documents exist at
+    sf0.01, so for each duplicate-content group exactly one copy keeps
+    its full text (global first occurrence) and later copies lose
+    every token; removal counts reconcile with the coverage metric's
+    duplicated-window detection."""
+    from ocr_spark.plans.webops import docs_substring_dedup
+
+    rows = {r.doc_id: r for r in docs_substring_dedup(spark, SF).collect()}
+    assert len(rows) == 500
+    gutted = [r for r in rows.values()
+              if r.n_removed_tokens == r.n_tokens and r.n_tokens > 0]
+    assert gutted, "exact-duplicate docs must lose all tokens"
+    assert all(r.text_deduped == "" for r in gutted)
+    intact = [r for r in rows.values() if r.n_removed_tokens == 0]
+    assert intact
+    # total tokens removed < total tokens (first occurrences survive)
+    total = sum(r.n_tokens for r in rows.values())
+    removed = sum(r.n_removed_tokens for r in rows.values())
+    assert 0 < removed < total
