@@ -1,9 +1,15 @@
 """SparkSession factory with the engine's scale-oriented defaults.
 
 Config rationale (SURVEY.md §4.2):
-  * Arrow batches are capped LOW (128 rows) because extraction rows carry
-    multi-MB ``html`` payloads — the 10k default would put ~GBs in one
-    Python-worker batch and OOM it.
+  * Arrow batches are capped by BYTES (16 MB) first and rows (2048)
+    second — Spark cuts a batch when EITHER cap is hit, so ~3 KB pages
+    get full 2048-row (~6 MB) batches that amortize per-batch Python
+    worker overhead, while multi-MB oversized ``html`` rows get 1-2-row
+    batches and can never OOM a worker. The rows cap was swept at
+    local[32] saturation (BENCH/arrow_batch.json): larger batches show
+    a small noise-dominated median gain (~5-15%); the bytes cap is what
+    makes taking it free. Rounds 1-2 used rows=128 as the only safety
+    cap — the bytes cap supersedes it.
   * ``useLargeVarTypes`` keeps >2 GiB-safe binary/string Arrow buffers.
   * AQE on: coalescing + skew-join splitting for the analytics queries.
   * shuffle.partitions sized for local[N] testing; a real cluster run
@@ -16,7 +22,9 @@ import os
 
 from pyspark.sql import SparkSession
 
-ARROW_BATCH_ROWS = int(os.environ.get("OCR_SPARK_ARROW_BATCH", "128"))
+ARROW_BATCH_ROWS = int(os.environ.get("OCR_SPARK_ARROW_BATCH", "2048"))
+ARROW_BATCH_BYTES = int(os.environ.get("OCR_SPARK_ARROW_BATCH_BYTES",
+                                       str(16 * 1024 * 1024)))
 
 
 def get_spark(app_name: str = "ocr_spark", master: str | None = None,
@@ -37,6 +45,8 @@ def get_spark(app_name: str = "ocr_spark", master: str | None = None,
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 str(ARROW_BATCH_ROWS))
+        .config("spark.sql.execution.arrow.maxBytesPerBatch",
+                str(ARROW_BATCH_BYTES))
         .config("spark.sql.execution.arrow.useLargeVarTypes", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.parquet.compression.codec", "zstd")
