@@ -434,6 +434,73 @@ FROM v LEFT JOIN c ON v.user_id = c.user_id
 
 
 # --------------------------------------------------------------------------
+# R15: weekly cohort retention matrix
+# --------------------------------------------------------------------------
+
+def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention — the standard activation matrix: users
+    cohorted by the week of their first event; each (cohort_week,
+    week_offset) cell counts distinct users from that cohort active in
+    that later week, with the retention rate against cohort size.
+
+    Scale shape: two partial-agg groupBys keyed on user_id (first-event
+    and distinct-active-weeks — shuffle volume is user cardinality,
+    never event cardinality after map-side combine), one user-keyed
+    equi-join, then the final aggregate collapses to a weeks x offsets
+    matrix (tiny at any scale). Week arithmetic stays in the naive-
+    timestamp domain (Monday truncation in both engines), and the
+    cohort week is emitted as a date STRING so the oracle hash is
+    timezone-free — the same convention as ev_funnel_conversion."""
+    ev = t(spark, sf_dir, "events")
+    firsts = (ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+              .select("user_id",
+                      F.date_trunc("week", F.col("first_ts")).alias("cw")))
+    active = (ev.select("user_id",
+                        F.date_trunc("week", F.col("ts")).alias("wk"))
+              .distinct())
+    sizes = firsts.groupBy("cw").agg(F.count("*").alias("cohort_size"))
+    j = (active.join(firsts, "user_id")
+         .select("cw",
+                 (F.datediff("wk", "cw") / 7).cast("int")
+                 .alias("week_offset"),
+                 "user_id"))
+    grp = (j.groupBy("cw", "week_offset")
+           .agg(F.countDistinct("user_id").alias("n_active")))
+    return (grp.join(sizes, "cw")
+            .select(
+                F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+                "week_offset", "n_active", "cohort_size",
+                F.round(F.col("n_active") / F.col("cohort_size"), 4)
+                 .alias("retention")))
+
+
+_RETENTION_SQL = """
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cw
+  FROM events GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+), sizes AS (
+  SELECT cw, CAST(COUNT(*) AS BIGINT) AS cohort_size
+  FROM firsts GROUP BY cw
+), j AS (
+  SELECT f.cw,
+         CAST(date_diff('day', f.cw, a.wk) // 7 AS INT) AS week_offset,
+         a.user_id
+  FROM active a JOIN firsts f USING (user_id)
+), g AS (
+  SELECT cw, week_offset,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+  FROM j GROUP BY cw, week_offset
+)
+SELECT strftime(g.cw, '%Y-%m-%d') AS cohort_week,
+       g.week_offset, g.n_active, s.cohort_size,
+       round(g.n_active / CAST(s.cohort_size AS DOUBLE), 4) AS retention
+FROM g JOIN sizes s USING (cw)
+"""
+
+
+# --------------------------------------------------------------------------
 # R11: CUBE + grouping_id (SURVEY §2.4 marks grouping sets absent in the
 # reference; a 100 TB engine runs them constantly)
 # --------------------------------------------------------------------------
@@ -553,6 +620,7 @@ SPARK_QUERIES = {
     "li_quantity_percentiles": li_quantity_percentiles,
     "ev_session_window_native": ev_session_window_native,
     "ev_pivot_type_counts": ev_pivot_type_counts,
+    "ev_retention_cohorts": ev_retention_cohorts,
 }
 
 ORACLE_SQL = {
@@ -570,4 +638,5 @@ ORACLE_SQL = {
     "li_quantity_percentiles": _PCT_SQL,
     "ev_session_window_native": _SESSION_WINDOW_SQL,
     "ev_pivot_type_counts": _PIVOT_SQL,
+    "ev_retention_cohorts": _RETENTION_SQL,
 }
