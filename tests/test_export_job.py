@@ -110,3 +110,38 @@ def test_submit_cli_export_chain(spark, tmp_path):
     assert summary["export"]["verified"] is True
     assert summary["export"]["shards"] == summary["curation"]["shards"]
     assert summary["export"]["docs"] == summary["curation"]["docs_kept"]
+
+
+def test_crash_resume_then_export_matches_clean_run(spark, tmp_path):
+    """Full-chain crash safety: extraction killed mid-job (injected
+    after wave 1), resumed, then curated and exported — the export's
+    shard manifest must be IDENTICAL to a clean never-crashed run over
+    the same input, proving the checkpoint/resume path changes nothing
+    downstream."""
+    from ocr_spark.plans.extract_queries import pages_from_documents
+
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001")
+    input_root = str(tmp_path / "in")
+    shim.write_snapshot(pages, input_root)
+
+    crashed = str(tmp_path / "crashed")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_extraction_job(spark, input_root, crashed, partitions=8,
+                           big_partitions=1, waves=3, fail_after_waves=1)
+    run_extraction_job(spark, input_root, crashed, partitions=8,
+                       big_partitions=1, waves=3)
+    run_curation_job(spark, crashed)
+    crashed_exp = run_export_job(spark, crashed)
+    assert verify_export(spark, crashed)["mismatches"] == {}
+
+    clean = str(tmp_path / "clean")
+    run_extraction_job(spark, input_root, clean, partitions=8,
+                       big_partitions=1, waves=3)
+    run_curation_job(spark, clean)
+    clean_exp = run_export_job(spark, clean)
+
+    a = shim.read_manifest(export_root(crashed),
+                           crashed_exp["snapshot"])["shards"]
+    b = shim.read_manifest(export_root(clean),
+                           clean_exp["snapshot"])["shards"]
+    assert a == b and len(a) > 0
