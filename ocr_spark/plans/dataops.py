@@ -239,6 +239,63 @@ def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_shared_bands")))
 
 
+def docs_minhash_jaccard_estimate(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Signature-overlap Jaccard ESTIMATION for the LSH candidate
+    pairs: Ĵ = (1/K)·Σ[sig_a[i] = sig_b[i]] — the unbiased MinHash
+    estimator (Broder 1997). This is the 10^12-doc alternative to
+    docs_jaccard_verify_candidates: the exact path re-materializes
+    shingle sets for every candidate doc, while this one touches ONLY
+    the K-long signatures already computed for banding — two
+    signature-table equi-joins and a zip_with, no gram recomputation,
+    at the price of ±1/√K estimator noise (K=16 → σ≈0.125; production
+    raises K, not the verification cost). est_near_dup applies the
+    same NEAR_DUP_JACCARD threshold the exact path uses."""
+    docs = t(spark, sf_dir, "documents")
+    sigs = (docs.select("doc_id", _minhash_vec_udf().alias("minvec"))
+            .filter(F.col("minvec").isNotNull()))
+    pairs = docs_minhash_lsh_pairs(spark, sf_dir)
+    a = sigs.select(F.col("doc_id").alias("doc_a"),
+                    F.col("minvec").alias("va"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"),
+                    F.col("minvec").alias("vb"))
+    matches = F.aggregate(
+        F.zip_with("va", "vb",
+                   lambda x, y: (x == y).cast("int")),
+        F.lit(0), lambda acc, x: acc + x)
+    est = F.round(matches / MINHASH_K, 4)
+    return (pairs.join(a, "doc_a").join(b, "doc_b")
+            .select("doc_a", "doc_b", "n_shared_bands",
+                    est.alias("jaccard_est"),
+                    (est >= NEAR_DUP_JACCARD).alias("est_near_dup")))
+
+
+def _jaccard_estimate_sql() -> str:
+    cmp_terms = " + ".join(
+        f"(CASE WHEN ma.minvec[{i + 1}] = mb.minvec[{i + 1}]"
+        f" THEN 1 ELSE 0 END)" for i in range(MINHASH_K))
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents
+), nz AS (
+  SELECT * FROM sh WHERE len(shingles) > 0
+), per AS (
+  SELECT doc_id, {_SQL_PER_SHINGLE} AS per_sh FROM nz
+), mh AS (
+  SELECT doc_id, {_SQL_MINVEC} AS minvec FROM per
+), pairs AS (
+{_LSH_PAIRS_SQL}
+)
+SELECT p.doc_a, p.doc_b, p.n_shared_bands,
+       round(({cmp_terms}) / {MINHASH_K}.0, 4) AS jaccard_est,
+       round(({cmp_terms}) / {MINHASH_K}.0, 4) >= {NEAR_DUP_JACCARD}
+         AS est_near_dup
+FROM pairs p
+JOIN mh ma ON ma.doc_id = p.doc_a
+JOIN mh mb ON mb.doc_id = p.doc_b
+"""
+
+
 _ROWS_PER_BAND = MINHASH_K // LSH_BANDS
 _LSH_PAIRS_SQL = f"""
 WITH sh AS (
@@ -1081,6 +1138,7 @@ FROM ranked WHERE rank <= {TOP_NGRAMS_K}
 SPARK_QUERIES = {
     "docs_minhash_signature": docs_minhash_signature,
     "docs_minhash_lsh_pairs": docs_minhash_lsh_pairs,
+    "docs_minhash_jaccard_estimate": docs_minhash_jaccard_estimate,
     "docs_simhash": docs_simhash,
     "docs_simhash_near_dup": docs_simhash_near_dup,
     "docs_simhash_dropped_buckets": docs_simhash_dropped_buckets,
@@ -1099,6 +1157,7 @@ SPARK_QUERIES = {
 ORACLE_SQL = {
     "docs_minhash_signature": _MINHASH_SIG_SQL,
     "docs_minhash_lsh_pairs": _LSH_PAIRS_SQL,
+    "docs_minhash_jaccard_estimate": _jaccard_estimate_sql(),
     "docs_simhash": _SIMHASH_SQL,
     "docs_simhash_near_dup": _SIMHASH_NEAR_DUP_SQL,
     "docs_simhash_dropped_buckets": _SIMHASH_DROPPED_SQL,

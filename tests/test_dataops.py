@@ -68,3 +68,25 @@ def test_clustered_embedding_fixture_has_structure():
     assert same.mean() > 0.6
     assert abs(cross.mean()) < 0.2
     assert same.mean() > cross.mean() + 0.5
+
+
+def test_minhash_jaccard_estimate_tracks_exact(spark):
+    """The signature-overlap estimator vs the exact-gram verifier on
+    the same LSH candidates: identical texts have identical signatures
+    (estimate exactly 1.0), and the estimator's error stays within a
+    few sigma (K=16 → sigma ~0.125) of the exact value on every pair."""
+    from ocr_spark.plans.dataops import (
+        docs_jaccard_verify_candidates, docs_minhash_jaccard_estimate,
+    )
+
+    SF = "/root/testdata/sf0.01"
+    est = {(r.doc_a, r.doc_b): r.jaccard_est
+           for r in docs_minhash_jaccard_estimate(spark, SF).collect()}
+    exact = {(r.doc_a, r.doc_b): r.jaccard
+             for r in docs_jaccard_verify_candidates(spark, SF).collect()}
+    common = set(est) & set(exact)
+    assert common
+    for k in common:
+        if exact[k] == 1.0:
+            assert est[k] == 1.0, (k, est[k])
+        assert abs(est[k] - exact[k]) <= 0.5, (k, est[k], exact[k])
