@@ -276,6 +276,60 @@ FROM agg
 
 
 # ---------------------------------------------------------------------------
+# relative quality gate (percentile threshold per language)
+# ---------------------------------------------------------------------------
+
+QUALITY_REL_CUT = 0.10   # drop the bottom decile per language
+
+
+def docs_quality_percentile_gate(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """RELATIVE quality filtering — the FineWeb-ablation pattern:
+    instead of an absolute score threshold (docs_gopher_filters,
+    docs_classifier_score), drop the bottom QUALITY_REL_CUT fraction
+    of each LANGUAGE stratum by heuristic quality score. Relative
+    gates self-calibrate across corpora whose score distributions
+    shift (a fixed 0.5 cut means different things on different
+    crawls); per-language because score distributions differ by
+    language. Rank ties break on doc_id, so the gate is deterministic.
+
+    Scale shape: this exact form is a per-language sort (the window);
+    at 10^12 docs the production form replaces percent_rank with ONE
+    approx_percentile(score, CUT) cutoff per language broadcast back —
+    same output contract, no global sort — the same exact-vs-approx
+    note as docs_unigram_logprob's terciles. The oracle can only
+    value-check the exact form."""
+    from ocr_spark.plans.queries import docs_quality_score
+
+    q = docs_quality_score(spark, sf_dir) \
+        .select("doc_id", "lang", "quality_score")
+    w = Window.partitionBy("lang").orderBy("quality_score", "doc_id")
+    pr = F.round(F.percent_rank().over(w), 6)
+    return q.select(
+        "doc_id", "lang", "quality_score",
+        pr.alias("pct_rank"),
+        (pr >= QUALITY_REL_CUT).alias("keep_quality_rel"))
+
+
+def _quality_percentile_sql() -> str:
+    from ocr_spark.plans.queries import DOCS_QUALITY_SQL
+
+    return f"""
+WITH q AS (
+{DOCS_QUALITY_SQL}
+)
+SELECT doc_id, lang, quality_score,
+       round(percent_rank() OVER (
+           PARTITION BY lang ORDER BY quality_score, doc_id), 6)
+         AS pct_rank,
+       round(percent_rank() OVER (
+           PARTITION BY lang ORDER BY quality_score, doc_id), 6)
+         >= {QUALITY_REL_CUT} AS keep_quality_rel
+FROM q
+"""
+
+
+# ---------------------------------------------------------------------------
 # domain mixture weights (temperature sampling over language strata)
 # ---------------------------------------------------------------------------
 
@@ -598,6 +652,7 @@ SPARK_QUERIES = {
     "docs_decontaminate": docs_decontaminate,
     "docs_domain_mixture": docs_domain_mixture,
     "shards_manifest": shards_manifest,
+    "docs_quality_percentile_gate": docs_quality_percentile_gate,
 }
 
 ORACLE_SQL = {
@@ -609,4 +664,5 @@ ORACLE_SQL = {
     "docs_decontaminate": DECONTAMINATE_SQL,
     "docs_domain_mixture": DOMAIN_MIXTURE_SQL,
     "shards_manifest": SHARDS_MANIFEST_SQL,
+    "docs_quality_percentile_gate": _quality_percentile_sql(),
 }

@@ -440,3 +440,28 @@ def test_substring_dedup_removal_semantics(spark):
     total = sum(r.n_tokens for r in rows.values())
     removed = sum(r.n_removed_tokens for r in rows.values())
     assert 0 < removed < total
+
+
+def test_quality_percentile_gate_drops_bottom_decile(spark):
+    """Relative gate: within each language, ~10% of docs (rank below
+    the cut) are dropped, the kept set's minimum score is >= the
+    dropped set's maximum score modulo doc_id tie-breaks, and the gate
+    is deterministic across recomputation."""
+    from collections import defaultdict
+
+    from ocr_spark.plans.curation import (
+        QUALITY_REL_CUT, docs_quality_percentile_gate)
+
+    rows = docs_quality_percentile_gate(spark, SF).collect()
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r.lang].append(r)
+    assert len(by_lang) >= 2
+    for lang, rs in by_lang.items():
+        dropped = [r for r in rs if not r.keep_quality_rel]
+        kept = [r for r in rs if r.keep_quality_rel]
+        assert dropped and kept, lang
+        frac = len(dropped) / len(rs)
+        assert frac <= QUALITY_REL_CUT + 0.02, (lang, frac)
+        assert max(d.quality_score for d in dropped) \
+            <= min(k.quality_score for k in kept) + 1e-9, lang
