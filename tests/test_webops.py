@@ -465,3 +465,25 @@ def test_quality_percentile_gate_drops_bottom_decile(spark):
         assert frac <= QUALITY_REL_CUT + 0.02, (lang, frac)
         assert max(d.quality_score for d in dropped) \
             <= min(k.quality_score for k in kept) + 1e-9, lang
+
+
+def test_substring_dedup_and_estimate_plan_shapes(spark):
+    """Scale shapes of the newest dedup ops: substring REMOVAL must
+    stay equi-join + window (no cartesian, partial aggregation);
+    the signature-overlap estimator must be equi-joins over the
+    signature table (no cartesian, no per-pair gram explode)."""
+    from ocr_spark.plans.dataops import docs_minhash_jaccard_estimate
+    from ocr_spark.plans.webops import docs_substring_dedup
+
+    df = docs_substring_dedup(spark, SF)
+    plan = fmt(df)
+    assert "CartesianProduct" not in plan
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in simple or "partial_sum" in simple
+
+    est_plan = fmt(docs_minhash_jaccard_estimate(spark, SF))
+    assert "CartesianProduct" not in est_plan
+    # the estimator never re-shingles text: no posexplode of grams,
+    # only the signature UDF appears at the Python boundary
+    assert "Generate" not in est_plan or "minvec" not in est_plan.split(
+        "Generate")[1][:200]
