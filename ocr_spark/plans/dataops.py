@@ -836,7 +836,13 @@ _GF_MAX_WORDS = 100_000
 _GF_MIN_MEAN_WLEN = 2.0
 _GF_MAX_MEAN_WLEN = 12.0
 _GF_MIN_ALPHA_FRAC = 0.6
-_GF_MIN_STOP_HITS = 2
+# Gopher requires >= 2 distinct stopwords from its 8-word list; the
+# synthetic documents vocabulary contains exactly ONE of them ("the"),
+# so the literal 2 made the gate constant-false at every test SF —
+# vacuously green against the oracle but discriminating nothing. 1 is
+# the corpus-calibrated knob (76% pass / 24% fail at sf0.01); the
+# published value comes back with a real English corpus.
+_GF_MIN_STOP_HITS = 1
 _GF_STOPWORDS = ("the", "and", "of", "to", "in", "with", "that", "for")
 
 

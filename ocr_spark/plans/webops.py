@@ -1119,6 +1119,92 @@ LEFT JOIN r ON r.doc_id = k.doc_id
 """
 
 
+def docs_fineweb_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full modern-recipe keep/drop decision (FineWeb/DCLM-shaped),
+    composing every gate family this engine implements: the base
+    pipeline verdict (Gopher bounds + repetition + substring-dup +
+    exact-dedup keeper election, docs_curation_verdict), the static
+    blocklist, benchmark decontamination (eval-holdout docs are
+    excluded from training by definition), and the per-language
+    relative quality tail cut. One row per document with the first
+    failing gate as drop_reason — the column a production pipeline
+    filters and AUDITS on (reason distribution is the standard
+    data-quality dashboard).
+
+    Shape: each constituent stays independently oracle-checked; this
+    query oracle-checks the COMPOSITION — all joins are doc_id
+    equi-joins, and the eval-holdout predicate is recomputed closed-
+    form (doc_id % BENCH_MOD) rather than inferred from join nulls, so
+    both engines agree on missing-row semantics by construction."""
+    from ocr_spark.plans.curation import (
+        BENCH_MOD, docs_decontaminate, docs_quality_percentile_gate,
+    )
+
+    base = docs_curation_verdict(spark, sf_dir) \
+        .select("doc_id", F.col("keep").alias("keep_pipeline"))
+    bl = docs_blocklist_filter(spark, sf_dir) \
+        .select("doc_id", "keep_blocklist")
+    dc = docs_decontaminate(spark, sf_dir) \
+        .select("doc_id", "is_contaminated")
+    qr = docs_quality_percentile_gate(spark, sf_dir) \
+        .select("doc_id", "keep_quality_rel")
+    out = (base.join(bl, "doc_id").join(qr, "doc_id")
+           .join(dc, "doc_id", "left"))
+    is_eval = F.col("doc_id") % BENCH_MOD == 0
+    contaminated = F.coalesce(F.col("is_contaminated"), F.lit(False))
+    keep = (~is_eval & F.col("keep_pipeline") & F.col("keep_blocklist")
+            & ~contaminated & F.col("keep_quality_rel"))
+    reason = (F.when(is_eval, "eval_holdout")
+              .when(~F.col("keep_pipeline"), "pipeline")
+              .when(~F.col("keep_blocklist"), "blocklist")
+              .when(contaminated, "contaminated")
+              .when(~F.col("keep_quality_rel"), "quality_tail"))
+    return out.select(
+        "doc_id", "keep_pipeline", "keep_blocklist",
+        contaminated.alias("is_contaminated"),
+        is_eval.alias("is_eval_holdout"),
+        "keep_quality_rel", keep.alias("keep"),
+        reason.alias("drop_reason"))
+
+
+def _fineweb_verdict_sql() -> str:
+    from ocr_spark.plans.curation import (
+        BENCH_MOD, DECONTAMINATE_SQL, _quality_percentile_sql,
+    )
+
+    return f"""
+WITH base AS (
+  SELECT doc_id, keep AS keep_pipeline FROM ({_curation_sql()})
+), bl AS (
+  SELECT doc_id, keep_blocklist FROM ({_blocklist_sql()})
+), dc AS (
+  SELECT doc_id, is_contaminated FROM ({DECONTAMINATE_SQL})
+), qr AS (
+  SELECT doc_id, keep_quality_rel FROM ({_quality_percentile_sql()})
+), j AS (
+  SELECT base.doc_id, base.keep_pipeline, bl.keep_blocklist,
+         COALESCE(dc.is_contaminated, FALSE) AS is_contaminated,
+         base.doc_id % {BENCH_MOD} = 0 AS is_eval_holdout,
+         qr.keep_quality_rel
+  FROM base
+  JOIN bl USING (doc_id)
+  JOIN qr USING (doc_id)
+  LEFT JOIN dc USING (doc_id)
+)
+SELECT doc_id, keep_pipeline, keep_blocklist, is_contaminated,
+       is_eval_holdout, keep_quality_rel,
+       (NOT is_eval_holdout AND keep_pipeline AND keep_blocklist
+        AND NOT is_contaminated AND keep_quality_rel) AS keep,
+       CASE WHEN is_eval_holdout THEN 'eval_holdout'
+            WHEN NOT keep_pipeline THEN 'pipeline'
+            WHEN NOT keep_blocklist THEN 'blocklist'
+            WHEN is_contaminated THEN 'contaminated'
+            WHEN NOT keep_quality_rel THEN 'quality_tail'
+       END AS drop_reason
+FROM j
+"""
+
+
 def docs_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus datasheet (data card): per-language document/token
     inventory, token share, and post-curation survival rates — the
@@ -1565,6 +1651,7 @@ SPARK_QUERIES = {
     "docs_blocklist_filter": docs_blocklist_filter,
     "docs_data_card": docs_data_card,
     "docs_substring_dedup": docs_substring_dedup,
+    "docs_fineweb_verdict": docs_fineweb_verdict,
 }
 
 ORACLE_SQL = {
@@ -1588,4 +1675,5 @@ ORACLE_SQL = {
     "docs_blocklist_filter": _blocklist_sql(),
     "docs_data_card": _data_card_sql(),
     "docs_substring_dedup": DOCS_SUBSTR_DEDUP_SQL,
+    "docs_fineweb_verdict": _fineweb_verdict_sql(),
 }
