@@ -212,6 +212,44 @@ def stream_page_metrics(spark: SparkSession, input_dir: str,
             .start())
 
 
+def stream_host_sessions(spark: SparkSession, input_dir: str,
+                         output_dir: str, checkpoint_dir: str,
+                         watermark: str = "10 minutes",
+                         gap: str = "5 minutes") -> Any:
+    """Gap-based sessionization in STREAMING mode via the native
+    ``session_window`` — the stateful shape the batch ``ev_sessionize``
+    family computes with a lag-window, done here with Spark's built-in
+    session state: a host's session closes when no page arrives for
+    ``gap``, and the closed session emits (append mode) once the
+    watermark passes its end. State is bounded by open sessions per
+    host — the watermark evicts closed ones — so this runs indefinitely
+    on an unbounded crawl feed. Sink = parquet via foreachBatch (the
+    memory sink cannot recover from a checkpoint, and session closure
+    spans restarts by design)."""
+    pages = read_pages_stream(spark, input_dir)
+    hosts = pages.select(
+        F.col("warc_ts"),
+        F.regexp_extract("url", r"https?://([^/]+)", 1).alias("host"),
+        F.length("html").alias("page_bytes"))
+    agg = (hosts
+           .withWatermark("warc_ts", watermark)
+           .groupBy(F.session_window("warc_ts", gap).alias("s"), "host")
+           .agg(F.count("*").alias("n_pages"),
+                F.sum("page_bytes").alias("bytes_in"))
+           .select(F.col("s.start").alias("session_start"),
+                   F.col("s.end").alias("session_end"),
+                   "host", "n_pages", "bytes_in"))
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(output_dir)
+
+    return (agg.writeStream
+            .foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start())
+
+
 def _update_host_state_fn(ttl_ms: int | None):
     """Build the stateful kernel: accumulate (docs, bytes) per host
     across micro-batches; emit the running totals once per batch.

@@ -8,7 +8,8 @@ import pytest
 
 from ocr_spark.gen.corpus import generate_pages
 from ocr_spark.streaming.ingest import (
-    stream_extract, stream_host_counters, stream_page_metrics,
+    stream_extract, stream_host_counters, stream_host_sessions,
+    stream_page_metrics,
 )
 
 
@@ -183,3 +184,41 @@ def test_stream_extract_dedup_within_watermark(spark, stream_dirs):
     out = spark.read.parquet(stream_dirs["out"])
     assert out.count() == 20
     assert out.select("url").distinct().count() == 20
+
+
+def test_stream_host_sessions_gap_and_watermark(spark, stream_dirs):
+    """Native streaming session_window: events for one host with a gap
+    wider than the session gap form TWO sessions; the first session
+    emits (append mode) once a later batch advances the watermark past
+    its end, the still-open tail stays in state."""
+    from datetime import datetime
+
+    def page(url, ts):
+        return {"url": url, "warc_ts": ts, "html": b"<html><body>x",
+                "text": None, "lang": "en"}
+
+    t = lambda m, s=0: datetime(2024, 1, 1, 0, m, s)
+    # session 1: two pages 1 min apart; session 2 starts 20 min later
+    batch1 = [page("https://a.example/x", t(0)),
+              page("https://a.example/y", t(1)),
+              page("https://a.example/z", t(21))]
+    _write_pages_batch(spark, batch1, stream_dirs["in"])
+    q = stream_host_sessions(spark, stream_dirs["in"], stream_dirs["out"],
+                             stream_dirs["ckpt3"],
+                             watermark="10 minutes", gap="5 minutes")
+    q.awaitTermination()
+    # a much later event pushes the watermark beyond session 2's end
+    _write_pages_batch(spark, [page("https://a.example/w", t(59))],
+                       stream_dirs["in"])
+    q = stream_host_sessions(spark, stream_dirs["in"], stream_dirs["out"],
+                             stream_dirs["ckpt3"],
+                             watermark="10 minutes", gap="5 minutes")
+    q.awaitTermination()
+
+    rows = sorted(spark.read.parquet(stream_dirs["out"]).collect(),
+                  key=lambda r: r.session_start)
+    assert [r.n_pages for r in rows] == [2, 1], rows
+    assert all(r.host == "a.example" for r in rows)
+    # gap semantics: session end = last event + gap
+    assert (rows[0].session_end - rows[0].session_start).seconds == 6 * 60
+    assert rows[0].session_start == t(0) and rows[1].session_start == t(21)
