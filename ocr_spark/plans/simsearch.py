@@ -150,6 +150,60 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
+RANGE_COS_MIN = 0.3   # calibrated to the synthetic vectors (1-8 hits
+                      # per query at sf0.01); the knob, not the shape,
+                      # changes with real embeddings
+
+
+def emb_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) search — the fixed-threshold sibling of top-k:
+    ALL neighbors with cosine >= RANGE_COS_MIN per query, plus each
+    query's hit count (rows per query are data-dependent, which is
+    exactly what distinguishes range search from top-k and what the
+    dedup/recall tooling built on it needs).
+
+    Scale shape: identical to emb_cosine_topk's — queries broadcast,
+    corpus streams through a BroadcastNestedLoopJoin, zero corpus
+    shuffle — but WITHOUT the rank window: the threshold filter
+    replaces the per-query sort entirely, so range search is strictly
+    cheaper than top-k at the same corpus size (no window state, no
+    per-partition ordering). The IVF/LSH-bucketed variants prune it
+    the same way they prune top-k."""
+    emb = t(spark, sf_dir).select(
+        "vec_id", _vecd().alias("v")).withColumn("nrm", _norm(F.col("v")))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"))
+    j = emb.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    hits = (j.select("q_id", F.col("vec_id").alias("neighbor_id"),
+                     F.round(cos, 6).alias("cos6"))
+            .filter(F.col("cos6") >= RANGE_COS_MIN))
+    w = Window.partitionBy("q_id")
+    return (hits.withColumn("n_hits", F.count("*").over(w))
+            .select("q_id", "neighbor_id",
+                    F.round("cos6", 4).alias("cos_sim"),
+                    F.col("n_hits").cast("long").alias("n_hits")))
+
+
+_RANGE_SEARCH_SQL = f"""
+WITH e AS (
+  SELECT vec_id, {_SQL_VEC} AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, {_sql_norm('v')} AS nrm FROM e
+), q AS (
+  SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < {N_QUERIES}
+), hits AS (
+  SELECT q.q_id, n.vec_id AS neighbor_id,
+         ROUND({_sql_dot('q.qv', 'n.v')} / (q.qn * n.nrm), 6) AS cos6
+  FROM q, n WHERE n.vec_id <> q.q_id
+)
+SELECT q_id, neighbor_id, ROUND(cos6, 4) AS cos_sim,
+       CAST(COUNT(*) OVER (PARTITION BY q_id) AS BIGINT) AS n_hits
+FROM hits WHERE cos6 >= {RANGE_COS_MIN}
+"""
+
+
 # --------------------------------------------------------------------------
 # IVF-style cell-pruned top-k
 # --------------------------------------------------------------------------
@@ -751,6 +805,7 @@ FROM r LEFT JOIN d ON d.vec_id = r.vec_id
 
 SPARK_QUERIES = {
     "emb_cosine_topk": emb_cosine_topk,
+    "emb_range_search": emb_range_search,
     "emb_lsh_multiprobe_topk": emb_lsh_multiprobe_topk,
     "emb_pq_codes": emb_pq_codes,
     "emb_ivf_topk": emb_ivf_topk,
@@ -763,6 +818,7 @@ SPARK_QUERIES = {
 
 ORACLE_SQL = {
     "emb_cosine_topk": _COSINE_TOPK_SQL,
+    "emb_range_search": _RANGE_SEARCH_SQL,
     "emb_lsh_multiprobe_topk": _MULTIPROBE_SQL,
     "emb_pq_codes": _PQ_SQL,
     "emb_ivf_topk": _IVF_TOPK_SQL,

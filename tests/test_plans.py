@@ -121,6 +121,23 @@ def test_emb_topk_no_shuffle_of_corpus(spark):
     assert n_shuffles(plan) <= 1
 
 
+def test_emb_range_search_same_shape_no_sort(spark):
+    """Range search shares top-k's broadcast shape but must carry NO
+    per-query Sort before its count window has no ordering — the
+    threshold filter replaces the rank entirely."""
+    from ocr_spark.plans.simsearch import emb_range_search
+    df = emb_range_search(spark, SF)
+    plan = fmt(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert n_shuffles(plan) <= 1
+    rows = df.collect()
+    assert rows
+    from collections import Counter
+    per_q = Counter(r.q_id for r in rows)
+    assert all(per_q[r.q_id] == r.n_hits for r in rows)
+    assert len(set(per_q.values())) > 1  # data-dependent cardinality
+
+
 def test_lsh_self_joins_are_bucket_capped(spark):
     """Both LSH near-dup paths must drop degenerate buckets BEFORE the
     bucket self-join: the window-count cap column must appear in the
