@@ -54,6 +54,7 @@ HEADLINE = [
     "docs_top_ngrams",
     "docs_decontaminate",
     "docs_bigram_logprob",
+    "docs_fineweb_verdict",
 ]
 
 
