@@ -201,3 +201,48 @@ def added_since(table_root: str, old_snapshot_id: str | None,
         added.append(m["data_dir"])
         sid = m.get("parent_id")
     return list(reversed(added))
+
+
+def vacuum_absorbed(table_root: str, dry_run: bool = False) -> dict:
+    """Reclaim storage after compaction — the expire-snapshots /
+    delete-orphan-files maintenance pair, restricted to what is
+    PROVABLY reclaimable: snapshots listed in a published chain
+    manifest's ``compacted_from`` (their rows are fully contained in
+    the compacted snapshot) whose own manifests have left the chain.
+
+    Deliberately NEVER touches prepared-but-unpublished snapshots —
+    those are in-flight two-phase commits awaiting crash roll-forward,
+    and deleting them would turn a crash-recoverable run into data
+    loss. ``is_published`` keeps answering True for vacuumed ids (the
+    compaction manifest retains the ``compacted_from`` list), so a
+    later roll-forward attempt stays a no-op instead of resurrecting a
+    deleted snapshot.
+
+    Returns {"vacuumed": [ids], "dirs_deleted": n, "bytes_freed": n}
+    (``dry_run`` computes without deleting)."""
+    import shutil
+
+    chain = set(history(table_root)) \
+        if current_snapshot_id(table_root) else set()
+    absorbed: list[str] = []
+    for sid in chain:
+        absorbed.extend(read_manifest(table_root, sid)
+                        .get("compacted_from") or [])
+    victims = [s for s in absorbed if s not in chain
+               and os.path.exists(_snap_path(table_root, s))]
+    bytes_freed = 0
+    dirs_deleted = 0
+    for sid in victims:
+        m = read_manifest(table_root, sid)
+        data_dir = m.get("data_dir")
+        if data_dir and os.path.isdir(data_dir):
+            bytes_freed += sum(
+                os.path.getsize(os.path.join(dp, fn))
+                for dp, _dn, fns in os.walk(data_dir) for fn in fns)
+            if not dry_run:
+                shutil.rmtree(data_dir)
+            dirs_deleted += 1
+        if not dry_run:
+            os.remove(_snap_path(table_root, sid))
+    return {"vacuumed": sorted(victims), "dirs_deleted": dirs_deleted,
+            "bytes_freed": bytes_freed}

@@ -547,3 +547,49 @@ def test_respect_robots_drops_noindex_pages(spark, tmp_path):
                read_extracted(spark, work).select("url").collect()}
     assert got_ids == {i for i in all_ids if i % 17 != 3}
     assert summary["docs"] == len(got_ids)
+
+
+def test_vacuum_absorbed_reclaims_only_compacted_dirs(spark, pages_table,
+                                                      tmp_path):
+    """Storage maintenance after compaction: vacuum deletes exactly the
+    absorbed snapshots' manifests + data dirs (bytes actually freed),
+    the compacted table still reads identically, is_published keeps
+    answering True for vacuumed ids (crash roll-forward stays a no-op),
+    and a second vacuum finds nothing."""
+    from ocr_spark.job import (
+        compact_snapshots, read_extracted, run_extraction_job,
+    )
+    from ocr_spark.sources import iceberg_shim as shim
+
+    root, _rows = pages_table
+    work = str(tmp_path / "work_vacuum")
+    run_extraction_job(spark, root, work, partitions=16,
+                       big_partitions=2, waves=4)
+    out_root = os.path.join(work, "extracted")
+    before = sorted(r.url for r in
+                    read_extracted(spark, work).select("url").collect())
+    summary = compact_snapshots(spark, work)
+    absorbed = shim.read_manifest(
+        out_root, summary["snapshot"])["compacted_from"]
+    assert absorbed
+
+    dry = shim.vacuum_absorbed(out_root, dry_run=True)
+    assert sorted(dry["vacuumed"]) == sorted(absorbed)
+    assert dry["bytes_freed"] > 0
+    # dry run deleted nothing
+    assert all(os.path.exists(os.path.join(out_root, "_snapshots",
+                                           f"snap-{s}.json"))
+               for s in absorbed)
+
+    got = shim.vacuum_absorbed(out_root)
+    assert sorted(got["vacuumed"]) == sorted(absorbed)
+    assert got["bytes_freed"] == dry["bytes_freed"]
+    for s in absorbed:
+        assert not os.path.exists(os.path.join(out_root, "_snapshots",
+                                               f"snap-{s}.json"))
+        assert shim.is_published(out_root, s)  # roll-forward stays no-op
+    after = sorted(r.url for r in
+                   read_extracted(spark, work).select("url").collect())
+    assert after == before
+    again = shim.vacuum_absorbed(out_root)
+    assert again["vacuumed"] == [] and again["dirs_deleted"] == 0
