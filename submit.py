@@ -39,6 +39,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--compact", action="store_true",
                     help="after the job, compact the output history "
                          "into a single snapshot")
+    ap.add_argument("--vacuum", action="store_true",
+                    help="after compaction, delete the absorbed "
+                         "snapshots' manifests and data dirs "
+                         "(storage reclaim; implies --compact)")
     ap.add_argument("--curate", action="store_true",
                     help="after the job, run the corpus-wide curation "
                          "stage (paragraph dedup + quality/repetition "
@@ -75,8 +79,13 @@ def main(argv: list[str] | None = None) -> int:
             big_threshold=args.big_threshold, n_buckets=args.buckets,
             waves=args.waves, respect_robots=args.respect_robots,
         )
-        if args.compact:
+        if args.compact or args.vacuum:
             summary["compaction"] = compact_snapshots(spark, args.work_dir)
+        if args.vacuum:
+            from ocr_spark.job import output_root
+            from ocr_spark.sources import iceberg_shim as shim
+            summary["vacuum"] = shim.vacuum_absorbed(
+                output_root(args.work_dir))
         if args.curate or args.export:
             from ocr_spark.job import run_curation_job
             summary["curation"] = run_curation_job(
