@@ -354,9 +354,12 @@ def run_curation_job(spark: SparkSession, work_dir: str, *,
     ``dedup`` picks the corpus-dedup granularity: ``"para"`` (default)
     removes repeated paragraphs (the common line/paragraph-hash form);
     ``"span"`` applies C4's LITERAL three-sentence-span rule
-    (plans/webops.py::span_dedup_frame). In span mode the n_paras /
-    n_kept columns count SENTENCES — same schema, different unit,
-    recorded in the snapshot manifest.
+    (plans/webops.py::span_dedup_frame); ``"substr"`` applies Lee et
+    al. 2022's exact-substring removal (every duplicated K-token
+    window keeps only its global first occurrence, case-preserving —
+    plans/webops.py::substring_dedup_frame). In span/substr mode the
+    n_paras / n_kept columns count SENTENCES / TOKENS respectively —
+    same schema, different unit, recorded in the snapshot manifest.
 
     Deliberately NOT wave/bucket-resumable: paragraph dedup and
     repetition are cross-bucket GLOBAL operators (the first occurrence
@@ -377,8 +380,9 @@ def run_curation_job(spark: SparkSession, work_dir: str, *,
     from ocr_spark.plans.webops import DUP_2GRAM_MAX_FRAC
     from pyspark.sql.window import Window
 
-    if dedup not in ("para", "span"):
-        raise ValueError(f"dedup must be 'para' or 'span', got {dedup!r}")
+    if dedup not in ("para", "span", "substr"):
+        raise ValueError(
+            f"dedup must be 'para', 'span' or 'substr', got {dedup!r}")
     run_id = uuid.uuid4().hex[:12]
     input_sids = shim.history(output_root(work_dir))
     docs = (read_extracted(spark, work_dir)
@@ -395,6 +399,15 @@ def run_curation_job(spark: SparkSession, work_dir: str, *,
             F.col("n_sents").alias("n_paras"),
             (F.col("n_sents") - F.col("n_removed")).alias("n_kept"),
             F.col("text_span_deduped").alias("text_deduped"))
+    elif dedup == "substr":
+        from ocr_spark.plans.webops import substring_dedup_frame
+        sd = substring_dedup_frame(docs, key="url")
+        deduped = sd.select(
+            "url",
+            F.col("n_tokens").alias("n_paras"),
+            (F.col("n_tokens") - F.col("n_removed_tokens"))
+            .alias("n_kept"),
+            "text_deduped")
     else:
         paras = docs.select(
             "url",

@@ -918,33 +918,39 @@ FROM n LEFT JOIN per_doc ON n.doc_id = per_doc.doc_id
 """
 
 
-def docs_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The REMOVAL half of exact-substring dedup (Lee et al. 2022) —
-    docs_substring_dup_coverage measures; this one edits. Every
-    duplicated K-token window keeps its global first occurrence
-    (min (doc_id, pos) corpus-wide — the same first-wins convention as
-    pages_para_dedup / pages_span_dedup) and every LATER occurrence's
-    covered tokens are removed; the surviving tokens reassemble in
-    position order. Output text is the normalized token stream
-    (lowercased, single-space-joined) — the operator is token-space by
-    construction, exactly like the suffix-array original which works
-    on the tokenized corpus.
+def substring_dedup_frame(docs: DataFrame, key: str = "url",
+                          normalize: bool = False) -> DataFrame:
+    """Exact-substring REMOVAL over any (key, text) frame (Lee et al.
+    2022): every duplicated K-token window keeps its global first
+    occurrence (min (key, pos) corpus-wide — the same first-wins
+    convention as pages_para_dedup / span_dedup_frame) and every LATER
+    occurrence's covered tokens are removed; survivors reassemble in
+    position order. Window hashes are always case-insensitive;
+    ``normalize=False`` (the pipeline default) reassembles the
+    ORIGINAL tokens so surviving text keeps its casing, while
+    ``normalize=True`` emits the lowercased token stream (what the
+    oracle-checked query form pins).
+
+    Returns (key, n_tokens, n_removed_tokens, text_deduped).
 
     Scale shape: the detection shuffle is token volume (the price of
     EXACT dedup — the approximate families exist when that price is
     too high); removal adds one explode of remove-window indices
     (bounded by K x duplicated-window count, NOT corpus size), an
-    anti-join on (doc_id, idx), and one per-doc reassembly groupBy
-    that reuses the doc_id partitioning."""
-    docs = _docs(spark, sf_dir)
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    base = docs.select("doc_id", toks.alias("t")) \
+    anti-join on (key, idx), and one per-key reassembly groupBy that
+    reuses the key partitioning."""
+    raw = F.split(F.trim(F.col("text")), r"\s+")
+    toks = F.transform(raw, lambda x: F.lower(x)) if not normalize \
+        else F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    keep_toks = raw if not normalize else toks
+    base = docs.select(F.col(key).alias("doc_id"),
+                       keep_toks.alias("t"), toks.alias("tn")) \
                .withColumn("n_tokens", F.size("t"))
     shingle_hashes = F.when(
         F.col("n_tokens") >= SUBSTR_K,
         F.transform(
             F.sequence(F.lit(0), F.col("n_tokens") - SUBSTR_K),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("t"), i + 1,
+            lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("tn"), i + 1,
                                                      SUBSTR_K))),
         ),
     ).otherwise(F.array().cast("array<string>"))
@@ -977,12 +983,22 @@ def docs_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .alias("n_tokens"))
             .join(reassembled, "doc_id", "left")
             .select(
-                "doc_id", "n_tokens",
+                F.col("doc_id").alias(key), "n_tokens",
                 (F.col("n_tokens")
                  - F.coalesce(F.col("n_kept"), F.lit(0)))
                 .cast("long").alias("n_removed_tokens"),
                 F.coalesce(F.col("text_deduped"), F.lit(""))
                  .alias("text_deduped")))
+
+
+def docs_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle-checked query form of substring_dedup_frame over the
+    documents table: normalized (lowercased) token stream, keyed on
+    doc_id — see the frame docstring for semantics and scale shape.
+    The curation job's dedup="substr" mode runs the SAME frame kernel
+    case-preserving over extracted pages."""
+    return substring_dedup_frame(_docs(spark, sf_dir), key="doc_id",
+                                 normalize=True)
 
 
 DOCS_SUBSTR_DEDUP_SQL = f"""

@@ -48,11 +48,12 @@ def main(argv: list[str] | None = None) -> int:
                          "stage (paragraph dedup + quality/repetition "
                          "verdict + shard packing) over the committed "
                          "output")
-    ap.add_argument("--curate-dedup", choices=("para", "span"),
+    ap.add_argument("--curate-dedup", choices=("para", "span", "substr"),
                     default="para",
                     help="curation dedup granularity: repeated "
-                         "paragraphs (default) or C4's literal "
-                         "three-sentence spans")
+                         "paragraphs (default), C4's literal "
+                         "three-sentence spans, or Lee-et-al. "
+                         "exact-substring token windows")
     ap.add_argument("--export", action="store_true",
                     help="after curation, export the kept shard-packed "
                          "docs partitioned by shard_id with a per-shard "

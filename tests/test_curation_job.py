@@ -107,3 +107,38 @@ def test_span_mode_strips_duplicated_disclaimers(curated):
                if "prior written permission" in r.text_deduped]
     assert len(keepers) == 3
     assert summary["paras_removed"] == 3 * len(shrunk)
+
+
+def test_substr_mode_excises_duplicated_token_runs(curated):
+    """dedup='substr': the same committed extraction output deduped at
+    Lee-et-al. token-window granularity. Token windows are STRICTER
+    than C4's sentence spans: the three disclaimer variants share
+    their prefix/suffix 8-token windows ACROSS variants, so only the
+    single GLOBAL first occurrence keeps "prior written permission" —
+    every other disclaimer doc loses those shared windows (span mode
+    kept one per variant; this mode keeps one, period). Surviving
+    text keeps its original CASING (unlike the lowercased oracle
+    query form), and sub-window boilerplate (5-token headings) is
+    untouched."""
+    spark, work, _ = curated
+    summary = run_curation_job(spark, work, dedup="substr")
+    assert summary["dedup"] == "substr"
+    out = shim.read_snapshot(spark, curation_root(work),
+                             summary["snapshot"])
+    rows = out.select("url", "n_paras", "n_kept", "text_deduped").collect()
+    shrunk = [r for r in rows if r.n_kept < r.n_paras]
+    assert shrunk
+    # the shared disclaimer windows collapse to ONE global keeper
+    keepers = [r for r in rows
+               if "prior written permission" in r.text_deduped]
+    assert len(keepers) == 1
+    assert keepers[0].n_kept == keepers[0].n_paras  # global first: intact
+    # every shrunk doc lost at least one full window
+    assert all(r.n_paras - r.n_kept >= 8 for r in shrunk), shrunk
+    assert len(shrunk) >= 10  # ~1 in 4 docs carries the disclaimer
+    # case preserved in surviving text (titles are capitalized)
+    assert any("Document" in r.text_deduped for r in rows)
+    # 5-token headings are BELOW the window width: still duplicated
+    heading_docs = [r for r in rows
+                    if "overview and summary" in r.text_deduped]
+    assert len(heading_docs) > 3
