@@ -453,6 +453,64 @@ GROUP BY lang, shard_id
 """
 
 
+def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed document-length distribution per language — the
+    standard corpus-report companion to docs_data_card (length
+    histograms are how truncation limits and shard budgets get chosen,
+    and a length-distribution shift between crawls is the cheapest
+    drift alarm). bucket = floor(log2(n_tokens)), so row count is
+    languages x ~log2(max_len) — tiny at any corpus size; one
+    partial-agg groupBy is the whole plan."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), _TOKS)
+    n = F.when((F.size(toks) == 1) & (toks[0] == ""), F.lit(0)) \
+         .otherwise(F.size(toks)).cast("long")
+    base = docs.select("lang", n.alias("n"))
+    # floor(log2(n)) computed EXACTLY as binary-digit count - 1:
+    # float log2 can land on 5.999… vs 6.0 at powers of two and flip
+    # the bucket between engines; string-of-base-2 length cannot
+    bucket = F.when(
+        F.col("n") > 0,
+        F.length(F.conv(F.col("n").cast("string"), 10, 2)) - 1
+    ).otherwise(F.lit(-1)).cast("int")
+    per = (base.select("lang", bucket.alias("len_bucket"), "n")
+           .groupBy("lang", "len_bucket")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("n").alias("n_tokens"),
+                F.min("n").alias("min_tokens"),
+                F.max("n").alias("max_tokens")))
+    w = Window.partitionBy("lang")
+    return per.select(
+        "lang", "len_bucket", "n_docs", "n_tokens",
+        "min_tokens", "max_tokens",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 4)
+         .alias("doc_frac"))
+
+
+LENGTH_HISTOGRAM_SQL = """
+WITH base AS (
+  SELECT lang,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END
+              AS BIGINT) AS n
+  FROM documents
+), per AS (
+  SELECT lang,
+         CAST(CASE WHEN n > 0 THEN length(bin(n)) - 1 ELSE -1 END
+              AS INT) AS len_bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n) AS BIGINT) AS n_tokens,
+         CAST(MIN(n) AS BIGINT) AS min_tokens,
+         CAST(MAX(n) AS BIGINT) AS max_tokens
+  FROM base GROUP BY lang, len_bucket
+)
+SELECT lang, len_bucket, n_docs, n_tokens, min_tokens, max_tokens,
+       round(n_docs / CAST(SUM(n_docs) OVER (PARTITION BY lang)
+                           AS DOUBLE), 4) AS doc_frac
+FROM per
+"""
+
+
 # ---------------------------------------------------------------------------
 # benchmark decontamination (eval-overlap removal)
 # ---------------------------------------------------------------------------
@@ -653,6 +711,7 @@ SPARK_QUERIES = {
     "docs_domain_mixture": docs_domain_mixture,
     "shards_manifest": shards_manifest,
     "docs_quality_percentile_gate": docs_quality_percentile_gate,
+    "docs_length_histogram": docs_length_histogram,
 }
 
 ORACLE_SQL = {
@@ -665,4 +724,5 @@ ORACLE_SQL = {
     "docs_domain_mixture": DOMAIN_MIXTURE_SQL,
     "shards_manifest": SHARDS_MANIFEST_SQL,
     "docs_quality_percentile_gate": _quality_percentile_sql(),
+    "docs_length_histogram": LENGTH_HISTOGRAM_SQL,
 }
