@@ -1221,6 +1221,43 @@ FROM j
 """
 
 
+def docs_drop_reason_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-quality dashboard over the composed recipe verdict:
+    per drop_reason (plus 'kept'), document count and corpus fraction.
+    This is the table an operator actually watches between crawls — a
+    reason whose share moves 10 points flags a gate regression or an
+    input-distribution shift long before any downstream metric does.
+
+    Shape: the verdict's subplans plus one groupBy whose output
+    cardinality is the reason vocabulary (≤ 6 rows at any corpus
+    size); the totals row broadcasts."""
+    v = docs_fineweb_verdict(spark, sf_dir).select(
+        F.coalesce(F.col("drop_reason"), F.lit("kept")).alias("reason"))
+    per = v.groupBy("reason").agg(F.count("*").alias("n_docs"))
+    tot = per.agg(F.sum("n_docs").alias("tot"))  # 1 row → broadcast
+    return (per.crossJoin(F.broadcast(tot))
+            .select("reason", "n_docs",
+                    F.round(F.col("n_docs") / F.col("tot"), 4)
+                     .alias("doc_frac")))
+
+
+def _drop_reason_report_sql() -> str:
+    return f"""
+WITH v AS (
+  SELECT COALESCE(drop_reason, 'kept') AS reason
+  FROM ({_fineweb_verdict_sql()})
+), per AS (
+  SELECT reason, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM v GROUP BY reason
+), tot AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS tot FROM per
+)
+SELECT reason, n_docs,
+       round(n_docs / CAST(tot AS DOUBLE), 4) AS doc_frac
+FROM per CROSS JOIN tot
+"""
+
+
 def docs_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus datasheet (data card): per-language document/token
     inventory, token share, and post-curation survival rates — the
@@ -1668,6 +1705,7 @@ SPARK_QUERIES = {
     "docs_data_card": docs_data_card,
     "docs_substring_dedup": docs_substring_dedup,
     "docs_fineweb_verdict": docs_fineweb_verdict,
+    "docs_drop_reason_report": docs_drop_reason_report,
 }
 
 ORACLE_SQL = {
@@ -1692,4 +1730,5 @@ ORACLE_SQL = {
     "docs_data_card": _data_card_sql(),
     "docs_substring_dedup": DOCS_SUBSTR_DEDUP_SQL,
     "docs_fineweb_verdict": _fineweb_verdict_sql(),
+    "docs_drop_reason_report": _drop_reason_report_sql(),
 }
