@@ -256,6 +256,54 @@ FROM ranked WHERE rank <= {IVF_TOPK}
 """
 
 
+def emb_ivf_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned radius search: emb_range_search's fixed threshold
+    restricted to the query's coarse cell — the approximate form whose
+    recall loss is exactly the range hits living outside the probed
+    cell (at scale, multi-probe widens cells the same way the top-k
+    path does). Compared to the brute-force range scan, the
+    BroadcastNestedLoopJoin becomes an EQUI-join on cell id, so the
+    corpus side prunes to one partition per probe instead of
+    streaming whole."""
+    emb = t(spark, sf_dir).select(
+        "vec_id", "label", _vecd().alias("v")
+    ).withColumn("nrm", _norm(F.col("v")))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("q_label"),
+        F.col("v").alias("qv"), F.col("nrm").alias("qn"))
+    j = emb.join(F.broadcast(q), (F.col("label") == F.col("q_label"))
+                 & (F.col("vec_id") != F.col("q_id")))
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    hits = (j.select("q_id", F.col("label").alias("cell"),
+                     F.col("vec_id").alias("neighbor_id"),
+                     F.round(cos, 6).alias("cos6"))
+            .filter(F.col("cos6") >= RANGE_COS_MIN))
+    w = Window.partitionBy("q_id")
+    return (hits.withColumn("n_hits", F.count("*").over(w))
+            .select("q_id", "cell", "neighbor_id",
+                    F.round("cos6", 4).alias("cos_sim"),
+                    F.col("n_hits").cast("long").alias("n_hits")))
+
+
+_IVF_RANGE_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, {_SQL_VEC} AS v FROM embeddings
+), n AS (
+  SELECT vec_id, label, v, {_sql_norm('v')} AS nrm FROM e
+), q AS (
+  SELECT vec_id AS q_id, label AS q_label, v AS qv, nrm AS qn
+  FROM n WHERE vec_id < {N_QUERIES}
+), hits AS (
+  SELECT q.q_id, n.label AS cell, n.vec_id AS neighbor_id,
+         ROUND({_sql_dot('q.qv', 'n.v')} / (q.qn * n.nrm), 6) AS cos6
+  FROM q JOIN n ON n.label = q.q_label AND n.vec_id <> q.q_id
+)
+SELECT q_id, cell, neighbor_id, ROUND(cos6, 4) AS cos_sim,
+       CAST(COUNT(*) OVER (PARTITION BY q_id) AS BIGINT) AS n_hits
+FROM hits WHERE cos6 >= {RANGE_COS_MIN}
+"""
+
+
 # --------------------------------------------------------------------------
 # per-cell centroids (the IVF "train" step)
 # --------------------------------------------------------------------------
@@ -806,6 +854,7 @@ FROM r LEFT JOIN d ON d.vec_id = r.vec_id
 SPARK_QUERIES = {
     "emb_cosine_topk": emb_cosine_topk,
     "emb_range_search": emb_range_search,
+    "emb_ivf_range_search": emb_ivf_range_search,
     "emb_lsh_multiprobe_topk": emb_lsh_multiprobe_topk,
     "emb_pq_codes": emb_pq_codes,
     "emb_ivf_topk": emb_ivf_topk,
@@ -819,6 +868,7 @@ SPARK_QUERIES = {
 ORACLE_SQL = {
     "emb_cosine_topk": _COSINE_TOPK_SQL,
     "emb_range_search": _RANGE_SEARCH_SQL,
+    "emb_ivf_range_search": _IVF_RANGE_SQL,
     "emb_lsh_multiprobe_topk": _MULTIPROBE_SQL,
     "emb_pq_codes": _PQ_SQL,
     "emb_ivf_topk": _IVF_TOPK_SQL,
