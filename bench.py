@@ -140,6 +140,14 @@ def _force(df) -> None:
 
 
 def main() -> int:
+    # Shield stdout at the fd level: the driver parses stdout as ONE
+    # JSON line, but the JVM child inherits fd 1 and can write banner /
+    # progress noise to it (BENCH_r03 recorded "parsed": null). Route
+    # fd 1 to stderr for the whole run; keep a dup of the real stdout
+    # and write only the final JSON line to it.
+    real_stdout = os.dup(1)
+    os.dup2(2, 1)
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1
@@ -213,8 +221,9 @@ def main() -> int:
     }
     if prev_round is not None:
         out["regressions_vs_r" + str(prev_round)] = regressions
-    print(json.dumps(out))
     spark.stop()
+    os.write(real_stdout, (json.dumps(out) + "\n").encode())
+    os.close(real_stdout)
     return 0
 
 

@@ -53,5 +53,9 @@ def get_spark(app_name: str = "ocr_spark", master: str | None = None,
         .config("spark.driver.memory",
                 os.environ.get("OCR_SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # keep stdout machine-parseable: bench.py's contract is ONE JSON
+        # line on stdout, and the console progress bar would interleave
+        # with it (BENCH_r03 recorded "parsed": null for this reason).
+        .config("spark.ui.showConsoleProgress", "false")
     )
     return builder.getOrCreate()

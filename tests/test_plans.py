@@ -291,3 +291,36 @@ def test_top_ngrams_partial_agg_bounded_shuffles(spark):
     assert n_shuffles(plan) <= 3, plan
     simple = df._jdf.queryExecution().executedPlan().toString()
     assert "partial_count" in simple or "partial_sum" in simple
+
+
+def test_bigram_logprob_preaggregates_probe_side(spark):
+    """The bigram LM probe side must be the (doc_id, prev, tok)
+    pre-aggregate, not the raw exploded bigram stream: hot stopword
+    bigrams cross the count-table joins as one row carrying a
+    multiplicity. Pin it structurally: in the optimized plan, every
+    join sits ABOVE the probe-side Aggregate (no Generate→Join path
+    that bypasses an aggregate), and the physical plan shows the
+    partial aggregate (map-side combine) below the first join."""
+    from ocr_spark.plans.curation import docs_bigram_logprob
+
+    df = docs_bigram_logprob(spark, SF)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    # walk the indented tree: the FIRST Generate (explode) reached by
+    # descending from the top must be preceded by an Aggregate at a
+    # shallower depth than any Join below it would require — i.e. on
+    # the probe branch the order is Join → … → Aggregate → Generate.
+    lines = opt.splitlines()
+
+    def depth(ln: str) -> int:
+        return len(ln) - len(ln.lstrip(" :+-"))
+
+    join_depths = [depth(ln) for ln in lines if "Join" in ln]
+    assert join_depths, opt
+    # probe branch = the subtree under the outermost join's first
+    # child; find the first Generate and require an Aggregate between
+    # it and the outermost join.
+    gen_idx = next(i for i, ln in enumerate(lines) if "Generate" in ln)
+    agg_above_gen = any("Aggregate" in ln for ln in lines[:gen_idx])
+    assert agg_above_gen, opt
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in simple, simple
