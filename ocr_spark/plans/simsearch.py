@@ -851,7 +851,194 @@ FROM r LEFT JOIN d ON d.vec_id = r.vec_id
 """
 
 
+# --------------------------------------------------------------------------
+# k-means Lloyd training (the real IVF coarse quantizer)
+# --------------------------------------------------------------------------
+
+KM_K = 8        # trained cells (deliberately < the fixture's 10 true
+                # clusters so merged cells genuinely occur)
+KM_ITERS = 3    # fixed Lloyd iterations — fixed, not converge-tested,
+                # so the unrolled-CTE oracle is finite
+KM_ROUND = 6    # centroid components round here each iteration on BOTH
+                # engines, so downstream argmins see identical doubles
+
+
+def _dist2(a: Column, b: Column) -> Column:
+    """Squared L2, left-to-right fold (bit-identical to the DuckDB
+    mirror's list_reduce)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _sql_dist2(a: str, b: str) -> str:
+    return (f"list_reduce(list_transform(range(1, {DIM + 1}), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), "
+            f"(x, y) -> x + y)")
+
+
+def _km_argmin(v: Column, cents: Column) -> Column:
+    """Nearest-centroid cell id, computed INLINE over the broadcast
+    centroid array: score every centroid with a narrow transform, take
+    array_min over struct(d, cell) — ties break to the lowest cell id.
+    No explode, no per-iteration shuffle of the corpus."""
+    scored = F.transform(
+        cents, lambda c: F.struct(_dist2(v, c["cv"]).alias("d"),
+                                  c["cell"].alias("cell")))
+    return F.array_min(scored).getField("cell")
+
+
+def _kmeans(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Lloyd's algorithm, KM_ITERS fixed rounds, init = the first KM_K
+    vectors (deterministic, no RNG to ship). Returns (centroids(cell,
+    cv array), final assignment(vec_id, v, cell)).
+
+    Scale shape (100 TB): each iteration is ONE bounded shuffle — the
+    (cell, dim) centroid aggregate, K·DIM rows out with map-side
+    partial_avg — while the assignment step is a narrow map against a
+    broadcast 1-row centroid array (same totals-broadcast pattern as
+    docs_bigram_logprob). localCheckpoint truncates per-round lineage,
+    the hosts_pagerank / near_dup_clusters discipline. Cells that lose
+    all members drop out identically on both engines. The reference
+    has no embedding stage (SURVEY §2 absent lists)."""
+    emb = t(spark, sf_dir).select("vec_id", _vecd().alias("v"))
+    cent = (emb.filter(F.col("vec_id") < KM_K)
+            .select(F.col("vec_id").alias("cell"), F.col("v").alias("cv")))
+    assigned = None
+    for _ in range(KM_ITERS):
+        centrow = cent.agg(F.array_sort(
+            F.collect_list(F.struct("cell", "cv"))).alias("cents"))
+        assigned = (emb.crossJoin(F.broadcast(centrow))
+                    .select("vec_id", "v",
+                            _km_argmin(F.col("v"),
+                                       F.col("cents")).alias("cell")))
+        cent = (assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+                .groupBy("cell", "pos")
+                .agg(F.round(F.avg("x"), KM_ROUND).alias("cv"))
+                .groupBy("cell")
+                .agg(F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                    lambda s: s.cv).alias("cv"))
+                ).localCheckpoint(eager=False)
+    centrow = cent.agg(F.array_sort(
+        F.collect_list(F.struct("cell", "cv"))).alias("cents"))
+    assigned = (emb.crossJoin(F.broadcast(centrow))
+                .select("vec_id", "v",
+                        _km_argmin(F.col("v"), F.col("cents")).alias("cell")))
+    return cent, assigned
+
+
+def emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained coarse quantizer: final Lloyd centroids (exploded to
+    (cell, pos, cv) for the oracle) + member count per cell from the
+    final assignment. Replaces the round-3 note on emb_ivf_topk that
+    the ``label`` column 'plays the trained coarse quantizer' — this IS
+    the training step."""
+    cent, assigned = _kmeans(spark, sf_dir)
+    counts = assigned.groupBy("cell").agg(F.count("*").alias("n_members"))
+    return (cent.select("cell", F.posexplode("cv").alias("pos", "c"))
+            .join(counts, "cell")
+            .select("cell", "pos", F.col("c").alias("cv"), "n_members"))
+
+
+def emb_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k over TRAINED cells: queries and corpus both carry
+    their Lloyd-final cell; a probe is an equi-join on cell id, same
+    shape as emb_ivf_topk but with the quantizer learned in-plan
+    instead of read from the fixture ``label``."""
+    _, assigned = _kmeans(spark, sf_dir)
+    emb = assigned.withColumn("nrm", _norm(F.col("v")))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("cell").alias("q_cell"),
+        F.col("v").alias("qv"), F.col("nrm").alias("qn"))
+    j = emb.join(F.broadcast(q), (F.col("cell") == F.col("q_cell"))
+                 & (F.col("vec_id") != F.col("q_id")))
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    scored = j.select("q_id", "cell",
+                      F.col("vec_id").alias("neighbor_id"),
+                      F.round(cos, 6).alias("cos6"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos6"),
+                                           F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= IVF_TOPK)
+            .select("q_id", "cell", "neighbor_id",
+                    F.round("cos6", 4).alias("cos_sim"), "rank"))
+
+
+def _km_sql_ctes() -> str:
+    """Unrolled Lloyd iterations as a CTE chain (the oracle cannot
+    loop; KM_ITERS is fixed precisely so this stays finite)."""
+    parts = [
+        f"e AS (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cell, v AS cv FROM e "
+        f"WHERE vec_id < {KM_K})",
+    ]
+    prev = "c0"
+    for it in range(1, KM_ITERS + 1):
+        parts.append(
+            f"a{it} AS (\n"
+            f"  SELECT vec_id, v, cell FROM (\n"
+            f"    SELECT vec_id, v, cell, ROW_NUMBER() OVER (\n"
+            f"      PARTITION BY vec_id ORDER BY d, cell) AS rn\n"
+            f"    FROM (SELECT e.vec_id, e.v, c.cell,\n"
+            f"                 {_sql_dist2('e.v', 'c.cv')} AS d\n"
+            f"          FROM e CROSS JOIN {prev} c))\n"
+            f"  WHERE rn = 1)")
+        parts.append(
+            f"c{it} AS (\n"
+            f"  SELECT cell, list(cv ORDER BY pos) AS cv FROM (\n"
+            f"    SELECT cell, u.i AS pos, ROUND(AVG(v[u.i]), {KM_ROUND})"
+            f" AS cv\n"
+            f"    FROM a{it}, generate_series(1, {DIM}) AS u(i)\n"
+            f"    GROUP BY cell, u.i)\n"
+            f"  GROUP BY cell)")
+        prev = f"c{it}"
+    parts.append(
+        f"af AS (\n"
+        f"  SELECT vec_id, v, cell FROM (\n"
+        f"    SELECT vec_id, v, cell, ROW_NUMBER() OVER (\n"
+        f"      PARTITION BY vec_id ORDER BY d, cell) AS rn\n"
+        f"    FROM (SELECT e.vec_id, e.v, c.cell,\n"
+        f"                 {_sql_dist2('e.v', 'c.cv')} AS d\n"
+        f"          FROM e CROSS JOIN {prev} c))\n"
+        f"  WHERE rn = 1)")
+    return "WITH " + ",\n".join(parts), prev
+
+
+_KM_CTES, _KM_FINAL = _km_sql_ctes()
+
+_KMEANS_TRAIN_SQL = f"""
+{_KM_CTES},
+cnt AS (SELECT cell, COUNT(*) AS n_members FROM af GROUP BY cell)
+SELECT c.cell, u.i - 1 AS pos, c.cv[u.i] AS cv, cnt.n_members
+FROM {_KM_FINAL} c JOIN cnt USING (cell),
+     generate_series(1, {DIM}) AS u(i)
+"""
+
+_IVF_TRAINED_TOPK_SQL = f"""
+{_KM_CTES},
+n AS (
+  SELECT af.vec_id, af.cell, af.v, {_sql_norm('af.v')} AS nrm FROM af
+), q AS (
+  SELECT vec_id AS q_id, cell AS q_cell, v AS qv, nrm AS qn
+  FROM n WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q.q_id, n.cell, n.vec_id AS neighbor_id,
+         ROUND({_sql_dot('q.qv', 'n.v')} / (q.qn * n.nrm), 6) AS cos6
+  FROM q JOIN n ON n.cell = q.q_cell AND n.vec_id <> q.q_id
+), ranked AS (
+  SELECT q_id, cell, neighbor_id, cos6,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cos6 DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, cell, neighbor_id, ROUND(cos6, 4) AS cos_sim, rank
+FROM ranked WHERE rank <= {IVF_TOPK}
+"""
+
+
 SPARK_QUERIES = {
+    "emb_kmeans_train": emb_kmeans_train,
+    "emb_ivf_trained_topk": emb_ivf_trained_topk,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_range_search": emb_range_search,
     "emb_ivf_range_search": emb_ivf_range_search,
@@ -866,6 +1053,8 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "emb_kmeans_train": _KMEANS_TRAIN_SQL,
+    "emb_ivf_trained_topk": _IVF_TRAINED_TOPK_SQL,
     "emb_cosine_topk": _COSINE_TOPK_SQL,
     "emb_range_search": _RANGE_SEARCH_SQL,
     "emb_ivf_range_search": _IVF_RANGE_SQL,

@@ -161,6 +161,26 @@ def main() -> int:
         },
     }
 
+    # ---- trained IVF (Lloyd k-means cells, round 4) ------------------
+    tr = simsearch.emb_ivf_trained_topk(spark, cdir).collect()
+    tivf = {(r.q_id, r.neighbor_id) for r in tr}
+    n_tcells = len({r.cell for r in tr})
+    tcand = cn / max(1, simsearch.KM_K) - 1
+    trec = len(tivf & ctruth3) / max(1, len(ctruth3))
+    tchance = tcand / (cn - 1)
+    out["ann_clustered"]["ivf_trained"] = {
+        "k": simsearch.IVF_TOPK,
+        "kmeans_k": simsearch.KM_K,
+        "lloyd_iters": simsearch.KM_ITERS,
+        "n_probed_cells_in_results": n_tcells,
+        "recall_at_k": round(trec, 4),
+        "chance_recall": round(tchance, 4),
+        "lift_over_chance": round(trec / tchance, 1) if tchance else None,
+        "note": ("cells learned in-plan by emb_kmeans_train (Lloyd, "
+                 "fixed iters, deterministic first-K init) — the "
+                 "quantizer no longer leans on the fixture label"),
+    }
+
     # ---- dedup recall: LSH candidates vs exhaustive high-Jaccard ----
     exact = {(r.doc_a, r.doc_b): r.jaccard
              for r in dataops.docs_ngram_jaccard_pairs(spark, sf_dir)

@@ -324,3 +324,30 @@ def test_bigram_logprob_preaggregates_probe_side(spark):
     assert agg_above_gen, opt
     simple = df._jdf.queryExecution().executedPlan().toString()
     assert "partial_count" in simple, simple
+
+
+def test_kmeans_assignment_is_narrow_broadcast(spark):
+    """Lloyd's per-iteration shape: assignment must be a narrow map
+    against a broadcast 1-row centroid array (no shuffle of the corpus,
+    no CartesianProduct), and the centroid recompute must combine
+    map-side. Because localCheckpoint truncates lineage per round, we
+    assert on the final segment of emb_ivf_trained_topk (assignment +
+    probe join) plus the physical agg of emb_kmeans_train."""
+    from ocr_spark.plans.simsearch import (
+        emb_ivf_trained_topk, emb_kmeans_train)
+
+    df = emb_ivf_trained_topk(spark, SF)
+    plan = fmt(df)
+    assert "CartesianProduct" not in plan, plan
+    # corpus side never shuffles before the probe equi-join: the only
+    # DISTRIBUTED exchange in the final segment is the top-k window's
+    # hash partitioning on q_id (bounded: queries x cell members); the
+    # SinglePartition exchanges are the K-row centroid collect_list
+    # folds, excluded below.
+    single = plan.count("Arguments: SinglePartition")
+    assert n_shuffles(plan) - single <= 1, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+    simple = (emb_kmeans_train(spark, SF)
+              ._jdf.queryExecution().executedPlan().toString())
+    assert "partial_avg" in simple or "partial_count" in simple, simple
