@@ -113,6 +113,30 @@ def disclaimer_for_document(doc_id: int) -> str | None:
     return None
 
 
+def bullet_items_for_document(doc_id: int) -> list[str] | None:
+    """Deterministic bullet-list block (every fifth document): a
+    content ``<ul>`` whose ``<li>`` items each extract as their OWN
+    block — i.e. their own LINE of extracted text — the substrate for
+    the Gopher line-level signals (bullet-start-line ratio,
+    ellipsis-end-line ratio; plans/webops.py
+    docs_gopher_line_filters). The last item ends with an ellipsis so
+    both signals genuinely occur in the corpus. Items embed doc_id so
+    they create no new corpus-wide duplicate paragraphs/spans (the
+    para/span-dedup substrate stays exactly the disclaimer variants)."""
+    if doc_id % 5 != 2:
+        return None
+    items = [
+        f"• Point {k} of document {doc_id} in the series covering "
+        f"topic {(doc_id + k) % 9}."
+        for k in (1, 2)
+    ]
+    items.append(
+        f"• Point 3 of document {doc_id} continues with more "
+        "detail on the topic ..."
+    )
+    return items
+
+
 def content_blocks_for_document(doc_id: int, text: str) -> list[tuple[str, str]]:
     """The (label, text) content blocks the extractor must produce, in
     order. Mirrored in SQL by plans/extract_queries.py's oracles."""
@@ -127,6 +151,9 @@ def content_blocks_for_document(doc_id: int, text: str) -> list[tuple[str, str]]
     disc = disclaimer_for_document(doc_id)
     if disc is not None:
         blocks.append(("text", disc))
+    items = bullet_items_for_document(doc_id)
+    if items is not None:
+        blocks.extend(("text", it) for it in items)
     return blocks
 
 
@@ -145,12 +172,16 @@ def html_for_document(doc_id: int, text: str) -> bytes:
     h2 = heading_for_document(doc_id)
     tail = closing_for_document(doc_id)
     disc = disclaimer_for_document(doc_id)
+    items = bullet_items_for_document(doc_id)
+    ul = ("<ul>" + "".join(f"<li>{_html.escape(it)}</li>" for it in items)
+          + "</ul>") if items is not None else ""
     article = (
         f"<h1>{_html.escape(title_for_document(doc_id))}</h1>"
         + (f"<h2>{_html.escape(h2)}</h2>" if h2 is not None else "")
         + f"<p>{_html.escape(text)}</p>"
         + (f"<p>{_html.escape(tail)}</p>" if tail is not None else "")
         + (f"<p>{_html.escape(disc)}</p>" if disc is not None else "")
+        + ul
     )
     body = (
         f'<nav class="navbar"><ul>{nav}</ul></nav>'

@@ -36,6 +36,8 @@ training-data capabilities the rebuild adds on top.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
@@ -989,6 +991,126 @@ SELECT doc_id,
 FROM documents
 """
 
+BPE_ARTIFACT = os.path.join(
+    os.path.dirname(os.path.dirname(__file__)), "data",
+    "bpe_merges_v1.json")
+_BPE_RULE_PASSES = 4   # boundary-padded replace misses staggered
+                       # occurrences; 4 exhaustive passes cover any
+                       # pre-token up to ~2^4 repeats of one pair
+
+
+def _bpe_model() -> dict:
+    """The ranked merge table, loaded from a versioned artifact file
+    through the same load-once path as the layout/OCR/CRF heads and
+    the quality classifier's weight table. Like the classifier, the
+    seam is DRIVER-side: merges become plan literals (the broadcast-
+    equivalent for a rule table), so the tokenizer never enters a
+    Python worker. Validates loudly — a malformed artifact must fail
+    the job, not silently tokenize wrong."""
+    from ocr_spark.core.artifacts import load_artifact
+
+    model = load_artifact(BPE_ARTIFACT)
+    if model.get("kind") != "bpe-merges":
+        raise ValueError(
+            f"bad BPE artifact {BPE_ARTIFACT}: kind="
+            f"{model.get('kind')!r}, expected 'bpe-merges'")
+    merges = model.get("merges")
+    if (not isinstance(merges, list) or not merges
+            or not all(isinstance(m, list) and len(m) == 2
+                       and all(isinstance(s, str) and s and " " not in s
+                               for s in m) for m in merges)):
+        raise ValueError(
+            f"bad BPE artifact {BPE_ARTIFACT}: 'merges' must be a "
+            "non-empty list of [left, right] symbol pairs without "
+            "spaces")
+    if not isinstance(model.get("space_symbol"), str) \
+            or len(model["space_symbol"]) != 1:
+        raise ValueError(
+            f"bad BPE artifact {BPE_ARTIFACT}: 'space_symbol' must be "
+            "a single character")
+    return model
+
+
+def docs_bpe_merges_token_count(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """REAL BPE token counting from the artifact merge table
+    (bpe_merges_v1.json), one level up from docs_bpe_token_count's
+    pre-tokenizer-only count: pre-tokenize with the GPT-2-style regex,
+    map spaces to the Ġ space-symbol, split each pre-token into
+    character symbols, then apply the ranked merges sequentially and
+    exhaustively (rank order, each rule to fixpoint — the sequential
+    variant of the BPE merge loop; symbol boundaries kept explicit by
+    single-space joining with padded-boundary replace). Token count =
+    surviving symbols per pre-token, summed per document.
+
+    Scale shape: the merge table is a plan literal (driver-side
+    artifact load, broadcast-equivalent — same seam as
+    docs_classifier_score's weights), and the whole tokenizer is ONE
+    narrow JVM map per document: transform over pre-tokens, chained
+    replaces per rule, aggregate sum. Zero shuffles, zero Python
+    workers at any corpus size."""
+    model = _bpe_model()
+    space = model["space_symbol"]
+    docs = t(spark, sf_dir, "documents")
+    pre = F.regexp_extract_all("text", F.lit(_BPE_PAT), 0)
+
+    def _count_one(tok: Column) -> Column:
+        sym = F.replace(tok, F.lit(" "), F.lit(space))
+        s = F.concat(F.lit(" "),
+                     F.array_join(F.split(sym, ""), " "),
+                     F.lit(" "))
+        for a, b in model["merges"]:
+            for _ in range(_BPE_RULE_PASSES):
+                s = F.replace(s, F.lit(f" {a} {b} "),
+                              F.lit(f" {a}{b} "))
+        return F.size(F.split(F.trim(s), " "))
+
+    n_bpe = F.aggregate(F.transform(pre, _count_one),
+                        F.lit(0).cast("bigint"),
+                        lambda acc, x: acc + x)
+    n_chars = F.aggregate(
+        F.transform(pre, lambda x: F.length(x)),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    return docs.select(
+        "doc_id",
+        F.size(pre).cast("long").alias("n_pretokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        (n_chars - n_bpe).alias("n_merges_applied"))
+
+
+def _bpe_merges_sql() -> str:
+    model = _bpe_model()
+    space = model["space_symbol"]
+    expr = "' ' || array_to_string(string_split(" \
+           f"replace(x, ' ', '{space}'), ''), ' ') || ' '"
+    for a, b in model["merges"]:
+        for _ in range(_BPE_RULE_PASSES):
+            expr = f"replace({expr}, ' {a} {b} ', ' {a}{b} ')"
+    return f"""
+WITH pre AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '{_BPE_SQL_PAT}', 0) AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_pretokens,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(toks,
+                x -> CAST(len(string_split(trim({expr}), ' '))
+                          AS BIGINT))),
+            (a, b) -> a + b) AS BIGINT) AS n_bpe_tokens,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(toks, x -> CAST(length(x) AS BIGINT))),
+            (a, b) -> a + b)
+        - list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(toks,
+                x -> CAST(len(string_split(trim({expr}), ' '))
+                          AS BIGINT))),
+            (a, b) -> a + b) AS BIGINT) AS n_merges_applied
+FROM pre
+"""
+
+
 _RH_BASE = 31
 _RH_MOD = 1_000_000_007
 
@@ -1155,6 +1277,7 @@ SPARK_QUERIES = {
     "docs_langid": docs_langid,
     "docs_dedup_keepers": docs_dedup_keepers,
     "docs_bpe_token_count": docs_bpe_token_count,
+    "docs_bpe_merges_token_count": docs_bpe_merges_token_count,
     "docs_rolling_hash": docs_rolling_hash,
     "docs_sentences_udtf": docs_sentences_udtf,
     "docs_top_ngrams": docs_top_ngrams,
@@ -1174,6 +1297,7 @@ ORACLE_SQL = {
     "docs_langid": _LANGID_SQL,
     "docs_dedup_keepers": _DEDUP_KEEPERS_SQL,
     "docs_bpe_token_count": _BPE_COUNT_SQL,
+    "docs_bpe_merges_token_count": _bpe_merges_sql(),
     "docs_rolling_hash": _ROLLING_HASH_SQL,
     "docs_sentences_udtf": _SENTENCES_SQL,
     "docs_top_ngrams": _TOP_NGRAMS_SQL,

@@ -78,7 +78,21 @@ WITH b AS (
                    || 'The publisher accepts no liability for errors '
                    || 'or omissions in this text. Nothing here '
                    || 'constitutes professional advice of any kind.'
-              END AS t_disclaimer
+              END AS t_disclaimer,
+         CASE WHEN doc_id % 5 = 2
+              THEN '• Point 1 of document ' || CAST(doc_id AS VARCHAR)
+                   || ' in the series covering topic '
+                   || CAST((doc_id + 1) % 9 AS VARCHAR) || '.'
+              END AS t_li1,
+         CASE WHEN doc_id % 5 = 2
+              THEN '• Point 2 of document ' || CAST(doc_id AS VARCHAR)
+                   || ' in the series covering topic '
+                   || CAST((doc_id + 2) % 9 AS VARCHAR) || '.'
+              END AS t_li2,
+         CASE WHEN doc_id % 5 = 2
+              THEN '• Point 3 of document ' || CAST(doc_id AS VARCHAR)
+                   || ' continues with more detail on the topic ...'
+              END AS t_li3
   FROM documents
 ), rows0 AS (
   SELECT doc_id, 0 AS pos, 'doc_title' AS label, t_title AS btext FROM b
@@ -92,6 +106,12 @@ WITH b AS (
   UNION ALL
   SELECT doc_id, 4, 'text', t_disclaimer FROM b
   WHERE t_disclaimer IS NOT NULL
+  UNION ALL
+  SELECT doc_id, 5, 'text', t_li1 FROM b WHERE t_li1 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, 6, 'text', t_li2 FROM b WHERE t_li2 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, 7, 'text', t_li3 FROM b WHERE t_li3 IS NOT NULL
 ), seq AS (
   SELECT doc_id, label, btext,
          CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1
@@ -157,7 +177,8 @@ WITH k AS (
   SELECT doc_id,
          2 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
            + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
-           + CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS n
+           + CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END
+           + CASE WHEN doc_id % 5 = 2 THEN 3 ELSE 0 END AS n
   FROM documents
 )
 SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,

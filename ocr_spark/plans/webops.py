@@ -276,6 +276,160 @@ WITH page_edges AS (
               f"FROM r{PAGERANK_ITERS}")
 
 
+def _followed_host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph edge list derived from the edges a polite crawler
+    follows (pages_outlinks_followed semantics: nofollow pages emit
+    nothing), NOT from fixture-tuned single-match regexes: every
+    external followed href contributes (canonical src host → href dst
+    host), self-host edges (the canonical self-link) dropped. This is
+    the composition a production pipeline runs — the graph is whatever
+    the crawler actually saw."""
+    pages = pages_from_documents(spark, sf_dir)
+    h = _html_str()
+    robots = F.regexp_extract(h, ROBOTS_PAT, 1)
+    followed = pages.filter(
+        ~F.array_contains(F.split(robots, ","), "nofollow"))
+    src = F.regexp_extract(
+        h, r'rel="canonical" href="https://([^/"]+)', 1)
+    return (followed
+            .select(src.alias("src"),
+                    F.explode(F.regexp_extract_all(
+                        h, F.lit(HREF_PAT), 1)).alias("href"))
+            .filter(F.col("href").rlike("^https?://"))
+            .select("src", F.regexp_extract(
+                "href", r"^https?://([^/]+)", 1).alias("dst"))
+            .filter((F.col("src") != "") & (F.col("dst") != "")
+                    & (F.col("dst") != F.col("src"))))
+
+
+def _pagerank_loop(edges: DataFrame,
+                   redistribute_dangling: bool) -> DataFrame:
+    """Shared fixed-iteration weighted power loop (the hosts_pagerank
+    shape: per-round edge⋈rank equi-join keyed src + partial-agg
+    groupBy(dst), broadcast 1-row totals, localCheckpoint lineage
+    truncation). With ``redistribute_dangling`` the damped mass parked
+    on no-outlink hosts is returned uniformly each round (the standard
+    dangling-node correction: r' = (1-d)/n + d·(inflow + D/n), D = Σr
+    over dangling) so Σr stays 1 instead of leaking."""
+    edges = (edges.groupBy("src", "dst").agg(F.count("*").alias("w"))
+             .localCheckpoint())
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    weighted = edges.join(out_w, "src")
+    nodes = (edges.select(F.col("src").alias("host"))
+             .union(edges.select(F.col("dst").alias("host")))
+             .distinct())
+    n = nodes.agg(F.count("*").alias("n"))  # 1 row → broadcast
+    ranks = nodes.crossJoin(F.broadcast(n)) \
+                 .select("host", "n", (F.lit(1.0) / F.col("n")).alias("r"))
+    src_hosts = out_w.select(F.col("src").alias("host"))
+    for _ in range(PAGERANK_ITERS):
+        contrib = (weighted
+                   .join(ranks.select(F.col("host").alias("src"), "r"),
+                         "src")
+                   .groupBy(F.col("dst").alias("host"))
+                   .agg(F.sum(F.col("r") * F.col("w") / F.col("out_w"))
+                        .alias("inflow")))
+        inflow = F.coalesce("inflow", F.lit(0.0))
+        if redistribute_dangling:
+            dang = (ranks.join(src_hosts, "host", "left_anti")
+                    .agg(F.sum("r").alias("dm")))  # 1 row → broadcast
+            ranks = (ranks.join(contrib, "host", "left")
+                     .crossJoin(F.broadcast(dang))
+                     .select("host", "n",
+                             ((1.0 - PAGERANK_DAMPING) / F.col("n")
+                              + PAGERANK_DAMPING
+                              * (inflow + F.coalesce("dm", F.lit(0.0))
+                                 / F.col("n"))).alias("r"))
+                     .localCheckpoint())
+        else:
+            ranks = (ranks.join(contrib, "host", "left")
+                     .select("host", "n",
+                             ((1.0 - PAGERANK_DAMPING) / F.col("n")
+                              + PAGERANK_DAMPING * inflow).alias("r"))
+                     .localCheckpoint())
+    return ranks.select("host", F.round("r", 4).alias("pagerank"))
+
+
+def hosts_pagerank_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the FULL followed-outlink edge list (round-3
+    verdict #6): same iterative shape as hosts_pagerank but the graph
+    comes from _followed_host_edges — nofollow respected, every
+    external href an edge — instead of two fixture-tuned regexes.
+    Leaky (simplified) dangling treatment, matching hosts_pagerank, so
+    the two are comparable; hosts_pagerank_dangling is the
+    mass-conserving variant."""
+    return _pagerank_loop(_followed_host_edges(spark, sf_dir),
+                          redistribute_dangling=False)
+
+
+def hosts_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hosts_pagerank_full with per-iteration dangling-mass
+    redistribution — the textbook correction for the documented leak in
+    the simplified formulation (partner hosts have no outlinks, so
+    their damped mass otherwise vanishes). Σ pagerank ≈ 1 up to
+    rounding; the redistribution itself is a 1-row aggregate broadcast
+    per round — no new shuffle class."""
+    return _pagerank_loop(_followed_host_edges(spark, sf_dir),
+                          redistribute_dangling=True)
+
+
+_PR_FULL_EDGES_CTE = """
+WITH page_edges AS (
+  SELECT 'site' || CAST(doc_id % 13 AS VARCHAR) || '.example.com' AS src,
+         'partner' || CAST(CASE WHEN doc_id % 13 = 11 THEN 2
+                                ELSE doc_id % 5 END AS VARCHAR)
+           || '.example.org' AS dst
+  FROM documents
+  WHERE doc_id % 17 <> 3
+), edges AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM page_edges GROUP BY src, dst
+), out_w AS (
+  SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM edges GROUP BY src
+), weighted AS (
+  SELECT edges.src, edges.dst, edges.w, out_w.out_w
+  FROM edges JOIN out_w USING (src)
+), nodes AS (
+  SELECT src AS host FROM edges UNION SELECT dst FROM edges
+), nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes
+), r0 AS MATERIALIZED (
+  SELECT host, n, 1.0 / n AS r FROM nodes CROSS JOIN nn
+)"""
+
+
+def _pagerank_full_sql(redistribute_dangling: bool) -> str:
+    steps = []
+    for i in range(PAGERANK_ITERS):
+        steps.append(f""", c{i} AS MATERIALIZED (
+  SELECT weighted.dst AS host, SUM(r{i}.r * weighted.w / weighted.out_w)
+           AS inflow
+  FROM weighted JOIN r{i} ON r{i}.host = weighted.src
+  GROUP BY weighted.dst
+)""")
+        if redistribute_dangling:
+            steps.append(f""", d{i} AS MATERIALIZED (
+  SELECT COALESCE(SUM(r), 0.0) AS dm FROM r{i}
+  WHERE host NOT IN (SELECT src FROM out_w)
+), r{i + 1} AS MATERIALIZED (
+  SELECT r{i}.host, r{i}.n,
+         (1.0 - {PAGERANK_DAMPING}) / r{i}.n
+           + {PAGERANK_DAMPING} * (COALESCE(c{i}.inflow, 0.0)
+                                   + d{i}.dm / r{i}.n) AS r
+  FROM r{i} LEFT JOIN c{i} ON c{i}.host = r{i}.host CROSS JOIN d{i}
+)""")
+        else:
+            steps.append(f""", r{i + 1} AS MATERIALIZED (
+  SELECT r{i}.host, r{i}.n,
+         (1.0 - {PAGERANK_DAMPING}) / r{i}.n
+           + {PAGERANK_DAMPING} * COALESCE(c{i}.inflow, 0.0) AS r
+  FROM r{i} LEFT JOIN c{i} ON c{i}.host = r{i}.host
+)""")
+    return (_PR_FULL_EDGES_CTE + "".join(steps)
+            + f"\nSELECT host, round(r, 4) AS pagerank "
+              f"FROM r{PAGERANK_ITERS}")
+
+
 # ---------------------------------------------------------------------------
 # link-spam scoring over the host graph
 # ---------------------------------------------------------------------------
@@ -1135,14 +1289,94 @@ LEFT JOIN r ON r.doc_id = k.doc_id
 """
 
 
+# Gopher line-level signals (Rae et al. 2021, Table A1). Published
+# thresholds are bullet-start > 0.90 and ellipsis-end > 0.30 of lines;
+# on this corpus the bullet-list block (gen/wrap.py
+# bullet_items_for_document: 3 items on every fifth document, the last
+# ellipsis-terminated) yields bullet fractions of 0.375-0.6 and
+# ellipsis fractions of 0.125-0.2, so the published values would be
+# constant-true — vacuous, the _GF_MIN_STOP_HITS lesson (dataops.py).
+# These are the corpus-calibrated knobs that make BOTH gates
+# discriminate (bullet: 3/5-3/6 lines fail, 3/7+ pass; ellipsis:
+# 1/5-1/6 fail, 1/7+ pass); the published values come back with a real
+# crawl.
+GLF_MAX_BULLET_FRAC = 0.5
+GLF_MAX_ELLIPSIS_FRAC = 0.15
+_GLF_ROUND = 4
+
+
+def docs_gopher_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher LINE-level quality signals over EXTRACTED text (the
+    document-level bounds live in dataops.docs_gopher_filters): the
+    fraction of lines that start with a bullet marker and the fraction
+    that end with an ellipsis — the formatting smells of scraped list
+    pages and truncated teaser text. Downstream of the real extraction
+    pipeline, so a line is a line of what the engine actually emits
+    (content blocks join with blank lines; each <li> extracts as its
+    own line).
+
+    Shape: extraction's own 2 shuffles, then a narrow per-row map —
+    split, filter, two fraction columns, conjunction. Zero additional
+    exchanges at any corpus size."""
+    pages = pages_from_documents(spark, sf_dir)
+    extracted = run_extraction(pages, partitions=32, big_partitions=2)
+    doc_id = F.regexp_extract("url", r"^doc://(\d+)$", 1).cast("long")
+    lines = F.filter(F.split("text", "\n"), lambda x: x != "")
+    base = extracted.select(doc_id.alias("doc_id"), lines.alias("lines"))
+    n_lines = F.size("lines")
+    n_bullet = F.size(F.filter(
+        "lines", lambda x: x.startswith("• ") | x.startswith("- ")
+        | x.startswith("* ")))
+    n_ellipsis = F.size(F.filter(
+        "lines", lambda x: x.endswith("...") | x.endswith("…")))
+    bf = F.round(n_bullet / n_lines, _GLF_ROUND)
+    ef = F.round(n_ellipsis / n_lines, _GLF_ROUND)
+    out = base.select(
+        "doc_id", n_lines.cast("long").alias("n_lines"),
+        bf.alias("bullet_line_frac"), ef.alias("ellipsis_line_frac"))
+    keep = ((F.col("bullet_line_frac") <= GLF_MAX_BULLET_FRAC)
+            & (F.col("ellipsis_line_frac") <= GLF_MAX_ELLIPSIS_FRAC))
+    return out.withColumn("keep_lines", keep)
+
+
+_GOPHER_LINE_TAIL = """
+, ext AS (
+  SELECT doc_id,
+         string_agg(btext, chr(10) || chr(10) ORDER BY block_id) AS text
+  FROM seq GROUP BY doc_id
+), l AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)), x -> x <> '') AS lines
+  FROM ext
+), m AS (
+  SELECT doc_id,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         ROUND(len(list_filter(lines,
+                 x -> x LIKE '• %' OR x LIKE '- %' OR x LIKE '* %'))
+               / CAST(len(lines) AS DOUBLE), {r}) AS bullet_line_frac,
+         ROUND(len(list_filter(lines,
+                 x -> x LIKE '%...' OR x LIKE '%…'))
+               / CAST(len(lines) AS DOUBLE), {r}) AS ellipsis_line_frac
+  FROM l
+)
+SELECT doc_id, n_lines, bullet_line_frac, ellipsis_line_frac,
+       (bullet_line_frac <= {bf} AND ellipsis_line_frac <= {ef})
+         AS keep_lines
+FROM m
+""".format(r=_GLF_ROUND, bf=GLF_MAX_BULLET_FRAC, ef=GLF_MAX_ELLIPSIS_FRAC)
+
+GOPHER_LINE_SQL = _BLOCKS_CTE + _GOPHER_LINE_TAIL
+
+
 def docs_fineweb_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full modern-recipe keep/drop decision (FineWeb/DCLM-shaped),
     composing every gate family this engine implements: the base
     pipeline verdict (Gopher bounds + repetition + substring-dup +
-    exact-dedup keeper election, docs_curation_verdict), the static
-    blocklist, benchmark decontamination (eval-holdout docs are
-    excluded from training by definition), and the per-language
-    relative quality tail cut. One row per document with the first
+    exact-dedup keeper election, docs_curation_verdict), the Gopher
+    LINE-level format gate over extracted text
+    (docs_gopher_line_filters), the static blocklist, benchmark
+    decontamination (eval-holdout docs are excluded from training by
+    definition), and the per-language relative quality tail cut. One row per document with the first
     failing gate as drop_reason — the column a production pipeline
     filters and AUDITS on (reason distribution is the standard
     data-quality dashboard).
@@ -1158,25 +1392,29 @@ def docs_fineweb_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = docs_curation_verdict(spark, sf_dir) \
         .select("doc_id", F.col("keep").alias("keep_pipeline"))
+    lf = docs_gopher_line_filters(spark, sf_dir) \
+        .select("doc_id", "keep_lines")
     bl = docs_blocklist_filter(spark, sf_dir) \
         .select("doc_id", "keep_blocklist")
     dc = docs_decontaminate(spark, sf_dir) \
         .select("doc_id", "is_contaminated")
     qr = docs_quality_percentile_gate(spark, sf_dir) \
         .select("doc_id", "keep_quality_rel")
-    out = (base.join(bl, "doc_id").join(qr, "doc_id")
+    out = (base.join(lf, "doc_id").join(bl, "doc_id").join(qr, "doc_id")
            .join(dc, "doc_id", "left"))
     is_eval = F.col("doc_id") % BENCH_MOD == 0
     contaminated = F.coalesce(F.col("is_contaminated"), F.lit(False))
-    keep = (~is_eval & F.col("keep_pipeline") & F.col("keep_blocklist")
+    keep = (~is_eval & F.col("keep_pipeline") & F.col("keep_lines")
+            & F.col("keep_blocklist")
             & ~contaminated & F.col("keep_quality_rel"))
     reason = (F.when(is_eval, "eval_holdout")
               .when(~F.col("keep_pipeline"), "pipeline")
+              .when(~F.col("keep_lines"), "line_format")
               .when(~F.col("keep_blocklist"), "blocklist")
               .when(contaminated, "contaminated")
               .when(~F.col("keep_quality_rel"), "quality_tail"))
     return out.select(
-        "doc_id", "keep_pipeline", "keep_blocklist",
+        "doc_id", "keep_pipeline", "keep_lines", "keep_blocklist",
         contaminated.alias("is_contaminated"),
         is_eval.alias("is_eval_holdout"),
         "keep_quality_rel", keep.alias("keep"),
@@ -1191,6 +1429,8 @@ def _fineweb_verdict_sql() -> str:
     return f"""
 WITH base AS (
   SELECT doc_id, keep AS keep_pipeline FROM ({_curation_sql()})
+), lf AS (
+  SELECT doc_id, keep_lines FROM ({GOPHER_LINE_SQL})
 ), bl AS (
   SELECT doc_id, keep_blocklist FROM ({_blocklist_sql()})
 ), dc AS (
@@ -1198,21 +1438,25 @@ WITH base AS (
 ), qr AS (
   SELECT doc_id, keep_quality_rel FROM ({_quality_percentile_sql()})
 ), j AS (
-  SELECT base.doc_id, base.keep_pipeline, bl.keep_blocklist,
+  SELECT base.doc_id, base.keep_pipeline, lf.keep_lines,
+         bl.keep_blocklist,
          COALESCE(dc.is_contaminated, FALSE) AS is_contaminated,
          base.doc_id % {BENCH_MOD} = 0 AS is_eval_holdout,
          qr.keep_quality_rel
   FROM base
+  JOIN lf USING (doc_id)
   JOIN bl USING (doc_id)
   JOIN qr USING (doc_id)
   LEFT JOIN dc USING (doc_id)
 )
-SELECT doc_id, keep_pipeline, keep_blocklist, is_contaminated,
-       is_eval_holdout, keep_quality_rel,
-       (NOT is_eval_holdout AND keep_pipeline AND keep_blocklist
+SELECT doc_id, keep_pipeline, keep_lines, keep_blocklist,
+       is_contaminated, is_eval_holdout, keep_quality_rel,
+       (NOT is_eval_holdout AND keep_pipeline AND keep_lines
+        AND keep_blocklist
         AND NOT is_contaminated AND keep_quality_rel) AS keep,
        CASE WHEN is_eval_holdout THEN 'eval_holdout'
             WHEN NOT keep_pipeline THEN 'pipeline'
+            WHEN NOT keep_lines THEN 'line_format'
             WHEN NOT keep_blocklist THEN 'blocklist'
             WHEN is_contaminated THEN 'contaminated'
             WHEN NOT keep_quality_rel THEN 'quality_tail'
@@ -1687,6 +1931,8 @@ SPARK_QUERIES = {
     "pages_outlinks": pages_outlinks,
     "pages_host_outdegree": pages_host_outdegree,
     "hosts_pagerank": hosts_pagerank,
+    "hosts_pagerank_full": hosts_pagerank_full,
+    "hosts_pagerank_dangling": hosts_pagerank_dangling,
     "hosts_link_spam": hosts_link_spam,
     "hosts_spam_mass": hosts_spam_mass,
     "pages_robots_filter": pages_robots_filter,
@@ -1704,6 +1950,7 @@ SPARK_QUERIES = {
     "docs_blocklist_filter": docs_blocklist_filter,
     "docs_data_card": docs_data_card,
     "docs_substring_dedup": docs_substring_dedup,
+    "docs_gopher_line_filters": docs_gopher_line_filters,
     "docs_fineweb_verdict": docs_fineweb_verdict,
     "docs_drop_reason_report": docs_drop_reason_report,
 }
@@ -1712,6 +1959,8 @@ ORACLE_SQL = {
     "pages_outlinks": PAGES_OUTLINKS_SQL,
     "pages_host_outdegree": PAGES_HOST_OUTDEGREE_SQL,
     "hosts_pagerank": _pagerank_sql(),
+    "hosts_pagerank_full": _pagerank_full_sql(False),
+    "hosts_pagerank_dangling": _pagerank_full_sql(True),
     "hosts_link_spam": HOSTS_LINK_SPAM_SQL,
     "hosts_spam_mass": HOSTS_SPAM_MASS_SQL,
     "pages_robots_filter": PAGES_ROBOTS_SQL,
@@ -1729,6 +1978,7 @@ ORACLE_SQL = {
     "docs_blocklist_filter": _blocklist_sql(),
     "docs_data_card": _data_card_sql(),
     "docs_substring_dedup": DOCS_SUBSTR_DEDUP_SQL,
+    "docs_gopher_line_filters": GOPHER_LINE_SQL,
     "docs_fineweb_verdict": _fineweb_verdict_sql(),
     "docs_drop_reason_report": _drop_reason_report_sql(),
 }

@@ -90,3 +90,83 @@ def test_minhash_jaccard_estimate_tracks_exact(spark):
         if exact[k] == 1.0:
             assert est[k] == 1.0, (k, est[k])
         assert abs(est[k] - exact[k]) <= 0.5, (k, est[k], exact[k])
+
+
+def test_bpe_artifact_validates_loudly(tmp_path, monkeypatch):
+    """A malformed merges artifact must raise, not silently tokenize
+    wrong — the same loud-failure discipline as the layout/OCR/CRF
+    artifact heads (tests/test_inference.py)."""
+    import json
+
+    import pytest
+
+    from ocr_spark.plans import dataops
+
+    good = json.load(open(dataops.BPE_ARTIFACT, encoding="utf-8"))
+
+    def _write(obj):
+        p = tmp_path / "bpe_bad.json"
+        p.write_text(json.dumps(obj), encoding="utf-8")
+        return str(p)
+
+    for mutate in (
+        lambda m: {**m, "kind": "not-merges"},
+        lambda m: {**m, "merges": []},
+        lambda m: {**m, "merges": [["a", "b c"]]},
+        lambda m: {**m, "merges": [["a"]]},
+        lambda m: {**m, "space_symbol": "GG"},
+    ):
+        bad_path = _write(mutate(good))
+        monkeypatch.setattr(dataops, "BPE_ARTIFACT", bad_path)
+        with pytest.raises(ValueError, match="bad BPE artifact"):
+            dataops._bpe_model()
+
+
+def test_bpe_merges_count_matches_reference_loop():
+    """The chained-replace formulation equals a straightforward Python
+    implementation of sequential-exhaustive merge application on
+    representative pre-tokens (incl. staggered repeats that need the
+    multi-pass boundary replace)."""
+    import json
+
+    from ocr_spark.plans import dataops
+
+    model = json.load(open(dataops.BPE_ARTIFACT, encoding="utf-8"))
+    space = model["space_symbol"]
+
+    def py_count(tok: str) -> int:
+        syms = list(tok.replace(" ", space))
+        for a, b in model["merges"]:
+            out = []
+            i = 0
+            changed = True
+            while changed:
+                changed = False
+                out = []
+                i = 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == a
+                            and syms[i + 1] == b):
+                        out.append(a + b)
+                        i += 2
+                        changed = True
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            syms = out or syms
+        return len(syms)
+
+    def sql_like_count(tok: str) -> int:
+        s = " " + " ".join(tok.replace(" ", space)) + " "
+        for a, b in model["merges"]:
+            for _ in range(dataops._BPE_RULE_PASSES):
+                s = s.replace(f" {a} {b} ", f" {a}{b} ")
+        return len(s.strip().split(" "))
+
+    cases = [" the", " data", " spark", " thththth", " tttt",
+             " question", "word", " the the", "   ", " rowrow",
+             " thethethe", " datadata", " star", " in", "x"]
+    for tok in cases:
+        assert sql_like_count(tok) == py_count(tok), (
+            tok, sql_like_count(tok), py_count(tok))
