@@ -48,10 +48,14 @@ _DRIVER_FRONT: tuple[str, ...] = (
     # new in round 4
     "emb_kmeans_train",
     "emb_ivf_trained_topk",
+    "emb_ivf_trained_multiprobe_topk",
     "docs_gopher_line_filters",
     "docs_bpe_merges_token_count",
     "hosts_pagerank_full",
     "hosts_pagerank_dangling",
+    "q7_volume_shipping", "q8_market_share", "q10_returned_items",
+    "q13_customer_distribution", "q15_top_supplier",
+    "q18_large_volume_customers", "q19_discounted_revenue",
     # never driver-checked through r3 (webops + curation + one events)
     "ev_retention_cohorts",
     "pages_outlinks", "pages_host_outdegree", "hosts_pagerank",

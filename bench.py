@@ -55,6 +55,12 @@ HEADLINE = [
     "docs_decontaminate",
     "docs_bigram_logprob",
     "docs_fineweb_verdict",
+    # round 4: Lloyd k-means IVF training, extraction-composed line
+    # gate, full-edge-list PageRank, artifact-BPE token counting
+    "emb_kmeans_train",
+    "docs_gopher_line_filters",
+    "hosts_pagerank_full",
+    "docs_bpe_merges_token_count",
 ]
 
 

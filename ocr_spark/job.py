@@ -347,8 +347,8 @@ def run_curation_job(spark: SparkSession, work_dir: str, *,
                      shard_token_budget: int = 2000,
                      dedup: str = "para") -> dict:
     """Corpus-wide curation stage over the committed extraction output:
-    C4-style corpus dedup → quality + repetition filters → keep/drop
-    verdict with drop reason → token-budget shard packing of the kept
+    C4-style corpus dedup → quality + line-format + repetition
+    filters → keep/drop verdict with drop reason → token-budget shard packing of the kept
     set → ONE published snapshot + a metrics row.
 
     ``dedup`` picks the corpus-dedup granularity: ``"para"`` (default)
@@ -377,7 +377,9 @@ def run_curation_job(spark: SparkSession, work_dir: str, *,
         _GF_MIN_ALPHA_FRAC, _GF_MIN_MEAN_WLEN, _GF_MIN_STOP_HITS,
         _GF_MIN_WORDS, _GF_MAX_MEAN_WLEN, _GF_MAX_WORDS, _GF_STOPWORDS,
     )
-    from ocr_spark.plans.webops import DUP_2GRAM_MAX_FRAC
+    from ocr_spark.plans.webops import (
+        DUP_2GRAM_MAX_FRAC, GLF_MAX_BULLET_FRAC, GLF_MAX_ELLIPSIS_FRAC,
+    )
     from pyspark.sql.window import Window
 
     if dedup not in ("para", "span", "substr"):
@@ -451,6 +453,21 @@ def run_curation_job(spark: SparkSession, work_dir: str, *,
                   & (stop_hits >= _GF_MIN_STOP_HITS))
     with_quality = base.withColumn("quality_ok", quality_ok)
 
+    # ---- stage 2.5: Gopher LINE-level format gate over the deduped
+    # text (bullet-start / ellipsis-end line ratios — same thresholds
+    # as the oracle-checked docs_gopher_line_filters); narrow map
+    lines = F.filter(F.split("text_deduped", "\n"), lambda x: x != "")
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(
+        lines, lambda x: x.startswith("\u2022 ") | x.startswith("- ")
+        | x.startswith("* ")))
+    n_ellipsis = F.size(F.filter(
+        lines, lambda x: x.endswith("...") | x.endswith("\u2026")))
+    line_ok = F.when(n_lines == 0, F.lit(True)).otherwise(
+        (F.round(n_bullet / n_lines, 4) <= GLF_MAX_BULLET_FRAC)
+        & (F.round(n_ellipsis / n_lines, 4) <= GLF_MAX_ELLIPSIS_FRAC))
+    with_quality = with_quality.withColumn("line_ok", line_ok)
+
     # ---- stage 3: 2-gram repetition over the deduped text
     grams = F.when(
         F.size("toks") >= 2,
@@ -468,9 +485,10 @@ def run_curation_job(spark: SparkSession, work_dir: str, *,
                .withColumn("repetition_ok",
                            F.col("dup_2gram_frac") <= DUP_2GRAM_MAX_FRAC)
                .withColumn("keep", F.col("quality_ok")
-                           & F.col("repetition_ok"))
+                           & F.col("line_ok") & F.col("repetition_ok"))
                .withColumn("drop_reason",
                            F.when(~F.col("quality_ok"), "quality")
+                           .when(~F.col("line_ok"), "line_format")
                            .when(~F.col("repetition_ok"), "repetition")))
 
     # ---- stage 4: token-budget shard packing of the kept set, windowed
@@ -488,8 +506,8 @@ def run_curation_job(spark: SparkSession, work_dir: str, *,
     out = (verdict.join(kept.select("url", "shard_id"), "url", "left")
            .select("url", "text_deduped", "n_paras", "n_kept", "n_words",
                    F.round("dup_2gram_frac", 4).alias("dup_2gram_frac"),
-                   "quality_ok", "repetition_ok", "keep", "drop_reason",
-                   "shard_id"))
+                   "quality_ok", "line_ok", "repetition_ok", "keep",
+                   "drop_reason", "shard_id"))
 
     out_sid = shim.prepare_snapshot(
         out, curation_root(work_dir), snapshot_id=f"cur-{run_id}",
@@ -505,16 +523,18 @@ def run_curation_job(spark: SparkSession, work_dir: str, *,
                   .alias("dropped_quality"),
                   F.sum((F.col("drop_reason") == "repetition").cast("long"))
                   .alias("dropped_repetition"),
+                  F.sum((F.col("drop_reason") == "line_format")
+                        .cast("long")).alias("dropped_line_format"),
                   F.countDistinct("shard_id").alias("shards"))
              .collect()[0])
     metrics = spark.createDataFrame(
         [(run_id, out_sid, int(stats.docs), int(stats.paras_total),
           int(stats.paras_kept), int(stats.docs_kept),
           int(stats.dropped_quality), int(stats.dropped_repetition),
-          int(stats.shards))],
+          int(stats.dropped_line_format), int(stats.shards))],
         "run_id string, snapshot string, docs long, paras_total long, "
         "paras_kept long, docs_kept long, dropped_quality long, "
-        "dropped_repetition long, shards long")
+        "dropped_repetition long, dropped_line_format long, shards long")
     metrics.coalesce(1).write.mode("append").parquet(
         os.path.join(work_dir, "curation_metrics"))
 
@@ -524,6 +544,7 @@ def run_curation_job(spark: SparkSession, work_dir: str, *,
             "paras_removed": int(stats.paras_total - stats.paras_kept),
             "dropped_quality": int(stats.dropped_quality),
             "dropped_repetition": int(stats.dropped_repetition),
+            "dropped_line_format": int(stats.dropped_line_format),
             "shards": int(stats.shards)}
 
 

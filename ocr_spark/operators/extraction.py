@@ -274,13 +274,102 @@ def _extract_batches_fn(blocks_mode: str):
     return _extract_batches
 
 
+def _arrow_result_schema(use_large: bool):
+    """EXTRACT_RESULT_SCHEMA as a pyarrow schema. Spark's mapInArrow
+    validates the returned batches against the DECLARED Spark schema
+    converted with the session's useLargeVarTypes setting, so the
+    string flavor must be captured driver-side and shipped in the
+    closure (the worker cannot read the session conf)."""
+    import pyarrow as pa
+
+    s = pa.large_string() if use_large else pa.string()
+    return pa.schema([
+        ("url", s), ("bucket", pa.int32()), ("kind", s), ("text", s),
+        ("n_pages", pa.int32()), ("n_blocks", pa.int32()),
+        ("n_spans", pa.int32()), ("n_matches", pa.int32()),
+        ("n_blocks_dropped", pa.int32()),
+        ("blocks_json", s), ("spans_json", s), ("matches_json", s),
+        ("error", s), ("bytes_in", pa.int64()),
+        ("extract_ms", pa.float64()),
+    ])
+
+
+def _extract_batches_arrow_fn(blocks_mode: str, use_large: bool):
+    """mapInArrow twin of ``_extract_batches_fn``: identical kernel
+    loop, but the Arrow boundary is crossed WITHOUT pandas — input
+    columns read straight off the RecordBatch (no block consolidation,
+    no object-Series boxing of multi-MB html bytes), output built as
+    pa.arrays. Same rows, same values, byte-identical text (pinned by
+    tests/test_arrow_impl.py); only the serialization path differs."""
+    offsets = blocks_mode == "offsets"
+    kernel_env = {k: os.environ.get(k) for k in (
+        "OCR_SPARK_SYMSPELL_CASE",
+        "OCR_SPARK_LAYOUT_IMPL", "OCR_SPARK_LAYOUT_ARTIFACT",
+        "OCR_SPARK_OCR_IMPL", "OCR_SPARK_OCR_ARTIFACT",
+        "OCR_SPARK_CRF_IMPL", "OCR_SPARK_CRF_ARTIFACT",
+    )}
+
+    def _extract_batches(batches):
+        import pyarrow as pa
+
+        for k, v in kernel_env.items():
+            if v is not None:
+                os.environ[k] = v
+            else:
+                os.environ.pop(k, None)
+        from ocr_spark.core.extract import extract_document
+
+        schema = _arrow_result_schema(use_large)
+        col_names = schema.names
+
+        for batch in batches:
+            idx = {n: i for i, n in enumerate(batch.schema.names)}
+            urls = batch.column(idx["url"]).to_pylist()
+            htmls = batch.column(idx["html"]).to_pylist()
+            buckets = (batch.column(idx["bucket"]).to_pylist()
+                       if "bucket" in idx else [None] * len(urls))
+            cols: dict[str, list] = {name: [] for name in col_names}
+            for url, raw, bucket in zip(urls, htmls, buckets):
+                if isinstance(raw, str):
+                    raw = raw.encode("utf-8")
+                t0 = time.perf_counter()
+                res = extract_document(url, raw)
+                ms = (time.perf_counter() - t0) * 1000.0
+                blocks = (compact_blocks(res.blocks, res.text)
+                          if offsets else res.blocks)
+                cols["url"].append(url)
+                cols["bucket"].append(bucket)
+                cols["kind"].append(res.kind)
+                cols["text"].append(res.text)
+                cols["n_pages"].append(res.n_pages)
+                cols["n_blocks"].append(len(res.blocks))
+                cols["n_spans"].append(len(res.spans))
+                cols["n_matches"].append(len(res.matches))
+                cols["n_blocks_dropped"].append(res.n_blocks_dropped)
+                cols["blocks_json"].append(
+                    json.dumps(blocks, ensure_ascii=False))
+                cols["spans_json"].append(
+                    json.dumps(res.spans, ensure_ascii=False))
+                cols["matches_json"].append(
+                    json.dumps(res.matches, ensure_ascii=False))
+                cols["error"].append(res.error)
+                cols["bytes_in"].append(len(raw) if raw is not None else 0)
+                cols["extract_ms"].append(ms)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[f.name], type=f.type) for f in schema],
+                schema=schema)
+
+    return _extract_batches
+
+
 def run_extraction(pages: DataFrame, partitions: int = 128,
                    big_partitions: int = 8,
                    big_threshold: int = DEFAULT_BIG_THRESHOLD,
                    n_buckets: int = DEFAULT_BUCKETS,
                    salt: bool = True,
                    blocks_mode: str | None = None,
-                   jvm_prescan: bool | None = None) -> DataFrame:
+                   jvm_prescan: bool | None = None,
+                   impl: str | None = None) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → extracted results DataFrame.
 
     ``blocks_mode``: 'full' (default) serializes complete block dicts;
@@ -288,6 +377,13 @@ def run_extraction(pages: DataFrame, partitions: int = 128,
     the Arrow IPC bytes leaving the Python worker. Defaults from the
     ``OCR_SPARK_BLOCKS_MODE`` env var so bench/driver runs can flip it
     without a code change.
+
+    ``impl`` ('pandas' default, or 'arrow'; env
+    ``OCR_SPARK_EXTRACT_IMPL``): which Python-boundary runner carries
+    the kernel — mapInPandas, or the mapInArrow twin that skips the
+    pandas layer on both sides of the Arrow boundary. Identical rows
+    and byte-identical text either way (tests/test_arrow_impl.py);
+    see BENCH/arrow_impl.json for the measured throughput verdict.
 
     ``jvm_prescan`` (default off, env ``OCR_SPARK_JVM_PRESCAN=1``):
     strip comment/script/style spans JVM-side before the Arrow boundary
@@ -300,6 +396,10 @@ def run_extraction(pages: DataFrame, partitions: int = 128,
     exactly right: the Python kernel's cost scales with what IT parses).
     """
     mode = blocks_mode or os.environ.get("OCR_SPARK_BLOCKS_MODE", "full")
+    impl = impl or os.environ.get("OCR_SPARK_EXTRACT_IMPL", "pandas")
+    if impl not in ("pandas", "arrow"):
+        raise ValueError(f"unknown extraction impl {impl!r}: "
+                         "expected 'pandas' or 'arrow'")
     if jvm_prescan is None:
         jvm_prescan = os.environ.get("OCR_SPARK_JVM_PRESCAN") == "1"
     if jvm_prescan:
@@ -313,6 +413,13 @@ def run_extraction(pages: DataFrame, partitions: int = 128,
     # column pruning: the kernel only needs url/html/bucket — select BEFORE
     # mapInPandas so Arrow never serializes warc_ts/text/lang to Python.
     src = src.select("url", "html", "bucket")
+    if impl == "arrow":
+        spark = src.sparkSession
+        use_large = str(spark.conf.get(
+            "spark.sql.execution.arrow.useLargeVarTypes",
+            "false")).lower() == "true"
+        return src.mapInArrow(_extract_batches_arrow_fn(mode, use_large),
+                              schema=EXTRACT_RESULT_SCHEMA)
     return src.mapInPandas(_extract_batches_fn(mode),
                            schema=EXTRACT_RESULT_SCHEMA)
 

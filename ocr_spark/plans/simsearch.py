@@ -964,6 +964,50 @@ def emb_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("cos6", 4).alias("cos_sim"), "rank"))
 
 
+IVF_NPROBE = 2
+
+
+def emb_ivf_trained_multiprobe_topk(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """IVF multiprobe over trained cells: each query probes its
+    IVF_NPROBE nearest Lloyd centroids instead of one — the standard
+    recall lever when cluster boundaries cut true neighborhoods (the
+    IVF analogue of emb_lsh_multiprobe_topk's Hamming-1 expansion).
+    Probe list construction is the same broadcast-centroid narrow map
+    as assignment (sort the scored-centroid array, slice NPROBE); the
+    corpus side still sees only equi-joins on cell id, now against a
+    2x-larger broadcast query list. Cells are disjoint, so no
+    candidate dedup is needed."""
+    cent, assigned = _kmeans(spark, sf_dir)
+    emb = assigned.withColumn("nrm", _norm(F.col("v")))
+    centrow = cent.agg(F.array_sort(
+        F.collect_list(F.struct("cell", "cv"))).alias("cents"))
+    scored_cells = F.transform(
+        F.col("cents"), lambda c: F.struct(
+            _dist2(F.col("v"), c["cv"]).alias("d"),
+            c["cell"].alias("cell")))
+    probes = F.transform(
+        F.slice(F.array_sort(scored_cells), 1, IVF_NPROBE),
+        lambda s: s["cell"])
+    q = (emb.filter(F.col("vec_id") < N_QUERIES)
+         .crossJoin(F.broadcast(centrow))
+         .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+                 F.col("nrm").alias("qn"),
+                 F.explode(probes).alias("q_cell")))
+    j = emb.join(F.broadcast(q), (F.col("cell") == F.col("q_cell"))
+                 & (F.col("vec_id") != F.col("q_id")))
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    scored = j.select("q_id", "cell",
+                      F.col("vec_id").alias("neighbor_id"),
+                      F.round(cos, 6).alias("cos6"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos6"),
+                                           F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= IVF_TOPK)
+            .select("q_id", "cell", "neighbor_id",
+                    F.round("cos6", 4).alias("cos_sim"), "rank"))
+
+
 def _km_sql_ctes() -> str:
     """Unrolled Lloyd iterations as a CTE chain (the oracle cannot
     loop; KM_ITERS is fixed precisely so this stays finite)."""
@@ -1014,6 +1058,34 @@ FROM {_KM_FINAL} c JOIN cnt USING (cell),
      generate_series(1, {DIM}) AS u(i)
 """
 
+_IVF_TRAINED_MULTIPROBE_SQL = f"""
+{_KM_CTES},
+n AS (
+  SELECT af.vec_id, af.cell, af.v, {_sql_norm('af.v')} AS nrm FROM af
+), qp AS (
+  SELECT q_id, qv, qn, cell AS q_cell FROM (
+    SELECT e.vec_id AS q_id, e.v AS qv, {_sql_norm('e.v')} AS qn,
+           c.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_dist2('e.v', 'c.cv')}, c.cell) AS pr
+    FROM e CROSS JOIN {_KM_FINAL} c
+    WHERE e.vec_id < {N_QUERIES}
+  ) WHERE pr <= {IVF_NPROBE}
+), scored AS (
+  SELECT qp.q_id, n.cell, n.vec_id AS neighbor_id,
+         ROUND({_sql_dot('qp.qv', 'n.v')} / (qp.qn * n.nrm), 6) AS cos6
+  FROM qp JOIN n ON n.cell = qp.q_cell AND n.vec_id <> qp.q_id
+), ranked AS (
+  SELECT q_id, cell, neighbor_id, cos6,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cos6 DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, cell, neighbor_id, ROUND(cos6, 4) AS cos_sim, rank
+FROM ranked WHERE rank <= {IVF_TOPK}
+"""
+
 _IVF_TRAINED_TOPK_SQL = f"""
 {_KM_CTES},
 n AS (
@@ -1039,6 +1111,7 @@ FROM ranked WHERE rank <= {IVF_TOPK}
 SPARK_QUERIES = {
     "emb_kmeans_train": emb_kmeans_train,
     "emb_ivf_trained_topk": emb_ivf_trained_topk,
+    "emb_ivf_trained_multiprobe_topk": emb_ivf_trained_multiprobe_topk,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_range_search": emb_range_search,
     "emb_ivf_range_search": emb_ivf_range_search,
@@ -1055,6 +1128,7 @@ SPARK_QUERIES = {
 ORACLE_SQL = {
     "emb_kmeans_train": _KMEANS_TRAIN_SQL,
     "emb_ivf_trained_topk": _IVF_TRAINED_TOPK_SQL,
+    "emb_ivf_trained_multiprobe_topk": _IVF_TRAINED_MULTIPROBE_SQL,
     "emb_cosine_topk": _COSINE_TOPK_SQL,
     "emb_range_search": _RANGE_SEARCH_SQL,
     "emb_ivf_range_search": _IVF_RANGE_SQL,

@@ -57,8 +57,14 @@ def test_verdict_and_shards_consistent(curated):
     assert out.filter("NOT keep AND drop_reason IS NULL").count() == 0
     assert out.filter("NOT keep AND shard_id IS NOT NULL").count() == 0
     assert summary["docs_kept"] + summary["dropped_quality"] \
-        + summary["dropped_repetition"] == summary["docs"]
+        + summary["dropped_repetition"] \
+        + summary["dropped_line_format"] == summary["docs"]
     assert summary["docs_kept"] > 0 and summary["shards"] > 0
+    # the line-format gate does real work on this corpus: bullet-list
+    # docs (gen/wrap.py, every fifth doc) cross the bullet-ratio
+    # threshold once paragraph dedup has removed their duplicated
+    # heading lines
+    assert summary["dropped_line_format"] > 0
 
 
 def test_metrics_row_appended(curated):

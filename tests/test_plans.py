@@ -351,3 +351,24 @@ def test_kmeans_assignment_is_narrow_broadcast(spark):
     simple = (emb_kmeans_train(spark, SF)
               ._jdf.queryExecution().executedPlan().toString())
     assert "partial_avg" in simple or "partial_count" in simple, simple
+
+
+def test_q8_snowflake_all_dims_broadcast(spark):
+    """Q8's 7-table snowflake must resolve every dim join as broadcast
+    at sf0.01 — one fact scan, no SortMergeJoin."""
+    from ocr_spark.plans.relational_extra import q8_market_share
+
+    plan = fmt(q8_market_share(spark, SF))
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 6, plan
+
+
+def test_q13_left_join_not_turned_inner(spark):
+    """Q13's non-urgent filter lives in the join CONDITION; the plan
+    must keep the LEFT OUTER join (a WHERE would make it inner and
+    silently drop zero-order customers)."""
+    from ocr_spark.plans.relational_extra import q13_customer_distribution
+
+    df = q13_customer_distribution(spark, SF)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftOuter" in opt, opt

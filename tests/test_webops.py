@@ -530,3 +530,33 @@ def test_data_card_is_not_vacuous(spark):
     for r in rows:
         assert 0.0 < r.keep_rate < 1.0, r
         assert 0 < r.kept_tokens < r.n_tokens, r
+
+
+def test_gopher_line_gate_discriminates():
+    """The corpus-calibrated line-format thresholds must produce BOTH
+    outcomes (the _GF_MIN_STOP_HITS lesson: a constant gate is
+    vacuously green). Pure-Python over the expected extracted text —
+    the same lines the Spark query sees byte-for-byte."""
+    from ocr_spark.gen.wrap import expected_text_for_document
+    from ocr_spark.plans.webops import (
+        GLF_MAX_BULLET_FRAC, GLF_MAX_ELLIPSIS_FRAC)
+
+    outcomes = set()
+    bullet_fracs = set()
+    for doc_id in range(100):
+        text = expected_text_for_document(
+            doc_id, f"body text of document {doc_id} words")
+        lines = [ln for ln in text.split("\n") if ln]
+        bf = sum(ln.startswith(("• ", "- ", "* ")) for ln in lines) \
+            / len(lines)
+        ef = sum(ln.endswith(("...", "…")) for ln in lines) / len(lines)
+        keep = (round(bf, 4) <= GLF_MAX_BULLET_FRAC
+                and round(ef, 4) <= GLF_MAX_ELLIPSIS_FRAC)
+        outcomes.add(keep)
+        if doc_id % 5 == 2:
+            bullet_fracs.add(round(bf, 4))
+            assert bf > 0 and ef > 0, (doc_id, bf, ef)
+        else:
+            assert bf == 0 and ef == 0, (doc_id, bf, ef)
+    assert outcomes == {True, False}
+    assert len(bullet_fracs) >= 2  # ratios vary with block structure
