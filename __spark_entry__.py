@@ -46,6 +46,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # this round. Everything else keeps module order after them.
 _DRIVER_FRONT: tuple[str, ...] = (
     # new in round 4
+    "q2_min_cost_supplier", "q9_product_type_profit",
+    "q11_important_stock", "q16_parts_supplier_relationship",
+    "q20_potential_promotion",
     "emb_kmeans_train",
     "emb_ivf_trained_topk",
     "emb_ivf_trained_multiprobe_topk",
@@ -91,7 +94,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 / §7.8."""
     from ocr_spark.plans import (
         curation, dataops, extract_queries, multimodal_queries,
-        queries as q, relational_extra, simsearch, webops,
+        queries as q, relational_extra, simsearch, tpch_rest, webops,
     )
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -101,6 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(simsearch.SPARK_QUERIES)
     out.update(multimodal_queries.SPARK_QUERIES)
     out.update(relational_extra.SPARK_QUERIES)
+    out.update(tpch_rest.SPARK_QUERIES)
     out.update(webops.SPARK_QUERIES)
     out.update(curation.SPARK_QUERIES)
     return _reorder(out)
@@ -110,7 +114,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (same column names/aliases)."""
     from ocr_spark.plans import (
         curation, dataops, extract_queries, multimodal_queries,
-        queries as q, relational_extra, simsearch, webops,
+        queries as q, relational_extra, simsearch, tpch_rest, webops,
     )
 
     out: dict[str, str] = {}
@@ -120,6 +124,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(simsearch.ORACLE_SQL)
     out.update(multimodal_queries.ORACLE_SQL)
     out.update(relational_extra.ORACLE_SQL)
+    out.update(tpch_rest.ORACLE_SQL)
     out.update(webops.ORACLE_SQL)
     out.update(curation.ORACLE_SQL)
     return _reorder(out)
