@@ -195,6 +195,74 @@ FROM base
 """
 
 
+# ---------------------------------------------------------------------------
+# Training-sequence packing (concat-and-chunk)
+# ---------------------------------------------------------------------------
+
+SEQ_LEN = 512
+
+
+def docs_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: per language stream
+    (doc_id order), documents are concatenated token-wise and cut into
+    fixed SEQ_LEN-token training sequences; each document reports the
+    sequence ids it lands in and the fragmentation this packing causes.
+
+    Complements docs_token_shards (which assigns WHOLE docs to token-
+    budget shards): here docs SPLIT across sequence boundaries, and the
+    boundary-crossing count (n_seqs > 1) is the packing-efficiency /
+    attention-fragmentation metric an LM data pipeline reports when
+    choosing sequence length vs document-length distribution.
+
+    Scale shape: one window per language stream over (doc_id, n_tokens)
+    — token counting is a narrow map, the window input is one row per
+    doc (not per token), and languages pack in parallel; the production
+    form windows per output shard exactly like docs_token_shards."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), _TOKS)
+    n = F.when((F.size(toks) == 1) & (toks[0] == ""), F.lit(0)) \
+         .otherwise(F.size(toks))
+    base = docs.select("doc_id", "lang", n.cast("long").alias("n_tokens"))
+    w = (Window.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    prefix = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    seq_first = F.floor(prefix / SEQ_LEN)
+    seq_last = F.floor((prefix + F.greatest(F.col("n_tokens"), F.lit(1))
+                        - 1) / SEQ_LEN)
+    return (base.withColumn("offset_in_seq",
+                            (prefix % SEQ_LEN).cast("int"))
+            .withColumn("seq_first", seq_first.cast("int"))
+            .withColumn("seq_last", seq_last.cast("int"))
+            .withColumn("n_seqs",
+                        (seq_last - seq_first + 1).cast("int")))
+
+
+SEQ_PACK_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lang,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END
+              AS BIGINT) AS n_tokens
+  FROM documents
+), pre AS (
+  SELECT doc_id, lang, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS prefix
+  FROM base
+)
+SELECT doc_id, lang, n_tokens,
+       CAST(prefix % {SEQ_LEN} AS INT) AS offset_in_seq,
+       CAST(FLOOR(prefix / {SEQ_LEN}) AS INT) AS seq_first,
+       CAST(FLOOR((prefix + GREATEST(n_tokens, 1) - 1) / {SEQ_LEN})
+            AS INT) AS seq_last,
+       CAST(FLOOR((prefix + GREATEST(n_tokens, 1) - 1) / {SEQ_LEN})
+            - FLOOR(prefix / {SEQ_LEN}) + 1 AS INT) AS n_seqs
+FROM pre
+"""
+
+
 QUALITY_ARTIFACT = os.path.join(
     os.path.dirname(os.path.dirname(__file__)), "data",
     "quality_stub_v1.json")
@@ -720,6 +788,7 @@ SPARK_QUERIES = {
     "docs_bigram_logprob": docs_bigram_logprob,
     "docs_sample_stratified": docs_sample_stratified,
     "docs_token_shards": docs_token_shards,
+    "docs_seq_pack": docs_seq_pack,
     "docs_classifier_score": docs_classifier_score,
     "docs_decontaminate": docs_decontaminate,
     "docs_domain_mixture": docs_domain_mixture,
@@ -733,6 +802,7 @@ ORACLE_SQL = {
     "docs_bigram_logprob": BIGRAM_LOGPROB_SQL,
     "docs_sample_stratified": SAMPLE_STRATIFIED_SQL,
     "docs_token_shards": TOKEN_SHARDS_SQL,
+    "docs_seq_pack": SEQ_PACK_SQL,
     "docs_classifier_score": _classifier_sql(),
     "docs_decontaminate": DECONTAMINATE_SQL,
     "docs_domain_mixture": DOMAIN_MIXTURE_SQL,

@@ -1263,6 +1263,93 @@ FROM ranked WHERE rank <= {TOP_NGRAMS_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP_K = 3
+
+
+def _tfidf_per_doc(docs: DataFrame) -> DataFrame:
+    """(doc_id, term, tf): the corpus's per-document term profile —
+    one token-volume explode partial-aggregated map-side into per-doc
+    distinct terms before the shuffle."""
+    return (docs.select("doc_id", F.explode(_tokens()).alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf")))
+
+
+def docs_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-K keywords by TF-IDF — the classic corpus
+    statistic behind keyword/topic summaries and per-domain descriptors
+    in corpus data cards (Dodge et al. 2021 document C4 this way).
+
+    score = tf * ln(N / df) with tf = term count in the doc, df = number
+    of docs containing the term, N = corpus size. The score is published
+    as an integer ``score_micro`` (round(score * 1e6)) so both engines
+    rank and hash on exact integers — cross-engine libm drift in ``ln``
+    is ~1 ulp, far below the micro quantum.
+
+    Scale shape: explode is narrow; groupBy(doc_id, term) partial-
+    aggregates map-side so the shuffle carries per-doc distinct terms,
+    not token volume; df rides a second groupBy over that (distinct-term
+    sized); the df table joins back on term (hot terms are counts, not
+    rows — AQE handles residual skew); N broadcasts as a 1-row frame;
+    the top-K window partitions by doc_id, which is already the join
+    output's key.
+
+    The per-doc term profile feeds BOTH the probe side and the df
+    rollup; without materialization Spark would tokenize the corpus
+    twice (column pruning makes the two subtrees non-identical, so
+    exchange reuse cannot kick in — verified on the physical plan).
+    localCheckpoint materializes it once, the same pattern
+    docs_near_dup_clusters uses for its iteration state. The window-
+    by-term alternative would be single-pass without a checkpoint but
+    puts every row of a stopword term in one partition — a skew
+    killer at corpus scale, rejected."""
+    docs = t(spark, sf_dir, "documents")
+    per_doc = _tfidf_per_doc(docs).localCheckpoint()
+    df_tbl = per_doc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_corpus"))
+    scored = (per_doc.join(df_tbl, "term")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn(
+                  "score_micro",
+                  F.round(F.col("tf") * F.log(F.col("n_corpus")
+                                              / F.col("df")) * 1e6)
+                  .cast("long")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_micro"), F.asc("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TFIDF_TOP_K)
+            .select("doc_id", "term", "tf", "df", "score_micro", "rank"))
+
+
+_TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+), per_doc AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, term
+), df_tbl AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM per_doc GROUP BY term
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM documents
+), scored AS (
+  SELECT p.doc_id, p.term, p.tf, d.df,
+         CAST(ROUND(p.tf * ln(n.n_corpus / d.df) * 1e6) AS BIGINT)
+             AS score_micro
+  FROM per_doc p JOIN df_tbl d USING (term), n
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+             ORDER BY score_micro DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, score_micro, rank
+FROM ranked WHERE rank <= {TFIDF_TOP_K}
+"""
+
+
 SPARK_QUERIES = {
     "docs_minhash_signature": docs_minhash_signature,
     "docs_minhash_lsh_pairs": docs_minhash_lsh_pairs,
@@ -1281,6 +1368,7 @@ SPARK_QUERIES = {
     "docs_rolling_hash": docs_rolling_hash,
     "docs_sentences_udtf": docs_sentences_udtf,
     "docs_top_ngrams": docs_top_ngrams,
+    "docs_tfidf_topk": docs_tfidf_topk,
 }
 
 ORACLE_SQL = {
@@ -1301,4 +1389,5 @@ ORACLE_SQL = {
     "docs_rolling_hash": _ROLLING_HASH_SQL,
     "docs_sentences_udtf": _SENTENCES_SQL,
     "docs_top_ngrams": _TOP_NGRAMS_SQL,
+    "docs_tfidf_topk": _TFIDF_SQL,
 }

@@ -729,6 +729,89 @@ def pages_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# RefinedWeb/MassiveText line-level dedup: a line that appears in at
+# least this many DISTINCT urls is boilerplate and is removed from
+# EVERY document (including the first occurrence — unlike C4's
+# first-occurrence-wins paragraph rule above). Production recipes set
+# this in the hundreds; 2 keeps the rule observable at test SF.
+LINE_DUP_MIN_URLS = 2
+
+
+def pages_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style corpus-wide line dedup, downstream of
+    extraction: split extracted text on the block joiner, find lines
+    occurring in >= LINE_DUP_MIN_URLS distinct urls, remove ALL of their
+    occurrences everywhere, reassemble per-document text.
+
+    Complements pages_para_dedup: C4 keeps the globally-first copy of a
+    duplicated paragraph; the RefinedWeb/MassiveText line rule treats
+    high-document-frequency lines as boilerplate (nav, legal footers)
+    and strips every copy. On the wrapped corpus the section headings
+    (7 distinct strings corpus-wide) and the disclaimer variants (3)
+    are removed everywhere while doc-unique titles/prose survive.
+
+    Scale shape: one exchange keyed (line, url) for the distinct-url
+    count (two-step groupBy, no count_distinct — hot lines carry counts,
+    not rows); the surviving duplicate-line set is by construction the
+    high-document-frequency HEAD of the corpus (bounded by the
+    boilerplate vocabulary, not the corpus), so it BROADCASTS back onto
+    the exploded lines; one exchange keyed url for reassembly."""
+    pages = pages_from_documents(spark, sf_dir)
+    extracted = run_extraction(pages, partitions=32, big_partitions=2)
+    lines = extracted.select(
+        "url",
+        F.posexplode(F.split("text", "\n\n")).alias("line_idx", "line"),
+    )
+    url_counts = (lines.groupBy("line", "url")
+                  .agg(F.count(F.lit(1)).alias("n_in_url"))
+                  .groupBy("line")
+                  .agg(F.count(F.lit(1)).alias("n_urls")))
+    dup = url_counts.filter(F.col("n_urls") >= LINE_DUP_MIN_URLS)
+    marked = lines.join(F.broadcast(dup), "line", "left")
+    kept_struct = F.when(
+        F.col("n_urls").isNull(), F.struct("line_idx", "line"))
+    return (
+        marked.groupBy("url")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("n_urls").isNotNull().cast("long"))
+             .alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["line"],
+                ),
+                "\n\n",
+            ).alias("text_clean"),
+        )
+    )
+
+
+PAGES_LINE_DEDUP_SQL = _BLOCKS_CTE + f"""
+, lines AS (
+  SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+         block_id AS line_idx, btext AS line
+  FROM seq
+), dup AS (
+  SELECT line FROM (
+    SELECT line, COUNT(DISTINCT url) AS n_urls FROM lines GROUP BY line
+  ) WHERE n_urls >= {LINE_DUP_MIN_URLS}
+), marked AS (
+  SELECT l.url, l.line_idx, l.line,
+         (d.line IS NOT NULL) AS is_dup
+  FROM lines l LEFT JOIN dup d ON l.line = d.line
+)
+SELECT url,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_removed,
+       COALESCE(string_agg(CASE WHEN NOT is_dup THEN line END,
+                           chr(10) || chr(10) ORDER BY line_idx),
+                '') AS text_clean
+FROM marked GROUP BY url
+"""
+
+
 PAGES_PARA_DEDUP_SQL = _BLOCKS_CTE + """
 , paras AS (
   SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
@@ -1941,6 +2024,7 @@ SPARK_QUERIES = {
     "docs_curation_verdict": docs_curation_verdict,
     "pages_pii_scan": pages_pii_scan,
     "pages_para_dedup": pages_para_dedup,
+    "pages_line_dedup": pages_line_dedup,
     "pages_span_dedup": pages_span_dedup,
     "docs_repetition_metrics": docs_repetition_metrics,
     "docs_substring_dup_coverage": docs_substring_dup_coverage,
@@ -1969,6 +2053,7 @@ ORACLE_SQL = {
     "docs_curation_verdict": _curation_sql(),
     "pages_pii_scan": PAGES_PII_SQL,
     "pages_para_dedup": PAGES_PARA_DEDUP_SQL,
+    "pages_line_dedup": PAGES_LINE_DEDUP_SQL,
     "pages_span_dedup": PAGES_SPAN_DEDUP_SQL,
     "docs_repetition_metrics": DOCS_REPETITION_SQL,
     "docs_substring_dup_coverage": DOCS_SUBSTR_DUP_SQL,

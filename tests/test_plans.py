@@ -372,3 +372,52 @@ def test_q13_left_join_not_turned_inner(spark):
     df = q13_customer_distribution(spark, SF)
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     assert "LeftOuter" in opt, opt
+
+
+def test_tfidf_partial_agg_and_topk_window(spark):
+    """TF-IDF: the per-doc term profile partial-aggregates the token
+    explode map-side; it is materialized ONCE (localCheckpoint) so the
+    corpus is not tokenized twice; the vocab-sized df table comes back
+    as a BROADCAST join (never a window by term — stopword skew)."""
+    from ocr_spark.plans.dataops import _tfidf_per_doc, docs_tfidf_topk
+
+    per_doc = _tfidf_per_doc(spark.read.parquet(f"{SF}/documents.parquet"))
+    simple = per_doc._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in simple, simple
+
+    df = docs_tfidf_topk(spark, SF)
+    plan = fmt(df)
+    # single materialized profile: downstream reads the checkpointed
+    # RDD; the only parquet scan left is the zero-column corpus count
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 1, plan
+    assert "ReadSchema: struct<>" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert n_shuffles(plan) <= 3, plan
+
+
+def test_line_dedup_broadcasts_boilerplate_set(spark):
+    """The duplicate-line (boilerplate) set is bounded by the
+    boilerplate vocabulary, not the corpus: it must come back onto the
+    exploded lines as a BROADCAST join, never a shuffled one."""
+    from ocr_spark.plans.webops import pages_line_dedup
+
+    df = pages_line_dedup(spark, SF)
+    plan = fmt(df)
+    assert "BroadcastHashJoin" in plan, plan
+    # count two-step (line,url)->line aggs, reassembly, and NO
+    # sort-merge join of lines against the dup set
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_seq_pack_windows_per_language_stream(spark):
+    """Sequence packing must be one exchange per language stream (the
+    window input is one row per doc): no token-volume shuffle, no
+    single-partition global window."""
+    from ocr_spark.plans.curation import docs_seq_pack
+
+    df = docs_seq_pack(spark, SF)
+    plan = fmt(df)
+    assert n_shuffles(plan) <= 1, plan
+    assert "SinglePartition" not in plan, plan
