@@ -783,7 +783,165 @@ GROUP BY big.doc_id, big.lang
 """
 
 
+# ---------------------------------------------------------------------------
+# DSIR — data selection with importance resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 1024          # hashed n-gram feature space (paper: 10k)
+DSIR_TARGET_SOURCES = ("src0", "src1", "src2")  # curated-domain proxy
+DSIR_SELECT_FRAC = 0.25      # keep the top quartile per language
+_MICRO = 1_000_000           # λ quantization: integer micro-nats
+
+
+def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw-corpus
+    document by how target-like its hashed n-gram bag is, then select
+    the most target-like fraction. Features are unigrams + bigrams
+    hashed into DSIR_BUCKETS buckets (the paper's hashed n-gram
+    generative model); the target distribution p and raw distribution q
+    are add-1-smoothed bucket frequencies; a document's log importance
+    weight is sum over its features of λ[b] = ln p[b] − ln q[b]. The
+    target corpus here is the curated-source proxy
+    ``source IN DSIR_TARGET_SOURCES`` (in production: Wikipedia/books);
+    raw is the whole crawl, target included, exactly as in the paper.
+    Selection is the top DSIR_SELECT_FRAC per language by
+    length-normalized weight (sum-weight favors long documents;
+    the paper resamples, which is length-aware — the per-token mean is
+    the deterministic analogue), ties broken on doc_id.
+
+    Cross-engine determinism: λ is quantized to integer micro-nats
+    (floor(1e6·λ) as BIGINT) so per-document sums are exact integer
+    arithmetic — order-independent under any shuffle/partitioning, and
+    the rank window orders on a value both engines derive identically
+    from two integers.
+
+    Scale shape (100 TB): the λ table is bounded by DSIR_BUCKETS (a
+    plan constant) and BROADCASTS; the target corpus is small by
+    definition (curated reference vs crawl) so its bucket counts are a
+    cheap aggregate; the raw bucket counts are one partial-aggregated
+    groupBy over DSIR_BUCKETS keys (map-side combine collapses almost
+    everything — B is tiny); the probe side pre-aggregates per
+    (doc_id, bucket) before the broadcast join (the bigram-LM skew
+    discipline), and the only corpus-sized shuffles are keyed doc_id.
+    The per-language exact rank is the oracle-checkable form; at 10^12
+    docs it becomes one approx_percentile cutoff per language broadcast
+    back (the docs_quality_percentile_gate note). The reference has no
+    corpus selection (SURVEY §2 absent lists)."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), _TOKS)
+    bi = F.when(
+        F.size(toks) >= 2,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - 2),
+                    lambda i: F.concat(F.element_at(toks, i + 1),
+                                       F.lit(" "),
+                                       F.element_at(toks, i + 2))),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = docs.select(
+        "doc_id", "lang",
+        F.col("source").isin(*DSIR_TARGET_SOURCES).alias("is_target"),
+        F.explode(F.concat(toks, bi)).alias("f"),
+    )
+    b = (F.conv(F.substring(F.md5("f"), 1, 8), 16, 10).cast("long")
+         % DSIR_BUCKETS)
+    fb = feats.select("doc_id", "lang", "is_target", b.alias("b"))
+    tgt = (fb.filter("is_target").groupBy("b")
+           .agg(F.count(F.lit(1)).alias("tc")))
+    rawc = fb.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
+    tots = fb.agg(
+        F.sum(F.col("is_target").cast("long")).alias("t_total"),
+        F.count(F.lit(1)).alias("r_total"))  # 1 row → broadcast
+    lam_val = F.lit(_MICRO) * (
+        F.log((F.coalesce(F.col("tc"), F.lit(0)) + F.lit(1.0))
+              / (F.col("t_total") + F.lit(float(DSIR_BUCKETS))))
+        - F.log((F.col("rc") + F.lit(1.0))
+                / (F.col("r_total") + F.lit(float(DSIR_BUCKETS)))))
+    lam = (rawc.join(tgt, "b", "left")
+           .crossJoin(F.broadcast(tots))
+           .select("b", F.floor(lam_val).cast("long").alias("lam")))
+    probe = (fb.groupBy("doc_id", "lang", "b")
+             .agg(F.count(F.lit(1)).alias("m")))
+    doc = (probe.join(F.broadcast(lam), "b")
+           .groupBy("doc_id", "lang")
+           .agg(F.sum("m").alias("n_feats"),
+                F.sum(F.col("m") * F.col("lam")).alias("wmicro")))
+    avg = F.col("wmicro").cast("double") / F.col("n_feats")
+    w = Window.partitionBy("lang").orderBy(avg.desc(), "doc_id")
+    pr = F.round(F.percent_rank().over(w), 6)
+    return doc.select(
+        "doc_id", "lang",
+        F.col("n_feats").cast("long").alias("n_feats"),
+        F.round(F.col("wmicro").cast("double") / _MICRO, 4)
+         .alias("dsir_logweight"),
+        F.round(avg / _MICRO, 6).alias("dsir_avg"),
+        pr.alias("pct_rank"),
+        (pr <= DSIR_SELECT_FRAC).alias("selected"),
+    )
+
+
+_DSIR_TGT_IN = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
+
+DSIR_WEIGHTS_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, lang, source,
+         string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents
+), feats AS (
+  SELECT doc_id, lang, source IN ({_DSIR_TGT_IN}) AS is_target, f
+  FROM tk, LATERAL unnest(
+    list_concat(t,
+      CASE WHEN len(t) >= 2
+           THEN list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i + 1])
+           ELSE [] END)) AS u(f)
+), fb AS (
+  SELECT doc_id, lang, is_target,
+         ('0x' || substring(md5(f), 1, 8))::BIGINT % {DSIR_BUCKETS} AS b
+  FROM feats
+), tgt AS (
+  SELECT b, COUNT(*) AS tc FROM fb WHERE is_target GROUP BY b
+), rawc AS (
+  SELECT b, COUNT(*) AS rc FROM fb GROUP BY b
+), tots AS (
+  SELECT SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS t_total,
+         COUNT(*) AS r_total
+  FROM fb
+), lam AS (
+  SELECT rawc.b,
+         CAST(floor({_MICRO} * (
+           ln((COALESCE(tgt.tc, 0) + 1.0)
+              / (tots.t_total + {DSIR_BUCKETS}.0))
+           - ln((rawc.rc + 1.0)
+                / (tots.r_total + {DSIR_BUCKETS}.0)))) AS BIGINT) AS lam
+  FROM rawc LEFT JOIN tgt USING (b) CROSS JOIN tots
+), probe AS (
+  SELECT doc_id, lang, b, COUNT(*) AS m
+  FROM fb GROUP BY doc_id, lang, b
+), doc AS (
+  SELECT p.doc_id, p.lang,
+         SUM(p.m) AS n_feats,
+         SUM(p.m * lam.lam) AS wmicro
+  FROM probe p JOIN lam USING (b)
+  GROUP BY p.doc_id, p.lang
+)
+SELECT doc_id, lang,
+       CAST(n_feats AS BIGINT) AS n_feats,
+       round(CAST(wmicro AS DOUBLE) / {_MICRO}, 4) AS dsir_logweight,
+       round(CAST(wmicro AS DOUBLE) / n_feats / {_MICRO}, 6) AS dsir_avg,
+       round(percent_rank() OVER (
+           PARTITION BY lang
+           ORDER BY CAST(wmicro AS DOUBLE) / n_feats DESC, doc_id), 6)
+         AS pct_rank,
+       round(percent_rank() OVER (
+           PARTITION BY lang
+           ORDER BY CAST(wmicro AS DOUBLE) / n_feats DESC, doc_id), 6)
+         <= {DSIR_SELECT_FRAC} AS selected
+FROM doc
+"""
+
+
 SPARK_QUERIES = {
+    "docs_dsir_weights": docs_dsir_weights,
     "docs_unigram_logprob": docs_unigram_logprob,
     "docs_bigram_logprob": docs_bigram_logprob,
     "docs_sample_stratified": docs_sample_stratified,
@@ -798,6 +956,7 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "docs_dsir_weights": DSIR_WEIGHTS_SQL,
     "docs_unigram_logprob": UNIGRAM_LOGPROB_SQL,
     "docs_bigram_logprob": BIGRAM_LOGPROB_SQL,
     "docs_sample_stratified": SAMPLE_STRATIFIED_SQL,
