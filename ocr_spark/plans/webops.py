@@ -812,6 +812,101 @@ FROM marked GROUP BY url
 """
 
 
+HOST_LINE_MIN_URLS = 2
+
+
+def pages_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Site-template boilerplate removal — the per-HOST complement of
+    pages_line_dedup's corpus-global rule: a line appearing on >=
+    HOST_LINE_MIN_URLS distinct pages of the SAME host is that site's
+    template (nav remnants, legal footers, repeated section chrome) and
+    is stripped from that host's pages only. The template-detection
+    literature (Gibson, Punera & Tomkins 2005, "The Volume and
+    Evolution of Web Page Templates") frames templates as intra-site
+    repetition; scoping to the host keeps a line that is globally
+    common but locally unique (a disclaimer quoted once on an
+    unrelated site survives there, while the sites that stamp it on
+    every page lose it — the corpus-global rule cannot make that
+    distinction). Host = the page's canonical-link host, parsed from
+    the raw bytes.
+
+    Scale shape: hosts are a narrow regexp projection over pages; the
+    extracted-text ⋈ host join is keyed url (in production the host
+    rides in as a WARC metadata column and this join is a free
+    projection — it exists here only because run_extraction's contract
+    is (url, html) → text); the distinct-url count is a two-step
+    groupBy keyed (host, line, url) then (host, line) — hot template
+    lines carry counts, not rows; the per-host template set is bounded
+    by template vocabulary (it is the HEAD of each site's line
+    distribution), so it BROADCASTS back onto the exploded lines; one
+    exchange keyed url reassembles. The reference is one-document
+    (SURVEY §2 absent lists) and cannot see cross-page repetition."""
+    pages = pages_from_documents(spark, sf_dir)
+    hosts = pages.select(
+        "url",
+        F.regexp_extract(
+            _html_str(),
+            r'<link rel="canonical" href="https?://([^/"]+)', 1,
+        ).alias("host"),
+    )
+    extracted = run_extraction(pages, partitions=32, big_partitions=2)
+    lines = extracted.select(
+        "url",
+        F.posexplode(F.split("text", "\n\n")).alias("line_idx", "line"),
+    ).join(hosts, "url")
+    url_counts = (lines.groupBy("host", "line", "url")
+                  .agg(F.count(F.lit(1)).alias("n_in_url"))
+                  .groupBy("host", "line")
+                  .agg(F.count(F.lit(1)).alias("n_urls")))
+    boiler = url_counts.filter(F.col("n_urls") >= HOST_LINE_MIN_URLS)
+    marked = lines.join(F.broadcast(boiler), ["host", "line"], "left")
+    kept_struct = F.when(
+        F.col("n_urls").isNull(), F.struct("line_idx", "line"))
+    return (
+        marked.groupBy("url", "host")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("n_urls").isNotNull().cast("long"))
+             .alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["line"],
+                ),
+                "\n\n",
+            ).alias("text_clean"),
+        )
+    )
+
+
+PAGES_HOST_BOILERPLATE_SQL = _BLOCKS_CTE + f"""
+, lines AS (
+  SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+         'site' || CAST(doc_id % 13 AS VARCHAR) || '.example.com' AS host,
+         block_id AS line_idx, btext AS line
+  FROM seq
+), boiler AS (
+  SELECT host, line FROM (
+    SELECT host, line, COUNT(DISTINCT url) AS n_urls
+    FROM lines GROUP BY host, line
+  ) WHERE n_urls >= {HOST_LINE_MIN_URLS}
+), marked AS (
+  SELECT l.url, l.host, l.line_idx, l.line,
+         (b.line IS NOT NULL) AS is_boiler
+  FROM lines l
+  LEFT JOIN boiler b ON l.host = b.host AND l.line = b.line
+)
+SELECT url, host,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_removed,
+       COALESCE(string_agg(CASE WHEN NOT is_boiler THEN line END,
+                           chr(10) || chr(10) ORDER BY line_idx),
+                '') AS text_clean
+FROM marked GROUP BY url, host
+"""
+
+
 PAGES_PARA_DEDUP_SQL = _BLOCKS_CTE + """
 , paras AS (
   SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
@@ -2025,6 +2120,7 @@ SPARK_QUERIES = {
     "pages_pii_scan": pages_pii_scan,
     "pages_para_dedup": pages_para_dedup,
     "pages_line_dedup": pages_line_dedup,
+    "pages_host_boilerplate": pages_host_boilerplate,
     "pages_span_dedup": pages_span_dedup,
     "docs_repetition_metrics": docs_repetition_metrics,
     "docs_substring_dup_coverage": docs_substring_dup_coverage,
@@ -2054,6 +2150,7 @@ ORACLE_SQL = {
     "pages_pii_scan": PAGES_PII_SQL,
     "pages_para_dedup": PAGES_PARA_DEDUP_SQL,
     "pages_line_dedup": PAGES_LINE_DEDUP_SQL,
+    "pages_host_boilerplate": PAGES_HOST_BOILERPLATE_SQL,
     "pages_span_dedup": PAGES_SPAN_DEDUP_SQL,
     "docs_repetition_metrics": DOCS_REPETITION_SQL,
     "docs_substring_dup_coverage": DOCS_SUBSTR_DUP_SQL,
