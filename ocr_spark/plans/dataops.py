@@ -1350,7 +1350,143 @@ FROM ranked WHERE rank <= {TFIDF_TOP_K}
 """
 
 
+# --------------------------------------------------------------------------
+# Cross-snapshot NEAR-duplicate dedup (incremental-crawl LSH)
+# --------------------------------------------------------------------------
+
+SNAPSHOT_MOD = 3   # doc_id % 3 == 2 plays the newly-crawled arrivals
+
+
+def docs_near_dup_vs_snapshot(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Incremental-crawl NEAR-dup dedup — the LSH counterpart of
+    docs_new_vs_snapshot's exact-fingerprint anti-join: an arrival
+    (doc_id % SNAPSHOT_MOD == 2) is a near-duplicate of the prior
+    snapshot when it shares an LSH band-bucket with a prior document
+    and the MinHash signature-overlap estimate (Broder 1997) clears
+    NEAR_DUP_JACCARD. Re-crawled pages drift (timestamps, ads, minor
+    edits), so exact fingerprints miss most revisits — production
+    incremental dedup (the CommonCrawl/FineWeb cross-snapshot setting)
+    needs the near-dup form. Output: every arrival with its candidate
+    count, best estimated Jaccard, the prior doc it duplicates
+    (highest estimate, lowest doc_id on ties), and the verdict.
+
+    Scale shape: the new snapshot is a small fraction of the
+    accumulated corpus, and the prior side's signatures/bands come
+    straight from the PREVIOUS snapshot's stored signature column (the
+    narrow signature map runs once per crawl, not once per query; here
+    both sides recompute only because the fixture has no stored
+    column). The one corpus-sized shuffle is the (band, bucket) join,
+    capped at LSH_BUCKET_CAP BEFORE the join exactly as
+    docs_minhash_lsh_pairs; estimation touches only the K-long
+    signatures of surviving candidates (no gram recomputation); the
+    best-match window is keyed by arrival doc_id."""
+    docs = t(spark, sf_dir, "documents")
+    bands = _lsh_bands(spark, sf_dir)
+    w = Window.partitionBy("band", "bucket")
+    capped = (bands.withColumn("bucket_n", F.count("*").over(w))
+              .filter(F.col("bucket_n") <= LSH_BUCKET_CAP)
+              .drop("bucket_n"))
+    is_new = F.col("doc_id") % SNAPSHOT_MOD == 2
+    new_b = capped.filter(is_new) \
+        .select(F.col("doc_id").alias("new_id"), "band", "bucket")
+    prior_b = capped.filter(~is_new) \
+        .select(F.col("doc_id").alias("prior_id"), "band", "bucket")
+    cand = (new_b.join(prior_b, ["band", "bucket"])
+            .groupBy("new_id", "prior_id")
+            .agg(F.count(F.lit(1)).alias("n_shared_bands")))
+    sigs = (docs.select("doc_id", _minhash_vec_udf().alias("minvec"))
+            .filter(F.col("minvec").isNotNull()))
+    a = sigs.select(F.col("doc_id").alias("new_id"),
+                    F.col("minvec").alias("va"))
+    b = sigs.select(F.col("doc_id").alias("prior_id"),
+                    F.col("minvec").alias("vb"))
+    matches = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: (x == y).cast("int")),
+        F.lit(0), lambda acc, x: acc + x)
+    est = (cand.join(a, "new_id").join(b, "prior_id")
+           .select("new_id", "prior_id",
+                   F.round(matches / MINHASH_K, 4).alias("jaccard_est")))
+    wbest = Window.partitionBy("new_id") \
+        .orderBy(F.col("jaccard_est").desc(), "prior_id")
+    best = (est
+            .withColumn("rn", F.row_number().over(wbest))
+            .withColumn("n_candidates",
+                        F.count(F.lit(1)).over(Window.partitionBy("new_id")))
+            .filter(F.col("rn") == 1))
+    arrivals = docs.filter(is_new).select("doc_id")
+    return (arrivals
+            .join(best, arrivals.doc_id == best.new_id, "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_candidates", F.lit(0)).cast("long")
+                 .alias("n_candidates"),
+                F.col("jaccard_est").alias("best_jaccard_est"),
+                F.col("prior_id").alias("dup_of"),
+                F.coalesce(F.col("jaccard_est") >= NEAR_DUP_JACCARD,
+                           F.lit(False)).alias("is_near_dup")))
+
+
+def _near_dup_vs_snapshot_sql() -> str:
+    cmp_terms = " + ".join(
+        f"(CASE WHEN ma.minvec[{i + 1}] = mb.minvec[{i + 1}]"
+        f" THEN 1 ELSE 0 END)" for i in range(MINHASH_K))
+    bands_union = " UNION ALL ".join(
+        "SELECT doc_id, " + str(b) + " AS band, md5("
+        + " || '|' || ".join(
+            f"CAST(minvec[{b * _ROWS_PER_BAND + r + 1}] AS VARCHAR)"
+            for r in range(_ROWS_PER_BAND))
+        + ") AS bucket FROM mh"
+        for b in range(LSH_BANDS))
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents
+), nz AS (
+  SELECT * FROM sh WHERE len(shingles) > 0
+), per AS (
+  SELECT doc_id, {_SQL_PER_SHINGLE} AS per_sh FROM nz
+), mh AS (
+  SELECT doc_id, {_SQL_MINVEC} AS minvec FROM per
+), bands AS (
+  {bands_union}
+), capped AS (
+  SELECT * FROM (
+    SELECT doc_id, band, bucket,
+           COUNT(*) OVER (PARTITION BY band, bucket) AS bucket_n
+    FROM bands
+  ) WHERE bucket_n <= {LSH_BUCKET_CAP}
+), cand AS (
+  SELECT a.doc_id AS new_id, b.doc_id AS prior_id,
+         COUNT(*) AS n_shared_bands
+  FROM capped a JOIN capped b USING (band, bucket)
+  WHERE a.doc_id % {SNAPSHOT_MOD} = 2 AND b.doc_id % {SNAPSHOT_MOD} <> 2
+  GROUP BY a.doc_id, b.doc_id
+), est AS (
+  SELECT c.new_id, c.prior_id,
+         round(({cmp_terms}) / {MINHASH_K}.0, 4) AS jaccard_est
+  FROM cand c
+  JOIN mh ma ON ma.doc_id = c.new_id
+  JOIN mh mb ON mb.doc_id = c.prior_id
+), ranked AS (
+  SELECT new_id, prior_id, jaccard_est,
+         ROW_NUMBER() OVER (PARTITION BY new_id
+                            ORDER BY jaccard_est DESC, prior_id) AS rn,
+         COUNT(*) OVER (PARTITION BY new_id) AS n_candidates
+  FROM est
+)
+SELECT d.doc_id,
+       COALESCE(r.n_candidates, 0) AS n_candidates,
+       r.jaccard_est AS best_jaccard_est,
+       r.prior_id AS dup_of,
+       COALESCE(r.jaccard_est >= {NEAR_DUP_JACCARD}, FALSE) AS is_near_dup
+FROM documents d
+LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r ON r.new_id = d.doc_id
+WHERE d.doc_id % {SNAPSHOT_MOD} = 2
+"""
+
+
 SPARK_QUERIES = {
+    "docs_near_dup_vs_snapshot": docs_near_dup_vs_snapshot,
     "docs_minhash_signature": docs_minhash_signature,
     "docs_minhash_lsh_pairs": docs_minhash_lsh_pairs,
     "docs_minhash_jaccard_estimate": docs_minhash_jaccard_estimate,
@@ -1372,6 +1508,7 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "docs_near_dup_vs_snapshot": _near_dup_vs_snapshot_sql(),
     "docs_minhash_signature": _MINHASH_SIG_SQL,
     "docs_minhash_lsh_pairs": _LSH_PAIRS_SQL,
     "docs_minhash_jaccard_estimate": _jaccard_estimate_sql(),
