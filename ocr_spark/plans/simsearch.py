@@ -1108,7 +1108,167 @@ FROM ranked WHERE rank <= {IVF_TOPK}
 """
 
 
+# --------------------------------------------------------------------------
+# IVF-PQ: trained-cell probe → PQ-approximate shortlist → exact re-rank
+# --------------------------------------------------------------------------
+
+PQ_SHORTLIST = 8   # ADC survivors per query handed to exact re-rank
+
+
+def _pq_code_arr(v: Column) -> Column:
+    """PQ code array (array<int>, one code per subspace) for a vector
+    column — the assignment kernel of emb_pq_codes, factored so the
+    IVF-PQ query path can compute codes inline on the corpus side."""
+    codes = []
+    for j in range(PQ_M):
+        sub = F.slice(v, j * PQ_DSUB + 1, PQ_DSUB)
+        dists = F.array(*[
+            F.round(F.aggregate(
+                F.zip_with(sub, F.array(*[F.lit(x) for x in cb]),
+                           lambda x, c: (x - c) * (x - c)),
+                F.lit(0.0), lambda acc, x: acc + x), 6)
+            for cb in PQ_CODEBOOKS[j]])
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1)
+                     .cast("int"))
+    return F.array(*codes)
+
+
+def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with exact re-rank — the full production ANN tier
+    (Jégou, Douze & Schmid 2011, "Product Quantization for Nearest
+    Neighbor Search"): (1) the query probes its IVF_NPROBE nearest
+    Lloyd-trained cells (coarse quantizer from emb_kmeans_train);
+    (2) candidates inside probed cells are scored by ASYMMETRIC
+    distance — exact query subvector vs the candidate's PQ centroid
+    (the candidate contributes only its PQ_M-byte code) — and the
+    PQ_SHORTLIST best survive; (3) the shortlist is re-ranked by exact
+    cosine for the final IVF_TOPK. Output carries both distances so
+    the approximation is observable per pair.
+
+    Scale shape (100 TB of vectors): the corpus-resident state per
+    vector is (cell, codes) — the PQ codes here are 8 ints vs 64
+    floats, the storage tier that makes billion-vector serving fit in
+    RAM; ADC never touches candidate full vectors, so step (2) streams
+    the code table through an equi-join on cell id against a broadcast
+    probe list; only the PQ_SHORTLIST×|queries| survivors need their
+    full-precision vectors (in production a vec_id-keyed gather join
+    against the float table — here v rides along because the fixture
+    is one narrow scan). Windows are keyed q_id. Codebooks/centroid
+    arrays are plan literals/broadcasts — no corpus-sized shuffle
+    anywhere except the cell equi-join."""
+    cent, assigned = _kmeans(spark, sf_dir)
+    emb = (assigned
+           .withColumn("nrm", _norm(F.col("v")))
+           .withColumn("codes", _pq_code_arr(F.col("v"))))
+    centrow = cent.agg(F.array_sort(
+        F.collect_list(F.struct("cell", "cv"))).alias("cents"))
+    scored_cells = F.transform(
+        F.col("cents"), lambda c: F.struct(
+            _dist2(F.col("v"), c["cv"]).alias("d"),
+            c["cell"].alias("cell")))
+    probes = F.transform(
+        F.slice(F.array_sort(scored_cells), 1, IVF_NPROBE),
+        lambda s: s["cell"])
+    q = (emb.filter(F.col("vec_id") < N_QUERIES)
+         .crossJoin(F.broadcast(centrow))
+         .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+                 F.col("nrm").alias("qn"),
+                 F.explode(probes).alias("q_cell")))
+    j = emb.join(F.broadcast(q), (F.col("cell") == F.col("q_cell"))
+                 & (F.col("vec_id") != F.col("q_id")))
+    # ADC: sum over subspaces of ||q_sub_j - codebook_j[code_j]||²,
+    # summed left-to-right (j ascending) — the DuckDB mirror adds the
+    # same unrolled terms in the same order.
+    adc = None
+    for sj in range(PQ_M):
+        cb_lit = F.array(*[F.array(*[F.lit(x) for x in cb])
+                           for cb in PQ_CODEBOOKS[sj]])
+        chosen = F.element_at(cb_lit, F.element_at("codes", sj + 1) + 1)
+        term = _dist2(F.slice("qv", sj * PQ_DSUB + 1, PQ_DSUB), chosen)
+        adc = term if adc is None else adc + term
+    scored = j.select(
+        "q_id", F.col("vec_id").alias("neighbor_id"),
+        F.round(adc, 6).alias("adc6"), "v", "nrm", "qv", "qn")
+    ws = Window.partitionBy("q_id").orderBy(F.asc("adc6"),
+                                            F.asc("neighbor_id"))
+    short = (scored.withColumn("srn", F.row_number().over(ws))
+             .filter(F.col("srn") <= PQ_SHORTLIST))
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    rer = short.select("q_id", "neighbor_id", "adc6",
+                       F.round(cos, 6).alias("cos6"))
+    wr = Window.partitionBy("q_id").orderBy(F.desc("cos6"),
+                                            F.asc("neighbor_id"))
+    return (rer.withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= IVF_TOPK)
+            .select("q_id", "neighbor_id",
+                    F.round("adc6", 4).alias("adc_dist"),
+                    F.round("cos6", 4).alias("cos_sim"), "rank"))
+
+
+def _sql_pq_cb_lit(j: int) -> str:
+    return ("[" + ", ".join(
+        "[" + ", ".join(f"{x:.6f}" for x in cb) + "]"
+        for cb in PQ_CODEBOOKS[j]) + "]")
+
+
+def _ivfpq_sql() -> str:
+    adc_terms = " + ".join(
+        f"list_reduce(list_transform(range(1, {PQ_DSUB + 1}), "
+        f"i -> (qp.qv[{j * PQ_DSUB}+i] "
+        f"- ({_sql_pq_cb_lit(j)})[n.codes[{j + 1}] + 1][i]) "
+        f"* (qp.qv[{j * PQ_DSUB}+i] "
+        f"- ({_sql_pq_cb_lit(j)})[n.codes[{j + 1}] + 1][i])), "
+        f"(x, y) -> x + y)"
+        for j in range(PQ_M))
+    return f"""
+{_KM_CTES},
+cd AS (
+  SELECT vec_id,
+         [{", ".join(_sql_pq_sub(j) for j in range(PQ_M))}] AS codes
+  FROM e
+), n AS (
+  SELECT af.vec_id, af.cell, af.v, {_sql_norm('af.v')} AS nrm, cd.codes
+  FROM af JOIN cd ON cd.vec_id = af.vec_id
+), qp AS (
+  SELECT q_id, qv, qn, cell AS q_cell FROM (
+    SELECT e.vec_id AS q_id, e.v AS qv, {_sql_norm('e.v')} AS qn,
+           c.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_dist2('e.v', 'c.cv')}, c.cell) AS pr
+    FROM e CROSS JOIN {_KM_FINAL} c
+    WHERE e.vec_id < {N_QUERIES}
+  ) WHERE pr <= {IVF_NPROBE}
+), scored AS (
+  SELECT qp.q_id, n.vec_id AS neighbor_id,
+         ROUND({adc_terms}, 6) AS adc6,
+         n.v, n.nrm, qp.qv, qp.qn
+  FROM qp JOIN n ON n.cell = qp.q_cell AND n.vec_id <> qp.q_id
+), short AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                 ORDER BY adc6 ASC, neighbor_id ASC)
+              AS srn
+    FROM scored
+  ) WHERE srn <= {PQ_SHORTLIST}
+), rer AS (
+  SELECT q_id, neighbor_id, adc6,
+         ROUND({_sql_dot('qv', 'v')} / (qn * nrm), 6) AS cos6
+  FROM short
+), ranked AS (
+  SELECT q_id, neighbor_id, adc6, cos6,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cos6 DESC, neighbor_id ASC) AS rank
+  FROM rer
+)
+SELECT q_id, neighbor_id, ROUND(adc6, 4) AS adc_dist,
+       ROUND(cos6, 4) AS cos_sim, rank
+FROM ranked WHERE rank <= {IVF_TOPK}
+"""
+
+
 SPARK_QUERIES = {
+    "emb_ivfpq_topk": emb_ivfpq_topk,
     "emb_kmeans_train": emb_kmeans_train,
     "emb_ivf_trained_topk": emb_ivf_trained_topk,
     "emb_ivf_trained_multiprobe_topk": emb_ivf_trained_multiprobe_topk,
@@ -1126,6 +1286,7 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "emb_ivfpq_topk": _ivfpq_sql(),
     "emb_kmeans_train": _KMEANS_TRAIN_SQL,
     "emb_ivf_trained_topk": _IVF_TRAINED_TOPK_SQL,
     "emb_ivf_trained_multiprobe_topk": _IVF_TRAINED_MULTIPROBE_SQL,
