@@ -1112,7 +1112,13 @@ FROM ranked WHERE rank <= {IVF_TOPK}
 # IVF-PQ: trained-cell probe → PQ-approximate shortlist → exact re-rank
 # --------------------------------------------------------------------------
 
-PQ_SHORTLIST = 8   # ADC survivors per query handed to exact re-rank
+PQ_SHORTLIST = 32  # ADC survivors per query handed to exact re-rank.
+                   # Measured on the clustered fixture (BENCH/recall.json
+                   # ivfpq.recall_at_k_by_shortlist): 8→0.37, 16→0.53,
+                   # 32→0.90, 64→1.0 recall@3 — 32 is the knee with the
+                   # seeded codebook; trained per-subspace codebooks
+                   # (_pq_codebooks' documented drop-in) shrink the
+                   # depth needed.
 
 
 def _pq_code_arr(v: Column) -> Column:

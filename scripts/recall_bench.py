@@ -181,6 +181,49 @@ def main() -> int:
                  "quantizer no longer leans on the fixture label"),
     }
 
+    # ---- trained-IVF multiprobe + IVF-PQ (round 4) -------------------
+    mp_tr = {(r.q_id, r.neighbor_id)
+             for r in simsearch.emb_ivf_trained_multiprobe_topk(spark, cdir)
+             .collect()}
+    mp_trec = len(mp_tr & ctruth3) / max(1, len(ctruth3))
+    mp_tcand = simsearch.IVF_NPROBE * tcand
+    out["ann_clustered"]["ivf_trained_multiprobe"] = {
+        "k": simsearch.IVF_TOPK,
+        "nprobe": simsearch.IVF_NPROBE,
+        "recall_at_k": round(mp_trec, 4),
+        "chance_recall": round(mp_tcand / (cn - 1), 4),
+        "lift_over_chance": (round(mp_trec / (mp_tcand / (cn - 1)), 1)
+                             if mp_tcand else None),
+    }
+    pq_sweep = {}
+    saved_sl = simsearch.PQ_SHORTLIST
+    try:
+        for sl in (8, 16, 32, 64):
+            simsearch.PQ_SHORTLIST = sl
+            pq = {(r.q_id, r.neighbor_id)
+                  for r in simsearch.emb_ivfpq_topk(spark, cdir).collect()}
+            pq_sweep[str(sl)] = round(
+                len(pq & ctruth3) / max(1, len(ctruth3)), 4)
+    finally:
+        simsearch.PQ_SHORTLIST = saved_sl
+    out["ann_clustered"]["ivfpq"] = {
+        "k": simsearch.IVF_TOPK,
+        "nprobe": simsearch.IVF_NPROBE,
+        "pq_m": simsearch.PQ_M, "pq_k": simsearch.PQ_K,
+        "shortlist_default": simsearch.PQ_SHORTLIST,
+        "recall_at_k_by_shortlist": pq_sweep,
+        "recall_trained_multiprobe_same_probes": round(mp_trec, 4),
+        "note": ("same probed cells as ivf_trained_multiprobe, so the "
+                 "gap to its recall isolates what the PQ-ADC shortlist "
+                 "costs: candidates the seeded (untrained) 8x16 "
+                 "codebook mis-ranks out of the shortlist before exact "
+                 "re-rank sees them. Re-rank depth is the production "
+                 "knob — deeper shortlists recover recall at linear "
+                 "re-rank cost; trained per-subspace codebooks (the "
+                 "documented drop-in at _pq_codebooks) shrink the "
+                 "needed depth"),
+    }
+
     # ---- dedup recall: LSH candidates vs exhaustive high-Jaccard ----
     exact = {(r.doc_a, r.doc_b): r.jaccard
              for r in dataops.docs_ngram_jaccard_pairs(spark, sf_dir)
