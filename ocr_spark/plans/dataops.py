@@ -1111,6 +1111,109 @@ FROM pre
 """
 
 
+BPE_TRAIN_ROUNDS = 6     # learned merge rules per training run
+_BPE_SPACE = "Ġ"         # GPT-2 space symbol (== the artifact's
+                         # space_symbol; training must produce rules in
+                         # the alphabet the apply op consumes)
+
+
+def docs_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge TRAINING (Sennrich, Haddow & Birch 2016) — the step
+    that PRODUCES the ranked merge table docs_bpe_merges_token_count
+    consumes from its artifact: pre-tokenize the corpus with the
+    GPT-2-style regex, build the pre-token frequency table, then for
+    BPE_TRAIN_ROUNDS rounds (a) count adjacent symbol pairs weighted
+    by pre-token frequency (overlapping pairs counted, as in the
+    reference implementation's zip(symbols, symbols[1:])), (b) pick
+    the most frequent pair (ties: lexicographically smallest), (c)
+    merge it everywhere. Merge application is byte-identical to the
+    apply op's sequential padded-replace variant (_BPE_RULE_PASSES
+    passes of boundary-padded replace), so a merge table trained here
+    tokenizes identically when fed back through the artifact seam.
+
+    Scale shape (100 TB): the ONLY corpus-sized work is the one
+    pre-token groupBy that builds the frequency table — from there on
+    every round runs over the VOCABULARY (pair explode + one
+    vocab-bounded groupBy keyed (lhs, rhs)), which is why BPE training
+    is tractable at all (SentencePiece/HF train single-node over
+    exactly this table; this form keeps the counting distributed).
+    The per-round argmax is a 1-row driver collect (the
+    near_dup_clusters convergence discipline) whose value becomes a
+    plan literal for the next round's narrow merge map;
+    localCheckpoint truncates per-round lineage."""
+    docs = t(spark, sf_dir, "documents")
+    words = (docs.select(
+                 F.explode(F.regexp_extract_all(
+                     "text", F.lit(_BPE_PAT), 0)).alias("w"))
+             .select(F.replace(F.col("w"), F.lit(" "),
+                               F.lit(_BPE_SPACE)).alias("w"))
+             .groupBy("w").agg(F.count(F.lit(1)).alias("freq")))
+    syms0 = F.concat(F.lit(" "),
+                     F.array_join(F.split("w", ""), " "),
+                     F.lit(" "))
+    cur = words.select("freq", syms0.alias("syms")) \
+        .localCheckpoint(eager=False)
+    merges = []
+    for r in range(1, BPE_TRAIN_ROUNDS + 1):
+        sy = F.split(F.trim("syms"), " ")
+        pair_arr = F.when(
+            F.size(sy) >= 2,
+            F.transform(F.sequence(F.lit(0), F.size(sy) - 2),
+                        lambda i: F.struct(
+                            F.element_at(sy, i + 1).alias("lhs"),
+                            F.element_at(sy, i + 2).alias("rhs"))),
+        ).otherwise(F.array().cast(
+            "array<struct<lhs:string,rhs:string>>"))
+        best = (cur.select("freq", F.explode(pair_arr).alias("p"))
+                .groupBy(F.col("p.lhs").alias("lhs"),
+                         F.col("p.rhs").alias("rhs"))
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.desc("cnt"), "lhs", "rhs")
+                .limit(1).collect()[0])
+        merges.append((r, best.lhs, best.rhs, int(best.cnt)))
+        s = F.col("syms")
+        for _ in range(_BPE_RULE_PASSES):
+            s = F.replace(s, F.lit(f" {best.lhs} {best.rhs} "),
+                          F.lit(f" {best.lhs}{best.rhs} "))
+        cur = cur.select("freq", s.alias("syms")) \
+            .localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        merges, "merge_rank int, lhs string, rhs string, pair_count long")
+
+
+def _bpe_train_sql() -> str:
+    parts = [
+        f"pre AS (SELECT unnest(regexp_extract_all(text, "
+        f"'{_BPE_SQL_PAT}', 0)) AS w FROM documents)",
+        f"words AS (SELECT replace(w, ' ', '{_BPE_SPACE}') AS w, "
+        f"COUNT(*) AS freq FROM pre GROUP BY 1)",
+        "w0 AS (SELECT freq, ' ' || array_to_string("
+        "string_split(w, ''), ' ') || ' ' AS syms FROM words)",
+    ]
+    for r in range(1, BPE_TRAIN_ROUNDS + 1):
+        parts.append(
+            f"p{r} AS (\n"
+            f"  SELECT sy[i] AS lhs, sy[i+1] AS rhs, SUM(freq) AS cnt\n"
+            f"  FROM (SELECT freq, string_split(trim(syms), ' ') AS sy\n"
+            f"        FROM w{r - 1}),\n"
+            f"       LATERAL unnest(range(1, len(sy))) AS u(i)\n"
+            f"  GROUP BY lhs, rhs)")
+        parts.append(
+            f"b{r} AS (SELECT {r} AS merge_rank, lhs, rhs, cnt\n"
+            f"  FROM p{r} ORDER BY cnt DESC, lhs, rhs LIMIT 1)")
+        repl = "syms"
+        for _ in range(_BPE_RULE_PASSES):
+            repl = (f"replace({repl}, ' ' || b.lhs || ' ' || b.rhs || ' ',"
+                    f" ' ' || b.lhs || b.rhs || ' ')")
+        parts.append(
+            f"w{r} AS (SELECT freq, {repl} AS syms\n"
+            f"  FROM w{r - 1} CROSS JOIN b{r} b)")
+    union = " UNION ALL ".join(
+        f"SELECT merge_rank, lhs, rhs, CAST(cnt AS BIGINT) AS pair_count"
+        f" FROM b{r}" for r in range(1, BPE_TRAIN_ROUNDS + 1))
+    return "WITH " + ",\n".join(parts) + "\n" + union
+
+
 _RH_BASE = 31
 _RH_MOD = 1_000_000_007
 
@@ -1501,6 +1604,7 @@ SPARK_QUERIES = {
     "docs_dedup_keepers": docs_dedup_keepers,
     "docs_bpe_token_count": docs_bpe_token_count,
     "docs_bpe_merges_token_count": docs_bpe_merges_token_count,
+    "docs_bpe_train_merges": docs_bpe_train_merges,
     "docs_rolling_hash": docs_rolling_hash,
     "docs_sentences_udtf": docs_sentences_udtf,
     "docs_top_ngrams": docs_top_ngrams,
@@ -1523,6 +1627,7 @@ ORACLE_SQL = {
     "docs_dedup_keepers": _DEDUP_KEEPERS_SQL,
     "docs_bpe_token_count": _BPE_COUNT_SQL,
     "docs_bpe_merges_token_count": _bpe_merges_sql(),
+    "docs_bpe_train_merges": _bpe_train_sql(),
     "docs_rolling_hash": _ROLLING_HASH_SQL,
     "docs_sentences_udtf": _SENTENCES_SQL,
     "docs_top_ngrams": _TOP_NGRAMS_SQL,
