@@ -170,3 +170,51 @@ def test_bpe_merges_count_matches_reference_loop():
     for tok in cases:
         assert sql_like_count(tok) == py_count(tok), (
             tok, sql_like_count(tok), py_count(tok))
+
+
+def test_bpe_trained_merges_feed_apply_seam(spark, tmp_path, monkeypatch):
+    """Round-trip the tokenizer family: merges TRAINED in-plan
+    (docs_bpe_train_merges) written as a bpe-merges artifact must (a)
+    pass _bpe_model's loud validation and (b) tokenize through
+    docs_bpe_merges_token_count exactly as a pure-Python reference
+    applying the same ranked rules — i.e. the training op really does
+    produce the table the apply op's artifact seam consumes."""
+    import json
+    import re
+
+    from ocr_spark.plans import dataops
+
+    sf = "/root/testdata/sf0.001"
+    trained = (dataops.docs_bpe_train_merges(spark, sf)
+               .orderBy("merge_rank").collect())
+    assert len(trained) == dataops.BPE_TRAIN_ROUNDS
+    art = {"kind": "bpe-merges", "version": "trained-roundtrip-test",
+           "space_symbol": dataops._BPE_SPACE,
+           "merges": [[r.lhs, r.rhs] for r in trained]}
+    p = tmp_path / "bpe_trained.json"
+    p.write_text(json.dumps(art), encoding="utf-8")
+    monkeypatch.setattr(dataops, "BPE_ARTIFACT", str(p))
+    assert dataops._bpe_model()["merges"] == art["merges"]
+
+    rows = dataops.docs_bpe_merges_token_count(spark, sf).collect()
+
+    pat = re.compile(dataops._BPE_PAT)
+    space = dataops._BPE_SPACE
+
+    def py_count(text: str) -> int:
+        total = 0
+        for tok in pat.findall(text):
+            s = " " + " ".join(tok.replace(" ", space)) + " "
+            for a, b in art["merges"]:
+                for _ in range(dataops._BPE_RULE_PASSES):
+                    s = s.replace(f" {a} {b} ", f" {a}{b} ")
+            total += len(s.strip().split(" "))
+        return total
+
+    docs = (spark.read.parquet(f"{sf}/documents.parquet")
+            .select("doc_id", "text").collect())
+    expected = {d.doc_id: py_count(d.text) for d in docs}
+    got = {r.doc_id: r.n_bpe_tokens for r in rows}
+    assert got == expected
+    # the trained rules genuinely fire on the corpus they came from
+    assert sum(r.n_merges_applied for r in rows) > 0
