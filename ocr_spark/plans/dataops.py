@@ -1454,6 +1454,79 @@ FROM ranked WHERE rank <= {TFIDF_TOP_K}
 
 
 # --------------------------------------------------------------------------
+# Quality-aware keeper election within near-dup clusters
+# --------------------------------------------------------------------------
+
+def docs_near_dup_quality_keepers(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Quality-aware keeper election — "keep the BEST copy, not the
+    first": within each verified near-dup cluster
+    (docs_near_dup_clusters), the survivor is the member with the
+    highest model quality score (docs_classifier_score), ties broken
+    to the lowest doc_id. Min-id election (the default in
+    docs_dedup_keepers / near_dup_clusters) is arbitrary w.r.t.
+    content; when near-dups differ — a clean copy vs one with
+    residual boilerplate or truncation — electing by quality measurably
+    improves the kept corpus (the Dolma/FineWeb dedup ablations keep
+    the longest/highest-scored representative). ``keeper_changed``
+    exposes exactly where the two policies disagree.
+
+    Scale shape: the cluster table is bounded by the verified-pair doc
+    set (LSH-capped), the score join is keyed doc_id, and the election
+    window is keyed cluster_id — no corpus-sized work beyond what the
+    two inputs already did."""
+    from ocr_spark.plans.curation import docs_classifier_score
+
+    clusters = docs_near_dup_clusters(spark, sf_dir) \
+        .select("doc_id", "cluster_id")
+    scores = docs_classifier_score(spark, sf_dir) \
+        .select("doc_id", "score")
+    m = clusters.join(scores, "doc_id")
+    w = Window.partitionBy("cluster_id") \
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    elected = (m.withColumn("rn", F.row_number().over(w))
+               .withColumn("quality_keeper_doc_id",
+                           F.first("doc_id").over(
+                               w.rowsBetween(Window.unboundedPreceding,
+                                             Window.unboundedFollowing))))
+    return elected.select(
+        "doc_id", "cluster_id", "score",
+        "quality_keeper_doc_id",
+        (F.col("doc_id") == F.col("quality_keeper_doc_id"))
+         .alias("is_quality_keeper"),
+        (F.col("quality_keeper_doc_id") != F.col("cluster_id"))
+         .alias("keeper_changed"),
+    )
+
+
+def _quality_keepers_sql() -> str:
+    from ocr_spark.plans.curation import _classifier_sql
+
+    return f"""
+WITH clusters AS (
+{_NEAR_DUP_CLUSTERS_SQL}
+), scores AS (
+{_classifier_sql()}
+), m AS (
+  SELECT c.doc_id, c.cluster_id, s.score
+  FROM clusters c JOIN scores s USING (doc_id)
+), elected AS (
+  SELECT doc_id, cluster_id, score,
+         FIRST_VALUE(doc_id) OVER (
+             PARTITION BY cluster_id
+             ORDER BY score DESC, doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS quality_keeper_doc_id
+  FROM m
+)
+SELECT doc_id, cluster_id, score, quality_keeper_doc_id,
+       doc_id = quality_keeper_doc_id AS is_quality_keeper,
+       quality_keeper_doc_id <> cluster_id AS keeper_changed
+FROM elected
+"""
+
+
+# --------------------------------------------------------------------------
 # Cross-snapshot NEAR-duplicate dedup (incremental-crawl LSH)
 # --------------------------------------------------------------------------
 
@@ -1590,6 +1663,7 @@ WHERE d.doc_id % {SNAPSHOT_MOD} = 2
 
 SPARK_QUERIES = {
     "docs_near_dup_vs_snapshot": docs_near_dup_vs_snapshot,
+    "docs_near_dup_quality_keepers": docs_near_dup_quality_keepers,
     "docs_minhash_signature": docs_minhash_signature,
     "docs_minhash_lsh_pairs": docs_minhash_lsh_pairs,
     "docs_minhash_jaccard_estimate": docs_minhash_jaccard_estimate,
@@ -1613,6 +1687,7 @@ SPARK_QUERIES = {
 
 ORACLE_SQL = {
     "docs_near_dup_vs_snapshot": _near_dup_vs_snapshot_sql(),
+    "docs_near_dup_quality_keepers": _quality_keepers_sql(),
     "docs_minhash_signature": _MINHASH_SIG_SQL,
     "docs_minhash_lsh_pairs": _LSH_PAIRS_SQL,
     "docs_minhash_jaccard_estimate": _jaccard_estimate_sql(),
