@@ -61,6 +61,14 @@ HEADLINE = [
     "docs_gopher_line_filters",
     "hosts_pagerank_full",
     "docs_bpe_merges_token_count",
+    # round 4 (cont.): DSIR selection, per-host template removal,
+    # cross-snapshot near-dup, IVF-PQ, BPE training, quality keepers
+    "docs_dsir_weights",
+    "pages_host_boilerplate",
+    "docs_near_dup_vs_snapshot",
+    "emb_ivfpq_topk",
+    "docs_bpe_train_merges",
+    "docs_near_dup_quality_keepers",
 ]
 
 
