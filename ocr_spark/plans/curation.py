@@ -784,6 +784,65 @@ GROUP BY big.doc_id, big.lang
 
 
 # ---------------------------------------------------------------------------
+# deterministic epoch shuffle (training-order reproducibility)
+# ---------------------------------------------------------------------------
+
+SHUFFLE_EPOCHS = 2
+SHUFFLE_SHARDS = 4
+
+
+def docs_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle per training epoch — the data-order
+    step between packing and the trainer: every (epoch, doc) gets a
+    shuffle key md5('epoch:<e>:' || doc_id); the key's first 8 hex
+    chars (mod SHUFFLE_SHARDS) pick the output shard and the full key
+    orders documents within the shard. Different epochs therefore see
+    different, independently-pseudorandom orders, yet any run, engine,
+    or cluster size reproduces the exact same order bit-for-bit — the
+    property that makes training-data order auditable and resumable
+    (no RNG state to checkpoint; the T5/GPT-3 pipelines fix data order
+    for exactly this reason).
+
+    Scale shape: one exchange keyed (epoch, shard) — the hash sort is
+    a per-shard window, never a global single-partition sort; shard
+    count is the parallelism knob. Narrow maps otherwise."""
+    docs = _docs(spark, sf_dir)
+    epochs = F.explode(F.sequence(
+        F.lit(0), F.lit(SHUFFLE_EPOCHS - 1))).alias("epoch")
+    keyed = docs.select("doc_id", "lang", epochs).select(
+        "doc_id", "lang", "epoch",
+        F.md5(F.concat(F.lit("epoch:"), F.col("epoch").cast("string"),
+                       F.lit(":"), F.col("doc_id").cast("string")))
+         .alias("shuffle_key"))
+    shard = (F.conv(F.substring("shuffle_key", 1, 8), 16, 10)
+             .cast("long") % SHUFFLE_SHARDS)
+    w = Window.partitionBy("epoch", "shard").orderBy("shuffle_key")
+    return (keyed.withColumn("shard", shard)
+            .select("doc_id", "lang", "epoch", "shard",
+                    F.row_number().over(w).alias("pos_in_shard")))
+
+
+TRAINING_ORDER_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, lang, e.epoch,
+         md5('epoch:' || CAST(e.epoch AS VARCHAR) || ':'
+             || CAST(doc_id AS VARCHAR)) AS shuffle_key
+  FROM documents,
+       LATERAL unnest(range(0, {SHUFFLE_EPOCHS})) AS e(epoch)
+)
+SELECT doc_id, lang, CAST(epoch AS INT) AS epoch,
+       ('0x' || substring(shuffle_key, 1, 8))::BIGINT
+           % {SHUFFLE_SHARDS} AS shard,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY epoch,
+                        ('0x' || substring(shuffle_key, 1, 8))::BIGINT
+                            % {SHUFFLE_SHARDS}
+           ORDER BY shuffle_key) AS INT) AS pos_in_shard
+FROM keyed
+"""
+
+
+# ---------------------------------------------------------------------------
 # DSIR — data selection with importance resampling (Xie et al. 2023)
 # ---------------------------------------------------------------------------
 
@@ -942,6 +1001,7 @@ FROM doc
 
 SPARK_QUERIES = {
     "docs_dsir_weights": docs_dsir_weights,
+    "docs_training_order": docs_training_order,
     "docs_unigram_logprob": docs_unigram_logprob,
     "docs_bigram_logprob": docs_bigram_logprob,
     "docs_sample_stratified": docs_sample_stratified,
@@ -957,6 +1017,7 @@ SPARK_QUERIES = {
 
 ORACLE_SQL = {
     "docs_dsir_weights": DSIR_WEIGHTS_SQL,
+    "docs_training_order": TRAINING_ORDER_SQL,
     "docs_unigram_logprob": UNIGRAM_LOGPROB_SQL,
     "docs_bigram_logprob": BIGRAM_LOGPROB_SQL,
     "docs_sample_stratified": SAMPLE_STRATIFIED_SQL,
