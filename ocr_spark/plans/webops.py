@@ -812,6 +812,89 @@ FROM marked GROUP BY url
 """
 
 
+ANCHOR_PAT = r'<a href="([^"]*)"[^>]*>([^<]*)</a>'
+
+
+def pages_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation per link target — the classic web-graph
+    text feature (what search engines and link-spam detectors read:
+    how the REST of the corpus describes a target): every
+    ``<a href>…</a>`` pair is extracted from raw page bytes, then
+    aggregated per (href, anchor_text) with a per-target text ranking,
+    so each target's anchor profile (dominant description first) falls
+    out of one pass. link_kind separates internal / external / mailto
+    edges, since anchor profiles are consumed per class (external
+    anchors feed ranking signals, internal ones feed site-structure
+    checks).
+
+    Scale shape: extraction is a narrow regexp map + explode (zero
+    shuffle); the single exchange is the partial-aggregated groupBy
+    keyed (href, anchor_text) whose cardinality is the distinct
+    link-vocabulary, far below page count (hot targets carry counts,
+    not rows); the rank window re-uses the same key's partitioning
+    (href prefix). The oracle regenerates the expected anchors
+    closed-form from doc_id (gen/wrap.py's link inventory)."""
+    pages = pages_from_documents(spark, sf_dir)
+    full = F.explode(
+        F.regexp_extract_all(_html_str(), F.lit(ANCHOR_PAT), 0)) \
+        .alias("a")
+    pairs = pages.select(full).select(
+        F.regexp_extract("a", ANCHOR_PAT, 1).alias("href"),
+        F.regexp_extract("a", ANCHOR_PAT, 2).alias("anchor_text"))
+    kind = (F.when(F.col("href").startswith("mailto:"), F.lit("mailto"))
+            .when(F.col("href").rlike("^https?://"), F.lit("external"))
+            .otherwise(F.lit("internal")))
+    agg = (pairs.groupBy("href", "anchor_text")
+           .agg(F.count(F.lit(1)).alias("n_links"))
+           .select("href", "anchor_text", "n_links", kind.alias("link_kind")))
+    w = Window.partitionBy("href").orderBy(F.desc("n_links"),
+                                           "anchor_text")
+    return agg.withColumn("text_rank", F.row_number().over(w))
+
+
+PAGES_ANCHOR_TEXTS_SQL = """
+WITH anchors AS (
+  SELECT (u.a).h AS href, (u.a).t AS anchor_text
+  FROM documents, LATERAL unnest([
+    {'h': '/home'     || CAST(doc_id % 7 AS VARCHAR), 't': 'home'},
+    {'h': '/about'    || CAST(doc_id % 7 AS VARCHAR), 't': 'about'},
+    {'h': '/products' || CAST(doc_id % 7 AS VARCHAR), 't': 'products'},
+    {'h': '/pricing'  || CAST(doc_id % 7 AS VARCHAR), 't': 'pricing'},
+    {'h': '/blog'     || CAST(doc_id % 7 AS VARCHAR), 't': 'blog'},
+    {'h': '/careers'  || CAST(doc_id % 7 AS VARCHAR), 't': 'careers'},
+    {'h': '/ad' || CAST(doc_id % 11 AS VARCHAR), 't': 'buy now today'},
+    {'h': '/r1', 't': 'related one'},
+    {'h': '/r2', 't': 'related two'},
+    {'h': '/privacy',   't': 'privacy '   || CAST(doc_id % 5 AS VARCHAR)},
+    {'h': '/terms',     't': 'terms '     || CAST(doc_id % 5 AS VARCHAR)},
+    {'h': '/contact',   't': 'contact '   || CAST(doc_id % 5 AS VARCHAR)},
+    {'h': '/sitemap',   't': 'sitemap '   || CAST(doc_id % 5 AS VARCHAR)},
+    {'h': '/subscribe', 't': 'subscribe ' || CAST(doc_id % 5 AS VARCHAR)},
+    {'h': 'mailto:contact' || CAST(doc_id % 50 AS VARCHAR)
+          || '@example' || CAST(doc_id % 7 AS VARCHAR) || '.com',
+     't': 'contact' || CAST(doc_id % 50 AS VARCHAR)
+          || '@example' || CAST(doc_id % 7 AS VARCHAR) || '.com'},
+    {'h': 'https://partner' || CAST(CASE WHEN doc_id % 13 = 11 THEN 2
+                                         ELSE doc_id % 5 END AS VARCHAR)
+          || '.example.org/p/' || CAST(doc_id % 13 AS VARCHAR),
+     't': 'partner site'}
+  ]) AS u(a)
+), agg AS (
+  SELECT href, anchor_text,
+         CAST(COUNT(*) AS BIGINT) AS n_links,
+         CASE WHEN starts_with(href, 'mailto:') THEN 'mailto'
+              WHEN regexp_matches(href, '^https?://') THEN 'external'
+              ELSE 'internal' END AS link_kind
+  FROM anchors GROUP BY href, anchor_text
+)
+SELECT href, anchor_text, n_links, link_kind,
+       CAST(ROW_NUMBER() OVER (PARTITION BY href
+                               ORDER BY n_links DESC, anchor_text)
+            AS INT) AS text_rank
+FROM agg
+"""
+
+
 HOST_LINE_MIN_URLS = 2
 
 
@@ -2121,6 +2204,7 @@ SPARK_QUERIES = {
     "pages_para_dedup": pages_para_dedup,
     "pages_line_dedup": pages_line_dedup,
     "pages_host_boilerplate": pages_host_boilerplate,
+    "pages_anchor_texts": pages_anchor_texts,
     "pages_span_dedup": pages_span_dedup,
     "docs_repetition_metrics": docs_repetition_metrics,
     "docs_substring_dup_coverage": docs_substring_dup_coverage,
@@ -2151,6 +2235,7 @@ ORACLE_SQL = {
     "pages_para_dedup": PAGES_PARA_DEDUP_SQL,
     "pages_line_dedup": PAGES_LINE_DEDUP_SQL,
     "pages_host_boilerplate": PAGES_HOST_BOILERPLATE_SQL,
+    "pages_anchor_texts": PAGES_ANCHOR_TEXTS_SQL,
     "pages_span_dedup": PAGES_SPAN_DEDUP_SQL,
     "docs_repetition_metrics": DOCS_REPETITION_SQL,
     "docs_substring_dup_coverage": DOCS_SUBSTR_DUP_SQL,
