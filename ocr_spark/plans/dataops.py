@@ -1031,6 +1031,35 @@ def _bpe_model() -> dict:
     return model
 
 
+def _bpe_count_one_col(tok: Column) -> Column:
+    """BPE token count of ONE pre-token under the artifact merge
+    table, as a JVM expression (the shared kernel of
+    docs_bpe_merges_token_count and docs_tokenizer_fertility)."""
+    model = _bpe_model()
+    space = model["space_symbol"]
+    sym = F.replace(tok, F.lit(" "), F.lit(space))
+    s = F.concat(F.lit(" "),
+                 F.array_join(F.split(sym, ""), " "),
+                 F.lit(" "))
+    for a, b in model["merges"]:
+        for _ in range(_BPE_RULE_PASSES):
+            s = F.replace(s, F.lit(f" {a} {b} "),
+                          F.lit(f" {a}{b} "))
+    return F.size(F.split(F.trim(s), " "))
+
+
+def _bpe_sql_count_expr() -> str:
+    """DuckDB mirror of _bpe_count_one_col over a pre-token ``x``."""
+    model = _bpe_model()
+    space = model["space_symbol"]
+    expr = "' ' || array_to_string(string_split(" \
+           f"replace(x, ' ', '{space}'), ''), ' ') || ' '"
+    for a, b in model["merges"]:
+        for _ in range(_BPE_RULE_PASSES):
+            expr = f"replace({expr}, ' {a} {b} ', ' {a}{b} ')"
+    return f"CAST(len(string_split(trim({expr}), ' ')) AS BIGINT)"
+
+
 def docs_bpe_merges_token_count(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """REAL BPE token counting from the artifact merge table
@@ -1049,23 +1078,9 @@ def docs_bpe_merges_token_count(spark: SparkSession,
     narrow JVM map per document: transform over pre-tokens, chained
     replaces per rule, aggregate sum. Zero shuffles, zero Python
     workers at any corpus size."""
-    model = _bpe_model()
-    space = model["space_symbol"]
     docs = t(spark, sf_dir, "documents")
     pre = F.regexp_extract_all("text", F.lit(_BPE_PAT), 0)
-
-    def _count_one(tok: Column) -> Column:
-        sym = F.replace(tok, F.lit(" "), F.lit(space))
-        s = F.concat(F.lit(" "),
-                     F.array_join(F.split(sym, ""), " "),
-                     F.lit(" "))
-        for a, b in model["merges"]:
-            for _ in range(_BPE_RULE_PASSES):
-                s = F.replace(s, F.lit(f" {a} {b} "),
-                              F.lit(f" {a}{b} "))
-        return F.size(F.split(F.trim(s), " "))
-
-    n_bpe = F.aggregate(F.transform(pre, _count_one),
+    n_bpe = F.aggregate(F.transform(pre, _bpe_count_one_col),
                         F.lit(0).cast("bigint"),
                         lambda acc, x: acc + x)
     n_chars = F.aggregate(
@@ -1079,13 +1094,7 @@ def docs_bpe_merges_token_count(spark: SparkSession,
 
 
 def _bpe_merges_sql() -> str:
-    model = _bpe_model()
-    space = model["space_symbol"]
-    expr = "' ' || array_to_string(string_split(" \
-           f"replace(x, ' ', '{space}'), ''), ' ') || ' '"
-    for a, b in model["merges"]:
-        for _ in range(_BPE_RULE_PASSES):
-            expr = f"replace({expr}, ' {a} {b} ', ' {a}{b} ')"
+    cnt = _bpe_sql_count_expr()
     return f"""
 WITH pre AS (
   SELECT doc_id,
@@ -1095,19 +1104,83 @@ WITH pre AS (
 SELECT doc_id,
        CAST(len(toks) AS BIGINT) AS n_pretokens,
        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-              list_transform(toks,
-                x -> CAST(len(string_split(trim({expr}), ' '))
-                          AS BIGINT))),
+              list_transform(toks, x -> {cnt})),
             (a, b) -> a + b) AS BIGINT) AS n_bpe_tokens,
        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
               list_transform(toks, x -> CAST(length(x) AS BIGINT))),
             (a, b) -> a + b)
         - list_reduce(list_prepend(CAST(0 AS BIGINT),
-              list_transform(toks,
-                x -> CAST(len(string_split(trim({expr}), ' '))
-                          AS BIGINT))),
+              list_transform(toks, x -> {cnt})),
             (a, b) -> a + b) AS BIGINT) AS n_merges_applied
 FROM pre
+"""
+
+
+FERTILITY_ROUND = 4
+
+
+def docs_tokenizer_fertility(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility — the multilingual-fairness
+    metric (tokens per whitespace word; e.g. Rust et al. 2021, "How
+    Good is Your Tokenizer?"): languages whose text fragments into
+    more subword tokens pay more compute and context per word, so a
+    training mixture is audited with exactly this table. Counts BPE
+    tokens with the artifact merge table (the
+    docs_bpe_merges_token_count kernel), aggregates per language:
+    fertility = Σ bpe_tokens / Σ ws_words and chars_per_token =
+    Σ chars / Σ bpe_tokens — exact integer sums divided once at the
+    end, so the result is order-independent under any partitioning.
+
+    Scale shape: narrow per-doc JVM map (the whole tokenizer is plan
+    literals), then ONE partial-aggregated groupBy keyed lang (a
+    handful of keys; map-side combine collapses nearly everything)."""
+    docs = t(spark, sf_dir, "documents")
+    pre = F.regexp_extract_all("text", F.lit(_BPE_PAT), 0)
+    n_bpe = F.aggregate(F.transform(pre, _bpe_count_one_col),
+                        F.lit(0).cast("bigint"),
+                        lambda acc, x: acc + x)
+    ws = F.split(F.trim("text"), r"\s+")
+    n_words = F.when((F.size(ws) == 1) & (ws[0] == ""), F.lit(0)) \
+               .otherwise(F.size(ws)).cast("bigint")
+    per_doc = docs.select(
+        "lang", n_bpe.alias("nb"), n_words.alias("nw"),
+        F.length("text").cast("bigint").alias("nc"))
+    return (per_doc.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("nw").alias("n_words"),
+                 F.sum("nb").alias("n_bpe_tokens"),
+                 F.round(F.sum("nb") / F.sum("nw"), FERTILITY_ROUND)
+                  .alias("fertility"),
+                 F.round(F.sum("nc") / F.sum("nb"), FERTILITY_ROUND)
+                  .alias("chars_per_token")))
+
+
+def _tokenizer_fertility_sql() -> str:
+    cnt = _bpe_sql_count_expr()
+    return f"""
+WITH per_doc AS (
+  SELECT lang,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(regexp_extract_all(text,
+                                                  '{_BPE_SQL_PAT}', 0),
+                               x -> {cnt})),
+              (a, b) -> a + b) AS BIGINT) AS nb,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+'))
+              END AS BIGINT) AS nw,
+         CAST(length(text) AS BIGINT) AS nc
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nw) AS BIGINT) AS n_words,
+       CAST(SUM(nb) AS BIGINT) AS n_bpe_tokens,
+       round(CAST(SUM(nb) AS DOUBLE) / SUM(nw), {FERTILITY_ROUND})
+           AS fertility,
+       round(CAST(SUM(nc) AS DOUBLE) / SUM(nb), {FERTILITY_ROUND})
+           AS chars_per_token
+FROM per_doc GROUP BY lang
 """
 
 
@@ -1679,6 +1752,7 @@ SPARK_QUERIES = {
     "docs_bpe_token_count": docs_bpe_token_count,
     "docs_bpe_merges_token_count": docs_bpe_merges_token_count,
     "docs_bpe_train_merges": docs_bpe_train_merges,
+    "docs_tokenizer_fertility": docs_tokenizer_fertility,
     "docs_rolling_hash": docs_rolling_hash,
     "docs_sentences_udtf": docs_sentences_udtf,
     "docs_top_ngrams": docs_top_ngrams,
@@ -1703,6 +1777,7 @@ ORACLE_SQL = {
     "docs_bpe_token_count": _BPE_COUNT_SQL,
     "docs_bpe_merges_token_count": _bpe_merges_sql(),
     "docs_bpe_train_merges": _bpe_train_sql(),
+    "docs_tokenizer_fertility": _tokenizer_fertility_sql(),
     "docs_rolling_hash": _ROLLING_HASH_SQL,
     "docs_sentences_udtf": _SENTENCES_SQL,
     "docs_top_ngrams": _TOP_NGRAMS_SQL,
