@@ -345,11 +345,17 @@ def curation_root(work_dir: str) -> str:
 
 def run_curation_job(spark: SparkSession, work_dir: str, *,
                      shard_token_budget: int = 2000,
-                     dedup: str = "para") -> dict:
+                     dedup: str = "para",
+                     neardup: bool = False) -> dict:
     """Corpus-wide curation stage over the committed extraction output:
     C4-style corpus dedup → quality + line-format + repetition
     filters → keep/drop verdict with drop reason → token-budget shard packing of the kept
     set → ONE published snapshot + a metrics row.
+
+    ``neardup=True`` prepends a DOCUMENT-level near-dup collapse
+    (MinHash-LSH + signature-overlap verify + connected components,
+    keep-the-longest keeper) before the content-level pass — the
+    re-crawl/mirror case exact url-keyed dedup cannot see.
 
     ``dedup`` picks the corpus-dedup granularity: ``"para"`` (default)
     removes repeated paragraphs (the common line/paragraph-hash form);
@@ -391,6 +397,43 @@ def run_curation_job(spark: SparkSession, work_dir: str, *,
             .filter(F.col("error").isNull() & F.col("text").isNotNull()
                     & (F.col("text") != ""))
             .select("url", "text"))
+
+    # ---- stage 0 (optional): DOCUMENT-level near-dup dedup — the
+    # re-crawl/mirror collapse that runs before any content-level
+    # dedup: MinHash-LSH candidates (bucket-capped) → signature-overlap
+    # Jaccard estimate (the no-gram-recompute production verifier) →
+    # connected components → keep the LONGEST member per cluster
+    # (Dolma-style; ties to the lexicographically smallest url). Node
+    # ids for label propagation are 60-bit md5 prefixes of the url
+    # (the convergence test sums labels, so ids must be numeric).
+    n_neardup_dropped = 0
+    if neardup:
+        from ocr_spark.plans.dataops import (
+            NEAR_DUP_JACCARD, lsh_pairs_frame, minhash_sigs_frame,
+            near_dup_clusters)
+        nid = F.conv(F.substring(F.md5("url"), 1, 15), 16, 10) \
+            .cast("long")
+        ids = docs.select("url", nid.alias("nid"))
+        sigs = minhash_sigs_frame(docs, key="url", text_col="text")
+        verified = (lsh_pairs_frame(sigs, key="url")
+                    .filter(F.col("jaccard_est") >= NEAR_DUP_JACCARD))
+        pairs = (verified
+                 .join(ids.select(F.col("url").alias("key_a"),
+                                  F.col("nid").alias("doc_a")), "key_a")
+                 .join(ids.select(F.col("url").alias("key_b"),
+                                  F.col("nid").alias("doc_b")), "key_b")
+                 .select("doc_a", "doc_b"))
+        clusters = near_dup_clusters(pairs, spark=spark) \
+            .select(F.col("doc_id").alias("nid"), "cluster_id")
+        members = (docs.select("url", F.length("text").alias("nch"))
+                   .join(ids, "url").join(clusters, "nid"))
+        wk = Window.partitionBy("cluster_id").orderBy(
+            F.desc("nch"), F.asc("url"))
+        losers = (members.withColumn("rn", F.row_number().over(wk))
+                  .filter(F.col("rn") > 1).select("url")
+                  .localCheckpoint())
+        n_neardup_dropped = losers.count()
+        docs = docs.join(losers, "url", "left_anti")
 
     # ---- stage 1: corpus-wide dedup (global first occurrence)
     if dedup == "span":
@@ -511,7 +554,9 @@ def run_curation_job(spark: SparkSession, work_dir: str, *,
 
     out_sid = shim.prepare_snapshot(
         out, curation_root(work_dir), snapshot_id=f"cur-{run_id}",
-        extra={"curated_from": input_sids, "dedup_mode": dedup})
+        extra={"curated_from": input_sids, "dedup_mode": dedup,
+               "neardup": neardup,
+               "neardup_dropped": int(n_neardup_dropped)})
     shim.publish_snapshot(curation_root(work_dir), out_sid)
 
     stats = (shim.read_snapshot(spark, curation_root(work_dir), out_sid)
@@ -539,6 +584,7 @@ def run_curation_job(spark: SparkSession, work_dir: str, *,
         os.path.join(work_dir, "curation_metrics"))
 
     return {"run_id": run_id, "snapshot": out_sid, "dedup": dedup,
+            "neardup_dropped": int(n_neardup_dropped),
             "input_snapshots": input_sids,
             "docs": int(stats.docs), "docs_kept": int(stats.docs_kept),
             "paras_removed": int(stats.paras_total - stats.paras_kept),

@@ -194,15 +194,27 @@ LSH_BUCKET_CAP = 50   # skip degenerate buckets: pair count is O(n²) per
                       # the exact-dedup pass (docs_dedup_keepers) owns them.
 
 
-def _lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+def minhash_sigs_frame(df: DataFrame, key: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """MinHash signatures over an arbitrary frame → (key, minvec).
+    Frame-level form of the signature map so the job pipeline
+    (job.py run_curation_job neardup stage) reuses the exact kernel
+    the oracle-checked queries pin. Narrow map, zero shuffle."""
+    @F.pandas_udf("array<long>")
+    def mh(texts: pd.Series) -> pd.Series:
+        return texts.map(minhash_vec_py)
+
+    return (df.select(F.col(key), mh(text_col).alias("minvec"))
+            .filter(F.col("minvec").isNotNull()))
+
+
+def lsh_bands_frame(sigs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """(key, minvec) → exploded (key, band, bucket): the banding map.
+    The generator references the materialized minvec COLUMN (4 cheap
+    slices), never re-deriving the md5 chain per band."""
     rows_per_band = MINHASH_K // LSH_BANDS
-    sig = (docs.select("doc_id", _minhash_vec_udf().alias("minvec"))
-           .filter(F.col("minvec").isNotNull()))
-    # the generator references the materialized minvec COLUMN (4 cheap
-    # slices), never re-deriving the md5 chain per band
-    return sig.select(
-        "doc_id",
+    return sigs.select(
+        key,
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band"),
@@ -214,7 +226,42 @@ def _lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             for b in range(LSH_BANDS)
         ])).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    ).select(key, "bb.band", "bb.bucket")
+
+
+def lsh_pairs_frame(sigs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """(key, minvec) → candidate pairs (key_a, key_b, n_shared_bands,
+    jaccard_est) with the LSH_BUCKET_CAP guard applied BEFORE the
+    self-join and the Broder signature-overlap estimate computed from
+    the signatures already in hand (no gram recomputation)."""
+    bands = lsh_bands_frame(sigs, key)
+    w = Window.partitionBy("band", "bucket")
+    bands = (bands.withColumn("bucket_n", F.count("*").over(w))
+             .filter(F.col("bucket_n") <= LSH_BUCKET_CAP)
+             .drop("bucket_n"))
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (a.join(b, ["band", "bucket"])
+             .filter(F.col(f"a.{key}") < F.col(f"b.{key}"))
+             .select(F.col(f"a.{key}").alias("key_a"),
+                     F.col(f"b.{key}").alias("key_b"))
+             .groupBy("key_a", "key_b")
+             .agg(F.count(F.lit(1)).alias("n_shared_bands")))
+    sa = sigs.select(F.col(key).alias("key_a"),
+                     F.col("minvec").alias("va"))
+    sb = sigs.select(F.col(key).alias("key_b"),
+                     F.col("minvec").alias("vb"))
+    matches = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: (x == y).cast("int")),
+        F.lit(0), lambda acc, x: acc + x)
+    return (pairs.join(sa, "key_a").join(sb, "key_b")
+            .select("key_a", "key_b", "n_shared_bands",
+                    F.round(matches / MINHASH_K, 4).alias("jaccard_est")))
+
+
+def _lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return lsh_bands_frame(
+        minhash_sigs_frame(docs, "doc_id", "text"), "doc_id")
 
 
 def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -700,7 +747,12 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = CC_MAX_ITERS,
               .distinct()
               .withColumn("label", F.col("doc_id"))
               .localCheckpoint())
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # decimal(38,0) sum: labels may be 63-bit ids (the job layer feeds
+    # md5-prefix node ids), and at 10^12 nodes even modest ids overflow
+    # a LONG sum — the convergence test must never be the thing that
+    # caps corpus size
+    prev_sum = labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
     for _ in range(max_iters):
         prop = (edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
                 .select(F.col("dst").alias("doc_id"), "label"))
@@ -708,7 +760,8 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = CC_MAX_ITERS,
                       .groupBy("doc_id")
                       .agg(F.min("label").alias("label"))
                       .localCheckpoint())
-        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        new_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
         labels = new_labels
         if new_sum == prev_sum:   # monotone ⇒ equal sum ⇔ fixed point
             break

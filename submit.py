@@ -54,6 +54,10 @@ def main(argv: list[str] | None = None) -> int:
                          "paragraphs (default), C4's literal "
                          "three-sentence spans, or Lee-et-al. "
                          "exact-substring token windows")
+    ap.add_argument("--curate-neardup", action="store_true",
+                    help="prepend a document-level near-dup collapse "
+                         "(MinHash-LSH + connected components, keep the "
+                         "longest copy) to the curation stage")
     ap.add_argument("--export", action="store_true",
                     help="after curation, export the kept shard-packed "
                          "docs partitioned by shard_id with a per-shard "
@@ -90,7 +94,8 @@ def main(argv: list[str] | None = None) -> int:
         if args.curate or args.export:
             from ocr_spark.job import run_curation_job
             summary["curation"] = run_curation_job(
-                spark, args.work_dir, dedup=args.curate_dedup)
+                spark, args.work_dir, dedup=args.curate_dedup,
+                neardup=args.curate_neardup)
         if args.export:
             from ocr_spark.job import run_export_job, verify_export
             summary["export"] = run_export_job(spark, args.work_dir)

@@ -148,3 +148,76 @@ def test_substr_mode_excises_duplicated_token_runs(curated):
     heading_docs = [r for r in rows
                     if "overview and summary" in r.text_deduped]
     assert len(heading_docs) > 3
+
+
+def test_neardup_stage_collapses_recrawls(spark, tmp_path_factory):
+    """neardup=True collapses document-level near-duplicates: a corpus
+    with re-crawled copies (same text ± a trailing edit, new url) must
+    keep exactly the LONGEST member per cluster and drop the rest,
+    while a neardup=False run keeps every copy (url-keyed content
+    dedup cannot see mirrors)."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.plans.extract_queries import pages_from_documents
+
+    input_root = str(tmp_path_factory.mktemp("nd_in"))
+    work = str(tmp_path_factory.mktemp("nd_work"))
+    work2 = str(tmp_path_factory.mktemp("nd_work_base"))
+
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001")
+    # re-crawl mirrors for docs 3 and 5 — both ISOLATED in the base
+    # corpus's own near-dup graph (the synthetic small-vocab prose
+    # contains genuine near-dup clusters; an isolated source makes the
+    # mirror pair's keeper deterministic). The mirror body carries an
+    # extra trailing sentence, built through the SAME wrapper so
+    # extraction stays golden
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    import pandas as _pd
+    from pyspark.sql.types import BinaryType
+
+    @F.pandas_udf(BinaryType())
+    def wrap2(doc_id, text):
+        from ocr_spark.gen.wrap import html_for_document
+        return _pd.Series([
+            html_for_document(int(d), t) for d, t in zip(doc_id, text)
+        ])
+
+    mirrors = (docs.filter(F.col("doc_id").isin(3, 5))
+               .select(
+                   F.concat(F.lit("doc://mirror/"),
+                            F.col("doc_id").cast("string")).alias("url"),
+                   F.lit("2025-01-02 00:00:00").cast("timestamp")
+                    .alias("warc_ts"),
+                   wrap2("doc_id",
+                         F.concat(F.col("text"),
+                                  F.lit(" extra recrawl sentence tail")))
+                   .alias("html"),
+                   F.col("text"),
+                   F.col("lang")))
+    both = pages.unionByName(mirrors)
+    shim.write_snapshot(both, input_root)
+    run_extraction_job(spark, input_root, work, partitions=8,
+                       big_partitions=1, waves=2)
+
+    s_nd = run_curation_job(spark, work, neardup=True)
+    # >= 2: the two mirror pairs collapse; the base corpus contributes
+    # its own internal near-dup losers on top
+    assert s_nd["neardup_dropped"] >= 2, s_nd
+    out = shim.read_snapshot(spark, curation_root(work),
+                             s_nd["snapshot"])
+    kept_urls = {r.url for r in out.select("url").collect()}
+    # the mirror is LONGER (extra sentence) → it is the keeper, the
+    # original url is the loser
+    assert "doc://mirror/3" in kept_urls and "doc://3" not in kept_urls
+    assert "doc://mirror/5" in kept_urls and "doc://5" not in kept_urls
+
+    # baseline: without the stage both copies survive into curation
+    run_extraction_job(spark, input_root, work2, partitions=8,
+                       big_partitions=1, waves=2)
+    s_base = run_curation_job(spark, work2, neardup=False)
+    out2 = shim.read_snapshot(spark, curation_root(work2),
+                              s_base["snapshot"])
+    urls2 = {r.url for r in out2.select("url").collect()}
+    assert s_base["neardup_dropped"] == 0
+    assert {"doc://3", "doc://mirror/3", "doc://5",
+            "doc://mirror/5"} <= urls2
