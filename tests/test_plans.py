@@ -479,3 +479,39 @@ def test_ivfpq_no_corpus_shuffle_outside_cell_join(spark):
     plan = fmt(df)
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_anchor_texts_partial_agg_no_sort_merge(spark):
+    """Anchor aggregation must partial-aggregate before its one
+    link-vocabulary exchange (hot targets carry counts, not rows) and
+    never sort-merge-join anything."""
+    from ocr_spark.plans.webops import pages_anchor_texts
+
+    df = pages_anchor_texts(spark, SF)
+    plan = fmt(df)
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in simple
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_tokenizer_fertility_single_lang_exchange(spark):
+    """The whole tokenizer is a narrow JVM map (plan literals); the
+    only exchange is the lang-keyed aggregate — no Python workers, no
+    joins."""
+    from ocr_spark.plans.dataops import docs_tokenizer_fertility
+
+    df = docs_tokenizer_fertility(spark, SF)
+    plan = fmt(df)
+    assert n_shuffles(plan) == 1, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Join" not in plan, plan
+
+
+def test_training_order_no_global_sort(spark):
+    """The epoch shuffle must be per-(epoch, shard) windows — never a
+    single-partition global sort."""
+    from ocr_spark.plans.curation import docs_training_order
+
+    df = docs_training_order(spark, SF)
+    plan = fmt(df)
+    assert "SinglePartition" not in plan, plan
