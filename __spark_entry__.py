@@ -50,7 +50,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "docs_near_dup_vs_snapshot", "emb_ivfpq_topk",
     "docs_bpe_train_merges", "docs_near_dup_quality_keepers",
     "docs_training_order", "pages_anchor_texts",
-    "docs_tokenizer_fertility",
+    "docs_tokenizer_fertility", "hosts_keep_rate",
     "docs_tfidf_topk", "pages_line_dedup", "docs_seq_pack",
     "q2_min_cost_supplier", "q9_product_type_profit",
     "q11_important_stock", "q16_parts_supplier_relationship",

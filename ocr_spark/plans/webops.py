@@ -1530,6 +1530,61 @@ def docs_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "keep_substr", "is_dup", keep.alias("keep"))
 
 
+HOST_MIN_KEEP_RATE = 0.4
+
+
+def hosts_keep_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level quality prior — the FineWeb/RefinedWeb "bad host"
+    rollup: aggregate the per-document curation verdict by canonical
+    host and flag hosts whose keep rate falls below
+    HOST_MIN_KEEP_RATE. Production pipelines feed this table back into
+    the crawler (demote or drop low-yield hosts before fetch cost is
+    paid) and into filtering (a host prior catches borderline docs
+    from consistently-bad sites). Host here is the fixture's canonical
+    host (site{doc_id % 13}, the same identity pages_url_dedup parses
+    from page bytes); in production it is a crawl metadata column.
+
+    Scale shape: the verdict subplan is unchanged (its own audited
+    shapes); on top of it ONE partial-aggregated groupBy keyed host —
+    key cardinality is the distinct-host count, far below docs, and
+    keep flags become integer sums map-side."""
+    v = docs_curation_verdict(spark, sf_dir).select("doc_id", "keep")
+    host = F.concat(F.lit("site"),
+                    (F.col("doc_id") % 13).cast("string"),
+                    F.lit(".example.com"))
+    agg = (v.select(host.alias("host"), "keep")
+           .groupBy("host")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.col("keep").cast("long")).alias("n_kept")))
+    rate = F.round(F.col("n_kept") / F.col("n_docs"), 4)
+    return agg.select(
+        "host", "n_docs", "n_kept", rate.alias("keep_rate"),
+        (rate >= HOST_MIN_KEEP_RATE).alias("host_prior_ok"))
+
+
+def _hosts_keep_rate_sql() -> str:
+    return f"""
+WITH v AS (
+{_curation_sql()}
+), h AS (
+  SELECT 'site' || CAST(doc_id % 13 AS VARCHAR) || '.example.com'
+             AS host,
+         keep
+  FROM v
+), agg AS (
+  SELECT host,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+  FROM h GROUP BY host
+)
+SELECT host, n_docs, n_kept,
+       round(CAST(n_kept AS DOUBLE) / n_docs, 4) AS keep_rate,
+       round(CAST(n_kept AS DOUBLE) / n_docs, 4) >= {HOST_MIN_KEEP_RATE}
+           AS host_prior_ok
+FROM agg
+"""
+
+
 def _curation_sql() -> str:
     from ocr_spark.plans.dataops import _DEDUP_KEEPERS_SQL, _GOPHER_SQL
 
@@ -2200,6 +2255,7 @@ SPARK_QUERIES = {
     "pages_outlinks_followed": pages_outlinks_followed,
     "pages_spam_host_filter": pages_spam_host_filter,
     "docs_curation_verdict": docs_curation_verdict,
+    "hosts_keep_rate": hosts_keep_rate,
     "pages_pii_scan": pages_pii_scan,
     "pages_para_dedup": pages_para_dedup,
     "pages_line_dedup": pages_line_dedup,
@@ -2231,6 +2287,7 @@ ORACLE_SQL = {
     "pages_outlinks_followed": PAGES_OUTLINKS_FOLLOWED_SQL,
     "pages_spam_host_filter": PAGES_SPAM_HOST_FILTER_SQL,
     "docs_curation_verdict": _curation_sql(),
+    "hosts_keep_rate": _hosts_keep_rate_sql(),
     "pages_pii_scan": PAGES_PII_SQL,
     "pages_para_dedup": PAGES_PARA_DEDUP_SQL,
     "pages_line_dedup": PAGES_LINE_DEDUP_SQL,

@@ -331,3 +331,116 @@ def stream_host_counters(spark: SparkSession, input_dir: str,
     ws = (ws.trigger(processingTime=trigger_interval) if trigger_interval
           else ws.trigger(availableNow=True))
     return ws.start()
+
+
+def stream_extract_near_dup(spark: SparkSession, input_dir: str,
+                            output_dir: str, sigstore_dir: str,
+                            checkpoint_dir: str) -> Any:
+    """Streaming NEAR-dup dedup against an accumulating signature
+    store — the incremental form of the batch curation job's neardup
+    stage (job.py run_curation_job): each micro-batch extracts its
+    pages, MinHash-signs the extracted text, LSH-probes the signatures
+    of EVERYTHING ACCEPTED SO FAR (the parquet signature store), drops
+    arrivals whose best signature-overlap Jaccard estimate clears
+    NEAR_DUP_JACCARD, and appends the survivors' signatures to the
+    store inside the same foreachBatch transaction order (store append
+    AFTER output append, so a crash between the two re-admits a batch
+    rather than silently dropping one — re-admitted duplicates are
+    caught by the batch layer's exact dedup, the standard
+    streaming-approximate + batch-exact split).
+
+    Exact-url revisits are handled upstream by
+    dropDuplicatesWithinWatermark (stream_extract_dedup); THIS stage
+    catches the content-drift case (re-crawl with edits, mirrors under
+    new urls) that url state can never see.
+
+    Scale shape: the probe is the frame-level lsh_pairs machinery
+    restricted new×store via the (band, bucket) equi-join with the
+    LSH_BUCKET_CAP guard; the store holds one K-long signature row per
+    accepted doc (bytes per doc ~ 8·K — 10^9 docs ≈ 100 GB parquet, a
+    normal Spark table, pruned by the bucket join, never the raw
+    text); batch-internal duplicates are collapsed within the batch
+    first (cheapest work wins)."""
+    import os as _os
+
+    from ocr_spark.operators.extraction import (
+        EXTRACT_RESULT_SCHEMA, _extract_batches_fn,
+    )
+    from ocr_spark.plans.dataops import (
+        LSH_BUCKET_CAP, MINHASH_K, NEAR_DUP_JACCARD, lsh_bands_frame,
+        minhash_sigs_frame,
+    )
+    from pyspark.sql.window import Window as W
+
+    pages = read_pages_stream(spark, input_dir)
+    extracted = pages.select("url", "html").withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(64)).cast("int")
+    ).mapInPandas(_extract_batches_fn("full"), schema=EXTRACT_RESULT_SCHEMA)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        bdf = batch_df.filter(
+            F.col("error").isNull() & F.col("text").isNotNull()
+            & (F.col("text") != "")).persist()
+        try:
+            sigs = minhash_sigs_frame(bdf, key="url", text_col="text") \
+                .persist()
+            # (1) collapse batch-internal near-dups (keep min url)
+            bands = lsh_bands_frame(sigs, "url")
+            wcap = W.partitionBy("band", "bucket")
+            capped = (bands.withColumn("n", F.count("*").over(wcap))
+                      .filter(F.col("n") <= LSH_BUCKET_CAP).drop("n"))
+            a, c = capped.alias("a"), capped.alias("c")
+            internal = (a.join(c, ["band", "bucket"])
+                        .filter(F.col("a.url") < F.col("c.url"))
+                        .select(F.col("a.url").alias("keep_url"),
+                                F.col("c.url").alias("drop_url"))
+                        .distinct())
+            sa = sigs.select(F.col("url").alias("keep_url"),
+                             F.col("minvec").alias("va"))
+            sb = sigs.select(F.col("url").alias("drop_url"),
+                             F.col("minvec").alias("vb"))
+            est = F.aggregate(
+                F.zip_with("va", "vb", lambda x, y: (x == y).cast("int")),
+                F.lit(0), lambda acc, x: acc + x) / MINHASH_K
+            internal_drops = (internal.join(sa, "keep_url")
+                              .join(sb, "drop_url")
+                              .filter(est >= NEAR_DUP_JACCARD)
+                              .select(F.col("drop_url").alias("url"))
+                              .distinct())
+            survivors = sigs.join(internal_drops, "url", "left_anti")
+            # (2) probe the accumulated store
+            spark_l = batch_df.sparkSession
+            if _os.path.exists(_os.path.join(sigstore_dir, "_SUCCESS")) \
+                    or any(f.endswith(".parquet") for f in
+                           (_os.listdir(sigstore_dir)
+                            if _os.path.isdir(sigstore_dir) else [])):
+                store = spark_l.read.parquet(sigstore_dir)
+                nb = lsh_bands_frame(survivors, "url")
+                sb2 = lsh_bands_frame(store, "url") \
+                    .withColumnRenamed("url", "store_url")
+                cand = (nb.join(sb2, ["band", "bucket"])
+                        .select("url", "store_url").distinct())
+                va = survivors.select("url", F.col("minvec").alias("va"))
+                vb = store.select(F.col("url").alias("store_url"),
+                                  F.col("minvec").alias("vb"))
+                est2 = F.aggregate(
+                    F.zip_with("va", "vb",
+                               lambda x, y: (x == y).cast("int")),
+                    F.lit(0), lambda acc, x: acc + x) / MINHASH_K
+                store_drops = (cand.join(va, "url").join(vb, "store_url")
+                               .filter(est2 >= NEAR_DUP_JACCARD)
+                               .select("url").distinct())
+                survivors = survivors.join(store_drops, "url", "left_anti")
+            kept = bdf.join(survivors.select("url"), "url")
+            kept.write.mode("append").parquet(output_dir)
+            (survivors.select("url", "minvec")
+             .write.mode("append").parquet(sigstore_dir))
+        finally:
+            bdf.unpersist()
+
+    return (extracted.writeStream
+            .foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start())

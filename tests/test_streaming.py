@@ -222,3 +222,73 @@ def test_stream_host_sessions_gap_and_watermark(spark, stream_dirs):
     # gap semantics: session end = last event + gap
     assert (rows[0].session_end - rows[0].session_start).seconds == 6 * 60
     assert rows[0].session_start == t(0) and rows[1].session_start == t(21)
+
+
+def test_stream_extract_near_dup_store(spark, tmp_path):
+    """Streaming near-dup dedup against the accumulating signature
+    store: wave 1 admits the wrapped docs and seeds the store; wave 2
+    re-serves two of them under mirror urls (one with a small edit) —
+    both must be dropped by the store probe, while a genuinely new doc
+    passes. Batch-internal near-dups (two mirrors of the same doc in
+    ONE wave) collapse to a single survivor."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.gen.wrap import html_for_document
+    from ocr_spark.streaming.ingest import stream_extract_near_dup
+
+    d = {k: str(tmp_path / k)
+         for k in ("in", "out", "sigs", "ckpt")}
+    os.makedirs(d["in"], exist_ok=True)
+
+    docs = {r.doc_id: r.text for r in spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id").isin(3, 5, 11)).collect()}
+
+    def page(url, doc_id, text):
+        import datetime
+        return {"url": url,
+                "warc_ts": datetime.datetime(2025, 1, 1),
+                "html": html_for_document(doc_id, text),
+                "text": "", "lang": "en"}
+
+    # wave 1: two originals + an in-batch mirror pair for doc 11
+    wave1 = [
+        page("doc://3", 3, docs[3]),
+        page("doc://5", 5, docs[5]),
+        page("doc://11", 11, docs[11]),
+        page("doc://mirror/11", 11, docs[11]),   # in-batch near-dup
+    ]
+    _write_pages_batch(spark, wave1, d["in"])
+    q = stream_extract_near_dup(spark, d["in"], d["out"], d["sigs"],
+                                d["ckpt"])
+    q.awaitTermination()
+    out1 = {r.url for r in spark.read.parquet(d["out"])
+            .select("url").collect()}
+    assert "doc://3" in out1 and "doc://5" in out1
+    # exactly one of the in-batch mirror pair survives (min url wins)
+    assert "doc://11" in out1 and "doc://mirror/11" not in out1
+    assert len(out1) == 3
+
+    # wave 2: re-crawls of 3 (verbatim) and 5 (small edit) + new doc
+    docs2 = {r.doc_id: r.text for r in spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") == 17).collect()}
+    wave2 = [
+        page("doc://recrawl/3", 3, docs[3]),
+        page("doc://recrawl/5", 5,
+             docs[5] + " tiny recrawl edit tail"),
+        page("doc://17", 17, docs2[17]),
+    ]
+    _write_pages_batch(spark, wave2, d["in"])
+    q = stream_extract_near_dup(spark, d["in"], d["out"], d["sigs"],
+                                d["ckpt"])
+    q.awaitTermination()
+    out2 = {r.url for r in spark.read.parquet(d["out"])
+            .select("url").collect()}
+    assert "doc://17" in out2
+    assert "doc://recrawl/3" not in out2
+    assert "doc://recrawl/5" not in out2
+    assert len(out2) == 4
+    # the signature store holds exactly the admitted docs
+    store = spark.read.parquet(d["sigs"])
+    assert {r.url for r in store.select("url").collect()} == out2
