@@ -51,6 +51,9 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "docs_bpe_train_merges", "docs_near_dup_quality_keepers",
     "docs_training_order", "pages_anchor_texts",
     "docs_tokenizer_fertility", "hosts_keep_rate",
+    "pages_line_corrections", "docs_bloom_probe",
+    "docs_decontaminate_spans", "docs_mixture_realize",
+    "docs_curriculum_order",
     "docs_tfidf_topk", "pages_line_dedup", "docs_seq_pack",
     "q2_min_cost_supplier", "q9_product_type_profit",
     "q11_important_stock", "q16_parts_supplier_relationship",

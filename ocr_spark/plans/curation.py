@@ -465,6 +465,87 @@ FROM per CROSS JOIN tot
 """
 
 
+_EPOCH_SCALE = 10_000   # integer micro-epochs: round(epochs·1e4) once,
+                        # then all realization arithmetic is integer —
+                        # the cross-engine-stability discipline of the
+                        # classifier/DSIR weight tables.
+
+
+def docs_mixture_realize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REALIZE the domain mixture at the document level — the step
+    between docs_domain_mixture's per-domain weights and an actual
+    training corpus: each document receives n_copies, where its
+    domain's effective epoch count e splits into floor(e) guaranteed
+    passes plus one extra pass for a deterministic hash-selected
+    fraction (e - floor(e)) of the domain's documents. Expected token
+    volume per domain therefore matches weight · total exactly, with
+    no RNG state — the same md5-threshold selection as
+    docs_sample_stratified, so any engine reproduces the same corpus.
+
+    Scale shape: the mixture table is domain-count rows (a broadcast
+    join onto the corpus); the realization itself is a narrow
+    zero-shuffle map — hash, compare, add. Downstream, n_copies feeds
+    sequence()+explode into the shard packer (not materialized here:
+    the oracle pins the copy COUNTS, the explode is mechanical)."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), _TOKS)
+    n = F.when((F.size(toks) == 1) & (toks[0] == ""), F.lit(0)) \
+         .otherwise(F.size(toks)).cast("long")
+    per = (docs.select("lang", n.alias("n"))
+           .groupBy("lang")
+           .agg(F.sum("n").alias("n_tokens")))
+    tot = per.agg(
+        F.sum("n_tokens").alias("tot_tokens"),
+        F.sum(F.pow("n_tokens", MIXTURE_ALPHA)).alias("z"))
+    e = (F.pow("n_tokens", MIXTURE_ALPHA) / F.col("z")
+         * F.col("tot_tokens") / F.col("n_tokens"))
+    mix = (per.crossJoin(F.broadcast(tot))
+           .select("lang",
+                   F.round(e * _EPOCH_SCALE).cast("long")
+                    .alias("e_micro")))
+    h = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("long") % _EPOCH_SCALE)
+    out = docs.select("doc_id", "lang").join(F.broadcast(mix), "lang")
+    extra = (h < F.col("e_micro") % _EPOCH_SCALE).cast("long")
+    return out.select(
+        "doc_id", "lang",
+        F.round(F.col("e_micro") / _EPOCH_SCALE, EPOCH_ROUND)
+         .alias("effective_epochs"),
+        (F.floor(F.col("e_micro") / _EPOCH_SCALE) + extra)
+        .cast("long").alias("n_copies"))
+
+
+MIXTURE_REALIZE_SQL = f"""
+WITH per AS (
+  SELECT lang,
+         CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END)
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+), tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+         SUM(power(n_tokens, {MIXTURE_ALPHA})) AS z
+  FROM per
+), mix AS (
+  SELECT lang,
+         CAST(round(power(n_tokens, {MIXTURE_ALPHA}) / z
+                    * tot_tokens / n_tokens * {_EPOCH_SCALE})
+              AS BIGINT) AS e_micro
+  FROM per CROSS JOIN tot
+)
+SELECT d.doc_id, d.lang,
+       round(m.e_micro / CAST({_EPOCH_SCALE} AS DOUBLE), {EPOCH_ROUND})
+         AS effective_epochs,
+       CAST(m.e_micro // {_EPOCH_SCALE}
+            + CASE WHEN ('0x' || substring(
+                  md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+                  ::BIGINT % {_EPOCH_SCALE} < m.e_micro % {_EPOCH_SCALE}
+                   THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+FROM documents d JOIN mix m ON m.lang = d.lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # shard manifests (reproducible-sink verification artifact)
 # ---------------------------------------------------------------------------
@@ -660,6 +741,106 @@ WHERE d.doc_id % {BENCH_MOD} <> 0
 """
 
 
+def docs_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination — the surgical variant of
+    docs_decontaminate: instead of DROPPING a training document that
+    shares a DECONTAM_K-gram with the eval set, excise exactly the
+    contaminated token windows and keep the rest (the recipe used when
+    contamination is incidental — a quoted benchmark question inside an
+    otherwise-clean article — and document-drop would over-delete).
+    Every token covered by ANY contaminated window is removed
+    (overlapping windows fold into one span, the same interval
+    semantics as docs_substring_dedup); survivors reassemble in
+    position order.
+
+    Scale shape: identical to docs_decontaminate up to the hit list
+    (broadcast eval-hash set, narrow train-side explode), then the
+    substring-removal tail: one explode of remove-window indices
+    (bounded by K x contaminated-window count, NOT corpus size), an
+    anti-join on (doc_id, idx), and a per-doc reassembly groupBy."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), _TOKS)
+    grams = F.when(
+        F.size(toks) >= DECONTAM_K,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - DECONTAM_K),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice(toks, i + 1, DECONTAM_K)))),
+    ).otherwise(F.array().cast("array<string>"))
+    is_eval = F.col("doc_id") % BENCH_MOD == 0
+    eval_set = (docs.filter(is_eval).select(F.explode(grams).alias("bh"))
+                .distinct())
+    base = docs.filter(~is_eval).select(
+        "doc_id", toks.alias("t"), grams.alias("gh")) \
+        .withColumn("n_tokens", F.size("t"))
+    starts = base.select("doc_id", F.posexplode("gh").alias("pos", "g"))
+    bad = starts.join(F.broadcast(eval_set), starts.g == eval_set.bh) \
+                .select("doc_id", "pos")
+    remove_idx = (bad.select("doc_id", F.explode(
+        F.sequence(F.col("pos"), F.col("pos") + DECONTAM_K - 1))
+        .alias("idx")).distinct())
+    tok_pos = base.select("doc_id", F.posexplode("t").alias("idx", "tok"))
+    kept = tok_pos.join(remove_idx, ["doc_id", "idx"], "left_anti")
+    re = (kept.groupBy("doc_id")
+          .agg(F.count("*").alias("n_kept"),
+               F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(F.struct("idx", "tok"))),
+                       lambda s: s["tok"]),
+                   " ").alias("text_clean")))
+    return (base.select("doc_id", F.col("n_tokens").cast("long")
+                        .alias("n_tokens"))
+            .join(re, "doc_id", "left")
+            .select(
+                "doc_id", "n_tokens",
+                (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+                .cast("long").alias("n_removed_tokens"),
+                F.coalesce(F.col("text_clean"), F.lit(""))
+                 .alias("text_clean")))
+
+
+DECONTAMINATE_SPANS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(list_slice(t, i, i + {DECONTAM_K - 1}), ' '))
+           AS g
+  FROM (SELECT doc_id, t,
+               unnest(range(1, len(t) - {DECONTAM_K} + 2)) AS i
+        FROM toks
+        WHERE len(t) >= {DECONTAM_K})
+), bench AS (
+  SELECT DISTINCT g AS bh FROM grams WHERE doc_id % {BENCH_MOD} = 0
+), bad AS (
+  SELECT doc_id, pos FROM grams
+  WHERE doc_id % {BENCH_MOD} <> 0 AND g IN (SELECT bh FROM bench)
+), remove_idx AS (
+  SELECT DISTINCT doc_id, CAST(u.idx AS INT) AS idx
+  FROM bad, LATERAL unnest(range(pos, pos + {DECONTAM_K})) AS u(idx)
+), tok_pos AS (
+  SELECT doc_id, CAST(u.i AS INT) - 1 AS idx, t[u.i] AS tok
+  FROM toks, LATERAL unnest(range(1, len(t) + 1)) AS u(i)
+  WHERE doc_id % {BENCH_MOD} <> 0
+), kept AS (
+  SELECT tp.doc_id, tp.idx, tp.tok
+  FROM tok_pos tp
+  ANTI JOIN remove_idx r ON r.doc_id = tp.doc_id AND r.idx = tp.idx
+), re AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         string_agg(tok, ' ' ORDER BY idx) AS text_clean
+  FROM kept GROUP BY doc_id
+)
+SELECT toks.doc_id,
+       CAST(len(toks.t) AS BIGINT) AS n_tokens,
+       CAST(len(toks.t) - COALESCE(re.n_kept, 0) AS BIGINT)
+         AS n_removed_tokens,
+       COALESCE(re.text_clean, '') AS text_clean
+FROM toks LEFT JOIN re ON re.doc_id = toks.doc_id
+WHERE toks.doc_id % {BENCH_MOD} <> 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # bigram LM with Stupid Backoff (the KenLM seam, one order up)
 # ---------------------------------------------------------------------------
@@ -842,6 +1023,73 @@ FROM keyed
 """
 
 
+CURRICULUM_PHASES = 3
+
+
+def docs_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-annealed curriculum order — the data-ordering policy
+    that complements docs_training_order's uniform shuffle: documents
+    are staged into CURRICULUM_PHASES quality phases (per-language
+    percent-rank terciles of the heuristic quality score, lowest phase
+    first) so the highest-quality stratum is seen LAST — the
+    "anneal on best data" recipe of modern pretraining runs. Within a
+    phase the order is the same deterministic md5 hash sort as
+    docs_training_order (sharded — no global sort, no RNG state), so
+    the full curriculum is reproducible bit-for-bit on any engine or
+    cluster size.
+
+    Scale shape: the per-language percent_rank window is the same
+    exact-form-vs-approx_percentile note as
+    docs_quality_percentile_gate (production swaps ONE broadcast
+    cutoff per (lang, phase)); after phase assignment, one exchange
+    keyed (phase, shard) for the per-shard hash sort."""
+    from ocr_spark.plans.queries import docs_quality_score
+
+    q = docs_quality_score(spark, sf_dir) \
+        .select("doc_id", "lang", "quality_score")
+    w = Window.partitionBy("lang").orderBy("quality_score", "doc_id")
+    pr = F.percent_rank().over(w)
+    phase = F.least(F.floor(pr * CURRICULUM_PHASES),
+                    F.lit(CURRICULUM_PHASES - 1)).cast("int")
+    keyed = q.select(
+        "doc_id", "lang", phase.alias("phase"),
+        F.md5(F.concat(F.lit("curr:"), F.col("doc_id").cast("string")))
+         .alias("shuffle_key"))
+    shard = (F.conv(F.substring("shuffle_key", 1, 8), 16, 10)
+             .cast("long") % SHUFFLE_SHARDS)
+    ws = Window.partitionBy("phase", "shard").orderBy("shuffle_key")
+    return (keyed.withColumn("shard", shard)
+            .select("doc_id", "lang", "phase", "shard",
+                    F.row_number().over(ws).alias("pos_in_shard")))
+
+
+def _curriculum_order_sql() -> str:
+    from ocr_spark.plans.queries import DOCS_QUALITY_SQL
+
+    return f"""
+WITH q AS (
+{DOCS_QUALITY_SQL}
+), phased AS (
+  SELECT doc_id, lang,
+         CAST(LEAST(FLOOR(percent_rank() OVER (
+                  PARTITION BY lang ORDER BY quality_score, doc_id)
+                  * {CURRICULUM_PHASES}),
+                    {CURRICULUM_PHASES - 1}) AS INT) AS phase,
+         md5('curr:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+  FROM q
+)
+SELECT doc_id, lang, phase,
+       ('0x' || substring(shuffle_key, 1, 8))::BIGINT
+           % {SHUFFLE_SHARDS} AS shard,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY phase,
+                        ('0x' || substring(shuffle_key, 1, 8))::BIGINT
+                            % {SHUFFLE_SHARDS}
+           ORDER BY shuffle_key) AS INT) AS pos_in_shard
+FROM phased
+"""
+
+
 # ---------------------------------------------------------------------------
 # DSIR — data selection with importance resampling (Xie et al. 2023)
 # ---------------------------------------------------------------------------
@@ -1009,7 +1257,10 @@ SPARK_QUERIES = {
     "docs_seq_pack": docs_seq_pack,
     "docs_classifier_score": docs_classifier_score,
     "docs_decontaminate": docs_decontaminate,
+    "docs_decontaminate_spans": docs_decontaminate_spans,
     "docs_domain_mixture": docs_domain_mixture,
+    "docs_mixture_realize": docs_mixture_realize,
+    "docs_curriculum_order": docs_curriculum_order,
     "shards_manifest": shards_manifest,
     "docs_quality_percentile_gate": docs_quality_percentile_gate,
     "docs_length_histogram": docs_length_histogram,
@@ -1025,7 +1276,10 @@ ORACLE_SQL = {
     "docs_seq_pack": SEQ_PACK_SQL,
     "docs_classifier_score": _classifier_sql(),
     "docs_decontaminate": DECONTAMINATE_SQL,
+    "docs_decontaminate_spans": DECONTAMINATE_SPANS_SQL,
     "docs_domain_mixture": DOMAIN_MIXTURE_SQL,
+    "docs_mixture_realize": MIXTURE_REALIZE_SQL,
+    "docs_curriculum_order": _curriculum_order_sql(),
     "shards_manifest": SHARDS_MANIFEST_SQL,
     "docs_quality_percentile_gate": _quality_percentile_sql(),
     "docs_length_histogram": LENGTH_HISTOGRAM_SQL,

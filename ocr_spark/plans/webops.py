@@ -812,6 +812,103 @@ FROM marked GROUP BY url
 """
 
 
+LC_MAX_REMOVED_FRAC = 0.3   # drop the doc if corrections strip more
+LC_ROUND = 4                # than this fraction of its characters
+
+
+def pages_line_corrections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style line-wise CORRECTIONS, downstream of
+    extraction: where pages_line_dedup removes lines by corpus-wide
+    document frequency, this stage removes lines by local RULE — the
+    formatting smells a single document exposes on its own: bullet /
+    list-marker lines, truncated teaser lines ending in an ellipsis,
+    and mostly-numeric lines (counters, timestamps, vote tallies).
+    Surviving lines reassemble in order; a document losing more than
+    LC_MAX_REMOVED_FRAC of its characters is dropped outright
+    (RefinedWeb's "if corrections remove too much, the page was never
+    prose" rule). Complements docs_gopher_line_filters, which GATES on
+    the same smells — this op EDITS, producing the cleaned text a
+    pipeline actually trains on.
+
+    Scale shape: extraction's own 2 shuffles, then a purely narrow
+    per-row array pipeline (split → filter → aggregate) — zero
+    additional exchanges at any corpus size; rules are per-line
+    predicates with no corpus state, so the stage composes with the
+    corpus-frequency dedups without reading them."""
+    pages = pages_from_documents(spark, sf_dir)
+    extracted = run_extraction(pages, partitions=32, big_partitions=2)
+
+    def bad(x: Column) -> Column:
+        digits = F.length(F.regexp_replace(x, "[^0-9]", ""))
+        return (x.startswith("• ") | x.startswith("- ")
+                | x.startswith("* ")
+                | x.endswith("...") | x.endswith("…")
+                | (digits * 2 > F.length(x)))
+
+    lines = F.filter(F.split("text", "\n\n"), lambda x: x != "")
+    base = extracted.select("url", lines.alias("lines"))
+    removed = F.filter("lines", bad)
+    kept = F.filter("lines", lambda x: ~bad(x))
+    chars = lambda col: F.aggregate(  # noqa: E731 — local alias
+        col, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+    frac = F.when(chars("lines") > 0,
+                  F.round(chars(removed) / chars("lines"), LC_ROUND)) \
+            .otherwise(F.lit(0.0))
+    return base.select(
+        "url",
+        F.size("lines").cast("long").alias("n_lines"),
+        F.size(removed).cast("long").alias("n_removed"),
+        frac.alias("removed_char_frac"),
+        (frac <= LC_MAX_REMOVED_FRAC).alias("keep_line_corrected"),
+        F.array_join(kept, "\n\n").alias("text_clean"))
+
+
+PAGES_LINE_CORRECTIONS_SQL = _BLOCKS_CTE + f"""
+, ext AS (
+  SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+         string_agg(btext, chr(10) || chr(10) ORDER BY block_id) AS text
+  FROM seq GROUP BY doc_id
+), l AS (
+  SELECT url,
+         list_filter(string_split(text, chr(10) || chr(10)),
+                     x -> x <> '') AS lines
+  FROM ext
+), m AS (
+  SELECT url, lines,
+         list_filter(lines, x ->
+             x LIKE '• %' OR x LIKE '- %' OR x LIKE '* %'
+             OR x LIKE '%...' OR x LIKE '%…'
+             OR 2 * len(regexp_replace(x, '[^0-9]', '', 'g')) > len(x))
+           AS removed,
+         list_filter(lines, x -> NOT (
+             x LIKE '• %' OR x LIKE '- %' OR x LIKE '* %'
+             OR x LIKE '%...' OR x LIKE '%…'
+             OR 2 * len(regexp_replace(x, '[^0-9]', '', 'g')) > len(x)))
+           AS kept
+  FROM l
+), a AS (
+  SELECT url,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(removed) AS BIGINT) AS n_removed,
+         COALESCE(list_sum(list_transform(lines, x -> len(x))), 0)
+           AS tot_chars,
+         COALESCE(list_sum(list_transform(removed, x -> len(x))), 0)
+           AS rem_chars,
+         array_to_string(kept, chr(10) || chr(10)) AS text_clean
+  FROM m
+)
+SELECT url, n_lines, n_removed,
+       CASE WHEN tot_chars > 0
+            THEN round(rem_chars / CAST(tot_chars AS DOUBLE), {LC_ROUND})
+            ELSE 0.0 END AS removed_char_frac,
+       CASE WHEN tot_chars > 0
+            THEN round(rem_chars / CAST(tot_chars AS DOUBLE), {LC_ROUND})
+            ELSE 0.0 END <= {LC_MAX_REMOVED_FRAC} AS keep_line_corrected,
+       text_clean
+FROM a
+"""
+
+
 ANCHOR_PAT = r'<a href="([^"]*)"[^>]*>([^<]*)</a>'
 
 
@@ -1488,6 +1585,97 @@ FROM documents
 WHERE doc_id % 3 = 2
   AND md5(text) NOT IN (
     SELECT md5(text) FROM documents WHERE doc_id % 3 <> 2)
+"""
+
+
+BLOOM_M = 1024   # filter bits. Production sizing: m ≈ 1.44·k·n bits
+BLOOM_K = 3      # for the target FP rate 2^-k; sized here so the
+                 # sf0.01 corpus produces OBSERVABLE false positives
+                 # (fill ~0.6, FP ≈ fill^k ≈ 0.2) — the quantity this
+                 # query exists to measure, not hide.
+
+
+def docs_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-screen for incremental-crawl dedup — the
+    approximate SIBLING of docs_new_vs_snapshot's exact anti-join: the
+    prior snapshot's content fingerprints populate a k-hash Bloom
+    filter; each arrival probes it and gets a bloom_maybe_dup verdict,
+    compared side-by-side against exact membership so the false-
+    positive rate (the tuning quantity: never false NEGATIVES) is
+    directly observable per corpus. Hand-rolled with md5-derived bit
+    positions (Kirsch-Mitzenmacher-style independent hashes via a j:
+    prefix) so the filter is engine-independent and oracle-checkable —
+    Spark's native bloom_filter_agg/might_contain is the drop-in for
+    production but hashes internally and can't be value-pinned.
+
+    Scale shape: the prior side collapses to its DISTINCT bit
+    positions — a table bounded by BLOOM_M rows regardless of corpus
+    size — which BROADCASTS onto the arrivals' narrow k-position
+    explode (at 10^12 docs you shard the filter: one m-bit partition
+    per fingerprint range, still broadcast-sized per shard); the only
+    shuffle is the per-arrival groupBy. The exact-membership column
+    re-uses new_vs_snapshot's equi-join and exists here for the FP
+    audit, not the hot path."""
+    docs = _docs(spark, sf_dir)
+    fp = F.md5("text")
+
+    def pos(j: int, c: Column) -> Column:
+        h = F.md5(F.concat(F.lit(f"{j}:"), c))
+        return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+                % BLOOM_M)
+
+    prior = docs.filter(F.col("doc_id") % 3 != 2) \
+                .select(fp.alias("fp")).distinct()
+    bits = prior.select(F.explode(F.array(
+        *[pos(j, F.col("fp")) for j in range(BLOOM_K)])).alias("bit")) \
+        .distinct().withColumn("present", F.lit(1))
+    arrivals = docs.filter(F.col("doc_id") % 3 == 2) \
+                   .select("doc_id", fp.alias("fp"))
+    probes = arrivals.select("doc_id", "fp", F.explode(F.array(
+        *[pos(j, F.col("fp")) for j in range(BLOOM_K)])).alias("bit"))
+    hits = (probes.join(F.broadcast(bits), "bit", "left")
+            .groupBy("doc_id", "fp")
+            .agg(F.sum(F.coalesce("present", F.lit(0)))
+                  .cast("long").alias("n_bloom_hits")))
+    seen = prior.withColumn("is_dup", F.lit(True))
+    maybe = F.col("n_bloom_hits") == BLOOM_K
+    out = hits.join(seen, "fp", "left")
+    dup = F.coalesce(F.col("is_dup"), F.lit(False))
+    return out.select(
+        "doc_id", F.col("fp").alias("fingerprint"), "n_bloom_hits",
+        maybe.alias("bloom_maybe_dup"), dup.alias("is_dup"),
+        (maybe & ~dup).alias("bloom_false_positive"))
+
+
+DOCS_BLOOM_PROBE_SQL = f"""
+WITH fps AS (
+  SELECT doc_id, md5(text) AS fp FROM documents
+), prior AS (
+  SELECT DISTINCT fp FROM fps WHERE doc_id % 3 <> 2
+), bits AS (
+  SELECT DISTINCT
+      ('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || fp), 1, 8))
+        ::BIGINT % {BLOOM_M} AS bit
+  FROM prior, LATERAL unnest(range(0, {BLOOM_K})) AS u(j)
+), probes AS (
+  SELECT doc_id, fp,
+      ('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || fp), 1, 8))
+        ::BIGINT % {BLOOM_M} AS bit
+  FROM fps, LATERAL unnest(range(0, {BLOOM_K})) AS u(j)
+  WHERE doc_id % 3 = 2
+), hits AS (
+  SELECT doc_id, fp,
+         CAST(SUM(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_bloom_hits
+  FROM probes p LEFT JOIN bits b ON p.bit = b.bit
+  GROUP BY doc_id, fp
+)
+SELECT doc_id, fp AS fingerprint, n_bloom_hits,
+       n_bloom_hits = {BLOOM_K} AS bloom_maybe_dup,
+       fp IN (SELECT fp FROM prior) AS is_dup,
+       (n_bloom_hits = {BLOOM_K}
+        AND fp NOT IN (SELECT fp FROM prior)) AS bloom_false_positive
+FROM hits
 """
 
 
@@ -2256,6 +2444,8 @@ SPARK_QUERIES = {
     "pages_spam_host_filter": pages_spam_host_filter,
     "docs_curation_verdict": docs_curation_verdict,
     "hosts_keep_rate": hosts_keep_rate,
+    "pages_line_corrections": pages_line_corrections,
+    "docs_bloom_probe": docs_bloom_probe,
     "pages_pii_scan": pages_pii_scan,
     "pages_para_dedup": pages_para_dedup,
     "pages_line_dedup": pages_line_dedup,
@@ -2288,6 +2478,8 @@ ORACLE_SQL = {
     "pages_spam_host_filter": PAGES_SPAM_HOST_FILTER_SQL,
     "docs_curation_verdict": _curation_sql(),
     "hosts_keep_rate": _hosts_keep_rate_sql(),
+    "pages_line_corrections": PAGES_LINE_CORRECTIONS_SQL,
+    "docs_bloom_probe": DOCS_BLOOM_PROBE_SQL,
     "pages_pii_scan": PAGES_PII_SQL,
     "pages_para_dedup": PAGES_PARA_DEDUP_SQL,
     "pages_line_dedup": PAGES_LINE_DEDUP_SQL,

@@ -515,3 +515,53 @@ def test_training_order_no_global_sort(spark):
     df = docs_training_order(spark, SF)
     plan = fmt(df)
     assert "SinglePartition" not in plan, plan
+
+
+def test_bloom_bits_broadcast_onto_probes(spark):
+    """The Bloom bitset side is bounded by BLOOM_M rows at any corpus
+    size, so the probe join must be a BroadcastHashJoin — the corpus
+    never shuffles by bit position."""
+    from ocr_spark.plans.webops import BLOOM_M, docs_bloom_probe
+
+    df = docs_bloom_probe(spark, SF)
+    plan = fmt(df)
+    assert "BroadcastHashJoin" in plan, plan
+    # the bitset cardinality bound is structural: positions are mod M
+    assert f"% {BLOOM_M})" in plan or f"% {BLOOM_M}" in plan, plan
+
+
+def test_decontaminate_spans_broadcasts_eval_set(spark):
+    """The eval n-gram hash set broadcasts (benchmarks are MBs against
+    a 100 TB corpus); the train side must never shuffle by gram."""
+    from ocr_spark.plans.curation import docs_decontaminate_spans
+
+    plan = fmt(docs_decontaminate_spans(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_line_corrections_only_extraction_shuffles(spark):
+    """Rule-based line corrections are per-row array ops: the plan may
+    contain ONLY the extraction pipeline's own 2 shuffles."""
+    from ocr_spark.plans.webops import pages_line_corrections
+
+    plan = fmt(pages_line_corrections(spark, SF))
+    assert n_shuffles(plan) == 2, plan
+
+
+def test_mixture_realize_broadcasts_domain_table(spark):
+    """The realized mixture joins a domain-count-sized epoch table onto
+    the corpus: that join must broadcast, and nothing may sort."""
+    from ocr_spark.plans.curation import docs_mixture_realize
+
+    plan = fmt(docs_mixture_realize(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_curriculum_order_no_global_sort(spark):
+    """Phase assignment uses per-language windows and the within-phase
+    order is per-(phase, shard) — never a single-partition sort."""
+    from ocr_spark.plans.curation import docs_curriculum_order
+
+    plan = fmt(docs_curriculum_order(spark, SF))
+    assert "SinglePartition" not in plan, plan
