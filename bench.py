@@ -69,6 +69,10 @@ HEADLINE = [
     "emb_ivfpq_topk",
     "docs_bpe_train_merges",
     "docs_near_dup_quality_keepers",
+    # round 4 (late): Bloom dedup pre-screen (broadcast bitset probe),
+    # document-level mixture realization (broadcast domain table)
+    "docs_bloom_probe",
+    "docs_mixture_realize",
 ]
 
 

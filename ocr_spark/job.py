@@ -346,7 +346,8 @@ def curation_root(work_dir: str) -> str:
 def run_curation_job(spark: SparkSession, work_dir: str, *,
                      shard_token_budget: int = 2000,
                      dedup: str = "para",
-                     neardup: bool = False) -> dict:
+                     neardup: bool = False,
+                     line_corrections: bool = False) -> dict:
     """Corpus-wide curation stage over the committed extraction output:
     C4-style corpus dedup → quality + line-format + repetition
     filters → keep/drop verdict with drop reason → token-budget shard packing of the kept
@@ -356,6 +357,16 @@ def run_curation_job(spark: SparkSession, work_dir: str, *,
     (MinHash-LSH + signature-overlap verify + connected components,
     keep-the-longest keeper) before the content-level pass — the
     re-crawl/mirror case exact url-keyed dedup cannot see.
+
+    ``line_corrections=True`` applies the RefinedWeb line-wise edit
+    rules BEFORE dedup (plans/webops.py::line_corrections_frame — the
+    same kernel the oracle-checked pages_line_corrections query pins):
+    bullet / teaser-ellipsis / mostly-numeric lines are stripped and
+    the text reassembled; documents losing more than
+    LC_MAX_REMOVED_FRAC of their characters are dropped outright.
+    Editing before dedup means the dedup keys see CLEANED text (two
+    pages differing only in boilerplate lines dedup as the same
+    content — the reason RefinedWeb orders it this way).
 
     ``dedup`` picks the corpus-dedup granularity: ``"para"`` (default)
     removes repeated paragraphs (the common line/paragraph-hash form);
@@ -434,6 +445,23 @@ def run_curation_job(spark: SparkSession, work_dir: str, *,
                   .localCheckpoint())
         n_neardup_dropped = losers.count()
         docs = docs.join(losers, "url", "left_anti")
+
+    # ---- stage 0.5 (optional): RefinedWeb line-wise edit rules over
+    # the extracted text, BEFORE dedup so dedup keys see cleaned text;
+    # narrow per-row array ops + one count of over-corrected docs
+    n_linefix_dropped = 0
+    n_lines_removed = 0
+    if line_corrections:
+        from ocr_spark.plans.webops import line_corrections_frame
+        lc = line_corrections_frame(docs, key="url").localCheckpoint()
+        lc_stats = lc.agg(
+            F.sum("n_removed").alias("nr"),
+            F.sum((~F.col("keep_line_corrected")).cast("long")).alias("nd")
+        ).collect()[0]
+        n_lines_removed = int(lc_stats.nr or 0)
+        n_linefix_dropped = int(lc_stats.nd or 0)
+        docs = (lc.filter("keep_line_corrected")
+                .select("url", F.col("text_clean").alias("text")))
 
     # ---- stage 1: corpus-wide dedup (global first occurrence)
     if dedup == "span":
@@ -556,7 +584,10 @@ def run_curation_job(spark: SparkSession, work_dir: str, *,
         out, curation_root(work_dir), snapshot_id=f"cur-{run_id}",
         extra={"curated_from": input_sids, "dedup_mode": dedup,
                "neardup": neardup,
-               "neardup_dropped": int(n_neardup_dropped)})
+               "neardup_dropped": int(n_neardup_dropped),
+               "line_corrections": line_corrections,
+               "linefix_dropped": int(n_linefix_dropped),
+               "lines_removed": int(n_lines_removed)})
     shim.publish_snapshot(curation_root(work_dir), out_sid)
 
     stats = (shim.read_snapshot(spark, curation_root(work_dir), out_sid)
@@ -585,6 +616,8 @@ def run_curation_job(spark: SparkSession, work_dir: str, *,
 
     return {"run_id": run_id, "snapshot": out_sid, "dedup": dedup,
             "neardup_dropped": int(n_neardup_dropped),
+            "linefix_dropped": int(n_linefix_dropped),
+            "lines_removed": int(n_lines_removed),
             "input_snapshots": input_sids,
             "docs": int(stats.docs), "docs_kept": int(stats.docs_kept),
             "paras_removed": int(stats.paras_total - stats.paras_kept),

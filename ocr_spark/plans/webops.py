@@ -816,6 +816,42 @@ LC_MAX_REMOVED_FRAC = 0.3   # drop the doc if corrections strip more
 LC_ROUND = 4                # than this fraction of its characters
 
 
+def line_corrections_frame(docs: DataFrame,
+                           key: str = "url") -> DataFrame:
+    """Shared kernel for RefinedWeb-style line-wise corrections over
+    any (key, text) frame — both the oracle-checked query form
+    (pages_line_corrections) and the curation job's optional
+    ``line_corrections`` stage (job.py) call THIS, so their edit
+    semantics cannot drift. Returns (key, n_lines, n_removed,
+    removed_char_frac, keep_line_corrected, text_clean)."""
+    def bad(x: Column) -> Column:
+        digits = F.length(F.regexp_replace(x, "[^0-9]", ""))
+        return (x.startswith("• ") | x.startswith("- ")
+                | x.startswith("* ")
+                | x.endswith("...") | x.endswith("…")
+                | (digits * 2 > F.length(x)))
+
+    lines = F.filter(F.split("text", "\n\n"), lambda x: x != "")
+    base = docs.select(F.col(key), lines.alias("lines"))
+    removed = F.filter("lines", bad)
+    kept = F.filter("lines", lambda x: ~bad(x))
+
+    def chars(col) -> Column:
+        return F.aggregate(col, F.lit(0).cast("long"),
+                           lambda acc, x: acc + F.length(x))
+
+    frac = F.when(chars("lines") > 0,
+                  F.round(chars(removed) / chars("lines"), LC_ROUND)) \
+            .otherwise(F.lit(0.0))
+    return base.select(
+        key,
+        F.size("lines").cast("long").alias("n_lines"),
+        F.size(removed).cast("long").alias("n_removed"),
+        frac.alias("removed_char_frac"),
+        (frac <= LC_MAX_REMOVED_FRAC).alias("keep_line_corrected"),
+        F.array_join(kept, "\n\n").alias("text_clean"))
+
+
 def pages_line_corrections(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RefinedWeb-style line-wise CORRECTIONS, downstream of
     extraction: where pages_line_dedup removes lines by corpus-wide
@@ -837,30 +873,7 @@ def pages_line_corrections(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-frequency dedups without reading them."""
     pages = pages_from_documents(spark, sf_dir)
     extracted = run_extraction(pages, partitions=32, big_partitions=2)
-
-    def bad(x: Column) -> Column:
-        digits = F.length(F.regexp_replace(x, "[^0-9]", ""))
-        return (x.startswith("• ") | x.startswith("- ")
-                | x.startswith("* ")
-                | x.endswith("...") | x.endswith("…")
-                | (digits * 2 > F.length(x)))
-
-    lines = F.filter(F.split("text", "\n\n"), lambda x: x != "")
-    base = extracted.select("url", lines.alias("lines"))
-    removed = F.filter("lines", bad)
-    kept = F.filter("lines", lambda x: ~bad(x))
-    chars = lambda col: F.aggregate(  # noqa: E731 — local alias
-        col, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
-    frac = F.when(chars("lines") > 0,
-                  F.round(chars(removed) / chars("lines"), LC_ROUND)) \
-            .otherwise(F.lit(0.0))
-    return base.select(
-        "url",
-        F.size("lines").cast("long").alias("n_lines"),
-        F.size(removed).cast("long").alias("n_removed"),
-        frac.alias("removed_char_frac"),
-        (frac <= LC_MAX_REMOVED_FRAC).alias("keep_line_corrected"),
-        F.array_join(kept, "\n\n").alias("text_clean"))
+    return line_corrections_frame(extracted.select("url", "text"))
 
 
 PAGES_LINE_CORRECTIONS_SQL = _BLOCKS_CTE + f"""

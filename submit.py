@@ -58,6 +58,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="prepend a document-level near-dup collapse "
                          "(MinHash-LSH + connected components, keep the "
                          "longest copy) to the curation stage")
+    ap.add_argument("--curate-linefix", action="store_true",
+                    help="apply RefinedWeb line-wise edit rules "
+                         "(strip bullet/teaser/numeric lines, drop "
+                         "over-corrected docs) before curation dedup")
     ap.add_argument("--export", action="store_true",
                     help="after curation, export the kept shard-packed "
                          "docs partitioned by shard_id with a per-shard "
@@ -95,7 +99,8 @@ def main(argv: list[str] | None = None) -> int:
             from ocr_spark.job import run_curation_job
             summary["curation"] = run_curation_job(
                 spark, args.work_dir, dedup=args.curate_dedup,
-                neardup=args.curate_neardup)
+                neardup=args.curate_neardup,
+                line_corrections=args.curate_linefix)
         if args.export:
             from ocr_spark.job import run_export_job, verify_export
             summary["export"] = run_export_job(spark, args.work_dir)

@@ -221,3 +221,35 @@ def test_neardup_stage_collapses_recrawls(spark, tmp_path_factory):
     assert s_base["neardup_dropped"] == 0
     assert {"doc://3", "doc://mirror/3", "doc://5",
             "doc://mirror/5"} <= urls2
+
+
+def test_line_corrections_stage_edits_before_dedup(spark,
+                                                   tmp_path_factory):
+    """line_corrections=True strips bullet/ellipsis lines from the
+    extracted text BEFORE dedup (the bullet-block docs lose their <li>
+    lines), while the default run keeps them; counts surface in the
+    summary and manifest."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.plans.extract_queries import pages_from_documents
+
+    input_root = str(tmp_path_factory.mktemp("lc_in"))
+    work = str(tmp_path_factory.mktemp("lc_work"))
+
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001")
+    shim.write_snapshot(pages, input_root)
+    run_extraction_job(spark, input_root, work, partitions=8,
+                       big_partitions=1, waves=2)
+
+    s = run_curation_job(spark, work, line_corrections=True)
+    # every fifth document carries a 3-item bullet block (gen/wrap.py)
+    assert s["lines_removed"] >= 3, s
+    out = shim.read_snapshot(spark, curation_root(work), s["snapshot"])
+    # no surviving text contains a bullet line or an ellipsis teaser
+    assert out.filter(F.col("text_deduped").contains("• ")).count() == 0
+    assert out.filter(F.col("text_deduped").contains("...")).count() == 0
+    # manifest records the stage
+    manifest = shim.read_manifest(curation_root(work), s["snapshot"])
+    assert manifest["line_corrections"] is True
+    assert manifest["lines_removed"] == s["lines_removed"]
+    assert manifest["linefix_dropped"] == s["linefix_dropped"]
