@@ -687,6 +687,104 @@ FROM e
 
 
 # ---------------------------------------------------------------------------
+# encoding repair (ftfy-style mojibake fix)
+# ---------------------------------------------------------------------------
+
+# UTF-8 bytes decoded as Latin-1/cp1252 — the classic web mojibake
+# class (ftfy's core fix). Ordered longest-key-first so 3-byte
+# sequences repair before their 2-byte substrings can match.
+MOJIBAKE_MAP: tuple[tuple[str, str], ...] = (
+    ("â€™", "’"),   # â€™ → ’
+    ("â€œ", "“"),   # â€œ → “
+    ("â€”", "—"),   # â€” → —
+    ("â€¦", "…"),   # â€¦ → …
+    ("Ã©", "é"),         # Ã© → é
+    ("Ã¯", "ï"),         # Ã¯ → ï
+    ("Ã¨", "è"),         # Ã¨ → è
+    ("Ã§", "ç"),         # Ã§ → ç
+)
+
+# deterministic corrupted-input substrate: every 7th doc (role split,
+# same device as docs_decontaminate's eval holdout) carries this tail
+# in mojibake form; repair must recover the clean form byte-for-byte.
+_MOJI_TAIL_CLEAN = (" Café — it’s naïve … "
+                    "détente")
+_MOJI_MOD = 7
+
+
+def _corrupt(s: str) -> str:
+    for broken, fixed in MOJIBAKE_MAP:
+        s = s.replace(fixed, broken)
+    return s
+
+
+_MOJI_TAIL_WILD = _corrupt(_MOJI_TAIL_CLEAN)
+
+
+def docs_encoding_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake repair — the ftfy-style fix for UTF-8 text that was
+    decoded as Latin-1/cp1252 somewhere in the crawl path (curly
+    quotes become ``â€™``, accented letters become ``Ã©`` …): an
+    ordered chain of literal replacements over the text column, with a
+    marker count (``Ã``/``â`` lead bytes) before and after so the
+    repair coverage is observable. The synthetic corpus is clean
+    ASCII, so the wild input is MODELED in-plan: every ``_MOJI_MOD``-th
+    document carries a deterministic mojibake tail (the role-split
+    device of docs_decontaminate), and ``repaired_ok`` pins that the
+    kernel recovers the clean form byte-for-byte — on a real crawl the
+    corrupted column IS the input and the kernel is unchanged.
+
+    Scale shape: a pure narrow map — chained string replaces, zero
+    shuffles at any corpus size (the cheapest possible operator class;
+    the point of pinning it is the KERNEL's cross-engine equality, not
+    the plan). ftfy's full heuristic (detect-then-decode per span) is
+    the production upgrade behind this same column contract."""
+    docs = _docs(spark, sf_dir)
+    corrupted = F.col("doc_id") % _MOJI_MOD == 3
+    wild = F.when(corrupted,
+                  F.concat(F.col("text"), F.lit(_MOJI_TAIL_WILD))) \
+            .otherwise(F.col("text"))
+    expected = F.when(corrupted,
+                      F.concat(F.col("text"), F.lit(_MOJI_TAIL_CLEAN))) \
+                .otherwise(F.col("text"))
+    repaired = wild
+    for broken, fixed in MOJIBAKE_MAP:
+        repaired = F.replace(repaired, F.lit(broken), F.lit(fixed))
+
+    def markers(c: Column) -> Column:
+        return ((F.length(c)
+                 - F.length(F.replace(c, F.lit("Ã"), F.lit(""))))
+                + (F.length(c)
+                   - F.length(F.replace(c, F.lit("â"), F.lit("")))))
+
+    return docs.select(
+        "doc_id", corrupted.alias("was_corrupted"),
+        markers(wild).cast("long").alias("n_markers_before"),
+        markers(repaired).cast("long").alias("n_markers_after"),
+        (repaired == expected).alias("repaired_ok"))
+
+
+def _encoding_repair_sql() -> str:
+    wild = (f"CASE WHEN doc_id % {_MOJI_MOD} = 3 "
+            f"THEN text || '{_MOJI_TAIL_WILD}' ELSE text END")
+    expected = (f"CASE WHEN doc_id % {_MOJI_MOD} = 3 "
+                f"THEN text || '{_MOJI_TAIL_CLEAN}' ELSE text END")
+    repaired = wild
+    for broken, fixed in MOJIBAKE_MAP:
+        repaired = f"replace({repaired}, '{broken}', '{fixed}')"
+    mk = ("(length({c}) - length(replace({c}, 'Ã', '')))"
+          " + (length({c}) - length(replace({c}, 'â', '')))")
+    return f"""
+SELECT doc_id,
+       doc_id % {_MOJI_MOD} = 3 AS was_corrupted,
+       CAST({mk.format(c=wild)} AS BIGINT) AS n_markers_before,
+       CAST({mk.format(c=repaired)} AS BIGINT) AS n_markers_after,
+       {repaired} = {expected} AS repaired_ok
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # corpus-level paragraph dedup (C4-style)
 # ---------------------------------------------------------------------------
 
@@ -2459,6 +2557,7 @@ SPARK_QUERIES = {
     "hosts_keep_rate": hosts_keep_rate,
     "pages_line_corrections": pages_line_corrections,
     "docs_bloom_probe": docs_bloom_probe,
+    "docs_encoding_repair": docs_encoding_repair,
     "pages_pii_scan": pages_pii_scan,
     "pages_para_dedup": pages_para_dedup,
     "pages_line_dedup": pages_line_dedup,
@@ -2493,6 +2592,7 @@ ORACLE_SQL = {
     "hosts_keep_rate": _hosts_keep_rate_sql(),
     "pages_line_corrections": PAGES_LINE_CORRECTIONS_SQL,
     "docs_bloom_probe": DOCS_BLOOM_PROBE_SQL,
+    "docs_encoding_repair": _encoding_repair_sql(),
     "pages_pii_scan": PAGES_PII_SQL,
     "pages_para_dedup": PAGES_PARA_DEDUP_SQL,
     "pages_line_dedup": PAGES_LINE_DEDUP_SQL,

@@ -565,3 +565,11 @@ def test_curriculum_order_no_global_sort(spark):
 
     plan = fmt(docs_curriculum_order(spark, SF))
     assert "SinglePartition" not in plan, plan
+
+
+def test_encoding_repair_is_narrow_map(spark):
+    """Mojibake repair is chained string replaces: zero shuffles."""
+    from ocr_spark.plans.webops import docs_encoding_repair
+
+    plan = fmt(docs_encoding_repair(spark, SF))
+    assert n_shuffles(plan) == 0, plan
