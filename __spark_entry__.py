@@ -52,7 +52,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "docs_training_order", "pages_anchor_texts",
     "docs_tokenizer_fertility", "hosts_keep_rate",
     "pages_line_corrections", "docs_bloom_probe",
-    "docs_encoding_repair",
+    "docs_encoding_repair", "docs_host_cap", "docs_zipf_profile",
     "docs_decontaminate_spans", "docs_mixture_realize",
     "docs_curriculum_order",
     "docs_tfidf_topk", "pages_line_dedup", "docs_seq_pack",

@@ -661,6 +661,100 @@ FROM per
 
 
 # ---------------------------------------------------------------------------
+# Zipf rank-frequency profile (corpus datasheet statistic)
+# ---------------------------------------------------------------------------
+
+ZIPF_TOP_K = 100   # fit over the head of the distribution — the
+                   # conventional range (the tail bends away from the
+                   # power law and real datasheets fit the head)
+ZIPF_ROUND = 4
+
+
+def docs_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Zipf fit — the corpus-datasheet statistic that
+    summarizes lexical diversity in one number: rank the ZIPF_TOP_K
+    most frequent tokens per language, least-squares-fit
+    ln(freq) = intercept + slope · ln(rank) (natural text ≈ -1; a
+    boilerplate-heavy or template-generated corpus flattens or
+    steepens it), and report slope, intercept, the top-1 token's
+    probability mass, and the type count. Ties in frequency rank
+    break on the token string so both engines pick identical ranks.
+
+    Scale shape: one partial-agg groupBy (lang, tok) — shuffle volume
+    is the distinct-vocabulary count — then a per-language top-K
+    window over the vocab-sized frame and a K-row-per-language final
+    aggregate. Corpus bytes never move past the first partial agg."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), _TOKS)
+    tf = (docs.select("lang", F.explode(toks).alias("tok"))
+          .filter(F.col("tok") != "")
+          .groupBy("lang", "tok")
+          .agg(F.count("*").alias("freq")))
+    totals = tf.groupBy("lang").agg(
+        F.sum("freq").alias("tot"),
+        F.count("*").alias("n_types"))
+    w = Window.partitionBy("lang").orderBy(F.desc("freq"), "tok")
+    top = (tf.withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= ZIPF_TOP_K))
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("freq").cast("double"))
+    fit = (top.groupBy("lang")
+           .agg(F.count("*").alias("k"),
+                F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+                F.sum(x * x).alias("sxx"), F.sum(x * y).alias("sxy"),
+                F.max(F.when(F.col("rank") == 1, F.col("freq")))
+                 .alias("top1_freq")))
+    slope = ((F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+             / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")))
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("k")
+    return (fit.join(totals, "lang")
+            .select(
+                "lang", F.col("n_types").cast("long").alias("n_types"),
+                F.round(slope, ZIPF_ROUND).alias("zipf_slope"),
+                F.round(intercept, ZIPF_ROUND).alias("zipf_intercept"),
+                F.round(F.col("top1_freq") / F.col("tot"), ZIPF_ROUND)
+                 .alias("top1_mass")))
+
+
+ZIPF_PROFILE_SQL = f"""
+WITH tf AS (
+  SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT lang,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+        FROM documents)
+  WHERE tok <> ''
+  GROUP BY lang, tok
+), totals AS (
+  SELECT lang, CAST(SUM(freq) AS BIGINT) AS tot,
+         CAST(COUNT(*) AS BIGINT) AS n_types
+  FROM tf GROUP BY lang
+), top AS (
+  SELECT lang, freq,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY freq DESC, tok) AS rank
+  FROM tf
+  QUALIFY rank <= {ZIPF_TOP_K}
+), fit AS (
+  SELECT lang, COUNT(*) AS k,
+         SUM(ln(rank)) AS sx, SUM(ln(freq)) AS sy,
+         SUM(ln(rank) * ln(rank)) AS sxx,
+         SUM(ln(rank) * ln(freq)) AS sxy,
+         MAX(CASE WHEN rank = 1 THEN freq END) AS top1_freq
+  FROM top GROUP BY lang
+)
+SELECT f.lang, t.n_types,
+       round((f.k * f.sxy - f.sx * f.sy)
+             / (f.k * f.sxx - f.sx * f.sx), {ZIPF_ROUND}) AS zipf_slope,
+       round((f.sy - (f.k * f.sxy - f.sx * f.sy)
+                     / (f.k * f.sxx - f.sx * f.sx) * f.sx) / f.k,
+             {ZIPF_ROUND}) AS zipf_intercept,
+       round(f.top1_freq / CAST(t.tot AS DOUBLE), {ZIPF_ROUND})
+           AS top1_mass
+FROM fit f JOIN totals t ON t.lang = f.lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # benchmark decontamination (eval-overlap removal)
 # ---------------------------------------------------------------------------
 
@@ -1264,6 +1358,7 @@ SPARK_QUERIES = {
     "shards_manifest": shards_manifest,
     "docs_quality_percentile_gate": docs_quality_percentile_gate,
     "docs_length_histogram": docs_length_histogram,
+    "docs_zipf_profile": docs_zipf_profile,
 }
 
 ORACLE_SQL = {
@@ -1283,4 +1378,5 @@ ORACLE_SQL = {
     "shards_manifest": SHARDS_MANIFEST_SQL,
     "docs_quality_percentile_gate": _quality_percentile_sql(),
     "docs_length_histogram": LENGTH_HISTOGRAM_SQL,
+    "docs_zipf_profile": ZIPF_PROFILE_SQL,
 }

@@ -1884,6 +1884,58 @@ FROM agg
 """
 
 
+HOST_DOC_CAP = 30   # max documents admitted per host (crawl-diversity
+                    # cap: stops mega-hosts from dominating the corpus)
+
+
+def docs_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host diversity cap — the C4/CommonCrawl-pipeline rule that
+    no single host contributes more than HOST_DOC_CAP documents: each
+    host's documents get a deterministic md5 hash rank (so the
+    admitted subset is reproducible and unbiased by crawl order) and
+    ranks beyond the cap are dropped. Host identity is the fixture's
+    canonical host (site{doc_id % 13}, the same identity
+    hosts_keep_rate aggregates on); in production it is a crawl
+    metadata column.
+
+    Scale shape: one exchange keyed host for the rank window. Hot
+    hosts are REAL skew at 10^12 docs — this exact-rank form is the
+    oracle-checkable contract; the production swap keeps the same
+    output columns but takes a first narrow pass for per-host counts
+    (broadcast, host-cardinality rows) and admits by hash THRESHOLD
+    cap/count — two narrow passes, no per-host sort. The same
+    exact-vs-streaming note as docs_quality_percentile_gate."""
+    docs = _docs(spark, sf_dir)
+    host = F.concat(F.lit("site"),
+                    (F.col("doc_id") % 13).cast("string"),
+                    F.lit(".example.com"))
+    keyed = docs.select(
+        "doc_id", host.alias("host"),
+        F.md5(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")))
+         .alias("hk"))
+    w = Window.partitionBy("host").orderBy("hk")
+    rank = F.row_number().over(w)
+    return keyed.select(
+        "doc_id", "host", rank.alias("rank_in_host"),
+        (rank <= HOST_DOC_CAP).alias("keep_host_cap"))
+
+
+DOCS_HOST_CAP_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         'site' || CAST(doc_id % 13 AS VARCHAR) || '.example.com' AS host,
+         md5('cap:' || CAST(doc_id AS VARCHAR)) AS hk
+  FROM documents
+)
+SELECT doc_id, host,
+       CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY hk) AS INT)
+           AS rank_in_host,
+       ROW_NUMBER() OVER (PARTITION BY host ORDER BY hk)
+           <= {HOST_DOC_CAP} AS keep_host_cap
+FROM keyed
+"""
+
+
 def _curation_sql() -> str:
     from ocr_spark.plans.dataops import _DEDUP_KEEPERS_SQL, _GOPHER_SQL
 
@@ -2558,6 +2610,7 @@ SPARK_QUERIES = {
     "pages_line_corrections": pages_line_corrections,
     "docs_bloom_probe": docs_bloom_probe,
     "docs_encoding_repair": docs_encoding_repair,
+    "docs_host_cap": docs_host_cap,
     "pages_pii_scan": pages_pii_scan,
     "pages_para_dedup": pages_para_dedup,
     "pages_line_dedup": pages_line_dedup,
@@ -2593,6 +2646,7 @@ ORACLE_SQL = {
     "pages_line_corrections": PAGES_LINE_CORRECTIONS_SQL,
     "docs_bloom_probe": DOCS_BLOOM_PROBE_SQL,
     "docs_encoding_repair": _encoding_repair_sql(),
+    "docs_host_cap": DOCS_HOST_CAP_SQL,
     "pages_pii_scan": PAGES_PII_SQL,
     "pages_para_dedup": PAGES_PARA_DEDUP_SQL,
     "pages_line_dedup": PAGES_LINE_DEDUP_SQL,

@@ -573,3 +573,25 @@ def test_encoding_repair_is_narrow_map(spark):
 
     plan = fmt(docs_encoding_repair(spark, SF))
     assert n_shuffles(plan) == 0, plan
+
+
+def test_host_cap_single_host_exchange(spark):
+    """The diversity cap is one rank window keyed host: exactly one
+    shuffle, never a global (SinglePartition) sort."""
+    from ocr_spark.plans.webops import docs_host_cap
+
+    plan = fmt(docs_host_cap(spark, SF))
+    assert n_shuffles(plan) == 1, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_zipf_profile_vocab_bounded_shuffles(spark):
+    """Corpus bytes stop at the first partial agg: the (lang, tok)
+    count must partial-aggregate map-side; everything after operates on
+    vocab-sized frames."""
+    from ocr_spark.plans.curation import docs_zipf_profile
+
+    df = docs_zipf_profile(spark, SF)
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in simple
+    assert "SinglePartition" not in fmt(df)
