@@ -45,7 +45,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # relational_extra block that rotated out in r3 — plus anything new
 # this round. Everything else keeps module order after them.
 _DRIVER_FRONT: tuple[str, ...] = (
-    # new in round 4
+    # the flagship contract rows come first in EVERY round: the north
+    # rule's byte-identical extraction gate must always have a fresh
+    # CORRECTNESS row
+    "extract_roundtrip", "extract_block_stats", "document_graph_edges",
+    # new in round 4 (never driver-checked by definition)
     "docs_dsir_weights", "pages_host_boilerplate",
     "docs_near_dup_vs_snapshot", "emb_ivfpq_topk",
     "docs_bpe_train_merges", "docs_near_dup_quality_keepers",
@@ -53,37 +57,39 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "docs_tokenizer_fertility", "hosts_keep_rate",
     "pages_line_corrections", "docs_bloom_probe",
     "docs_encoding_repair", "docs_host_cap", "docs_zipf_profile",
+    "docs_lang_confusion", "docs_vocab_novelty",
     "docs_decontaminate_spans", "docs_mixture_realize",
     "docs_curriculum_order",
+    "emb_kmeans_train", "emb_ivf_trained_topk",
+    "docs_gopher_line_filters", "docs_bpe_merges_token_count",
+    "hosts_pagerank_full",
+    # never driver-checked through r3: the composed verdicts and the
+    # headline webops/curation operators the round-3 verdict called
+    # out by name — these take the rest of the ~50-row sample window
+    "docs_fineweb_verdict", "docs_curation_verdict",
+    "docs_drop_reason_report",
+    "pages_para_dedup", "pages_span_dedup", "docs_substring_dedup",
+    "docs_decontaminate", "docs_classifier_score",
+    "docs_unigram_logprob", "docs_bigram_logprob",
+    "pages_pii_scan", "pages_url_dedup", "docs_repetition_profile",
+    "docs_blocklist_filter", "docs_data_card", "shards_manifest",
+    "docs_domain_mixture", "docs_sample_stratified", "docs_token_shards",
+    "docs_quality_percentile_gate", "docs_length_histogram",
+    "ev_retention_cohorts", "docs_new_vs_snapshot",
+    "docs_repetition_metrics", "docs_substring_dup_coverage",
+    # below the expected sample cutoff: remaining never-checked rows in
+    # priority order, so a larger-than-expected sample keeps helping
+    "pages_outlinks", "pages_host_outdegree", "hosts_pagerank",
+    "hosts_link_spam", "hosts_spam_mass", "pages_robots_filter",
+    "pages_outlinks_followed", "pages_spam_host_filter",
+    "hosts_pagerank_dangling", "emb_ivf_trained_multiprobe_topk",
     "docs_tfidf_topk", "pages_line_dedup", "docs_seq_pack",
     "q2_min_cost_supplier", "q9_product_type_profit",
     "q11_important_stock", "q16_parts_supplier_relationship",
     "q20_potential_promotion",
-    "emb_kmeans_train",
-    "emb_ivf_trained_topk",
-    "emb_ivf_trained_multiprobe_topk",
-    "docs_gopher_line_filters",
-    "docs_bpe_merges_token_count",
-    "hosts_pagerank_full",
-    "hosts_pagerank_dangling",
     "q7_volume_shipping", "q8_market_share", "q10_returned_items",
     "q13_customer_distribution", "q15_top_supplier",
     "q18_large_volume_customers", "q19_discounted_revenue",
-    # never driver-checked through r3 (webops + curation + one events)
-    "ev_retention_cohorts",
-    "pages_outlinks", "pages_host_outdegree", "hosts_pagerank",
-    "hosts_link_spam", "hosts_spam_mass", "pages_robots_filter",
-    "pages_outlinks_followed", "pages_spam_host_filter",
-    "docs_curation_verdict", "pages_pii_scan", "pages_para_dedup",
-    "pages_span_dedup", "docs_repetition_metrics",
-    "docs_substring_dup_coverage", "docs_new_vs_snapshot",
-    "pages_url_dedup", "docs_repetition_profile", "docs_blocklist_filter",
-    "docs_data_card", "docs_substring_dedup", "docs_fineweb_verdict",
-    "docs_drop_reason_report", "docs_unigram_logprob",
-    "docs_bigram_logprob", "docs_sample_stratified", "docs_token_shards",
-    "docs_classifier_score", "docs_decontaminate", "docs_domain_mixture",
-    "shards_manifest", "docs_quality_percentile_gate",
-    "docs_length_histogram",
     # checked in r1/r2 only; rotated out of the r3 sample
     "li_rollup", "li_cube", "li_grouping_sets", "li_approx_aggs",
     "ev_funnel_conversion", "nations_set_ops",

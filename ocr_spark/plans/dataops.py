@@ -879,6 +879,47 @@ FROM counts
 """
 
 
+def docs_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix — the crawl-health dashboard over
+    docs_langid: one row per (declared, detected) pair with its count
+    and row-normalized share. Production pipelines watch the
+    off-diagonal mass to catch a broken detector, a mislabeled crawl
+    source, or a shift in boilerplate language (nav chrome in one
+    language around prose in another). On this fixture the matrix is
+    HEAVILY off-diagonal by construction — the synthetic prose draws
+    from an English word pool under every declared lang — which is
+    exactly the broken-crawl-source shape the dashboard exists to
+    expose.
+
+    Scale shape: the langid subplan is a zero-shuffle narrow map; on
+    top, ONE partial-agg groupBy keyed (lang, lang_pred) whose
+    cardinality is at most |langs|² — constant in corpus size — and a
+    |langs|-row window for the share."""
+    li = docs_langid(spark, sf_dir).select("lang", "lang_pred")
+    agg = (li.groupBy("lang", "lang_pred")
+           .agg(F.count(F.lit(1)).alias("n_docs")))
+    w = Window.partitionBy("lang")
+    share = F.round(F.col("n_docs") / F.sum("n_docs").over(w), 4)
+    return agg.select(
+        "lang", "lang_pred", "n_docs", share.alias("share"),
+        (F.col("lang") == F.col("lang_pred")).alias("is_diagonal"))
+
+
+_LANG_CONFUSION_SQL = f"""
+WITH li AS (
+{_LANGID_SQL}
+), agg AS (
+  SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM li GROUP BY lang, lang_pred
+)
+SELECT lang, lang_pred, n_docs,
+       round(n_docs / CAST(SUM(n_docs) OVER (PARTITION BY lang)
+                           AS DOUBLE), 4) AS share,
+       lang = lang_pred AS is_diagonal
+FROM agg
+"""
+
+
 # --------------------------------------------------------------------------
 # Gopher/C4-style quality filter decision
 # --------------------------------------------------------------------------
@@ -1801,6 +1842,7 @@ SPARK_QUERIES = {
     "docs_near_dup_clusters": docs_near_dup_clusters,
     "docs_gopher_filters": docs_gopher_filters,
     "docs_langid": docs_langid,
+    "docs_lang_confusion": docs_lang_confusion,
     "docs_dedup_keepers": docs_dedup_keepers,
     "docs_bpe_token_count": docs_bpe_token_count,
     "docs_bpe_merges_token_count": docs_bpe_merges_token_count,
@@ -1826,6 +1868,7 @@ ORACLE_SQL = {
     "docs_near_dup_clusters": _NEAR_DUP_CLUSTERS_SQL,
     "docs_gopher_filters": _GOPHER_SQL,
     "docs_langid": _LANGID_SQL,
+    "docs_lang_confusion": _LANG_CONFUSION_SQL,
     "docs_dedup_keepers": _DEDUP_KEEPERS_SQL,
     "docs_bpe_token_count": _BPE_COUNT_SQL,
     "docs_bpe_merges_token_count": _bpe_merges_sql(),

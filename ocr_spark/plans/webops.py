@@ -1699,6 +1699,95 @@ WHERE doc_id % 3 = 2
 """
 
 
+NOVELTY_N = 2   # bigram novelty: unigram vocabularies saturate on any
+                # large corpus (novelty ≈ 0 — measured on this fixture
+                # too), so the drift alarm watches n-gram types, which
+                # keep producing genuinely-new combinations.
+
+
+def docs_vocab_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-drift monitor between crawl snapshots: per language, how
+    much of the NEW snapshot's NOVELTY_N-gram vocabulary (arrivals,
+    the doc_id % 3 == 2 role split of docs_new_vs_snapshot) was never
+    seen in the prior snapshot — as a type fraction (new phrases, spam
+    templates, encoding damage) and as an occurrence-mass fraction
+    (how much of the actual text those unseen grams carry). A spike in
+    either is the standard alarm for a crawler regression, a spam
+    wave, or a tokenizer-hostile content shift — watched per crawl in
+    production before the snapshot is admitted to training.
+
+    Scale shape: gram construction is a narrow per-row transform; both
+    sides then collapse to gram-vocabulary-sized frames (one
+    partial-agg groupBy (lang, gram) each — shuffle volume is distinct
+    grams, not corpus tokens); the novelty join is vocab×vocab on
+    (lang, gram); the final rollup is |langs| rows."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    grams = F.when(
+        F.size(toks) >= NOVELTY_N,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - NOVELTY_N),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(toks, i + 1, NOVELTY_N))),
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select("doc_id", "lang", F.explode(grams).alias("g"))
+    is_new = F.col("doc_id") % 3 == 2
+    prior_vocab = (base.filter(~is_new)
+                   .select("lang", "g").distinct()
+                   .withColumn("seen", F.lit(1)))
+    new_tf = (base.filter(is_new)
+              .groupBy("lang", "g")
+              .agg(F.count(F.lit(1)).alias("freq")))
+    joined = new_tf.join(prior_vocab, ["lang", "g"], "left")
+    unseen = F.col("seen").isNull()
+    return (joined.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_types"),
+                 F.sum(unseen.cast("long")).alias("n_unseen_types"),
+                 F.sum("freq").alias("n_grams"),
+                 F.sum(F.when(unseen, F.col("freq")).otherwise(0))
+                  .alias("unseen_mass"))
+            .select(
+                "lang", "n_types", "n_unseen_types",
+                F.round(F.col("n_unseen_types") / F.col("n_types"), 4)
+                 .alias("type_novelty_frac"),
+                F.col("n_grams").cast("long").alias("n_grams"),
+                F.round(F.col("unseen_mass") / F.col("n_grams"), 4)
+                 .alias("gram_novelty_frac")))
+
+
+DOCS_VOCAB_NOVELTY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents
+), base AS (
+  SELECT doc_id, lang,
+         array_to_string(list_slice(t, i, i + {NOVELTY_N - 1}), ' ') AS g
+  FROM (SELECT doc_id, lang, t,
+               unnest(range(1, len(t) - {NOVELTY_N} + 2)) AS i
+        FROM toks WHERE len(t) >= {NOVELTY_N})
+), prior_vocab AS (
+  SELECT DISTINCT lang, g FROM base WHERE doc_id % 3 <> 2
+), new_tf AS (
+  SELECT lang, g, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM base WHERE doc_id % 3 = 2 GROUP BY lang, g
+), j AS (
+  SELECT n.lang, n.freq, (p.g IS NULL) AS unseen
+  FROM new_tf n LEFT JOIN prior_vocab p
+    ON p.lang = n.lang AND p.g = n.g
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(CASE WHEN unseen THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unseen_types,
+       round(SUM(CASE WHEN unseen THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS type_novelty_frac,
+       CAST(SUM(freq) AS BIGINT) AS n_grams,
+       round(SUM(CASE WHEN unseen THEN freq ELSE 0 END)
+             / CAST(SUM(freq) AS DOUBLE), 4) AS gram_novelty_frac
+FROM j GROUP BY lang
+"""
+
+
 BLOOM_M = 1024   # filter bits. Production sizing: m ≈ 1.44·k·n bits
 BLOOM_K = 3      # for the target FP rate 2^-k; sized here so the
                  # sf0.01 corpus produces OBSERVABLE false positives
@@ -2611,6 +2700,7 @@ SPARK_QUERIES = {
     "docs_bloom_probe": docs_bloom_probe,
     "docs_encoding_repair": docs_encoding_repair,
     "docs_host_cap": docs_host_cap,
+    "docs_vocab_novelty": docs_vocab_novelty,
     "pages_pii_scan": pages_pii_scan,
     "pages_para_dedup": pages_para_dedup,
     "pages_line_dedup": pages_line_dedup,
@@ -2647,6 +2737,7 @@ ORACLE_SQL = {
     "docs_bloom_probe": DOCS_BLOOM_PROBE_SQL,
     "docs_encoding_repair": _encoding_repair_sql(),
     "docs_host_cap": DOCS_HOST_CAP_SQL,
+    "docs_vocab_novelty": DOCS_VOCAB_NOVELTY_SQL,
     "pages_pii_scan": PAGES_PII_SQL,
     "pages_para_dedup": PAGES_PARA_DEDUP_SQL,
     "pages_line_dedup": PAGES_LINE_DEDUP_SQL,

@@ -479,3 +479,29 @@ def test_segmentation_multichar_punctuation():
         "Wait… what happened?"]
     assert segment_sentences('She said "Go!?" Then silence.') == [
         'She said "Go!?"', "Then silence."]
+
+
+def test_mojibake_map_roundtrip_and_ordering():
+    """The repair chain must invert the corruption exactly, and the
+    map's longest-key-first ordering must prevent a shorter key from
+    stealing a longer sequence's prefix (pure-Python check of the same
+    literals both engines execute)."""
+    from ocr_spark.plans.webops import (
+        MOJIBAKE_MAP, _MOJI_TAIL_CLEAN, _MOJI_TAIL_WILD, _corrupt,
+    )
+
+    def repair(s: str) -> str:
+        for broken, fixed in MOJIBAKE_MAP:
+            s = s.replace(broken, fixed)
+        return s
+
+    assert repair(_MOJI_TAIL_WILD) == _MOJI_TAIL_CLEAN
+    # every mapped sequence round-trips standalone and in context
+    for broken, fixed in MOJIBAKE_MAP:
+        assert repair(_corrupt(f"x {fixed} y")) == f"x {fixed} y"
+    # ordering: all multi-step keys (sharing the â€ prefix) come
+    # before any 2-char Ã keys so prefixes cannot be half-repaired
+    keys = [b for b, _ in MOJIBAKE_MAP]
+    three = [k for k in keys if len(k) == 3]
+    two = [k for k in keys if len(k) == 2]
+    assert keys == three + two

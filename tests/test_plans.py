@@ -595,3 +595,27 @@ def test_zipf_profile_vocab_bounded_shuffles(spark):
     simple = df._jdf.queryExecution().executedPlan().toString()
     assert "partial_count" in simple
     assert "SinglePartition" not in fmt(df)
+
+
+def test_lang_confusion_constant_cardinality_agg(spark):
+    """The confusion matrix adds one partial-agg groupBy of at most
+    |langs|² keys on top of langid's zero-shuffle map."""
+    from ocr_spark.plans.dataops import docs_lang_confusion
+
+    df = docs_lang_confusion(spark, SF)
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in simple
+    assert "SinglePartition" not in fmt(df)
+
+
+def test_vocab_novelty_gram_vocab_sized_join(spark):
+    """Both snapshot sides collapse to gram-vocabulary frames before
+    the novelty join — corpus rows never join raw; partial aggregation
+    must survive below the join."""
+    from ocr_spark.plans.webops import docs_vocab_novelty
+
+    df = docs_vocab_novelty(spark, SF)
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in simple
+    plan = fmt(df)
+    assert "CartesianProduct" not in plan
