@@ -584,6 +584,89 @@ FROM documents
 """
 
 
+# robots.txt rule table — RFC 9309 path-prefix rules per host. In
+# production this table is fetched/parsed per host by the crawler and
+# lands as a (host, prefix, allow) side input; here it is derived
+# deterministically from the fixture's host inventory: every 4th host
+# carries a Disallow: /doc/ section with a narrower Allow: /doc/1
+# carve-out, so LONGEST-match semantics (the carve-out beats the
+# disallow on /doc/1xx urls) genuinely decide verdicts on this corpus.
+ROBOTS_TXT_RULES: tuple[tuple[str, str, bool], ...] = tuple(
+    rule
+    for k in range(13)
+    for rule in (
+        [(f"site{k}.example.com", "/", True)]
+        + ([(f"site{k}.example.com", "/doc/", False),
+            (f"site{k}.example.com", "/doc/1", True)]
+           if k % 4 == 1 else [])
+    )
+)
+
+CANONICAL_PAT = r'<link rel="canonical" href="https://([^/"]*)([^"]*)">'
+
+
+def pages_robots_txt_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt gate — the /robots.txt counterpart of the meta-robots
+    filter above (a polite pipeline enforces BOTH): each page's
+    canonical host+path is matched against the host's path-prefix rule
+    table under RFC 9309 longest-match semantics (the most specific
+    matching prefix wins; an Allow carve-out under a broader Disallow
+    re-admits its subtree). Output is one row per page with the
+    matched rule and the crawl verdict.
+
+    Scale shape: url parse is a narrow JVM regexp map; the rule table
+    is crawler metadata — rule-count rows, far below page count — so
+    it BROADCASTS onto the pages; longest-match is a per-page max over
+    that page's matching rules (partial-agg groupBy keyed url, the
+    only exchange)."""
+    pages = pages_from_documents(spark, sf_dir)
+    h = _html_str()
+    parsed = pages.select(
+        "url",
+        F.regexp_extract(h, CANONICAL_PAT, 1).alias("host"),
+        F.regexp_extract(h, CANONICAL_PAT, 2).alias("path"))
+    rules = spark.createDataFrame(
+        list(ROBOTS_TXT_RULES), "host string, prefix string, allow boolean")
+    cand = parsed.join(F.broadcast(rules), "host") \
+                 .filter(F.col("path").startswith(F.col("prefix")))
+    best = (cand.groupBy("url", "host", "path")
+            .agg(F.max(F.struct(F.length("prefix").alias("l"),
+                                F.col("prefix"), F.col("allow")))
+                 .alias("m")))
+    return best.select(
+        "url", "host", "path",
+        F.col("m.prefix").alias("matched_prefix"),
+        F.col("m.allow").alias("crawl_allowed"))
+
+
+def _robots_txt_gate_sql() -> str:
+    rows = ",\n    ".join(
+        f"('{h}', '{p}', {str(a).upper()})" for h, p, a in ROBOTS_TXT_RULES)
+    return f"""
+WITH rules(host, prefix, allow) AS (VALUES
+    {rows}
+), parsed AS (
+  SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+         'site' || CAST(doc_id % 13 AS VARCHAR) || '.example.com' AS host,
+         '/doc/' || CAST(doc_id AS VARCHAR) AS path
+  FROM documents
+), cand AS (
+  SELECT p.url, p.host, p.path, r.prefix, r.allow
+  FROM parsed p JOIN rules r ON r.host = p.host
+  WHERE starts_with(p.path, r.prefix)
+), best AS (
+  SELECT url, host, path,
+         MAX(struct_pack(l := length(prefix), prefix := prefix,
+                         allow := allow)) AS m
+  FROM cand GROUP BY url, host, path
+)
+SELECT url, host, path,
+       m.prefix AS matched_prefix,
+       m.allow AS crawl_allowed
+FROM best
+"""
+
+
 def pages_outlinks_followed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The web-graph edge list a polite crawler actually follows:
     pages_outlinks minus every edge originating from a ``nofollow``
@@ -2701,6 +2784,7 @@ SPARK_QUERIES = {
     "docs_encoding_repair": docs_encoding_repair,
     "docs_host_cap": docs_host_cap,
     "docs_vocab_novelty": docs_vocab_novelty,
+    "pages_robots_txt_gate": pages_robots_txt_gate,
     "pages_pii_scan": pages_pii_scan,
     "pages_para_dedup": pages_para_dedup,
     "pages_line_dedup": pages_line_dedup,
@@ -2738,6 +2822,7 @@ ORACLE_SQL = {
     "docs_encoding_repair": _encoding_repair_sql(),
     "docs_host_cap": DOCS_HOST_CAP_SQL,
     "docs_vocab_novelty": DOCS_VOCAB_NOVELTY_SQL,
+    "pages_robots_txt_gate": _robots_txt_gate_sql(),
     "pages_pii_scan": PAGES_PII_SQL,
     "pages_para_dedup": PAGES_PARA_DEDUP_SQL,
     "pages_line_dedup": PAGES_LINE_DEDUP_SQL,

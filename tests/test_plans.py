@@ -619,3 +619,15 @@ def test_vocab_novelty_gram_vocab_sized_join(spark):
     assert "partial_count" in simple
     plan = fmt(df)
     assert "CartesianProduct" not in plan
+
+
+def test_robots_txt_rules_broadcast_single_exchange(spark):
+    """The robots.txt rule table is crawler metadata (rule-count rows):
+    it must broadcast onto the pages; the only exchange is the per-url
+    longest-match aggregation."""
+    from ocr_spark.plans.webops import pages_robots_txt_gate
+
+    plan = fmt(pages_robots_txt_gate(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert n_shuffles(plan) <= 1, plan
