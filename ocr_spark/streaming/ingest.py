@@ -342,12 +342,14 @@ def stream_extract_near_dup(spark: SparkSession, input_dir: str,
     pages, MinHash-signs the extracted text, LSH-probes the signatures
     of EVERYTHING ACCEPTED SO FAR (the parquet signature store), drops
     arrivals whose best signature-overlap Jaccard estimate clears
-    NEAR_DUP_JACCARD, and appends the survivors' signatures to the
-    store inside the same foreachBatch transaction order (store append
-    AFTER output append, so a crash between the two re-admits a batch
-    rather than silently dropping one — re-admitted duplicates are
-    caught by the batch layer's exact dedup, the standard
-    streaming-approximate + batch-exact split).
+    NEAR_DUP_JACCARD, and commits the survivors' output rows AND
+    signatures under batch_id-keyed partitions with overwrite — the
+    canonical foreachBatch exactly-once recipe: Spark re-delivers a
+    crashed epoch with the SAME batch_id, the overwrite replaces the
+    partial partition with identical content, and the store probe
+    excludes the current batch's own partition so a re-delivered batch
+    never collides with its own half-committed signatures
+    (test_stream_near_dup_sink_idempotent pins both halves).
 
     Exact-url revisits are handled upstream by
     dropDuplicatesWithinWatermark (stream_extract_dedup); THIS stage
@@ -358,24 +360,37 @@ def stream_extract_near_dup(spark: SparkSession, input_dir: str,
     restricted new×store via the (band, bucket) equi-join with the
     LSH_BUCKET_CAP guard; the store holds one K-long signature row per
     accepted doc (bytes per doc ~ 8·K — 10^9 docs ≈ 100 GB parquet, a
-    normal Spark table, pruned by the bucket join, never the raw
-    text); batch-internal duplicates are collapsed within the batch
-    first (cheapest work wins)."""
-    import os as _os
-
+    normal Spark table, pruned by the bucket join and the batch
+    partition filter, never the raw text); batch-internal duplicates
+    are collapsed within the batch first (cheapest work wins)."""
     from ocr_spark.operators.extraction import (
         EXTRACT_RESULT_SCHEMA, _extract_batches_fn,
     )
-    from ocr_spark.plans.dataops import (
-        LSH_BUCKET_CAP, MINHASH_K, NEAR_DUP_JACCARD, lsh_bands_frame,
-        minhash_sigs_frame,
-    )
-    from pyspark.sql.window import Window as W
 
     pages = read_pages_stream(spark, input_dir)
     extracted = pages.select("url", "html").withColumn(
         "bucket", F.pmod(F.xxhash64("url"), F.lit(64)).cast("int")
     ).mapInPandas(_extract_batches_fn("full"), schema=EXTRACT_RESULT_SCHEMA)
+
+    return (extracted.writeStream
+            .foreachBatch(near_dup_sink(output_dir, sigstore_dir))
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start())
+
+
+def near_dup_sink(output_dir: str, sigstore_dir: str):
+    """The foreachBatch body of stream_extract_near_dup, exposed so the
+    exactly-once property (same batch_id twice → identical output) is
+    directly testable."""
+    import os as _os
+
+    from ocr_spark.plans.dataops import (
+        LSH_BUCKET_CAP, MINHASH_K, NEAR_DUP_JACCARD, lsh_bands_frame,
+        minhash_sigs_frame,
+    )
+    from pyspark.sql.window import Window as W
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         bdf = batch_df.filter(
@@ -408,13 +423,18 @@ def stream_extract_near_dup(spark: SparkSession, input_dir: str,
                               .select(F.col("drop_url").alias("url"))
                               .distinct())
             survivors = sigs.join(internal_drops, "url", "left_anti")
-            # (2) probe the accumulated store
+            # (2) probe the accumulated store — excluding the current
+            # batch's own partition, so a re-delivered batch never
+            # probes its own half-committed signatures (partition
+            # pruning makes the exclusion free)
             spark_l = batch_df.sparkSession
-            if _os.path.exists(_os.path.join(sigstore_dir, "_SUCCESS")) \
-                    or any(f.endswith(".parquet") for f in
-                           (_os.listdir(sigstore_dir)
-                            if _os.path.isdir(sigstore_dir) else [])):
-                store = spark_l.read.parquet(sigstore_dir)
+            has_store = _os.path.isdir(sigstore_dir) and any(
+                f.startswith("batch=") and f != f"batch={batch_id}"
+                for f in _os.listdir(sigstore_dir))
+            if has_store:
+                store = (spark_l.read.parquet(sigstore_dir)
+                         .filter(F.col("batch") != batch_id)
+                         .select("url", "minvec"))
                 nb = lsh_bands_frame(survivors, "url")
                 sb2 = lsh_bands_frame(store, "url") \
                     .withColumnRenamed("url", "store_url")
@@ -432,15 +452,15 @@ def stream_extract_near_dup(spark: SparkSession, input_dir: str,
                                .select("url").distinct())
                 survivors = survivors.join(store_drops, "url", "left_anti")
             kept = bdf.join(survivors.select("url"), "url")
-            kept.write.mode("append").parquet(output_dir)
+            # batch_id-keyed overwrite: re-delivery of the same epoch
+            # replaces the partition with identical content instead of
+            # appending duplicates — exactly-once output
+            kept.write.mode("overwrite").parquet(
+                _os.path.join(output_dir, f"batch={batch_id}"))
             (survivors.select("url", "minvec")
-             .write.mode("append").parquet(sigstore_dir))
+             .write.mode("overwrite").parquet(
+                 _os.path.join(sigstore_dir, f"batch={batch_id}")))
         finally:
             bdf.unpersist()
 
-    return (extracted.writeStream
-            .foreachBatch(sink)
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
-            .outputMode("append")
-            .start())
+    return sink

@@ -292,3 +292,64 @@ def test_stream_extract_near_dup_store(spark, tmp_path):
     # the signature store holds exactly the admitted docs
     store = spark.read.parquet(d["sigs"])
     assert {r.url for r in store.select("url").collect()} == out2
+
+
+def test_stream_near_dup_sink_idempotent(spark, tmp_path):
+    """Exactly-once: re-delivering the SAME micro-batch (same batch_id
+    — what Spark does after a crash between the output write and the
+    checkpoint commit) must leave output and signature store
+    byte-identical to a single delivery, and the batch must not
+    near-dup-collide with its own half-committed signatures."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.gen.wrap import html_for_document
+    from ocr_spark.operators.extraction import (
+        EXTRACT_RESULT_SCHEMA, _extract_batches_fn,
+    )
+    from ocr_spark.streaming.ingest import near_dup_sink
+
+    out_dir = str(tmp_path / "out")
+    sig_dir = str(tmp_path / "sigs")
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet") \
+        .filter(F.col("doc_id").isin(3, 5)).collect()
+    import datetime
+    rows = [{"url": f"doc://{r.doc_id}",
+             "warc_ts": datetime.datetime(2025, 1, 1),
+             "html": html_for_document(r.doc_id, r.text),
+             "text": "", "lang": "en"} for r in docs]
+    batch = (spark.createDataFrame(rows)
+             .select("url", "html")
+             .withColumn("bucket", F.lit(0))
+             .mapInPandas(_extract_batches_fn("full"),
+                          schema=EXTRACT_RESULT_SCHEMA))
+
+    sink = near_dup_sink(out_dir, sig_dir)
+    sink(batch, 0)
+    first_out = sorted(r.url for r in
+                       spark.read.parquet(out_dir).select("url").collect())
+    # crash-replay: the SAME batch_id delivered again
+    sink(batch, 0)
+    second_out = sorted(r.url for r in
+                        spark.read.parquet(out_dir).select("url").collect())
+    assert first_out == second_out == ["doc://3", "doc://5"]
+    sigs = spark.read.parquet(sig_dir)
+    assert sorted(r.url for r in sigs.select("url").collect()) \
+        == ["doc://3", "doc://5"]
+    # a LATER batch with new content still probes the store normally
+    docs2 = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet") \
+        .filter(F.col("doc_id") == 3).collect()
+    rows2 = [{"url": "doc://mirror/3",
+              "warc_ts": datetime.datetime(2025, 1, 2),
+              "html": html_for_document(3, docs2[0].text),
+              "text": "", "lang": "en"}]
+    batch2 = (spark.createDataFrame(rows2)
+              .select("url", "html").withColumn("bucket", F.lit(0))
+              .mapInPandas(_extract_batches_fn("full"),
+                           schema=EXTRACT_RESULT_SCHEMA))
+    sink(batch2, 1)
+    out = sorted(r.url for r in
+                 spark.read.parquet(out_dir).select("url").collect())
+    assert out == ["doc://3", "doc://5"]  # mirror dropped by the store
