@@ -58,7 +58,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "pages_line_corrections", "docs_bloom_probe",
     "docs_encoding_repair", "docs_host_cap", "docs_zipf_profile",
     "docs_lang_confusion", "docs_vocab_novelty",
-    "pages_robots_txt_gate",
+    "pages_robots_txt_gate", "docs_training_set",
     "docs_decontaminate_spans", "docs_mixture_realize",
     "docs_curriculum_order",
     "emb_kmeans_train", "emb_ivf_trained_topk",

@@ -1341,6 +1341,81 @@ FROM doc
 """
 
 
+def docs_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus build as ONE oracle-checked query — the
+    capstone composition a training-data user actually materializes:
+    the content verdict (Gopher bounds + repetition + substring-dup +
+    exact-dedup keeper election, docs_curation_verdict), benchmark
+    decontamination, and the per-host diversity cap gate each
+    document; survivors receive their domain's mixture-realized copy
+    count (docs_mixture_realize). One row per training candidate with
+    the first failing stage as drop_stage (eval-holdout docs are
+    excluded from training by definition, as in docs_decontaminate)
+    and the final n_copies the shard packer consumes.
+
+    Shape: each constituent stays independently oracle-checked and
+    plan-gated; this query adds only doc_id equi-joins of their
+    outputs — no new shuffle classes. The analogous composition over
+    the FineWeb-style gate set is docs_fineweb_verdict; this one
+    continues past the verdict into SAMPLING, which the verdict
+    queries stop short of."""
+    from ocr_spark.plans.webops import docs_curation_verdict, docs_host_cap
+
+    v = docs_curation_verdict(spark, sf_dir) \
+        .select("doc_id", F.col("keep").alias("keep_curation"))
+    d = docs_decontaminate(spark, sf_dir) \
+        .select("doc_id", "is_contaminated")
+    h = docs_host_cap(spark, sf_dir).select("doc_id", "keep_host_cap")
+    r = docs_mixture_realize(spark, sf_dir) \
+        .select("doc_id", "lang", "n_copies")
+    out = d.join(v, "doc_id").join(h, "doc_id").join(r, "doc_id")
+    keep = (F.col("keep_curation") & ~F.col("is_contaminated")
+            & F.col("keep_host_cap"))
+    stage = (F.when(~F.col("keep_curation"), F.lit("curation"))
+             .when(F.col("is_contaminated"), F.lit("decontamination"))
+             .when(~F.col("keep_host_cap"), F.lit("host_cap")))
+    return out.select(
+        "doc_id", "lang", "keep_curation",
+        "is_contaminated", "keep_host_cap",
+        keep.alias("keep"), stage.alias("drop_stage"),
+        F.when(keep, F.col("n_copies")).otherwise(F.lit(0))
+         .cast("long").alias("n_copies"))
+
+
+def _training_set_sql() -> str:
+    from ocr_spark.plans.webops import DOCS_HOST_CAP_SQL, _curation_sql
+
+    return f"""
+WITH v AS (
+{_curation_sql()}
+), d AS (
+{DECONTAMINATE_SQL}
+), h AS (
+{DOCS_HOST_CAP_SQL}
+), r AS (
+{MIXTURE_REALIZE_SQL}
+), j AS (
+  SELECT d.doc_id, r.lang,
+         v.keep AS keep_curation,
+         d.is_contaminated,
+         h.keep_host_cap,
+         r.n_copies
+  FROM d
+  JOIN v ON v.doc_id = d.doc_id
+  JOIN h ON h.doc_id = d.doc_id
+  JOIN r ON r.doc_id = d.doc_id
+)
+SELECT doc_id, lang, keep_curation, is_contaminated, keep_host_cap,
+       (keep_curation AND NOT is_contaminated AND keep_host_cap) AS keep,
+       CASE WHEN NOT keep_curation THEN 'curation'
+            WHEN is_contaminated THEN 'decontamination'
+            WHEN NOT keep_host_cap THEN 'host_cap' END AS drop_stage,
+       CASE WHEN keep_curation AND NOT is_contaminated AND keep_host_cap
+            THEN n_copies ELSE 0 END AS n_copies
+FROM j
+"""
+
+
 SPARK_QUERIES = {
     "docs_dsir_weights": docs_dsir_weights,
     "docs_training_order": docs_training_order,
@@ -1359,6 +1434,7 @@ SPARK_QUERIES = {
     "docs_quality_percentile_gate": docs_quality_percentile_gate,
     "docs_length_histogram": docs_length_histogram,
     "docs_zipf_profile": docs_zipf_profile,
+    "docs_training_set": docs_training_set,
 }
 
 ORACLE_SQL = {
@@ -1379,4 +1455,5 @@ ORACLE_SQL = {
     "docs_quality_percentile_gate": _quality_percentile_sql(),
     "docs_length_histogram": LENGTH_HISTOGRAM_SQL,
     "docs_zipf_profile": ZIPF_PROFILE_SQL,
+    "docs_training_set": _training_set_sql(),
 }
