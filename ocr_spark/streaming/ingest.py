@@ -464,3 +464,50 @@ def near_dup_sink(output_dir: str, sigstore_dir: str):
             bdf.unpersist()
 
     return sink
+
+
+def compact_near_dup_store(spark: SparkSession, sigstore_dir: str,
+                           keep_last: int = 0) -> dict:
+    """Collapse the signature store's per-batch partitions into one
+    consolidated ``batch=-1`` partition — the small-files maintenance
+    a per-micro-batch append pattern needs at scale (one parquet
+    footer per batch per core adds up at 10^5 batches; the probe's
+    scan cost follows file count, not byte count).
+
+    Crash-safe by idempotence, not locking: the consolidated partition
+    is written FIRST (overwrite), old batch dirs are removed after. A
+    crash between the two leaves duplicate signatures in the store,
+    which the probe tolerates (candidate pairs are ``distinct``-ed and
+    verdicts are per-pair, so duplicates change nothing), and the next
+    compaction run completes the removal. ``keep_last`` leaves the N
+    highest batch ids unconsolidated so an in-flight replaying batch's
+    partition is never touched."""
+    import os as _os
+    import shutil as _shutil
+
+    if not _os.path.isdir(sigstore_dir):
+        return {"compacted_batches": 0, "rows": 0}
+    batches = sorted(
+        int(d.split("=", 1)[1]) for d in _os.listdir(sigstore_dir)
+        if d.startswith("batch=") and d.split("=", 1)[1].lstrip("-").isdigit()
+        and int(d.split("=", 1)[1]) >= 0)
+    to_merge = batches[:len(batches) - keep_last] if keep_last else batches
+    if not to_merge and not _os.path.isdir(
+            _os.path.join(sigstore_dir, "batch=-1")):
+        return {"compacted_batches": 0, "rows": 0}
+    store = (spark.read.parquet(sigstore_dir)
+             .filter(F.col("batch").isin([-1] + to_merge))
+             .select("url", "minvec"))
+    tmp = _os.path.join(sigstore_dir, "_compact_tmp")
+    store.coalesce(max(1, store.rdd.getNumPartitions() // 8)) \
+         .write.mode("overwrite").parquet(tmp)
+    rows = spark.read.parquet(tmp).count()
+    base = _os.path.join(sigstore_dir, "batch=-1")
+    if _os.path.isdir(base):
+        _shutil.rmtree(base)
+    _os.rename(tmp, base)
+    for b in to_merge:
+        d = _os.path.join(sigstore_dir, f"batch={b}")
+        if _os.path.isdir(d):
+            _shutil.rmtree(d)
+    return {"compacted_batches": len(to_merge), "rows": rows}

@@ -353,3 +353,56 @@ def test_stream_near_dup_sink_idempotent(spark, tmp_path):
     out = sorted(r.url for r in
                  spark.read.parquet(out_dir).select("url").collect())
     assert out == ["doc://3", "doc://5"]  # mirror dropped by the store
+
+
+def test_compact_near_dup_store(spark, tmp_path):
+    """Store compaction collapses per-batch partitions into batch=-1
+    without changing probe verdicts: after compaction a mirror of an
+    admitted doc is still dropped, and the store holds one partition."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from ocr_spark.gen.wrap import html_for_document
+    from ocr_spark.operators.extraction import (
+        EXTRACT_RESULT_SCHEMA, _extract_batches_fn,
+    )
+    from ocr_spark.streaming.ingest import (
+        compact_near_dup_store, near_dup_sink,
+    )
+
+    out_dir, sig_dir = str(tmp_path / "out"), str(tmp_path / "sigs")
+
+    def batch_for(pairs):
+        rows = [{"url": u,
+                 "warc_ts": datetime.datetime(2025, 1, 1),
+                 "html": html_for_document(d, t), "text": "",
+                 "lang": "en"} for u, d, t in pairs]
+        return (spark.createDataFrame(rows).select("url", "html")
+                .withColumn("bucket", F.lit(0))
+                .mapInPandas(_extract_batches_fn("full"),
+                             schema=EXTRACT_RESULT_SCHEMA))
+
+    docs = {r.doc_id: r.text for r in spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id").isin(3, 5, 17)).collect()}
+    sink = near_dup_sink(out_dir, sig_dir)
+    sink(batch_for([("doc://3", 3, docs[3])]), 0)
+    sink(batch_for([("doc://5", 5, docs[5])]), 1)
+
+    res = compact_near_dup_store(spark, sig_dir)
+    assert res["compacted_batches"] == 2 and res["rows"] == 2
+    dirs = sorted(d for d in os.listdir(sig_dir) if d.startswith("batch="))
+    assert dirs == ["batch=-1"]
+
+    # probe still works against the consolidated store
+    sink(batch_for([("doc://mirror/3", 3, docs[3]),
+                    ("doc://17", 17, docs[17])]), 2)
+    out = {r.url for r in spark.read.parquet(out_dir)
+           .select("url").collect()}
+    assert out == {"doc://3", "doc://5", "doc://17"}
+    # compaction is re-runnable and absorbs the new batch
+    res2 = compact_near_dup_store(spark, sig_dir)
+    assert res2["rows"] == 3
+    dirs = sorted(d for d in os.listdir(sig_dir) if d.startswith("batch="))
+    assert dirs == ["batch=-1"]
