@@ -726,6 +726,115 @@ def verify_export(spark: SparkSession, work_dir: str,
             "mismatches": mismatches}
 
 
+def sampling_root(work_dir: str) -> str:
+    return os.path.join(work_dir, "sampled")
+
+
+def run_sampling_job(spark: SparkSession, work_dir: str, *,
+                     shard_token_budget: int = 2000,
+                     snapshot: str | None = None) -> dict:
+    """Mixture-sampling stage between curation and the trainer — the
+    pipeline form of the oracle-checked docs_mixture_realize /
+    docs_training_set composition: language-ID the KEPT curated text
+    (the production order — CCNet detects language downstream of
+    extraction, using the SAME kernel as the oracle-checked
+    docs_langid via plans/dataops.py::langid_hit_cols), derive each
+    language's temperature-mixture effective epochs, give every
+    document floor(e) guaranteed copies plus a deterministic
+    md5-hash-selected fractional copy, explode the copies, and RE-pack
+    them into token-budget shards ((url, copy_idx) in the pack key so
+    two copies of one document land in independent shards). Committed
+    atomically with an export-style per-shard content-digest manifest,
+    so the sampled corpus is consumer-verifiable and bit-reproducible.
+
+    Scale shape: langid + copy realization are narrow maps over the
+    kept set; the mixture table is |langs| rows (broadcast); the only
+    exchanges are the per-language token-total partial agg and the
+    per-stratum packing window (16 parallel streams, same as the
+    curation packer)."""
+    from pyspark.sql.window import Window
+
+    from ocr_spark.plans.curation import MIXTURE_ALPHA, _EPOCH_SCALE
+    from ocr_spark.plans.dataops import langid_hit_cols, langid_pred_col
+
+    run_id = uuid.uuid4().hex[:12]
+    cur_root = curation_root(work_dir)
+    sid = snapshot or shim.current_snapshot_id(cur_root)
+    if sid is None:
+        raise FileNotFoundError(f"no curation snapshot under {cur_root}")
+    kept = (shim.read_snapshot(spark, cur_root, sid)
+            .filter(F.col("keep"))
+            .select("url", "text_deduped", "n_words"))
+
+    toks = F.split(F.lower(F.trim(F.col("text_deduped"))), r"\s+")
+    with_lang = kept.select(
+        "url", "text_deduped", "n_words", *langid_hit_cols(toks)
+    ).withColumn("lang", langid_pred_col()) \
+     .select("url", "text_deduped", "n_words", "lang")
+
+    per = with_lang.groupBy("lang").agg(F.sum("n_words").alias("n_tokens"))
+    tot = per.agg(F.sum("n_tokens").alias("tot_tokens"),
+                  F.sum(F.pow("n_tokens", MIXTURE_ALPHA)).alias("z"))
+    e = (F.pow("n_tokens", MIXTURE_ALPHA) / F.col("z")
+         * F.col("tot_tokens") / F.col("n_tokens"))
+    mix = (per.crossJoin(F.broadcast(tot))
+           .select("lang", F.round(e * _EPOCH_SCALE).cast("long")
+                   .alias("e_micro")))
+    h = (F.conv(F.substring(F.md5(F.concat(F.lit("mix:"), F.col("url"))),
+                            1, 8), 16, 10).cast("long") % _EPOCH_SCALE)
+    extra = (h < F.col("e_micro") % _EPOCH_SCALE).cast("long")
+    copies = (with_lang.join(F.broadcast(mix), "lang")
+              .withColumn("n_copies",
+                          (F.floor(F.col("e_micro") / _EPOCH_SCALE)
+                           + extra).cast("long"))
+              .filter(F.col("n_copies") > 0)
+              .select("url", "lang", "text_deduped", "n_words",
+                      F.explode(F.sequence(
+                          F.lit(1), F.col("n_copies"))).alias("copy_idx")))
+
+    stratum = F.substring(
+        F.md5(F.concat("url", F.lit(":"), F.col("copy_idx").cast("string"))),
+        1, 1)
+    w_pack = (Window.partitionBy("stratum").orderBy("url", "copy_idx")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    prefix = F.coalesce(F.sum("n_words").over(w_pack), F.lit(0))
+    packed = (copies.withColumn("stratum", stratum)
+              .withColumn("shard_id",
+                          F.concat_ws("-", "stratum",
+                                      F.floor(prefix / shard_token_budget)
+                                      .cast("string"))))
+
+    digests = packed.withColumn("dg", F.md5("text_deduped"))
+    manifest_rows = (
+        digests.groupBy("shard_id")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_words").alias("n_tokens"),
+             F.md5(F.concat_ws(",", F.transform(
+                 F.sort_array(
+                     F.collect_list(F.struct("url", "copy_idx", "dg"))),
+                 lambda s: s["dg"]))).alias("content_digest"))
+        .collect())
+    shard_manifest = {r.shard_id: {"n_docs": r.n_docs,
+                                   "n_tokens": int(r.n_tokens),
+                                   "content_digest": r.content_digest}
+                      for r in manifest_rows}
+    out = packed.select("url", "copy_idx", "lang", "text_deduped",
+                        "n_words", "shard_id")
+    out_sid = shim.prepare_snapshot(
+        out.repartition("shard_id"), sampling_root(work_dir),
+        partition_by=["shard_id"],
+        snapshot_id=f"smp-{run_id}", parent_id=None,
+        extra={"sampled_from": sid, "alpha": MIXTURE_ALPHA,
+               "shards": shard_manifest})
+    shim.publish_snapshot(sampling_root(work_dir), out_sid)
+    docs_in = with_lang.count()
+    rows_out = sum(m["n_docs"] for m in shard_manifest.values())
+    return {"run_id": run_id, "snapshot": out_sid, "sampled_from": sid,
+            "kept_docs": int(docs_in), "sampled_rows": int(rows_out),
+            "shards": len(shard_manifest),
+            "tokens": sum(m["n_tokens"] for m in shard_manifest.values())}
+
+
 def read_extracted(spark: SparkSession, work_dir: str) -> DataFrame:
     """All committed extraction output across snapshots. The union is
     exact: within one input snapshot, checkpointed buckets are never

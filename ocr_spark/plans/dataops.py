@@ -820,16 +820,20 @@ _LANG_STOPWORDS = {
 _LANG_ORDER = ("en", "de", "fr", "es")
 
 
-def docs_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram-heuristic language ID: count stopword hits per language,
-    argmax with fixed precedence en>de>fr>es on ties. Narrow map."""
-    docs = t(spark, sf_dir, "documents")
-    toks = _tokens()
-    base = docs.select("doc_id", "lang", toks.alias("toks"))
-    counts = base.select(
-        "doc_id", "lang",
-        *[F.size(F.filter("toks", lambda x: x.isin(*ws))).alias(f"hits_{lg}")
-          for lg, ws in _LANG_STOPWORDS.items()])
+def langid_hit_cols(toks_col) -> list[Column]:
+    """Per-language stopword hit counters over a token-array column —
+    the shared langid kernel (docs_langid and job.py's sampling stage
+    both call this, so query and pipeline language ID cannot drift)."""
+    return [
+        F.size(F.filter(toks_col, lambda x: x.isin(*ws)))
+         .alias(f"hits_{lg}")
+        for lg, ws in _LANG_STOPWORDS.items()
+    ]
+
+
+def langid_pred_col() -> Column:
+    """Argmax over the hits_<lang> columns with fixed precedence
+    en>de>fr>es on ties; 'und' when nothing hits."""
     pred = F.lit("und")
     for lg in reversed(_LANG_ORDER):
         others = [o for o in _LANG_ORDER if o != lg]
@@ -840,10 +844,20 @@ def docs_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col(f"hits_{lg}") > F.col(f"hits_{o}") if earlier
                 else F.col(f"hits_{lg}") >= F.col(f"hits_{o}"))
         pred = F.when(cond, F.lit(lg)).otherwise(pred)
+    return pred
+
+
+def docs_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-heuristic language ID: count stopword hits per language,
+    argmax with fixed precedence en>de>fr>es on ties. Narrow map."""
+    docs = t(spark, sf_dir, "documents")
+    toks = _tokens()
+    base = docs.select("doc_id", "lang", toks.alias("toks"))
+    counts = base.select("doc_id", "lang", *langid_hit_cols("toks"))
     return counts.select(
         "doc_id", "lang",
         *[f"hits_{lg}" for lg in _LANG_ORDER],
-        pred.alias("lang_pred"),
+        langid_pred_col().alias("lang_pred"),
     )
 
 

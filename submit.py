@@ -62,6 +62,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="apply RefinedWeb line-wise edit rules "
                          "(strip bullet/teaser/numeric lines, drop "
                          "over-corrected docs) before curation dedup")
+    ap.add_argument("--sample", action="store_true",
+                    help="after curation, run the mixture-sampling "
+                         "stage (langid over kept text, temperature-"
+                         "mixture copy counts, re-packed token-budget "
+                         "shards with a digest manifest; implies "
+                         "--curate)")
     ap.add_argument("--export", action="store_true",
                     help="after curation, export the kept shard-packed "
                          "docs partitioned by shard_id with a per-shard "
@@ -95,12 +101,15 @@ def main(argv: list[str] | None = None) -> int:
             from ocr_spark.sources import iceberg_shim as shim
             summary["vacuum"] = shim.vacuum_absorbed(
                 output_root(args.work_dir))
-        if args.curate or args.export:
+        if args.curate or args.export or args.sample:
             from ocr_spark.job import run_curation_job
             summary["curation"] = run_curation_job(
                 spark, args.work_dir, dedup=args.curate_dedup,
                 neardup=args.curate_neardup,
                 line_corrections=args.curate_linefix)
+        if args.sample:
+            from ocr_spark.job import run_sampling_job
+            summary["sampling"] = run_sampling_job(spark, args.work_dir)
         if args.export:
             from ocr_spark.job import run_export_job, verify_export
             summary["export"] = run_export_job(spark, args.work_dir)

