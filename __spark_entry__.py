@@ -59,6 +59,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "docs_encoding_repair", "docs_host_cap", "docs_zipf_profile",
     "docs_lang_confusion", "docs_vocab_novelty",
     "pages_robots_txt_gate", "docs_training_set",
+    "docs_chunk_spans", "docs_readability", "hosts_concentration",
     "docs_decontaminate_spans", "docs_mixture_realize",
     "docs_curriculum_order",
     "emb_kmeans_train", "emb_ivf_trained_topk",

@@ -199,6 +199,199 @@ FROM base
 # Training-sequence packing (concat-and-chunk)
 # ---------------------------------------------------------------------------
 
+CHUNK_LEN = 64      # tokens per chunk
+CHUNK_OVERLAP = 16  # tokens shared between consecutive chunks
+
+
+def docs_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document chunking with overlap — the RAG / long-context
+    prep op that complements docs_seq_pack (which concatenates ACROSS
+    documents): each document splits into CHUNK_LEN-token windows
+    advancing by CHUNK_LEN - CHUNK_OVERLAP, every token is covered,
+    consecutive chunks share CHUNK_OVERLAP tokens of context, and the
+    final short chunk is kept (never silently dropped — its loss is
+    the classic chunker bug). Emits per chunk: ordinal, token span
+    [start, end), and the chunk text.
+
+    Scale shape: pure narrow map — per-row sequence + slice + explode;
+    zero shuffles at any corpus size. Chunk counts are
+    ceil((n - overlap) / stride) per doc, emitted rows ~ n_tokens /
+    stride."""
+    docs = _docs(spark, sf_dir)
+    stride = CHUNK_LEN - CHUNK_OVERLAP
+    toks = F.split(F.trim(F.col("text")), _TOKS)
+    n = F.when((F.size(toks) == 1) & (toks[0] == ""), F.lit(0)) \
+         .otherwise(F.size(toks))
+    starts = F.when(
+        n > 0,
+        F.filter(
+            F.transform(F.sequence(F.lit(0),
+                                   F.greatest(F.ceil(n / stride),
+                                              F.lit(1)).cast("int")),
+                        lambda i: i * stride),
+            lambda s: (s == 0) | (s < n - CHUNK_OVERLAP)),
+    ).otherwise(F.array().cast("array<int>"))
+    base = docs.select("doc_id", toks.alias("t"), n.alias("n_tokens"),
+                       F.posexplode(starts).alias("chunk_id", "start"))
+    end = F.least(F.col("start") + CHUNK_LEN, F.col("n_tokens"))
+    return base.select(
+        "doc_id", "chunk_id",
+        F.col("start").cast("long").alias("tok_start"),
+        end.cast("long").alias("tok_end"),
+        F.concat_ws(" ", F.slice("t", F.col("start") + 1,
+                                 end - F.col("start")))
+         .alias("chunk_text"))
+
+
+CHUNK_SPANS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), '\\s+') AS t,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n
+  FROM documents
+), starts AS (
+  SELECT doc_id, t, n,
+         CAST(u.i AS INT) AS ord0,
+         CAST(u.i AS INT) * {CHUNK_LEN - CHUNK_OVERLAP} AS start
+  FROM toks,
+       LATERAL unnest(range(0, GREATEST(CAST(ceil(
+           n / CAST({CHUNK_LEN - CHUNK_OVERLAP} AS DOUBLE)) AS BIGINT),
+           1) + 1)) AS u(i)
+  WHERE n > 0
+), keptc AS (
+  SELECT doc_id, t, n, start,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start) - 1
+             AS chunk_id
+  FROM starts
+  WHERE start = 0 OR start < n - {CHUNK_OVERLAP}
+)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       CAST(start AS BIGINT) AS tok_start,
+       CAST(LEAST(start + {CHUNK_LEN}, n) AS BIGINT) AS tok_end,
+       array_to_string(
+           list_slice(t, start + 1, LEAST(start + {CHUNK_LEN}, n)), ' ')
+           AS chunk_text
+FROM keptc
+"""
+
+
+READ_ROUND = 2
+
+
+def docs_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document — the classic readability
+    quality signal (used alongside Gopher bounds in heuristic filter
+    stacks): 206.835 − 1.015·(words/sentences) −
+    84.6·(syllables/word), with syllables approximated by vowel-group
+    runs (min 1 per word) — the standard dictionary-free proxy.
+    Sentences split on terminal punctuation runs with a floor of 1, so
+    punctuation-free prose degrades gracefully instead of dividing by
+    zero.
+
+    Scale shape: pure narrow map — split, per-word regexp count,
+    array aggregate; zero shuffles at any corpus size."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), _TOKS)
+    w = F.when((F.size(toks) == 1) & (toks[0] == ""), F.lit(0)) \
+         .otherwise(F.size(toks))
+    sents = F.size(F.filter(
+        F.split(F.col("text"), r"[.!?]+"),
+        lambda x: F.trim(x) != ""))
+    s = F.greatest(sents, F.lit(1))
+    syl = F.aggregate(
+        toks, F.lit(0).cast("long"),
+        lambda acc, x: acc + F.greatest(
+            F.regexp_count(F.lower(x), F.lit("[aeiouy]+")), F.lit(1)))
+    flesch = (F.lit(206.835) - F.lit(1.015) * (w / s)
+              - F.lit(84.6) * (syl / F.greatest(w, F.lit(1))))
+    return docs.select(
+        "doc_id", "lang",
+        w.cast("long").alias("n_words"),
+        s.cast("long").alias("n_sentences"),
+        syl.alias("n_syllables"),
+        F.round(flesch, READ_ROUND).alias("flesch"),
+    ).filter(F.col("n_words") > 0)
+
+
+READABILITY_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lang,
+         string_split_regex(trim(text), '\\s+') AS t,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS w,
+         GREATEST(len(list_filter(
+             string_split_regex(text, '[.!?]+'), x -> trim(x) <> '')),
+             1) AS s
+  FROM documents
+), syl AS (
+  SELECT doc_id, lang, w, s,
+         CAST(list_sum(list_transform(t, x -> GREATEST(
+             len(regexp_extract_all(lower(x), '[aeiouy]+')), 1)))
+             AS BIGINT) AS sy
+  FROM base WHERE w > 0
+)
+SELECT doc_id, lang,
+       CAST(w AS BIGINT) AS n_words,
+       CAST(s AS BIGINT) AS n_sentences,
+       sy AS n_syllables,
+       round(206.835 - 1.015 * (w / CAST(s AS DOUBLE))
+             - 84.6 * (sy / CAST(GREATEST(w, 1) AS DOUBLE)),
+             {READ_ROUND}) AS flesch
+FROM syl
+"""
+
+
+def hosts_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-concentration datasheet stat: the Herfindahl–Hirschman
+    index of the corpus over hosts, by document share and by token
+    share, plus the top host's share — ONE row answering "is this
+    corpus a few mega-hosts in a trenchcoat?" (the number the host-cap
+    and mixture stages exist to push down). HHI in [1/n_hosts, 1]:
+    1/n is perfectly uniform, 1 is single-host.
+
+    Scale shape: one partial-agg groupBy keyed host (host-cardinality
+    rows), then a 1-row rollup — corpus bytes never move."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), _TOKS)
+    n = F.when((F.size(toks) == 1) & (toks[0] == ""), F.lit(0)) \
+         .otherwise(F.size(toks)).cast("long")
+    host = F.concat(F.lit("site"), (F.col("doc_id") % 13).cast("string"))
+    per = (docs.select(host.alias("host"), n.alias("n"))
+           .groupBy("host")
+           .agg(F.count("*").alias("d"), F.sum("n").alias("t")))
+    tot = per.agg(F.sum("d").alias("td"), F.sum("t").alias("tt"))
+    j = per.crossJoin(F.broadcast(tot))
+    return (j.agg(
+        F.count("*").cast("long").alias("n_hosts"),
+        F.round(F.sum(F.pow(F.col("d") / F.col("td"), 2)), 6)
+         .alias("hhi_docs"),
+        F.round(F.sum(F.pow(F.col("t") / F.col("tt"), 2)), 6)
+         .alias("hhi_tokens"),
+        F.round(F.max(F.col("d") / F.col("td")), 6)
+         .alias("top_host_doc_share")))
+
+
+HOSTS_CONCENTRATION_SQL = """
+WITH per AS (
+  SELECT 'site' || CAST(doc_id % 13 AS VARCHAR) AS host,
+         CAST(COUNT(*) AS BIGINT) AS d,
+         CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END)
+              AS BIGINT) AS t
+  FROM documents GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(d) AS BIGINT) AS td, CAST(SUM(t) AS BIGINT) AS tt
+  FROM per
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_hosts,
+       round(SUM(power(d / CAST(td AS DOUBLE), 2)), 6) AS hhi_docs,
+       round(SUM(power(t / CAST(tt AS DOUBLE), 2)), 6) AS hhi_tokens,
+       round(MAX(d / CAST(td AS DOUBLE)), 6) AS top_host_doc_share
+FROM per CROSS JOIN tot
+"""
+
+
 SEQ_LEN = 512
 
 
@@ -1435,6 +1628,9 @@ SPARK_QUERIES = {
     "docs_length_histogram": docs_length_histogram,
     "docs_zipf_profile": docs_zipf_profile,
     "docs_training_set": docs_training_set,
+    "docs_chunk_spans": docs_chunk_spans,
+    "docs_readability": docs_readability,
+    "hosts_concentration": hosts_concentration,
 }
 
 ORACLE_SQL = {
@@ -1456,4 +1652,7 @@ ORACLE_SQL = {
     "docs_length_histogram": LENGTH_HISTOGRAM_SQL,
     "docs_zipf_profile": ZIPF_PROFILE_SQL,
     "docs_training_set": _training_set_sql(),
+    "docs_chunk_spans": CHUNK_SPANS_SQL,
+    "docs_readability": READABILITY_SQL,
+    "hosts_concentration": HOSTS_CONCENTRATION_SQL,
 }

@@ -631,3 +631,23 @@ def test_robots_txt_rules_broadcast_single_exchange(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert n_shuffles(plan) <= 1, plan
+
+
+def test_chunk_spans_and_readability_narrow_maps(spark):
+    """Within-doc chunking and readability are per-row array pipelines:
+    zero shuffles at any corpus size."""
+    from ocr_spark.plans.curation import docs_chunk_spans, docs_readability
+
+    assert n_shuffles(fmt(docs_chunk_spans(spark, SF))) == 0
+    assert n_shuffles(fmt(docs_readability(spark, SF))) == 0
+
+
+def test_hosts_concentration_host_bounded(spark):
+    """The HHI rollup's shuffle volume is host cardinality: partial agg
+    below the host groupBy, then a broadcast 1-row totals join."""
+    from ocr_spark.plans.curation import hosts_concentration
+
+    df = hosts_concentration(spark, SF)
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in simple or "partial_sum" in simple
+    assert "SortMergeJoin" not in fmt(df)
