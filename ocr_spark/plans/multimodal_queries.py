@@ -82,14 +82,76 @@ FROM documents
 """
 
 
+EMBED_DIM = 4      # stub featurizer width; a real vision tower swaps
+EMBED_ROUND = 6    # in at the mapInPandas seam with its own width
+
+
+def mm_frame_embed_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame featurize-and-pool — the video-embedding plumbing between
+    frame sampling and ANN/SemDeDup: every sampled frame gets an
+    EMBED_DIM feature vector and frames mean-pool into one video-level
+    embedding per document (emitted as per-dimension columns e0..eD-1
+    for cross-engine value stability). The featurizer here is a
+    deterministic hash of the frame content digest — kept as JVM
+    expressions so the whole stage is codegen'd and oracle-checkable;
+    a REAL vision tower replaces exactly this step with an
+    Arrow-batched mapInPandas over the frame bytes
+    (operators/multimodal.py documents the seam), and everything
+    downstream — the pooling groupBy, the ANN tier it feeds — is
+    unchanged.
+
+    Scale shape: sampling is the existing generator (rows ~ frames/k);
+    featurization is a narrow map; the ONE exchange is the
+    partial-aggregated per-doc mean pool."""
+    media = synthesize_media(_docs(spark, sf_dir))
+    frames = sample_frames(media, every_k=2)
+    feats = [
+        ((F.conv(F.substring(
+            F.md5(F.concat("frame_md5", F.lit(f":{j}"))), 1, 8), 16, 10)
+          .cast("long") % 1000) / 1000.0).alias(f"f{j}")
+        for j in range(EMBED_DIM)
+    ]
+    per_frame = frames.select("doc_id", *feats)
+    return (per_frame.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_frames_pooled"),
+                 *[F.round(F.avg(f"f{j}"), EMBED_ROUND).alias(f"e{j}")
+                   for j in range(EMBED_DIM)]))
+
+
+_FRAME_EMBED_SQL = f"""
+WITH fr AS (
+  SELECT doc_id, unnest(range(0, 1 + doc_id % 8, 2)) AS f FROM documents
+), fm AS (
+  SELECT doc_id,
+         md5(md5(CAST(doc_id AS VARCHAR) || '_' || CAST(f AS VARCHAR)))
+           AS frame_md5
+  FROM fr
+), feats AS (
+  SELECT doc_id,
+         {", ".join(
+             f"(('0x' || substring(md5(frame_md5 || ':{j}'), 1, 8))"
+             f"::BIGINT % 1000) / 1000.0 AS f{j}"
+             for j in range(EMBED_DIM))}
+  FROM fm
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_frames_pooled,
+       {", ".join(f"round(AVG(f{j}), {EMBED_ROUND}) AS e{j}"
+                  for j in range(EMBED_DIM))}
+FROM feats GROUP BY doc_id
+"""
+
+
 SPARK_QUERIES = {
     "mm_media_meta": mm_media_meta,
     "mm_frame_sample": mm_frame_sample,
     "mm_frame_rollup": mm_frame_rollup,
+    "mm_frame_embed_pool": mm_frame_embed_pool,
 }
 
 ORACLE_SQL = {
     "mm_media_meta": _MEDIA_META_SQL,
     "mm_frame_sample": _FRAME_SAMPLE_SQL,
     "mm_frame_rollup": _FRAME_ROLLUP_SQL,
+    "mm_frame_embed_pool": _FRAME_EMBED_SQL,
 }
