@@ -127,3 +127,33 @@ def test_curriculum_positions_contiguous(rows):
     assert len(out) == len(rows)
     for (_, _), grp in out.groupby(["phase", "shard"]):
         assert sorted(grp.pos_in_shard) == list(range(1, len(grp) + 1))
+
+
+_long_text = st.lists(
+    st.sampled_from(_POOL), min_size=0, max_size=200).map(" ".join)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.tuples(_long_text, _langs), min_size=1, max_size=8))
+def test_chunk_spans_cover_every_token_with_exact_overlap(rows):
+    from ocr_spark.plans.curation import (
+        CHUNK_LEN, CHUNK_OVERLAP, CHUNK_SPANS_SQL,
+    )
+
+    con = _con(rows)
+    out = con.execute(
+        CHUNK_SPANS_SQL + " ORDER BY doc_id, chunk_id").fetch_df()
+    for doc_id, grp in out.groupby("doc_id"):
+        spans = list(zip(grp.tok_start, grp.tok_end))
+        # first chunk starts at 0; last ends at n_tokens; none empty
+        assert spans[0][0] == 0
+        assert all(e > s for s, e in spans)
+        # consecutive chunks overlap by exactly CHUNK_OVERLAP tokens,
+        # except a final short chunk which may overlap more (it is
+        # clipped to the document end, never dropped)
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert s2 == s1 + (CHUNK_LEN - CHUNK_OVERLAP)
+            assert s2 < e1  # contiguous coverage, no gaps
+        # text matches the span width
+        for (s, e), text in zip(spans, grp.chunk_text):
+            assert len([t for t in text.split(" ") if t != ""]) == e - s
