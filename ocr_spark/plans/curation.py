@@ -276,6 +276,50 @@ FROM keptc
 """
 
 
+SPLIT_VAL_PERMILLE = 10    # 1% validation
+SPLIT_TEST_PERMILLE = 10   # 1% test — remainder (98%) trains
+
+
+def docs_sample_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/validation/test split assignment — the
+    staple every corpus needs before anything touches a trainer: each
+    document hashes (md5, no RNG state) into a permille bucket and the
+    bucket maps to a split, so membership is stable across runs,
+    engines, cluster sizes, and incremental crawls (a re-crawled
+    document keeps its split — the property that prevents silent
+    val→train leakage when the corpus is rebuilt). Content-based
+    leakage across splits is the separate docs_decontaminate family;
+    this op is the assignment itself.
+
+    Scale shape: pure narrow map — hash, mod, case; zero shuffles."""
+    docs = _docs(spark, sf_dir)
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("long") % 1000)
+    split = (F.when(bucket < SPLIT_VAL_PERMILLE, F.lit("val"))
+             .when(bucket < SPLIT_VAL_PERMILLE + SPLIT_TEST_PERMILLE,
+                   F.lit("test"))
+             .otherwise(F.lit("train")))
+    return docs.select("doc_id", "lang", bucket.alias("split_bucket"),
+                       split.alias("split"))
+
+
+SAMPLE_HOLDOUT_SQL = f"""
+SELECT doc_id, lang,
+       ('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))
+           ::BIGINT % 1000 AS split_bucket,
+       CASE WHEN ('0x' || substring(
+                md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                ::BIGINT % 1000 < {SPLIT_VAL_PERMILLE} THEN 'val'
+            WHEN ('0x' || substring(
+                md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                ::BIGINT % 1000
+                < {SPLIT_VAL_PERMILLE + SPLIT_TEST_PERMILLE} THEN 'test'
+            ELSE 'train' END AS split
+FROM documents
+"""
+
+
 READ_ROUND = 2
 
 
@@ -1630,6 +1674,7 @@ SPARK_QUERIES = {
     "docs_training_set": docs_training_set,
     "docs_chunk_spans": docs_chunk_spans,
     "docs_readability": docs_readability,
+    "docs_sample_holdout": docs_sample_holdout,
     "hosts_concentration": hosts_concentration,
 }
 
@@ -1654,5 +1699,6 @@ ORACLE_SQL = {
     "docs_training_set": _training_set_sql(),
     "docs_chunk_spans": CHUNK_SPANS_SQL,
     "docs_readability": READABILITY_SQL,
+    "docs_sample_holdout": SAMPLE_HOLDOUT_SQL,
     "hosts_concentration": HOSTS_CONCENTRATION_SQL,
 }

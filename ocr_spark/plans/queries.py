@@ -315,6 +315,68 @@ FROM events GROUP BY strftime(ts, '%Y-%m-%d'), event_type
 """
 
 
+ANOM_BASELINE_DAYS = 7   # trailing window for the per-type baseline
+ANOM_Z = 3.0             # |z| beyond this flags the day
+ANOM_ROUND = 3
+
+
+def ev_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day volume anomaly monitor per event type — the
+    ops-dashboard staple over ingestion telemetry: each (type, day)
+    count is z-scored against the TRAILING ANOM_BASELINE_DAYS days'
+    mean/stddev (trailing only, so an anomalous day cannot launder its
+    own baseline); days with fewer than 3 baseline points emit a null
+    z and never flag (cold-start discipline). The same shape monitors
+    crawl volume, extraction error rates, or per-host yields.
+
+    Scale shape: one partial-agg groupBy (type, day) collapses events
+    to type×days rows; the trailing window runs per type over that
+    tiny frame — corpus bytes never reach the window."""
+    ev = t(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                        "event_type")
+             .agg(F.count("*").alias("n")))
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rowsBetween(-ANOM_BASELINE_DAYS, -1))
+    mu = F.avg("n").over(w)
+    sd = F.stddev_samp("n").over(w)
+    npts = F.count("n").over(w)
+    z = F.when((npts >= 3) & (sd > 0),
+               F.round((F.col("n") - mu) / sd, ANOM_ROUND))
+    return daily.select(
+        "day", "event_type", "n",
+        F.when(npts >= 3, F.round(mu, ANOM_ROUND)).alias("baseline_mean"),
+        z.alias("z_score"),
+        F.coalesce(F.abs(z) > ANOM_Z, F.lit(False)).alias("is_anomaly"))
+
+
+EV_ANOMALY_SQL = f"""
+WITH daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), win AS (
+  SELECT day, event_type, n,
+         AVG(n) OVER w AS mu,
+         STDDEV_SAMP(n) OVER w AS sd,
+         COUNT(n) OVER w AS npts
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN {ANOM_BASELINE_DAYS} PRECEDING
+                        AND 1 PRECEDING)
+)
+SELECT day, event_type, n,
+       CASE WHEN npts >= 3 THEN round(mu, {ANOM_ROUND}) END
+           AS baseline_mean,
+       CASE WHEN npts >= 3 AND sd > 0
+            THEN round((n - mu) / sd, {ANOM_ROUND}) END AS z_score,
+       COALESCE(abs(CASE WHEN npts >= 3 AND sd > 0
+                         THEN round((n - mu) / sd, {ANOM_ROUND}) END)
+                > {ANOM_Z}, FALSE) AS is_anomaly
+FROM win
+"""
+
+
 def ev_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hopping (sliding) event-time windows: 1-hour windows every 30
     minutes — each event lands in duration/slide = 2 windows. Spark's
@@ -517,6 +579,7 @@ SPARK_QUERIES = {
     "top3_customers_per_nation": top3_customers_per_nation,
     "ev_sessionize": ev_sessionize,
     "ev_daily_type_counts": ev_daily_type_counts,
+    "ev_anomaly_daily": ev_anomaly_daily,
     "ev_hopping_counts": ev_hopping_counts,
     "ev_user_top2_by_value": ev_user_top2_by_value,
     "ev_props_json": ev_props_json,
@@ -537,6 +600,7 @@ ORACLE_SQL = {
     "top3_customers_per_nation": TOP3_SQL,
     "ev_sessionize": EV_SESSION_SQL,
     "ev_daily_type_counts": EV_DAILY_SQL,
+    "ev_anomaly_daily": EV_ANOMALY_SQL,
     "ev_hopping_counts": EV_HOPPING_SQL,
     "ev_user_top2_by_value": EV_TOP2_SQL,
     "ev_props_json": EV_PROPS_SQL,

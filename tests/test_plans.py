@@ -651,3 +651,21 @@ def test_hosts_concentration_host_bounded(spark):
     simple = df._jdf.queryExecution().executedPlan().toString()
     assert "partial_count" in simple or "partial_sum" in simple
     assert "SortMergeJoin" not in fmt(df)
+
+
+def test_anomaly_monitor_type_day_bounded(spark):
+    """Events collapse to (type, day) rows before the trailing window:
+    partial aggregation below, no single-partition sort."""
+    from ocr_spark.plans.queries import ev_anomaly_daily
+
+    df = ev_anomaly_daily(spark, SF)
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in simple
+    assert "SinglePartition" not in fmt(df)
+
+
+def test_sample_holdout_is_narrow_map(spark):
+    """Split assignment is hash+case: zero shuffles."""
+    from ocr_spark.plans.curation import docs_sample_holdout
+
+    assert n_shuffles(fmt(docs_sample_holdout(spark, SF))) == 0
