@@ -320,6 +320,84 @@ FROM documents
 """
 
 
+def docs_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit — the check run AFTER split assignment and
+    BEFORE training: every near-dup candidate pair (banded MinHash
+    LSH, the same machinery as docs_minhash_lsh_pairs) whose two
+    members landed in DIFFERENT splits, with the signature-overlap
+    Jaccard estimate attached. Hash-based split assignment guarantees
+    a DOCUMENT never changes split, but near-duplicate CONTENT can
+    still straddle train/val — exactly the leakage an eval-set
+    contamination audit must surface (the document-level complement of
+    docs_decontaminate's n-gram check).
+
+    Scale shape: the LSH pair list's own audited shapes (narrow maps,
+    one capped bucket-keyed shuffle), one broadcast-sized join per
+    side against the zero-shuffle split map, and the signature
+    equi-joins of the Jaccard estimator — no new shuffle classes."""
+    from ocr_spark.plans.dataops import (
+        MINHASH_K, docs_minhash_lsh_pairs, minhash_sigs_frame,
+    )
+
+    pairs = docs_minhash_lsh_pairs(spark, sf_dir)
+    splits = docs_sample_holdout(spark, sf_dir).select("doc_id", "split")
+    sa = splits.select(F.col("doc_id").alias("doc_a"),
+                       F.col("split").alias("split_a"))
+    sb = splits.select(F.col("doc_id").alias("doc_b"),
+                       F.col("split").alias("split_b"))
+    leaks = (pairs.join(sa, "doc_a").join(sb, "doc_b")
+             .filter(F.col("split_a") != F.col("split_b")))
+    sigs = minhash_sigs_frame(_docs(spark, sf_dir), key="doc_id")
+    va = sigs.select(F.col("doc_id").alias("doc_a"),
+                     F.col("minvec").alias("va"))
+    vb = sigs.select(F.col("doc_id").alias("doc_b"),
+                     F.col("minvec").alias("vb"))
+    est = F.round(
+        F.aggregate(F.zip_with("va", "vb",
+                               lambda x, y: (x == y).cast("int")),
+                    F.lit(0), lambda acc, x: acc + x) / MINHASH_K, 4)
+    return (leaks.join(va, "doc_a").join(vb, "doc_b")
+            .select("doc_a", "doc_b", "split_a", "split_b",
+                    "n_shared_bands", est.alias("jaccard_est")))
+
+
+def _split_leakage_sql() -> str:
+    from ocr_spark.plans.dataops import (
+        MINHASH_K, _LSH_PAIRS_SQL, _SQL_MINVEC, _SQL_PER_SHINGLE,
+        _SQL_SHINGLES,
+    )
+
+    return f"""
+WITH pairs AS (
+{_LSH_PAIRS_SQL}
+), sp AS (
+{SAMPLE_HOLDOUT_SQL}
+), sh AS (
+  SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents
+), nz AS (
+  SELECT * FROM sh WHERE len(shingles) > 0
+), per AS (
+  SELECT doc_id, {_SQL_PER_SHINGLE} AS per_sh FROM nz
+), sigs AS (
+  SELECT doc_id, {_SQL_MINVEC} AS minvec FROM per
+), leaks AS (
+  SELECT p.doc_a, p.doc_b, a.split AS split_a, b.split AS split_b,
+         p.n_shared_bands
+  FROM pairs p
+  JOIN sp a ON a.doc_id = p.doc_a
+  JOIN sp b ON b.doc_id = p.doc_b
+  WHERE a.split <> b.split
+)
+SELECT l.doc_a, l.doc_b, l.split_a, l.split_b, l.n_shared_bands,
+       round(len(list_filter(range(1, {MINHASH_K + 1}),
+                             i -> va.minvec[i] = vb.minvec[i]))
+             / CAST({MINHASH_K} AS DOUBLE), 4) AS jaccard_est
+FROM leaks l
+JOIN sigs va ON va.doc_id = l.doc_a
+JOIN sigs vb ON vb.doc_id = l.doc_b
+"""
+
+
 READ_ROUND = 2
 
 
@@ -1675,6 +1753,7 @@ SPARK_QUERIES = {
     "docs_chunk_spans": docs_chunk_spans,
     "docs_readability": docs_readability,
     "docs_sample_holdout": docs_sample_holdout,
+    "docs_split_leakage_check": docs_split_leakage_check,
     "hosts_concentration": hosts_concentration,
 }
 
@@ -1700,5 +1779,6 @@ ORACLE_SQL = {
     "docs_chunk_spans": CHUNK_SPANS_SQL,
     "docs_readability": READABILITY_SQL,
     "docs_sample_holdout": SAMPLE_HOLDOUT_SQL,
+    "docs_split_leakage_check": _split_leakage_sql(),
     "hosts_concentration": HOSTS_CONCENTRATION_SQL,
 }
