@@ -61,7 +61,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "pages_robots_txt_gate", "docs_training_set",
     "docs_chunk_spans", "docs_readability", "hosts_concentration",
     "mm_frame_embed_pool", "docs_sample_holdout", "ev_anomaly_daily",
-    "docs_split_leakage_check",
+    "docs_split_leakage_check", "pages_wet_export",
     "docs_decontaminate_spans", "docs_mixture_realize",
     "docs_curriculum_order",
     "emb_kmeans_train", "emb_ivf_trained_topk",

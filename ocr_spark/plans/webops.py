@@ -1103,6 +1103,59 @@ FROM a
 """
 
 
+def pages_wet_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET-style conversion-record export — the output symmetry of the
+    WARC source (sources/warc.py): each extracted page becomes a
+    Common-Crawl-WET-shaped plain-text record (WARC/1.0 conversion
+    headers + byte-accurate Content-Length + the extracted text), the
+    interchange format downstream text pipelines consume. Byte length
+    is octet_length so multi-byte content (the corpus's bullet lines)
+    is counted as UTF-8 bytes, not code points — the classic WET
+    writer bug, pinned cross-engine here.
+
+    Scale shape: extraction's own 2 shuffles plus a narrow per-row
+    string build; a production sink writes records partitioned by
+    crawl segment with the same repartition-by-output-key pattern as
+    run_export_job."""
+    pages = pages_from_documents(spark, sf_dir)
+    extracted = run_extraction(pages, partitions=32, big_partitions=2)
+    ok = extracted.filter(F.col("error").isNull()
+                          & F.col("text").isNotNull())
+    clen = F.octet_length("text")
+    record = F.concat(
+        F.concat_ws(
+            "\r\n",
+            F.lit("WARC/1.0"),
+            F.lit("WARC-Type: conversion"),
+            F.concat(F.lit("WARC-Target-URI: "), F.col("url")),
+            F.lit("WARC-Date: 2025-01-01T00:00:00Z"),
+            F.lit("Content-Type: text/plain"),
+            F.concat(F.lit("Content-Length: "), clen.cast("string"))),
+        F.lit("\r\n\r\n"), F.col("text"))
+    return ok.select(
+        "url", clen.cast("long").alias("content_length"),
+        record.alias("wet_record"))
+
+
+PAGES_WET_EXPORT_SQL = _BLOCKS_CTE + """
+, ext AS (
+  SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+         string_agg(btext, chr(10) || chr(10) ORDER BY block_id) AS text
+  FROM seq GROUP BY doc_id
+)
+SELECT url,
+       CAST(strlen(text) AS BIGINT) AS content_length,
+       'WARC/1.0' || chr(13) || chr(10)
+       || 'WARC-Type: conversion' || chr(13) || chr(10)
+       || 'WARC-Target-URI: ' || url || chr(13) || chr(10)
+       || 'WARC-Date: 2025-01-01T00:00:00Z' || chr(13) || chr(10)
+       || 'Content-Type: text/plain' || chr(13) || chr(10)
+       || 'Content-Length: ' || CAST(strlen(text) AS VARCHAR)
+       || chr(13) || chr(10) || chr(13) || chr(10) || text AS wet_record
+FROM ext
+"""
+
+
 ANCHOR_PAT = r'<a href="([^"]*)"[^>]*>([^<]*)</a>'
 
 
@@ -2785,6 +2838,7 @@ SPARK_QUERIES = {
     "docs_host_cap": docs_host_cap,
     "docs_vocab_novelty": docs_vocab_novelty,
     "pages_robots_txt_gate": pages_robots_txt_gate,
+    "pages_wet_export": pages_wet_export,
     "pages_pii_scan": pages_pii_scan,
     "pages_para_dedup": pages_para_dedup,
     "pages_line_dedup": pages_line_dedup,
@@ -2823,6 +2877,7 @@ ORACLE_SQL = {
     "docs_host_cap": DOCS_HOST_CAP_SQL,
     "docs_vocab_novelty": DOCS_VOCAB_NOVELTY_SQL,
     "pages_robots_txt_gate": _robots_txt_gate_sql(),
+    "pages_wet_export": PAGES_WET_EXPORT_SQL,
     "pages_pii_scan": PAGES_PII_SQL,
     "pages_para_dedup": PAGES_PARA_DEDUP_SQL,
     "pages_line_dedup": PAGES_LINE_DEDUP_SQL,
