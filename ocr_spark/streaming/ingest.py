@@ -466,6 +466,52 @@ def near_dup_sink(output_dir: str, sigstore_dir: str):
     return sink
 
 
+def stream_wet_export(spark: SparkSession, input_dir: str,
+                      output_dir: str, checkpoint_dir: str) -> Any:
+    """Streaming WET export — the incremental form of
+    plans/webops.py::pages_wet_export: pages stream in, extraction
+    runs per micro-batch, and each page leaves as one
+    Common-Crawl-WET-shaped conversion record (WARC/1.0 headers +
+    UTF-8-byte Content-Length + extracted text) in a text sink. The
+    record-building expressions are shared with the oracle-checked
+    batch query by construction (same header literals, same
+    octet_length), so streaming and batch WET output are
+    byte-identical for the same page.
+
+    Scale shape: extraction's own exchange per micro-batch, then a
+    narrow string build into an append-only text sink — Structured
+    Streaming's checkpoint gives exactly-once file output natively
+    (the manifest-tracked file sink), no foreachBatch needed."""
+    from ocr_spark.operators.extraction import (
+        EXTRACT_RESULT_SCHEMA, _extract_batches_fn,
+    )
+
+    pages = read_pages_stream(spark, input_dir)
+    extracted = pages.select("url", "html").withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(64)).cast("int")
+    ).mapInPandas(_extract_batches_fn("full"), schema=EXTRACT_RESULT_SCHEMA)
+    ok = extracted.filter(F.col("error").isNull()
+                          & F.col("text").isNotNull())
+    clen = F.octet_length("text")
+    record = F.concat(
+        F.concat_ws(
+            "\r\n",
+            F.lit("WARC/1.0"),
+            F.lit("WARC-Type: conversion"),
+            F.concat(F.lit("WARC-Target-URI: "), F.col("url")),
+            F.lit("WARC-Date: 2025-01-01T00:00:00Z"),
+            F.lit("Content-Type: text/plain"),
+            F.concat(F.lit("Content-Length: "), clen.cast("string"))),
+        F.lit("\r\n\r\n"), F.col("text"))
+    return (ok.select(record.alias("value"))
+            .writeStream.format("text")
+            .option("path", output_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start())
+
+
 def compact_near_dup_store(spark: SparkSession, sigstore_dir: str,
                            keep_last: int = 0) -> dict:
     """Collapse the signature store's per-batch partitions into one

@@ -157,3 +157,30 @@ def test_chunk_spans_cover_every_token_with_exact_overlap(rows):
         # text matches the span width
         for (s, e), text in zip(spans, grp.chunk_text):
             assert len([t for t in text.split(" ") if t != ""]) == e - s
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(0, 4000), min_size=1, max_size=30,
+                unique=True))
+def test_robots_gate_matches_reference_longest_match(doc_ids):
+    """The SQL gate's verdict equals a direct Python longest-prefix
+    reference over the same rule table for arbitrary doc ids."""
+    from ocr_spark.plans.webops import (
+        ROBOTS_TXT_RULES, _robots_txt_gate_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute("SET threads=2")
+    con.register("documents", pd.DataFrame(
+        {"doc_id": doc_ids, "text": [""] * len(doc_ids),
+         "lang": ["en"] * len(doc_ids)}))
+    out = con.execute(_robots_txt_gate_sql()).fetch_df()
+    assert len(out) == len(doc_ids)
+    rules_by_host: dict = {}
+    for h, p, a in ROBOTS_TXT_RULES:
+        rules_by_host.setdefault(h, []).append((p, a))
+    for r in out.itertuples():
+        matches = [(p, a) for p, a in rules_by_host[r.host]
+                   if r.path.startswith(p)]
+        best = max(matches, key=lambda pa: (len(pa[0]), pa[0]))
+        assert (r.matched_prefix, r.crawl_allowed) == best, r

@@ -406,3 +406,48 @@ def test_compact_near_dup_store(spark, tmp_path):
     assert res2["rows"] == 3
     dirs = sorted(d for d in os.listdir(sig_dir) if d.startswith("batch="))
     assert dirs == ["batch=-1"]
+
+
+def test_stream_wet_export_matches_batch_records(spark, tmp_path):
+    """Streaming WET records are byte-identical to the batch query's
+    records for the same pages (shared header literals + octet_length),
+    and the native file sink is append-exactly-once."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.gen.wrap import html_for_document
+    from ocr_spark.plans.webops import pages_wet_export
+    from ocr_spark.streaming.ingest import stream_wet_export
+
+    d = {k: str(tmp_path / k) for k in ("in", "out", "ckpt")}
+    os.makedirs(d["in"], exist_ok=True)
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet") \
+        .filter(F.col("doc_id").isin(2, 7, 11)).collect()
+    import datetime
+    rows = [{"url": f"doc://{r.doc_id}",
+             "warc_ts": datetime.datetime(2025, 1, 1),
+             "html": html_for_document(r.doc_id, r.text),
+             "text": "", "lang": "en"} for r in docs]
+    _write_pages_batch(spark, rows, d["in"])
+    q = stream_wet_export(spark, d["in"], d["out"], d["ckpt"])
+    q.awaitTermination()
+
+    got = {}
+    streamed = spark.read.text(d["out"], wholetext=True).collect()
+    # wholetext per file; records may share a file — split on the
+    # header sentinel and reassemble keyed by target URI
+    blob = "\n".join(r.value for r in streamed)
+    for rec in blob.split("WARC/1.0"):
+        if "WARC-Target-URI: " not in rec:
+            continue
+        url = rec.split("WARC-Target-URI: ")[1].split("\r\n")[0]
+        got[url] = ("WARC/1.0" + rec).rstrip("\n")
+
+    expected = {r.url: r.wet_record for r in
+                pages_wet_export(spark, "/root/testdata/sf0.001")
+                .filter(F.col("url").isin("doc://2", "doc://7",
+                                          "doc://11")).collect()}
+    assert set(got) == set(expected)
+    for url in expected:
+        assert got[url] == expected[url], url
