@@ -62,6 +62,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "docs_chunk_spans", "docs_readability", "hosts_concentration",
     "mm_frame_embed_pool", "docs_sample_holdout", "ev_anomaly_daily",
     "docs_split_leakage_check", "pages_wet_export",
+    "docs_decontaminate_report", "docs_length_percentiles",
     "docs_decontaminate_spans", "docs_mixture_realize",
     "docs_curriculum_order",
     "emb_kmeans_train", "emb_ivf_trained_topk",

@@ -464,6 +464,47 @@ FROM syl
 """
 
 
+PCTS = (0.5, 0.9, 0.99)
+
+
+def docs_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-length percentiles (p50/p90/p99) — the
+    datasheet companion to docs_length_histogram's log2 buckets:
+    exact interpolated percentiles (both engines implement the
+    standard type-7 linear interpolation), the numbers a sequence-
+    length budget or truncation policy is actually set from.
+
+    Scale shape: this exact form is one partial-agg percentile per
+    language stratum; at 10^12 docs the production swap is
+    approx_percentile per language (same output contract, sketch-
+    based) — the same exact-vs-approx note as the percentile gate."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), _TOKS)
+    n = F.when((F.size(toks) == 1) & (toks[0] == ""), F.lit(0)) \
+         .otherwise(F.size(toks)).cast("long")
+    pct = F.percentile("n", F.lit(list(PCTS)))
+    return (docs.select("lang", n.alias("n"))
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 *[F.round(F.element_at(pct, i + 1), 4)
+                    .alias(f"p{int(p * 100)}")
+                   for i, p in enumerate(PCTS)]))
+
+
+LENGTH_PERCENTILES_SQL = f"""
+WITH base AS (
+  SELECT lang,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n
+  FROM documents
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       {", ".join(f"round(quantile_cont(n, {p}), 4) AS p{int(p * 100)}"
+                  for p in PCTS)}
+FROM base GROUP BY lang
+"""
+
+
 def hosts_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-concentration datasheet stat: the Herfindahl–Hirschman
     index of the corpus over hosts, by document share and by token
@@ -1150,6 +1191,93 @@ WHERE d.doc_id % {BENCH_MOD} <> 0
 """
 
 
+def docs_decontaminate_report(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Contamination report from the EVAL side — the audit symmetry of
+    docs_decontaminate (which scores train docs): for every eval
+    document, how many of its n-grams appear anywhere in training and
+    how many distinct train documents carry them. The benchmarks whose
+    items leak most are the ones whose scores a trained model can't be
+    trusted on — this is the table an eval-integrity review reads.
+
+    Scale shape: same broadcast-eval-set join as docs_decontaminate
+    read in reverse — the narrow train explode probes the broadcast
+    eval grams, then TWO bounded aggregations keyed by eval gram and
+    eval doc (both bounded by the eval set's size, not the corpus)."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), _TOKS)
+    grams = F.when(
+        F.size(toks) >= DECONTAM_K,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - DECONTAM_K),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice(toks, i + 1, DECONTAM_K)))),
+    ).otherwise(F.array().cast("array<string>"))
+    with_g = docs.select("doc_id", grams.alias("gh"))
+    is_eval = F.col("doc_id") % BENCH_MOD == 0
+    eval_grams = (with_g.filter(is_eval)
+                  .select("doc_id", F.explode("gh").alias("g"))
+                  .withColumnRenamed("doc_id", "eval_doc_id")
+                  .distinct())
+    train = (with_g.filter(~is_eval)
+             .select(F.col("doc_id").alias("train_doc_id"),
+                     F.explode("gh").alias("g")).distinct())
+    hits = (train.join(F.broadcast(eval_grams.select("g").distinct()),
+                       "g")
+            .groupBy("g")
+            .agg(F.countDistinct("train_doc_id").alias("n_train_docs")))
+    per_eval = (eval_grams.join(hits, "g", "left")
+                .groupBy("eval_doc_id")
+                .agg(F.count(F.lit(1)).alias("n_grams"),
+                     F.sum(F.coalesce(
+                         (F.col("n_train_docs") > 0).cast("long"),
+                         F.lit(0))).alias("n_leaked_grams"),
+                     F.coalesce(F.sum("n_train_docs"), F.lit(0))
+                      .cast("long").alias("n_train_doc_hits")))
+    frac = F.round(F.col("n_leaked_grams") / F.col("n_grams"), 4)
+    return per_eval.select(
+        "eval_doc_id", "n_grams", "n_leaked_grams",
+        frac.alias("leaked_frac"), "n_train_doc_hits",
+        (frac > 0).alias("is_leaked"))
+
+
+DECONTAMINATE_REPORT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         md5(list_aggregate(tk[i:i+{DECONTAM_K - 1}], 'string_agg', ' '))
+           AS g
+  FROM toks, LATERAL unnest(range(1, len(tk) - {DECONTAM_K - 2})) AS u(i)
+  WHERE len(tk) >= {DECONTAM_K}
+), eval_grams AS (
+  SELECT DISTINCT doc_id AS eval_doc_id, g
+  FROM grams WHERE doc_id % {BENCH_MOD} = 0
+), train AS (
+  SELECT DISTINCT doc_id AS train_doc_id, g
+  FROM grams WHERE doc_id % {BENCH_MOD} <> 0
+), hits AS (
+  SELECT g, CAST(COUNT(DISTINCT train_doc_id) AS BIGINT) AS n_train_docs
+  FROM train WHERE g IN (SELECT g FROM eval_grams)
+  GROUP BY g
+), per_eval AS (
+  SELECT e.eval_doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN h.n_train_docs > 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_leaked_grams,
+         CAST(COALESCE(SUM(h.n_train_docs), 0) AS BIGINT)
+             AS n_train_doc_hits
+  FROM eval_grams e LEFT JOIN hits h ON h.g = e.g
+  GROUP BY e.eval_doc_id
+)
+SELECT eval_doc_id, n_grams, n_leaked_grams,
+       round(n_leaked_grams / CAST(n_grams AS DOUBLE), 4) AS leaked_frac,
+       n_train_doc_hits,
+       round(n_leaked_grams / CAST(n_grams AS DOUBLE), 4) > 0 AS is_leaked
+FROM per_eval
+"""
+
+
 def docs_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level decontamination — the surgical variant of
     docs_decontaminate: instead of DROPPING a training document that
@@ -1742,6 +1870,7 @@ SPARK_QUERIES = {
     "docs_classifier_score": docs_classifier_score,
     "docs_decontaminate": docs_decontaminate,
     "docs_decontaminate_spans": docs_decontaminate_spans,
+    "docs_decontaminate_report": docs_decontaminate_report,
     "docs_domain_mixture": docs_domain_mixture,
     "docs_mixture_realize": docs_mixture_realize,
     "docs_curriculum_order": docs_curriculum_order,
@@ -1752,6 +1881,7 @@ SPARK_QUERIES = {
     "docs_training_set": docs_training_set,
     "docs_chunk_spans": docs_chunk_spans,
     "docs_readability": docs_readability,
+    "docs_length_percentiles": docs_length_percentiles,
     "docs_sample_holdout": docs_sample_holdout,
     "docs_split_leakage_check": docs_split_leakage_check,
     "hosts_concentration": hosts_concentration,
@@ -1768,6 +1898,7 @@ ORACLE_SQL = {
     "docs_classifier_score": _classifier_sql(),
     "docs_decontaminate": DECONTAMINATE_SQL,
     "docs_decontaminate_spans": DECONTAMINATE_SPANS_SQL,
+    "docs_decontaminate_report": DECONTAMINATE_REPORT_SQL,
     "docs_domain_mixture": DOMAIN_MIXTURE_SQL,
     "docs_mixture_realize": MIXTURE_REALIZE_SQL,
     "docs_curriculum_order": _curriculum_order_sql(),
@@ -1778,6 +1909,7 @@ ORACLE_SQL = {
     "docs_training_set": _training_set_sql(),
     "docs_chunk_spans": CHUNK_SPANS_SQL,
     "docs_readability": READABILITY_SQL,
+    "docs_length_percentiles": LENGTH_PERCENTILES_SQL,
     "docs_sample_holdout": SAMPLE_HOLDOUT_SQL,
     "docs_split_leakage_check": _split_leakage_sql(),
     "hosts_concentration": HOSTS_CONCENTRATION_SQL,
