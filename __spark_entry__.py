@@ -50,6 +50,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     # CORRECTNESS row
     "extract_roundtrip", "extract_block_stats", "document_graph_edges",
     # new in round 4 (never driver-checked by definition)
+    "pages_cdx_index", "pages_wat_export",
     "docs_dsir_weights", "pages_host_boilerplate",
     "docs_near_dup_vs_snapshot", "emb_ivfpq_topk",
     "docs_bpe_train_merges", "docs_near_dup_quality_keepers",
@@ -114,7 +115,7 @@ def _reorder(out: dict) -> dict:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 / §7.8."""
     from ocr_spark.plans import (
-        curation, dataops, extract_queries, multimodal_queries,
+        curation, dataops, extract_queries, indexing, multimodal_queries,
         queries as q, relational_extra, simsearch, tpch_rest, webops,
     )
 
@@ -128,13 +129,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(tpch_rest.SPARK_QUERIES)
     out.update(webops.SPARK_QUERIES)
     out.update(curation.SPARK_QUERIES)
+    out.update(indexing.SPARK_QUERIES)
     return _reorder(out)
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (same column names/aliases)."""
     from ocr_spark.plans import (
-        curation, dataops, extract_queries, multimodal_queries,
+        curation, dataops, extract_queries, indexing, multimodal_queries,
         queries as q, relational_extra, simsearch, tpch_rest, webops,
     )
 
@@ -148,4 +150,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(tpch_rest.ORACLE_SQL)
     out.update(webops.ORACLE_SQL)
     out.update(curation.ORACLE_SQL)
+    out.update(indexing.ORACLE_SQL)
     return _reorder(out)

@@ -669,3 +669,23 @@ def test_sample_holdout_is_narrow_map(spark):
     from ocr_spark.plans.curation import docs_sample_holdout
 
     assert n_shuffles(fmt(docs_sample_holdout(spark, SF))) == 0
+
+
+def test_cdx_index_single_range_exchange(spark):
+    """The CDX shard write order comes from ONE range exchange on the
+    SURT key (globally ordered shard set, binary-searchable within
+    each) — no global single-partition sort, no extra shuffles."""
+    from ocr_spark.plans.indexing import pages_cdx_index
+
+    df = pages_cdx_index(spark, SF)
+    plan = fmt(df)
+    assert n_shuffles(plan) == 1
+    assert "rangepartitioning(surt_key" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_wat_export_zero_shuffle(spark):
+    """WAT metadata records are scan → project: zero shuffles."""
+    from ocr_spark.plans.indexing import pages_wat_export
+
+    assert n_shuffles(fmt(pages_wat_export(spark, SF))) == 0
