@@ -51,6 +51,8 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "extract_roundtrip", "extract_block_stats", "document_graph_edges",
     # new in round 4 (never driver-checked by definition)
     "pages_cdx_index", "pages_wat_export",
+    "pages_revisit_records", "pages_cdx_merge",
+    "hosts_crawl_traps", "pages_url_templates",
     "docs_dsir_weights", "pages_host_boilerplate",
     "docs_near_dup_vs_snapshot", "emb_ivfpq_topk",
     "docs_bpe_train_merges", "docs_near_dup_quality_keepers",

@@ -1,5 +1,6 @@
-"""Crawl-index export family: CDX(J) capture index + WAT metadata
-records.
+"""Crawl-index export family: CDX(J) capture index, WAT metadata
+records, WARC revisit-record election, and incremental cross-snapshot
+index merge.
 
 Common-Crawl-style pipelines publish three derived artifacts next to
 the raw WARC captures: WET (plain-text conversions — pages_wet_export,
@@ -41,6 +42,7 @@ from (doc_id, text) alone.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from ocr_spark.plans.extract_queries import pages_from_documents
 from ocr_spark.plans.webops import HREF_PAT, _html_str
@@ -162,12 +164,184 @@ FROM meta
 """
 
 
+# ---------------------------------------------------------------------------
+# WARC revisit records (capture-log storage dedup)
+# ---------------------------------------------------------------------------
+
+_CANON_URL = (
+    "'https://site' || CAST(doc_id % 13 AS VARCHAR)"
+    " || '.example.com/doc/' || CAST(doc_id AS VARCHAR)"
+)
+
+
+def _canon_url_col() -> Column:
+    return F.concat(
+        F.lit("https://site"), (F.col("doc_id") % 13).cast("string"),
+        F.lit(".example.com/doc/"), F.col("doc_id").cast("string"))
+
+
+def pages_revisit_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC-style revisit-record election over a multi-capture crawl
+    log: the first capture of each payload digest is stored as a full
+    ``response`` record; every later capture with the SAME digest
+    becomes a ``revisit`` record that references the original capture
+    (url + timestamp) instead of storing the payload again — the
+    standard WARC/1.1 identical-payload-digest dedup every archive
+    crawler (Heritrix, CC) runs at fetch time. The reference processes
+    one presigned document per request and has no capture history
+    (SURVEY.md §2.1 S1).
+
+    Fixture (closed-form in doc_id, mirrored by the oracle): every doc
+    is captured at 2025-01-01; docs with ``doc_id % 5 == 0`` are
+    re-crawled unchanged at 2025-02-01 (→ revisit); docs with
+    ``doc_id % 7 == 0`` are re-crawled EDITED at 2025-03-01 (new
+    digest → a fresh response record, not a revisit).
+
+    Scale shape: the capture multiplication is a per-row
+    conditional-array explode (narrow, single scan — no self-union
+    re-scans); the election is ONE shuffle keyed on digest
+    (row_number + first_value over the same window). Payload bytes
+    never move — only (url, ts, digest)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cap = lambda ts, content: F.struct(  # noqa: E731
+        F.lit(ts).alias("ts14"), content.alias("content"))
+    caps = F.filter(F.array(
+        cap("20250101000000", F.col("text")),
+        F.when((F.col("doc_id") % 5) == 0,
+               cap("20250201000000", F.col("text"))),
+        F.when((F.col("doc_id") % 7) == 0,
+               cap("20250301000000",
+                   F.concat(F.col("text"), F.lit(" [updated]")))),
+    ), lambda s: s.isNotNull())
+    exploded = docs.select(
+        _canon_url_col().alias("url"), F.explode(caps).alias("c"),
+    ).select("url", F.col("c.ts14").alias("ts14"),
+             F.md5("c.content").alias("digest"))
+    w = Window.partitionBy("digest").orderBy("ts14", "url")
+    rn = F.row_number().over(w)
+    return exploded.select(
+        "url", "ts14", "digest",
+        F.when(rn == 1, F.lit("response"))
+         .otherwise(F.lit("revisit")).alias("record_type"),
+        F.when(rn == 1, F.lit(None).cast("string"))
+         .otherwise(F.first("url").over(w)).alias("refers_to_url"),
+        F.when(rn == 1, F.lit(None).cast("string"))
+         .otherwise(F.first("ts14").over(w)).alias("refers_to_ts14"),
+    )
+
+
+PAGES_REVISIT_RECORDS_SQL = f"""
+WITH caps AS (
+  SELECT {_CANON_URL} AS url, '20250101000000' AS ts14,
+         md5(text) AS digest
+  FROM documents
+  UNION ALL
+  SELECT {_CANON_URL}, '20250201000000', md5(text)
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT {_CANON_URL}, '20250301000000', md5(text || ' [updated]')
+  FROM documents WHERE doc_id % 7 = 0
+), ranked AS (
+  SELECT url, ts14, digest,
+         row_number()  OVER w AS rn,
+         first_value(url)  OVER w AS f_url,
+         first_value(ts14) OVER w AS f_ts
+  FROM caps
+  WINDOW w AS (PARTITION BY digest ORDER BY ts14, url)
+)
+SELECT url, ts14, digest,
+       CASE WHEN rn = 1 THEN 'response' ELSE 'revisit' END AS record_type,
+       CASE WHEN rn = 1 THEN NULL ELSE f_url END AS refers_to_url,
+       CASE WHEN rn = 1 THEN NULL ELSE f_ts END AS refers_to_ts14
+FROM ranked
+"""
+
+
+# ---------------------------------------------------------------------------
+# Incremental CDX merge across crawl snapshots
+# ---------------------------------------------------------------------------
+
+
+def pages_cdx_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental capture-index maintenance: merge a NEW crawl
+    snapshot's CDX records into the prior index, suppressing identical
+    recrawls — a new capture whose (surt_key, digest) already exists
+    in the prior index stores nothing new (the fetch became a revisit
+    record; see pages_revisit_records) so it does not get an index
+    row. Changed pages append a second capture under the same SURT
+    key, which is exactly how the CC index accumulates history.
+
+    Fixture: the prior snapshot indexes every doc at 2025-01-01;
+    the new snapshot (2025-04-01) re-crawls ``doc_id % 3 == 0``, of
+    which ``doc_id % 6 == 0`` changed content (text || ' v2') and the
+    rest came back byte-identical (→ suppressed).
+
+    Scale shape: the suppression is a left-anti sort-merge join keyed
+    (surt_key, digest) — the new snapshot is the small side of an
+    anti-join against the prior index's (key, digest) projection, not
+    the raw pages; the merged set then takes ONE range exchange on
+    (surt_key, ts14) to restore the global shard order. With the
+    prior index stored bucketed by surt_key both exchanges on the big
+    side disappear; stated here rather than simulated because the
+    fixture reads plain parquet."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    url = _canon_url_col()
+    prior = docs.select(
+        surt_key(url).alias("surt_key"),
+        F.lit("20250101000000").alias("ts14"),
+        url.alias("url"), F.md5("text").alias("digest"),
+        F.lit("prior").alias("snapshot"))
+    recrawl = docs.filter((F.col("doc_id") % 3) == 0)
+    new = recrawl.select(
+        surt_key(url).alias("surt_key"),
+        F.lit("20250401000000").alias("ts14"),
+        url.alias("url"),
+        F.md5(F.when((F.col("doc_id") % 6) == 0,
+                     F.concat(F.col("text"), F.lit(" v2")))
+               .otherwise(F.col("text"))).alias("digest"),
+        F.lit("new").alias("snapshot"))
+    kept_new = new.join(prior.select("surt_key", "digest"),
+                        ["surt_key", "digest"], "left_anti")
+    merged = prior.unionByName(kept_new)
+    return (merged.repartitionByRange(32, "surt_key", "ts14")
+                  .sortWithinPartitions("surt_key", "ts14"))
+
+
+PAGES_CDX_MERGE_SQL = f"""
+WITH prior AS (
+  SELECT 'com,example,site' || CAST(doc_id % 13 AS VARCHAR)
+           || ')/doc/' || CAST(doc_id AS VARCHAR) AS surt_key,
+         '20250101000000' AS ts14, {_CANON_URL} AS url,
+         md5(text) AS digest, 'prior' AS snapshot
+  FROM documents
+), new AS (
+  SELECT 'com,example,site' || CAST(doc_id % 13 AS VARCHAR)
+           || ')/doc/' || CAST(doc_id AS VARCHAR) AS surt_key,
+         '20250401000000' AS ts14, {_CANON_URL} AS url,
+         md5(CASE WHEN doc_id % 6 = 0 THEN text || ' v2'
+                  ELSE text END) AS digest,
+         'new' AS snapshot
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT * FROM prior
+UNION ALL
+SELECT * FROM new n
+WHERE NOT EXISTS (SELECT 1 FROM prior p
+                  WHERE p.surt_key = n.surt_key
+                    AND p.digest = n.digest)
+"""
+
+
 SPARK_QUERIES = {
     "pages_cdx_index": pages_cdx_index,
     "pages_wat_export": pages_wat_export,
+    "pages_revisit_records": pages_revisit_records,
+    "pages_cdx_merge": pages_cdx_merge,
 }
 
 ORACLE_SQL = {
     "pages_cdx_index": PAGES_CDX_INDEX_SQL,
     "pages_wat_export": PAGES_WAT_EXPORT_SQL,
+    "pages_revisit_records": PAGES_REVISIT_RECORDS_SQL,
+    "pages_cdx_merge": PAGES_CDX_MERGE_SQL,
 }

@@ -2620,6 +2620,129 @@ FROM canon
 
 
 # ---------------------------------------------------------------------------
+# crawl-trap detection + URL template mining
+# ---------------------------------------------------------------------------
+
+# Shared messy-capture fixture (closed-form in doc_id, mirrored by
+# both oracles): every doc yields its canonical capture url; docs on
+# host site5 (doc_id % 13 == 5) additionally yield session-id aliases
+# ?session={1..3} serving the SAME content — the classic session-token
+# crawler trap; docs with doc_id % 11 == 0 yield one extra
+# calendar-archive alias /calendar/2025/{doc_id % 12 + 1}/{id} — the
+# infinite-calendar trap (distinct urls, same page).
+TRAP_RATIO_MIN = 2.0
+
+
+def _trap_captures(docs: DataFrame) -> DataFrame:
+    """(host, url, digest) capture log with trap aliases — one scan,
+    narrow per-row conditional-array explode."""
+    host = F.concat(F.lit("site"), (F.col("doc_id") % 13).cast("string"),
+                    F.lit(".example.com"))
+    base = F.concat(F.lit("https://"), host, F.lit("/doc/"),
+                    F.col("doc_id").cast("string"))
+    sess = [F.when((F.col("doc_id") % 13) == 5,
+                   F.concat(base, F.lit(f"?session={k}")))
+            for k in (1, 2, 3)]
+    cal = F.when((F.col("doc_id") % 11) == 0,
+                 F.concat(F.lit("https://"), host, F.lit("/calendar/2025/"),
+                          ((F.col("doc_id") % 12) + 1).cast("string"),
+                          F.lit("/"), F.col("doc_id").cast("string")))
+    urls = F.filter(F.array(base, *sess, cal), lambda u: u.isNotNull())
+    return docs.select(host.alias("host"), F.md5("text").alias("digest"),
+                       F.explode(urls).alias("url"))
+
+
+_TRAP_CAPS_CTE = """
+caps AS (
+  SELECT 'site' || CAST(doc_id % 13 AS VARCHAR) || '.example.com' AS host,
+         md5(text) AS digest,
+         'https://site' || CAST(doc_id % 13 AS VARCHAR)
+           || '.example.com/doc/' || CAST(doc_id AS VARCHAR)
+           || (CASE WHEN s = 0 THEN '' ELSE '?session=' || CAST(s AS VARCHAR)
+               END) AS url
+  FROM documents
+  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS s) g
+  WHERE s = 0 OR doc_id % 13 = 5
+  UNION ALL
+  SELECT 'site' || CAST(doc_id % 13 AS VARCHAR) || '.example.com',
+         md5(text),
+         'https://site' || CAST(doc_id % 13 AS VARCHAR)
+           || '.example.com/calendar/2025/'
+           || CAST(doc_id % 12 + 1 AS VARCHAR)
+           || '/' || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id % 11 = 0
+)
+"""
+
+
+def hosts_crawl_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-trap detection per host: the ratio of distinct capture
+    URLs to distinct payload digests. A healthy host serves ~1 URL per
+    page; session tokens, calendar archives, and faceted-navigation
+    explosions serve MANY URLs per page, and the frontier must learn
+    to stop scheduling them (Heritrix's "path-ological" detection; no
+    analogue in the one-document reference). Flag = ratio ≥ 2.
+
+    Scale shape: the alias multiplication is a narrow explode; the
+    rollup is ONE shuffle keyed host with a single distinct aggregate
+    (urls are distinct by construction so n_urls is a plain count —
+    no double-distinct expand)."""
+    caps = _trap_captures(_docs(spark, sf_dir))
+    return (caps.groupBy("host")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_urls"),
+                 F.countDistinct("digest").cast("long").alias("n_contents"))
+            .withColumn("urls_per_content",
+                        F.round(F.col("n_urls") / F.col("n_contents"), 4))
+            .withColumn("is_trap",
+                        F.col("urls_per_content") >= TRAP_RATIO_MIN))
+
+
+HOSTS_CRAWL_TRAPS_SQL = f"""
+WITH {_TRAP_CAPS_CTE.strip()}
+SELECT host,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT digest) AS BIGINT) AS n_contents,
+       round(COUNT(*) / CAST(COUNT(DISTINCT digest) AS DOUBLE), 4)
+         AS urls_per_content,
+       COUNT(*) / CAST(COUNT(DISTINCT digest) AS DOUBLE) >= 2.0
+         AS is_trap
+FROM caps
+GROUP BY host
+"""
+
+
+def pages_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL template mining over the capture log: collapse every digit
+    run in the path+query to ``N`` and count URLs per (host, template)
+    — the frontier-side structure miner that surfaces both crawl traps
+    (template count ≫ content count) and site sections worth
+    prioritizing. Same fixture as hosts_crawl_traps.
+
+    Scale shape: the template is a per-row JVM regexp (narrow); the
+    rollup is ONE shuffle keyed (host, template); sample_url is a
+    min aggregate, not a collect."""
+    caps = _trap_captures(_docs(spark, sf_dir))
+    tail = F.regexp_extract("url", r"^https?://[^/]+(/.*)$", 1)
+    template = F.regexp_replace(tail, "[0-9]+", "N")
+    return (caps.select("host", template.alias("template"), "url")
+            .groupBy("host", "template")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_urls"),
+                 F.min("url").alias("sample_url")))
+
+
+PAGES_URL_TEMPLATES_SQL = f"""
+WITH {_TRAP_CAPS_CTE.strip()}
+SELECT host,
+       regexp_replace(regexp_extract(url, '^https?://[^/]+(/.*)$', 1),
+                      '[0-9]+', 'N', 'g') AS template,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       MIN(url) AS sample_url
+FROM caps
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # full Gopher repetition profile (n = 2..10)
 # ---------------------------------------------------------------------------
 
@@ -2849,6 +2972,8 @@ SPARK_QUERIES = {
     "docs_substring_dup_coverage": docs_substring_dup_coverage,
     "docs_new_vs_snapshot": docs_new_vs_snapshot,
     "pages_url_dedup": pages_url_dedup,
+    "hosts_crawl_traps": hosts_crawl_traps,
+    "pages_url_templates": pages_url_templates,
     "docs_repetition_profile": docs_repetition_profile,
     "docs_blocklist_filter": docs_blocklist_filter,
     "docs_data_card": docs_data_card,
@@ -2888,6 +3013,8 @@ ORACLE_SQL = {
     "docs_substring_dup_coverage": DOCS_SUBSTR_DUP_SQL,
     "docs_new_vs_snapshot": DOCS_NEW_VS_SNAPSHOT_SQL,
     "pages_url_dedup": PAGES_URL_DEDUP_SQL,
+    "hosts_crawl_traps": HOSTS_CRAWL_TRAPS_SQL,
+    "pages_url_templates": PAGES_URL_TEMPLATES_SQL,
     "docs_repetition_profile": _repetition_profile_sql(),
     "docs_blocklist_filter": _blocklist_sql(),
     "docs_data_card": _data_card_sql(),

@@ -689,3 +689,48 @@ def test_wat_export_zero_shuffle(spark):
     from ocr_spark.plans.indexing import pages_wat_export
 
     assert n_shuffles(fmt(pages_wat_export(spark, SF))) == 0
+
+
+def test_revisit_records_single_digest_exchange(spark):
+    """Capture multiplication is a narrow explode (no self-union
+    re-scans — exactly one parquet scan) and the election is ONE
+    shuffle keyed on digest."""
+    from ocr_spark.plans.indexing import pages_revisit_records
+
+    plan = fmt(pages_revisit_records(spark, SF))
+    assert n_shuffles(plan) == 1
+    assert "hashpartitioning(digest" in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_cdx_merge_anti_join_then_range(spark):
+    """Identical-recrawl suppression is a left-anti join on
+    (surt_key, digest); the merged index takes one range exchange for
+    the global shard order — and nothing is a single-partition sort."""
+    from ocr_spark.plans.indexing import pages_cdx_merge
+
+    plan = fmt(pages_cdx_merge(spark, SF))
+    assert "LeftAnti" in plan
+    assert "rangepartitioning(surt_key" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_crawl_traps_one_rollup_shuffle(spark):
+    """Alias explosion is narrow; host rollup is the only shuffle
+    pair (partial + final aggregate around one exchange per distinct
+    rewrite stage); n_urls is a plain count, so no double-distinct
+    Expand explosion."""
+    from ocr_spark.plans.webops import hosts_crawl_traps
+
+    plan = fmt(hosts_crawl_traps(spark, SF))
+    assert n_shuffles(plan) <= 2  # distinct-agg rewrite: ≤2 exchanges
+    assert "Expand" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_url_templates_one_shuffle(spark):
+    from ocr_spark.plans.webops import pages_url_templates
+
+    plan = fmt(pages_url_templates(spark, SF))
+    assert n_shuffles(plan) == 1
+    assert "hashpartitioning(host" in plan
