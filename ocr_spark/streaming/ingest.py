@@ -335,7 +335,8 @@ def stream_host_counters(spark: SparkSession, input_dir: str,
 
 def stream_extract_near_dup(spark: SparkSession, input_dir: str,
                             output_dir: str, sigstore_dir: str,
-                            checkpoint_dir: str) -> Any:
+                            checkpoint_dir: str,
+                            compact_every: int = 0) -> Any:
     """Streaming NEAR-dup dedup against an accumulating signature
     store — the incremental form of the batch curation job's neardup
     stage (job.py run_curation_job): each micro-batch extracts its
@@ -373,17 +374,30 @@ def stream_extract_near_dup(spark: SparkSession, input_dir: str,
     ).mapInPandas(_extract_batches_fn("full"), schema=EXTRACT_RESULT_SCHEMA)
 
     return (extracted.writeStream
-            .foreachBatch(near_dup_sink(output_dir, sigstore_dir))
+            .foreachBatch(near_dup_sink(output_dir, sigstore_dir,
+                                        compact_every=compact_every))
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .outputMode("append")
             .start())
 
 
-def near_dup_sink(output_dir: str, sigstore_dir: str):
+def near_dup_sink(output_dir: str, sigstore_dir: str,
+                  compact_every: int = 0):
     """The foreachBatch body of stream_extract_near_dup, exposed so the
     exactly-once property (same batch_id twice → identical output) is
-    directly testable."""
+    directly testable.
+
+    ``compact_every`` > 0 runs the signature-store small-files
+    maintenance (compact_near_dup_store) inline every N batches, after
+    the batch's own commits, with ``keep_last=1`` so the partition
+    just written for THIS batch_id is never folded into ``batch=-1``
+    — a crash-replay of the triggering epoch must still find its own
+    signatures excluded by the ``batch != batch_id`` probe filter, and
+    folding them into the consolidated partition would make the replay
+    near-dup-collide with itself. The trigger predicate depends only
+    on batch_id, so replays re-run (idempotent) compaction
+    deterministically."""
     import os as _os
 
     from ocr_spark.plans.dataops import (
@@ -460,6 +474,8 @@ def near_dup_sink(output_dir: str, sigstore_dir: str):
             (survivors.select("url", "minvec")
              .write.mode("overwrite").parquet(
                  _os.path.join(sigstore_dir, f"batch={batch_id}")))
+            if compact_every > 0 and (batch_id + 1) % compact_every == 0:
+                compact_near_dup_store(spark_l, sigstore_dir, keep_last=1)
         finally:
             bdf.unpersist()
 

@@ -408,6 +408,72 @@ def test_compact_near_dup_store(spark, tmp_path):
     assert dirs == ["batch=-1"]
 
 
+def test_near_dup_sink_periodic_compaction(spark, tmp_path):
+    """compact_every wires store maintenance into the sink itself:
+    every N batches the per-batch partitions fold into batch=-1 with
+    keep_last=1 protecting the just-written epoch, so a crash-replay
+    of the TRIGGERING batch_id stays exactly-once (its own signatures
+    are never folded where the batch != batch_id probe filter can see
+    them), and later batches probe the consolidated store normally."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from ocr_spark.gen.wrap import html_for_document
+    from ocr_spark.operators.extraction import (
+        EXTRACT_RESULT_SCHEMA, _extract_batches_fn,
+    )
+    from ocr_spark.streaming.ingest import near_dup_sink
+
+    out_dir, sig_dir = str(tmp_path / "out"), str(tmp_path / "sigs")
+
+    def batch_for(pairs):
+        rows = [{"url": u,
+                 "warc_ts": datetime.datetime(2025, 1, 1),
+                 "html": html_for_document(d, t), "text": "",
+                 "lang": "en"} for u, d, t in pairs]
+        return (spark.createDataFrame(rows).select("url", "html")
+                .withColumn("bucket", F.lit(0))
+                .mapInPandas(_extract_batches_fn("full"),
+                             schema=EXTRACT_RESULT_SCHEMA))
+
+    docs = {r.doc_id: r.text for r in spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id").isin(3, 5, 17, 23)).collect()}
+    sink = near_dup_sink(out_dir, sig_dir, compact_every=2)
+
+    sink(batch_for([("doc://3", 3, docs[3])]), 0)
+    dirs = sorted(d for d in os.listdir(sig_dir) if d.startswith("batch="))
+    assert dirs == ["batch=0"]  # (0+1) % 2 != 0 → no maintenance yet
+
+    b1 = batch_for([("doc://5", 5, docs[5])])
+    sink(b1, 1)  # triggers: batch 0 folds, batch 1 protected
+    dirs = sorted(d for d in os.listdir(sig_dir) if d.startswith("batch="))
+    assert dirs == ["batch=-1", "batch=1"]
+
+    # crash-replay of the triggering epoch: output unchanged, no
+    # self-collision against batch=-1 (which must not hold doc://5)
+    sink(b1, 1)
+    out = sorted(r.url for r in spark.read.parquet(out_dir)
+                 .select("url").collect())
+    assert out == ["doc://3", "doc://5"]
+    dirs = sorted(d for d in os.listdir(sig_dir) if d.startswith("batch="))
+    assert dirs == ["batch=-1", "batch=1"]
+
+    # a later batch probes the consolidated store: a mirror of the
+    # compacted doc://3 is dropped, fresh content admitted
+    sink(batch_for([("doc://mirror/3", 3, docs[3]),
+                    ("doc://17", 17, docs[17])]), 2)
+    out = sorted(r.url for r in spark.read.parquet(out_dir)
+                 .select("url").collect())
+    assert out == ["doc://17", "doc://3", "doc://5"]
+    # next trigger absorbs batches 1 and 2's survivors
+    sink(batch_for([("doc://23", 23, docs[23])]), 3)
+    store = spark.read.parquet(sig_dir)
+    assert {r.url for r in store.select("url").collect()} \
+        == {"doc://3", "doc://5", "doc://17", "doc://23"}
+
+
 def test_stream_wet_export_matches_batch_records(spark, tmp_path):
     """Streaming WET records are byte-identical to the batch query's
     records for the same pages (shared header literals + octet_length),
