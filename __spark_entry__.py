@@ -53,6 +53,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "pages_cdx_index", "pages_wat_export",
     "pages_revisit_records", "pages_cdx_merge",
     "hosts_crawl_traps", "pages_url_templates",
+    "pages_recrawl_priority", "frontier_fetch_schedule",
     "docs_dsir_weights", "pages_host_boilerplate",
     "docs_near_dup_vs_snapshot", "emb_ivfpq_topk",
     "docs_bpe_train_merges", "docs_near_dup_quality_keepers",

@@ -180,6 +180,44 @@ def _canon_url_col() -> Column:
         F.lit(".example.com/doc/"), F.col("doc_id").cast("string"))
 
 
+def _capture_log(docs: DataFrame) -> DataFrame:
+    """Deterministic multi-capture crawl log (url, ts14, digest) —
+    one scan, narrow conditional-array explode. Every doc captured at
+    2025-01-01; ``doc_id % 5 == 0`` re-crawled UNCHANGED at
+    2025-02-01; ``doc_id % 7 == 0`` re-crawled EDITED at 2025-03-01.
+    Shared by pages_revisit_records and pages_recrawl_priority; the
+    oracles regenerate it closed-form (``_CAPS_CTE``)."""
+    cap = lambda ts, content: F.struct(  # noqa: E731
+        F.lit(ts).alias("ts14"), content.alias("content"))
+    caps = F.filter(F.array(
+        cap("20250101000000", F.col("text")),
+        F.when((F.col("doc_id") % 5) == 0,
+               cap("20250201000000", F.col("text"))),
+        F.when((F.col("doc_id") % 7) == 0,
+               cap("20250301000000",
+                   F.concat(F.col("text"), F.lit(" [updated]")))),
+    ), lambda s: s.isNotNull())
+    return docs.select(
+        _canon_url_col().alias("url"), F.explode(caps).alias("c"),
+    ).select("url", F.col("c.ts14").alias("ts14"),
+             F.md5("c.content").alias("digest"))
+
+
+_CAPS_CTE = f"""
+caps AS (
+  SELECT {_CANON_URL} AS url, '20250101000000' AS ts14,
+         md5(text) AS digest
+  FROM documents
+  UNION ALL
+  SELECT {_CANON_URL}, '20250201000000', md5(text)
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT {_CANON_URL}, '20250301000000', md5(text || ' [updated]')
+  FROM documents WHERE doc_id % 7 = 0
+)
+"""
+
+
 def pages_revisit_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC-style revisit-record election over a multi-capture crawl
     log: the first capture of each payload digest is stored as a full
@@ -202,21 +240,8 @@ def pages_revisit_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-scans); the election is ONE shuffle keyed on digest
     (row_number + first_value over the same window). Payload bytes
     never move — only (url, ts, digest)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    cap = lambda ts, content: F.struct(  # noqa: E731
-        F.lit(ts).alias("ts14"), content.alias("content"))
-    caps = F.filter(F.array(
-        cap("20250101000000", F.col("text")),
-        F.when((F.col("doc_id") % 5) == 0,
-               cap("20250201000000", F.col("text"))),
-        F.when((F.col("doc_id") % 7) == 0,
-               cap("20250301000000",
-                   F.concat(F.col("text"), F.lit(" [updated]")))),
-    ), lambda s: s.isNotNull())
-    exploded = docs.select(
-        _canon_url_col().alias("url"), F.explode(caps).alias("c"),
-    ).select("url", F.col("c.ts14").alias("ts14"),
-             F.md5("c.content").alias("digest"))
+    exploded = _capture_log(spark.read.parquet(
+        f"{sf_dir}/documents.parquet"))
     w = Window.partitionBy("digest").orderBy("ts14", "url")
     rn = F.row_number().over(w)
     return exploded.select(
@@ -231,17 +256,7 @@ def pages_revisit_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PAGES_REVISIT_RECORDS_SQL = f"""
-WITH caps AS (
-  SELECT {_CANON_URL} AS url, '20250101000000' AS ts14,
-         md5(text) AS digest
-  FROM documents
-  UNION ALL
-  SELECT {_CANON_URL}, '20250201000000', md5(text)
-  FROM documents WHERE doc_id % 5 = 0
-  UNION ALL
-  SELECT {_CANON_URL}, '20250301000000', md5(text || ' [updated]')
-  FROM documents WHERE doc_id % 7 = 0
-), ranked AS (
+WITH {_CAPS_CTE.strip()}, ranked AS (
   SELECT url, ts14, digest,
          row_number()  OVER w AS rn,
          first_value(url)  OVER w AS f_url,
@@ -254,6 +269,90 @@ SELECT url, ts14, digest,
        CASE WHEN rn = 1 THEN NULL ELSE f_url END AS refers_to_url,
        CASE WHEN rn = 1 THEN NULL ELSE f_ts END AS refers_to_ts14
 FROM ranked
+"""
+
+
+# ---------------------------------------------------------------------------
+# adaptive recrawl priority (change-rate estimation)
+# ---------------------------------------------------------------------------
+
+
+def pages_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive recrawl scheduling over the capture log: per URL,
+    count observed capture intervals and content CHANGES (digest
+    differs from the previous capture), and estimate the change rate
+    with the smoothed Cho & Garcia-Molina (TOIT 2003) frequency
+    estimator ``λ̂ = -ln((n - X + 0.5) / (n + 0.5))`` (n intervals, X
+    changed) — the signal a crawl scheduler uses to put volatile pages
+    on a fast revisit cadence and static pages on a slow one. Bucket:
+    ``unknown`` with no interval observed, ``fast`` at change_rate
+    ≥ 0.5, ``medium`` above 0, else ``slow``. The one-document
+    reference has no capture history (SURVEY.md §2.1 S1).
+
+    Scale shape: the change flag is a lag window keyed url; the rollup
+    is a groupBy on the SAME key, so the window's exchange satisfies
+    the aggregate's distribution — ONE shuffle total, pinned by
+    test_recrawl_priority_single_url_exchange."""
+    caps = _capture_log(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    w = Window.partitionBy("url").orderBy("ts14")
+    prev = F.lag("digest").over(w)
+    flagged = caps.select(
+        "url",
+        prev.isNotNull().cast("long").alias("is_interval"),
+        (prev.isNotNull() & (F.col("digest") != prev))
+        .cast("long").alias("is_change"))
+    n = F.sum("is_interval").cast("long")
+    x = F.sum("is_change").cast("long")
+    agg = (flagged.groupBy("url")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_captures"),
+                n.alias("n_intervals"), x.alias("n_changes")))
+    rate = F.when(F.col("n_intervals") > 0,
+                  F.col("n_changes") / F.col("n_intervals"))
+    # ln(b/a), not -ln(a/b): the negated form yields IEEE -0.0 for a
+    # never-changing page and 0.0 on the other engine — hash mismatch
+    lam = F.when(
+        F.col("n_intervals") > 0,
+        F.log((F.col("n_intervals") + 0.5)
+              / (F.col("n_intervals") - F.col("n_changes") + 0.5)))
+    return agg.select(
+        "url", "n_captures", "n_intervals", "n_changes",
+        F.round(rate, 6).alias("change_rate"),
+        F.round(lam, 6).alias("lambda_hat"),
+        F.when(F.col("n_intervals") == 0, F.lit("unknown"))
+         .when(rate >= 0.5, F.lit("fast"))
+         .when(rate > 0, F.lit("medium"))
+         .otherwise(F.lit("slow")).alias("recrawl_bucket"))
+
+
+PAGES_RECRAWL_PRIORITY_SQL = f"""
+WITH {_CAPS_CTE.strip()}, flagged AS (
+  SELECT url,
+         CASE WHEN lag(digest) OVER w IS NULL THEN 0 ELSE 1 END
+           AS is_interval,
+         CASE WHEN lag(digest) OVER w IS NOT NULL
+                   AND digest <> lag(digest) OVER w THEN 1 ELSE 0 END
+           AS is_change
+  FROM caps
+  WINDOW w AS (PARTITION BY url ORDER BY ts14)
+), agg AS (
+  SELECT url, CAST(COUNT(*) AS BIGINT) AS n_captures,
+         CAST(SUM(is_interval) AS BIGINT) AS n_intervals,
+         CAST(SUM(is_change) AS BIGINT) AS n_changes
+  FROM flagged GROUP BY url
+)
+SELECT url, n_captures, n_intervals, n_changes,
+       round(CASE WHEN n_intervals > 0
+                  THEN n_changes / CAST(n_intervals AS DOUBLE) END, 6)
+         AS change_rate,
+       round(CASE WHEN n_intervals > 0
+                  THEN ln((n_intervals + 0.5)
+                          / (n_intervals - n_changes + 0.5)) END, 6)
+         AS lambda_hat,
+       CASE WHEN n_intervals = 0 THEN 'unknown'
+            WHEN n_changes / CAST(n_intervals AS DOUBLE) >= 0.5 THEN 'fast'
+            WHEN n_changes / CAST(n_intervals AS DOUBLE) > 0 THEN 'medium'
+            ELSE 'slow' END AS recrawl_bucket
+FROM agg
 """
 
 
@@ -337,6 +436,7 @@ SPARK_QUERIES = {
     "pages_wat_export": pages_wat_export,
     "pages_revisit_records": pages_revisit_records,
     "pages_cdx_merge": pages_cdx_merge,
+    "pages_recrawl_priority": pages_recrawl_priority,
 }
 
 ORACLE_SQL = {
@@ -344,4 +444,5 @@ ORACLE_SQL = {
     "pages_wat_export": PAGES_WAT_EXPORT_SQL,
     "pages_revisit_records": PAGES_REVISIT_RECORDS_SQL,
     "pages_cdx_merge": PAGES_CDX_MERGE_SQL,
+    "pages_recrawl_priority": PAGES_RECRAWL_PRIORITY_SQL,
 }

@@ -2620,6 +2620,83 @@ FROM canon
 
 
 # ---------------------------------------------------------------------------
+# frontier politeness scheduling
+# ---------------------------------------------------------------------------
+
+
+def frontier_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness scheduling over the fetch frontier: every polite
+    crawler serializes fetches per host with at least the host's
+    crawl delay between them (RFC 9309 implementations honour the
+    de-facto ``Crawl-delay`` robots directive), so the schedule is a
+    per-host queue — rank within host × delay gives each URL its
+    earliest fetch offset, and the per-host makespan tells the
+    frontier how long the slowest queue runs (the crawl's critical
+    path under host politeness). The one-request reference has no
+    frontier (SURVEY.md §2.1 S1).
+
+    Fixture (closed-form, oracle-mirrored): one frontier URL per doc
+    on host site{doc_id % 13}; hosts whose number is divisible by 3
+    declare Crawl-delay 5 s, the rest default to 1 s; queue order is
+    discovery order (doc_id). In production the delay comes from the
+    parsed robots side table — |hosts| rows, a broadcast join, the
+    same side-input shape as pages_robots_txt_gate.
+
+    Scale shape: ONE shuffle keyed host — rank, queue length, and
+    makespan are windows over the same partitioning (pinned by
+    test_frontier_schedule_one_host_exchange). Skew note: a host with
+    10^6 frontier URLs makes one big partition; at that point the
+    queue itself is the bottleneck (politeness serializes the host
+    anyway) and the scheduler shards the TAIL of the queue into later
+    crawl cycles, not across executors."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    hostnum = F.col("doc_id") % 13
+    host = F.concat(F.lit("site"), hostnum.cast("string"),
+                    F.lit(".example.com"))
+    url = F.concat(F.lit("https://"), host, F.lit("/doc/"),
+                   F.col("doc_id").cast("string"))
+    delay = F.when(hostnum % 3 == 0, F.lit(5)).otherwise(F.lit(1)) \
+        .cast("long")
+    frontier = docs.select(host.alias("host"), url.alias("url"),
+                           delay.alias("crawl_delay_s"), "doc_id")
+    w = Window.partitionBy("host").orderBy("doc_id")
+    wall = Window.partitionBy("host")
+    rank = F.row_number().over(w)
+    return (frontier
+            .withColumn("fetch_rank", rank.cast("long"))
+            .withColumn("sched_offset_s",
+                        ((rank - 1) * F.col("crawl_delay_s")).cast("long"))
+            .withColumn("queue_len",
+                        F.count(F.lit(1)).over(wall).cast("long"))
+            .withColumn("host_makespan_s",
+                        ((F.count(F.lit(1)).over(wall) - 1)
+                         * F.col("crawl_delay_s")).cast("long"))
+            .drop("doc_id"))
+
+
+FRONTIER_FETCH_SCHEDULE_SQL = """
+WITH frontier AS (
+  SELECT 'site' || CAST(doc_id % 13 AS VARCHAR) || '.example.com' AS host,
+         'https://site' || CAST(doc_id % 13 AS VARCHAR)
+           || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         CAST(CASE WHEN (doc_id % 13) % 3 = 0 THEN 5 ELSE 1 END AS BIGINT)
+           AS crawl_delay_s,
+         doc_id
+  FROM documents
+)
+SELECT host, url, crawl_delay_s,
+       CAST(row_number() OVER w AS BIGINT) AS fetch_rank,
+       CAST((row_number() OVER w - 1) * crawl_delay_s AS BIGINT)
+         AS sched_offset_s,
+       CAST(COUNT(*) OVER (PARTITION BY host) AS BIGINT) AS queue_len,
+       CAST((COUNT(*) OVER (PARTITION BY host) - 1) * crawl_delay_s
+            AS BIGINT) AS host_makespan_s
+FROM frontier
+WINDOW w AS (PARTITION BY host ORDER BY doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # crawl-trap detection + URL template mining
 # ---------------------------------------------------------------------------
 
@@ -2974,6 +3051,7 @@ SPARK_QUERIES = {
     "pages_url_dedup": pages_url_dedup,
     "hosts_crawl_traps": hosts_crawl_traps,
     "pages_url_templates": pages_url_templates,
+    "frontier_fetch_schedule": frontier_fetch_schedule,
     "docs_repetition_profile": docs_repetition_profile,
     "docs_blocklist_filter": docs_blocklist_filter,
     "docs_data_card": docs_data_card,
@@ -3015,6 +3093,7 @@ ORACLE_SQL = {
     "pages_url_dedup": PAGES_URL_DEDUP_SQL,
     "hosts_crawl_traps": HOSTS_CRAWL_TRAPS_SQL,
     "pages_url_templates": PAGES_URL_TEMPLATES_SQL,
+    "frontier_fetch_schedule": FRONTIER_FETCH_SCHEDULE_SQL,
     "docs_repetition_profile": _repetition_profile_sql(),
     "docs_blocklist_filter": _blocklist_sql(),
     "docs_data_card": _data_card_sql(),

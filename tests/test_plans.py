@@ -734,3 +734,26 @@ def test_url_templates_one_shuffle(spark):
     plan = fmt(pages_url_templates(spark, SF))
     assert n_shuffles(plan) == 1
     assert "hashpartitioning(host" in plan
+
+
+def test_recrawl_priority_single_url_exchange(spark):
+    """The lag window and the per-url rollup share the url key, so
+    the window's exchange satisfies the aggregate's distribution —
+    one shuffle total, one scan."""
+    from ocr_spark.plans.indexing import pages_recrawl_priority
+
+    plan = fmt(pages_recrawl_priority(spark, SF))
+    assert n_shuffles(plan) == 1
+    assert "hashpartitioning(url" in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_frontier_schedule_one_host_exchange(spark):
+    """Rank, queue length, and makespan are all windows over the same
+    host partitioning — one shuffle, no SinglePartition global sort."""
+    from ocr_spark.plans.webops import frontier_fetch_schedule
+
+    plan = fmt(frontier_fetch_schedule(spark, SF))
+    assert n_shuffles(plan) == 1
+    assert "hashpartitioning(host" in plan
+    assert "SinglePartition" not in plan
