@@ -54,6 +54,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "pages_revisit_records", "pages_cdx_merge",
     "hosts_crawl_traps", "pages_url_templates",
     "pages_recrawl_priority", "frontier_fetch_schedule",
+    "docs_hll_sketch", "docs_cms_heavy_hitters",
     "docs_dsir_weights", "pages_host_boilerplate",
     "docs_near_dup_vs_snapshot", "emb_ivfpq_topk",
     "docs_bpe_train_merges", "docs_near_dup_quality_keepers",
@@ -119,7 +120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 / §7.8."""
     from ocr_spark.plans import (
         curation, dataops, extract_queries, indexing, multimodal_queries,
-        queries as q, relational_extra, simsearch, tpch_rest, webops,
+        queries as q, relational_extra, simsearch, sketches, tpch_rest,
+        webops,
     )
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -133,6 +135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(webops.SPARK_QUERIES)
     out.update(curation.SPARK_QUERIES)
     out.update(indexing.SPARK_QUERIES)
+    out.update(sketches.SPARK_QUERIES)
     return _reorder(out)
 
 
@@ -140,7 +143,8 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (same column names/aliases)."""
     from ocr_spark.plans import (
         curation, dataops, extract_queries, indexing, multimodal_queries,
-        queries as q, relational_extra, simsearch, tpch_rest, webops,
+        queries as q, relational_extra, simsearch, sketches, tpch_rest,
+        webops,
     )
 
     out: dict[str, str] = {}
@@ -154,4 +158,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(webops.ORACLE_SQL)
     out.update(curation.ORACLE_SQL)
     out.update(indexing.ORACLE_SQL)
+    out.update(sketches.ORACLE_SQL)
     return _reorder(out)

@@ -1,0 +1,247 @@
+"""Mergeable-sketch family: deterministic HyperLogLog registers and a
+count-min sketch, built IN-PLAN from md5 so Spark and the DuckDB oracle
+compute bit-identical sketches.
+
+Why this family exists: at 10^12 documents the statistics a corpus
+pipeline republishes every snapshot (vocabulary size, per-shard distinct
+counts, heavy-hitter token lists) cannot afford an exact distinct or a
+full token rollup per report — the production answer is a MERGEABLE
+sketch: each partition builds a fixed-size summary, the combine is an
+elementwise max (HLL) or sum (CMS), and incremental snapshots merge
+yesterday's sketch with today's delta without rescanning history.
+Spark's built-in approx_count_distinct is HLL++ but its estimate is
+engine-private (relational_extra.li_approx_aggs gates it with a
+tolerance band instead); the sketches HERE are hand-rolled from md5 so
+the oracle pins the exact register/counter values AND the estimate,
+not just an error bound. The one-document reference has no corpus
+statistics at all (SURVEY.md §2).
+
+Determinism notes baked into the shapes:
+  * register index / bucket is a 2-hex-char md5 prefix kept as a
+    STRING key (no base-16 integer conversion — DuckDB has no conv());
+  * the HLL harmonic sum is computed in INTEGER micro-units
+    (sum of 2^(37 - M) over 256 registers ≤ 2^45) so float summation
+    order — which differs between engines — cannot perturb the value;
+  * rho (leading-zero rank) is derived from the hex string with a
+    regexp + per-digit CASE, never via log2 of a float.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+HLL_P = 8                 # 2^8 = 256 registers
+HLL_M = 1 << HLL_P
+HLL_RHO_BITS = 36         # 9 hex chars of rho material; rho ∈ [1, 37]
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)   # Flajolet et al. 2007, m≥128
+CMS_DEPTH = 4             # independent hash rows
+CMS_TOPK = 20
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tok_col() -> Column:
+    return F.explode(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
+
+
+_SQL_TOK_CTE = """
+toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+)
+"""
+
+
+def _rho_col(suffix: Column) -> Column:
+    """Leading-zero rank of a 9-hex-char string: 4·(zero hex digits)
+    plus the first non-zero digit's in-digit zeros, plus 1. All-zero
+    suffix → HLL_RHO_BITS + 1."""
+    nz = F.length(F.regexp_extract(suffix, "^(0*)", 1))
+    d1 = F.substr(suffix, nz + 1, F.lit(1))
+    within = (F.when(d1.isin("8", "9", "a", "b", "c", "d", "e", "f"), 0)
+              .when(d1.isin("4", "5", "6", "7"), 1)
+              .when(d1.isin("2", "3"), 2)
+              .otherwise(3))
+    return (F.when(d1 == "", F.lit(HLL_RHO_BITS + 1))
+            .otherwise(nz * 4 + within + 1)).cast("int")
+
+
+def docs_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog cardinality of the corpus vocabulary
+    (distinct whitespace tokens), with the exact count carried through
+    the SAME single pass for verification: register = first 2 md5 hex
+    chars, rho from the next 9; per register keep max-rho M and an
+    exact countDistinct — summing the latter over registers IS the
+    exact vocabulary size (register is a function of the token), so no
+    second scan. Estimate = α·m²/Σ2^(−M) with the standard
+    small-range linear-counting correction (Flajolet et al. 2007).
+
+    Scale shape: narrow explode + TWO tiny shuffles — token→register
+    (256 keys, partial max/partial distinct map-side) and the 256→1
+    fold. At 100 TB the per-partition partial aggregate is the whole
+    story: each executor emits ≤256 rows regardless of input size, and
+    the same register frame is the mergeable artifact an incremental
+    snapshot combines by elementwise max."""
+    h = F.md5("tok")
+    regs = (_docs(spark, sf_dir).select(_tok_col())
+            .select(F.substring(h, 1, 2).alias("reg"),
+                    _rho_col(F.substring(h, 3, 9)).alias("rho"),
+                    F.col("tok"))
+            .groupBy("reg")
+            .agg(F.max("rho").alias("m_reg"),
+                 F.countDistinct("tok").alias("n_exact")))
+    # integer micro-units: 2^(37 - M) per register, empty regs 2^37
+    unit = F.round(F.pow(F.lit(2.0),
+                         F.lit(HLL_RHO_BITS + 1) - F.col("m_reg"))) \
+        .cast("long")
+    one = regs.agg(
+        F.count(F.lit(1)).alias("n_hit"),
+        F.sum(unit).alias("sum_units"),
+        F.sum("n_exact").cast("long").alias("exact_distinct"))
+    zeros = F.lit(HLL_M) - F.col("n_hit")
+    denom = (F.col("sum_units")
+             + zeros * F.lit(float(2 ** (HLL_RHO_BITS + 1)))) \
+        / F.lit(float(2 ** (HLL_RHO_BITS + 1)))
+    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / denom
+    est = F.when((raw <= 2.5 * HLL_M) & (zeros > 0),
+                 F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros)) \
+        .otherwise(raw)
+    return one.select(
+        F.lit(HLL_M).alias("m"),
+        zeros.cast("long").alias("n_zero_registers"),
+        F.round(est, 4).alias("hll_estimate"),
+        "exact_distinct",
+        F.round(F.abs(est - F.col("exact_distinct"))
+                / F.col("exact_distinct"), 6).alias("rel_error"))
+
+
+DOCS_HLL_SKETCH_SQL = f"""
+WITH {_SQL_TOK_CTE.strip()}, regs AS (
+  SELECT substr(md5(tok), 1, 2) AS reg,
+         MAX(CASE WHEN substr(substr(md5(tok), 3, 9),
+                  length(regexp_extract(substr(md5(tok), 3, 9),
+                                        '^(0*)', 1)) + 1, 1) = ''
+                  THEN {HLL_RHO_BITS + 1}
+                  ELSE length(regexp_extract(substr(md5(tok), 3, 9),
+                                             '^(0*)', 1)) * 4
+                   + (CASE substr(substr(md5(tok), 3, 9),
+                        length(regexp_extract(substr(md5(tok), 3, 9),
+                                              '^(0*)', 1)) + 1, 1)
+                      WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                      WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                      WHEN '7' THEN 1 ELSE 0 END) + 1 END) AS m_reg,
+         COUNT(DISTINCT tok) AS n_exact
+  FROM toks GROUP BY 1
+), one AS (
+  SELECT COUNT(*) AS n_hit,
+         SUM(CAST(round(pow(2.0, {HLL_RHO_BITS + 1} - m_reg)) AS BIGINT))
+           AS sum_units,
+         CAST(SUM(n_exact) AS BIGINT) AS exact_distinct
+  FROM regs
+), calc AS (
+  -- all literals forced to DOUBLE: DuckDB parses bare decimal
+  -- literals as DECIMAL and overflows multiplying by m^2
+  SELECT CAST({HLL_M} - n_hit AS BIGINT) AS zeros, exact_distinct,
+         CAST({HLL_ALPHA * HLL_M * HLL_M!r} AS DOUBLE)
+           / ((sum_units + ({HLL_M} - n_hit)
+               * CAST({float(2 ** (HLL_RHO_BITS + 1))!r} AS DOUBLE))
+              / CAST({float(2 ** (HLL_RHO_BITS + 1))!r} AS DOUBLE)) AS raw
+  FROM one
+), fin AS (
+  SELECT zeros, exact_distinct,
+         CASE WHEN raw <= 2.5 * {HLL_M} AND zeros > 0
+              THEN CAST({HLL_M} AS DOUBLE)
+                   * ln(CAST({HLL_M} AS DOUBLE) / zeros)
+              ELSE raw END AS est
+  FROM calc
+)
+SELECT {HLL_M} AS m, zeros AS n_zero_registers,
+       round(est, 4) AS hll_estimate, exact_distinct,
+       round(abs(est - exact_distinct) / exact_distinct, 6) AS rel_error
+FROM fin
+"""
+
+
+def docs_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over the token
+    stream, verified on the exact top-{CMS_TOPK} heavy hitters: depth
+    {CMS_DEPTH} hash rows of 256 hex-pair buckets, counter = count of
+    occurrences landing in (row, bucket); a token's estimate is the
+    MIN over its {CMS_DEPTH} counters and can only OVER-count
+    (within_bound asserts the one-sided guarantee, and the estimate
+    itself is oracle-pinned because the bucket hash is md5).
+
+    Scale shape: the sketch is a narrow ×{CMS_DEPTH} posexplode +
+    groupBy over ≤{CMS_DEPTH}·256 keys — every executor emits ≤1024
+    partial rows no matter the input, and two sketches merge by
+    elementwise counter ADD (unlike the top-k rollup itself, which
+    needs the full token keyspace — that is exactly why CMS exists at
+    100 TB). The verification side is fixture-scale: exact counts +
+    TakeOrdered top-{CMS_TOPK}, then the 1024-row sketch broadcasts to
+    the candidate join."""
+    occ = _docs(spark, sf_dir).select(_tok_col())
+    rows = F.array(*[
+        F.struct(F.lit(r).alias("r"),
+                 F.substring(F.md5(F.concat(F.lit(f"{r}:"), F.col("tok"))),
+                             1, 2).alias("b"))
+        for r in range(CMS_DEPTH)])
+    sketch = (occ.select(F.explode(rows).alias("rb"))
+              .groupBy(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+              .agg(F.count(F.lit(1)).cast("long").alias("counter")))
+    top = (occ.groupBy("tok")
+           .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+           .orderBy(F.desc("exact_count"), F.asc("tok"))
+           .limit(CMS_TOPK))
+    cand = top.select(
+        "tok", "exact_count", F.explode(rows).alias("rb"),
+    ).select("tok", "exact_count", F.col("rb.r").alias("r"),
+             F.col("rb.b").alias("b"))
+    est = (cand.join(F.broadcast(sketch), ["r", "b"])
+           .groupBy("tok", "exact_count")
+           .agg(F.min("counter").alias("cms_estimate")))
+    return est.select(
+        F.col("tok").alias("token"), "exact_count", "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_count")).alias("overcount"),
+        (F.col("cms_estimate") >= F.col("exact_count")).alias("within_bound"))
+
+
+DOCS_CMS_HEAVY_HITTERS_SQL = f"""
+WITH {_SQL_TOK_CTE.strip()}, occ AS (
+  SELECT tok FROM toks
+), sketch AS (
+  SELECT r, substr(md5(CAST(r AS VARCHAR) || ':' || tok), 1, 2) AS b,
+         CAST(COUNT(*) AS BIGINT) AS counter
+  FROM occ CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) g
+  GROUP BY 1, 2
+), top AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_count
+  FROM occ GROUP BY tok
+  ORDER BY exact_count DESC, tok ASC LIMIT {CMS_TOPK}
+), cand AS (
+  SELECT tok, exact_count, r,
+         substr(md5(CAST(r AS VARCHAR) || ':' || tok), 1, 2) AS b
+  FROM top CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) g
+), est AS (
+  SELECT c.tok, c.exact_count, MIN(s.counter) AS cms_estimate
+  FROM cand c JOIN sketch s ON s.r = c.r AND s.b = c.b
+  GROUP BY 1, 2
+)
+SELECT tok AS token, exact_count, cms_estimate,
+       cms_estimate - exact_count AS overcount,
+       cms_estimate >= exact_count AS within_bound
+FROM est
+"""
+
+
+SPARK_QUERIES = {
+    "docs_hll_sketch": docs_hll_sketch,
+    "docs_cms_heavy_hitters": docs_cms_heavy_hitters,
+}
+
+ORACLE_SQL = {
+    "docs_hll_sketch": DOCS_HLL_SKETCH_SQL,
+    "docs_cms_heavy_hitters": DOCS_CMS_HEAVY_HITTERS_SQL,
+}

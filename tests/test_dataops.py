@@ -218,3 +218,65 @@ def test_bpe_trained_merges_feed_apply_seam(spark, tmp_path, monkeypatch):
     assert got == expected
     # the trained rules genuinely fire on the corpus they came from
     assert sum(r.n_merges_applied for r in rows) > 0
+
+
+def test_hll_registers_merge_by_max(spark):
+    """The mergeable-sketch property the HLL docstring claims: the
+    register frame of corpus-half A combined with half B's by
+    elementwise MAX equals the full-corpus register frame — the
+    incremental-snapshot combine that never rescans history."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.plans.sketches import _rho_col, _tok_col
+
+    sf = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+
+    def regs(df):
+        h = F.md5("tok")
+        return (df.select("doc_id", "text").select(
+                    F.col("doc_id"), _tok_col())
+                .select(F.substring(h, 1, 2).alias("reg"),
+                        _rho_col(F.substring(h, 3, 9)).alias("rho"),
+                        "doc_id")
+                .groupBy("reg").agg(F.max("rho").alias("m_reg")))
+
+    full = {r.reg: r.m_reg for r in regs(docs).collect()}
+    a = {r.reg: r.m_reg
+         for r in regs(docs.filter(F.col("doc_id") % 2 == 0)).collect()}
+    b = {r.reg: r.m_reg
+         for r in regs(docs.filter(F.col("doc_id") % 2 == 1)).collect()}
+    merged = {k: max(a.get(k, 0), b.get(k, 0)) for k in set(a) | set(b)}
+    assert merged == full
+
+
+def test_cms_counters_merge_by_add(spark):
+    """CMS combine is elementwise ADD: half-A counters + half-B
+    counters == full-corpus counters for every (row, bucket)."""
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+
+    def counters(df):
+        toks = df.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))),
+                              r"\s+")).alias("tok"))
+        rb = F.array(*[
+            F.struct(F.lit(r).alias("r"),
+                     F.substring(
+                         F.md5(F.concat(F.lit(f"{r}:"), F.col("tok"))),
+                         1, 2).alias("b"))
+            for r in range(4)])
+        return {(row.r, row.b): row.c for row in
+                (toks.select(F.explode(rb).alias("rb"))
+                 .groupBy(F.col("rb.r").alias("r"),
+                          F.col("rb.b").alias("b"))
+                 .agg(F.count(F.lit(1)).alias("c"))).collect()}
+
+    full = counters(docs)
+    a = counters(docs.filter(F.col("doc_id") % 2 == 0))
+    b = counters(docs.filter(F.col("doc_id") % 2 == 1))
+    merged = {k: a.get(k, 0) + b.get(k, 0) for k in set(a) | set(b)}
+    assert merged == full

@@ -757,3 +757,27 @@ def test_frontier_schedule_one_host_exchange(spark):
     assert n_shuffles(plan) == 1
     assert "hashpartitioning(host" in plan
     assert "SinglePartition" not in plan
+
+
+def test_hll_sketch_bounded_aggregate(spark):
+    """The register rollup keys on the 256-value reg column (every
+    executor emits ≤256 partial rows — the mergeable-sketch property),
+    and only the final 256→1 fold is a SinglePartition exchange."""
+    from ocr_spark.plans.sketches import docs_hll_sketch
+
+    plan = fmt(docs_hll_sketch(spark, SF))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "hashpartitioning(reg" in plan
+    assert plan.count("SinglePartition") == 1  # the 1-row fold only
+
+
+def test_cms_heavy_hitters_broadcast_sketch_and_topk(spark):
+    """The 1024-counter sketch broadcasts to the candidate join, and
+    the exact top-k verification side uses TakeOrdered, never a
+    single-partition global sort."""
+    from ocr_spark.plans.sketches import docs_cms_heavy_hitters
+
+    plan = fmt(docs_cms_heavy_hitters(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SinglePartition" not in plan
