@@ -1635,6 +1635,64 @@ FROM ranked WHERE rank <= {TFIDF_TOP_K}
 
 
 # --------------------------------------------------------------------------
+# Inverted-index export (posting lists)
+# --------------------------------------------------------------------------
+
+POSTINGS_HEAD = 20   # posting-list head length in the export
+
+
+def docs_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-side inverted-index export: per term, document frequency
+    df, corpus frequency cf, and the HEAD of the doc_id-sorted posting
+    list encoded ``doc:tf,doc:tf,…`` (a deterministic string on both
+    engines — struct-array hashing is engine-specific), with
+    n_overflow counting postings beyond the head. This is the artifact
+    a crawl pipeline hands to the index-serving tier (CC's columnar
+    index plays this role for URLs; this is the term-level analogue).
+
+    Scale shape: the token-volume explode partial-aggregates map-side
+    into per-doc DISTINCT terms before any exchange (shared
+    _tfidf_per_doc frame); the term rollup is ONE exchange keyed term.
+    Stopword skew is real at corpus scale — one term's postings all
+    meet in one task — which is why the export caps the inline head at
+    {POSTINGS_HEAD} and production shards full posting lists into
+    (term, doc_id-range) bucket files instead of one row per term; the
+    head+overflow form here is the oracle-checkable fixture shape."""
+    per_doc = _tfidf_per_doc(t(spark, sf_dir, "documents"))
+    head = F.concat_ws(",", F.transform(
+        F.slice(F.sort_array(F.collect_list(F.struct("doc_id", "tf"))),
+                1, POSTINGS_HEAD),
+        lambda s: F.concat(s["doc_id"].cast("string"), F.lit(":"),
+                           s["tf"].cast("string"))))
+    return (per_doc.groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias("df"),
+                 F.sum("tf").cast("long").alias("cf"),
+                 head.alias("postings_head"))
+            .withColumn("n_overflow",
+                        F.greatest(F.col("df") - POSTINGS_HEAD,
+                                   F.lit(0)).cast("long")))
+
+
+_INVERTED_INDEX_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+), per_doc AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, term
+)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+       CAST(SUM(tf) AS BIGINT) AS cf,
+       array_to_string(list_slice(
+         list(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR)
+              ORDER BY doc_id), 1, {POSTINGS_HEAD}), ',')
+         AS postings_head,
+       CAST(greatest(COUNT(*) - {POSTINGS_HEAD}, 0) AS BIGINT)
+         AS n_overflow
+FROM per_doc GROUP BY term
+"""
+
+
+# --------------------------------------------------------------------------
 # Quality-aware keeper election within near-dup clusters
 # --------------------------------------------------------------------------
 
@@ -1866,6 +1924,7 @@ SPARK_QUERIES = {
     "docs_sentences_udtf": docs_sentences_udtf,
     "docs_top_ngrams": docs_top_ngrams,
     "docs_tfidf_topk": docs_tfidf_topk,
+    "docs_inverted_index": docs_inverted_index,
 }
 
 ORACLE_SQL = {
@@ -1892,4 +1951,5 @@ ORACLE_SQL = {
     "docs_sentences_udtf": _SENTENCES_SQL,
     "docs_top_ngrams": _TOP_NGRAMS_SQL,
     "docs_tfidf_topk": _TFIDF_SQL,
+    "docs_inverted_index": _INVERTED_INDEX_SQL,
 }

@@ -771,6 +771,19 @@ def test_hll_sketch_bounded_aggregate(spark):
     assert plan.count("SinglePartition") == 1  # the 1-row fold only
 
 
+def test_inverted_index_two_stage_aggregate(spark):
+    """The token-volume explode partial-aggregates into per-doc
+    distinct terms BEFORE any exchange; the term rollup is the second
+    keyed exchange — two shuffles, one scan, no Expand."""
+    from ocr_spark.plans.dataops import docs_inverted_index
+
+    plan = fmt(docs_inverted_index(spark, SF))
+    assert n_shuffles(plan) == 2
+    assert "hashpartitioning(term" in plan
+    assert "hashpartitioning(doc_id" in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
 def test_cms_heavy_hitters_broadcast_sketch_and_topk(spark):
     """The 1024-counter sketch broadcasts to the candidate join, and
     the exact top-k verification side uses TakeOrdered, never a
