@@ -73,6 +73,11 @@ HEADLINE = [
     # document-level mixture realization (broadcast domain table)
     "docs_bloom_probe",
     "docs_mixture_realize",
+    # round 4 (final): capture-log window election, mergeable HLL
+    # sketch, inverted-index term rollup
+    "pages_revisit_records",
+    "docs_hll_sketch",
+    "docs_inverted_index",
 ]
 
 

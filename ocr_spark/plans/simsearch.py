@@ -1109,6 +1109,85 @@ FROM ranked WHERE rank <= {IVF_TOPK}
 
 
 # --------------------------------------------------------------------------
+# embedding outlier scan (distance-to-centroid z-score)
+# --------------------------------------------------------------------------
+
+OUTLIER_Z = 2.5     # flag threshold on the within-cell z-score
+_D2_SCALE = 10_000  # quantize dist² to 1e-4 before the moments
+
+
+def emb_outlier_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier detection over the trained quantizer:
+    each vector's squared distance to its Lloyd cell centroid,
+    z-scored against its OWN cell's distance distribution — the
+    data-quality scan that surfaces corrupted encodes, wrong-modality
+    rows, and off-manifold junk before they poison training batches
+    (the embedding analogue of the text side's Gopher outlier gates).
+    Flag at z ≥ {OUTLIER_Z}.
+
+    Cross-engine determinism: dist² is quantized to integer 1e-4
+    units BEFORE the per-cell moments, so mean and variance come from
+    EXACT integer sums (Σd, Σd²) — float summation order, which
+    differs between engines and between partitionings, cannot perturb
+    the z-score. Variance is the two-pass-free E[x²]−E[x]² on those
+    exact sums.
+
+    Scale shape: assignment is the broadcast-centroid narrow map from
+    _kmeans; the per-cell moment rollup is ONE bounded shuffle (K
+    rows out, map-side partial sums); the K-row stats table broadcasts
+    back. No per-vector pairwise work anywhere."""
+    cent, assigned = _kmeans(spark, sf_dir)
+    d2q = F.round(_dist2(F.col("v"), F.col("cv")) * _D2_SCALE) \
+        .cast("long")
+    per = (assigned.join(F.broadcast(cent), "cell")
+           .select("vec_id", "cell", d2q.alias("d2q")))
+    stats = (per.groupBy("cell")
+             .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                  F.sum("d2q").cast("long").alias("s1"),
+                  F.sum(F.col("d2q") * F.col("d2q")).cast("long")
+                  .alias("s2")))
+    mean = F.col("s1") / F.col("n")
+    sd = F.sqrt(F.greatest(
+        F.col("s2") / F.col("n") - mean * mean, F.lit(0.0)))
+    z = F.when(sd > 0, (F.col("d2q") - mean) / sd)
+    return (per.join(F.broadcast(stats), "cell")
+            .select("vec_id", "cell", F.col("d2q").alias("dist2_e4"),
+                    # +0.0 folds IEEE -0.0 (a tiny negative z rounded
+                    # to 4 places) onto +0.0 on both engines
+                    (F.round(z, 4) + F.lit(0.0)).alias("z_score"),
+                    F.coalesce(z >= OUTLIER_Z, F.lit(False))
+                    .alias("is_outlier")))
+
+
+_OUTLIER_SCAN_SQL = f"""
+{_KM_CTES},
+dj AS (
+  SELECT af.vec_id, af.cell,
+         CAST(ROUND({_sql_dist2('af.v', 'c.cv')} * {_D2_SCALE}) AS BIGINT)
+           AS d2q
+  FROM af JOIN {_KM_FINAL} c USING (cell)
+), st AS (
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(d2q) AS BIGINT) AS s1,
+         CAST(SUM(d2q * d2q) AS BIGINT) AS s2
+  FROM dj GROUP BY cell
+), st2 AS (
+  SELECT cell, s1 / CAST(n AS DOUBLE) AS mean,
+         sqrt(greatest(s2 / CAST(n AS DOUBLE)
+              - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)),
+              CAST(0.0 AS DOUBLE))) AS sd
+  FROM st
+)
+SELECT dj.vec_id, dj.cell, dj.d2q AS dist2_e4,
+       ROUND(CASE WHEN sd > 0 THEN (dj.d2q - mean) / sd END, 4) + 0
+         AS z_score,
+       coalesce(CASE WHEN sd > 0 THEN (dj.d2q - mean) / sd END
+                >= CAST({OUTLIER_Z!r} AS DOUBLE), FALSE) AS is_outlier
+FROM dj JOIN st2 USING (cell)
+"""
+
+
+# --------------------------------------------------------------------------
 # IVF-PQ: trained-cell probe → PQ-approximate shortlist → exact re-rank
 # --------------------------------------------------------------------------
 
@@ -1276,6 +1355,7 @@ FROM ranked WHERE rank <= {IVF_TOPK}
 SPARK_QUERIES = {
     "emb_ivfpq_topk": emb_ivfpq_topk,
     "emb_kmeans_train": emb_kmeans_train,
+    "emb_outlier_scan": emb_outlier_scan,
     "emb_ivf_trained_topk": emb_ivf_trained_topk,
     "emb_ivf_trained_multiprobe_topk": emb_ivf_trained_multiprobe_topk,
     "emb_cosine_topk": emb_cosine_topk,
@@ -1294,6 +1374,7 @@ SPARK_QUERIES = {
 ORACLE_SQL = {
     "emb_ivfpq_topk": _ivfpq_sql(),
     "emb_kmeans_train": _KMEANS_TRAIN_SQL,
+    "emb_outlier_scan": _OUTLIER_SCAN_SQL,
     "emb_ivf_trained_topk": _IVF_TRAINED_TOPK_SQL,
     "emb_ivf_trained_multiprobe_topk": _IVF_TRAINED_MULTIPROBE_SQL,
     "emb_cosine_topk": _COSINE_TOPK_SQL,

@@ -784,6 +784,18 @@ def test_inverted_index_two_stage_aggregate(spark):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
 
 
+def test_outlier_scan_broadcast_stats(spark):
+    """The per-cell moment table (K rows) and the centroid table both
+    broadcast back to the vector stream — no vector-keyed join
+    exchange beyond what the kmeans iterations already pay, and the
+    z-score itself adds exactly one bounded (cell-keyed) aggregate."""
+    from ocr_spark.plans.simsearch import emb_outlier_scan
+
+    plan = fmt(emb_outlier_scan(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
 def test_cms_heavy_hitters_broadcast_sketch_and_topk(spark):
     """The 1024-counter sketch broadcasts to the candidate join, and
     the exact top-k verification side uses TakeOrdered, never a
