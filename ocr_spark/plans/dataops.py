@@ -1693,6 +1693,83 @@ FROM per_doc GROUP BY term
 
 
 # --------------------------------------------------------------------------
+# character-entropy garble signal
+# --------------------------------------------------------------------------
+
+ENTROPY_PREFIX = 400     # chars analysed per doc (bounded per-row work)
+ENTROPY_LOW_MICRO = 2_000_000    # < 2.0 nats: repeated-char junk
+ENTROPY_HIGH_MICRO = 4_500_000   # > 4.5 nats: random-byte garble
+
+
+def docs_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy garble detection: Shannon entropy (nats) of
+    the character distribution over each document's first
+    {ENTROPY_PREFIX} chars. Both tails are damage signals — near-zero
+    entropy is repeated-character filler, abnormally high entropy is
+    random-byte / failed-decode garble — and the prefix cap is the
+    production form (a garbled doc is garbled in its first page;
+    unbounded per-row work is what kills char-level signals at
+    100 TB). Published as integer micro-nats from exact per-char
+    integer counts (H = ln N − Σ n_c·ln n_c / N), the same
+    cross-engine discipline as docs_unigram_logprob.
+
+    Scale shape: the char explode is BOUNDED at {ENTROPY_PREFIX}
+    rows/doc; the (doc, char) rollup partial-aggregates map-side into
+    per-doc alphabet rows (≤ charset size) before the exchange, and
+    the per-doc fold rides a second doc-keyed exchange. NULL/empty
+    text is excluded (nothing to measure), mirrored in the oracle."""
+    docs = (t(spark, sf_dir, "documents")
+            .filter(F.length("text") > 0))
+    chars = docs.select(
+        "doc_id",
+        F.explode(F.transform(
+            F.sequence(F.lit(1),
+                       F.least(F.length("text"), F.lit(ENTROPY_PREFIX))),
+            lambda i: F.substr(F.col("text"), i, F.lit(1)))).alias("ch"))
+    cc = (chars.groupBy("doc_id", "ch")
+          .agg(F.count(F.lit(1)).cast("long").alias("n_c")))
+    per = (cc.groupBy("doc_id")
+           .agg(F.sum("n_c").cast("long").alias("n_chars"),
+                F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+                F.sum(F.col("n_c") * F.log("n_c")).alias("s")))
+    ent = F.round((F.log("n_chars") - F.col("s") / F.col("n_chars"))
+                  * 1e6).cast("long")
+    return per.select(
+        "doc_id", "n_chars", "n_distinct_chars",
+        ent.alias("entropy_micro"),
+        F.when(ent < ENTROPY_LOW_MICRO, F.lit("low"))
+         .when(ent > ENTROPY_HIGH_MICRO, F.lit("high"))
+         .otherwise(F.lit("normal")).alias("entropy_band"))
+
+
+_CHAR_ENTROPY_SQL = f"""
+WITH chars AS (
+  SELECT doc_id, substr(text, g.i, 1) AS ch
+  FROM documents CROSS JOIN
+       (SELECT unnest(range(1, {ENTROPY_PREFIX + 1})) AS i) g
+  WHERE length(text) > 0 AND g.i <= least(length(text), {ENTROPY_PREFIX})
+), cc AS (
+  SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS n_c
+  FROM chars GROUP BY 1, 2
+), per AS (
+  SELECT doc_id, CAST(SUM(n_c) AS BIGINT) AS n_chars,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+         SUM(n_c * ln(n_c)) AS s
+  FROM cc GROUP BY doc_id
+)
+SELECT doc_id, n_chars, n_distinct_chars,
+       CAST(ROUND((ln(n_chars) - s / n_chars) * 1e6) AS BIGINT)
+         AS entropy_micro,
+       CASE WHEN ROUND((ln(n_chars) - s / n_chars) * 1e6)
+                 < {ENTROPY_LOW_MICRO} THEN 'low'
+            WHEN ROUND((ln(n_chars) - s / n_chars) * 1e6)
+                 > {ENTROPY_HIGH_MICRO} THEN 'high'
+            ELSE 'normal' END AS entropy_band
+FROM per
+"""
+
+
+# --------------------------------------------------------------------------
 # Quality-aware keeper election within near-dup clusters
 # --------------------------------------------------------------------------
 
@@ -1925,6 +2002,7 @@ SPARK_QUERIES = {
     "docs_top_ngrams": docs_top_ngrams,
     "docs_tfidf_topk": docs_tfidf_topk,
     "docs_inverted_index": docs_inverted_index,
+    "docs_char_entropy": docs_char_entropy,
 }
 
 ORACLE_SQL = {
@@ -1952,4 +2030,5 @@ ORACLE_SQL = {
     "docs_top_ngrams": _TOP_NGRAMS_SQL,
     "docs_tfidf_topk": _TFIDF_SQL,
     "docs_inverted_index": _INVERTED_INDEX_SQL,
+    "docs_char_entropy": _CHAR_ENTROPY_SQL,
 }

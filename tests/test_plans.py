@@ -784,6 +784,18 @@ def test_inverted_index_two_stage_aggregate(spark):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
 
 
+def test_char_entropy_bounded_explode_two_stage(spark):
+    """The char explode is bounded per row and the (doc, char) rollup
+    partial-aggregates before its exchange; the per-doc fold is the
+    second keyed exchange — two shuffles, one scan, no window."""
+    from ocr_spark.plans.dataops import docs_char_entropy
+
+    plan = fmt(docs_char_entropy(spark, SF))
+    assert n_shuffles(plan) == 2
+    assert "Window" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
 def test_outlier_scan_broadcast_stats(spark):
     """The per-cell moment table (K rows) and the centroid table both
     broadcast back to the vector stream — no vector-keyed join
