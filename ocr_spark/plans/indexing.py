@@ -75,9 +75,19 @@ def pages_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard indexer choice. The single exchange is the range
     partitioning that gives the shard set its global (surt, ts)
     order; everything else is a narrow JVM map."""
-    pages = pages_from_documents(spark, sf_dir)
+    out = cdx_columns(pages_from_documents(spark, sf_dir))
+    return (out.repartitionByRange(32, "surt_key", "ts14")
+               .sortWithinPartitions("surt_key", "ts14"))
+
+
+def cdx_columns(pages: DataFrame) -> DataFrame:
+    """The CDX record build as a narrow column map over a pages frame
+    (url, warc_ts, html, text) — shared verbatim by the batch index
+    (pages_cdx_index) and the streaming sink
+    (streaming/ingest.py::stream_cdx_index) so batch and incremental
+    index records are byte-identical by construction."""
     canon = F.regexp_extract(_html_str(), CANONICAL_PAT, 1)
-    out = pages.select(
+    return pages.select(
         surt_key(canon).alias("surt_key"),
         F.date_format("warc_ts", "yyyyMMddHHmmss").alias("ts14"),
         F.col("url"),
@@ -87,8 +97,6 @@ def pages_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("content_digest"),
         F.octet_length("text").cast("long").alias("text_bytes"),
     )
-    return (out.repartitionByRange(32, "surt_key", "ts14")
-               .sortWithinPartitions("surt_key", "ts14"))
 
 
 PAGES_CDX_INDEX_SQL = """

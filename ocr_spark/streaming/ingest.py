@@ -528,6 +528,41 @@ def stream_wet_export(spark: SparkSession, input_dir: str,
             .start())
 
 
+def stream_cdx_index(spark: SparkSession, input_dir: str,
+                     output_dir: str, checkpoint_dir: str) -> Any:
+    """Streaming CDXJ capture-index sink — the incremental form of
+    plans/indexing.py::pages_cdx_index: pages stream in and each
+    micro-batch writes a (surt_key, ts14)-sorted index RUN under a
+    batch_id-keyed partition with overwrite (the near_dup_sink
+    exactly-once discipline: crash re-delivery replaces the partition
+    with identical content). The record columns come from the SAME
+    builder as the batch query (cdx_columns), so batch and streaming
+    index rows are byte-identical for the same page. Cross-batch
+    consolidation into one globally-ordered index is deliberately NOT
+    done here — merging sorted runs incrementally is
+    pages_cdx_merge's job, exactly how CC accumulates per-crawl CDX
+    shards into the cumulative index."""
+    import os as _os
+
+    from ocr_spark.plans.indexing import cdx_columns
+
+    pages = read_pages_stream(spark, input_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        run = (cdx_columns(batch_df)
+               .repartitionByRange(8, "surt_key", "ts14")
+               .sortWithinPartitions("surt_key", "ts14"))
+        run.write.mode("overwrite").parquet(
+            _os.path.join(output_dir, f"batch={batch_id}"))
+
+    return (pages.writeStream
+            .foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start())
+
+
 def compact_near_dup_store(spark: SparkSession, sigstore_dir: str,
                            keep_last: int = 0) -> dict:
     """Collapse the signature store's per-batch partitions into one
