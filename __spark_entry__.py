@@ -55,6 +55,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "hosts_crawl_traps", "pages_url_templates",
     "pages_recrawl_priority", "frontier_fetch_schedule",
     "docs_hll_sketch", "docs_cms_heavy_hitters",
+    "docs_hll_snapshot_merge",
     "docs_inverted_index", "emb_outlier_scan", "docs_char_entropy",
     "docs_dsir_weights", "pages_host_boilerplate",
     "docs_near_dup_vs_snapshot", "emb_ivfpq_topk",

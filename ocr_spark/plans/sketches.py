@@ -69,6 +69,97 @@ def _rho_col(suffix: Column) -> Column:
             .otherwise(nz * 4 + within + 1)).cast("int")
 
 
+def _register_frame(docs: DataFrame) -> DataFrame:
+    """(reg, m_reg): the 256-register HLL frame for a corpus slice —
+    the mergeable artifact (combine = elementwise max on reg)."""
+    h = F.md5("tok")
+    return (docs.select(_tok_col())
+            .select(F.substring(h, 1, 2).alias("reg"),
+                    _rho_col(F.substring(h, 3, 9)).alias("rho"))
+            .groupBy("reg").agg(F.max("rho").alias("m_reg")))
+
+
+def _sql_rho(tok: str) -> str:
+    """The rho CASE expression over ``tok`` as DuckDB SQL — mirrors
+    _rho_col exactly."""
+    sfx = f"substr(md5({tok}), 3, 9)"
+    nz = f"length(regexp_extract({sfx}, '^(0*)', 1))"
+    d1 = f"substr({sfx}, {nz} + 1, 1)"
+    return (f"CASE WHEN {d1} = '' THEN {HLL_RHO_BITS + 1} "
+            f"ELSE {nz} * 4 + (CASE {d1} "
+            "WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2 "
+            "WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 "
+            "WHEN '7' THEN 1 ELSE 0 END) + 1 END")
+
+
+def docs_hll_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus-stat maintenance with the HLL register frame
+    as the persisted artifact: the PRIOR snapshot's registers combine
+    with the new DELTA's registers by elementwise max, and the result
+    must equal the registers computed from scratch over the union —
+    per register, not just in the estimate. This is the delta job that
+    lets a 10^12-doc pipeline republish vocabulary cardinality every
+    crawl without rescanning history (each snapshot contributes a
+    256-row frame; history is never touched again).
+
+    Fixture: prior = docs with ``doc_id % 3 != 0``, delta = the
+    ``% 3 == 0`` recrawl — union is the whole corpus, so ``m_full``
+    (the from-scratch register) is computable in the same query and
+    ``merge_exact`` pins max-merge == recompute for every register.
+
+    Scale shape: three bounded register aggregates (each ≤256 rows
+    out of a narrow explode) + joins ON the 256-value reg key — at
+    production scale prior/delta frames are READ, not recomputed, and
+    the merge is a 256-row join."""
+    docs = _docs(spark, sf_dir)
+    prior = _register_frame(docs.filter(F.col("doc_id") % 3 != 0))
+    delta = _register_frame(docs.filter(F.col("doc_id") % 3 == 0))
+    full = _register_frame(docs)
+    merged = (prior.withColumnRenamed("m_reg", "mp")
+              .join(delta.withColumnRenamed("m_reg", "md"), "reg", "full")
+              .select("reg",
+                      F.coalesce("mp", F.lit(0)).cast("long")
+                      .alias("m_prior"),
+                      F.coalesce("md", F.lit(0)).cast("long")
+                      .alias("m_delta"))
+              .withColumn("m_merged",
+                          F.greatest("m_prior", "m_delta")))
+    return (merged.join(full.withColumnRenamed("m_reg", "m_full"), "reg")
+            .select("reg", "m_prior", "m_delta", "m_merged",
+                    F.col("m_full").cast("long").alias("m_full"),
+                    (F.col("m_merged") == F.col("m_full"))
+                    .alias("merge_exact")))
+
+
+def _sql_toks(where: str) -> str:
+    return (f"SELECT unnest(string_split_regex(lower(trim(text)), "
+            f"'\\s+')) AS tok FROM documents{where}")
+
+
+DOCS_HLL_SNAPSHOT_MERGE_SQL = f"""
+WITH tp AS ({_sql_toks(' WHERE doc_id % 3 <> 0')}),
+td AS ({_sql_toks(' WHERE doc_id % 3 = 0')}),
+tf AS ({_sql_toks('')}),
+rp AS (SELECT substr(md5(tok), 1, 2) AS reg,
+              MAX({_sql_rho('tok')}) AS m FROM tp GROUP BY 1),
+rd AS (SELECT substr(md5(tok), 1, 2) AS reg,
+              MAX({_sql_rho('tok')}) AS m FROM td GROUP BY 1),
+rf AS (SELECT substr(md5(tok), 1, 2) AS reg,
+              MAX({_sql_rho('tok')}) AS m FROM tf GROUP BY 1),
+mg AS (
+  SELECT coalesce(rp.reg, rd.reg) AS reg,
+         CAST(coalesce(rp.m, 0) AS BIGINT) AS m_prior,
+         CAST(coalesce(rd.m, 0) AS BIGINT) AS m_delta
+  FROM rp FULL OUTER JOIN rd ON rp.reg = rd.reg
+)
+SELECT mg.reg, m_prior, m_delta,
+       greatest(m_prior, m_delta) AS m_merged,
+       CAST(rf.m AS BIGINT) AS m_full,
+       greatest(m_prior, m_delta) = CAST(rf.m AS BIGINT) AS merge_exact
+FROM mg JOIN rf ON rf.reg = mg.reg
+"""
+
+
 def docs_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic HyperLogLog cardinality of the corpus vocabulary
     (distinct whitespace tokens), with the exact count carried through
@@ -239,9 +330,11 @@ FROM est
 SPARK_QUERIES = {
     "docs_hll_sketch": docs_hll_sketch,
     "docs_cms_heavy_hitters": docs_cms_heavy_hitters,
+    "docs_hll_snapshot_merge": docs_hll_snapshot_merge,
 }
 
 ORACLE_SQL = {
     "docs_hll_sketch": DOCS_HLL_SKETCH_SQL,
     "docs_cms_heavy_hitters": DOCS_CMS_HEAVY_HITTERS_SQL,
+    "docs_hll_snapshot_merge": DOCS_HLL_SNAPSHOT_MERGE_SQL,
 }

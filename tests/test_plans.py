@@ -808,6 +808,17 @@ def test_outlier_scan_broadcast_stats(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_hll_snapshot_merge_register_keyed(spark):
+    """All three register rollups key on the 256-value reg column and
+    the combine joins stay on that key — nothing collapses to a
+    single partition."""
+    from ocr_spark.plans.sketches import docs_hll_snapshot_merge
+
+    plan = fmt(docs_hll_snapshot_merge(spark, SF))
+    assert plan.count("hashpartitioning(reg") >= 3
+    assert "SinglePartition" not in plan
+
+
 def test_cms_heavy_hitters_broadcast_sketch_and_topk(spark):
     """The 1024-counter sketch broadcasts to the candidate join, and
     the exact top-k verification side uses TakeOrdered, never a
