@@ -662,15 +662,7 @@ def run_export_job(spark: SparkSession, work_dir: str, *,
     kept = (shim.read_snapshot(spark, cur_root, sid)
             .filter(F.col("keep") & F.col("shard_id").isNotNull())
             .select("url", "text_deduped", "n_words", "shard_id"))
-    digests = kept.withColumn("dg", F.md5("text_deduped"))
-    manifest_rows = (digests.groupBy("shard_id")
-                     .agg(F.count("*").alias("n_docs"),
-                          F.sum("n_words").alias("n_tokens"),
-                          F.md5(F.concat_ws(",", F.transform(
-                              F.sort_array(
-                                  F.collect_list(F.struct("url", "dg"))),
-                              lambda s: s["dg"]))).alias("content_digest"))
-                     .collect())
+    manifest_rows = shard_digest_rows(kept, ["url"]).collect()
     shard_manifest = {r.shard_id: {"n_docs": r.n_docs,
                                    "n_tokens": int(r.n_tokens),
                                    "content_digest": r.content_digest}
@@ -687,29 +679,30 @@ def run_export_job(spark: SparkSession, work_dir: str, *,
             "tokens": sum(m["n_tokens"] for m in shard_manifest.values())}
 
 
-def verify_export(spark: SparkSession, work_dir: str,
-                  snapshot: str | None = None) -> dict:
-    """Consumer-side shard verification: recompute every shard's doc
-    count, token sum, and content digest FROM THE PUBLISHED DATA and
-    diff against the manifest committed with the snapshot. Returns
-    {"snapshot", "shards_checked", "mismatches": {shard_id: reason}} —
-    an empty mismatches dict is the integrity proof."""
-    root = export_root(work_dir)
-    sid = snapshot or shim.current_snapshot_id(root)
-    if sid is None:
-        raise FileNotFoundError(f"no export snapshot under {root}")
+def shard_digest_rows(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Per-shard manifest rows (n_docs, n_tokens, content_digest) —
+    the ONE digest definition shared by the export and sampling
+    producers and by consumer-side verification, so a digest mismatch
+    can only ever mean the data changed, never that two stages
+    digested differently. ``key_cols`` pins the within-shard order
+    (export: url; sampling: url + copy_idx — two copies of one doc
+    are distinct manifest entries)."""
+    return (df.withColumn("dg", F.md5("text_deduped"))
+            .groupBy("shard_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_words").alias("n_tokens"),
+                 F.md5(F.concat_ws(",", F.transform(
+                     F.sort_array(
+                         F.collect_list(F.struct(*key_cols, "dg"))),
+                     lambda s: s["dg"]))).alias("content_digest")))
+
+
+def _verify_shards(spark: SparkSession, root: str, sid: str,
+                   key_cols: list[str]) -> dict:
     manifest = shim.read_manifest(root, sid)
     expected = manifest.get("shards") or {}
-    actual_rows = (shim.read_snapshot(spark, root, sid)
-                   .withColumn("dg", F.md5("text_deduped"))
-                   .groupBy("shard_id")
-                   .agg(F.count("*").alias("n_docs"),
-                        F.sum("n_words").alias("n_tokens"),
-                        F.md5(F.concat_ws(",", F.transform(
-                            F.sort_array(
-                                F.collect_list(F.struct("url", "dg"))),
-                            lambda s: s["dg"]))).alias("content_digest"))
-                   .collect())
+    actual_rows = shard_digest_rows(
+        shim.read_snapshot(spark, root, sid), key_cols).collect()
     actual = {r.shard_id: {"n_docs": r.n_docs, "n_tokens": int(r.n_tokens),
                            "content_digest": r.content_digest}
               for r in actual_rows}
@@ -724,6 +717,53 @@ def verify_export(spark: SparkSession, work_dir: str,
                                  f" != data {actual[shard]}")
     return {"snapshot": sid, "shards_checked": len(expected),
             "mismatches": mismatches}
+
+
+def verify_export(spark: SparkSession, work_dir: str,
+                  snapshot: str | None = None) -> dict:
+    """Consumer-side shard verification: recompute every shard's doc
+    count, token sum, and content digest FROM THE PUBLISHED DATA and
+    diff against the manifest committed with the snapshot. Returns
+    {"snapshot", "shards_checked", "mismatches": {shard_id: reason}} —
+    an empty mismatches dict is the integrity proof."""
+    root = export_root(work_dir)
+    sid = snapshot or shim.current_snapshot_id(root)
+    if sid is None:
+        raise FileNotFoundError(f"no export snapshot under {root}")
+    return _verify_shards(spark, root, sid, ["url"])
+
+
+def verify_sampling(spark: SparkSession, work_dir: str,
+                    snapshot: str | None = None) -> dict:
+    """verify_export's twin for the mixture-sampled corpus: same
+    digest definition, (url, copy_idx) order keys because realized
+    copies are distinct rows."""
+    root = sampling_root(work_dir)
+    sid = snapshot or shim.current_snapshot_id(root)
+    if sid is None:
+        raise FileNotFoundError(f"no sampling snapshot under {root}")
+    return _verify_shards(spark, root, sid, ["url", "copy_idx"])
+
+
+def verify_all(spark: SparkSession, work_dir: str) -> dict:
+    """One consumer-side integrity call over every published shard
+    stage: verifies the export snapshot and, when the sampling stage
+    has run, the sampled corpus too. ``ok`` is True iff every present
+    stage verifies clean; stages that never ran are reported absent,
+    not failed."""
+    out: dict = {"stages": {}, "ok": True}
+    for name, fn in (("export", verify_export),
+                     ("sampling", verify_sampling)):
+        try:
+            res = fn(spark, work_dir)
+        except FileNotFoundError:
+            out["stages"][name] = {"present": False}
+            continue
+        res["present"] = True
+        out["stages"][name] = res
+        if res["mismatches"]:
+            out["ok"] = False
+    return out
 
 
 def sampling_root(work_dir: str) -> str:
@@ -804,16 +844,8 @@ def run_sampling_job(spark: SparkSession, work_dir: str, *,
                                       F.floor(prefix / shard_token_budget)
                                       .cast("string"))))
 
-    digests = packed.withColumn("dg", F.md5("text_deduped"))
-    manifest_rows = (
-        digests.groupBy("shard_id")
-        .agg(F.count("*").alias("n_docs"),
-             F.sum("n_words").alias("n_tokens"),
-             F.md5(F.concat_ws(",", F.transform(
-                 F.sort_array(
-                     F.collect_list(F.struct("url", "copy_idx", "dg"))),
-                 lambda s: s["dg"]))).alias("content_digest"))
-        .collect())
+    manifest_rows = shard_digest_rows(
+        packed, ["url", "copy_idx"]).collect()
     shard_manifest = {r.shard_id: {"n_docs": r.n_docs,
                                    "n_tokens": int(r.n_tokens),
                                    "content_digest": r.content_digest}

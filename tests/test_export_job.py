@@ -194,3 +194,25 @@ def test_sampling_job_realizes_mixture(spark, tmp_path_factory):
     assert {k: v["content_digest"] for k, v in shards.items()} \
         == {k: v["content_digest"]
             for k, v in manifest2["shards"].items()}
+
+    # one consumer-side integrity call covers both shard stages: the
+    # sampled corpus verifies clean via the SAME digest definition the
+    # producer committed; export never ran here so it reports absent,
+    # not failed. Dropping a sampled shard partition flips ok.
+    from ocr_spark.job import verify_all, verify_sampling
+
+    vs = verify_sampling(spark, work)
+    assert vs["mismatches"] == {} and vs["shards_checked"] > 0
+    va = verify_all(spark, work)
+    assert va["ok"]
+    assert va["stages"]["sampling"]["present"]
+    assert not va["stages"]["export"]["present"]
+
+    snap_dir = os.path.join(sampling_root(work), "data",
+                            f"snap-{s2['snapshot']}")
+    victim = next(d for d in sorted(os.listdir(snap_dir))
+                  if d.startswith("shard_id="))
+    shutil.rmtree(os.path.join(snap_dir, victim))
+    bad = verify_all(spark, work)
+    assert not bad["ok"]
+    assert bad["stages"]["sampling"]["mismatches"]
