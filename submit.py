@@ -111,12 +111,24 @@ def main(argv: list[str] | None = None) -> int:
             from ocr_spark.job import run_sampling_job
             summary["sampling"] = run_sampling_job(spark, args.work_dir)
         if args.export:
-            from ocr_spark.job import run_export_job, verify_export
+            from ocr_spark.job import run_export_job
             summary["export"] = run_export_job(spark, args.work_dir)
-            check = verify_export(spark, args.work_dir)
-            summary["export"]["verified"] = not check["mismatches"]
-            if check["mismatches"]:
-                print(f"export verification FAILED: {check['mismatches']}",
+        if args.export or args.sample:
+            # one consumer-side integrity call over every shard stage
+            # that ran (export and/or sampled corpus)
+            from ocr_spark.job import verify_all
+            check = verify_all(spark, args.work_dir)
+            if args.export:
+                summary["export"]["verified"] = \
+                    not check["stages"]["export"].get("mismatches")
+            if args.sample:
+                summary["sampling"]["verified"] = \
+                    not check["stages"]["sampling"].get("mismatches")
+            if not check["ok"]:
+                bad = {n: s["mismatches"]
+                       for n, s in check["stages"].items()
+                       if s.get("mismatches")}
+                print(f"shard verification FAILED: {bad}",
                       file=sys.stderr)
                 return 1
         print(json.dumps(summary))
