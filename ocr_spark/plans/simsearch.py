@@ -1109,6 +1109,96 @@ FROM ranked WHERE rank <= {IVF_TOPK}
 
 
 # --------------------------------------------------------------------------
+# margin-based bitext mining (cross-lingual pair extraction)
+# --------------------------------------------------------------------------
+
+BITEXT_BLOCK = 64      # A-side mining block bound (vec_id < BLOCK, even)
+BITEXT_MARGIN = 1.05   # best/second-best acceptance ratio
+
+
+def emb_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (CCMatrix / Artetxe & Schwenk):
+    source-language vectors are paired with their best target-language
+    neighbor only when the best candidate BEATS the second-best by a
+    margin — absolute cosine alone over-accepts hubs, the
+    best/second-best ratio is the standard fix (this is the
+    distance-ratio variant of their neighborhood-averaged margin).
+    Fixture roles are deterministic: even vec_id = source side, odd =
+    target side; the mined block is source vec_id < {BITEXT_BLOCK}.
+
+    Scale shape: the mining block (≤{BITEXT_BLOCK // 2} vectors)
+    broadcasts; the target corpus STREAMS through the scored join —
+    production iterates blocks and prunes the target side with the
+    trained IVF cells first (emb_ivf_trained_topk is that path), so
+    the per-block work is shortlist-sized, not corpus-sized. The
+    top-2 election is one window keyed a_id over the scored rows."""
+    emb = t(spark, sf_dir).select(
+        "vec_id", _vecd().alias("v")
+    ).withColumn("nrm", _norm(F.col("v")))
+    a = (emb.filter((F.col("vec_id") % 2 == 0)
+                    & (F.col("vec_id") < BITEXT_BLOCK))
+         .select(F.col("vec_id").alias("a_id"), F.col("v").alias("av"),
+                 F.col("nrm").alias("an")))
+    b = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("b_id"), F.col("v").alias("bv"),
+        F.col("nrm").alias("bn"))
+    cos = _dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn"))
+    scored = b.join(F.broadcast(a)).select(
+        "a_id", "b_id", F.round(cos, 6).alias("cos6"))
+    w = Window.partitionBy("a_id").orderBy(F.desc("cos6"), F.asc("b_id"))
+    top2 = (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 2))
+    per = (top2.groupBy("a_id")
+           .agg(F.max(F.when(F.col("rn") == 1, F.col("b_id")))
+                .alias("b_id"),
+                F.max(F.when(F.col("rn") == 1, F.col("cos6")))
+                .alias("cos_best"),
+                F.max(F.when(F.col("rn") == 2, F.col("cos6")))
+                .alias("cos_second")))
+    margin = F.when(F.col("cos_second") > 0,
+                    F.col("cos_best") / F.col("cos_second"))
+    return per.select(
+        "a_id", "b_id", "cos_best", "cos_second",
+        F.round(margin, 4).alias("margin"),
+        F.coalesce(margin >= BITEXT_MARGIN, F.lit(False))
+        .alias("accepted"))
+
+
+_BITEXT_MINE_SQL = f"""
+WITH e AS (
+  SELECT vec_id, {_SQL_VEC} AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, {_sql_norm('v')} AS nrm FROM e
+), a AS (
+  SELECT vec_id AS a_id, v AS av, nrm AS an FROM n
+  WHERE vec_id % 2 = 0 AND vec_id < {BITEXT_BLOCK}
+), b AS (
+  SELECT vec_id AS b_id, v AS bv, nrm AS bn FROM n WHERE vec_id % 2 = 1
+), scored AS (
+  SELECT a_id, b_id,
+         ROUND({_sql_dot('av', 'bv')} / (an * bn), 6) AS cos6
+  FROM a CROSS JOIN b
+), ranked AS (
+  SELECT a_id, b_id, cos6, ROW_NUMBER() OVER (
+           PARTITION BY a_id ORDER BY cos6 DESC, b_id ASC) AS rn
+  FROM scored
+), per AS (
+  SELECT a_id,
+         MAX(CASE WHEN rn = 1 THEN b_id END) AS b_id,
+         MAX(CASE WHEN rn = 1 THEN cos6 END) AS cos_best,
+         MAX(CASE WHEN rn = 2 THEN cos6 END) AS cos_second
+  FROM ranked WHERE rn <= 2 GROUP BY a_id
+)
+SELECT a_id, b_id, cos_best, cos_second,
+       ROUND(CASE WHEN cos_second > 0 THEN cos_best / cos_second END, 4)
+         AS margin,
+       coalesce(CASE WHEN cos_second > 0 THEN cos_best / cos_second END
+                >= CAST({BITEXT_MARGIN!r} AS DOUBLE), FALSE) AS accepted
+FROM per
+"""
+
+
+# --------------------------------------------------------------------------
 # embedding outlier scan (distance-to-centroid z-score)
 # --------------------------------------------------------------------------
 
@@ -1356,6 +1446,7 @@ SPARK_QUERIES = {
     "emb_ivfpq_topk": emb_ivfpq_topk,
     "emb_kmeans_train": emb_kmeans_train,
     "emb_outlier_scan": emb_outlier_scan,
+    "emb_bitext_mine": emb_bitext_mine,
     "emb_ivf_trained_topk": emb_ivf_trained_topk,
     "emb_ivf_trained_multiprobe_topk": emb_ivf_trained_multiprobe_topk,
     "emb_cosine_topk": emb_cosine_topk,
@@ -1375,6 +1466,7 @@ ORACLE_SQL = {
     "emb_ivfpq_topk": _ivfpq_sql(),
     "emb_kmeans_train": _KMEANS_TRAIN_SQL,
     "emb_outlier_scan": _OUTLIER_SCAN_SQL,
+    "emb_bitext_mine": _BITEXT_MINE_SQL,
     "emb_ivf_trained_topk": _IVF_TRAINED_TOPK_SQL,
     "emb_ivf_trained_multiprobe_topk": _IVF_TRAINED_MULTIPROBE_SQL,
     "emb_cosine_topk": _COSINE_TOPK_SQL,

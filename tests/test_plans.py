@@ -808,6 +808,18 @@ def test_outlier_scan_broadcast_stats(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_bitext_mine_broadcast_block(spark):
+    """The bounded mining block broadcasts (no equi-key → broadcast
+    nested loop); the target corpus streams through, and the top-2
+    election is one window keyed a_id."""
+    from ocr_spark.plans.simsearch import emb_bitext_mine
+
+    plan = fmt(emb_bitext_mine(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "hashpartitioning(a_id" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_hll_snapshot_merge_register_keyed(spark):
     """All three register rollups key on the 256-value reg column and
     the combine joins stay on that key — nothing collapses to a
