@@ -2394,6 +2394,63 @@ FROM per CROSS JOIN tot
 """
 
 
+K_ANON_MIN = 10    # publish a (lang, host) cell only at ≥ this count
+
+
+def hosts_stats_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-cell suppression for the published per-host datasheet:
+    (lang, host) inventory cells below {K_ANON_MIN} documents are not
+    released individually — each language's small cells roll into one
+    ``(suppressed)`` aggregate row (count visible, host identities
+    hidden), the standard primary-suppression rule for publishing
+    usage tables without exposing low-volume sources. n_cells carries
+    how many cells the rollup absorbed, so consumers can see the
+    suppression rate. The reference publishes nothing (SURVEY §2).
+
+    Scale shape: one bounded groupBy(lang, host) (cell cardinality =
+    |hosts|·|langs|), then the sub-threshold slice re-aggregates per
+    lang — both exchanges carry cells, not documents."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    host = F.concat(F.lit("site"), (F.col("doc_id") % 13).cast("string"),
+                    F.lit(".example.com"))
+    cells = (docs.select("lang", host.alias("host"),
+                         F.size(toks).cast("long").alias("n"))
+             .groupBy("lang", "host")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                  F.sum("n").cast("long").alias("n_tokens")))
+    big = cells.filter(F.col("n_docs") >= K_ANON_MIN).select(
+        "lang", "host", "n_docs", "n_tokens",
+        F.lit(1).cast("long").alias("n_cells"))
+    small = (cells.filter(F.col("n_docs") < K_ANON_MIN)
+             .groupBy("lang")
+             .agg(F.sum("n_docs").cast("long").alias("n_docs"),
+                  F.sum("n_tokens").cast("long").alias("n_tokens"),
+                  F.count(F.lit(1)).cast("long").alias("n_cells"))
+             .select("lang", F.lit("(suppressed)").alias("host"),
+                     "n_docs", "n_tokens", "n_cells"))
+    return big.unionByName(small)
+
+
+HOSTS_STATS_KANON_SQL = f"""
+WITH cells AS (
+  SELECT lang,
+         'site' || CAST(doc_id % 13 AS VARCHAR) || '.example.com' AS host,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split_regex(lower(trim(text)), '\\s+')))
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1, 2
+)
+SELECT lang, host, n_docs, n_tokens, CAST(1 AS BIGINT) AS n_cells
+FROM cells WHERE n_docs >= {K_ANON_MIN}
+UNION ALL
+SELECT lang, '(suppressed)' AS host,
+       CAST(SUM(n_docs) AS BIGINT), CAST(SUM(n_tokens) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT)
+FROM cells WHERE n_docs < {K_ANON_MIN} GROUP BY lang
+"""
+
+
 def docs_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus datasheet (data card): per-language document/token
     inventory, token share, and post-curation survival rates — the
@@ -3055,6 +3112,7 @@ SPARK_QUERIES = {
     "docs_repetition_profile": docs_repetition_profile,
     "docs_blocklist_filter": docs_blocklist_filter,
     "docs_data_card": docs_data_card,
+    "hosts_stats_kanon": hosts_stats_kanon,
     "docs_substring_dedup": docs_substring_dedup,
     "docs_gopher_line_filters": docs_gopher_line_filters,
     "docs_fineweb_verdict": docs_fineweb_verdict,
@@ -3097,6 +3155,7 @@ ORACLE_SQL = {
     "docs_repetition_profile": _repetition_profile_sql(),
     "docs_blocklist_filter": _blocklist_sql(),
     "docs_data_card": _data_card_sql(),
+    "hosts_stats_kanon": HOSTS_STATS_KANON_SQL,
     "docs_substring_dedup": DOCS_SUBSTR_DEDUP_SQL,
     "docs_gopher_line_filters": GOPHER_LINE_SQL,
     "docs_fineweb_verdict": _fineweb_verdict_sql(),
