@@ -1693,6 +1693,119 @@ FROM per_doc GROUP BY term
 
 
 # --------------------------------------------------------------------------
+# shingle containment (quote / partial-inclusion detection)
+# --------------------------------------------------------------------------
+
+CONTAIN_MIN = 0.8    # report pairs where the smaller side is ≥80% inside
+CONTAIN_CAP = 20     # shingles shared by more docs are boilerplate: drop
+_QUOTE_TOKENS = 17   # quote fixture: first 17 tokens → 15 shingles
+
+
+def docs_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment detection (Broder 1997's SECOND measure): a short
+    document quoted inside a long one has near-zero resemblance
+    (Jaccard over the union) but containment |A∩B|/|A| ≈ 1 — the
+    near-dup family's MinHash/Jaccard path is blind to exactly this
+    case, which is why quote/excerpt detection needs its own operator.
+    Candidates come from a shared-shingle equi-join (a shingle shared
+    by more than {CONTAIN_CAP} docs is boilerplate and dropped BEFORE
+    the self-join — the same cap discipline as the LSH buckets), then
+    exact containment is computed on the candidates' distinct shingle
+    sets, reporting pairs where either side is ≥{CONTAIN_MIN}
+    contained.
+
+    Fixture: docs with ``doc_id % 10 == 4`` additionally publish a
+    QUOTE doc (id + 100000) holding their own first {_QUOTE_TOKENS}
+    tokens — containment 1.0 at Jaccard ≈ 15/n, closed-form for the
+    oracle. Random cross-doc shingle overlap sits far below the
+    threshold, so the report is exactly the quote pairs.
+
+    Scale shape: explode → one window keyed shingle hash (cap) → the
+    bucket self-join is bounded by CAP² per shingle → distinct pairs
+    → two linear gram joins keyed doc id. Candidate-driven exactly
+    like docs_jaccard_verify_candidates."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    quotes = (docs.filter(F.col("doc_id") % 10 == 4)
+              .select((F.col("doc_id") + 100000).alias("doc_id"),
+                      F.concat_ws(" ", F.slice(_tokens(), 1,
+                                               _QUOTE_TOKENS))
+                      .alias("text")))
+    corpus = docs.unionByName(quotes)
+    grams = (corpus.select(
+        "doc_id", F.array_distinct(_shingles(_tokens())).alias("grams"))
+        .filter(F.size("grams") > 0))
+    sh = grams.select("doc_id", F.explode("grams").alias("s")) \
+        .select("doc_id", F.md5("s").alias("h"))
+    wcap = Window.partitionBy("h")
+    capped = (sh.withColumn("n", F.count(F.lit(1)).over(wcap))
+              .filter(F.col("n") <= CONTAIN_CAP).drop("n"))
+    a, b = capped.alias("a"), capped.alias("b")
+    cands = (a.join(b, "h")
+             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+             .distinct())
+    ga = grams.select(F.col("doc_id").alias("doc_a"),
+                      F.col("grams").alias("ga"))
+    gb = grams.select(F.col("doc_id").alias("doc_b"),
+                      F.col("grams").alias("gb"))
+    j = cands.join(ga, "doc_a").join(gb, "doc_b")
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size(F.array_union("ga", "gb"))
+    contain = F.greatest(inter / F.size("ga"), inter / F.size("gb"))
+    return (j.select("doc_a", "doc_b",
+                     F.size("ga").cast("long").alias("n_a"),
+                     F.size("gb").cast("long").alias("n_b"),
+                     inter.cast("long").alias("n_shared"),
+                     F.round(contain, 4).alias("containment"),
+                     F.round(inter / union, 4).alias("jaccard"))
+            .filter(F.col("containment") >= CONTAIN_MIN))
+
+
+_CONTAINMENT_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000,
+         array_to_string(list_slice({_SQL_TOKENS}, 1, {_QUOTE_TOKENS}),
+                         ' ')
+  FROM documents WHERE doc_id % 10 = 4
+), grams AS (
+  SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS g
+  FROM base WHERE len(list_distinct({_SQL_SHINGLES})) > 0
+), sh AS (
+  SELECT doc_id, md5(unnest(g)) AS h FROM grams
+), capped AS (
+  SELECT doc_id, h FROM (
+    SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS n FROM sh
+  ) WHERE n <= {CONTAIN_CAP}
+), cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
+), j AS (
+  SELECT c.doc_a, c.doc_b, ga.g AS ga, gb.g AS gb
+  FROM cands c
+  JOIN grams ga ON ga.doc_id = c.doc_a
+  JOIN grams gb ON gb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b,
+       CAST(len(ga) AS BIGINT) AS n_a, CAST(len(gb) AS BIGINT) AS n_b,
+       CAST(len(list_intersect(ga, gb)) AS BIGINT) AS n_shared,
+       ROUND(greatest(len(list_intersect(ga, gb))
+                        / CAST(len(ga) AS DOUBLE),
+                      len(list_intersect(ga, gb))
+                        / CAST(len(gb) AS DOUBLE)), 4) AS containment,
+       ROUND(len(list_intersect(ga, gb))
+             / CAST(len(list_distinct(ga || gb)) AS DOUBLE), 4)
+         AS jaccard
+FROM j
+WHERE greatest(len(list_intersect(ga, gb)) / CAST(len(ga) AS DOUBLE),
+               len(list_intersect(ga, gb)) / CAST(len(gb) AS DOUBLE))
+      >= {CONTAIN_MIN!r}
+"""
+
+
+# --------------------------------------------------------------------------
 # character-entropy garble signal
 # --------------------------------------------------------------------------
 
@@ -2003,6 +2116,7 @@ SPARK_QUERIES = {
     "docs_tfidf_topk": docs_tfidf_topk,
     "docs_inverted_index": docs_inverted_index,
     "docs_char_entropy": docs_char_entropy,
+    "docs_containment_pairs": docs_containment_pairs,
 }
 
 ORACLE_SQL = {
@@ -2031,4 +2145,5 @@ ORACLE_SQL = {
     "docs_tfidf_topk": _TFIDF_SQL,
     "docs_inverted_index": _INVERTED_INDEX_SQL,
     "docs_char_entropy": _CHAR_ENTROPY_SQL,
+    "docs_containment_pairs": _CONTAINMENT_SQL,
 }

@@ -808,6 +808,20 @@ def test_outlier_scan_broadcast_stats(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_containment_shingle_join_is_capped(spark):
+    """The shared-shingle candidate join must drop boilerplate
+    shingles BEFORE the self-join (window-count cap below the Join in
+    the optimized plan) — without it one corpus-wide boilerplate
+    shingle is an O(n²) bucket."""
+    from ocr_spark.plans.dataops import docs_containment_pairs
+
+    plan = docs_containment_pairs(spark, SF) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    assert re.search(r"n#\d+L? <= 20", plan), "cap filter missing"
+    cap = re.search(r"n#\d+L? <= 20", plan)
+    assert plan.index("Join") < cap.start(), plan
+
+
 def test_bitext_mine_broadcast_block(spark):
     """The bounded mining block broadcasts (no equi-key → broadcast
     nested loop); the target corpus streams through, and the top-2
