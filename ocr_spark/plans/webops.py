@@ -2086,6 +2086,54 @@ def hosts_keep_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (rate >= HOST_MIN_KEEP_RATE).alias("host_prior_ok"))
 
 
+CRAWL_BUDGET = 10_000   # fetches to allocate across hosts next cycle
+EXPLORE_MIN = 10        # exploration floor every host keeps
+
+
+def hosts_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-cycle crawl-budget allocation from the host quality prior:
+    hosts earn fetches proportional to their KEPT-document yield (what
+    the corpus actually banked from them, not raw fetch volume), hosts
+    failing the keep-rate prior are demoted to the exploration floor,
+    and every host keeps a small floor so a demoted or new host can
+    still redeem itself — the feedback loop from curation back into
+    the frontier that crawl-ordering schedulers run each cycle.
+
+    The proportional share is computed in EXACT integer arithmetic
+    (BUDGET·n_kept DIV total_kept) so allocations hash identically
+    across engines; the floor is added on top, so the total spend is
+    budget + |hosts|·floor by design (stated, not hidden).
+
+    Scale shape: the keep-rate rollup's own shapes plus a 1-row total
+    that broadcasts — nothing new shuffles at host cardinality."""
+    kr = hosts_keep_rate(spark, sf_dir)
+    tot = (kr.filter(F.col("host_prior_ok"))
+           .agg(F.sum("n_kept").alias("tot_kept")))
+    alloc = F.floor(F.lit(CRAWL_BUDGET) * F.col("n_kept")
+                    / F.col("tot_kept")).cast("long")
+    budget = (F.when(~F.col("host_prior_ok"), F.lit(EXPLORE_MIN))
+              .otherwise(alloc + EXPLORE_MIN)).cast("long")
+    return (kr.crossJoin(F.broadcast(tot))
+            .select("host", "n_docs", "n_kept", "keep_rate",
+                    "host_prior_ok", budget.alias("budget")))
+
+
+def _hosts_crawl_budget_sql() -> str:
+    return f"""
+WITH kr AS (
+{_hosts_keep_rate_sql()}
+), tot AS (
+  SELECT CAST(SUM(n_kept) AS BIGINT) AS tot_kept
+  FROM kr WHERE host_prior_ok
+)
+SELECT host, n_docs, n_kept, keep_rate, host_prior_ok,
+       CAST(CASE WHEN NOT host_prior_ok THEN {EXPLORE_MIN}
+                 ELSE ({CRAWL_BUDGET} * n_kept) // tot_kept
+                      + {EXPLORE_MIN} END AS BIGINT) AS budget
+FROM kr, tot
+"""
+
+
 def _hosts_keep_rate_sql() -> str:
     return f"""
 WITH v AS (
@@ -3113,6 +3161,7 @@ SPARK_QUERIES = {
     "docs_blocklist_filter": docs_blocklist_filter,
     "docs_data_card": docs_data_card,
     "hosts_stats_kanon": hosts_stats_kanon,
+    "hosts_crawl_budget": hosts_crawl_budget,
     "docs_substring_dedup": docs_substring_dedup,
     "docs_gopher_line_filters": docs_gopher_line_filters,
     "docs_fineweb_verdict": docs_fineweb_verdict,
@@ -3156,6 +3205,7 @@ ORACLE_SQL = {
     "docs_blocklist_filter": _blocklist_sql(),
     "docs_data_card": _data_card_sql(),
     "hosts_stats_kanon": HOSTS_STATS_KANON_SQL,
+    "hosts_crawl_budget": _hosts_crawl_budget_sql(),
     "docs_substring_dedup": DOCS_SUBSTR_DEDUP_SQL,
     "docs_gopher_line_filters": GOPHER_LINE_SQL,
     "docs_fineweb_verdict": _fineweb_verdict_sql(),
