@@ -2725,6 +2725,103 @@ FROM canon
 
 
 # ---------------------------------------------------------------------------
+# cross-host mirror detection
+# ---------------------------------------------------------------------------
+
+MIRROR_MIN_COVER = 0.5   # shared / smaller-host fraction to flag
+MIRROR_DIGEST_CAP = 10   # digests on more hosts are boilerplate: drop
+
+
+def hosts_mirror_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Site-mirror detection: host pairs whose content-digest overlap
+    covers ≥{MIRROR_MIN_COVER:.0%} of the smaller host — the
+    cross-HOST duplication (mirrors, CDNs, scraper re-hosts) that
+    URL-keyed dedup never sees and doc-level near-dup only removes
+    one page at a time; flagging the host pair lets the frontier stop
+    crawling the mirror wholesale. Digests served by more than
+    {MIRROR_DIGEST_CAP} hosts are boilerplate and drop before the
+    pair join (the LSH bucket-cap discipline).
+
+    Fixture (closed-form): site hosts whose number satisfies
+    ``h % 3 == 2`` have a mirror ``m-site{{h}}`` re-hosting their odd
+    doc_ids byte-identically → coverage 1.0 on exactly those pairs;
+    every other pair shares nothing.
+
+    Scale shape: per-host digest profile → one window keyed digest
+    (cap) → bucket pair join bounded by CAP² per digest → host-pair
+    rollup; host sizes (|hosts| rows) broadcast back."""
+    docs = _docs(spark, sf_dir)
+    site = F.concat(F.lit("site"), (F.col("doc_id") % 13).cast("string"),
+                    F.lit(".example.com"))
+    base = docs.select(site.alias("host"), F.md5("text").alias("digest"))
+    mirrored = (docs.filter(((F.col("doc_id") % 13) % 3 == 2)
+                            & (F.col("doc_id") % 2 == 1))
+                .select(F.concat(F.lit("m-"), site).alias("host"),
+                        F.md5("text").alias("digest")))
+    caps = base.unionByName(mirrored).distinct()
+    sizes = caps.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_digests"))
+    w = Window.partitionBy("digest")
+    capped = (caps.withColumn("n", F.count(F.lit(1)).over(w))
+              .filter(F.col("n") <= MIRROR_DIGEST_CAP).drop("n"))
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = (a.join(b, "digest")
+             .filter(F.col("a.host") < F.col("b.host"))
+             .groupBy(F.col("a.host").alias("host_a"),
+                      F.col("b.host").alias("host_b"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n_shared")))
+    sa = sizes.select(F.col("host").alias("host_a"),
+                      F.col("n_digests").alias("n_a"))
+    sb = sizes.select(F.col("host").alias("host_b"),
+                      F.col("n_digests").alias("n_b"))
+    cover = F.col("n_shared") / F.least("n_a", "n_b")
+    return (pairs.join(F.broadcast(sa), "host_a")
+            .join(F.broadcast(sb), "host_b")
+            .select("host_a", "host_b", "n_a", "n_b", "n_shared",
+                    F.round(cover, 4).alias("coverage"),
+                    (cover >= MIRROR_MIN_COVER).alias("is_mirror"))
+            .filter(F.col("n_shared") > 0))
+
+
+HOSTS_MIRROR_PAIRS_SQL = f"""
+WITH site AS (
+  SELECT 'site' || CAST(doc_id % 13 AS VARCHAR) || '.example.com' AS h,
+         doc_id, md5(text) AS digest
+  FROM documents
+), caps AS (
+  SELECT DISTINCT h AS host, digest FROM site
+  UNION
+  SELECT DISTINCT 'm-' || h, digest FROM site
+  WHERE (doc_id % 13) % 3 = 2 AND doc_id % 2 = 1
+), sizes AS (
+  SELECT host, CAST(COUNT(*) AS BIGINT) AS n_digests
+  FROM caps GROUP BY host
+), capped AS (
+  SELECT host, digest FROM (
+    SELECT host, digest, COUNT(*) OVER (PARTITION BY digest) AS n
+    FROM caps
+  ) WHERE n <= {MIRROR_DIGEST_CAP}
+), pairs AS (
+  SELECT a.host AS host_a, b.host AS host_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM capped a JOIN capped b
+    ON a.digest = b.digest AND a.host < b.host
+  GROUP BY 1, 2
+)
+SELECT host_a, host_b,
+       sa.n_digests AS n_a, sb.n_digests AS n_b, n_shared,
+       ROUND(n_shared / CAST(least(sa.n_digests, sb.n_digests)
+                             AS DOUBLE), 4) AS coverage,
+       n_shared / CAST(least(sa.n_digests, sb.n_digests) AS DOUBLE)
+         >= {MIRROR_MIN_COVER!r} AS is_mirror
+FROM pairs
+JOIN sizes sa ON sa.host = host_a
+JOIN sizes sb ON sb.host = host_b
+WHERE n_shared > 0
+"""
+
+
+# ---------------------------------------------------------------------------
 # frontier politeness scheduling
 # ---------------------------------------------------------------------------
 
@@ -3162,6 +3259,7 @@ SPARK_QUERIES = {
     "docs_data_card": docs_data_card,
     "hosts_stats_kanon": hosts_stats_kanon,
     "hosts_crawl_budget": hosts_crawl_budget,
+    "hosts_mirror_pairs": hosts_mirror_pairs,
     "docs_substring_dedup": docs_substring_dedup,
     "docs_gopher_line_filters": docs_gopher_line_filters,
     "docs_fineweb_verdict": docs_fineweb_verdict,
@@ -3206,6 +3304,7 @@ ORACLE_SQL = {
     "docs_data_card": _data_card_sql(),
     "hosts_stats_kanon": HOSTS_STATS_KANON_SQL,
     "hosts_crawl_budget": _hosts_crawl_budget_sql(),
+    "hosts_mirror_pairs": HOSTS_MIRROR_PAIRS_SQL,
     "docs_substring_dedup": DOCS_SUBSTR_DEDUP_SQL,
     "docs_gopher_line_filters": GOPHER_LINE_SQL,
     "docs_fineweb_verdict": _fineweb_verdict_sql(),

@@ -808,6 +808,19 @@ def test_outlier_scan_broadcast_stats(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_mirror_pairs_digest_join_is_capped(spark):
+    """The digest pair join must drop boilerplate digests BEFORE the
+    self-join, and host sizes must come back via broadcast."""
+    from ocr_spark.plans.webops import hosts_mirror_pairs
+
+    opt = hosts_mirror_pairs(spark, SF) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    cap = re.search(r"n#\d+L? <= 10", opt)
+    assert cap and opt.index("Join") < cap.start()
+    plan = fmt(hosts_mirror_pairs(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
 def test_containment_shingle_join_is_capped(spark):
     """The shared-shingle candidate join must drop boilerplate
     shingles BEFORE the self-join (window-count cap below the Join in
