@@ -122,7 +122,14 @@ def pages_wat_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     WET conversion records (pages_wet_export). Zero shuffle; the JSON
     is a deterministic string build (manual concat, not to_json) so
     byte equality holds cross-engine."""
-    pages = pages_from_documents(spark, sf_dir)
+    return wat_columns(pages_from_documents(spark, sf_dir))
+
+
+def wat_columns(pages: DataFrame) -> DataFrame:
+    """The WAT record build as a narrow column map over a pages frame
+    (url, html) — shared verbatim by the batch export and the
+    streaming sink (streaming/ingest.py::stream_wat_export) so batch
+    and incremental WAT records are byte-identical by construction."""
     html = _html_str()
     title = F.regexp_extract(html, TITLE_PAT, 1)
     canon = F.regexp_extract(html, CANONICAL_PAT, 1)

@@ -563,6 +563,28 @@ def stream_cdx_index(spark: SparkSession, input_dir: str,
             .start())
 
 
+def stream_wat_export(spark: SparkSession, input_dir: str,
+                      output_dir: str, checkpoint_dir: str) -> Any:
+    """Streaming WAT metadata export — completes the incremental CC
+    artifact trio (WET: stream_wet_export, CDX: stream_cdx_index):
+    pages stream in and each leaves as one WAT JSON line in a text
+    sink, built by the SAME column map as the batch query
+    (plans/indexing.py::wat_columns) so streaming and batch records
+    are byte-identical for the same page. Zero per-batch shuffle —
+    the record is a narrow JVM map — and the native file sink's
+    manifest gives exactly-once output."""
+    from ocr_spark.plans.indexing import wat_columns
+
+    pages = read_pages_stream(spark, input_dir)
+    return (wat_columns(pages).select(F.col("wat_record").alias("value"))
+            .writeStream.format("text")
+            .option("path", output_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start())
+
+
 def compact_near_dup_store(spark: SparkSession, sigstore_dir: str,
                            keep_last: int = 0) -> dict:
     """Collapse the signature store's per-batch partitions into one

@@ -474,6 +474,38 @@ def test_near_dup_sink_periodic_compaction(spark, tmp_path):
         == {"doc://3", "doc://5", "doc://17", "doc://23"}
 
 
+def test_stream_wat_export_matches_batch(spark, tmp_path):
+    """Streaming WAT records are byte-identical to the batch query's
+    for the same pages (shared wat_columns builder)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from ocr_spark.gen.wrap import html_for_document
+    from ocr_spark.plans.indexing import pages_wat_export
+    from ocr_spark.streaming.ingest import stream_wat_export
+
+    d = {k: str(tmp_path / k) for k in ("in", "out", "ckpt")}
+    os.makedirs(d["in"], exist_ok=True)
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet") \
+        .filter(F.col("doc_id").isin(2, 7, 11)).collect()
+    rows = [{"url": f"doc://{r.doc_id}",
+             "warc_ts": datetime.datetime(2025, 1, 1),
+             "html": html_for_document(r.doc_id, r.text),
+             "text": r.text, "lang": "en"} for r in docs]
+    _write_pages_batch(spark, rows, d["in"])
+    q = stream_wat_export(spark, d["in"], d["out"], d["ckpt"])
+    q.awaitTermination()
+
+    got = sorted(r.value for r in spark.read.text(d["out"]).collect())
+    exp = sorted(r.wat_record for r in
+                 pages_wat_export(spark, "/root/testdata/sf0.001")
+                 .filter(F.col("url").isin("doc://2", "doc://7",
+                                           "doc://11")).collect())
+    assert got == exp and len(got) == 3
+
+
 def test_stream_cdx_index_matches_batch_rows(spark, tmp_path):
     """Streaming CDX index runs are row-identical to the batch index
     for the same pages (shared cdx_columns builder), land under
