@@ -58,7 +58,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "docs_hll_snapshot_merge",
     "docs_inverted_index", "emb_outlier_scan", "docs_char_entropy",
     "emb_bitext_mine", "hosts_stats_kanon", "docs_containment_pairs",
-    "hosts_crawl_budget", "hosts_mirror_pairs",
+    "hosts_crawl_budget", "hosts_mirror_pairs", "docs_winnowing",
     "docs_dsir_weights", "pages_host_boilerplate",
     "docs_near_dup_vs_snapshot", "emb_ivfpq_topk",
     "docs_bpe_train_merges", "docs_near_dup_quality_keepers",

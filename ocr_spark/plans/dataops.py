@@ -1693,6 +1693,78 @@ FROM per_doc GROUP BY term
 
 
 # --------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer et al. 2003 / MOSS)
+# --------------------------------------------------------------------------
+
+WINNOW_W = 4         # window over consecutive k-gram hashes
+WINNOW_HEAD = 5      # fingerprints published inline per doc
+
+
+def docs_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm): hash every word {SHINGLE_W}-gram, then
+    keep the MINIMUM hash of each window of {WINNOW_W} consecutive
+    k-gram hashes. The selection guarantee — any shared run of at
+    least {WINNOW_W + SHINGLE_W - 1} words produces a shared
+    fingerprint — is what distinguishes winnowing from random
+    sampling (docs_fingerprint's rolling hash samples with no match
+    guarantee), at an expected density of 2/(w+1).
+
+    Hashes stay HEX STRINGS end to end (lexicographic min) — no
+    base-16 integer conversion, the same portability rule as the
+    sketch family. Per doc: k-gram count, selected-fingerprint count,
+    observed density (expectation ≈ {2 / (WINNOW_W + 1):.2f}), and
+    the first {WINNOW_HEAD} fingerprints in sort order.
+
+    Scale shape: entirely narrow — per-row array ops, zero shuffle
+    (plan-gated); the fingerprint-index join this feeds is the
+    containment/substring families' capped-bucket shape."""
+    toks = _tokens()
+    hashes = F.transform(_shingles(toks), lambda s: F.md5(s))
+    n = F.size(hashes)
+    mins = F.when(
+        n >= WINNOW_W,
+        F.transform(F.sequence(F.lit(1), n - WINNOW_W + 1),
+                    lambda i: F.array_min(F.slice(hashes, i, WINNOW_W)))
+    ).otherwise(F.array().cast("array<string>"))
+    sel = F.array_sort(F.array_distinct(mins))
+    return (t(spark, sf_dir, "documents")
+            .select("doc_id",
+                    n.cast("long").alias("n_kgrams"),
+                    F.size(sel).cast("long").alias("n_selected"),
+                    F.when(n >= WINNOW_W,
+                           F.round(F.size(sel) / n, 4)).alias("density"),
+                    F.concat_ws(",", F.slice(sel, 1, WINNOW_HEAD))
+                    .alias("fp_head")))
+
+
+_WINNOWING_SQL = f"""
+WITH g AS (
+  SELECT doc_id,
+         list_transform({_SQL_SHINGLES}, s -> md5(s)) AS h
+  FROM documents
+), sel AS (
+  SELECT doc_id, len(h) AS n_kgrams,
+         CASE WHEN len(h) >= {WINNOW_W}
+              THEN list_sort(list_distinct(list_transform(
+                     range(1, len(h) - {WINNOW_W} + 2),
+                     i -> list_min(list_slice(h, i,
+                                              i + {WINNOW_W} - 1)))))
+              ELSE [] END AS fps
+  FROM g
+)
+SELECT doc_id, CAST(n_kgrams AS BIGINT) AS n_kgrams,
+       CAST(len(fps) AS BIGINT) AS n_selected,
+       CASE WHEN n_kgrams >= {WINNOW_W}
+            THEN ROUND(len(fps) / CAST(n_kgrams AS DOUBLE), 4)
+            END AS density,
+       array_to_string(list_slice(fps, 1, {WINNOW_HEAD}), ',')
+         AS fp_head
+FROM sel
+"""
+
+
+# --------------------------------------------------------------------------
 # shingle containment (quote / partial-inclusion detection)
 # --------------------------------------------------------------------------
 
@@ -2117,6 +2189,7 @@ SPARK_QUERIES = {
     "docs_inverted_index": docs_inverted_index,
     "docs_char_entropy": docs_char_entropy,
     "docs_containment_pairs": docs_containment_pairs,
+    "docs_winnowing": docs_winnowing,
 }
 
 ORACLE_SQL = {
@@ -2146,4 +2219,5 @@ ORACLE_SQL = {
     "docs_inverted_index": _INVERTED_INDEX_SQL,
     "docs_char_entropy": _CHAR_ENTROPY_SQL,
     "docs_containment_pairs": _CONTAINMENT_SQL,
+    "docs_winnowing": _WINNOWING_SQL,
 }

@@ -808,6 +808,40 @@ def test_outlier_scan_broadcast_stats(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_winnowing_zero_shuffle(spark):
+    """Winnowing is a pure per-row array computation — no exchange."""
+    from ocr_spark.plans.dataops import docs_winnowing
+
+    plan = fmt(docs_winnowing(spark, SF))
+    assert n_shuffles(plan) == 0
+
+
+def test_winnowing_match_guarantee(spark):
+    """The selection guarantee: two docs sharing a run of at least
+    w + k − 1 words share at least one selected fingerprint."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.plans.dataops import (
+        SHINGLE_W, WINNOW_W, _shingles, _tokens,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 ≥ 4+3−1
+    rows = [(1, "x1 y1 " + shared + " tail one extra words here"),
+            (2, "completely different head " + shared + " z9 q8")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    hashes = F.transform(_shingles(_tokens()), lambda s: F.md5(s))
+    n = F.size(hashes)
+    mins = F.when(
+        n >= WINNOW_W,
+        F.transform(F.sequence(F.lit(1), n - WINNOW_W + 1),
+                    lambda i: F.array_min(F.slice(hashes, i, WINNOW_W)))
+    ).otherwise(F.array().cast("array<string>"))
+    got = {r.doc_id: set(r.fps) for r in
+           df.select("doc_id", F.array_distinct(mins).alias("fps"))
+           .collect()}
+    assert got[1] & got[2], "shared ≥ w+k−1 run must share a fingerprint"
+
+
 def test_mirror_pairs_digest_join_is_capped(spark):
     """The digest pair join must drop boilerplate digests BEFORE the
     self-join, and host sizes must come back via broadcast."""
