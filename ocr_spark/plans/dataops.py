@@ -963,9 +963,20 @@ def docs_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``keep``. Everything is a narrow JVM-expression map (zero shuffle,
     scales linearly with splits); the decision column is what a
     training-data pipeline's filter stage materializes."""
-    docs = t(spark, sf_dir, "documents")
-    toks = _tokens()
-    base = (docs.select("doc_id", toks.alias("toks"))
+    return gopher_gate_frame(t(spark, sf_dir, "documents"), "doc_id")
+
+
+def gopher_gate_frame(df: DataFrame, key: str, text_col: str = "text",
+                      carry: tuple = ()) -> DataFrame:
+    """The Gopher gate as a frame kernel keyed on ``key`` — shared by
+    the batch query (doc_id over documents) and the streaming quality
+    gate (url over extracted pages, streaming/ingest.py::
+    stream_quality_gate), so incremental and batch verdicts are
+    identical by construction. ``carry`` columns pass through
+    untouched (the streaming form carries the detected language —
+    joining it back would be a stream-stream join)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = (df.select(key, *carry, toks.alias("toks"))
             .withColumn("n_words",
                         F.when((F.size("toks") == 1)
                                & (F.col("toks")[0] == ""), F.lit(0))
@@ -983,7 +994,7 @@ def docs_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_distinct("toks"),
         F.array(*[F.lit(w) for w in _GF_STOPWORDS])))
     feat = base.select(
-        "doc_id", "n_words", mean_wlen.alias("mean_word_len"),
+        key, *carry, "n_words", mean_wlen.alias("mean_word_len"),
         alpha_frac.alias("alpha_frac"),
         stop_hits.alias("distinct_stop_hits"))
     keep = ((F.col("n_words") >= _GF_MIN_WORDS)

@@ -585,6 +585,43 @@ def stream_wat_export(spark: SparkSession, input_dir: str,
             .start())
 
 
+def stream_quality_gate(spark: SparkSession, input_dir: str,
+                        output_dir: str, checkpoint_dir: str) -> Any:
+    """Incremental filter stage: pages stream in, extraction runs per
+    micro-batch, and each extracted page gets the Gopher quality
+    verdict + detected language through the SAME frame kernels as the
+    batch queries (dataops.gopher_gate_frame / langid_hit_cols), so a
+    page admitted by the streaming gate is exactly the page the batch
+    pipeline would keep. Output is all pages WITH their feature
+    columns and verdict (the audit row), not just the survivors — the
+    downstream sink filters on ``keep``. Everything past extraction
+    is a narrow JVM map; the parquet sink is natively exactly-once."""
+    from ocr_spark.operators.extraction import (
+        EXTRACT_RESULT_SCHEMA, _extract_batches_fn,
+    )
+    from ocr_spark.plans.dataops import (
+        gopher_gate_frame, langid_hit_cols, langid_pred_col,
+    )
+
+    pages = read_pages_stream(spark, input_dir)
+    extracted = pages.select("url", "html").withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(64)).cast("int")
+    ).mapInPandas(_extract_batches_fn("full"), schema=EXTRACT_RESULT_SCHEMA)
+    ok = extracted.filter(F.col("error").isNull()
+                          & F.col("text").isNotNull())
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    with_lang = (ok.select("url", "text", *langid_hit_cols(toks))
+                 .withColumn("lang", langid_pred_col())
+                 .select("url", "text", "lang"))
+    out = gopher_gate_frame(with_lang, "url", carry=("lang",))
+    return (out.writeStream.format("parquet")
+            .option("path", output_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start())
+
+
 def compact_near_dup_store(spark: SparkSession, sigstore_dir: str,
                            keep_last: int = 0) -> dict:
     """Collapse the signature store's per-batch partitions into one

@@ -506,6 +506,49 @@ def test_stream_wat_export_matches_batch(spark, tmp_path):
     assert got == exp and len(got) == 3
 
 
+def test_stream_quality_gate_matches_batch_kernel(spark, tmp_path):
+    """The streaming filter stage's verdicts equal the batch Gopher
+    kernel applied to the same extracted text (shared frame kernel),
+    with the detected language carried through."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from ocr_spark.gen.wrap import html_for_document
+    from ocr_spark.plans.dataops import gopher_gate_frame
+    from ocr_spark.streaming.ingest import stream_quality_gate
+
+    d = {k: str(tmp_path / k) for k in ("in", "out", "ckpt")}
+    os.makedirs(d["in"], exist_ok=True)
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet") \
+        .filter(F.col("doc_id").isin(2, 7, 11, 23)).collect()
+    rows = [{"url": f"doc://{r.doc_id}",
+             "warc_ts": datetime.datetime(2025, 1, 1),
+             "html": html_for_document(r.doc_id, r.text),
+             "text": "", "lang": "en"} for r in docs]
+    _write_pages_batch(spark, rows, d["in"])
+    q = stream_quality_gate(spark, d["in"], d["out"], d["ckpt"])
+    q.awaitTermination()
+
+    got = {r.url: (r.n_words, r.mean_word_len, r.alpha_frac,
+                   r.distinct_stop_hits, r.keep, r.lang)
+           for r in spark.read.parquet(d["out"]).collect()}
+    assert len(got) == 4 and any(v[4] for v in got.values())
+
+    # batch kernel over the same extracted text must agree exactly
+    from ocr_spark.operators.extraction import run_extraction
+
+    pages = spark.createDataFrame(rows).select(
+        "url", "warc_ts", "html", "text", "lang")
+    extracted = run_extraction(pages, partitions=4, big_partitions=1) \
+        .filter(F.col("error").isNull())
+    batch = {r.url: (r.n_words, r.mean_word_len, r.alpha_frac,
+                     r.distinct_stop_hits, r.keep)
+             for r in gopher_gate_frame(extracted, "url").collect()}
+    assert {u: v[:5] for u, v in got.items()} == batch
+
+
 def test_stream_cdx_index_matches_batch_rows(spark, tmp_path):
     """Streaming CDX index runs are row-identical to the batch index
     for the same pages (shared cdx_columns builder), land under
