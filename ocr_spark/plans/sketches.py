@@ -256,6 +256,99 @@ FROM fin
 """
 
 
+def _cms_rows() -> Column:
+    """The CMS_DEPTH (row, bucket) pairs for the current ``tok``."""
+    return F.array(*[
+        F.struct(F.lit(r).alias("r"),
+                 F.substring(F.md5(F.concat(F.lit(f"{r}:"), F.col("tok"))),
+                             1, 2).alias("b"))
+        for r in range(CMS_DEPTH)])
+
+
+def _cms_frame(occ: DataFrame) -> DataFrame:
+    """(r, b, counter): the depth×256 count-min counter table for a
+    token stream — the mergeable artifact (combine = elementwise ADD)."""
+    return (occ.select(F.explode(_cms_rows()).alias("rb"))
+            .groupBy(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+            .agg(F.count(F.lit(1)).cast("long").alias("counter")))
+
+
+def docs_cms_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental heavy-hitter maintenance with the CMS counter table
+    as the persisted artifact: the PRIOR snapshot's counters combine
+    with the new DELTA's counters by elementwise ADD, and the result
+    must equal the counters computed from scratch over the union — per
+    (row, bucket) cell, exactly, because CMS counters are linear in
+    the input (unlike the HLL max-merge, the add-merge has no
+    information loss at all). This is the delta job that lets a
+    10^12-doc pipeline republish token heavy-hitter reports every
+    crawl without rescanning history: each snapshot contributes a
+    ≤{CMS_DEPTH}·256-row counter frame, merge is a tiny keyed join,
+    and any token's estimate from the merged table is min over its
+    {CMS_DEPTH} merged cells.
+
+    Fixture mirrors docs_hll_snapshot_merge: prior = docs with
+    ``doc_id % 3 != 0``, delta = the ``% 3 == 0`` recrawl — union is
+    the whole corpus, so ``c_full`` is computable in the same query
+    and ``merge_exact`` pins add-merge == recompute for every cell.
+
+    Scale shape: three bounded counter aggregates (each ≤1024 rows out
+    of a narrow bounded explode) + joins ON the (r, b) key — at
+    production scale prior/delta frames are READ, not recomputed, and
+    the merge is a ≤1024-row join."""
+    docs = _docs(spark, sf_dir)
+    occ = docs.select(_tok_col())
+    prior = _cms_frame(docs.filter(F.col("doc_id") % 3 != 0)
+                       .select(_tok_col()))
+    delta = _cms_frame(docs.filter(F.col("doc_id") % 3 == 0)
+                       .select(_tok_col()))
+    full = _cms_frame(occ)
+    merged = (prior.withColumnRenamed("counter", "cp")
+              .join(delta.withColumnRenamed("counter", "cd"),
+                    ["r", "b"], "full")
+              .select("r", "b",
+                      F.coalesce("cp", F.lit(0)).cast("long")
+                      .alias("c_prior"),
+                      F.coalesce("cd", F.lit(0)).cast("long")
+                      .alias("c_delta"))
+              .withColumn("c_merged", F.col("c_prior") + F.col("c_delta")))
+    return (merged.join(full.withColumnRenamed("counter", "c_full"),
+                        ["r", "b"])
+            .select("r", "b", "c_prior", "c_delta", "c_merged",
+                    F.col("c_full").cast("long").alias("c_full"),
+                    (F.col("c_merged") == F.col("c_full"))
+                    .alias("merge_exact")))
+
+
+def _sql_cms(src: str) -> str:
+    """The (r, b, counter) CTE body over token CTE ``src``."""
+    return (f"SELECT r, substr(md5(CAST(r AS VARCHAR) || ':' || tok), 1, 2)"
+            f" AS b, CAST(COUNT(*) AS BIGINT) AS counter "
+            f"FROM {src} CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) g "
+            f"GROUP BY 1, 2")
+
+
+DOCS_CMS_SNAPSHOT_MERGE_SQL = f"""
+WITH tp AS ({_sql_toks(' WHERE doc_id % 3 <> 0')}),
+td AS ({_sql_toks(' WHERE doc_id % 3 = 0')}),
+tf AS ({_sql_toks('')}),
+sp AS ({_sql_cms('tp')}),
+sd AS ({_sql_cms('td')}),
+sf AS ({_sql_cms('tf')}),
+mg AS (
+  SELECT coalesce(sp.r, sd.r) AS r, coalesce(sp.b, sd.b) AS b,
+         CAST(coalesce(sp.counter, 0) AS BIGINT) AS c_prior,
+         CAST(coalesce(sd.counter, 0) AS BIGINT) AS c_delta
+  FROM sp FULL OUTER JOIN sd ON sp.r = sd.r AND sp.b = sd.b
+)
+SELECT mg.r, mg.b, c_prior, c_delta,
+       c_prior + c_delta AS c_merged,
+       CAST(sf.counter AS BIGINT) AS c_full,
+       c_prior + c_delta = CAST(sf.counter AS BIGINT) AS merge_exact
+FROM mg JOIN sf ON sf.r = mg.r AND sf.b = mg.b
+"""
+
+
 def docs_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch (Cormode & Muthukrishnan 2005) over the token
     stream, verified on the exact top-{CMS_TOPK} heavy hitters: depth
@@ -274,14 +367,8 @@ def docs_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered top-{CMS_TOPK}, then the 1024-row sketch broadcasts to
     the candidate join."""
     occ = _docs(spark, sf_dir).select(_tok_col())
-    rows = F.array(*[
-        F.struct(F.lit(r).alias("r"),
-                 F.substring(F.md5(F.concat(F.lit(f"{r}:"), F.col("tok"))),
-                             1, 2).alias("b"))
-        for r in range(CMS_DEPTH)])
-    sketch = (occ.select(F.explode(rows).alias("rb"))
-              .groupBy(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
-              .agg(F.count(F.lit(1)).cast("long").alias("counter")))
+    rows = _cms_rows()
+    sketch = _cms_frame(occ)
     top = (occ.groupBy("tok")
            .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
            .orderBy(F.desc("exact_count"), F.asc("tok"))
@@ -331,10 +418,12 @@ SPARK_QUERIES = {
     "docs_hll_sketch": docs_hll_sketch,
     "docs_cms_heavy_hitters": docs_cms_heavy_hitters,
     "docs_hll_snapshot_merge": docs_hll_snapshot_merge,
+    "docs_cms_snapshot_merge": docs_cms_snapshot_merge,
 }
 
 ORACLE_SQL = {
     "docs_hll_sketch": DOCS_HLL_SKETCH_SQL,
     "docs_cms_heavy_hitters": DOCS_CMS_HEAVY_HITTERS_SQL,
     "docs_hll_snapshot_merge": DOCS_HLL_SNAPSHOT_MERGE_SQL,
+    "docs_cms_snapshot_merge": DOCS_CMS_SNAPSHOT_MERGE_SQL,
 }

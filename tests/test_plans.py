@@ -892,6 +892,19 @@ def test_hll_snapshot_merge_register_keyed(spark):
     assert "SinglePartition" not in plan
 
 
+def test_cms_snapshot_merge_cell_keyed(spark):
+    """All three counter rollups key on the (r, b) cell and the
+    combine joins stay on that key — nothing collapses to a single
+    partition (each frame is ≤ depth·256 rows by construction)."""
+    from ocr_spark.plans.sketches import docs_cms_snapshot_merge
+
+    plan = fmt(docs_cms_snapshot_merge(spark, SF))
+    # the (rb.r, rb.b) struct-field keys surface as _groupingexpression
+    # pairs in the exchange — one two-key exchange per counter frame
+    assert plan.count("hashpartitioning(_groupingexpression") >= 3
+    assert "SinglePartition" not in plan
+
+
 def test_cms_heavy_hitters_broadcast_sketch_and_topk(spark):
     """The 1024-counter sketch broadcasts to the candidate join, and
     the exact top-k verification side uses TakeOrdered, never a
