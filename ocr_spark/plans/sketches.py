@@ -414,11 +414,117 @@ FROM est
 """
 
 
+QSK_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def docs_length_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch over document character lengths: a
+    log2-binned histogram (bin b covers [2^b, 2^(b+1)), ≤64 bins for
+    any 64-bit length) with within-bin linear interpolation, verified
+    against the EXACT type-7 interpolated percentile computed in the
+    same query. The third mergeable-sketch shape next to HLL (max) and
+    CMS (add): histogram counters are linear, so two snapshots' frames
+    combine by elementwise add (the property docs_cms_snapshot_merge
+    pins for the identical counter algebra) — at 10^12 docs the length
+    datasheet is republished per crawl from ≤64-row frames, never from
+    a global sort.
+
+    Bin index uses the binary-representation length (length(bin(len))
+    − 1), NOT floor(log2(len)) — float log at exact powers of two can
+    land on either side of the integer in a given engine, and the two
+    engines must agree bit-for-bit.
+
+    Scale shape: one bounded groupBy (≤64 keys, partial map-side agg —
+    each executor emits ≤64 rows no matter the input) + two ≤64-row
+    single-partition windows for the cumulative fold. The exact-
+    percentile side is the fixture-scale verification harness — at
+    production scale it is exactly what the sketch replaces."""
+    lens = (_docs(spark, sf_dir)
+            .select(F.length("text").cast("long").alias("len")))
+    b = (F.length(F.bin(F.greatest(F.col("len"), F.lit(1)))) - 1) \
+        .alias("b")
+    hist = lens.groupBy(b).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    from pyspark.sql import Window
+    cum = (hist
+           .withColumn("cum", F.sum("cnt").over(
+               Window.orderBy("b")
+               .rowsBetween(Window.unboundedPreceding, 0)))
+           .withColumn("n", F.sum("cnt").over(
+               Window.partitionBy())))
+    qs = F.posexplode(F.array(*[F.lit(float(q)) for q in QSK_QS])) \
+        .alias("qi", "q")
+    pos = F.col("q") * (F.col("n") - 1).cast("double")
+    lo = F.round(F.pow(F.lit(2.0), F.col("b"))).cast("long")
+    hi = F.round(F.pow(F.lit(2.0), F.col("b") + 1)).cast("long")
+    picked = (cum.select("b", "cnt", "cum", "n", qs)
+              .withColumn("cum_before", F.col("cum") - F.col("cnt"))
+              .filter((F.col("cum_before") <= pos) & (pos < F.col("cum"))))
+    exact = lens.agg(
+        F.percentile("len", F.lit(list(QSK_QS))).alias("exa"))
+    est = (lo.cast("double")
+           + (hi - lo).cast("double")
+           * (pos - F.col("cum_before")) / F.col("cnt"))
+    ex = F.element_at("exa", F.col("qi") + 1)
+    return (picked.join(F.broadcast(exact))
+            .select(F.col("q"),
+                    F.col("n").alias("n_docs"),
+                    lo.alias("bin_lo"), hi.alias("bin_hi"),
+                    F.round(est, 4).alias("sketch_est"),
+                    F.round(ex, 4).alias("exact_len"),
+                    F.round(F.abs(est - ex)
+                            / F.greatest(ex, F.lit(1.0)), 6)
+                    .alias("rel_error")))
+
+
+DOCS_LENGTH_QUANTILE_SKETCH_SQL = f"""
+WITH lens AS (
+  SELECT CAST(length(text) AS BIGINT) AS len FROM documents
+), hist AS (
+  SELECT length(bin(greatest(len, 1))) - 1 AS b,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lens GROUP BY 1
+), cum AS (
+  SELECT b, cnt, SUM(cnt) OVER (ORDER BY b) AS cum,
+         SUM(cnt) OVER () AS n
+  FROM hist
+), qs AS (
+  SELECT * FROM (VALUES {', '.join(
+      f'({i}, CAST({q!r} AS DOUBLE))' for i, q in enumerate(QSK_QS))})
+    AS t(qi, q)
+), ex AS (
+  SELECT quantile_cont(len, [{', '.join(repr(q) for q in QSK_QS)}]) AS exa
+  FROM lens
+), picked AS (
+  SELECT q, qi, CAST(n AS BIGINT) AS n, b, cnt, cum - cnt AS cum_before,
+         q * CAST(n - 1 AS DOUBLE) AS pos
+  FROM cum CROSS JOIN qs
+  WHERE cum - cnt <= q * CAST(n - 1 AS DOUBLE)
+    AND q * CAST(n - 1 AS DOUBLE) < cum
+), calc AS (
+  SELECT q, qi, n,
+         CAST(round(pow(2.0, b)) AS BIGINT) AS bin_lo,
+         CAST(round(pow(2.0, b + 1)) AS BIGINT) AS bin_hi,
+         CAST(round(pow(2.0, b)) AS BIGINT)
+           + (CAST(round(pow(2.0, b + 1)) AS BIGINT)
+              - CAST(round(pow(2.0, b)) AS BIGINT))
+             * (pos - cum_before) / cnt AS est
+  FROM picked
+)
+SELECT q, n AS n_docs, bin_lo, bin_hi,
+       round(est, 4) AS sketch_est,
+       round(exa[qi + 1], 4) AS exact_len,
+       round(abs(est - exa[qi + 1]) / greatest(exa[qi + 1], 1.0), 6)
+         AS rel_error
+FROM calc CROSS JOIN ex
+"""
+
+
 SPARK_QUERIES = {
     "docs_hll_sketch": docs_hll_sketch,
     "docs_cms_heavy_hitters": docs_cms_heavy_hitters,
     "docs_hll_snapshot_merge": docs_hll_snapshot_merge,
     "docs_cms_snapshot_merge": docs_cms_snapshot_merge,
+    "docs_length_quantile_sketch": docs_length_quantile_sketch,
 }
 
 ORACLE_SQL = {
@@ -426,4 +532,5 @@ ORACLE_SQL = {
     "docs_cms_heavy_hitters": DOCS_CMS_HEAVY_HITTERS_SQL,
     "docs_hll_snapshot_merge": DOCS_HLL_SNAPSHOT_MERGE_SQL,
     "docs_cms_snapshot_merge": DOCS_CMS_SNAPSHOT_MERGE_SQL,
+    "docs_length_quantile_sketch": DOCS_LENGTH_QUANTILE_SKETCH_SQL,
 }

@@ -905,6 +905,22 @@ def test_cms_snapshot_merge_cell_keyed(spark):
     assert "SinglePartition" not in plan
 
 
+def test_length_quantile_sketch_bounded_histogram(spark):
+    """The histogram keys on the ≤64-value log2 bin (partial map-side
+    agg — every executor emits ≤64 rows), the cumulative fold's
+    single-partition windows only ever see that ≤64-row frame, and the
+    1-row exact-percentile verification side joins back by broadcast,
+    never a shuffle."""
+    from ocr_spark.plans.sketches import docs_length_quantile_sketch
+
+    plan = fmt(docs_length_quantile_sketch(spark, SF))
+    # the log2-bin expression surfaces as _groupingexpression in the
+    # histogram exchange — the one data-volume shuffle in the plan
+    assert "hashpartitioning(_groupingexpression" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_cms_heavy_hitters_broadcast_sketch_and_topk(spark):
     """The 1024-counter sketch broadcasts to the candidate join, and
     the exact top-k verification side uses TakeOrdered, never a
