@@ -414,6 +414,95 @@ FROM est
 """
 
 
+KMV_K = 64
+
+
+def _kmv_frame(occ: DataFrame, k: int) -> DataFrame:
+    """(h): the k smallest md5 hashes over distinct tokens — the KMV
+    sketch frame (combine = bottom-k of the union of frames)."""
+    return (occ.select(F.md5("tok").alias("h")).distinct()
+            .orderBy("h").limit(k))
+
+
+def docs_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values, Bar-Yossef et al. 2002) distinct-count
+    sketch over the corpus vocabulary: keep the {KMV_K} smallest md5
+    hashes of distinct tokens; with the k-th smallest hash mapped to a
+    fraction u of the hash space, distinct ≈ (k−1)/u. Completes the
+    mergeable quartet next to HLL (register max), CMS (counter add)
+    and the length histogram: two snapshots' KMV frames combine by
+    bottom-k of their union — pinned here exactly (``merge_exact``:
+    the prior ∪ delta bottom-{KMV_K} equals the from-scratch frame,
+    checked by intersection count). Unlike HLL the frame doubles as a
+    uniform SAMPLE of distinct tokens, which is why pipelines carry
+    both.
+
+    The hash→fraction map uses the first 13 hex chars via base
+    conversion (52 bits — exact in a double on both engines); the
+    estimate is oracle-pinned, not just banded, because md5 and the
+    conversion are deterministic. Fixture note: requires ≥{KMV_K}
+    distinct tokens (the corpus vocabulary is thousands).
+
+    Scale shape: sort+limit compiles to TakeOrdered — per-partition
+    partial bottom-k, then a k-row fold on the driver side of the
+    exchange; every executor emits ≤{KMV_K} rows regardless of input.
+    The exact countDistinct is the fixture-scale verification side —
+    at 10^12 docs it is what the sketch replaces."""
+    docs = _docs(spark, sf_dir)
+    occ = docs.select(_tok_col())
+    full = _kmv_frame(occ, KMV_K)
+    prior = _kmv_frame(
+        docs.filter(F.col("doc_id") % 3 != 0).select(_tok_col()), KMV_K)
+    delta = _kmv_frame(
+        docs.filter(F.col("doc_id") % 3 == 0).select(_tok_col()), KMV_K)
+    merged = prior.union(delta).distinct().orderBy("h").limit(KMV_K)
+    pin = (merged.join(full, "h")
+           .agg(F.count(F.lit(1)).alias("n_inter")))
+    one = full.agg(F.max("h").alias("kth"))
+    ex = occ.agg(F.countDistinct("tok").cast("long")
+                 .alias("exact_distinct"))
+    u = (F.conv(F.substring("kth", 1, 13), 16, 10).cast("double")
+         / F.lit(float(16 ** 13)))
+    est = F.lit(float(KMV_K - 1)) / u
+    return (one.join(F.broadcast(ex)).join(F.broadcast(pin))
+            .select(F.lit(KMV_K).alias("k"),
+                    F.col("kth").alias("kth_hash"),
+                    F.round(est, 4).alias("est_distinct"),
+                    "exact_distinct",
+                    F.round(F.abs(est - F.col("exact_distinct"))
+                            / F.col("exact_distinct"), 6)
+                    .alias("rel_error"),
+                    (F.col("n_inter") == KMV_K).alias("merge_exact")))
+
+
+DOCS_KMV_DISTINCT_SQL = f"""
+WITH tf AS ({_sql_toks('')}),
+tp AS ({_sql_toks(' WHERE doc_id % 3 <> 0')}),
+td AS ({_sql_toks(' WHERE doc_id % 3 = 0')}),
+fk AS (SELECT DISTINCT md5(tok) AS h FROM tf ORDER BY h LIMIT {KMV_K}),
+pk AS (SELECT DISTINCT md5(tok) AS h FROM tp ORDER BY h LIMIT {KMV_K}),
+dk AS (SELECT DISTINCT md5(tok) AS h FROM td ORDER BY h LIMIT {KMV_K}),
+mk AS (SELECT h FROM (SELECT h FROM pk UNION SELECT h FROM dk)
+       ORDER BY h LIMIT {KMV_K}),
+pin AS (SELECT COUNT(*) AS n_inter FROM mk JOIN fk USING (h)),
+one AS (SELECT MAX(h) AS kth FROM fk),
+ex AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS exact_distinct
+       FROM tf),
+calc AS (
+  SELECT kth, exact_distinct, n_inter,
+         CAST({KMV_K - 1} AS DOUBLE)
+           / (CAST(('0x' || substr(kth, 1, 13)) AS BIGINT)
+              / CAST({float(16 ** 13)!r} AS DOUBLE)) AS est
+  FROM one CROSS JOIN ex CROSS JOIN pin
+)
+SELECT {KMV_K} AS k, kth AS kth_hash,
+       round(est, 4) AS est_distinct, exact_distinct,
+       round(abs(est - exact_distinct) / exact_distinct, 6) AS rel_error,
+       n_inter = {KMV_K} AS merge_exact
+FROM calc
+"""
+
+
 QSK_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
 
 
@@ -525,6 +614,7 @@ SPARK_QUERIES = {
     "docs_hll_snapshot_merge": docs_hll_snapshot_merge,
     "docs_cms_snapshot_merge": docs_cms_snapshot_merge,
     "docs_length_quantile_sketch": docs_length_quantile_sketch,
+    "docs_kmv_distinct": docs_kmv_distinct,
 }
 
 ORACLE_SQL = {
@@ -533,4 +623,5 @@ ORACLE_SQL = {
     "docs_hll_snapshot_merge": DOCS_HLL_SNAPSHOT_MERGE_SQL,
     "docs_cms_snapshot_merge": DOCS_CMS_SNAPSHOT_MERGE_SQL,
     "docs_length_quantile_sketch": DOCS_LENGTH_QUANTILE_SKETCH_SQL,
+    "docs_kmv_distinct": DOCS_KMV_DISTINCT_SQL,
 }

@@ -921,6 +921,17 @@ def test_length_quantile_sketch_bounded_histogram(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_kmv_distinct_partial_bottomk(spark):
+    """Every KMV frame compiles to TakeOrdered (per-partition partial
+    bottom-k — each executor emits ≤k rows), and the 1-row combine
+    joins are broadcast, never a shuffle join."""
+    from ocr_spark.plans.sketches import docs_kmv_distinct
+
+    plan = fmt(docs_kmv_distinct(spark, SF))
+    assert plan.count("TakeOrderedAndProject") >= 4
+    assert "SortMergeJoin" not in plan
+
+
 def test_cms_heavy_hitters_broadcast_sketch_and_topk(spark):
     """The 1024-counter sketch broadcasts to the candidate join, and
     the exact top-k verification side uses TakeOrdered, never a
