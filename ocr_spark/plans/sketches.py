@@ -1,6 +1,10 @@
-"""Mergeable-sketch family: deterministic HyperLogLog registers and a
-count-min sketch, built IN-PLAN from md5 so Spark and the DuckDB oracle
-compute bit-identical sketches.
+"""Mergeable-sketch family: deterministic HyperLogLog registers, a
+count-min sketch, a log2-binned quantile histogram, and a KMV bottom-k
+distinct sampler, built IN-PLAN from md5 so Spark and the DuckDB oracle
+compute bit-identical sketches. Each sketch's combine is pinned
+cell-exact by a snapshot-merge query or shares a pinned algebra
+(HLL register max / CMS counter add / histogram counter add / KMV
+bottom-k of union).
 
 Why this family exists: at 10^12 documents the statistics a corpus
 pipeline republishes every snapshot (vocabulary size, per-shard distinct
