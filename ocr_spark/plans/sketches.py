@@ -507,6 +507,59 @@ FROM calc
 """
 
 
+WRS_K = 50
+
+
+def docs_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sampling (Efraimidis & Spirakis 2006, A-Res):
+    each document draws u ∈ (0,1) from md5 of its doc id and is ranked by key
+    = u^(1/w) with w = its token count; the top-{WRS_K} keys are a
+    without-replacement sample where inclusion probability tracks
+    weight — the deterministic way to draw a token-mass-weighted
+    corpus subsample (eval slices, human-audit panels, distillation
+    seeds) without a global shuffle. Deterministic u (hash, not rng)
+    makes the sample reproducible across runs AND oracle-pinnable.
+
+    Mergeable like KMV: the reservoir of a union is the top-k-by-key
+    of the per-snapshot reservoirs, so per-crawl {WRS_K}-row frames
+    combine without revisiting history (same algebra docs_kmv_distinct
+    pins via its intersection check).
+
+    Scale shape: one narrow map (token count + hash key per doc) into
+    TakeOrdered — per-partition partial top-k, each executor emits
+    ≤{WRS_K} rows regardless of input. No shuffle, no window."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    w = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    u = ((F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                             1, 13), 16, 10)
+          .cast("double") + 1.0) / F.lit(float(16 ** 13 + 1)))
+    key = F.pow(u, 1.0 / w)
+    return (docs.select("doc_id", "source",
+                        w.cast("long").alias("n_tokens"),
+                        F.round(key, 10).alias("sample_key"))
+            .orderBy(F.desc("sample_key"), F.asc("doc_id"))
+            .limit(WRS_K))
+
+
+DOCS_WEIGHTED_RESERVOIR_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source,
+         greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1)
+           AS n_tokens,
+         (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+               AS BIGINT) + CAST(1.0 AS DOUBLE))
+           / CAST({float(16 ** 13 + 1)!r} AS DOUBLE) AS u
+  FROM documents
+)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(pow(u, CAST(1.0 AS DOUBLE) / n_tokens), 10) AS sample_key
+FROM base
+ORDER BY sample_key DESC, doc_id ASC
+LIMIT {WRS_K}
+"""
+
+
 QSK_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
 
 
@@ -619,6 +672,7 @@ SPARK_QUERIES = {
     "docs_cms_snapshot_merge": docs_cms_snapshot_merge,
     "docs_length_quantile_sketch": docs_length_quantile_sketch,
     "docs_kmv_distinct": docs_kmv_distinct,
+    "docs_weighted_reservoir": docs_weighted_reservoir,
 }
 
 ORACLE_SQL = {
@@ -628,4 +682,5 @@ ORACLE_SQL = {
     "docs_cms_snapshot_merge": DOCS_CMS_SNAPSHOT_MERGE_SQL,
     "docs_length_quantile_sketch": DOCS_LENGTH_QUANTILE_SKETCH_SQL,
     "docs_kmv_distinct": DOCS_KMV_DISTINCT_SQL,
+    "docs_weighted_reservoir": DOCS_WEIGHTED_RESERVOIR_SQL,
 }

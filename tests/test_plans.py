@@ -921,6 +921,17 @@ def test_length_quantile_sketch_bounded_histogram(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_weighted_reservoir_narrow_topk(spark):
+    """A-Res is one narrow map into TakeOrdered — per-partition
+    partial top-k, no shuffle, no window."""
+    from ocr_spark.plans.sketches import docs_weighted_reservoir
+
+    plan = fmt(docs_weighted_reservoir(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert n_shuffles(plan) == 0
+    assert "Window" not in plan
+
+
 def test_kmv_distinct_partial_bottomk(spark):
     """Every KMV frame compiles to TakeOrdered (per-partition partial
     bottom-k — each executor emits ≤k rows), and the 1-row combine
