@@ -507,6 +507,75 @@ FROM calc
 """
 
 
+def docs_kmv_resemblance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set resemblance between two crawl snapshots' vocabularies from
+    their KMV frames alone (Beyer et al. 2007): with M = bottom-k of
+    the union of the prior and delta frames, Jaccard ≈ |M ∩ P ∩ D|/k
+    — M is a uniform sample of the union, and membership in both
+    frames identifies intersection elements within it. This is the
+    drift monitor a 10^12-doc pipeline runs between crawls WITHOUT
+    touching tokens again: both inputs are the ≤{KMV_K}-row frames
+    docs_kmv_distinct already maintains. The exact Jaccard over the
+    full vocabularies is computed in the same query as the
+    fixture-scale verification side.
+
+    Scale shape: estimate side is TakeOrdered frames + k-row joins;
+    the exact side's one tok-keyed aggregate is what the estimator
+    replaces at production scale."""
+    docs = _docs(spark, sf_dir)
+    tp = docs.filter(F.col("doc_id") % 3 != 0).select(_tok_col())
+    td = docs.filter(F.col("doc_id") % 3 == 0).select(_tok_col())
+    p = _kmv_frame(tp, KMV_K)
+    d = _kmv_frame(td, KMV_K)
+    merged = p.union(d).distinct().orderBy("h").limit(KMV_K)
+    n_both = (merged.join(p, "h").join(d, "h")
+              .agg(F.count(F.lit(1)).alias("n_both")))
+    flags = (tp.select("tok", F.lit(1).alias("in_p"),
+                       F.lit(0).alias("in_d"))
+             .union(td.select("tok", F.lit(0), F.lit(1)))
+             .groupBy("tok")
+             .agg(F.max("in_p").alias("p"), F.max("in_d").alias("d")))
+    exact = flags.agg(
+        F.sum((F.col("p") * F.col("d"))).cast("long").alias("n_inter"),
+        F.count(F.lit(1)).cast("long").alias("n_union"))
+    est = F.col("n_both").cast("double") / F.lit(float(KMV_K))
+    exj = F.col("n_inter").cast("double") / F.col("n_union")
+    return (n_both.join(F.broadcast(exact))
+            .select(F.lit(KMV_K).alias("k"),
+                    F.col("n_both").cast("long").alias("n_both"),
+                    F.round(est, 6).alias("est_jaccard"),
+                    "n_inter", "n_union",
+                    F.round(exj, 6).alias("exact_jaccard"),
+                    F.round(F.abs(est - exj), 6).alias("abs_error")))
+
+
+DOCS_KMV_RESEMBLANCE_SQL = f"""
+WITH tp AS ({_sql_toks(' WHERE doc_id % 3 <> 0')}),
+td AS ({_sql_toks(' WHERE doc_id % 3 = 0')}),
+pk AS (SELECT DISTINCT md5(tok) AS h FROM tp ORDER BY h LIMIT {KMV_K}),
+dk AS (SELECT DISTINCT md5(tok) AS h FROM td ORDER BY h LIMIT {KMV_K}),
+mk AS (SELECT h FROM (SELECT h FROM pk UNION SELECT h FROM dk)
+       ORDER BY h LIMIT {KMV_K}),
+nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_both
+       FROM mk JOIN pk USING (h) JOIN dk USING (h)),
+flags AS (
+  SELECT tok, MAX(in_p) AS p, MAX(in_d) AS d
+  FROM (SELECT tok, 1 AS in_p, 0 AS in_d FROM tp
+        UNION ALL SELECT tok, 0, 1 FROM td) u
+  GROUP BY tok
+),
+ex AS (SELECT CAST(SUM(p * d) AS BIGINT) AS n_inter,
+              CAST(COUNT(*) AS BIGINT) AS n_union FROM flags)
+SELECT {KMV_K} AS k, n_both,
+       round(CAST(n_both AS DOUBLE) / {float(KMV_K)!r}, 6) AS est_jaccard,
+       n_inter, n_union,
+       round(CAST(n_inter AS DOUBLE) / n_union, 6) AS exact_jaccard,
+       round(abs(CAST(n_both AS DOUBLE) / {float(KMV_K)!r}
+                 - CAST(n_inter AS DOUBLE) / n_union), 6) AS abs_error
+FROM nb CROSS JOIN ex
+"""
+
+
 WRS_K = 50
 
 
@@ -673,6 +742,7 @@ SPARK_QUERIES = {
     "docs_length_quantile_sketch": docs_length_quantile_sketch,
     "docs_kmv_distinct": docs_kmv_distinct,
     "docs_weighted_reservoir": docs_weighted_reservoir,
+    "docs_kmv_resemblance": docs_kmv_resemblance,
 }
 
 ORACLE_SQL = {
@@ -683,4 +753,5 @@ ORACLE_SQL = {
     "docs_length_quantile_sketch": DOCS_LENGTH_QUANTILE_SKETCH_SQL,
     "docs_kmv_distinct": DOCS_KMV_DISTINCT_SQL,
     "docs_weighted_reservoir": DOCS_WEIGHTED_RESERVOIR_SQL,
+    "docs_kmv_resemblance": DOCS_KMV_RESEMBLANCE_SQL,
 }

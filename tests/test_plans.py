@@ -943,6 +943,18 @@ def test_kmv_distinct_partial_bottomk(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_kmv_resemblance_frame_joins_broadcast(spark):
+    """The estimate side is TakeOrdered frames joined at k-row scale
+    (broadcast); the only shuffle-aggregate is the exact-Jaccard
+    verification side's tok rollup."""
+    from ocr_spark.plans.sketches import docs_kmv_resemblance
+
+    plan = fmt(docs_kmv_resemblance(spark, SF))
+    assert plan.count("TakeOrderedAndProject") >= 3
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_cms_heavy_hitters_broadcast_sketch_and_topk(spark):
     """The 1024-counter sketch broadcasts to the candidate join, and
     the exact top-k verification side uses TakeOrdered, never a
