@@ -277,6 +277,91 @@ def _cms_frame(occ: DataFrame) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("counter")))
 
 
+def docs_hll_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped HLL: per-language vocabulary cardinality — the stratum
+    form a corpus datasheet actually publishes (one sketch per
+    language, not one global number). Same register/rho construction
+    as docs_hll_sketch with ``lang`` added to both aggregate keys, the
+    exact per-language distinct carried through the same pass, and the
+    standard linear-counting correction applied per stratum.
+
+    Scale shape: the register rollup keys on (lang, reg) — ≤256·L
+    partial rows per executor for L languages — and the per-language
+    fold is a second bounded aggregate keyed lang; no SinglePartition
+    anywhere (the global form needs one 256→1 fold, the grouped form
+    does not)."""
+    h = F.md5("tok")
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("lang", F.explode(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"))
+    regs = (toks.select("lang",
+                        F.substring(h, 1, 2).alias("reg"),
+                        _rho_col(F.substring(h, 3, 9)).alias("rho"),
+                        F.col("tok"))
+            .groupBy("lang", "reg")
+            .agg(F.max("rho").alias("m_reg"),
+                 F.countDistinct("tok").alias("n_exact")))
+    unit = F.round(F.pow(F.lit(2.0),
+                         F.lit(HLL_RHO_BITS + 1) - F.col("m_reg"))) \
+        .cast("long")
+    one = regs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_hit"),
+        F.sum(unit).alias("sum_units"),
+        F.sum("n_exact").cast("long").alias("exact_distinct"))
+    zeros = F.lit(HLL_M) - F.col("n_hit")
+    denom = (F.col("sum_units")
+             + zeros * F.lit(float(2 ** (HLL_RHO_BITS + 1)))) \
+        / F.lit(float(2 ** (HLL_RHO_BITS + 1)))
+    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / denom
+    est = F.when((raw <= 2.5 * HLL_M) & (zeros > 0),
+                 F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros)) \
+        .otherwise(raw)
+    return one.select(
+        "lang",
+        zeros.cast("long").alias("n_zero_registers"),
+        F.round(est, 4).alias("hll_estimate"),
+        "exact_distinct",
+        F.round(F.abs(est - F.col("exact_distinct"))
+                / F.col("exact_distinct"), 6).alias("rel_error"))
+
+
+DOCS_HLL_BY_LANG_SQL = f"""
+WITH toks AS (
+  SELECT lang, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+), regs AS (
+  SELECT lang, substr(md5(tok), 1, 2) AS reg,
+         MAX({_sql_rho('tok')}) AS m_reg,
+         COUNT(DISTINCT tok) AS n_exact
+  FROM toks GROUP BY 1, 2
+), one AS (
+  SELECT lang, COUNT(*) AS n_hit,
+         SUM(CAST(round(pow(2.0, {HLL_RHO_BITS + 1} - m_reg)) AS BIGINT))
+           AS sum_units,
+         CAST(SUM(n_exact) AS BIGINT) AS exact_distinct
+  FROM regs GROUP BY lang
+), calc AS (
+  SELECT lang, CAST({HLL_M} - n_hit AS BIGINT) AS zeros, exact_distinct,
+         CAST({HLL_ALPHA * HLL_M * HLL_M!r} AS DOUBLE)
+           / ((sum_units + ({HLL_M} - n_hit)
+               * CAST({float(2 ** (HLL_RHO_BITS + 1))!r} AS DOUBLE))
+              / CAST({float(2 ** (HLL_RHO_BITS + 1))!r} AS DOUBLE)) AS raw
+  FROM one
+), fin AS (
+  SELECT lang, zeros, exact_distinct,
+         CASE WHEN raw <= 2.5 * {HLL_M} AND zeros > 0
+              THEN CAST({HLL_M} AS DOUBLE)
+                   * ln(CAST({HLL_M} AS DOUBLE) / zeros)
+              ELSE raw END AS est
+  FROM calc
+)
+SELECT lang, zeros AS n_zero_registers,
+       round(est, 4) AS hll_estimate, exact_distinct,
+       round(abs(est - exact_distinct) / exact_distinct, 6) AS rel_error
+FROM fin
+"""
+
+
 def docs_cms_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental heavy-hitter maintenance with the CMS counter table
     as the persisted artifact: the PRIOR snapshot's counters combine
@@ -743,6 +828,7 @@ SPARK_QUERIES = {
     "docs_kmv_distinct": docs_kmv_distinct,
     "docs_weighted_reservoir": docs_weighted_reservoir,
     "docs_kmv_resemblance": docs_kmv_resemblance,
+    "docs_hll_by_lang": docs_hll_by_lang,
 }
 
 ORACLE_SQL = {
@@ -754,4 +840,5 @@ ORACLE_SQL = {
     "docs_kmv_distinct": DOCS_KMV_DISTINCT_SQL,
     "docs_weighted_reservoir": DOCS_WEIGHTED_RESERVOIR_SQL,
     "docs_kmv_resemblance": DOCS_KMV_RESEMBLANCE_SQL,
+    "docs_hll_by_lang": DOCS_HLL_BY_LANG_SQL,
 }

@@ -955,6 +955,18 @@ def test_kmv_resemblance_frame_joins_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_hll_by_lang_no_single_partition(spark):
+    """The grouped-sketch form never collapses to one partition: the
+    register rollup keys on (lang, reg) and the per-language fold keys
+    on lang."""
+    from ocr_spark.plans.sketches import docs_hll_by_lang
+
+    plan = fmt(docs_hll_by_lang(spark, SF))
+    assert "hashpartitioning(lang" in plan
+    assert "SinglePartition" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
 def test_cms_heavy_hitters_broadcast_sketch_and_topk(spark):
     """The 1024-counter sketch broadcasts to the candidate join, and
     the exact top-k verification side uses TakeOrdered, never a
