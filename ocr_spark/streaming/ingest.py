@@ -622,6 +622,56 @@ def stream_quality_gate(spark: SparkSession, input_dir: str,
             .start())
 
 
+def stream_hll_sketch(spark: SparkSession, input_dir: str,
+                      store_dir: str, checkpoint_dir: str) -> Any:
+    """Streaming corpus-stat sketch sink: each micro-batch extracts
+    its pages and writes the 256-register HLL frame of its token
+    stream under a batch_id-keyed partition with overwrite (the
+    near_dup_sink exactly-once discipline: crash re-delivery replaces
+    the partition with identical content). The frame comes from the
+    SAME builder as the batch sketch queries
+    (plans/sketches.py::_register_frame), so a page contributes
+    identical registers on both paths, and the consolidated store
+    (hll_store_registers: elementwise max across batch partitions)
+    equals the from-scratch frame over everything ingested — the merge
+    property docs_hll_snapshot_merge pins. Vocabulary cardinality over
+    an accumulating crawl thus needs only ≤256 stored rows per batch,
+    never a rescan of history."""
+    import os as _os
+
+    from ocr_spark.operators.extraction import (
+        EXTRACT_RESULT_SCHEMA, _extract_batches_fn,
+    )
+    from ocr_spark.plans.sketches import _register_frame
+
+    pages = read_pages_stream(spark, input_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        extracted = batch_df.select("url", "html").withColumn(
+            "bucket", F.pmod(F.xxhash64("url"), F.lit(64)).cast("int")
+        ).mapInPandas(_extract_batches_fn("full"),
+                      schema=EXTRACT_RESULT_SCHEMA)
+        ok = extracted.filter(F.col("error").isNull()
+                              & F.col("text").isNotNull())
+        _register_frame(ok).write.mode("overwrite").parquet(
+            _os.path.join(store_dir, f"batch={batch_id}"))
+
+    return (pages.writeStream
+            .foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start())
+
+
+def hll_store_registers(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Consolidated HLL register frame over every batch partition the
+    streaming sink has committed: elementwise max on the reg key —
+    a ≤256-row aggregate no matter how many batches accumulated."""
+    return (spark.read.parquet(store_dir)
+            .groupBy("reg").agg(F.max("m_reg").alias("m_reg")))
+
+
 def compact_near_dup_store(spark: SparkSession, sigstore_dir: str,
                            keep_last: int = 0) -> dict:
     """Collapse the signature store's per-batch partitions into one
