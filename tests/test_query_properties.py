@@ -184,3 +184,111 @@ def test_robots_gate_matches_reference_longest_match(doc_ids):
                    if r.path.startswith(p)]
         best = max(matches, key=lambda pa: (len(pa[0]), pa[0]))
         assert (r.matched_prefix, r.crawl_allowed) == best, r
+
+
+# --- mergeable-sketch family -------------------------------------------
+
+
+def _con_sk(rows):
+    """documents view with the ``source`` column the sketch/sampling
+    SQL also reads."""
+    pdf = pd.DataFrame(
+        [(i, t, lg, f"s{i % 3}") for i, (t, lg) in enumerate(rows)],
+        columns=["doc_id", "text", "lang", "source"])
+    con = duckdb.connect()
+    con.execute("SET threads=2")
+    con.register("documents", pdf)
+    return con
+
+
+@settings(max_examples=40, deadline=None)
+@given(_docs_strategy(min_docs=1))
+def test_cms_and_hll_snapshot_merge_always_exact(rows):
+    """Counter-add (CMS) and register-max (HLL) merges equal the
+    from-scratch sketch on EVERY cell for any corpus and any %3
+    split — the linearity / max-associativity the delta jobs rely
+    on."""
+    from ocr_spark.plans.sketches import (
+        DOCS_CMS_SNAPSHOT_MERGE_SQL, DOCS_HLL_SNAPSHOT_MERGE_SQL,
+    )
+
+    con = _con_sk(rows)
+    cms = con.execute(DOCS_CMS_SNAPSHOT_MERGE_SQL).fetch_df()
+    assert bool(cms["merge_exact"].all())
+    hll = con.execute(DOCS_HLL_SNAPSHOT_MERGE_SQL).fetch_df()
+    assert bool(hll["merge_exact"].all())
+
+
+@settings(max_examples=40, deadline=None)
+@given(_docs_strategy(min_docs=1))
+def test_kmv_bottomk_of_frame_union_is_bottomk_of_full(rows):
+    """The KMV combine algebra as a SET equality (stronger than the
+    query's intersection count, and meaningful even when the
+    vocabulary is smaller than k): bottom-k of the union of two
+    snapshots' bottom-k frames equals bottom-k of the full
+    vocabulary."""
+    from ocr_spark.plans.sketches import KMV_K, _sql_toks
+
+    con = _con_sk(rows)
+    sql = f"""
+    WITH tp AS ({_sql_toks(' WHERE doc_id % 3 <> 0')}),
+    td AS ({_sql_toks(' WHERE doc_id % 3 = 0')}),
+    tf AS ({_sql_toks('')}),
+    pk AS (SELECT DISTINCT md5(tok) AS h FROM tp ORDER BY h LIMIT {KMV_K}),
+    dk AS (SELECT DISTINCT md5(tok) AS h FROM td ORDER BY h LIMIT {KMV_K}),
+    mk AS (SELECT h FROM (SELECT h FROM pk UNION SELECT h FROM dk)
+           ORDER BY h LIMIT {KMV_K}),
+    fk AS (SELECT DISTINCT md5(tok) AS h FROM tf ORDER BY h LIMIT {KMV_K})
+    SELECT (SELECT count(*) FROM (SELECT h FROM mk EXCEPT
+                                  SELECT h FROM fk)) AS only_m,
+           (SELECT count(*) FROM (SELECT h FROM fk EXCEPT
+                                  SELECT h FROM mk)) AS only_f
+    """
+    only_m, only_f = con.execute(sql).fetchone()
+    assert only_m == 0 and only_f == 0
+
+
+@settings(max_examples=40, deadline=None)
+@given(_docs_strategy(min_docs=1))
+def test_quantile_sketch_estimate_stays_in_its_bin(rows):
+    """One picked bin per quantile, the interpolated estimate inside
+    [bin_lo, bin_hi), and n_docs equal to the corpus size — for any
+    generated length distribution."""
+    from ocr_spark.plans.sketches import (
+        DOCS_LENGTH_QUANTILE_SKETCH_SQL, QSK_QS,
+    )
+
+    con = _con_sk(rows)
+    out = con.execute(DOCS_LENGTH_QUANTILE_SKETCH_SQL).fetch_df()
+    assert len(out) == len(QSK_QS)
+    assert (out["n_docs"] == len(rows)).all()
+    assert ((out["bin_lo"] <= out["sketch_est"])
+            & (out["sketch_est"] <= out["bin_hi"])).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(_docs_strategy(min_docs=1, max_docs=110))
+def test_weighted_reservoir_merges_and_keys_bounded(rows):
+    """A-Res invariants: every key in (0, 1]; and mergeability — the
+    top-k by key over the union of two half-corpus reservoirs equals
+    the whole-corpus reservoir (the property that lets per-snapshot
+    frames combine without revisiting documents)."""
+    from ocr_spark.plans.sketches import (
+        DOCS_WEIGHTED_RESERVOIR_SQL, WRS_K,
+    )
+
+    con = _con_sk(rows)
+    full = con.execute(DOCS_WEIGHTED_RESERVOIR_SQL).fetch_df()
+    assert ((full["sample_key"] > 0) & (full["sample_key"] <= 1)).all()
+
+    halves = []
+    for pred in ("doc_id % 2 = 0", "doc_id % 2 = 1"):
+        sql = DOCS_WEIGHTED_RESERVOIR_SQL.replace(
+            "FROM documents",
+            f"FROM (SELECT * FROM documents WHERE {pred})")
+        halves.append(con.execute(sql).fetch_df())
+    merged = (pd.concat(halves)
+              .sort_values(["sample_key", "doc_id"],
+                           ascending=[False, True])
+              .head(WRS_K).reset_index(drop=True))
+    assert list(merged["doc_id"]) == list(full["doc_id"])
