@@ -78,6 +78,11 @@ HEADLINE = [
     "pages_revisit_records",
     "docs_hll_sketch",
     "docs_inverted_index",
+    # round 4 (close): quantile histogram, KMV distinct sampler,
+    # weighted reservoir — the rest of the mergeable-sketch family
+    "docs_length_quantile_sketch",
+    "docs_kmv_distinct",
+    "docs_weighted_reservoir",
 ]
 
 
