@@ -900,3 +900,146 @@ def read_extracted(spark: SparkSession, work_dir: str) -> DataFrame:
                        F.regexp_extract(F.input_file_name(),
                                         r"bucket=(\d+)", 1).cast("int")))
     return out.select(*[f.name for f in EXTRACT_RESULT_SCHEMA])
+
+
+def stats_root(work_dir: str) -> str:
+    return os.path.join(work_dir, "stats")
+
+
+def _snapshot_texts(spark: SparkSession, work_dir: str,
+                    sid: str) -> DataFrame:
+    """Extracted text of ONE committed extraction snapshot's own rows
+    (snapshot dirs are disjoint by the two-phase bucket commit, so
+    per-snapshot sketch frames tile the corpus with no overlap)."""
+    from pyspark.sql.types import StructType
+
+    from ocr_spark.operators.extraction import EXTRACT_RESULT_SCHEMA
+    data_schema = StructType(
+        [f for f in EXTRACT_RESULT_SCHEMA if f.name != "bucket"])
+    d = shim.read_manifest(output_root(work_dir), sid)["data_dir"]
+    return (spark.read.schema(data_schema)
+            .option("recursiveFileLookup", "true").parquet(d)
+            .filter(F.col("error").isNull() & F.col("text").isNotNull())
+            .select("text"))
+
+
+def _sketch_long_frame(texts: DataFrame) -> DataFrame:
+    """(kind, k1, k2, v): the three mergeable sketch frames of a text
+    slice in one long-form table — HLL registers (combine = max v),
+    CMS counters (combine = sum v), KMV bottom-k hashes (combine =
+    bottom-k of the k1 union). One schema so a stats snapshot is one
+    dataset; each frame is bounded (≤256 / ≤1024 / ≤KMV_K rows)."""
+    from ocr_spark.plans.sketches import (
+        KMV_K, _cms_frame, _kmv_frame, _register_frame, _tok_col,
+    )
+
+    occ = texts.select(_tok_col())
+    hll = _register_frame(texts).select(
+        F.lit("hll").alias("kind"), F.col("reg").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("m_reg").cast("long").alias("v"))
+    cms = _cms_frame(occ).select(
+        F.lit("cms").alias("kind"), F.col("r").cast("string").alias("k1"),
+        F.col("b").alias("k2"), F.col("counter").alias("v"))
+    kmv = _kmv_frame(occ, KMV_K).select(
+        F.lit("kmv").alias("kind"), F.col("h").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.lit(None).cast("long").alias("v"))
+    return hll.unionByName(cms).unionByName(kmv)
+
+
+def run_stats_job(spark: SparkSession, work_dir: str) -> dict:
+    """Corpus-statistics stage: persist the mergeable sketch frames
+    per EXTRACTION SNAPSHOT as committed stats snapshots — the
+    write-path half of the sketch family (the query half lives in
+    plans/sketches.py, where every combine algebra is oracle-pinned
+    and property-tested). Each run covers exactly the extraction
+    snapshots no stats snapshot records yet (lineage: ``stats_for``
+    in the manifest), so the stage is incremental and idempotent:
+    corpus-stat reporting over a growing crawl folds the ≤~1300-row
+    frames (combined_sketches below) and never rescans history —
+    the delta-job shape docs_{hll,cms}_snapshot_merge pin.
+
+    Scale shape per new snapshot: one narrow tokenize feeding three
+    bounded aggregates (each executor emits ≤256 / ≤1024 / ≤KMV_K
+    partial rows) — no data-volume shuffle at any input size."""
+    run_id = uuid.uuid4().hex[:12]
+    sroot = stats_root(work_dir)
+    done = set()
+    if shim.current_snapshot_id(sroot):
+        for s in shim.history(sroot):
+            done.add(shim.read_manifest(sroot, s).get("stats_for"))
+    root = output_root(work_dir)
+    sids = shim.history(root) if shim.current_snapshot_id(root) else []
+    if not sids:
+        raise FileNotFoundError(
+            f"no extraction output committed yet under {root}")
+    new = [sid for sid in sids if sid not in done]
+    committed = []
+    for sid in new:
+        frame = _sketch_long_frame(_snapshot_texts(spark, work_dir, sid))
+        # parent_id="auto" chains onto the current stats snapshot so
+        # history() reaches every committed frame
+        out_sid = shim.prepare_snapshot(
+            frame.coalesce(1), sroot,
+            snapshot_id=f"stats-{run_id}-{sid}",
+            extra={"stats_for": sid})
+        shim.publish_snapshot(sroot, out_sid)
+        committed.append(out_sid)
+    return {"run_id": run_id, "snapshots": committed,
+            "covered": sorted(done - {None}) + new, "skipped": len(done)}
+
+
+def combined_sketches(spark: SparkSession,
+                      work_dir: str) -> dict[str, DataFrame]:
+    """Fold every committed stats snapshot into the corpus-level
+    sketches WITHOUT touching document text: HLL registers by
+    elementwise max, CMS counters by elementwise add, KMV by bottom-k
+    of the hash union — each a bounded aggregate over n_snapshots ×
+    ≤~1300 stored rows."""
+    from ocr_spark.plans.sketches import KMV_K
+
+    sroot = stats_root(work_dir)
+    sids = shim.history(sroot) if shim.current_snapshot_id(sroot) else []
+    if not sids:
+        raise FileNotFoundError(f"no stats snapshots under {sroot}")
+    dirs = [shim.read_manifest(sroot, s)["data_dir"] for s in sids]
+    allf = spark.read.parquet(*dirs)
+    return {
+        "hll": (allf.filter(F.col("kind") == "hll")
+                .groupBy(F.col("k1").alias("reg"))
+                .agg(F.max("v").alias("m_reg"))),
+        "cms": (allf.filter(F.col("kind") == "cms")
+                .groupBy(F.col("k1").cast("int").alias("r"),
+                         F.col("k2").alias("b"))
+                .agg(F.sum("v").alias("counter"))),
+        "kmv": (allf.filter(F.col("kind") == "kmv")
+                .select(F.col("k1").alias("h")).distinct()
+                .orderBy("h").limit(KMV_K)),
+    }
+
+
+def verify_stats(spark: SparkSession, work_dir: str) -> dict:
+    """Consumer-side check of the stats store: the folded sketches
+    must equal the from-scratch frames over ALL extracted text — the
+    merge-exactness the sketch queries pin per algebra, here asserted
+    over the actually-published artifacts. Returns per-sketch mismatch
+    counts (all zero on a healthy store)."""
+    from ocr_spark.plans.sketches import (
+        KMV_K, _cms_frame, _kmv_frame, _register_frame, _tok_col,
+    )
+
+    texts = read_extracted(spark, work_dir) \
+        .filter(F.col("error").isNull() & F.col("text").isNotNull()) \
+        .select("text")
+    occ = texts.select(_tok_col())
+    folded = combined_sketches(spark, work_dir)
+
+    def n_diff(a: DataFrame, b: DataFrame) -> int:
+        return a.exceptAll(b).count() + b.exceptAll(a).count()
+
+    return {
+        "hll_mismatches": n_diff(folded["hll"], _register_frame(texts)),
+        "cms_mismatches": n_diff(folded["cms"], _cms_frame(occ)),
+        "kmv_mismatches": n_diff(folded["kmv"], _kmv_frame(occ, KMV_K)),
+    }

@@ -74,6 +74,12 @@ def main(argv: list[str] | None = None) -> int:
                          "content-digest manifest, then verify the "
                          "published data against the manifest "
                          "(implies --curate)")
+    ap.add_argument("--stats", action="store_true",
+                    help="after extraction, persist the mergeable "
+                         "sketch frames (HLL/CMS/KMV) per extraction "
+                         "snapshot as committed stats snapshots and "
+                         "verify the folded store against a "
+                         "from-scratch recompute")
     ap.add_argument("--master", default=None,
                     help="override master when not launched via spark-submit")
     args = ap.parse_args(argv)
@@ -110,6 +116,15 @@ def main(argv: list[str] | None = None) -> int:
         if args.sample:
             from ocr_spark.job import run_sampling_job
             summary["sampling"] = run_sampling_job(spark, args.work_dir)
+        if args.stats:
+            from ocr_spark.job import run_stats_job, verify_stats
+            summary["stats"] = run_stats_job(spark, args.work_dir)
+            check = verify_stats(spark, args.work_dir)
+            summary["stats"]["verified"] = not any(check.values())
+            if any(check.values()):
+                print(f"sketch-store verification FAILED: {check}",
+                      file=sys.stderr)
+                return 1
         if args.export:
             from ocr_spark.job import run_export_job
             summary["export"] = run_export_job(spark, args.work_dir)
