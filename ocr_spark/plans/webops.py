@@ -430,6 +430,92 @@ def _pagerank_full_sql(redistribute_dangling: bool) -> str:
               f"FROM r{PAGERANK_ITERS}")
 
 
+HITS_ITERS = 6
+
+
+def hosts_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (Kleinberg 1999) over the same
+    followed-outlink host graph as hosts_pagerank_full — the second
+    classic link-analysis score, and the one that separates ROLES:
+    crawl seeds want high-hub hosts (they point at good content),
+    quality priors want high-authority hosts (good content points at
+    them); PageRank conflates the two. Weighted mutual-reinforcement
+    power loop with L1 normalization each half-step (L1, not the
+    textbook L2, because both engines reproduce a sum exactly at the
+    output rounding while sqrt-of-sum-of-squares adds another float
+    op for no semantic gain): a ← Σ_in w·h / ‖·‖₁, h ← Σ_out w·a /
+    ‖·‖₁, fixed {HITS_ITERS} iterations.
+
+    Scale shape per round: two host-keyed equi-join + partial-agg
+    groupBy pairs (the hosts_pagerank shape), two 1-row norm
+    aggregates broadcast back, localCheckpoint lineage truncation —
+    the same plan class as every other iterative graph op here."""
+    edges = (_followed_host_edges(spark, sf_dir)
+             .groupBy("src", "dst").agg(F.count("*").alias("w"))
+             .localCheckpoint())
+    nodes = (edges.select(F.col("src").alias("host"))
+             .union(edges.select(F.col("dst").alias("host")))
+             .distinct().localCheckpoint())
+    hubs = nodes.select("host", F.lit(1.0).alias("h"))
+    auths = nodes.select("host", F.lit(0.0).alias("a"))
+    for _ in range(HITS_ITERS):
+        ar = (edges.join(hubs.select(F.col("host").alias("src"), "h"),
+                         "src")
+              .groupBy(F.col("dst").alias("host"))
+              .agg(F.sum(F.col("h") * F.col("w")).alias("ar")))
+        asum = ar.agg(F.sum("ar").alias("s"))  # 1 row → broadcast
+        auths = (nodes.join(ar, "host", "left")
+                 .crossJoin(F.broadcast(asum))
+                 .select("host", (F.coalesce("ar", F.lit(0.0))
+                                  / F.col("s")).alias("a"))
+                 .localCheckpoint())
+        hr = (edges.join(auths.select(F.col("host").alias("dst"), "a"),
+                         "dst")
+              .groupBy(F.col("src").alias("host"))
+              .agg(F.sum(F.col("a") * F.col("w")).alias("hr")))
+        hsum = hr.agg(F.sum("hr").alias("s"))
+        hubs = (nodes.join(hr, "host", "left")
+                .crossJoin(F.broadcast(hsum))
+                .select("host", (F.coalesce("hr", F.lit(0.0))
+                                 / F.col("s")).alias("h"))
+                .localCheckpoint())
+    return (auths.join(hubs, "host")
+            .select("host", F.round("a", 4).alias("authority"),
+                    F.round("h", 4).alias("hub")))
+
+
+def _hits_sql() -> str:
+    steps = [""", h0 AS MATERIALIZED (
+  SELECT host, 1.0 AS h FROM nodes
+)"""]
+    for i in range(HITS_ITERS):
+        steps.append(f""", ar{i} AS MATERIALIZED (
+  SELECT edges.dst AS host, SUM(h{i}.h * edges.w) AS ar
+  FROM edges JOIN h{i} ON h{i}.host = edges.src
+  GROUP BY edges.dst
+), asum{i} AS (SELECT SUM(ar) AS s FROM ar{i}),
+a{i + 1} AS MATERIALIZED (
+  SELECT nodes.host, COALESCE(ar{i}.ar, 0.0) / asum{i}.s AS a
+  FROM nodes LEFT JOIN ar{i} ON ar{i}.host = nodes.host
+  CROSS JOIN asum{i}
+), hr{i} AS MATERIALIZED (
+  SELECT edges.src AS host, SUM(a{i + 1}.a * edges.w) AS hr
+  FROM edges JOIN a{i + 1} ON a{i + 1}.host = edges.dst
+  GROUP BY edges.src
+), hsum{i} AS (SELECT SUM(hr) AS s FROM hr{i}),
+h{i + 1} AS MATERIALIZED (
+  SELECT nodes.host, COALESCE(hr{i}.hr, 0.0) / hsum{i}.s AS h
+  FROM nodes LEFT JOIN hr{i} ON hr{i}.host = nodes.host
+  CROSS JOIN hsum{i}
+)""")
+    return (_PR_FULL_EDGES_CTE + "".join(steps)
+            + f"""
+SELECT a{HITS_ITERS}.host, round(a{HITS_ITERS}.a, 4) AS authority,
+       round(h{HITS_ITERS}.h, 4) AS hub
+FROM a{HITS_ITERS} JOIN h{HITS_ITERS}
+  ON h{HITS_ITERS}.host = a{HITS_ITERS}.host""")
+
+
 # ---------------------------------------------------------------------------
 # link-spam scoring over the host graph
 # ---------------------------------------------------------------------------
@@ -3226,6 +3312,7 @@ SPARK_QUERIES = {
     "pages_host_outdegree": pages_host_outdegree,
     "hosts_pagerank": hosts_pagerank,
     "hosts_pagerank_full": hosts_pagerank_full,
+    "hosts_hits": hosts_hits,
     "hosts_pagerank_dangling": hosts_pagerank_dangling,
     "hosts_link_spam": hosts_link_spam,
     "hosts_spam_mass": hosts_spam_mass,
@@ -3271,6 +3358,7 @@ ORACLE_SQL = {
     "pages_host_outdegree": PAGES_HOST_OUTDEGREE_SQL,
     "hosts_pagerank": _pagerank_sql(),
     "hosts_pagerank_full": _pagerank_full_sql(False),
+    "hosts_hits": _hits_sql(),
     "hosts_pagerank_dangling": _pagerank_full_sql(True),
     "hosts_link_spam": HOSTS_LINK_SPAM_SQL,
     "hosts_spam_mass": HOSTS_SPAM_MASS_SQL,

@@ -263,6 +263,24 @@ def test_hosts_pagerank_structure(spark):
     assert 0 < sum(ranks.values()) < 1.0
 
 
+def test_hosts_hits_roles_separate(spark):
+    """HITS separates roles on the site→partner graph: every mass-
+    carrying hub is a site host (they point at content) and every
+    mass-carrying authority is a partner host (content points at
+    them) — the distinction PageRank conflates. Each L1-normalized
+    score vector sums to 1."""
+    from ocr_spark.plans.webops import hosts_hits
+    rows = hosts_hits(spark, SF).collect()
+    assert len(rows) == 18
+    for r in rows:
+        if r.hub > 0:
+            assert r.host.startswith("site"), r
+        if r.authority > 0:
+            assert r.host.startswith("partner"), r
+    assert abs(sum(r.hub for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r.authority for r in rows) - 1.0) < 1e-3
+
+
 def test_canonicalize_url_adversarial(spark):
     """Edge cases of the URL canonicalizer beyond the crawl-log
     variants: root paths, non-default ports kept, unknown schemes,
