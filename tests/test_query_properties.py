@@ -292,3 +292,30 @@ def test_weighted_reservoir_merges_and_keys_bounded(rows):
                            ascending=[False, True])
               .head(WRS_K).reset_index(drop=True))
     assert list(merged["doc_id"]) == list(full["doc_id"])
+
+
+@settings(max_examples=30, deadline=None)
+@given(_docs_strategy(min_docs=4, max_docs=60))
+def test_hits_l1_mass_and_role_separation(rows):
+    """HITS invariants on the site→partner fixture graph for any
+    corpus slice: both score vectors are L1-normalized (sum 1), every
+    positive hub is a site host and every positive authority a partner
+    host (the bipartite role separation), and scores are never
+    negative. Corpora whose doc ids all fall in the nofollow residue
+    (no edges) are skipped — the query domain requires a graph."""
+    from ocr_spark.plans.webops import _hits_sql
+
+    con = _con_sk(rows)
+    n_edges = con.execute(
+        "SELECT COUNT(*) FROM documents WHERE doc_id % 17 <> 3"
+    ).fetchone()[0]
+    if n_edges == 0:
+        return
+    out = con.execute(_hits_sql()).fetch_df()
+    assert (out["hub"] >= 0).all() and (out["authority"] >= 0).all()
+    assert abs(out["hub"].sum() - 1.0) < 1e-3
+    assert abs(out["authority"].sum() - 1.0) < 1e-3
+    pos_h = out[out["hub"] > 0]["host"]
+    pos_a = out[out["authority"] > 0]["host"]
+    assert pos_h.str.startswith("site").all()
+    assert pos_a.str.startswith("partner").all()
