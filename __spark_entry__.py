@@ -58,7 +58,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "docs_hll_snapshot_merge", "docs_cms_snapshot_merge",
     "docs_length_quantile_sketch", "docs_kmv_distinct",
     "docs_weighted_reservoir", "docs_kmv_resemblance",
-    "docs_hll_by_lang", "hosts_hits",
+    "docs_hll_by_lang", "hosts_hits", "docs_kmv_diff",
     "docs_inverted_index", "emb_outlier_scan", "docs_char_entropy",
     "emb_bitext_mine", "hosts_stats_kanon", "docs_containment_pairs",
     "hosts_crawl_budget", "hosts_mirror_pairs", "docs_winnowing",

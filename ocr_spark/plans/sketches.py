@@ -661,6 +661,140 @@ FROM nb CROSS JOIN ex
 """
 
 
+def docs_kmv_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-DIFFERENCE estimate between two snapshots' vocabularies
+    from their KMV frames alone (the theta-sketch A-not-B operation,
+    Dasgupta et al. 2016): within M = bottom-k of the union of the
+    prior and delta frames, membership of each hash in either SIDE is
+    exact — h ∈ M is in A iff h is in A's frame, because kth(M) ≤
+    kth(A-frame) — so |A∖B| ≈ (|{h ∈ M: h∈A, h∉B}| / k) · N̂(union)
+    with N̂ the KMV estimate from M's k-th hash. When the union has
+    fewer than k distinct hashes the frames ARE the sets and the
+    count is exact (the CASE both engines implement). Completes the
+    KMV set algebra next to docs_kmv_distinct (cardinality) and
+    docs_kmv_resemblance (Jaccard): new-vocabulary and
+    lost-vocabulary sizes between crawls, without rescanning tokens.
+    The exact |A∖B| and |B∖A| are computed in the same query as the
+    fixture-scale verification side.
+
+    Item domain: word 3-SHINGLES (dataops._shingles), not tokens —
+    the fixture's token vocabulary is a 31-word pool every doc split
+    covers completely (both true diffs would be 0 and the estimator
+    would be pinned on a trivial fixture), while shingle vocabularies
+    genuinely differ across the %3 split (thousands per side). A real
+    crawl's cross-snapshot content diff runs on shingles anyway.
+
+    Scale shape: TakeOrdered frames + k-row joins on the estimate
+    side; the exact side's shingle-keyed aggregate is what the
+    estimator replaces at 10^12 docs."""
+    from ocr_spark.plans.dataops import _shingles, _tokens
+
+    docs = _docs(spark, sf_dir)
+    sh = F.explode(_shingles(_tokens())).alias("tok")
+    tp = docs.filter(F.col("doc_id") % 3 != 0).select(sh)
+    td = docs.filter(F.col("doc_id") % 3 == 0).select(sh)
+    p = _kmv_frame(tp, KMV_K)
+    d = _kmv_frame(td, KMV_K)
+    merged = (p.union(d).distinct().orderBy("h").limit(KMV_K)
+              .join(p.select("h", F.lit(1).alias("ip")), "h", "left")
+              .join(d.select("h", F.lit(1).alias("id_")), "h", "left"))
+    m = merged.agg(
+        F.count(F.lit(1)).alias("n_m"),
+        F.max("h").alias("kth"),
+        F.sum(F.when(F.col("ip").isNotNull()
+                     & F.col("id_").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_anotb"),
+        F.sum(F.when(F.col("id_").isNotNull()
+                     & F.col("ip").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_bnota"))
+    flags = (tp.select("tok", F.lit(1).alias("in_p"),
+                       F.lit(0).alias("in_d"))
+             .union(td.select("tok", F.lit(0), F.lit(1)))
+             .groupBy("tok")
+             .agg(F.max("in_p").alias("p"), F.max("in_d").alias("d")))
+    exact = flags.agg(
+        F.sum(F.col("p") * (1 - F.col("d"))).cast("long")
+        .alias("exact_anotb"),
+        F.sum(F.col("d") * (1 - F.col("p"))).cast("long")
+        .alias("exact_bnota"))
+    u = (F.conv(F.substring("kth", 1, 13), 16, 10).cast("double")
+         / F.lit(float(16 ** 13)))
+    n_hat = F.lit(float(KMV_K - 1)) / u
+
+    def est(n_side: str) -> Column:
+        return F.when(F.col("n_m") < KMV_K,
+                      F.col(n_side).cast("double")) \
+            .otherwise(F.col(n_side) / F.lit(float(KMV_K)) * n_hat)
+
+    return (m.join(F.broadcast(exact))
+            .select(F.lit(KMV_K).alias("k"),
+                    "n_anotb", "n_bnota",
+                    F.round(est("n_anotb"), 4).alias("est_anotb"),
+                    "exact_anotb",
+                    F.round(est("n_bnota"), 4).alias("est_bnota"),
+                    "exact_bnota",
+                    F.round(F.abs(est("n_anotb")
+                                  - F.col("exact_anotb"))
+                            / F.greatest(F.col("exact_anotb"),
+                                         F.lit(1)), 6)
+                    .alias("rel_error_anotb")))
+
+
+def _sql_shingle_toks(where: str) -> str:
+    from ocr_spark.plans.dataops import _SQL_SHINGLES
+    return (f"SELECT unnest({_SQL_SHINGLES}) AS tok "
+            f"FROM documents{where}")
+
+
+DOCS_KMV_DIFF_SQL = f"""
+WITH tp AS ({_sql_shingle_toks(' WHERE doc_id % 3 <> 0')}),
+td AS ({_sql_shingle_toks(' WHERE doc_id % 3 = 0')}),
+pk AS (SELECT DISTINCT md5(tok) AS h FROM tp ORDER BY h LIMIT {KMV_K}),
+dk AS (SELECT DISTINCT md5(tok) AS h FROM td ORDER BY h LIMIT {KMV_K}),
+mk AS (SELECT h FROM (SELECT h FROM pk UNION SELECT h FROM dk)
+       ORDER BY h LIMIT {KMV_K}),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_m, MAX(mk.h) AS kth,
+         CAST(SUM(CASE WHEN pk.h IS NOT NULL AND dk.h IS NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_anotb,
+         CAST(SUM(CASE WHEN dk.h IS NOT NULL AND pk.h IS NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_bnota
+  FROM mk LEFT JOIN pk ON pk.h = mk.h LEFT JOIN dk ON dk.h = mk.h
+),
+flags AS (
+  SELECT tok, MAX(in_p) AS p, MAX(in_d) AS d
+  FROM (SELECT tok, 1 AS in_p, 0 AS in_d FROM tp
+        UNION ALL SELECT tok, 0, 1 FROM td) u
+  GROUP BY tok
+),
+ex AS (SELECT CAST(SUM(p * (1 - d)) AS BIGINT) AS exact_anotb,
+              CAST(SUM(d * (1 - p)) AS BIGINT) AS exact_bnota
+       FROM flags),
+calc AS (
+  SELECT n_m, n_anotb, n_bnota, exact_anotb, exact_bnota,
+         CAST({KMV_K - 1} AS DOUBLE)
+           / (CAST(('0x' || substr(kth, 1, 13)) AS BIGINT)
+              / CAST({float(16 ** 13)!r} AS DOUBLE)) AS n_hat
+  FROM m CROSS JOIN ex
+)
+SELECT {KMV_K} AS k, n_anotb, n_bnota,
+       round(CASE WHEN n_m < {KMV_K} THEN CAST(n_anotb AS DOUBLE)
+                  ELSE n_anotb / CAST({float(KMV_K)!r} AS DOUBLE) * n_hat
+             END, 4) AS est_anotb,
+       exact_anotb,
+       round(CASE WHEN n_m < {KMV_K} THEN CAST(n_bnota AS DOUBLE)
+                  ELSE n_bnota / CAST({float(KMV_K)!r} AS DOUBLE) * n_hat
+             END, 4) AS est_bnota,
+       exact_bnota,
+       round(abs(CASE WHEN n_m < {KMV_K} THEN CAST(n_anotb AS DOUBLE)
+                      ELSE n_anotb / CAST({float(KMV_K)!r} AS DOUBLE)
+                           * n_hat END
+                 - exact_anotb) / greatest(exact_anotb, 1), 6)
+         AS rel_error_anotb
+FROM calc
+"""
+
+
 WRS_K = 50
 
 
@@ -829,6 +963,7 @@ SPARK_QUERIES = {
     "docs_weighted_reservoir": docs_weighted_reservoir,
     "docs_kmv_resemblance": docs_kmv_resemblance,
     "docs_hll_by_lang": docs_hll_by_lang,
+    "docs_kmv_diff": docs_kmv_diff,
 }
 
 ORACLE_SQL = {
@@ -841,4 +976,5 @@ ORACLE_SQL = {
     "docs_weighted_reservoir": DOCS_WEIGHTED_RESERVOIR_SQL,
     "docs_kmv_resemblance": DOCS_KMV_RESEMBLANCE_SQL,
     "docs_hll_by_lang": DOCS_HLL_BY_LANG_SQL,
+    "docs_kmv_diff": DOCS_KMV_DIFF_SQL,
 }

@@ -319,3 +319,43 @@ def test_hits_l1_mass_and_role_separation(rows):
     pos_a = out[out["authority"] > 0]["host"]
     assert pos_h.str.startswith("site").all()
     assert pos_a.str.startswith("partner").all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(_docs_strategy(min_docs=1))
+def test_kmv_diff_frame_membership_is_exact(rows):
+    """The A-not-B lemma: for every hash in M = bottom-k(P ∪ D),
+    membership in side A is exactly frame membership (h ∈ P-frame ⟺
+    h ∈ A), because kth(M) ≤ kth(P-frame). So the frame-derived
+    within-M diff counts must equal the counts recomputed from the
+    FULL distinct sets restricted to M — for any corpus and split."""
+    from ocr_spark.plans.sketches import KMV_K, _sql_shingle_toks
+
+    con = _con_sk(rows)
+    sql = f"""
+    WITH tp AS ({_sql_shingle_toks(' WHERE doc_id % 3 <> 0')}),
+    td AS ({_sql_shingle_toks(' WHERE doc_id % 3 = 0')}),
+    pk AS (SELECT DISTINCT md5(tok) AS h FROM tp
+           ORDER BY h LIMIT {KMV_K}),
+    dk AS (SELECT DISTINCT md5(tok) AS h FROM td
+           ORDER BY h LIMIT {KMV_K}),
+    mk AS (SELECT h FROM (SELECT h FROM pk UNION SELECT h FROM dk)
+           ORDER BY h LIMIT {KMV_K}),
+    pa AS (SELECT DISTINCT md5(tok) AS h FROM tp),
+    da AS (SELECT DISTINCT md5(tok) AS h FROM td)
+    SELECT
+      SUM(CASE WHEN pk.h IS NOT NULL AND dk.h IS NULL
+               THEN 1 ELSE 0 END) AS frame_anotb,
+      SUM(CASE WHEN pa.h IS NOT NULL AND da.h IS NULL
+               THEN 1 ELSE 0 END) AS full_anotb,
+      SUM(CASE WHEN (pk.h IS NOT NULL) <> (pa.h IS NOT NULL)
+               OR (dk.h IS NOT NULL) <> (da.h IS NOT NULL)
+               THEN 1 ELSE 0 END) AS membership_mismatches
+    FROM mk LEFT JOIN pk ON pk.h = mk.h LEFT JOIN dk ON dk.h = mk.h
+            LEFT JOIN pa ON pa.h = mk.h LEFT JOIN da ON da.h = mk.h
+    """
+    frame_anotb, full_anotb, mism = con.execute(sql).fetchone()
+    if frame_anotb is None:   # empty shingle universe (all docs < 3 words)
+        return
+    assert mism == 0
+    assert frame_anotb == full_anotb
