@@ -59,6 +59,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "docs_length_quantile_sketch", "docs_kmv_distinct",
     "docs_weighted_reservoir", "docs_kmv_resemblance",
     "docs_hll_by_lang", "hosts_hits", "docs_kmv_diff",
+    "pages_pagerank", "pages_pagerank_incremental",
     "docs_inverted_index", "emb_outlier_scan", "docs_char_entropy",
     "emb_bitext_mine", "hosts_stats_kanon", "docs_containment_pairs",
     "hosts_crawl_budget", "hosts_mirror_pairs", "docs_winnowing",
@@ -126,9 +127,9 @@ def _reorder(out: dict) -> dict:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 / §7.8."""
     from ocr_spark.plans import (
-        curation, dataops, extract_queries, indexing, multimodal_queries,
-        queries as q, relational_extra, simsearch, sketches, tpch_rest,
-        webops,
+        curation, dataops, extract_queries, indexing, linkrank,
+        multimodal_queries, queries as q, relational_extra, simsearch,
+        sketches, tpch_rest, webops,
     )
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -143,15 +144,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(curation.SPARK_QUERIES)
     out.update(indexing.SPARK_QUERIES)
     out.update(sketches.SPARK_QUERIES)
+    out.update(linkrank.SPARK_QUERIES)
     return _reorder(out)
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (same column names/aliases)."""
     from ocr_spark.plans import (
-        curation, dataops, extract_queries, indexing, multimodal_queries,
-        queries as q, relational_extra, simsearch, sketches, tpch_rest,
-        webops,
+        curation, dataops, extract_queries, indexing, linkrank,
+        multimodal_queries, queries as q, relational_extra, simsearch,
+        sketches, tpch_rest, webops,
     )
 
     out: dict[str, str] = {}
@@ -166,4 +168,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(curation.ORACLE_SQL)
     out.update(indexing.ORACLE_SQL)
     out.update(sketches.ORACLE_SQL)
+    out.update(linkrank.ORACLE_SQL)
     return _reorder(out)
