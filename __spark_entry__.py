@@ -50,6 +50,8 @@ _DRIVER_FRONT: tuple[str, ...] = (
     # CORRECTNESS row
     "extract_roundtrip", "extract_block_stats", "document_graph_edges",
     # new in round 4 (never driver-checked by definition)
+    "hosts_trustrank", "hosts_mirror_clusters",
+    "docs_bloom_snapshot_merge", "emb_cluster_balanced_sample",
     "pages_cdx_index", "pages_wat_export",
     "pages_revisit_records", "pages_cdx_merge",
     "hosts_crawl_traps", "pages_url_templates",

@@ -1108,6 +1108,51 @@ FROM ranked WHERE rank <= {IVF_TOPK}
 """
 
 
+CLUSTER_SAMPLE_CAP = 40   # per-cell keep budget: 500 vectors over
+                          # KM_K=8 cells ≈ 62/cell, so the cap BINDS
+                          # on this fixture (kept=false rows exist)
+
+
+def emb_cluster_balanced_sample(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling (the DataComp / MetaCLIP
+    balancing move): cap how many documents any one trained Lloyd cell
+    contributes, so over-represented regions of embedding space cannot
+    dominate the training mixture — the semantic-space analogue of
+    docs_host_cap's per-host cap, and the selection step SemDeDup-style
+    pipelines run after within-cell dedup. Pick order inside a cell is
+    a deterministic content hash of the vector id (md5), not ingest
+    order, so the kept set is reproducible and unbiased by arrival
+    order; vec_id breaks md5 ties.
+
+    Scale shape: assignment is the broadcast-centroid narrow map from
+    _kmeans; the cap is ONE rank window keyed cell (partial-sort per
+    cell, the docs_host_cap plan) — no new shuffle classes."""
+    _, assigned = _kmeans(spark, sf_dir)
+    w = Window.partitionBy("cell").orderBy(
+        F.md5(F.col("vec_id").cast("string")).asc(),
+        F.col("vec_id").asc())
+    return (assigned.withColumn("pick_rank", F.row_number().over(w))
+            .select("vec_id", "cell", "pick_rank",
+                    (F.col("pick_rank") <= CLUSTER_SAMPLE_CAP)
+                    .alias("kept")))
+
+
+_CLUSTER_SAMPLE_SQL = f"""
+{_KM_CTES},
+ranked AS (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY cell
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS pick_rank
+  FROM af
+)
+SELECT vec_id, cell, pick_rank,
+       pick_rank <= {CLUSTER_SAMPLE_CAP} AS kept
+FROM ranked
+"""
+
+
 # --------------------------------------------------------------------------
 # margin-based bitext mining (cross-lingual pair extraction)
 # --------------------------------------------------------------------------
@@ -1445,6 +1490,7 @@ FROM ranked WHERE rank <= {IVF_TOPK}
 SPARK_QUERIES = {
     "emb_ivfpq_topk": emb_ivfpq_topk,
     "emb_kmeans_train": emb_kmeans_train,
+    "emb_cluster_balanced_sample": emb_cluster_balanced_sample,
     "emb_outlier_scan": emb_outlier_scan,
     "emb_bitext_mine": emb_bitext_mine,
     "emb_ivf_trained_topk": emb_ivf_trained_topk,
@@ -1465,6 +1511,7 @@ SPARK_QUERIES = {
 ORACLE_SQL = {
     "emb_ivfpq_topk": _ivfpq_sql(),
     "emb_kmeans_train": _KMEANS_TRAIN_SQL,
+    "emb_cluster_balanced_sample": _CLUSTER_SAMPLE_SQL,
     "emb_outlier_scan": _OUTLIER_SCAN_SQL,
     "emb_bitext_mine": _BITEXT_MINE_SQL,
     "emb_ivf_trained_topk": _IVF_TRAINED_TOPK_SQL,

@@ -633,6 +633,137 @@ GROUP BY pair.dst
 """
 
 
+def hosts_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004) over
+    the followed-outlink host graph: a personalized-PageRank walk whose
+    teleport vector is uniform over a TRUSTED SEED SET instead of all
+    hosts, composed with the plain walk into the paper's RELATIVE SPAM
+    MASS — the fraction of a host's PageRank that trust cannot reach.
+    ``hosts_spam_mass`` is the direct one-hop edge-weight form; this is
+    the rank-propagated form the paper actually proposes (spam that
+    launders rank through intermediaries is invisible to the one-hop
+    form but not to the walk). Seeds here are the non-link-farm SOURCE
+    hosts (hosts_link_spam's concentration flag, inverted, computed on
+    the same edge list the walk uses); in production the seed list is a
+    curated side input — the walk is indifferent to its provenance.
+
+    Both walks are leaky (no dangling redistribution), matching
+    hosts_pagerank_full so trust and rank are on the same scale;
+    rel_spam_mass is computed from the ROUNDED outputs so the derived
+    column is bit-stable across engines. On the fixture site11 is the
+    link farm: it leaves the seed set, its trustrank is exactly 0
+    (site hosts have no inlinks), its rel_spam_mass is 1.0, and
+    partner2 — which absorbs site11's concentrated links — carries the
+    highest rel_spam_mass of the partner hosts.
+
+    Scale shape per round (×2 walks): one host-keyed equi-join + one
+    partial-agg groupBy — the hosts_pagerank plan class — plus 1-row
+    seed-count/node-count broadcasts and per-round localCheckpoint
+    lineage truncation. The seed table is |hosts|-bounded and
+    broadcasts onto the node frame once."""
+    edges = (_followed_host_edges(spark, sf_dir)
+             .groupBy("src", "dst").agg(F.count("*").alias("w"))
+             .localCheckpoint())
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    weighted = edges.join(out_w, "src")
+    nodes = (edges.select(F.col("src").alias("host"))
+             .union(edges.select(F.col("dst").alias("host")))
+             .distinct())
+    seeds = (edges.groupBy("src")
+             .agg((F.max("w") / F.sum("w")).alias("frac"))
+             .filter(F.col("frac") < LINK_FARM_MIN_FRAC)
+             .select(F.col("src").alias("host"), F.lit(True).alias("seed")))
+    k = seeds.agg(F.count("*").alias("k"))      # 1 row → broadcast
+    n = nodes.agg(F.count("*").alias("n"))      # 1 row → broadcast
+    base = (nodes.join(F.broadcast(seeds), "host", "left")
+            .crossJoin(F.broadcast(k))
+            .select("host",
+                    F.when(F.col("seed"), F.lit(1.0) / F.col("k"))
+                     .otherwise(F.lit(0.0)).alias("t"))
+            .localCheckpoint())
+    trust = base.select("host", "t", F.col("t").alias("r"))
+    ranks = (nodes.crossJoin(F.broadcast(n))
+             .select("host", "n", (F.lit(1.0) / F.col("n")).alias("r")))
+
+    def _inflow(r_frame: DataFrame) -> DataFrame:
+        return (weighted
+                .join(r_frame.select(F.col("host").alias("src"), "r"),
+                      "src")
+                .groupBy(F.col("dst").alias("host"))
+                .agg(F.sum(F.col("r") * F.col("w") / F.col("out_w"))
+                     .alias("inflow")))
+
+    for _ in range(PAGERANK_ITERS):
+        trust = (base.join(_inflow(trust), "host", "left")
+                 .select("host", "t",
+                         ((1.0 - PAGERANK_DAMPING) * F.col("t")
+                          + PAGERANK_DAMPING
+                          * F.coalesce("inflow", F.lit(0.0))).alias("r"))
+                 .localCheckpoint())
+        ranks = (ranks.join(_inflow(ranks), "host", "left")
+                 .select("host", "n",
+                         ((1.0 - PAGERANK_DAMPING) / F.col("n")
+                          + PAGERANK_DAMPING
+                          * F.coalesce("inflow", F.lit(0.0))).alias("r"))
+                 .localCheckpoint())
+    tr4 = F.round(F.col("tr.r"), 4)
+    pr4 = F.round(F.col("pr.r"), 4)
+    return (trust.alias("tr").join(ranks.alias("pr"), "host")
+            .select("host", tr4.alias("trustrank"), pr4.alias("pagerank"),
+                    F.round(F.greatest(F.lit(0.0), (pr4 - tr4) / pr4), 4)
+                     .alias("rel_spam_mass")))
+
+
+def _trustrank_sql() -> str:
+    """Unrolled trust + rank chains over the same edge CTE as
+    hosts_pagerank_full (tc/t = trust walk, c/r = plain walk)."""
+    steps = [f""", seeds AS (
+  SELECT src AS host FROM (
+    SELECT src, MAX(w) * 1.0 / SUM(w) AS frac FROM edges GROUP BY src
+  ) WHERE frac < {LINK_FARM_MIN_FRAC}
+), ns AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k FROM seeds
+), t0 AS MATERIALIZED (
+  SELECT nodes.host,
+         CASE WHEN seeds.host IS NOT NULL THEN 1.0 / ns.k
+              ELSE 0.0 END AS t,
+         CASE WHEN seeds.host IS NOT NULL THEN 1.0 / ns.k
+              ELSE 0.0 END AS r
+  FROM nodes CROSS JOIN ns
+  LEFT JOIN seeds ON seeds.host = nodes.host
+)"""]
+    for i in range(PAGERANK_ITERS):
+        steps.append(f""", tc{i} AS MATERIALIZED (
+  SELECT weighted.dst AS host, SUM(t{i}.r * weighted.w / weighted.out_w)
+           AS inflow
+  FROM weighted JOIN t{i} ON t{i}.host = weighted.src
+  GROUP BY weighted.dst
+), t{i + 1} AS MATERIALIZED (
+  SELECT t{i}.host, t{i}.t,
+         (1.0 - {PAGERANK_DAMPING}) * t{i}.t
+           + {PAGERANK_DAMPING} * COALESCE(tc{i}.inflow, 0.0) AS r
+  FROM t{i} LEFT JOIN tc{i} ON tc{i}.host = t{i}.host
+), c{i} AS MATERIALIZED (
+  SELECT weighted.dst AS host, SUM(r{i}.r * weighted.w / weighted.out_w)
+           AS inflow
+  FROM weighted JOIN r{i} ON r{i}.host = weighted.src
+  GROUP BY weighted.dst
+), r{i + 1} AS MATERIALIZED (
+  SELECT r{i}.host, r{i}.n,
+         (1.0 - {PAGERANK_DAMPING}) / r{i}.n
+           + {PAGERANK_DAMPING} * COALESCE(c{i}.inflow, 0.0) AS r
+  FROM r{i} LEFT JOIN c{i} ON c{i}.host = r{i}.host
+)""")
+    last = PAGERANK_ITERS
+    return (_PR_FULL_EDGES_CTE + "".join(steps) + f"""
+SELECT t.host,
+       round(t.r, 4) AS trustrank,
+       round(p.r, 4) AS pagerank,
+       round(greatest(0.0, (round(p.r, 4) - round(t.r, 4))
+                           / round(p.r, 4)), 4) AS rel_spam_mass
+FROM t{last} t JOIN r{last} p ON p.host = t.host""")
+
+
 # ---------------------------------------------------------------------------
 # robots directives + host-blocklist filtering
 # ---------------------------------------------------------------------------
@@ -2017,6 +2148,15 @@ BLOOM_K = 3      # for the target FP rate 2^-k; sized here so the
                  # query exists to measure, not hide.
 
 
+def _bloom_pos(j: int, c: Column) -> Column:
+    """j-th Kirsch-Mitzenmacher-style bit position for fingerprint
+    column ``c``: md5 of a 'j:'-prefixed copy, first 8 hex digits mod
+    BLOOM_M — engine-independent, so the filter is oracle-checkable."""
+    h = F.md5(F.concat(F.lit(f"{j}:"), c))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+            % BLOOM_M)
+
+
 def docs_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter pre-screen for incremental-crawl dedup — the
     approximate SIBLING of docs_new_vs_snapshot's exact anti-join: the
@@ -2040,12 +2180,7 @@ def docs_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit, not the hot path."""
     docs = _docs(spark, sf_dir)
     fp = F.md5("text")
-
-    def pos(j: int, c: Column) -> Column:
-        h = F.md5(F.concat(F.lit(f"{j}:"), c))
-        return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
-                % BLOOM_M)
-
+    pos = _bloom_pos
     prior = docs.filter(F.col("doc_id") % 3 != 2) \
                 .select(fp.alias("fp")).distinct()
     bits = prior.select(F.explode(F.array(
@@ -2098,6 +2233,85 @@ SELECT doc_id, fp AS fingerprint, n_bloom_hits,
        (n_bloom_hits = {BLOOM_K}
         AND fp NOT IN (SELECT fp FROM prior)) AS bloom_false_positive
 FROM hits
+"""
+
+
+def docs_bloom_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter snapshot merge — the OR-combine that makes the
+    dedup pre-screen INCREMENTAL, completing the merge-algebra set the
+    sketch family pins (HLL register max, CMS counter add, KMV
+    bottom-k-of-union, quantile-histogram bin add; Bloom's combine is
+    bitwise OR): the prior snapshot's bit set OR'd with the new delta's
+    bit set must equal, bit for bit, the filter built from scratch over
+    the union corpus — so a 10^12-doc pipeline maintains its crawl-dedup
+    filter by OR-ing each snapshot's m-bit frame into the store and
+    never rescans history. Same fixture split as docs_bloom_probe
+    (prior = doc_id % 3 != 2, delta = the arrivals), so merged-filter
+    probes are exactly docs_bloom_probe's verdicts.
+
+    Scale shape: three bounded bit-set aggregates (each ≤ BLOOM_M rows
+    out of a narrow k-position explode) joined ON the bit key — at
+    production scale prior/delta frames are READ, not recomputed, and
+    the merge is a ≤ m-row full-outer join."""
+    docs = _docs(spark, sf_dir)
+    fp = F.md5("text")
+
+    def bits_of(df: DataFrame) -> DataFrame:
+        return (df.select(F.explode(F.array(
+            *[_bloom_pos(j, F.col("fp")) for j in range(BLOOM_K)]))
+            .alias("bit")).distinct())
+
+    prior = docs.filter(F.col("doc_id") % 3 != 2) \
+                .select(fp.alias("fp")).distinct()
+    delta = docs.filter(F.col("doc_id") % 3 == 2) \
+                .select(fp.alias("fp")).distinct()
+    full = docs.select(fp.alias("fp")).distinct()
+    bp = bits_of(prior).withColumn("p", F.lit(True))
+    bd = bits_of(delta).withColumn("d", F.lit(True))
+    bf = bits_of(full).withColumn("f", F.lit(True))
+    inp = F.coalesce("p", F.lit(False))
+    ind = F.coalesce("d", F.lit(False))
+    inf_ = F.coalesce("f", F.lit(False))
+    return (bp.join(bd, "bit", "full").join(bf, "bit", "full")
+            .select("bit", inp.alias("in_prior"), ind.alias("in_delta"),
+                    inf_.alias("in_full"),
+                    ((inp | ind) == inf_).alias("merge_exact")))
+
+
+DOCS_BLOOM_MERGE_SQL = f"""
+WITH fps AS (
+  SELECT doc_id, md5(text) AS fp FROM documents
+), bp AS (
+  SELECT DISTINCT
+      ('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || fp), 1, 8))
+        ::BIGINT % {BLOOM_M} AS bit
+  FROM (SELECT DISTINCT fp FROM fps WHERE doc_id % 3 <> 2),
+       LATERAL unnest(range(0, {BLOOM_K})) AS u(j)
+), bd AS (
+  SELECT DISTINCT
+      ('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || fp), 1, 8))
+        ::BIGINT % {BLOOM_M} AS bit
+  FROM (SELECT DISTINCT fp FROM fps WHERE doc_id % 3 = 2),
+       LATERAL unnest(range(0, {BLOOM_K})) AS u(j)
+), bf AS (
+  SELECT DISTINCT
+      ('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || fp), 1, 8))
+        ::BIGINT % {BLOOM_M} AS bit
+  FROM (SELECT DISTINCT fp FROM fps),
+       LATERAL unnest(range(0, {BLOOM_K})) AS u(j)
+), pd AS (
+  SELECT coalesce(bp.bit, bd.bit) AS bit,
+         bp.bit IS NOT NULL AS in_prior,
+         bd.bit IS NOT NULL AS in_delta
+  FROM bp FULL OUTER JOIN bd ON bp.bit = bd.bit
+)
+SELECT coalesce(pd.bit, bf.bit) AS bit,
+       coalesce(in_prior, FALSE) AS in_prior,
+       coalesce(in_delta, FALSE) AS in_delta,
+       bf.bit IS NOT NULL AS in_full,
+       (coalesce(in_prior, FALSE) OR coalesce(in_delta, FALSE))
+         = (bf.bit IS NOT NULL) AS merge_exact
+FROM pd FULL OUTER JOIN bf ON bf.bit = pd.bit
 """
 
 
@@ -2907,6 +3121,79 @@ WHERE n_shared > 0
 """
 
 
+MIRROR_CC_ITERS = 4   # label-propagation rounds; mirror components are
+                      # stars around the origin host (diameter ≤ 2), so
+                      # 4 rounds is a 2× safety margin — the split-not-
+                      # merge bound of near_dup_clusters applies
+
+
+def hosts_mirror_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror GROUPS from the pair flags: connected components over
+    hosts_mirror_pairs' ``is_mirror`` edges → (host, canonical_host,
+    is_canonical). A mirror RING (origin → CDN copy → scraper re-host)
+    produces pairwise flags; the component is the unit the frontier
+    acts on — crawl the canonical host, stop crawling the rest.
+    Canonical election here is the deterministic min label (the
+    near_dup_clusters convention); a production pipeline swaps in a
+    quality/size prior exactly like docs_near_dup_quality_keepers does
+    for document clusters — the component structure is the hard part
+    and is what this operator pins.
+
+    Same distributed min-label propagation as near_dup_clusters with
+    STRING labels (min = lexicographic, identical in both engines),
+    fixed MIRROR_CC_ITERS rounds: each round is one host-keyed
+    equi-join + one groupBy(host) min — no driver-side graph. Edge
+    count is bounded by the mirror-pair list (itself bounded by the
+    digest-cap'd bucket join)."""
+    pairs = (hosts_mirror_pairs(spark, sf_dir)
+             .filter(F.col("is_mirror")).select("host_a", "host_b"))
+    edges = (pairs.select(F.col("host_a").alias("src"),
+                          F.col("host_b").alias("dst"))
+             .union(pairs.select(F.col("host_b").alias("src"),
+                                 F.col("host_a").alias("dst")))
+             .distinct().persist())
+    labels = (edges.select(F.col("src").alias("host")).distinct()
+              .withColumn("label", F.col("host"))
+              .localCheckpoint())
+    for _ in range(MIRROR_CC_ITERS):
+        prop = (edges.join(labels.withColumnRenamed("host", "src"), "src")
+                .select(F.col("dst").alias("host"), "label"))
+        labels = (labels.union(prop)
+                  .groupBy("host")
+                  .agg(F.min("label").alias("label"))
+                  .localCheckpoint())
+    edges.unpersist()
+    return labels.select(
+        "host", F.col("label").alias("canonical_host"),
+        (F.col("host") == F.col("label")).alias("is_canonical"))
+
+
+# DuckDB oracle: exact transitive closure via recursive CTE (tractable
+# because nodes are the flagged-pair hosts, not the host inventory),
+# component id = min reachable label — definitionally what the
+# propagation loop converges to.
+HOSTS_MIRROR_CLUSTERS_SQL = f"""
+WITH RECURSIVE mp AS (
+  SELECT host_a, host_b FROM (
+{HOSTS_MIRROR_PAIRS_SQL}
+  ) WHERE is_mirror
+), cedges AS (
+  SELECT host_a AS src, host_b AS dst FROM mp
+  UNION
+  SELECT host_b AS src, host_a AS dst FROM mp
+), cnodes AS (
+  SELECT DISTINCT src AS host FROM cedges
+), reach(id, r) AS (
+  SELECT host, host FROM cnodes
+  UNION
+  SELECT re.id, e.dst FROM reach re JOIN cedges e ON e.src = re.r
+)
+SELECT id AS host, MIN(r) AS canonical_host,
+       (id = MIN(r)) AS is_canonical
+FROM reach GROUP BY id
+"""
+
+
 # ---------------------------------------------------------------------------
 # frontier politeness scheduling
 # ---------------------------------------------------------------------------
@@ -3347,6 +3634,9 @@ SPARK_QUERIES = {
     "hosts_stats_kanon": hosts_stats_kanon,
     "hosts_crawl_budget": hosts_crawl_budget,
     "hosts_mirror_pairs": hosts_mirror_pairs,
+    "hosts_mirror_clusters": hosts_mirror_clusters,
+    "hosts_trustrank": hosts_trustrank,
+    "docs_bloom_snapshot_merge": docs_bloom_snapshot_merge,
     "docs_substring_dedup": docs_substring_dedup,
     "docs_gopher_line_filters": docs_gopher_line_filters,
     "docs_fineweb_verdict": docs_fineweb_verdict,
@@ -3393,6 +3683,9 @@ ORACLE_SQL = {
     "hosts_stats_kanon": HOSTS_STATS_KANON_SQL,
     "hosts_crawl_budget": _hosts_crawl_budget_sql(),
     "hosts_mirror_pairs": HOSTS_MIRROR_PAIRS_SQL,
+    "hosts_mirror_clusters": HOSTS_MIRROR_CLUSTERS_SQL,
+    "hosts_trustrank": _trustrank_sql(),
+    "docs_bloom_snapshot_merge": DOCS_BLOOM_MERGE_SQL,
     "docs_substring_dedup": DOCS_SUBSTR_DEDUP_SQL,
     "docs_gopher_line_filters": GOPHER_LINE_SQL,
     "docs_fineweb_verdict": _fineweb_verdict_sql(),

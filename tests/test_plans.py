@@ -977,3 +977,33 @@ def test_cms_heavy_hitters_broadcast_sketch_and_topk(spark):
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "SinglePartition" not in plan
+
+
+def test_cluster_balanced_sample_cap_binds_and_is_windowed(spark):
+    """The per-cell diversity cap must BIND on the fixture (both kept
+    outcomes exist; no cell exceeds the cap), exactly one rank window
+    keyed cell does the capping (the docs_host_cap shape — the window
+    exchange is the only distributed shuffle past the assignment's
+    broadcast narrow map), and the kept set is the md5-ordered prefix
+    of each cell."""
+    from ocr_spark.plans.simsearch import (
+        CLUSTER_SAMPLE_CAP, emb_cluster_balanced_sample)
+
+    df = emb_cluster_balanced_sample(spark, SF)
+    plan = fmt(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" in plan
+    single = plan.count("Arguments: SinglePartition")
+    assert n_shuffles(plan) - single <= 1, plan
+
+    rows = df.collect()
+    kept = [r for r in rows if r["kept"]]
+    dropped = [r for r in rows if not r["kept"]]
+    assert kept and dropped  # the cap binds
+    per_cell: dict = {}
+    for r in kept:
+        per_cell[r["cell"]] = per_cell.get(r["cell"], 0) + 1
+    assert max(per_cell.values()) == CLUSTER_SAMPLE_CAP
+    # kept = exact rank prefix per cell
+    for r in rows:
+        assert r["kept"] == (r["pick_rank"] <= CLUSTER_SAMPLE_CAP)

@@ -578,3 +578,78 @@ def test_gopher_line_gate_discriminates():
             assert bf == 0 and ef == 0, (doc_id, bf, ef)
     assert outcomes == {True, False}
     assert len(bullet_fracs) >= 2  # ratios vary with block structure
+
+
+def test_trustrank_separates_spam_from_trust(spark):
+    """TrustRank semantics on the fixture: site11 (the link farm,
+    concentration ≥ LINK_FARM_MIN_FRAC) is excluded from the seed set,
+    so with no inlinks its trust is exactly 0 and its relative spam
+    mass is 1.0; every seeded site host holds teleport trust
+    (1-d)/|seeds|; partner2 — which absorbs site11's concentrated
+    links — carries the highest rel_spam_mass among the partner
+    hosts (the rank-propagated signal hosts_spam_mass's one-hop form
+    agrees with on this graph)."""
+    from ocr_spark.plans.webops import hosts_trustrank
+
+    rows = {r["host"]: r for r in hosts_trustrank(spark, SF).collect()}
+    farm = rows["site11.example.com"]
+    assert farm["trustrank"] == 0.0
+    assert farm["rel_spam_mass"] == 1.0
+    seeded = [r for h, r in rows.items()
+              if h.startswith("site") and h != "site11.example.com"]
+    assert seeded and all(r["trustrank"] > 0 for r in seeded)
+    partners = {h: r for h, r in rows.items() if h.startswith("partner")}
+    assert len(partners) == 5
+    worst = max(partners.values(), key=lambda r: r["rel_spam_mass"])
+    assert worst["host"] == "partner2.example.org"
+    others = [r["rel_spam_mass"] for h, r in partners.items()
+              if h != "partner2.example.org"]
+    assert all(worst["rel_spam_mass"] > m for m in others)
+
+
+def test_mirror_clusters_match_pair_closure(spark):
+    """Component structure = transitive closure of the is_mirror pair
+    list (computed independently here with a tiny union-find), one
+    canonical host per component, canonical = min label."""
+    from ocr_spark.plans.webops import (
+        hosts_mirror_clusters, hosts_mirror_pairs)
+
+    pairs = [(r["host_a"], r["host_b"])
+             for r in hosts_mirror_pairs(spark, SF)
+             .filter("is_mirror").collect()]
+    assert pairs  # fixture guarantees mirrored hosts exist
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {h: find(h) for h in parent}
+    got = {r["host"]: r for r in hosts_mirror_clusters(spark, SF).collect()}
+    assert {h: r["canonical_host"] for h, r in got.items()} == expect
+    for h, r in got.items():
+        assert r["is_canonical"] == (h == r["canonical_host"])
+    # exactly one canonical per component
+    canon = {r["canonical_host"] for r in got.values()}
+    assert all(got[c]["is_canonical"] for c in canon)
+
+
+def test_bloom_merge_is_exact_or(spark):
+    """The OR-merge must equal the from-scratch filter on EVERY bit
+    (the HLL register-max / CMS counter-add discipline), and both
+    snapshot sides must contribute bits the other lacks — otherwise
+    the merge test is vacuous."""
+    from ocr_spark.plans.webops import docs_bloom_snapshot_merge
+
+    rows = docs_bloom_snapshot_merge(spark, SF).collect()
+    assert rows and all(r["merge_exact"] for r in rows)
+    assert any(r["in_prior"] and not r["in_delta"] for r in rows)
+    assert any(r["in_delta"] and not r["in_prior"] for r in rows)
+    assert all(r["in_full"] for r in rows)  # union = full corpus bits
