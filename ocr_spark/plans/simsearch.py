@@ -1153,6 +1153,61 @@ FROM ranked
 """
 
 
+# Per-cell target quotas — a deterministic plan-literal stand-in for
+# the artifact-loaded output of mixture optimization (DoReMi-style
+# semantic allocation). Varied across cells so the quota JOIN is
+# load-bearing: some cells get less than the uniform cap, some more.
+CLUSTER_QUOTA_SPEC: tuple[tuple[int, int], ...] = tuple(
+    (c, 16 + 8 * (c % 4)) for c in range(KM_K))
+
+
+def emb_cluster_quota_sample(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Per-cell QUOTAS from a mixture spec — the generalization of
+    emb_cluster_balanced_sample's single global cap: each trained
+    Lloyd cell carries its own target count, so the kept corpus
+    realizes a chosen semantic MIXTURE rather than flat diversity
+    (the embedding-space counterpart of docs_domain_mixture →
+    docs_mixture_realize). The spec here is a deterministic plan
+    literal; in production it is the artifact-loaded output of
+    mixture optimization, through the same broadcast-side-table seam
+    as docs_classifier_score's weight table.
+
+    Scale shape: identical to the balanced sampler — broadcast-
+    centroid narrow-map assignment, ONE rank window keyed cell — plus
+    a k-row broadcast join for the quota column."""
+    _, assigned = _kmeans(spark, sf_dir)
+    spec = spark.createDataFrame(
+        list(CLUSTER_QUOTA_SPEC), "cell long, quota long")
+    w = Window.partitionBy("cell").orderBy(
+        F.md5(F.col("vec_id").cast("string")).asc(),
+        F.col("vec_id").asc())
+    return (assigned.withColumn("pick_rank", F.row_number().over(w))
+            .join(F.broadcast(spec), "cell")
+            .select("vec_id", "cell", "quota", "pick_rank",
+                    (F.col("pick_rank") <= F.col("quota")).alias("kept")))
+
+
+def _cluster_quota_sql() -> str:
+    rows = ", ".join(f"({c}, {q})" for c, q in CLUSTER_QUOTA_SPEC)
+    return f"""
+{_KM_CTES},
+spec AS (
+  SELECT cell, CAST(quota AS BIGINT) AS quota
+  FROM (VALUES {rows}) AS v(cell, quota)
+), ranked AS (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY cell
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS pick_rank
+  FROM af
+)
+SELECT vec_id, ranked.cell, quota, pick_rank,
+       pick_rank <= quota AS kept
+FROM ranked JOIN spec ON spec.cell = ranked.cell
+"""
+
+
 # --------------------------------------------------------------------------
 # margin-based bitext mining (cross-lingual pair extraction)
 # --------------------------------------------------------------------------
@@ -1491,6 +1546,7 @@ SPARK_QUERIES = {
     "emb_ivfpq_topk": emb_ivfpq_topk,
     "emb_kmeans_train": emb_kmeans_train,
     "emb_cluster_balanced_sample": emb_cluster_balanced_sample,
+    "emb_cluster_quota_sample": emb_cluster_quota_sample,
     "emb_outlier_scan": emb_outlier_scan,
     "emb_bitext_mine": emb_bitext_mine,
     "emb_ivf_trained_topk": emb_ivf_trained_topk,
@@ -1512,6 +1568,7 @@ ORACLE_SQL = {
     "emb_ivfpq_topk": _ivfpq_sql(),
     "emb_kmeans_train": _KMEANS_TRAIN_SQL,
     "emb_cluster_balanced_sample": _CLUSTER_SAMPLE_SQL,
+    "emb_cluster_quota_sample": _cluster_quota_sql(),
     "emb_outlier_scan": _OUTLIER_SCAN_SQL,
     "emb_bitext_mine": _BITEXT_MINE_SQL,
     "emb_ivf_trained_topk": _IVF_TRAINED_TOPK_SQL,

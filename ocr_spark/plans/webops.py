@@ -516,6 +516,118 @@ FROM a{HITS_ITERS} JOIN h{HITS_ITERS}
   ON h{HITS_ITERS}.host = a{HITS_ITERS}.host""")
 
 
+SALSA_ITERS = 6
+
+
+def hosts_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALSA (Lempel & Moran, WWW 2000) over the followed-outlink host
+    graph — the stochastic cousin of HITS: hub/authority scores are
+    the stationary distributions of a two-step random walk on the
+    bipartite support graph (backward along a weighted in-link, then
+    forward along a weighted out-link) instead of HITS's
+    mutual-reinforcement sums. The per-step degree normalization is
+    what defuses HITS's tightly-knit-community inflation: a link farm
+    moves mass only in proportion to actual edge weight, never by
+    resonance. By detailed balance the authority stationary mass
+    within a component is proportional to weighted in-degree, so on
+    the fixture partner2 (absorbing site11's concentrated links) must
+    rank first — asserted in tests; the walk is stochastic by
+    construction, so Σ authority = Σ hub = 1 with NO normalization
+    aggregates (also asserted, it is the discipline HITS needs two
+    1-row broadcasts per round to maintain).
+
+    Scale shape per round: two edge⋈score equi-joins + two partial-agg
+    groupBys keyed host (the hosts_hits plan class) over edge lists
+    pre-normalized ONCE (wf = w/out_w forward, wb = w/in_w backward,
+    both localCheckpointed); per-round localCheckpoint truncates
+    lineage. Fixed SALSA_ITERS rounds, unrolled-CTE oracle."""
+    edges = (_followed_host_edges(spark, sf_dir)
+             .groupBy("src", "dst").agg(F.count("*").alias("w"))
+             .localCheckpoint())
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    in_w = edges.groupBy("dst").agg(F.sum("w").alias("in_w"))
+    ef = (edges.join(out_w, "src")
+          .select("src", "dst", (F.col("w") / F.col("out_w")).alias("wf"))
+          .localCheckpoint())
+    eb = (edges.join(in_w, "dst")
+          .select("src", "dst", (F.col("w") / F.col("in_w")).alias("wb"))
+          .localCheckpoint())
+    auths = edges.select("dst").distinct()
+    hubs = edges.select("src").distinct()
+    na = auths.agg(F.count("*").alias("n"))   # 1 row → broadcast
+    nh = hubs.agg(F.count("*").alias("n"))    # 1 row → broadcast
+    a = (auths.crossJoin(F.broadcast(na))
+         .select(F.col("dst").alias("host"),
+                 (F.lit(1.0) / F.col("n")).alias("a")))
+    hh = (hubs.crossJoin(F.broadcast(nh))
+          .select(F.col("src").alias("host"),
+                  (F.lit(1.0) / F.col("n")).alias("h")))
+    for _ in range(SALSA_ITERS):
+        back = (eb.join(a.select(F.col("host").alias("dst"), "a"), "dst")
+                .groupBy("src")
+                .agg(F.sum(F.col("wb") * F.col("a")).alias("m")))
+        a = (ef.join(back, "src")
+             .groupBy(F.col("dst").alias("host"))
+             .agg(F.sum(F.col("wf") * F.col("m")).alias("a"))
+             .localCheckpoint())
+        fwd = (ef.join(hh.select(F.col("host").alias("src"), "h"), "src")
+               .groupBy("dst")
+               .agg(F.sum(F.col("wf") * F.col("h")).alias("m")))
+        hh = (eb.join(fwd, "dst")
+              .groupBy(F.col("src").alias("host"))
+              .agg(F.sum(F.col("wb") * F.col("m")).alias("h"))
+              .localCheckpoint())
+    nodes = (auths.select(F.col("dst").alias("host"))
+             .union(hubs.select(F.col("src").alias("host")))
+             .distinct())
+    return (nodes.join(a, "host", "left").join(hh, "host", "left")
+            .select("host",
+                    F.round(F.coalesce("a", F.lit(0.0)), 4)
+                     .alias("salsa_authority"),
+                    F.round(F.coalesce("h", F.lit(0.0)), 4)
+                     .alias("salsa_hub")))
+
+
+def _salsa_sql() -> str:
+    steps = [""", sin_w AS (
+  SELECT dst, CAST(SUM(w) AS BIGINT) AS in_w FROM edges GROUP BY dst
+), ef AS (
+  SELECT edges.src, edges.dst, edges.w / out_w.out_w AS wf
+  FROM edges JOIN out_w USING (src)
+), eb AS (
+  SELECT edges.src, edges.dst, edges.w / sin_w.in_w AS wb
+  FROM edges JOIN sin_w ON sin_w.dst = edges.dst
+), auths AS (SELECT DISTINCT dst AS host FROM edges),
+hubs AS (SELECT DISTINCT src AS host FROM edges),
+sa0 AS MATERIALIZED (
+  SELECT host, 1.0 / (SELECT COUNT(*) FROM auths) AS a FROM auths
+), sh0 AS MATERIALIZED (
+  SELECT host, 1.0 / (SELECT COUNT(*) FROM hubs) AS h FROM hubs
+)"""]
+    for i in range(SALSA_ITERS):
+        steps.append(f""", bk{i} AS MATERIALIZED (
+  SELECT eb.src, SUM(eb.wb * sa{i}.a) AS m
+  FROM eb JOIN sa{i} ON sa{i}.host = eb.dst GROUP BY eb.src
+), sa{i + 1} AS MATERIALIZED (
+  SELECT ef.dst AS host, SUM(ef.wf * bk{i}.m) AS a
+  FROM ef JOIN bk{i} ON bk{i}.src = ef.src GROUP BY ef.dst
+), fw{i} AS MATERIALIZED (
+  SELECT ef.dst, SUM(ef.wf * sh{i}.h) AS m
+  FROM ef JOIN sh{i} ON sh{i}.host = ef.src GROUP BY ef.dst
+), sh{i + 1} AS MATERIALIZED (
+  SELECT eb.src AS host, SUM(eb.wb * fw{i}.m) AS h
+  FROM eb JOIN fw{i} ON fw{i}.dst = eb.dst GROUP BY eb.src
+)""")
+    last = SALSA_ITERS
+    return (_PR_FULL_EDGES_CTE + "".join(steps) + f"""
+SELECT nodes.host,
+       round(COALESCE(sa{last}.a, 0.0), 4) AS salsa_authority,
+       round(COALESCE(sh{last}.h, 0.0), 4) AS salsa_hub
+FROM nodes
+LEFT JOIN sa{last} ON sa{last}.host = nodes.host
+LEFT JOIN sh{last} ON sh{last}.host = nodes.host""")
+
+
 # ---------------------------------------------------------------------------
 # link-spam scoring over the host graph
 # ---------------------------------------------------------------------------
@@ -3636,6 +3748,7 @@ SPARK_QUERIES = {
     "hosts_mirror_pairs": hosts_mirror_pairs,
     "hosts_mirror_clusters": hosts_mirror_clusters,
     "hosts_trustrank": hosts_trustrank,
+    "hosts_salsa": hosts_salsa,
     "docs_bloom_snapshot_merge": docs_bloom_snapshot_merge,
     "docs_substring_dedup": docs_substring_dedup,
     "docs_gopher_line_filters": docs_gopher_line_filters,
@@ -3685,6 +3798,7 @@ ORACLE_SQL = {
     "hosts_mirror_pairs": HOSTS_MIRROR_PAIRS_SQL,
     "hosts_mirror_clusters": HOSTS_MIRROR_CLUSTERS_SQL,
     "hosts_trustrank": _trustrank_sql(),
+    "hosts_salsa": _salsa_sql(),
     "docs_bloom_snapshot_merge": DOCS_BLOOM_MERGE_SQL,
     "docs_substring_dedup": DOCS_SUBSTR_DEDUP_SQL,
     "docs_gopher_line_filters": GOPHER_LINE_SQL,

@@ -672,6 +672,58 @@ def hll_store_registers(spark: SparkSession, store_dir: str) -> DataFrame:
             .groupBy("reg").agg(F.max("m_reg").alias("m_reg")))
 
 
+def stream_cms_sketch(spark: SparkSession, input_dir: str,
+                      store_dir: str, checkpoint_dir: str) -> Any:
+    """Streaming count-min sink — the counter-ADD twin of
+    stream_hll_sketch: each micro-batch extracts its pages and writes
+    the depth×256 CMS counter frame of its token stream under a
+    batch_id-keyed partition with overwrite (exactly-once by
+    replacement: crash re-delivery rewrites the partition with
+    identical content). The frame comes from the SAME builder as the
+    batch sketch queries (plans/sketches.py::_cms_frame), so a page
+    contributes identical counters on both paths, and the consolidated
+    store (cms_store_counters: elementwise SUM across batch
+    partitions) equals the from-scratch frame over everything ingested
+    — the counter-add algebra docs_cms_snapshot_merge pins.
+    Heavy-hitter frequency estimates over an accumulating crawl thus
+    need only ≤ depth·256 stored rows per batch, never a rescan of
+    history."""
+    import os as _os
+
+    from ocr_spark.operators.extraction import (
+        EXTRACT_RESULT_SCHEMA, _extract_batches_fn,
+    )
+    from ocr_spark.plans.sketches import _cms_frame, _tok_col
+
+    pages = read_pages_stream(spark, input_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        extracted = batch_df.select("url", "html").withColumn(
+            "bucket", F.pmod(F.xxhash64("url"), F.lit(64)).cast("int")
+        ).mapInPandas(_extract_batches_fn("full"),
+                      schema=EXTRACT_RESULT_SCHEMA)
+        ok = extracted.filter(F.col("error").isNull()
+                              & F.col("text").isNotNull())
+        _cms_frame(ok.select(_tok_col())).write.mode("overwrite").parquet(
+            _os.path.join(store_dir, f"batch={batch_id}"))
+
+    return (pages.writeStream
+            .foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start())
+
+
+def cms_store_counters(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Consolidated CMS counter frame over every batch partition the
+    streaming sink has committed: elementwise SUM on the (row, bucket)
+    key — a ≤ depth·256-row aggregate regardless of batch count."""
+    return (spark.read.parquet(store_dir)
+            .groupBy("r", "b")
+            .agg(F.sum("counter").cast("long").alias("counter")))
+
+
 def compact_near_dup_store(spark: SparkSession, sigstore_dir: str,
                            keep_last: int = 0) -> dict:
     """Collapse the signature store's per-batch partitions into one

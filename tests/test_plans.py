@@ -1007,3 +1007,25 @@ def test_cluster_balanced_sample_cap_binds_and_is_windowed(spark):
     # kept = exact rank prefix per cell
     for r in rows:
         assert r["kept"] == (r["pick_rank"] <= CLUSTER_SAMPLE_CAP)
+
+
+def test_cluster_quota_sample_realizes_spec(spark):
+    """Per-cell kept counts must equal min(quota, cell size) — the
+    quota JOIN is load-bearing (at least two distinct realized kept
+    counts across cells, or the spec degenerates to a constant cap)."""
+    from ocr_spark.plans.simsearch import (
+        CLUSTER_QUOTA_SPEC, emb_cluster_quota_sample)
+
+    rows = emb_cluster_quota_sample(spark, SF).collect()
+    spec = dict(CLUSTER_QUOTA_SPEC)
+    size: dict = {}
+    kept: dict = {}
+    for r in rows:
+        size[r["cell"]] = size.get(r["cell"], 0) + 1
+        if r["kept"]:
+            kept[r["cell"]] = kept.get(r["cell"], 0) + 1
+        assert r["quota"] == spec[r["cell"]]
+        assert r["kept"] == (r["pick_rank"] <= r["quota"])
+    for c, n in size.items():
+        assert kept.get(c, 0) == min(spec[c], n), (c, n, spec[c])
+    assert len(set(kept.values())) >= 2

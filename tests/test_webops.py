@@ -653,3 +653,28 @@ def test_bloom_merge_is_exact_or(spark):
     assert any(r["in_prior"] and not r["in_delta"] for r in rows)
     assert any(r["in_delta"] and not r["in_prior"] for r in rows)
     assert all(r["in_full"] for r in rows)  # union = full corpus bits
+
+
+def test_salsa_mass_conservation_and_authority_order(spark):
+    """SALSA is a stochastic walk: Σ authority = Σ hub = 1 exactly (up
+    to float/rounding) with NO normalization aggregates — the property
+    HITS needs two 1-row broadcasts per round to impose. By detailed
+    balance the authority stationary mass is ∝ weighted in-degree
+    within the component, so partner2 (absorbing site11's concentrated
+    links) must rank first; site hosts have no inlinks → authority 0;
+    partner hosts have no outlinks → hub 0."""
+    from ocr_spark.plans.webops import hosts_salsa
+
+    rows = {r["host"]: r for r in hosts_salsa(spark, SF).collect()}
+    assert abs(sum(r["salsa_authority"] for r in rows.values()) - 1.0) \
+        < 1e-2  # 18 hosts × round-4 error bound
+    assert abs(sum(r["salsa_hub"] for r in rows.values()) - 1.0) < 1e-2
+    partners = {h: r for h, r in rows.items() if h.startswith("partner")}
+    sites = {h: r for h, r in rows.items() if h.startswith("site")}
+    assert all(r["salsa_authority"] == 0.0 for r in sites.values())
+    assert all(r["salsa_hub"] == 0.0 for r in partners.values())
+    best = max(partners.values(), key=lambda r: r["salsa_authority"])
+    assert best["host"] == "partner2.example.org"
+    assert all(best["salsa_authority"] > r["salsa_authority"]
+               for h, r in partners.items()
+               if h != "partner2.example.org")
