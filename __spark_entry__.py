@@ -50,6 +50,8 @@ _DRIVER_FRONT: tuple[str, ...] = (
     # CORRECTNESS row
     "extract_roundtrip", "extract_block_stats", "document_graph_edges",
     # new in round 4 (never driver-checked by definition)
+    "extract_eval_tokenf1", "hosts_pagerank_aged", "hosts_salsa",
+    "emb_cluster_quota_sample",
     "hosts_trustrank", "hosts_mirror_clusters",
     "docs_bloom_snapshot_merge", "emb_cluster_balanced_sample",
     "pages_cdx_index", "pages_wat_export",

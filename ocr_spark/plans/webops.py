@@ -303,15 +303,21 @@ def _followed_host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pagerank_loop(edges: DataFrame,
-                   redistribute_dangling: bool) -> DataFrame:
+                   redistribute_dangling: bool,
+                   weight_col: str | None = None) -> DataFrame:
     """Shared fixed-iteration weighted power loop (the hosts_pagerank
     shape: per-round edge⋈rank equi-join keyed src + partial-agg
     groupBy(dst), broadcast 1-row totals, localCheckpoint lineage
     truncation). With ``redistribute_dangling`` the damped mass parked
     on no-outlink hosts is returned uniformly each round (the standard
     dangling-node correction: r' = (1-d)/n + d·(inflow + D/n), D = Σr
-    over dangling) so Σr stays 1 instead of leaking."""
-    edges = (edges.groupBy("src", "dst").agg(F.count("*").alias("w"))
+    over dangling) so Σr stays 1 instead of leaking. Per-(src, dst)
+    edge weight is the page-edge COUNT, or — when ``weight_col`` names
+    a per-page-edge weight column — its SUM (the crawl-age-decayed
+    variant rides this)."""
+    w_agg = (F.sum(weight_col) if weight_col is not None
+             else F.count("*"))
+    edges = (edges.groupBy("src", "dst").agg(w_agg.alias("w"))
              .localCheckpoint())
     out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
     weighted = edges.join(out_w, "src")
@@ -398,7 +404,8 @@ WITH page_edges AS (
 )"""
 
 
-def _pagerank_full_sql(redistribute_dangling: bool) -> str:
+def _pagerank_full_sql(redistribute_dangling: bool,
+                       edges_cte: str = _PR_FULL_EDGES_CTE) -> str:
     steps = []
     for i in range(PAGERANK_ITERS):
         steps.append(f""", c{i} AS MATERIALIZED (
@@ -425,9 +432,105 @@ def _pagerank_full_sql(redistribute_dangling: bool) -> str:
            + {PAGERANK_DAMPING} * COALESCE(c{i}.inflow, 0.0) AS r
   FROM r{i} LEFT JOIN c{i} ON c{i}.host = r{i}.host
 )""")
-    return (_PR_FULL_EDGES_CTE + "".join(steps)
+    return (edges_cte + "".join(steps)
             + f"\nSELECT host, round(r, 4) AS pagerank "
               f"FROM r{PAGERANK_ITERS}")
+
+
+# Crawl-age edge decay: a page edge's weight is 2^(-age_half_lives)
+# where age is months between the graph's NEWEST capture and the
+# page's own last capture in the multi-capture crawl log
+# (plans/indexing.py::_capture_log: last capture 2025-03-01 for
+# doc_id%7==0, 2025-02-01 for doc_id%5==0, else 2025-01-01 — so the
+# decayed per-page weights are exactly 1.0 / 0.5 / 0.25 and the CASE
+# below mirrors them, %7 tested first because %35 docs match both).
+PAGERANK_AGE_HALF_LIFE_MONTHS = 1.0
+
+_PR_AGED_EDGES_CTE = """
+WITH page_edges AS (
+  SELECT 'site' || CAST(doc_id % 13 AS VARCHAR) || '.example.com' AS src,
+         'partner' || CAST(CASE WHEN doc_id % 13 = 11 THEN 2
+                                ELSE doc_id % 5 END AS VARCHAR)
+           || '.example.org' AS dst,
+         CASE WHEN doc_id % 7 = 0 THEN 1.0
+              WHEN doc_id % 5 = 0 THEN 0.5
+              ELSE 0.25 END AS w0
+  FROM documents
+  WHERE doc_id % 17 <> 3
+), edges AS (
+  SELECT src, dst, SUM(w0) AS w
+  FROM page_edges GROUP BY src, dst
+), out_w AS (
+  SELECT src, SUM(w) AS out_w FROM edges GROUP BY src
+), weighted AS (
+  SELECT edges.src, edges.dst, edges.w, out_w.out_w
+  FROM edges JOIN out_w USING (src)
+), nodes AS (
+  SELECT src AS host FROM edges UNION SELECT dst FROM edges
+), nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes
+), r0 AS MATERIALIZED (
+  SELECT host, n, 1.0 / n AS r FROM nodes CROSS JOIN nn
+)"""
+
+
+def hosts_pagerank_aged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank with crawl-age edge-weight decay — the recency-aware
+    variant of hosts_pagerank_full: each page edge carries weight
+    2^(-age / half_life) where age is the months between the corpus's
+    newest capture and the page's own LAST capture in the
+    multi-capture crawl log, so links maintained on freshly re-crawled
+    pages move more rank than links last seen months ago (the standard
+    freshness prior search-side link analysis applies to decaying web
+    graphs; cf. Cho & Garcia-Molina's change-rate work feeding
+    pages_recrawl_priority). The graph is _followed_host_edges
+    semantics — nofollow respected, canonical-host src, self-host
+    edges dropped — with the page's canonical url retained as the
+    crawl-log join key.
+
+    Scale shape: ONE url-keyed equi-join attaches last-capture
+    timestamps to the page-edge list (crawl-log metadata ⋈ link graph
+    — the honest production shape; both sides are narrow projections),
+    the reference timestamp is a 1-row aggregate broadcast, and the
+    power loop is the shared _pagerank_loop class with SUM(decay)
+    instead of COUNT(*) per (src, dst). Leaky dangling treatment,
+    matching hosts_pagerank_full, so the two rank vectors are directly
+    comparable (tests pin that the decay actually reorders mass)."""
+    from ocr_spark.plans.indexing import _capture_log
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    last = (_capture_log(docs).groupBy("url")
+            .agg(F.max("ts14").alias("last_ts14")))
+    ref = last.agg(F.max("last_ts14").alias("ref_ts14"))  # 1 row
+    pages = pages_from_documents(spark, sf_dir)
+    h = _html_str()
+    robots = F.regexp_extract(h, ROBOTS_PAT, 1)
+    followed = pages.filter(
+        ~F.array_contains(F.split(robots, ","), "nofollow"))
+    canon = F.regexp_extract(h, r'rel="canonical" href="([^"]+)"', 1)
+    edges = (followed
+             .select(canon.alias("canon_url"),
+                     F.explode(F.regexp_extract_all(
+                         h, F.lit(HREF_PAT), 1)).alias("href"))
+             .filter(F.col("href").rlike("^https?://"))
+             .select("canon_url",
+                     F.regexp_extract(
+                         "canon_url", r"^https?://([^/]+)", 1).alias("src"),
+                     F.regexp_extract(
+                         "href", r"^https?://([^/]+)", 1).alias("dst"))
+             .filter((F.col("src") != "") & (F.col("dst") != "")
+                     & (F.col("dst") != F.col("src"))))
+    ts = lambda c: F.to_timestamp(c, "yyyyMMddHHmmss")  # noqa: E731
+    aged = (edges
+            .join(last, edges["canon_url"] == last["url"])
+            .crossJoin(F.broadcast(ref))
+            .select("src", "dst",
+                    F.pow(F.lit(0.5),
+                          F.months_between(ts("ref_ts14"), ts("last_ts14"))
+                          / F.lit(PAGERANK_AGE_HALF_LIFE_MONTHS))
+                     .alias("w0")))
+    return _pagerank_loop(aged, redistribute_dangling=False,
+                          weight_col="w0")
 
 
 HITS_ITERS = 6
@@ -3749,6 +3852,7 @@ SPARK_QUERIES = {
     "hosts_mirror_clusters": hosts_mirror_clusters,
     "hosts_trustrank": hosts_trustrank,
     "hosts_salsa": hosts_salsa,
+    "hosts_pagerank_aged": hosts_pagerank_aged,
     "docs_bloom_snapshot_merge": docs_bloom_snapshot_merge,
     "docs_substring_dedup": docs_substring_dedup,
     "docs_gopher_line_filters": docs_gopher_line_filters,
@@ -3799,6 +3903,8 @@ ORACLE_SQL = {
     "hosts_mirror_clusters": HOSTS_MIRROR_CLUSTERS_SQL,
     "hosts_trustrank": _trustrank_sql(),
     "hosts_salsa": _salsa_sql(),
+    "hosts_pagerank_aged": _pagerank_full_sql(
+        redistribute_dangling=False, edges_cte=_PR_AGED_EDGES_CTE),
     "docs_bloom_snapshot_merge": DOCS_BLOOM_MERGE_SQL,
     "docs_substring_dedup": DOCS_SUBSTR_DEDUP_SQL,
     "docs_gopher_line_filters": GOPHER_LINE_SQL,

@@ -1029,3 +1029,37 @@ def test_cluster_quota_sample_realizes_spec(spark):
     for c, n in size.items():
         assert kept.get(c, 0) == min(spec[c], n), (c, n, spec[c])
     assert len(set(kept.values())) >= 2
+
+
+def test_eval_tokenf1_pipeline_beats_striptags_strawman(spark):
+    """Extraction scoring must separate extractors: the full pipeline
+    has recall 1.0 (byte-identity gate) and imperfect precision (title
+    + optional heading/closing/disclaimer/bullet tokens), while a
+    naive strip-tags strawman (nav/ads/sidebar/footer kept) must lose
+    on precision for EVERY document and never win on F1."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.plans.extract_queries import (
+        extract_eval_tokenf1, pages_from_documents, token_prf)
+
+    res = {r["url"]: r for r in extract_eval_tokenf1(spark, SF).collect()}
+    assert len(res) == 500
+    assert all(r["token_recall"] == 1.0 for r in res.values())
+    assert all(0.0 < r["token_precision"] < 1.0 for r in res.values())
+    assert all(r["n_overlap"] == r["n_gold"] for r in res.values())
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    gold = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
+         .alias("url"), "text")
+    pages = pages_from_documents(spark, SF)
+    html = F.decode(F.col("html"), "UTF-8")
+    stripped = F.regexp_replace(
+        F.regexp_replace(html, r"(?s)<(script|style)[^>]*>.*?</\1>", " "),
+        r"<[^>]*>", " ")
+    straw = {r["url"]: r for r in token_prf(
+        gold, pages.select("url", stripped.alias("text"))).collect()}
+    assert set(straw) == set(res)
+    for url, r in res.items():
+        assert straw[url]["token_precision"] < r["token_precision"], url
+        assert straw[url]["token_f1"] <= r["token_f1"], url

@@ -678,3 +678,31 @@ def test_salsa_mass_conservation_and_authority_order(spark):
     assert all(best["salsa_authority"] > r["salsa_authority"]
                for h, r in partners.items()
                if h != "partner2.example.org")
+
+
+def test_pagerank_aged_decay_is_load_bearing(spark):
+    """The crawl-age decay must actually move rank: same node set as
+    the un-decayed hosts_pagerank_full, same leaky-mass regime, but at
+    least one host's rank shifts beyond rounding — freshly re-crawled
+    pages (doc_id%7==0 / %5==0, decay 1.0 / 0.5) link partner0 more
+    heavily than the stale 0.25-weight majority, so partner0's SHARE
+    of rank must rise relative to the uniform-weight run — enough, on
+    this fixture, to overtake partner2's link-farm concentration: the
+    decay REORDERS the ranking, the strongest form of load-bearing."""
+    from ocr_spark.plans.webops import hosts_pagerank_aged, hosts_pagerank_full
+
+    aged = {r["host"]: r["pagerank"]
+            for r in hosts_pagerank_aged(spark, SF).collect()}
+    full = {r["host"]: r["pagerank"]
+            for r in hosts_pagerank_full(spark, SF).collect()}
+    assert set(aged) == set(full)
+    assert any(abs(aged[h] - full[h]) > 2e-4 for h in aged)
+    # %7==0 and %5==0 docs hit partner0 (doc_id%5==0 → partner0 unless
+    # doc_id%13==11): fresh captures concentrate on partner0, so its
+    # rank share grows once stale edges are decayed.
+    assert aged["partner0.example.org"] / sum(aged.values()) \
+        > full["partner0.example.org"] / sum(full.values())
+    p_aged = {h: r for h, r in aged.items() if h.startswith("partner")}
+    p_full = {h: r for h, r in full.items() if h.startswith("partner")}
+    assert max(p_full, key=p_full.get) == "partner2.example.org"
+    assert max(p_aged, key=p_aged.get) == "partner0.example.org"
