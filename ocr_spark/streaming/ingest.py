@@ -724,6 +724,60 @@ def cms_store_counters(spark: SparkSession, store_dir: str) -> DataFrame:
             .agg(F.sum("counter").cast("long").alias("counter")))
 
 
+def stream_kmv_sketch(spark: SparkSession, input_dir: str,
+                      store_dir: str, checkpoint_dir: str) -> Any:
+    """Streaming KMV sink — completes the streaming sketch trio
+    (register-MAX HLL, counter-ADD CMS, bottom-k KMV): each
+    micro-batch extracts its pages and writes the k smallest distinct
+    token hashes of its stream under a batch_id-keyed partition with
+    overwrite (exactly-once by replacement). The frame comes from the
+    SAME builder as the batch queries (plans/sketches.py::_kmv_frame),
+    and bottom-k is a semilattice combine: the global k smallest
+    hashes are each inside their own batch's k smallest, so the
+    consolidated store (kmv_store_frame: bottom-k of the union of
+    batch frames) equals the from-scratch frame over everything
+    ingested — the algebra docs_kmv_distinct pins batch-side.
+    Distinct-vocabulary estimates over an accumulating crawl thus need
+    only ≤k stored rows per batch."""
+    import os as _os
+
+    from ocr_spark.operators.extraction import (
+        EXTRACT_RESULT_SCHEMA, _extract_batches_fn,
+    )
+    from ocr_spark.plans.sketches import KMV_K, _kmv_frame, _tok_col
+
+    pages = read_pages_stream(spark, input_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        extracted = batch_df.select("url", "html").withColumn(
+            "bucket", F.pmod(F.xxhash64("url"), F.lit(64)).cast("int")
+        ).mapInPandas(_extract_batches_fn("full"),
+                      schema=EXTRACT_RESULT_SCHEMA)
+        ok = extracted.filter(F.col("error").isNull()
+                              & F.col("text").isNotNull())
+        _kmv_frame(ok.select(_tok_col()), KMV_K).write.mode(
+            "overwrite").parquet(
+            _os.path.join(store_dir, f"batch={batch_id}"))
+
+    return (pages.writeStream
+            .foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start())
+
+
+def kmv_store_frame(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Consolidated KMV frame over every batch partition the streaming
+    sink has committed: bottom-k of the union (distinct, since the
+    same hash can appear in several batches) — ≤ k·batches rows in,
+    ≤ k rows out."""
+    from ocr_spark.plans.sketches import KMV_K
+
+    return (spark.read.parquet(store_dir).select("h").distinct()
+            .orderBy("h").limit(KMV_K))
+
+
 def compact_near_dup_store(spark: SparkSession, sigstore_dir: str,
                            keep_last: int = 0) -> dict:
     """Collapse the signature store's per-batch partitions into one

@@ -759,3 +759,60 @@ def test_stream_cms_sketch_store_matches_batch_counters(spark, tmp_path):
             if p.startswith("batch=")} == batches
     assert {(r.r, r.b, r.counter) for r in
             cms_store_counters(spark, d["store"]).collect()} == exp
+
+
+def test_stream_kmv_sketch_store_matches_batch_frame(spark, tmp_path):
+    """The streaming KMV store, consolidated as bottom-k of the union
+    of its per-batch frames, equals the from-scratch bottom-k frame
+    over everything ingested (two separate micro-batches — the
+    semilattice combine docs_kmv_distinct pins), and a drained re-run
+    adds no batch partitions."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from ocr_spark.gen.wrap import html_for_document
+    from ocr_spark.plans.sketches import KMV_K, _kmv_frame, _tok_col
+    from ocr_spark.streaming.ingest import kmv_store_frame, stream_kmv_sketch
+
+    d = {k: str(tmp_path / k) for k in ("in", "store", "ckpt")}
+    os.makedirs(d["in"], exist_ok=True)
+
+    docs = {r.doc_id: r.text for r in spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id").isin(2, 11, 13, 22)).collect()}
+
+    def rows(ids):
+        return [{"url": f"doc://{i}",
+                 "warc_ts": datetime.datetime(2025, 1, 1),
+                 "html": html_for_document(i, docs[i]),
+                 "text": docs[i], "lang": "en"} for i in ids]
+
+    _write_pages_batch(spark, rows([2, 11]), d["in"])
+    stream_kmv_sketch(spark, d["in"], d["store"], d["ckpt"]) \
+        .awaitTermination()
+    _write_pages_batch(spark, rows([13, 22]), d["in"])
+    stream_kmv_sketch(spark, d["in"], d["store"], d["ckpt"]) \
+        .awaitTermination()
+
+    batches = {p for p in os.listdir(d["store"]) if p.startswith("batch=")}
+    assert len(batches) == 2
+
+    from ocr_spark.core.extract import extract_document
+    texts = [extract_document(f"doc://{i}",
+                              html_for_document(i, docs[i])).text
+             for i in docs]
+    exp = [r.h for r in _kmv_frame(
+        spark.createDataFrame([(t,) for t in texts], "text string")
+        .select(_tok_col()), KMV_K).collect()]
+    got = [r.h for r in kmv_store_frame(spark, d["store"]).collect()]
+    assert len(exp) == KMV_K  # fixture has >= k distinct tokens
+    assert got == exp
+
+    # drained re-run: no new batch partitions, store unchanged
+    stream_kmv_sketch(spark, d["in"], d["store"], d["ckpt"]) \
+        .awaitTermination()
+    assert {p for p in os.listdir(d["store"])
+            if p.startswith("batch=")} == batches
+    assert [r.h for r in
+            kmv_store_frame(spark, d["store"]).collect()] == exp
