@@ -986,6 +986,90 @@ FROM t{last} t JOIN r{last} p ON p.host = t.host""")
 ROBOTS_PAT = r'name="robots" content="([^"]*)"'
 
 
+def pages_content_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte content sniffing over raw capture payloads — the
+    routing gate a Common-Crawl-scale extractor runs BEFORE parsing,
+    because crawler-declared Content-Types lie: gzip members, PDFs,
+    UTF-16 captures, and zero-byte truncations all arrive declared
+    ``text/html``, and feeding them to the HTML parser yields garbage
+    rather than errors. Sniffed kind decides the route: gzip →
+    decompress, pdf → layout parser (the S2 path), utf16le/utf16be →
+    transcode, html → the HTML extractor, empty → drop.
+
+    The capture mix is synthesized deterministically in-plan (the
+    multimodal-codec pattern): doc_id%19==5 a gzip member, ==9 a
+    %PDF-1.7 header, ==13 a UTF-16LE BOM payload, ==16 a zero-byte
+    truncation, else the real wrapped page bytes — so the oracle
+    recomputes every verdict closed-form from doc_id without seeing
+    the bytes, and any corruption in the Spark binary plumbing
+    (synthesis → hex prefix → classify) breaks the value hash.
+
+    Scale shape: pure narrow map — hex(substring(raw, 1, 8)) is
+    JVM-side and inspects 8 bytes regardless of payload size; no
+    Python, no shuffle."""
+    pages = pages_from_documents(spark, sf_dir)
+    doc_id = F.regexp_extract("url", r"doc://(\d+)", 1).cast("long")
+    m = doc_id % 19
+    raw = (F.when(m == 5, F.concat(
+                F.to_binary(F.lit("1F8B08"), F.lit("hex")),
+                F.encode(F.concat(F.lit("gz:"), doc_id.cast("string")),
+                         "UTF-8")))
+           .when(m == 9, F.encode(
+                F.concat(F.lit("%PDF-1.7\n% doc "), doc_id.cast("string")),
+                "UTF-8"))
+           .when(m == 13, F.concat(
+                F.to_binary(F.lit("FFFE"), F.lit("hex")),
+                F.encode(F.lit("<html><body>u16</body></html>"),
+                         "UTF-16LE")))
+           .when(m == 16, F.to_binary(F.lit(""), F.lit("hex")))
+           .otherwise(F.col("html")))
+    hex8 = F.upper(F.hex(F.expr("substring(raw, 1, 8)")))
+    sniffed = (F.when(F.length("raw") == 0, F.lit("empty"))
+               .when(hex8.startswith("1F8B"), F.lit("gzip"))
+               .when(hex8.startswith("255044462D"), F.lit("pdf"))
+               .when(hex8.startswith("FFFE"), F.lit("utf16le"))
+               .when(hex8.startswith("FEFF"), F.lit("utf16be"))
+               .when(hex8.startswith("3C"), F.lit("html"))
+               .otherwise(F.lit("unknown")))
+    route = {"gzip": "decompress", "pdf": "layout_parser",
+             "utf16le": "transcode", "utf16be": "transcode",
+             "html": "html_extractor", "empty": "drop",
+             "unknown": "quarantine"}
+    route_col = F.lit(None).cast("string")
+    for k, v in route.items():
+        route_col = F.when(F.col("sniffed") == k, F.lit(v)) \
+            .otherwise(route_col)
+    return (pages.select("url", raw.alias("raw"))
+            .select("url", F.lit("text/html").alias("declared"),
+                    sniffed.alias("sniffed"))
+            .select("url", "declared", "sniffed",
+                    route_col.alias("route"),
+                    (F.col("sniffed") != "html").alias("mismatch")))
+
+
+PAGES_CONTENT_SNIFF_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 19 = 5 THEN 'gzip'
+              WHEN doc_id % 19 = 9 THEN 'pdf'
+              WHEN doc_id % 19 = 13 THEN 'utf16le'
+              WHEN doc_id % 19 = 16 THEN 'empty'
+              ELSE 'html' END AS sniffed
+  FROM documents
+)
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+       'text/html' AS declared,
+       sniffed,
+       CASE sniffed WHEN 'gzip' THEN 'decompress'
+                    WHEN 'pdf' THEN 'layout_parser'
+                    WHEN 'utf16le' THEN 'transcode'
+                    WHEN 'empty' THEN 'drop'
+                    ELSE 'html_extractor' END AS route,
+       sniffed <> 'html' AS mismatch
+FROM s
+"""
+
+
 def pages_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Respect page-level robots directives — the HTML meta-robots
     counterpart of robots.txt handling in Common-Crawl-style pipelines:
@@ -3853,6 +3937,7 @@ SPARK_QUERIES = {
     "hosts_trustrank": hosts_trustrank,
     "hosts_salsa": hosts_salsa,
     "hosts_pagerank_aged": hosts_pagerank_aged,
+    "pages_content_sniff": pages_content_sniff,
     "docs_bloom_snapshot_merge": docs_bloom_snapshot_merge,
     "docs_substring_dedup": docs_substring_dedup,
     "docs_gopher_line_filters": docs_gopher_line_filters,
@@ -3905,6 +3990,7 @@ ORACLE_SQL = {
     "hosts_salsa": _salsa_sql(),
     "hosts_pagerank_aged": _pagerank_full_sql(
         redistribute_dangling=False, edges_cte=_PR_AGED_EDGES_CTE),
+    "pages_content_sniff": PAGES_CONTENT_SNIFF_SQL,
     "docs_bloom_snapshot_merge": DOCS_BLOOM_MERGE_SQL,
     "docs_substring_dedup": DOCS_SUBSTR_DEDUP_SQL,
     "docs_gopher_line_filters": GOPHER_LINE_SQL,

@@ -706,3 +706,33 @@ def test_pagerank_aged_decay_is_load_bearing(spark):
     p_full = {h: r for h, r in full.items() if h.startswith("partner")}
     assert max(p_full, key=p_full.get) == "partner2.example.org"
     assert max(p_aged, key=p_aged.get) == "partner0.example.org"
+
+
+def test_content_sniff_is_narrow_and_routes_every_kind(spark):
+    """Magic-byte sniffing must be a pure narrow map (zero shuffles,
+    zero broadcasts, no Python) and must realize every route on the
+    fixture mix: gzip/pdf/utf16le/empty minorities all declared
+    text/html (mismatch=True), the html majority routed to the
+    extractor."""
+    from ocr_spark.plans.webops import pages_content_sniff
+
+    df = pages_content_sniff(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    # the only Python in the plan is the fixture's html-synthesis UDF;
+    # the sniff itself (hex prefix + CASE) stays JVM-side
+    assert "BatchEvalPython" not in plan
+    assert plan.count("ArrowEvalPython") == 1 and "wrap_html" in plan
+
+    rows = df.collect()
+    assert len(rows) == 500
+    by_kind: dict = {}
+    for r in rows:
+        by_kind.setdefault(r["sniffed"], []).append(r)
+        assert r["mismatch"] == (r["sniffed"] != "html")
+        assert r["declared"] == "text/html"
+    assert set(by_kind) == {"html", "gzip", "pdf", "utf16le", "empty"}
+    routes = {k: {r["route"] for r in v} for k, v in by_kind.items()}
+    assert routes == {"html": {"html_extractor"}, "gzip": {"decompress"},
+                      "pdf": {"layout_parser"}, "utf16le": {"transcode"},
+                      "empty": {"drop"}}
