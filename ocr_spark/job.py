@@ -902,6 +902,56 @@ def read_extracted(spark: SparkSession, work_dir: str) -> DataFrame:
     return out.select(*[f.name for f in EXTRACT_RESULT_SCHEMA])
 
 
+def eval_root(work_dir: str) -> str:
+    return os.path.join(work_dir, "eval_metrics")
+
+
+def run_eval_job(spark: SparkSession, work_dir: str,
+                 gold: DataFrame) -> dict:
+    """Extraction-quality regression gate: score the committed
+    extraction output against a gold-labeled eval set (url, text) with
+    the token-multiset P/R/F1 kernel (plans/extract_queries.py::
+    token_prf — the oracle-checked extract_eval_tokenf1 scoring), and
+    append per-doc rows plus one run-level summary row to the job's
+    eval metrics tables. Run after every extractor change: macro-F1 /
+    min-F1 drops are the regression alarm the byte-identity goldens
+    can't give you on pages whose gold is NOT a fixture.
+
+    A gold url the extraction dropped or errored still gets a per-doc
+    row (n_pred = 0, null precision/F1) and is counted in
+    ``n_unextracted`` — silent extraction loss on the eval set is the
+    failure mode this stage exists to surface.
+
+    Scale shape: the eval set is small by construction (gold labels
+    are hand-made), so its url list broadcasts to restrict the
+    extraction scan, and the token-level full-outer join shuffles only
+    eval-set token volume."""
+    from ocr_spark.plans.extract_queries import token_prf
+
+    run_id = uuid.uuid4().hex[:12]
+    gold = gold.select("url", "text")
+    pred = (read_extracted(spark, work_dir)
+            .filter(F.col("error").isNull() & F.col("text").isNotNull())
+            .select("url", "text")
+            .join(F.broadcast(gold.select("url")), "url"))
+    per_doc = token_prf(gold, pred).withColumn("run_id", F.lit(run_id))
+    per_doc.coalesce(1).write.mode("append").parquet(
+        os.path.join(eval_root(work_dir), "per_doc"))
+    row = per_doc.agg(
+        F.count("*").alias("n_gold"),
+        F.count("token_f1").alias("n_scored"),
+        F.sum((F.col("n_pred") == 0).cast("long")).alias("n_unextracted"),
+        F.avg("token_f1").alias("macro_f1"),
+        F.min("token_f1").alias("min_f1"),
+        F.avg((F.col("token_recall") == 1.0).cast("double"))
+         .alias("full_recall_frac"),
+    ).collect()[0]
+    summary = {"run_id": run_id, **row.asDict()}
+    spark.createDataFrame([summary]).coalesce(1).write.mode(
+        "append").parquet(os.path.join(eval_root(work_dir), "summary"))
+    return summary
+
+
 def stats_root(work_dir: str) -> str:
     return os.path.join(work_dir, "stats")
 

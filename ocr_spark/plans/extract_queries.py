@@ -245,13 +245,18 @@ def token_prf(gold: DataFrame, pred: DataFrame) -> DataFrame:
         F.sum("ng").alias("n_gold"),
         F.sum("np").alias("n_pred"),
         F.sum(F.least("ng", "np")).alias("n_overlap"))
-    p = F.col("n_overlap") / F.col("n_pred")
-    r = F.col("n_overlap") / F.col("n_gold")
+    # try_divide: a gold url the extractor lost entirely (n_pred = 0)
+    # scores null precision/F1 rather than erroring under ANSI mode —
+    # run_eval_job counts those rows as n_unextracted
+    p = F.try_divide(F.col("n_overlap"), F.col("n_pred"))
+    r = F.try_divide(F.col("n_overlap"), F.col("n_gold"))
+    f1 = F.when((p + r) == 0, F.lit(0.0)) \
+        .otherwise(F.try_divide(2 * p * r, p + r))
     return agg.select(
         "url", "n_gold", "n_pred", "n_overlap",
         F.round(p, 6).alias("token_precision"),
         F.round(r, 6).alias("token_recall"),
-        F.round(2 * p * r / (p + r), 6).alias("token_f1"))
+        F.round(f1, 6).alias("token_f1"))
 
 
 EXTRACT_EVAL_TOKENF1_SQL = _BLOCKS_CTE + """

@@ -80,6 +80,12 @@ def main(argv: list[str] | None = None) -> int:
                          "snapshot as committed stats snapshots and "
                          "verify the folded store against a "
                          "from-scratch recompute")
+    ap.add_argument("--eval-gold", default=None, metavar="PARQUET",
+                    help="after extraction, score the committed output "
+                         "against this gold eval set (parquet with url, "
+                         "text) via the token-F1 kernel, appending "
+                         "per-doc + summary metrics tables; fails the "
+                         "run when any gold url went unextracted")
     ap.add_argument("--master", default=None,
                     help="override master when not launched via spark-submit")
     args = ap.parse_args(argv)
@@ -124,6 +130,15 @@ def main(argv: list[str] | None = None) -> int:
             if any(check.values()):
                 print(f"sketch-store verification FAILED: {check}",
                       file=sys.stderr)
+                return 1
+        if args.eval_gold:
+            from ocr_spark.job import run_eval_job
+            gold = spark.read.parquet(args.eval_gold)
+            summary["eval"] = run_eval_job(spark, args.work_dir, gold)
+            if summary["eval"]["n_unextracted"]:
+                print("extraction eval FAILED: "
+                      f"{summary['eval']['n_unextracted']} gold urls "
+                      "unextracted", file=sys.stderr)
                 return 1
         if args.export:
             from ocr_spark.job import run_export_job

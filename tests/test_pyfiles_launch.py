@@ -38,6 +38,15 @@ def test_spark_submit_pyfiles_launch(spark, tmp_path):
     shim.write_snapshot(
         pages_from_documents(spark, "/root/testdata/sf0.001"), input_root)
 
+    # small gold eval set for the --eval-gold stage
+    from pyspark.sql import functions as F
+    gold_path = str(tmp_path / "gold")
+    (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+     .filter(F.col("doc_id").isin(1, 2, 3))
+     .select(F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
+             .alias("url"), "text")
+     .coalesce(1).write.parquet(gold_path))
+
     # isolated app dir: only submit.py + the zip — if an import leaks
     # past the zip, ModuleNotFoundError, not silent fallback to the repo
     app_dir = tmp_path / "app"
@@ -53,13 +62,18 @@ def test_spark_submit_pyfiles_launch(spark, tmp_path):
          "--conf", "spark.sql.shuffle.partitions=8",
          "--conf", "spark.ui.enabled=false",
          "submit.py", "--input", input_root, "--work-dir", work,
-         "--partitions", "8", "--big-partitions", "1", "--waves", "1"],
+         "--partitions", "8", "--big-partitions", "1", "--waves", "1",
+         "--eval-gold", gold_path],
         cwd=str(app_dir), env=env, capture_output=True, text=True,
         timeout=540)
     assert proc.returncode == 0, proc.stderr[-3000:]
     summary = json.loads(proc.stdout.strip().splitlines()[-1])
     assert summary["docs"] > 0
     assert summary["buckets_processed"] > 0
+    assert summary["eval"]["n_gold"] == 3
+    assert summary["eval"]["n_unextracted"] == 0
+    assert summary["eval"]["full_recall_frac"] == 1.0
+    assert 0.0 < summary["eval"]["macro_f1"] < 1.0
 
     # the committed output is readable back in-process and non-empty
     from ocr_spark.job import output_root, read_extracted
