@@ -1153,6 +1153,75 @@ FROM ranked
 """
 
 
+MUTUAL_K = 5
+MUTUAL_BLOCK = 150
+
+
+def emb_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN graph over the embedding corpus: edge (a, b) exists
+    iff b is in a's top-{MUTUAL_K} AND a is in b's top-{MUTUAL_K} —
+    the standard hubness fix for directed kNN graphs (a hub vector
+    lands in everyone's neighbor list; mutuality prunes those
+    asymmetric edges), and the substrate graph-based semantic dedup /
+    clustering builds on rather than raw kNN lists. Output is one row
+    per undirected mutual edge (a_id < b_id) with both ranks, so the
+    asymmetry that survived is observable.
+
+    Scale shape: the scored block (< {MUTUAL_BLOCK} vectors here)
+    broadcasts while the corpus streams — production replaces the
+    block self-score with the trained-IVF shortlist path
+    (emb_ivf_trained_topk) and keeps ONLY the mutual join, which is an
+    edge-keyed equi-join over k·N directed edges (narrow relative to
+    corpus volume). The top-k election is one window keyed a_id."""
+    emb = (t(spark, sf_dir)
+           .select("vec_id", _vecd().alias("v"))
+           .withColumn("nrm", _norm(F.col("v")))
+           .filter(F.col("vec_id") < MUTUAL_BLOCK))
+    right = emb.select(F.col("vec_id").alias("b_id"),
+                       F.col("v").alias("bv"), F.col("nrm").alias("bn"))
+    cos = _dot(F.col("v"), F.col("bv")) / (F.col("nrm") * F.col("bn"))
+    scored = (emb.join(F.broadcast(right), F.col("vec_id") != F.col("b_id"))
+              .select(F.col("vec_id").alias("a_id"), "b_id",
+                      F.round(cos, 6).alias("cos6")))
+    w = Window.partitionBy("a_id").orderBy(F.desc("cos6"), F.asc("b_id"))
+    knn = (scored.withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= MUTUAL_K))
+    x, y = knn.alias("x"), knn.alias("y")
+    return (x.join(y, (F.col("x.a_id") == F.col("y.b_id"))
+                   & (F.col("x.b_id") == F.col("y.a_id")))
+            .filter(F.col("x.a_id") < F.col("x.b_id"))
+            .select(F.col("x.a_id").alias("a_id"),
+                    F.col("x.b_id").alias("b_id"),
+                    F.col("x.cos6").alias("cos_sim"),
+                    F.col("x.rank").alias("rank_ab"),
+                    F.col("y.rank").alias("rank_ba")))
+
+
+_MUTUAL_KNN_SQL = f"""
+WITH e AS (
+  SELECT vec_id, {_SQL_VEC} AS v FROM embeddings
+  WHERE vec_id < {MUTUAL_BLOCK}
+), n AS (
+  SELECT vec_id, v, {_sql_norm('v')} AS nrm FROM e
+), scored AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         ROUND({_sql_dot('a.v', 'b.v')} / (a.nrm * b.nrm), 6) AS cos6
+  FROM n a, n b WHERE a.vec_id <> b.vec_id
+), knn AS (
+  SELECT a_id, b_id, cos6,
+         ROW_NUMBER() OVER (PARTITION BY a_id
+                            ORDER BY cos6 DESC, b_id ASC) AS rank
+  FROM scored
+  QUALIFY rank <= {MUTUAL_K}
+)
+SELECT x.a_id, x.b_id,
+       x.cos6 AS cos_sim,
+       x.rank AS rank_ab, y.rank AS rank_ba
+FROM knn x JOIN knn y ON x.a_id = y.b_id AND x.b_id = y.a_id
+WHERE x.a_id < x.b_id
+"""
+
+
 # Per-cell target quotas — a deterministic plan-literal stand-in for
 # the artifact-loaded output of mixture optimization (DoReMi-style
 # semantic allocation). Varied across cells so the quota JOIN is
@@ -1547,6 +1616,7 @@ SPARK_QUERIES = {
     "emb_kmeans_train": emb_kmeans_train,
     "emb_cluster_balanced_sample": emb_cluster_balanced_sample,
     "emb_cluster_quota_sample": emb_cluster_quota_sample,
+    "emb_mutual_knn": emb_mutual_knn,
     "emb_outlier_scan": emb_outlier_scan,
     "emb_bitext_mine": emb_bitext_mine,
     "emb_ivf_trained_topk": emb_ivf_trained_topk,
@@ -1569,6 +1639,7 @@ ORACLE_SQL = {
     "emb_kmeans_train": _KMEANS_TRAIN_SQL,
     "emb_cluster_balanced_sample": _CLUSTER_SAMPLE_SQL,
     "emb_cluster_quota_sample": _cluster_quota_sql(),
+    "emb_mutual_knn": _MUTUAL_KNN_SQL,
     "emb_outlier_scan": _OUTLIER_SCAN_SQL,
     "emb_bitext_mine": _BITEXT_MINE_SQL,
     "emb_ivf_trained_topk": _IVF_TRAINED_TOPK_SQL,

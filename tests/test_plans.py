@@ -1063,3 +1063,43 @@ def test_eval_tokenf1_pipeline_beats_striptags_strawman(spark):
     for url, r in res.items():
         assert straw[url]["token_precision"] < r["token_precision"], url
         assert straw[url]["token_f1"] <= r["token_f1"], url
+
+
+def test_mutual_knn_prunes_asymmetric_edges(spark):
+    """Mutuality must be load-bearing: every mutual edge appears in
+    BOTH directed top-k lists, and a strict majority... at minimum a
+    nonzero set of directed kNN edges is NOT mutual (the hub edges the
+    filter exists to prune). Symmetry and rank bounds pinned."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ocr_spark.plans.simsearch import (
+        MUTUAL_BLOCK, MUTUAL_K, _dot, _norm, _vecd, emb_mutual_knn, t)
+
+    pairs = emb_mutual_knn(spark, SF).collect()
+    assert pairs
+    for r in pairs:
+        assert r["a_id"] < r["b_id"]
+        assert 1 <= r["rank_ab"] <= MUTUAL_K
+        assert 1 <= r["rank_ba"] <= MUTUAL_K
+
+    # rebuild the directed kNN edge set independently
+    emb = (t(spark, SF).select("vec_id", _vecd().alias("v"))
+           .withColumn("nrm", _norm(F.col("v")))
+           .filter(F.col("vec_id") < MUTUAL_BLOCK))
+    right = emb.select(F.col("vec_id").alias("b_id"),
+                       F.col("v").alias("bv"), F.col("nrm").alias("bn"))
+    cos = _dot(F.col("v"), F.col("bv")) / (F.col("nrm") * F.col("bn"))
+    w = Window.partitionBy("a_id").orderBy(
+        F.desc("cos6"), F.asc("b_id"))
+    knn = (emb.join(F.broadcast(right), F.col("vec_id") != F.col("b_id"))
+           .select(F.col("vec_id").alias("a_id"), "b_id",
+                   F.round(cos, 6).alias("cos6"))
+           .withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= MUTUAL_K))
+    directed = {(r["a_id"], r["b_id"]) for r in knn.collect()}
+    mutual = {(r["a_id"], r["b_id"]) for r in pairs}
+    for a, b in mutual:
+        assert (a, b) in directed and (b, a) in directed
+    n_mutual_directed = 2 * len(mutual)
+    assert n_mutual_directed < len(directed)  # asymmetric edges exist
