@@ -76,6 +76,17 @@ def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoffs broadcast against the scored table — same output contract,
     different physical plan — while this exact form is what the oracle
     can value-check."""
+    scored = _unigram_scored(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy("avg_logprob", "doc_id")
+    return scored.select(
+        "doc_id", "lang", "n_tokens", "avg_logprob",
+        F.ntile(3).over(w).alias("tercile"))
+
+
+def _unigram_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, n_tokens, avg_logprob): the shared per-doc
+    unigram-LM scoring subplan behind docs_unigram_logprob and
+    hosts_perplexity_buckets."""
     docs = _docs(spark, sf_dir)
     toks = F.split(F.lower(F.trim(F.col("text"))), _TOKS)
     exploded = docs.select("doc_id", "lang", F.explode(toks).alias("tok"))
@@ -85,19 +96,48 @@ def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").alias("n_total"),
         F.count("*").alias("vocab"))  # 1 row → broadcast cross join
 
-    scored = (exploded
-              .join(counts, "tok")
-              .crossJoin(F.broadcast(totals))
-              .groupBy("doc_id", "lang")
-              .agg(
-                  F.count("*").alias("n_tokens"),
-                  F.round(F.avg(F.log((F.col("c") + 1)
-                                      / (F.col("n_total") + F.col("vocab")))),
-                          LOGPROB_ROUND).alias("avg_logprob")))
-    w = Window.partitionBy("lang").orderBy("avg_logprob", "doc_id")
-    return scored.select(
-        "doc_id", "lang", "n_tokens", "avg_logprob",
-        F.ntile(3).over(w).alias("tercile"))
+    return (exploded
+            .join(counts, "tok")
+            .crossJoin(F.broadcast(totals))
+            .groupBy("doc_id", "lang")
+            .agg(
+                F.count("*").alias("n_tokens"),
+                F.round(F.avg(F.log((F.col("c") + 1)
+                                    / (F.col("n_total") + F.col("vocab")))),
+                        LOGPROB_ROUND).alias("avg_logprob")))
+
+
+def hosts_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split lifted to the HOST level: the
+    per-doc unigram-LM scores roll up to a token-weighted per-host
+    mean log-probability (weighting by n_tokens makes the host score
+    the corpus-exact mean over its token stream, and keeps the
+    aggregate a ratio of two exact SUMs — more skew-robust AND more
+    float-stable than a mean of per-doc means), then hosts split into
+    terciles: head hosts feed the crawler's quality prior
+    (hosts_crawl_budget's LM-side complement), tail hosts are
+    demotion candidates. Host = the page's canonical-link host, as
+    everywhere in the host family.
+
+    Scale shape: rides the shared per-doc scoring subplan (token
+    equi-join + per-doc partial agg), then ONE groupBy keyed host
+    (distinct-host cardinality) and one rank window over hosts —
+    host-level frames are always broadcast-sized."""
+    scored = _unigram_scored(spark, sf_dir)
+    host = F.concat(F.lit("site"), (F.col("doc_id") % 13).cast("string"),
+                    F.lit(".example.com"))
+    agg = (scored.groupBy(host.alias("host"))
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("n_tokens").alias("n_tokens"),
+                F.round(F.sum(F.col("avg_logprob") * F.col("n_tokens"))
+                        / F.sum("n_tokens"), LOGPROB_ROUND)
+                 .alias("host_avg_logprob")))
+    w = Window.orderBy(F.desc("host_avg_logprob"), F.asc("host"))
+    b = F.ntile(3).over(w)
+    return agg.select(
+        "host", "n_docs", "n_tokens", "host_avg_logprob",
+        F.when(b == 1, F.lit("head")).when(b == 2, F.lit("middle"))
+         .otherwise(F.lit("tail")).alias("bucket"))
 
 
 UNIGRAM_LOGPROB_SQL = f"""
@@ -125,6 +165,23 @@ SELECT doc_id, lang, n_tokens, avg_logprob,
                            ORDER BY avg_logprob, doc_id) AS INT)
          AS tercile
 FROM scored
+"""
+
+HOSTS_PERPLEXITY_SQL = UNIGRAM_LOGPROB_SQL[:UNIGRAM_LOGPROB_SQL.rindex(
+    "SELECT doc_id")] + f"""
+, hosts AS (
+  SELECT 'site' || CAST(doc_id % 13 AS VARCHAR) || '.example.com' AS host,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         round(SUM(avg_logprob * n_tokens) / SUM(n_tokens),
+               {LOGPROB_ROUND}) AS host_avg_logprob
+  FROM scored GROUP BY 1
+)
+SELECT host, n_docs, n_tokens, host_avg_logprob,
+       CASE ntile(3) OVER (ORDER BY host_avg_logprob DESC, host ASC)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM hosts
 """
 
 
@@ -1863,6 +1920,7 @@ SPARK_QUERIES = {
     "docs_dsir_weights": docs_dsir_weights,
     "docs_training_order": docs_training_order,
     "docs_unigram_logprob": docs_unigram_logprob,
+    "hosts_perplexity_buckets": hosts_perplexity_buckets,
     "docs_bigram_logprob": docs_bigram_logprob,
     "docs_sample_stratified": docs_sample_stratified,
     "docs_token_shards": docs_token_shards,
@@ -1891,6 +1949,7 @@ ORACLE_SQL = {
     "docs_dsir_weights": DSIR_WEIGHTS_SQL,
     "docs_training_order": TRAINING_ORDER_SQL,
     "docs_unigram_logprob": UNIGRAM_LOGPROB_SQL,
+    "hosts_perplexity_buckets": HOSTS_PERPLEXITY_SQL,
     "docs_bigram_logprob": BIGRAM_LOGPROB_SQL,
     "docs_sample_stratified": SAMPLE_STRATIFIED_SQL,
     "docs_token_shards": TOKEN_SHARDS_SQL,

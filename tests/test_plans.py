@@ -1103,3 +1103,37 @@ def test_mutual_knn_prunes_asymmetric_edges(spark):
         assert (a, b) in directed and (b, a) in directed
     n_mutual_directed = 2 * len(mutual)
     assert n_mutual_directed < len(directed)  # asymmetric edges exist
+
+
+def test_host_perplexity_buckets_consistent_with_doc_scores(spark):
+    """The host rollup must be the token-weighted mean of its docs'
+    scores (recomputed independently from docs_unigram_logprob's
+    output), every host bucketed, and the tercile boundary real: every
+    head host scores >= every tail host."""
+    from collections import defaultdict
+
+    from ocr_spark.plans.curation import (
+        docs_unigram_logprob, hosts_perplexity_buckets)
+
+    hosts = {r["host"]: r for r in
+             hosts_perplexity_buckets(spark, SF).collect()}
+    assert len(hosts) == 13
+    assert {r["bucket"] for r in hosts.values()} == \
+        {"head", "middle", "tail"}
+
+    per_doc = docs_unigram_logprob(spark, SF).collect()
+    acc: dict = defaultdict(lambda: [0, 0, 0.0])
+    for r in per_doc:
+        h = f"site{r['doc_id'] % 13}.example.com"
+        acc[h][0] += 1
+        acc[h][1] += r["n_tokens"]
+        acc[h][2] += r["avg_logprob"] * r["n_tokens"]
+    for h, r in hosts.items():
+        n_docs, n_toks, wsum = acc[h]
+        assert r["n_docs"] == n_docs and r["n_tokens"] == n_toks
+        assert abs(r["host_avg_logprob"] - wsum / n_toks) < 1e-3, h
+    head = [r["host_avg_logprob"] for r in hosts.values()
+            if r["bucket"] == "head"]
+    tail = [r["host_avg_logprob"] for r in hosts.values()
+            if r["bucket"] == "tail"]
+    assert min(head) >= max(tail)
