@@ -48,6 +48,7 @@ contact PII, and paragraph structure are all SQL-derivable.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
@@ -2760,6 +2761,80 @@ HOST_DOC_CAP = 30   # max documents admitted per host (crawl-diversity
                     # cap: stops mega-hosts from dominating the corpus)
 
 
+# NFC fixture tails: canonically-decomposed sequences (combining
+# accents) a crawl delivers whenever an upstream tool emitted NFD —
+# visually identical to the composed forms, but they break exact
+# dedup, token counting, and dictionary joins until normalized.
+_NFD_TAILS: tuple[str, ...] = (
+    "",                                  # already NFC
+    " cafe\u0301 menu",                  # e + U+0301 -> e-acute
+    " u\u0308ber angstro\u0308m",        # u/o + U+0308 -> umlaut
+    " A\u030a land",                     # A + U+030A -> A-ring
+)
+
+
+def docs_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization — the canonical-composition pass every
+    text pipeline runs before dedup/tokenization, because NFD and NFC
+    spellings of the same word hash differently (md5-keyed exact dedup
+    misses them; dictionary and eval-overlap joins miss them too). The
+    ASCII corpus is extended in-plan with deterministic decomposed
+    tails (docs_encoding_repair's role-split device), every fourth
+    class already NFC so the no-op path is pinned alongside the
+    composing path.
+
+    The kernel is Python's unicodedata.normalize("NFC", ·) in an
+    Arrow-batched pandas UDF (Spark has no built-in normalizer; the
+    per-batch cost is one C-implemented pass) — and the oracle runs
+    DuckDB's utf8proc ``nfc_normalize``, so the value hash is a REAL
+    cross-implementation check of the composition tables, not the
+    kernel against itself. Scale shape: narrow map, zero shuffle."""
+    @F.pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+        return s.map(lambda x: None if x is None
+                     else unicodedata.normalize("NFC", x))
+
+    docs = _docs(spark, sf_dir)
+    tail = F.lit(None).cast("string")
+    for i, tl in enumerate(_NFD_TAILS):
+        tail = F.when(F.col("doc_id") % 4 == i, F.lit(tl)) \
+            .otherwise(tail)
+    dirty = F.concat(F.col("text"), tail)
+    return (docs.select("doc_id", dirty.alias("dirty"))
+            .select("doc_id", nfc("dirty").alias("norm"),
+                    F.length("dirty").alias("len_before"))
+            .select("doc_id",
+                    (F.length("norm") != F.col("len_before"))
+                    .alias("composed"),
+                    F.col("len_before"),
+                    F.length("norm").alias("len_after"),
+                    F.expr("right(norm, 16)").alias("tail_nfc")))
+
+
+DOCS_NFC_NORMALIZE_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         text || CASE doc_id % 4
+           WHEN 0 THEN ''
+           WHEN 1 THEN ' cafe' || chr(769) || ' menu'
+           WHEN 2 THEN ' u' || chr(776) || 'ber angstro' || chr(776) || 'm'
+           ELSE ' ' || 'A' || chr(778) || ' land' END AS dirty
+  FROM documents
+), n AS (
+  SELECT doc_id, nfc_normalize(dirty) AS norm,
+         CAST(length(dirty) AS INT) AS len_before
+  FROM d
+)
+SELECT doc_id,
+       length(norm) <> len_before AS composed,
+       len_before,
+       CAST(length(norm) AS INT) AS len_after,
+       right(norm, 16) AS tail_nfc
+FROM n
+"""
+
+
 def docs_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host diversity cap — the C4/CommonCrawl-pipeline rule that
     no single host contributes more than HOST_DOC_CAP documents: each
@@ -3938,6 +4013,7 @@ SPARK_QUERIES = {
     "hosts_salsa": hosts_salsa,
     "hosts_pagerank_aged": hosts_pagerank_aged,
     "pages_content_sniff": pages_content_sniff,
+    "docs_nfc_normalize": docs_nfc_normalize,
     "docs_bloom_snapshot_merge": docs_bloom_snapshot_merge,
     "docs_substring_dedup": docs_substring_dedup,
     "docs_gopher_line_filters": docs_gopher_line_filters,
@@ -3991,6 +4067,7 @@ ORACLE_SQL = {
     "hosts_pagerank_aged": _pagerank_full_sql(
         redistribute_dangling=False, edges_cte=_PR_AGED_EDGES_CTE),
     "pages_content_sniff": PAGES_CONTENT_SNIFF_SQL,
+    "docs_nfc_normalize": DOCS_NFC_NORMALIZE_SQL,
     "docs_bloom_snapshot_merge": DOCS_BLOOM_MERGE_SQL,
     "docs_substring_dedup": DOCS_SUBSTR_DEDUP_SQL,
     "docs_gopher_line_filters": GOPHER_LINE_SQL,

@@ -736,3 +736,29 @@ def test_content_sniff_is_narrow_and_routes_every_kind(spark):
     assert routes == {"html": {"html_extractor"}, "gzip": {"decompress"},
                       "pdf": {"layout_parser"}, "utf16le": {"transcode"},
                       "empty": {"drop"}}
+
+
+def test_nfc_normalize_composes_only_the_nfd_tails(spark):
+    """Docs with decomposed tails must compose (shorter, combining
+    marks gone); the doc_id%4==0 class is already NFC and must pass
+    through length-identical. Spot-pin the composed tail text."""
+    import unicodedata
+
+    from ocr_spark.plans.webops import _NFD_TAILS, docs_nfc_normalize
+
+    rows = {r["doc_id"]: r for r in
+            docs_nfc_normalize(spark, SF).collect()}
+    assert len(rows) == 500
+    for doc_id, r in rows.items():
+        if doc_id % 4 == 0:
+            assert not r["composed"] and r["len_after"] == r["len_before"]
+        else:
+            tail = _NFD_TAILS[doc_id % 4]
+            shrink = len(tail) - len(unicodedata.normalize("NFC", tail))
+            assert r["composed"], doc_id
+            assert r["len_before"] - r["len_after"] == shrink, doc_id
+            assert "́" not in r["tail_nfc"]
+            assert "̈" not in r["tail_nfc"]
+    assert rows[1]["tail_nfc"].endswith("café menu")
+    assert rows[2]["tail_nfc"].endswith("angström")
+    assert rows[3]["tail_nfc"].endswith("Å land")
