@@ -52,7 +52,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     # new in round 4 (never driver-checked by definition)
     "extract_eval_tokenf1", "hosts_pagerank_aged", "hosts_salsa",
     "pages_content_sniff", "emb_mutual_knn", "hosts_perplexity_buckets",
-    "docs_nfc_normalize",
+    "docs_nfc_normalize", "hosts_registered_domain",
     "emb_cluster_quota_sample",
     "hosts_trustrank", "hosts_mirror_clusters",
     "docs_bloom_snapshot_merge", "emb_cluster_balanced_sample",

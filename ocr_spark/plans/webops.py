@@ -1122,6 +1122,125 @@ ROBOTS_TXT_RULES: tuple[tuple[str, str, bool], ...] = tuple(
 CANONICAL_PAT = r'<link rel="canonical" href="https://([^/"]*)([^"]*)">'
 
 
+# Public-suffix stand-in (the real PSL is an artifact-seam data swap,
+# same as the blocklist/robots tables): multi-label suffixes listed
+# alongside their single-label parents so longest-match is load-bearing
+# (news0.co.uk matches both "uk" and "co.uk" — co.uk must win, or the
+# registered domain degenerates to co.uk itself).
+PSL_SUFFIXES: tuple[str, ...] = (
+    "co.uk", "com.au", "ac.jp", "uk", "au", "jp", "com", "org", "net",
+    "io",
+)
+
+
+def hosts_registered_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain (eTLD+1) extraction under public-suffix
+    longest-match — the correct grouping key for every domain-level
+    rollup in the pipeline (host caps, crawl budgets, mirror
+    detection): grouping by raw host splits one site across its
+    subdomains, grouping by TLD merges unrelated sites, and naive
+    "last two labels" breaks on multi-label suffixes like co.uk. A
+    deterministic host mix (subdomain depth 0-3, co.uk/com.au/ac.jp
+    multi-label suffixes, and a suffix-less ``localhost`` pinning the
+    fallback) is synthesized in-plan; the suffix table is the
+    embedded stand-in for the Mozilla PSL behind the same
+    data-swap seam as the blocklist tables.
+
+    Scale shape: the suffix table is PSL-sized (thousands of rows) →
+    broadcast endswith-join; longest-match is one partial-agg groupBy
+    keyed url (each host matches ≤ a handful of suffixes); everything
+    else is narrow string arithmetic."""
+    pages = pages_from_documents(spark, sf_dir)
+    d = F.regexp_extract("url", r"doc://(\d+)", 1).cast("long")
+    m = d % 6
+    host = (F.when(m == 0, F.concat(F.lit("www.news"),
+                                    (d % 7).cast("string"),
+                                    F.lit(".co.uk")))
+            .when(m == 1, F.concat(F.lit("blog.shop"),
+                                   (d % 5).cast("string"),
+                                   F.lit(".com.au")))
+            .when(m == 2, F.concat(F.lit("site"), (d % 13).cast("string"),
+                                   F.lit(".example.com")))
+            .when(m == 3, F.concat(F.lit("cdn.static.media"),
+                                   (d % 3).cast("string"), F.lit(".org")))
+            .when(m == 4, F.concat(F.lit("a.b.deep.paper"),
+                                   (d % 4).cast("string"),
+                                   F.lit(".ac.jp")))
+            .otherwise(F.lit("localhost")))
+    hosts = pages.select("url", host.alias("host"))
+    suf = spark.createDataFrame([(s,) for s in PSL_SUFFIXES],
+                                "suffix string")
+    matched = hosts.join(
+        F.broadcast(suf),
+        F.col("host").endswith(F.concat(F.lit("."), F.col("suffix"))))
+    best = (matched.groupBy("url")
+            .agg(F.max(F.struct(F.length("suffix").alias("l"),
+                                F.col("suffix"))).alias("m")))
+    out = (hosts.join(best, "url", "left")
+           .select("url", "host", F.col("m.suffix").alias("public_suffix")))
+    rest = F.substring(
+        F.col("host"), F.lit(1),
+        F.length("host") - F.length("public_suffix") - 1)
+    label = F.regexp_extract(rest, r"([^.]+)$", 1)
+    registered = F.when(F.col("public_suffix").isNull(), F.col("host")) \
+        .otherwise(F.concat(label, F.lit("."), F.col("public_suffix")))
+    return (out.withColumn("registered_domain", registered)
+            .withColumn(
+                "subdomain",
+                F.when(F.col("registered_domain") == F.col("host"),
+                       F.lit(""))
+                 .otherwise(F.substring(
+                     F.col("host"), F.lit(1),
+                     F.length("host")
+                     - F.length("registered_domain") - 1))))
+
+
+def _registered_domain_sql() -> str:
+    rows = ", ".join(f"('{s}')" for s in PSL_SUFFIXES)
+    return f"""
+WITH suf(suffix) AS (VALUES {rows}),
+hosts AS (
+  SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+         CASE doc_id % 6
+           WHEN 0 THEN 'www.news' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.co.uk'
+           WHEN 1 THEN 'blog.shop' || CAST(doc_id % 5 AS VARCHAR)
+                       || '.com.au'
+           WHEN 2 THEN 'site' || CAST(doc_id % 13 AS VARCHAR)
+                       || '.example.com'
+           WHEN 3 THEN 'cdn.static.media' || CAST(doc_id % 3 AS VARCHAR)
+                       || '.org'
+           WHEN 4 THEN 'a.b.deep.paper' || CAST(doc_id % 4 AS VARCHAR)
+                       || '.ac.jp'
+           ELSE 'localhost' END AS host
+  FROM documents
+), best AS (
+  SELECT url, max(struct_pack(l := length(suffix), suffix := suffix))
+           AS m
+  FROM hosts JOIN suf ON ends_with(host, '.' || suffix)
+  GROUP BY url
+), out AS (
+  SELECT hosts.url, hosts.host, best.m.suffix AS public_suffix
+  FROM hosts LEFT JOIN best ON best.url = hosts.url
+), reg AS (
+  SELECT url, host, public_suffix,
+         CASE WHEN public_suffix IS NULL THEN host
+              ELSE regexp_extract(
+                     substring(host, 1, length(host)
+                               - length(public_suffix) - 1),
+                     '([^.]+)$', 1) || '.' || public_suffix
+         END AS registered_domain
+  FROM out
+)
+SELECT url, host, public_suffix, registered_domain,
+       CASE WHEN registered_domain = host THEN ''
+            ELSE substring(host, 1, length(host)
+                           - length(registered_domain) - 1)
+       END AS subdomain
+FROM reg
+"""
+
+
 def pages_robots_txt_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt gate — the /robots.txt counterpart of the meta-robots
     filter above (a polite pipeline enforces BOTH): each page's
@@ -4014,6 +4133,7 @@ SPARK_QUERIES = {
     "hosts_pagerank_aged": hosts_pagerank_aged,
     "pages_content_sniff": pages_content_sniff,
     "docs_nfc_normalize": docs_nfc_normalize,
+    "hosts_registered_domain": hosts_registered_domain,
     "docs_bloom_snapshot_merge": docs_bloom_snapshot_merge,
     "docs_substring_dedup": docs_substring_dedup,
     "docs_gopher_line_filters": docs_gopher_line_filters,
@@ -4068,6 +4188,7 @@ ORACLE_SQL = {
         redistribute_dangling=False, edges_cte=_PR_AGED_EDGES_CTE),
     "pages_content_sniff": PAGES_CONTENT_SNIFF_SQL,
     "docs_nfc_normalize": DOCS_NFC_NORMALIZE_SQL,
+    "hosts_registered_domain": _registered_domain_sql(),
     "docs_bloom_snapshot_merge": DOCS_BLOOM_MERGE_SQL,
     "docs_substring_dedup": DOCS_SUBSTR_DEDUP_SQL,
     "docs_gopher_line_filters": GOPHER_LINE_SQL,

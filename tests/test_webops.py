@@ -762,3 +762,33 @@ def test_nfc_normalize_composes_only_the_nfd_tails(spark):
     assert rows[1]["tail_nfc"].endswith("café menu")
     assert rows[2]["tail_nfc"].endswith("angström")
     assert rows[3]["tail_nfc"].endswith("Å land")
+
+
+def test_registered_domain_longest_match_and_fallback(spark):
+    """co.uk must beat uk (longest suffix wins), the registered domain
+    is always exactly one label + suffix, subdomain reassembles the
+    host, and the suffix-less localhost falls back to itself."""
+    from ocr_spark.plans.webops import hosts_registered_domain
+
+    rows = hosts_registered_domain(spark, SF).collect()
+    assert len(rows) == 500
+    for r in rows:
+        if r["host"] == "localhost":
+            assert r["public_suffix"] is None
+            assert r["registered_domain"] == "localhost"
+            assert r["subdomain"] == ""
+            continue
+        assert r["host"].endswith("." + r["public_suffix"]) \
+            or r["host"] == r["public_suffix"]
+        assert r["registered_domain"].endswith("." + r["public_suffix"])
+        label = r["registered_domain"][: -len(r["public_suffix"]) - 1]
+        assert label and "." not in label    # exactly one label
+        joined = (r["subdomain"] + "." if r["subdomain"] else "") \
+            + r["registered_domain"]
+        assert joined == r["host"]
+    uk = [r for r in rows if r["host"].endswith(".co.uk")]
+    assert uk and all(r["public_suffix"] == "co.uk" for r in uk)
+    au = [r for r in rows if r["host"].endswith(".com.au")]
+    assert au and all(r["public_suffix"] == "com.au" for r in au)
+    deep = [r for r in rows if r["host"].startswith("a.b.deep.")]
+    assert deep and all(r["subdomain"] == "a.b.deep" for r in deep)
