@@ -53,6 +53,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "extract_eval_tokenf1", "hosts_pagerank_aged", "hosts_salsa",
     "pages_content_sniff", "emb_mutual_knn", "hosts_perplexity_buckets",
     "docs_nfc_normalize", "hosts_registered_domain",
+    "docs_lsh_band_planner",
     "emb_cluster_quota_sample",
     "hosts_trustrank", "hosts_mirror_clusters",
     "docs_bloom_snapshot_merge", "emb_cluster_balanced_sample",

@@ -288,6 +288,62 @@ def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_shared_bands")))
 
 
+# Candidate (bands, rows) plans for a MINHASH_K-permutation signature,
+# and the similarity grid the S-curve is tabulated on.
+LSH_PLAN_GRID: tuple[tuple[int, int], ...] = tuple(
+    (b, MINHASH_K // b) for b in (1, 2, 4, 8, 16))
+LSH_SIM_GRID: tuple[float, ...] = tuple(round(0.05 * i, 2)
+                                        for i in range(1, 20))
+
+
+def docs_lsh_band_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-plan S-curve table for the MinHash LSH family — the
+    tuning companion to docs_minhash_lsh_pairs: for every feasible
+    (bands, rows) split of the {MINHASH_K}-permutation signature and
+    every similarity s on a grid, the candidate probability
+    P = 1 − (1 − s^rows)^bands, each plan's characteristic threshold
+    (1/bands)^(1/rows) (the s where the curve crosses ~0.5 steepest),
+    and whether the plan is the one the pipeline currently runs
+    (LSH_BANDS). Published corpus recall trade-offs (BENCH/recall.json)
+    pick the knob; this table is the closed-form half a reviewer
+    checks it against — and the oracle recomputes every probability
+    independently, so the Spark-side pow/round arithmetic itself is
+    value-checked.
+
+    Scale shape: a plan-literal table (|plans| × |grid| rows) — no
+    corpus scan at all; it composes as a broadcast side input wherever
+    a threshold gate needs it."""
+    plans = spark.createDataFrame(list(LSH_PLAN_GRID),
+                                  "bands int, rows_per_band int")
+    sims = spark.createDataFrame([(s,) for s in LSH_SIM_GRID],
+                                 "sim double")
+    p = 1.0 - F.pow(1.0 - F.pow(F.col("sim"), F.col("rows_per_band")),
+                    F.col("bands"))
+    thr = F.pow(1.0 / F.col("bands"), 1.0 / F.col("rows_per_band"))
+    return (plans.crossJoin(sims)
+            .select("bands", "rows_per_band", "sim",
+                    F.round(p, 6).alias("p_candidate"),
+                    F.round(thr, 6).alias("threshold"),
+                    (F.col("bands") == LSH_BANDS).alias("active_plan")))
+
+
+def _lsh_band_planner_sql() -> str:
+    plan_rows = ", ".join(f"({b}, {r})" for b, r in LSH_PLAN_GRID)
+    sim_rows = ", ".join(f"({s})" for s in LSH_SIM_GRID)
+    return f"""
+WITH plans(bands, rows_per_band) AS (VALUES {plan_rows}),
+sims(sim) AS (VALUES {sim_rows})
+SELECT CAST(bands AS INT) AS bands,
+       CAST(rows_per_band AS INT) AS rows_per_band,
+       CAST(sim AS DOUBLE) AS sim,
+       round(1.0 - pow(1.0 - pow(sim, rows_per_band), bands), 6)
+         AS p_candidate,
+       round(pow(1.0 / bands, 1.0 / rows_per_band), 6) AS threshold,
+       bands = {LSH_BANDS} AS active_plan
+FROM plans CROSS JOIN sims
+"""
+
+
 def docs_minhash_jaccard_estimate(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
     """Signature-overlap Jaccard ESTIMATION for the LSH candidate
@@ -2179,6 +2235,7 @@ SPARK_QUERIES = {
     "docs_minhash_signature": docs_minhash_signature,
     "docs_minhash_lsh_pairs": docs_minhash_lsh_pairs,
     "docs_minhash_jaccard_estimate": docs_minhash_jaccard_estimate,
+    "docs_lsh_band_planner": docs_lsh_band_planner,
     "docs_simhash": docs_simhash,
     "docs_simhash_near_dup": docs_simhash_near_dup,
     "docs_simhash_dropped_buckets": docs_simhash_dropped_buckets,
@@ -2209,6 +2266,7 @@ ORACLE_SQL = {
     "docs_minhash_signature": _MINHASH_SIG_SQL,
     "docs_minhash_lsh_pairs": _LSH_PAIRS_SQL,
     "docs_minhash_jaccard_estimate": _jaccard_estimate_sql(),
+    "docs_lsh_band_planner": _lsh_band_planner_sql(),
     "docs_simhash": _SIMHASH_SQL,
     "docs_simhash_near_dup": _SIMHASH_NEAR_DUP_SQL,
     "docs_simhash_dropped_buckets": _SIMHASH_DROPPED_SQL,

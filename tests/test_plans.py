@@ -1137,3 +1137,32 @@ def test_host_perplexity_buckets_consistent_with_doc_scores(spark):
     tail = [r["host_avg_logprob"] for r in hosts.values()
             if r["bucket"] == "tail"]
     assert min(head) >= max(tail)
+
+
+def test_lsh_band_planner_scurve_properties(spark):
+    """The S-curve table must be internally coherent: P monotone in s
+    for fixed plan, more bands = more permissive at fixed s, the
+    active plan marked exactly once per sim row, and each threshold in
+    (0, 1] sitting where the curve crosses ~0.5 (P(threshold) within a
+    wide band around 0.5 for multi-band plans)."""
+    from collections import defaultdict
+
+    from ocr_spark.plans.dataops import LSH_BANDS, docs_lsh_band_planner
+
+    rows = docs_lsh_band_planner(spark, SF).collect()
+    by_plan: dict = defaultdict(list)
+    for r in rows:
+        by_plan[(r["bands"], r["rows_per_band"])].append(r)
+        assert r["active_plan"] == (r["bands"] == LSH_BANDS)
+        assert 0.0 <= r["p_candidate"] <= 1.0
+        assert 0.0 < r["threshold"] <= 1.0
+    for plan, rs in by_plan.items():
+        rs.sort(key=lambda r: r["sim"])
+        ps = [r["p_candidate"] for r in rs]
+        assert ps == sorted(ps), plan        # monotone in s
+    # more bands → more candidates at the same similarity
+    mid = {p: [r for r in rs if abs(r["sim"] - 0.5) < 1e-9][0]
+           for p, rs in by_plan.items()}
+    ordered = sorted(mid.items())
+    for (p1, r1), (p2, r2) in zip(ordered, ordered[1:]):
+        assert r1["p_candidate"] <= r2["p_candidate"]
