@@ -83,6 +83,10 @@ HEADLINE = [
     "docs_length_quantile_sketch",
     "docs_kmv_distinct",
     "docs_weighted_reservoir",
+    # round 4 (closing session): extraction-eval token F1 (the scoring
+    # harness over the full pipeline), crawl-age-decayed PageRank
+    "extract_eval_tokenf1",
+    "hosts_pagerank_aged",
 ]
 
 
