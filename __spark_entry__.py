@@ -51,6 +51,8 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "extract_roundtrip", "extract_block_stats", "document_graph_edges",
     # new in round 4 (never driver-checked by definition)
     "extract_eval_tokenf1", "hosts_pagerank_aged", "hosts_salsa",
+    "docs_near_dup_clusters_logstar", "docs_cluster_safe_split",
+    "docs_collocations_pmi",
     "pages_content_sniff", "emb_mutual_knn", "hosts_perplexity_buckets",
     "docs_nfc_normalize", "hosts_registered_domain",
     "docs_lsh_band_planner",

@@ -663,10 +663,7 @@ def run_export_job(spark: SparkSession, work_dir: str, *,
             .filter(F.col("keep") & F.col("shard_id").isNotNull())
             .select("url", "text_deduped", "n_words", "shard_id"))
     manifest_rows = shard_digest_rows(kept, ["url"]).collect()
-    shard_manifest = {r.shard_id: {"n_docs": r.n_docs,
-                                   "n_tokens": int(r.n_tokens),
-                                   "content_digest": r.content_digest}
-                      for r in manifest_rows}
+    shard_manifest = _manifest_dict(manifest_rows)
     out_sid = shim.prepare_snapshot(
         kept.repartition("shard_id"), export_root(work_dir),
         partition_by=["shard_id"],
@@ -694,7 +691,47 @@ def shard_digest_rows(df: DataFrame, key_cols: list[str]) -> DataFrame:
                  F.md5(F.concat_ws(",", F.transform(
                      F.sort_array(
                          F.collect_list(F.struct(*key_cols, "dg"))),
-                     lambda s: s["dg"]))).alias("content_digest")))
+                     lambda s: s["dg"]))).alias("content_digest"),
+                 # zone map: the url key range this shard covers, so a
+                 # consumer can prune shards from the manifest alone
+                 # (prune_export_shards) without scanning any data
+                 F.min("url").alias("min_url"),
+                 F.max("url").alias("max_url")))
+
+
+def _manifest_dict(rows) -> dict:
+    """Manifest-row dict shared by every producer AND the verifier —
+    one definition so a verify mismatch can only mean the data
+    changed, never that two stages serialized different fields."""
+    return {r.shard_id: {"n_docs": r.n_docs,
+                         "n_tokens": int(r.n_tokens),
+                         "content_digest": r.content_digest,
+                         "min_url": r.min_url,
+                         "max_url": r.max_url}
+            for r in rows}
+
+
+def prune_export_shards(work_dir: str, lo: str, hi: str, *,
+                        snapshot: str | None = None) -> list:
+    """Zone-map shard pruning — plan which export shards a url-range
+    predicate ``lo <= url <= hi`` can possibly touch, FROM THE
+    MANIFEST ALONE: no Spark job, no file listing, no data scan. A
+    shard survives iff its [min_url, max_url] zone intersects the
+    query range; everything else is provably empty for the predicate
+    and is never read (the parquet row-group min/max idea lifted to
+    the shard level, where it also skips whole-file network fetches).
+    The returned ids feed a ``shard_id IN (...)`` filter, which Spark
+    turns into partition pruning over the shard_id-partitioned layout
+    — tests pin that the pruned read equals the full-scan filter
+    row-for-row while touching strictly fewer shards."""
+    root = export_root(work_dir)
+    sid = snapshot or shim.current_snapshot_id(root)
+    if sid is None:
+        raise FileNotFoundError(f"no export snapshot under {root}")
+    shards = shim.read_manifest(root, sid).get("shards") or {}
+    return sorted(
+        shard for shard, m in shards.items()
+        if not (m["max_url"] < lo or m["min_url"] > hi))
 
 
 def _verify_shards(spark: SparkSession, root: str, sid: str,
@@ -703,9 +740,7 @@ def _verify_shards(spark: SparkSession, root: str, sid: str,
     expected = manifest.get("shards") or {}
     actual_rows = shard_digest_rows(
         shim.read_snapshot(spark, root, sid), key_cols).collect()
-    actual = {r.shard_id: {"n_docs": r.n_docs, "n_tokens": int(r.n_tokens),
-                           "content_digest": r.content_digest}
-              for r in actual_rows}
+    actual = _manifest_dict(actual_rows)
     mismatches: dict = {}
     for shard in set(expected) | set(actual):
         if shard not in expected:
@@ -846,10 +881,7 @@ def run_sampling_job(spark: SparkSession, work_dir: str, *,
 
     manifest_rows = shard_digest_rows(
         packed, ["url", "copy_idx"]).collect()
-    shard_manifest = {r.shard_id: {"n_docs": r.n_docs,
-                                   "n_tokens": int(r.n_tokens),
-                                   "content_digest": r.content_digest}
-                      for r in manifest_rows}
+    shard_manifest = _manifest_dict(manifest_rows)
     out = packed.select("url", "copy_idx", "lang", "text_deduped",
                         "n_words", "shard_id")
     out_sid = shim.prepare_snapshot(

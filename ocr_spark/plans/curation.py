@@ -455,6 +455,76 @@ JOIN sigs vb ON vb.doc_id = l.doc_b
 """
 
 
+def docs_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-safe train/val/test split — the leakage-proof form of
+    docs_sample_holdout: hash the near-dup CLUSTER id (verified
+    MinHash-LSH components), not the document id, so an entire group
+    of near-duplicates always lands in ONE split. docs_sample_holdout
+    + docs_split_leakage_check is detect-and-report; this is the
+    assignment that makes document-level near-dup leakage impossible
+    by construction (eval-set n-gram contamination remains the
+    separate docs_decontaminate family). Singleton documents (no
+    verified near-dup) hash their own id under the same recipe, so for
+    them the assignment is IDENTICAL to docs_sample_holdout —
+    adopting the cluster-safe split only moves documents that were
+    part of the leakage problem.
+
+    Scale shape: the CC tail's own audited shapes (LSH-bounded pairs,
+    O(log n) star rounds — cc_logstar), then ONE left equi-join of
+    the corpus against the cluster map (clusters are a tiny fraction
+    of the corpus) and a narrow hash→bucket→case map. No new shuffle
+    classes."""
+    from ocr_spark.plans.dataops import docs_near_dup_clusters_logstar
+
+    docs = _docs(spark, sf_dir)
+    clusters = (docs_near_dup_clusters_logstar(spark, sf_dir)
+                .select("doc_id", "cluster_id"))
+    joined = docs.join(clusters, "doc_id", "left")
+    group = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("split:"), group.cast("string"))),
+        1, 8), 16, 10).cast("long") % 1000)
+    split = (F.when(bucket < SPLIT_VAL_PERMILLE, F.lit("val"))
+             .when(bucket < SPLIT_VAL_PERMILLE + SPLIT_TEST_PERMILLE,
+                   F.lit("test"))
+             .otherwise(F.lit("train")))
+    return joined.select(
+        "doc_id", "lang", group.alias("group_id"),
+        F.col("cluster_id").isNotNull().alias("in_near_dup_cluster"),
+        bucket.alias("split_bucket"), split.alias("split"))
+
+
+def _cluster_safe_split_sql() -> str:
+    # import the SQL constant, not ORACLE_SQL: curation is imported
+    # DURING dataops' module init (quality-keepers oracle), so only
+    # names defined before dataops' registry exist at this point
+    from ocr_spark.plans.dataops import _NEAR_DUP_CLUSTERS_SQL
+
+    clusters_sql = _NEAR_DUP_CLUSTERS_SQL
+    return f"""
+WITH clusters AS (
+{clusters_sql}
+), joined AS (
+  SELECT d.doc_id, d.lang, c.cluster_id,
+         COALESCE(c.cluster_id, d.doc_id) AS group_id
+  FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+)
+SELECT doc_id, lang, group_id,
+       cluster_id IS NOT NULL AS in_near_dup_cluster,
+       ('0x' || substring(md5('split:' || CAST(group_id AS VARCHAR)),
+                          1, 8))::BIGINT % 1000 AS split_bucket,
+       CASE WHEN ('0x' || substring(
+                md5('split:' || CAST(group_id AS VARCHAR)), 1, 8))
+                ::BIGINT % 1000 < {SPLIT_VAL_PERMILLE} THEN 'val'
+            WHEN ('0x' || substring(
+                md5('split:' || CAST(group_id AS VARCHAR)), 1, 8))
+                ::BIGINT % 1000
+                < {SPLIT_VAL_PERMILLE + SPLIT_TEST_PERMILLE} THEN 'test'
+            ELSE 'train' END AS split
+FROM joined
+"""
+
+
 READ_ROUND = 2
 
 
@@ -1012,6 +1082,60 @@ SELECT lang, shard_id,
        md5(string_agg(dg, ',' ORDER BY doc_id)) AS content_digest
 FROM packed
 GROUP BY lang, shard_id
+"""
+
+
+def shards_zone_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard zone map over the token-budget packing — the
+    data-skipping statistics a shard manifest carries so a consumer
+    can PLAN which shards to read without scanning any of them
+    (the parquet-row-group min/max idea lifted to the shard level,
+    where it prunes whole files + network fetches, not just row
+    groups): per (lang, shard_id) the doc-id and char-length key
+    ranges plus the doc count. A point or range predicate on doc_id
+    touches only shards whose [min_doc_id, max_doc_id] intersects —
+    and because packing is doc_id-ordered within language, those
+    ranges are non-overlapping per language, so a range predicate
+    touches a contiguous run of shards. ``prune_export_shards`` in
+    job.py is the manifest-only consumer of exactly these stats.
+
+    Scale shape: the packing's own per-lang prefix-sum window, then
+    ONE groupBy(lang, shard_id) of min/max/count partial-aggregated
+    map-side; output rows = shard count."""
+    packed = docs_token_shards(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return (packed.join(docs, "doc_id")
+            .groupBy("lang", "shard_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("min_doc_id"),
+                 F.max("doc_id").alias("max_doc_id"),
+                 F.min("n_chars").alias("min_chars"),
+                 F.max("n_chars").alias("max_chars")))
+
+
+SHARDS_ZONE_MAP_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lang,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END
+              AS BIGINT) AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT doc_id, lang,
+         CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                  PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / {SHARD_TOKEN_BUDGET}) AS INT) AS shard_id
+  FROM base
+)
+SELECT p.lang, p.shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(p.doc_id) AS min_doc_id,
+       MAX(p.doc_id) AS max_doc_id,
+       MIN(d.n_chars) AS min_chars,
+       MAX(d.n_chars) AS max_chars
+FROM packed p JOIN documents d ON d.doc_id = p.doc_id
+GROUP BY p.lang, p.shard_id
 """
 
 
@@ -1933,6 +2057,7 @@ SPARK_QUERIES = {
     "docs_mixture_realize": docs_mixture_realize,
     "docs_curriculum_order": docs_curriculum_order,
     "shards_manifest": shards_manifest,
+    "shards_zone_map": shards_zone_map,
     "docs_quality_percentile_gate": docs_quality_percentile_gate,
     "docs_length_histogram": docs_length_histogram,
     "docs_zipf_profile": docs_zipf_profile,
@@ -1942,6 +2067,7 @@ SPARK_QUERIES = {
     "docs_length_percentiles": docs_length_percentiles,
     "docs_sample_holdout": docs_sample_holdout,
     "docs_split_leakage_check": docs_split_leakage_check,
+    "docs_cluster_safe_split": docs_cluster_safe_split,
     "hosts_concentration": hosts_concentration,
 }
 
@@ -1962,6 +2088,7 @@ ORACLE_SQL = {
     "docs_mixture_realize": MIXTURE_REALIZE_SQL,
     "docs_curriculum_order": _curriculum_order_sql(),
     "shards_manifest": SHARDS_MANIFEST_SQL,
+    "shards_zone_map": SHARDS_ZONE_MAP_SQL,
     "docs_quality_percentile_gate": _quality_percentile_sql(),
     "docs_length_histogram": LENGTH_HISTOGRAM_SQL,
     "docs_zipf_profile": ZIPF_PROFILE_SQL,
@@ -1971,5 +2098,6 @@ ORACLE_SQL = {
     "docs_length_percentiles": LENGTH_PERCENTILES_SQL,
     "docs_sample_holdout": SAMPLE_HOLDOUT_SQL,
     "docs_split_leakage_check": _split_leakage_sql(),
+    "docs_cluster_safe_split": _cluster_safe_split_sql(),
     "hosts_concentration": HOSTS_CONCENTRATION_SQL,
 }

@@ -864,6 +864,115 @@ FROM reach GROUP BY id
 
 
 # --------------------------------------------------------------------------
+# Connected components in O(log n) rounds: large-star / small-star
+# --------------------------------------------------------------------------
+
+CC_LOGSTAR_MAX_ROUNDS = 25   # 2^25 nodes of diameter is far past any corpus
+
+
+def _cc_large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al. 2014, Alg. 2): for every
+    node u, attach each STRICTLY LARGER neighbor to the minimum of
+    u's closed neighborhood. One groupBy(u) + one equi-join on u."""
+    b = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = (b.groupBy("u").agg(F.min("v").alias("mn"))
+         .select("u", F.least(F.col("mn"), F.col("u")).alias("m")))
+    return (b.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct())
+
+
+def _cc_small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round (Alg. 3): direct every edge high→low, then
+    for every node u re-attach u and all its SMALLER neighbors to the
+    minimum of that down-neighborhood. Same shuffle shape as above."""
+    d = (edges.select(F.greatest("u", "v").alias("u"),
+                      F.least("u", "v").alias("v"))
+         .filter(F.col("u") != F.col("v")))
+    m = d.groupBy("u").agg(F.min("v").alias("m"))
+    out = (d.join(m, "u").select(F.col("v").alias("c"), "m")
+           .union(m.select(F.col("u").alias("c"), "m")))
+    return (out.filter(F.col("c") != F.col("m"))
+            .select(F.col("c").alias("u"), F.col("m").alias("v"))
+            .distinct())
+
+
+def cc_logstar(pairs: DataFrame,
+               max_rounds: int = CC_LOGSTAR_MAX_ROUNDS,
+               stats: dict | None = None) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) → the same (doc_id, cluster_id, is_keeper) contract as
+    ``near_dup_clusters``.
+
+    Why a second CC when min-label propagation already exists: label
+    propagation needs DIAMETER rounds, so an adversarial chain-shaped
+    component (A~B, B~C, … — real under boilerplate-template drift,
+    where consecutive crawl snapshots are pairwise-near but the ends
+    are not) either costs O(diameter) shuffles or silently SPLITS at
+    the iteration bound. Large/small-star contracts path lengths
+    multiplicatively and provably converges in O(log n) rounds on any
+    graph, so the iteration bound is a true constant (2^25-node
+    diameter at 25 rounds) rather than a per-corpus tuning knob.
+
+    Every round is two groupBy(u)+join(u) pairs — the identical
+    doc_id-keyed shuffle shape the propagation loop was plan-gated on —
+    with per-round localCheckpoint lineage truncation. Convergence is
+    an exact edge-set fixed-point test (count + one-sided exceptAll on
+    the deduped canonical child→parent set), not a checksum: at the
+    fixed point the edge set IS the star forest rooted at each
+    component's minimum id, so labels fall out of the final edges with
+    no extra pass. ``stats['rounds']`` (when a dict is passed) reports
+    the alternations used; tests pin a 64-chain converging in ≤8 —
+    under the propagation loop's own CC_MAX_ITERS=15 that chain is a
+    guaranteed wrong (split) answer, here it is exact.
+    """
+    edges = (pairs.select(F.greatest("doc_a", "doc_b").alias("u"),
+                          F.least("doc_a", "doc_b").alias("v"))
+             .filter(F.col("u") != F.col("v"))
+             .distinct()
+             .localCheckpoint())
+    rounds = 0
+    for _ in range(max_rounds):
+        nxt = (_cc_small_star(_cc_large_star(edges))
+               .localCheckpoint())
+        rounds += 1
+        # exact fixed-point: same cardinality + nothing new ⟺ set-equal
+        # (both sides are distinct canonical (child>parent) edge sets)
+        if nxt.count() == edges.count() and nxt.exceptAll(edges).isEmpty():
+            edges = nxt
+            break
+        edges = nxt
+    if stats is not None:
+        stats["rounds"] = rounds
+    return (edges.select(F.col("u").alias("doc_id"),
+                         F.col("v").alias("cluster_id"))
+            .union(edges.select(F.col("v").alias("doc_id"),
+                                F.col("v").alias("cluster_id")))
+            .distinct()
+            .select("doc_id", "cluster_id",
+                    (F.col("doc_id") == F.col("cluster_id"))
+                    .alias("is_keeper")))
+
+
+def docs_near_dup_clusters_logstar(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """The near-dup dedup tail with the O(log n)-round CC: MinHash-LSH
+    candidates → exact-Jaccard verify → threshold → large/small-star
+    components → keeper per cluster. Same answer as
+    ``docs_near_dup_clusters`` (both oracle-pinned to the recursive-CTE
+    transitive closure); this is the form whose round bound does not
+    depend on component shape."""
+    verified = (docs_jaccard_verify_candidates(spark, sf_dir)
+                .filter(F.col("jaccard") >= NEAR_DUP_JACCARD)
+                .select("doc_a", "doc_b"))
+    return cc_logstar(verified)
+
+
+# --------------------------------------------------------------------------
 # Language identification (stopword vote)
 # --------------------------------------------------------------------------
 
@@ -1615,6 +1724,107 @@ FROM ranked WHERE rank <= {TOP_NGRAMS_K}
 
 
 # ---------------------------------------------------------------------------
+# PMI collocations
+# ---------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 3   # bigram support floor (PMI is degenerate at count 1)
+PMI_TOP_K = 30
+
+
+def docs_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-K collocations per language by pointwise mutual
+    information — the association-scored complement of
+    ``docs_top_ngrams``: raw frequency surfaces boilerplate stopword
+    pairs ("of the"), PMI surfaces the genuinely bound phrases
+    (pmi = log2(p(w1,w2) / (p(w1)·p(w2))), Church & Hanks 1990), the
+    signal phrase-table builders and tokenizer-merge audits actually
+    want. A support floor (count ≥ {PMI_MIN_COUNT}) excludes the
+    classic hapax-pair degeneracy where PMI is maximal for anything
+    seen once.
+
+    The score is published as integer ``pmi_micro`` (round(pmi·1e6))
+    and ranked on that plus the word pair, so both engines rank and
+    hash exact integers — cross-engine libm drift in log2 is ~1 ulp,
+    far below the micro quantum (same convention as docs_tfidf_topk).
+
+    Scale shape: both count tables partial-aggregate map-side, so the
+    two shuffles carry distinct-unigram / distinct-bigram volume, not
+    token volume; per-language totals are lang-cardinality aggregates
+    broadcast to the join; the unigram table joins the bigram table
+    keyed (lang, word) twice — aggregate-vs-aggregate, hot stopword
+    keys carry counts, not rows; the final top-K window partitions by
+    lang over the support-filtered aggregate."""
+    docs = t(spark, sf_dir, "documents")
+    toks = _tokens()
+    uni = (docs.select("lang", F.explode(toks).alias("w"))
+           .groupBy("lang", "w").agg(F.count(F.lit(1)).alias("cu")))
+    nu = uni.groupBy("lang").agg(F.sum("cu").alias("nu"))
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - 2),
+                    lambda i: F.struct(F.get(toks, i).alias("w1"),
+                                       F.get(toks, i + 1).alias("w2"))),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bi = (docs.select("lang", F.explode(pairs).alias("p"))
+          .select("lang", "p.w1", "p.w2")
+          .groupBy("lang", "w1", "w2").agg(F.count(F.lit(1)).alias("cb")))
+    nb = bi.groupBy("lang").agg(F.sum("cb").alias("nb"))
+    u1 = uni.select("lang", F.col("w").alias("w1"), F.col("cu").alias("cu1"))
+    u2 = uni.select("lang", F.col("w").alias("w2"), F.col("cu").alias("cu2"))
+    scored = (bi.filter(F.col("cb") >= PMI_MIN_COUNT)
+              .join(F.broadcast(nb), "lang")
+              .join(F.broadcast(nu), "lang")
+              .join(u1, ["lang", "w1"])
+              .join(u2, ["lang", "w2"]))
+    pmi = F.log2((F.col("cb") / F.col("nb"))
+                 / ((F.col("cu1") / F.col("nu"))
+                    * (F.col("cu2") / F.col("nu"))))
+    scored = scored.select(
+        "lang", "w1", "w2", F.col("cb").alias("n_occurrences"),
+        F.round(pmi * 1e6).cast("long").alias("pmi_micro"))
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("pmi_micro"), F.asc("w1"), F.asc("w2"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= PMI_TOP_K))
+
+
+_COLLOCATIONS_PMI_SQL = f"""
+WITH toks AS (
+  SELECT lang, {_SQL_TOKENS} AS tk FROM documents
+), uni AS (
+  SELECT lang, u.w AS w, COUNT(*) AS cu
+  FROM toks, LATERAL unnest(tk) AS u(w) GROUP BY lang, u.w
+), nu AS (
+  SELECT lang, SUM(cu) AS nu FROM uni GROUP BY lang
+), bi AS (
+  SELECT lang, tk[i] AS w1, tk[i+1] AS w2, COUNT(*) AS cb
+  FROM toks, LATERAL unnest(range(1, len(tk))) AS g(i)
+  WHERE len(tk) >= 2 GROUP BY lang, tk[i], tk[i+1]
+), nb AS (
+  SELECT lang, SUM(cb) AS nb FROM bi GROUP BY lang
+), scored AS (
+  SELECT b.lang, b.w1, b.w2, b.cb AS n_occurrences,
+         CAST(round(log2((CAST(b.cb AS DOUBLE) / nb.nb) /
+              ((CAST(u1.cu AS DOUBLE) / nu.nu) *
+               (CAST(u2.cu AS DOUBLE) / nu.nu))) * 1e6) AS BIGINT)
+             AS pmi_micro
+  FROM bi b
+  JOIN nb ON nb.lang = b.lang
+  JOIN nu ON nu.lang = b.lang
+  JOIN uni u1 ON u1.lang = b.lang AND u1.w = b.w1
+  JOIN uni u2 ON u2.lang = b.lang AND u2.w = b.w2
+  WHERE b.cb >= {PMI_MIN_COUNT}
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+             ORDER BY pmi_micro DESC, w1 ASC, w2 ASC) AS rank
+  FROM scored
+)
+SELECT lang, w1, w2, n_occurrences, pmi_micro, rank
+FROM ranked WHERE rank <= {PMI_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # TF-IDF keyword extraction
 # ---------------------------------------------------------------------------
 
@@ -2242,6 +2452,7 @@ SPARK_QUERIES = {
     "docs_ngram_jaccard_pairs": docs_ngram_jaccard_pairs,
     "docs_jaccard_verify_candidates": docs_jaccard_verify_candidates,
     "docs_near_dup_clusters": docs_near_dup_clusters,
+    "docs_near_dup_clusters_logstar": docs_near_dup_clusters_logstar,
     "docs_gopher_filters": docs_gopher_filters,
     "docs_langid": docs_langid,
     "docs_lang_confusion": docs_lang_confusion,
@@ -2253,6 +2464,7 @@ SPARK_QUERIES = {
     "docs_rolling_hash": docs_rolling_hash,
     "docs_sentences_udtf": docs_sentences_udtf,
     "docs_top_ngrams": docs_top_ngrams,
+    "docs_collocations_pmi": docs_collocations_pmi,
     "docs_tfidf_topk": docs_tfidf_topk,
     "docs_inverted_index": docs_inverted_index,
     "docs_char_entropy": docs_char_entropy,
@@ -2273,6 +2485,7 @@ ORACLE_SQL = {
     "docs_ngram_jaccard_pairs": _JACCARD_SQL,
     "docs_jaccard_verify_candidates": _JACCARD_VERIFY_SQL,
     "docs_near_dup_clusters": _NEAR_DUP_CLUSTERS_SQL,
+    "docs_near_dup_clusters_logstar": _NEAR_DUP_CLUSTERS_SQL,
     "docs_gopher_filters": _GOPHER_SQL,
     "docs_langid": _LANGID_SQL,
     "docs_lang_confusion": _LANG_CONFUSION_SQL,
@@ -2284,6 +2497,7 @@ ORACLE_SQL = {
     "docs_rolling_hash": _ROLLING_HASH_SQL,
     "docs_sentences_udtf": _SENTENCES_SQL,
     "docs_top_ngrams": _TOP_NGRAMS_SQL,
+    "docs_collocations_pmi": _COLLOCATIONS_PMI_SQL,
     "docs_tfidf_topk": _TFIDF_SQL,
     "docs_inverted_index": _INVERTED_INDEX_SQL,
     "docs_char_entropy": _CHAR_ENTROPY_SQL,

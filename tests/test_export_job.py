@@ -54,6 +54,38 @@ def test_export_contains_exactly_the_kept_docs(exported):
     assert len(parts) == summary["shards"]
 
 
+def test_zone_map_prunes_without_scanning(exported):
+    """Manifest-only data skipping: prune_export_shards plans a
+    url-range read from the committed zone maps (no Spark job), and
+    reading ONLY the surviving shards returns exactly the full-scan
+    filter's rows while provably touching fewer shards."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.job import prune_export_shards
+
+    spark, work, cur, summary = exported
+    manifest = shim.read_manifest(export_root(work), summary["snapshot"])
+    shards = manifest["shards"]
+    assert all("min_url" in m and m["min_url"] <= m["max_url"]
+               for m in shards.values())
+
+    # a point query on the lexicographically largest url: only shards
+    # whose zone contains it survive
+    hi = max(m["max_url"] for m in shards.values())
+    pruned = prune_export_shards(work, hi, hi)
+    assert 0 < len(pruned) < len(shards)
+
+    out = shim.read_snapshot(spark, export_root(work),
+                             summary["snapshot"])
+    want = sorted(r.url for r in
+                  out.filter(F.col("url") == hi).collect())
+    got = sorted(r.url for r in
+                 out.filter(F.col("shard_id").cast("string")
+                            .isin([str(s) for s in pruned]))
+                 .filter(F.col("url") == hi).collect())
+    assert got == want and len(want) >= 1
+
+
 def test_verify_export_passes_and_catches_missing_shard(exported):
     spark, work, cur, summary = exported
     ok = verify_export(spark, work)

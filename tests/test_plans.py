@@ -250,6 +250,64 @@ def test_near_dup_clusters_chain_and_isolated(spark):
                    10: (10, True), 11: (10, False)}
 
 
+def test_cc_logstar_matches_propagation_and_unionfind(spark):
+    """Large/small-star CC must agree with min-label propagation on
+    the propagation test graph, and with a driver-side union-find on a
+    deterministic multi-component graph."""
+    from ocr_spark.plans.dataops import cc_logstar, near_dup_clusters
+
+    pairs = [(2, 1), (2, 3), (3, 4), (4, 5), (10, 11)]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    want = {r.doc_id: (r.cluster_id, r.is_keeper)
+            for r in near_dup_clusters(df).collect()}
+    got = {r.doc_id: (r.cluster_id, r.is_keeper)
+           for r in cc_logstar(df).collect()}
+    assert got == want
+
+    # deterministic clustered graph: stars, a triangle, a bridge
+    pairs2 = [(100, 7), (100, 42), (42, 7), (13, 99), (99, 50),
+              (50, 13), (200, 201), (201, 300), (300, 7)]
+    df2 = spark.createDataFrame(pairs2, "doc_a long, doc_b long")
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs2:
+        parent[find(a)] = find(b)
+    comp: dict[int, int] = {}
+    for n in parent:
+        comp.setdefault(find(n), n)
+    want2 = {n: min(m for m in parent if find(m) == find(n))
+             for n in parent}
+    got2 = {r.doc_id: r.cluster_id for r in cc_logstar(df2).collect()}
+    assert got2 == want2
+
+
+def test_cc_logstar_chain_converges_in_log_rounds(spark):
+    """The scale contract that justifies the second CC: a 64-node path
+    (diameter 63) must resolve EXACTLY in O(log n) alternations.
+    Min-label propagation at its own CC_MAX_ITERS=15 bound provably
+    splits this component; large/small-star must finish in ≤8 rounds
+    with every node labeled 0."""
+    from ocr_spark.plans.dataops import CC_MAX_ITERS, cc_logstar
+
+    n = 64
+    assert n - 1 > 2 * CC_MAX_ITERS  # the contrast the test encodes
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long")
+    stats: dict = {}
+    rows = cc_logstar(chain, stats=stats).collect()
+    assert stats["rounds"] <= 8, stats
+    assert {r.doc_id for r in rows} == set(range(n))
+    assert all(r.cluster_id == 0 for r in rows)
+    assert sum(r.is_keeper for r in rows) == 1
+
+
 def test_classifier_score_broadcasts_weight_table(spark):
     """The fastText-style quality classifier must broadcast its weight
     table (the model is a dimension, even at a few million n-grams)
@@ -669,6 +727,50 @@ def test_sample_holdout_is_narrow_map(spark):
     from ocr_spark.plans.curation import docs_sample_holdout
 
     assert n_shuffles(fmt(docs_sample_holdout(spark, SF))) == 0
+
+
+def test_collocations_pmi_aggregate_vs_aggregate(spark):
+    """PMI's scale contract: every join input is a COUNT TABLE, never
+    the raw token stream — the per-lang totals broadcast, the shuffle
+    count is bounded by the agg→join→window shape, and partial
+    aggregation runs map-side so shuffles carry distinct-gram volume."""
+    from ocr_spark.plans.dataops import docs_collocations_pmi
+
+    df = docs_collocations_pmi(spark, SF)
+    plan = fmt(df)
+    assert "BroadcastHashJoin" in plan          # nu/nb totals
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert n_shuffles(plan) <= 8, plan
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in simple
+
+
+def test_cluster_safe_split_invariants(spark):
+    """The leakage-proof split's two contracts: (a) every member of a
+    near-dup cluster gets the SAME split (no near-dup pair can
+    straddle train/val by construction); (b) documents outside any
+    cluster keep their docs_sample_holdout assignment exactly, so the
+    cluster-safe form is a strict refinement, not a reshuffle."""
+    from ocr_spark.plans.curation import (
+        docs_cluster_safe_split, docs_sample_holdout,
+    )
+
+    rows = docs_cluster_safe_split(spark, SF).collect()
+    by_group: dict = {}
+    for r in rows:
+        by_group.setdefault(r.group_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_group.values())
+    # at least one genuine multi-doc cluster exists at this SF, or the
+    # invariant is vacuous
+    clustered = [r for r in rows if r.in_near_dup_cluster]
+    assert len(clustered) >= 2
+
+    holdout = {r.doc_id: r.split
+               for r in docs_sample_holdout(spark, SF).collect()}
+    for r in rows:
+        if not r.in_near_dup_cluster:
+            assert r.split == holdout[r.doc_id], r.doc_id
 
 
 def test_cdx_index_single_range_exchange(spark):
