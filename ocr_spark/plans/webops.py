@@ -3452,6 +3452,86 @@ def pages_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("is_keeper")))
 
 
+REDIRECT_DOUBLINGS = 6   # pointer-doubling rounds → chains ≤ 2^6 = 64 hops
+
+
+def pages_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution by POINTER DOUBLING — the frontier op
+    that follows every 3xx chain in the crawl log to its final fetch
+    target (and flags redirect loops) in O(log max-chain) shuffles
+    instead of one join per hop: round k composes the url→(node 2^k
+    ahead, exact hops) map with itself via a single equi-join keyed on
+    the current target, so 64-hop chains cost 6 shuffles at any corpus
+    size. Loops never terminate, so their hop count doubles every
+    round and lands exactly at the 2^{REDIRECT_DOUBLINGS} cap — the
+    deterministic loop signature both engines agree on (the oracle's
+    recursive walk carries the same 64-hop guard).
+
+    The redirect log is derived closed-form from doc_id (same protocol
+    as pages_url_dedup's messy crawl log): ids in each block of 4
+    chain 4k→4k+1→4k+2→4k+3 (terminal), except ids ≡ 2 (mod 64)
+    redirect BACK two steps, turning every 64-block's head into a
+    3-cycle — so the fixture contains multi-hop chains, terminals, and
+    genuine loops, all regenerable exactly by the oracle.
+
+    Output per redirecting url: final_url, n_hops (exact chain length;
+    the 64 cap for loops), status resolved|loop."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    base = "http://r.example.com/"
+    src = F.concat(F.lit(base), F.col("doc_id").cast("string"))
+    dst_id = (F.when(F.col("doc_id") % 64 == 2, F.col("doc_id") - 2)
+              .otherwise(F.col("doc_id") + 1))
+    nxt = (docs.filter((F.col("doc_id") % 4 != 3)
+                       | (F.col("doc_id") % 64 == 2))
+           .select(src.alias("src"),
+                   F.concat(F.lit(base),
+                            dst_id.cast("string")).alias("dst")))
+    p = nxt.select(F.col("src").alias("url"), F.col("dst").alias("cur"),
+                   F.lit(1).cast("long").alias("hops")).localCheckpoint()
+    for _ in range(REDIRECT_DOUBLINGS):
+        q = p.select(F.col("url").alias("jsrc"), F.col("cur").alias("jcur"),
+                     F.col("hops").alias("jhops"))
+        p = (p.join(q, F.col("cur") == F.col("jsrc"), "left")
+             .select("url",
+                     F.coalesce("jcur", "cur").alias("cur"),
+                     (F.col("hops") + F.coalesce("jhops", F.lit(0)))
+                     .alias("hops"))
+             .localCheckpoint())
+    loops = (nxt.select(F.col("src").alias("cur")).distinct()
+             .withColumn("still_redirects", F.lit(True)))
+    return (p.join(loops, "cur", "left")
+            .select("url", F.col("cur").alias("final_url"),
+                    F.col("hops").alias("n_hops"),
+                    F.when(F.col("still_redirects"), F.lit("loop"))
+                    .otherwise(F.lit("resolved")).alias("status")))
+
+
+PAGES_REDIRECT_RESOLVE_SQL = f"""
+WITH RECURSIVE nxt AS (
+  SELECT 'http://r.example.com/' || CAST(doc_id AS VARCHAR) AS src,
+         'http://r.example.com/' || CAST(
+           CASE WHEN doc_id % 64 = 2 THEN doc_id - 2
+                ELSE doc_id + 1 END AS VARCHAR) AS dst
+  FROM documents
+  WHERE doc_id % 4 <> 3 OR doc_id % 64 = 2
+), walk(src, cur, hops) AS (
+  SELECT src, dst, CAST(1 AS BIGINT) FROM nxt
+  UNION ALL
+  SELECT w.src, n.dst, w.hops + 1
+  FROM walk w JOIN nxt n ON n.src = w.cur
+  WHERE w.hops < {2 ** REDIRECT_DOUBLINGS}
+), fin AS (
+  SELECT src AS url, arg_max(cur, hops) AS final_url,
+         MAX(hops) AS n_hops
+  FROM walk GROUP BY src
+)
+SELECT url, final_url, n_hops,
+       CASE WHEN final_url IN (SELECT src FROM nxt) THEN 'loop'
+            ELSE 'resolved' END AS status
+FROM fin
+"""
+
+
 PAGES_URL_DEDUP_SQL = """
 WITH raw AS (
   SELECT doc_id,
@@ -4118,6 +4198,7 @@ SPARK_QUERIES = {
     "docs_substring_dup_coverage": docs_substring_dup_coverage,
     "docs_new_vs_snapshot": docs_new_vs_snapshot,
     "pages_url_dedup": pages_url_dedup,
+    "pages_redirect_resolve": pages_redirect_resolve,
     "hosts_crawl_traps": hosts_crawl_traps,
     "pages_url_templates": pages_url_templates,
     "frontier_fetch_schedule": frontier_fetch_schedule,
@@ -4172,6 +4253,7 @@ ORACLE_SQL = {
     "docs_substring_dup_coverage": DOCS_SUBSTR_DUP_SQL,
     "docs_new_vs_snapshot": DOCS_NEW_VS_SNAPSHOT_SQL,
     "pages_url_dedup": PAGES_URL_DEDUP_SQL,
+    "pages_redirect_resolve": PAGES_REDIRECT_RESOLVE_SQL,
     "hosts_crawl_traps": HOSTS_CRAWL_TRAPS_SQL,
     "pages_url_templates": PAGES_URL_TEMPLATES_SQL,
     "frontier_fetch_schedule": FRONTIER_FETCH_SCHEDULE_SQL,

@@ -792,3 +792,35 @@ def test_registered_domain_longest_match_and_fallback(spark):
     assert au and all(r["public_suffix"] == "com.au" for r in au)
     deep = [r for r in rows if r["host"].startswith("a.b.deep.")]
     assert deep and all(r["subdomain"] == "a.b.deep" for r in deep)
+
+
+def test_redirect_resolve_chains_and_loops(spark):
+    """Pointer doubling resolves every chain to its terminal with the
+    exact hop count, and loop members carry the deterministic
+    2^REDIRECT_DOUBLINGS-hop signature: block-of-4 chains resolve in
+    3/2/1 hops; every 64-block head (ids ≡ 0,1,2 mod 64) is a 3-cycle
+    flagged loop with n_hops = 64 and final_url = the node exactly 64
+    hops ahead."""
+    from ocr_spark.plans.webops import (
+        REDIRECT_DOUBLINGS, pages_redirect_resolve,
+    )
+
+    base = "http://r.example.com/"
+    rows = {r.url: r for r in pages_redirect_resolve(spark, SF).collect()}
+    cap = 2 ** REDIRECT_DOUBLINGS
+
+    r4 = rows[base + "4"]
+    assert (r4.final_url, r4.n_hops, r4.status) == (base + "7", 3,
+                                                    "resolved")
+    r6 = rows[base + "6"]
+    assert (r6.final_url, r6.n_hops, r6.status) == (base + "7", 1,
+                                                    "resolved")
+    # 64-block head cycle: 64→65→66→64; 64 hops from 64 lands on 65
+    r64 = rows[base + "64"]
+    assert (r64.final_url, r64.n_hops, r64.status) == (base + "65", cap,
+                                                       "loop")
+    assert rows[base + "2"].status == "loop"
+    # no terminal url ever appears as a source; every redirecting id does
+    assert base + "7" not in rows and base + "3" not in rows
+    statuses = {r.status for r in rows.values()}
+    assert statuses == {"resolved", "loop"}
