@@ -3452,6 +3452,81 @@ def pages_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("is_keeper")))
 
 
+def pages_soft404(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-404 detection — pages served with HTTP 200 whose CONTENT
+    is an error page (the crawl-quality leak status-code filtering
+    cannot catch; production crawlers classify these before the pages
+    pollute dedup statistics and the frontier's quality priors). The
+    classifier is the standard deterministic heuristic stack: an
+    error-phrase vote over the page body ('not found' / 'error 404' /
+    'does not exist' / 'no longer available', first match wins as the
+    reason) — body text stands in for rendered content.
+
+    The page log derives closed-form from doc_id (same protocol as
+    pages_url_dedup): ids ≡ 5, 9, 16 (mod 23) carry one of three
+    error-page bodies, everything else carries its document text — so
+    positives, each reason class, and true negatives all exist and the
+    oracle regenerates them exactly.
+
+    Scale shape: pure narrow map — regexp vote per row, zero shuffles
+    at any corpus size."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    m = F.col("doc_id") % 23
+    body = (
+        F.when(m == 5, F.concat(
+            F.lit("Page Not Found - the requested URL /p/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" was not found on this server.")))
+        .when(m == 9, F.lit("Error 404. This article does not exist."))
+        .when(m == 16, F.lit("Sorry, this page is no longer available."))
+        .otherwise(F.col("text")))
+    low = F.lower(body)
+    reason = (
+        F.when(low.contains("not found"), F.lit("not_found_phrase"))
+        .when(low.contains("error 404"), F.lit("error_404_phrase"))
+        .when(low.contains("does not exist"), F.lit("does_not_exist"))
+        .when(low.contains("no longer available"), F.lit("gone_phrase")))
+    host = F.concat(F.lit("site"), (F.col("doc_id") % 13).cast("string"),
+                    F.lit(".example.com"))
+    return (docs.select(
+        "doc_id", host.alias("host"),
+        F.length(body).alias("body_chars"),
+        reason.isNotNull().alias("is_soft404"),
+        reason.alias("reason")))
+
+
+PAGES_SOFT404_SQL = """
+WITH pagelog AS (
+  SELECT doc_id,
+         'site' || CAST(doc_id % 13 AS VARCHAR) || '.example.com' AS host,
+         CASE CAST(doc_id % 23 AS INT)
+           WHEN 5 THEN 'Page Not Found - the requested URL /p/'
+                       || CAST(doc_id AS VARCHAR)
+                       || ' was not found on this server.'
+           WHEN 9 THEN 'Error 404. This article does not exist.'
+           WHEN 16 THEN 'Sorry, this page is no longer available.'
+           ELSE text
+         END AS body
+  FROM documents
+), scored AS (
+  SELECT doc_id, host, CAST(len(body) AS INT) AS body_chars,
+         CASE WHEN contains(lower(body), 'not found')
+                THEN 'not_found_phrase'
+              WHEN contains(lower(body), 'error 404')
+                THEN 'error_404_phrase'
+              WHEN contains(lower(body), 'does not exist')
+                THEN 'does_not_exist'
+              WHEN contains(lower(body), 'no longer available')
+                THEN 'gone_phrase'
+         END AS reason
+  FROM pagelog
+)
+SELECT doc_id, host, body_chars,
+       reason IS NOT NULL AS is_soft404, reason
+FROM scored
+"""
+
+
 REDIRECT_DOUBLINGS = 6   # pointer-doubling rounds → chains ≤ 2^6 = 64 hops
 
 
@@ -4199,6 +4274,7 @@ SPARK_QUERIES = {
     "docs_new_vs_snapshot": docs_new_vs_snapshot,
     "pages_url_dedup": pages_url_dedup,
     "pages_redirect_resolve": pages_redirect_resolve,
+    "pages_soft404": pages_soft404,
     "hosts_crawl_traps": hosts_crawl_traps,
     "pages_url_templates": pages_url_templates,
     "frontier_fetch_schedule": frontier_fetch_schedule,
@@ -4254,6 +4330,7 @@ ORACLE_SQL = {
     "docs_new_vs_snapshot": DOCS_NEW_VS_SNAPSHOT_SQL,
     "pages_url_dedup": PAGES_URL_DEDUP_SQL,
     "pages_redirect_resolve": PAGES_REDIRECT_RESOLVE_SQL,
+    "pages_soft404": PAGES_SOFT404_SQL,
     "hosts_crawl_traps": HOSTS_CRAWL_TRAPS_SQL,
     "pages_url_templates": PAGES_URL_TEMPLATES_SQL,
     "frontier_fetch_schedule": FRONTIER_FETCH_SCHEDULE_SQL,
