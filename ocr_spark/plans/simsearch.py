@@ -1611,7 +1611,90 @@ FROM ranked WHERE rank <= {IVF_TOPK}
 """
 
 
+# --------------------------------------------------------------------------
+# semantic decontamination (embedding-space eval overlap)
+# --------------------------------------------------------------------------
+
+SEM_DECON_EVAL_MOD = 41   # vec_id % 41 == 0 → the benchmark/eval vector
+                          # set (13 vectors at sf0.01 — eval suites are
+                          # thousands of items, always broadcastable)
+SEM_DECON_COS = 0.30      # calibrated to the synthetic vectors (~10% of
+                          # the corpus flags at sf0.01; observed max-cos
+                          # p90≈0.30, max≈0.45); with real text
+                          # embeddings the published operating point is
+                          # ~0.95 — the knob, not the shape, changes
+
+
+def emb_decontaminate_semantic(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Semantic decontamination — the embedding-space complement of the
+    n-gram gate (``docs_decontaminate``): a training example is
+    contaminated if its embedding's cosine to ANY benchmark/eval
+    embedding reaches SEM_DECON_COS, even when no verbatim n-gram
+    survives paraphrase (the failure mode n-gram decontamination
+    cannot see; this is the published embedding-similarity decon
+    recipe, e.g. the GPT-3/PaLM appendix variants and Phi's
+    embedding-based test-set filtering). Emits, per train vector, the
+    nearest eval item (smallest eval_id on exact cosine ties), the
+    max cosine, and the flag.
+
+    Scale shape (100 TB): the eval set broadcasts (benchmark suites
+    are vastly smaller than the corpus); the corpus side streams
+    through a BroadcastNestedLoopJoin — no shuffle of the big table —
+    and the nearest-eval election is ONE partial-aggregated
+    groupBy(vec_id) max over a lexicographic (cos, -eval_id) struct,
+    so ties resolve without a second pass or a rank window. The
+    reference has no embedding stage at all (SURVEY §2 absent lists).
+    """
+    emb = t(spark, sf_dir).select(
+        "vec_id", _vecd().alias("v")).withColumn("nrm", _norm(F.col("v")))
+    ev = emb.filter(F.col("vec_id") % SEM_DECON_EVAL_MOD == 0).select(
+        F.col("vec_id").alias("eval_id"), F.col("v").alias("evv"),
+        F.col("nrm").alias("evn"))
+    tr = emb.filter(F.col("vec_id") % SEM_DECON_EVAL_MOD != 0)
+    cos6 = F.round(_dot(F.col("v"), F.col("evv"))
+                   / (F.col("nrm") * F.col("evn")), 6)
+    pairs = (tr.join(F.broadcast(ev))
+             .select("vec_id", "eval_id", cos6.alias("cos6")))
+    best = pairs.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("cos6").alias("c"),
+                       (-F.col("eval_id")).alias("neg"))).alias("m"))
+    return (best.select(
+        "vec_id",
+        (-F.col("m.neg")).alias("nearest_eval_id"),
+        F.round(F.col("m.c"), 4).alias("max_cos"),
+        (F.col("m.c") >= SEM_DECON_COS).alias("is_contaminated"))
+        )
+
+
+_SEM_DECON_SQL = f"""
+WITH e AS (
+  SELECT vec_id, {_SQL_VEC} AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, {_sql_norm('v')} AS nrm FROM e
+), ev AS (
+  SELECT vec_id AS eval_id, v AS evv, nrm AS evn FROM n
+  WHERE vec_id % {SEM_DECON_EVAL_MOD} = 0
+), pairs AS (
+  SELECT n.vec_id, ev.eval_id,
+         ROUND({_sql_dot('n.v', 'ev.evv')} / (n.nrm * ev.evn), 6) AS cos6
+  FROM n CROSS JOIN ev
+  WHERE n.vec_id % {SEM_DECON_EVAL_MOD} <> 0
+), ranked AS (
+  SELECT vec_id, eval_id, cos6,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cos6 DESC, eval_id ASC) AS rn
+  FROM pairs
+)
+SELECT vec_id, eval_id AS nearest_eval_id,
+       ROUND(cos6, 4) AS max_cos,
+       cos6 >= {SEM_DECON_COS} AS is_contaminated
+FROM ranked WHERE rn = 1
+"""
+
+
 SPARK_QUERIES = {
+    "emb_decontaminate_semantic": emb_decontaminate_semantic,
     "emb_ivfpq_topk": emb_ivfpq_topk,
     "emb_kmeans_train": emb_kmeans_train,
     "emb_cluster_balanced_sample": emb_cluster_balanced_sample,
@@ -1635,6 +1718,7 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "emb_decontaminate_semantic": _SEM_DECON_SQL,
     "emb_ivfpq_topk": _ivfpq_sql(),
     "emb_kmeans_train": _KMEANS_TRAIN_SQL,
     "emb_cluster_balanced_sample": _CLUSTER_SAMPLE_SQL,

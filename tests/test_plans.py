@@ -1268,3 +1268,53 @@ def test_lsh_band_planner_scurve_properties(spark):
     ordered = sorted(mid.items())
     for (p1, r1), (p2, r2) in zip(ordered, ordered[1:]):
         assert r1["p_candidate"] <= r2["p_candidate"]
+
+
+def test_semantic_decon_broadcasts_eval_side(spark):
+    """The eval set must broadcast (BroadcastNestedLoopJoin — the
+    corpus side streams, no shuffle of the big table) and the
+    nearest-eval election is a single partial-aggregated groupBy:
+    exactly one shuffle exchange in the whole plan. Flags recompute
+    from scratch, both classes populated, eval rows excluded."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.plans.simsearch import (
+        SEM_DECON_COS, SEM_DECON_EVAL_MOD, _dot, _norm, _vecd,
+        emb_decontaminate_semantic, t)
+
+    df = emb_decontaminate_semantic(spark, SF)
+    plan = fmt(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert n_shuffles(plan) == 1
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max" in simple
+
+    rows = {r["vec_id"]: r for r in df.collect()}
+    flagged = [r for r in rows.values() if r["is_contaminated"]]
+    clean = [r for r in rows.values() if not r["is_contaminated"]]
+    assert flagged and clean
+    for r in rows.values():
+        assert r["vec_id"] % SEM_DECON_EVAL_MOD != 0
+        assert r["nearest_eval_id"] % SEM_DECON_EVAL_MOD == 0
+        # flag is decided on the 6-dp cosine; max_cos is its 4-dp view
+        if r["is_contaminated"]:
+            assert r["max_cos"] >= SEM_DECON_COS - 5e-5
+        else:
+            assert r["max_cos"] <= SEM_DECON_COS + 5e-5
+
+    # independent recompute of one flagged and one clean vector
+    emb = (t(spark, SF).select("vec_id", _vecd().alias("v"))
+           .withColumn("nrm", _norm(F.col("v"))))
+    ev = emb.filter(F.col("vec_id") % SEM_DECON_EVAL_MOD == 0).select(
+        F.col("vec_id").alias("eid"), F.col("v").alias("evv"),
+        F.col("nrm").alias("evn"))
+    for probe in (flagged[0], clean[0]):
+        cos = F.round(_dot(F.col("v"), F.col("evv"))
+                      / (F.col("nrm") * F.col("evn")), 6)
+        got = (emb.filter(F.col("vec_id") == probe["vec_id"])
+               .crossJoin(F.broadcast(ev))
+               .select("eid", cos.alias("c"))
+               .orderBy(F.desc("c"), F.asc("eid")).first())
+        assert got["eid"] == probe["nearest_eval_id"]
+        assert abs(round(got["c"], 4) - probe["max_cos"]) < 1e-9
