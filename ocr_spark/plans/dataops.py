@@ -2439,7 +2439,128 @@ WHERE d.doc_id % {SNAPSHOT_MOD} = 2
 """
 
 
+# --------------------------------------------------------------------------
+# Unicode script profile (mixed-script / homoglyph spam signal)
+# --------------------------------------------------------------------------
+
+# BMP ranges only: Spark's length() and DuckDB's len() both count code
+# points, and BMP literals keep the two engines' regex char classes
+# byte-compatible (no dialect-specific \p{script=...} syntax).
+_SCRIPT_RANGES: tuple[tuple[str, str], ...] = (
+    ("latin", "A-Za-z"),
+    ("cyrillic", "Ѐ-ӿ"),
+    ("greek", "Ͱ-Ͽ"),
+    ("han", "一-鿿"),
+)
+_SCRIPT_MOD = 17          # doc_id % 17 picks the synthetic body class
+_MIXED_SCRIPT_FRAC = 0.05  # >5% of letters outside the dominant script
+
+
+def _script_body() -> Column:
+    """Deterministic page bodies: ids ≡ 3/6/9 (mod 17) are genuinely
+    Cyrillic / Greek / Han documents, ids ≡ 12 are the homoglyph-spam
+    class (Latin prose salted with Cyrillic lookalikes), everything
+    else keeps its English text — so every dominant class, the mixed
+    flag, and true negatives all exist and the oracle regenerates the
+    corpus closed-form (the pages_soft404 protocol)."""
+    sid = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % _SCRIPT_MOD
+    return (
+        F.when(m == 3, F.concat(
+            F.lit("Статья номер "), sid,
+            F.lit(" содержит текст на русском языке")))
+        .when(m == 6, F.concat(
+            F.lit("Άρθρο "), sid, F.lit(" κείμενο δοκιμής στα ελληνικά")))
+        .when(m == 9, F.concat(F.lit("文章"), sid, F.lit("中文测试文本内容")))
+        .when(m == 12, F.concat(
+            F.lit("Купить cheap offer "), sid, F.lit(" now дешево")))
+        .otherwise(F.col("text")))
+
+
+def docs_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Unicode script profile: letter mass per script
+    (Latin / Cyrillic / Greek / Han), the dominant script, and a
+    mixed-script flag — the standard homoglyph-spam and
+    wrong-script-for-declared-language signal (Cyrillic 'а'/'е'/'о'
+    inside Latin prose is the classic phishing/SEO-cloaking tell;
+    corpus pipelines gate on it because langid models mis-route such
+    pages). Script mass = length(body) − length(regexp_replace(body,
+    '[range]', '')) per class, all four in one projection.
+
+    Scale shape: pure narrow map — four regex strips and arithmetic
+    per row, zero shuffles at any corpus size. The reference has no
+    corpus-level stages (SURVEY §2 absent lists)."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    body = _script_body()
+    rows = docs.select("doc_id", body.alias("body"))
+    counts = [
+        (name,
+         (F.length("body")
+          - F.length(F.regexp_replace("body", f"[{rng}]", ""))))
+        for name, rng in _SCRIPT_RANGES]
+    letters = counts[0][1] + counts[1][1] + counts[2][1] + counts[3][1]
+    top = F.greatest(*[c for _, c in counts])
+    proj = rows.select(
+        "doc_id", F.length("body").alias("n_chars"),
+        *[c.alias(f"n_{name}") for name, c in counts],
+        letters.alias("n_letters"), top.alias("top_n"))
+    dom = F.when(F.col("n_letters") == 0, F.lit("none"))
+    for name, _ in _SCRIPT_RANGES:  # tie precedence = ranges order
+        dom = dom.when(F.col(f"n_{name}") == F.col("top_n"), F.lit(name))
+    mixed = (F.col("n_letters") > 0) & \
+        ((F.col("n_letters") - F.col("top_n"))
+         > _MIXED_SCRIPT_FRAC * F.col("n_letters"))
+    return proj.select(
+        "doc_id", "n_chars",
+        *[F.round(F.when(F.col("n_letters") == 0, F.lit(0.0))
+                  .otherwise(F.col(f"n_{name}") / F.col("n_letters")), 4)
+          .alias(f"{name}_frac") for name, _ in _SCRIPT_RANGES],
+        dom.alias("dominant_script"),
+        mixed.alias("is_mixed_script"))
+
+
+def _script_profile_sql() -> str:
+    body = f"""CASE CAST(doc_id % {_SCRIPT_MOD} AS INT)
+           WHEN 3 THEN 'Статья номер ' || CAST(doc_id AS VARCHAR)
+                       || ' содержит текст на русском языке'
+           WHEN 6 THEN 'Άρθρο ' || CAST(doc_id AS VARCHAR)
+                       || ' κείμενο δοκιμής στα ελληνικά'
+           WHEN 9 THEN '文章' || CAST(doc_id AS VARCHAR) || '中文测试文本内容'
+           WHEN 12 THEN 'Купить cheap offer ' || CAST(doc_id AS VARCHAR)
+                        || ' now дешево'
+           ELSE text END"""
+    n = {name: (f"len(body) - len(regexp_replace(body, '[{rng}]', '', 'g'))")
+         for name, rng in _SCRIPT_RANGES}
+    letters = " + ".join(f"n_{k}" for k, _ in _SCRIPT_RANGES)
+    top = ("greatest(" + ", ".join(f"n_{k}" for k, _ in _SCRIPT_RANGES)
+           + ")")
+    dom = "CASE WHEN n_letters = 0 THEN 'none' " + " ".join(
+        f"WHEN n_{k} = top_n THEN '{k}'" for k, _ in _SCRIPT_RANGES) \
+        + " END"
+    fracs = ", ".join(
+        f"round(CASE WHEN n_letters = 0 THEN 0.0 "
+        f"ELSE n_{k} / CAST(n_letters AS DOUBLE) END, 4) AS {k}_frac"
+        for k, _ in _SCRIPT_RANGES)
+    return f"""
+WITH pagelog AS (
+  SELECT doc_id, {body} AS body FROM documents
+), c AS (
+  SELECT doc_id, CAST(len(body) AS INT) AS n_chars,
+         {", ".join(f"CAST({v} AS INT) AS n_{k}" for k, v in n.items())}
+  FROM pagelog
+), s AS (
+  SELECT *, {letters} AS n_letters, {top} AS top_n FROM c
+)
+SELECT doc_id, n_chars, {fracs},
+       {dom} AS dominant_script,
+       n_letters > 0 AND (n_letters - top_n)
+         > {_MIXED_SCRIPT_FRAC} * n_letters AS is_mixed_script
+FROM s
+"""
+
+
 SPARK_QUERIES = {
+    "docs_script_profile": docs_script_profile,
     "docs_near_dup_vs_snapshot": docs_near_dup_vs_snapshot,
     "docs_near_dup_quality_keepers": docs_near_dup_quality_keepers,
     "docs_minhash_signature": docs_minhash_signature,
@@ -2473,6 +2594,7 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "docs_script_profile": _script_profile_sql(),
     "docs_near_dup_vs_snapshot": _near_dup_vs_snapshot_sql(),
     "docs_near_dup_quality_keepers": _quality_keepers_sql(),
     "docs_minhash_signature": _MINHASH_SIG_SQL,

@@ -1318,3 +1318,31 @@ def test_semantic_decon_broadcasts_eval_side(spark):
                .orderBy(F.desc("c"), F.asc("eid")).first())
         assert got["eid"] == probe["nearest_eval_id"]
         assert abs(round(got["c"], 4) - probe["max_cos"]) < 1e-9
+
+
+def test_script_profile_zero_shuffle_and_classes(spark):
+    """Script profiling is a pure narrow map (no exchange); every
+    synthetic class materializes: Cyrillic/Greek/Han dominant docs,
+    the homoglyph-mixed class flagged, plain English unflagged."""
+    from ocr_spark.plans.dataops import _SCRIPT_MOD, docs_script_profile
+
+    df = docs_script_profile(spark, SF)
+    assert n_shuffles(fmt(df)) == 0
+    rows = df.collect()
+    by_m = {}
+    for r in rows:
+        by_m.setdefault(r["doc_id"] % _SCRIPT_MOD, []).append(r)
+        s = (r["latin_frac"] + r["cyrillic_frac"]
+             + r["greek_frac"] + r["han_frac"])
+        assert s <= 1.0 + 5e-4
+    assert all(r["dominant_script"] == "cyrillic" for r in by_m[3])
+    assert all(r["dominant_script"] == "greek" for r in by_m[6])
+    assert all(r["dominant_script"] == "han" for r in by_m[9])
+    assert all(r["is_mixed_script"] for r in by_m[12])
+    # the homoglyph class is Latin-dominant with Cyrillic salt — the
+    # signature langid alone cannot see
+    assert all(r["dominant_script"] == "latin" and r["cyrillic_frac"] > 0
+               for r in by_m[12])
+    for m in (0, 1, 2):
+        assert all(r["dominant_script"] == "latin"
+                   and not r["is_mixed_script"] for r in by_m[m])
