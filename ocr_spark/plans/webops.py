@@ -3527,6 +3527,110 @@ FROM scored
 """
 
 
+def pages_charset_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset resolution for raw captures — the decode step every
+    HTML pipeline runs before parsing, with the WHATWG-encoding-spec
+    precedence: a byte-order mark beats the HTTP Content-Type header,
+    which beats an in-document ``<meta charset>``, which beats the
+    UTF-8 default. The detector reads the capture's leading-bytes hex
+    and header/meta STRINGS (not the mod class), so the precedence
+    logic is genuinely exercised.
+
+    The capture log derives closed-form from doc_id (m = doc_id % 29,
+    the pages_soft404 protocol) and is built so every conflict class
+    exists: m=2 BOM+header (BOM wins), m=6 BOM+meta (BOM wins),
+    m=8 header+meta (header wins), m=4/12/14 header only (incl. the
+    no-space ``;charset=`` variant), m=16/18 meta only (incl. the
+    http-equiv form), everything else defaults.
+
+    Scale shape: pure narrow map — two regexp_extracts and a CASE per
+    row, zero shuffles at any corpus size."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    m = F.col("doc_id") % 29
+    prefix_hex = (F.when(m == 2, F.lit("efbbbf"))
+                  .when(m == 4, F.lit("fffe"))
+                  .when(m == 6, F.lit("feff"))
+                  .otherwise(F.lit("3c21646f")))   # '<!do'
+    header = (F.when((m == 2) | (m == 8) | (m == 10),
+                     F.lit("text/html; charset=ISO-8859-1"))
+              .when((m == 4) | (m == 12),
+                    F.lit("text/html; charset=Windows-1252"))
+              .when(m == 14, F.lit("text/html;charset=utf-8"))
+              .otherwise(F.lit("text/html")))
+    head = (F.when((m == 6) | (m == 8) | (m == 16),
+                   F.lit('<head><meta charset="windows-1251"></head>'))
+            .when(m == 18, F.lit('<head><meta http-equiv="Content-Type" '
+                                 'content="text/html; charset=gb2312">'
+                                 '</head>'))
+            .otherwise(F.lit("<head><title>x</title></head>")))
+    log = docs.select("doc_id", prefix_hex.alias("prefix_hex"),
+                      header.alias("content_type"), head.alias("head"))
+    bom = (F.when(F.col("prefix_hex").startswith("efbbbf"), F.lit("utf-8"))
+           .when(F.col("prefix_hex").startswith("fffe"), F.lit("utf-16le"))
+           .when(F.col("prefix_hex").startswith("feff"), F.lit("utf-16be")))
+    hdr = F.lower(F.regexp_extract("content_type",
+                                   r"charset=([A-Za-z0-9_\-]+)", 1))
+    meta = F.lower(F.regexp_extract(
+        "head", r'<meta[^>]*charset="?([A-Za-z0-9_\-]+)', 1))
+    d = log.select(
+        "doc_id", bom.alias("bom"),
+        F.when(hdr != "", hdr).alias("header_charset"),
+        F.when(meta != "", meta).alias("meta_charset"))
+    resolved = F.coalesce(F.col("bom"), F.col("header_charset"),
+                          F.col("meta_charset"), F.lit("utf-8"))
+    source = (F.when(F.col("bom").isNotNull(), F.lit("bom"))
+              .when(F.col("header_charset").isNotNull(), F.lit("http_header"))
+              .when(F.col("meta_charset").isNotNull(), F.lit("meta"))
+              .otherwise(F.lit("default")))
+    return d.select("doc_id", "bom", "header_charset", "meta_charset",
+                    resolved.alias("resolved_charset"),
+                    source.alias("charset_source"))
+
+
+PAGES_CHARSET_DETECT_SQL = r"""
+WITH capture AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 29 AS INT)
+           WHEN 2 THEN 'efbbbf' WHEN 4 THEN 'fffe' WHEN 6 THEN 'feff'
+           ELSE '3c21646f' END AS prefix_hex,
+         CASE WHEN CAST(doc_id % 29 AS INT) IN (2, 8, 10)
+                THEN 'text/html; charset=ISO-8859-1'
+              WHEN CAST(doc_id % 29 AS INT) IN (4, 12)
+                THEN 'text/html; charset=Windows-1252'
+              WHEN CAST(doc_id % 29 AS INT) = 14
+                THEN 'text/html;charset=utf-8'
+              ELSE 'text/html' END AS content_type,
+         CASE WHEN CAST(doc_id % 29 AS INT) IN (6, 8, 16)
+                THEN '<head><meta charset="windows-1251"></head>'
+              WHEN CAST(doc_id % 29 AS INT) = 18
+                THEN '<head><meta http-equiv="Content-Type" '
+                     || 'content="text/html; charset=gb2312"></head>'
+              ELSE '<head><title>x</title></head>' END AS head
+  FROM documents
+), det AS (
+  SELECT doc_id,
+         CASE WHEN starts_with(prefix_hex, 'efbbbf') THEN 'utf-8'
+              WHEN starts_with(prefix_hex, 'fffe') THEN 'utf-16le'
+              WHEN starts_with(prefix_hex, 'feff') THEN 'utf-16be'
+         END AS bom,
+         nullif(lower(regexp_extract(content_type,
+                'charset=([A-Za-z0-9_\-]+)', 1)), '') AS header_charset,
+         nullif(lower(regexp_extract(head,
+                '<meta[^>]*charset="?([A-Za-z0-9_\-]+)', 1)), '')
+           AS meta_charset
+  FROM capture
+)
+SELECT doc_id, bom, header_charset, meta_charset,
+       COALESCE(bom, header_charset, meta_charset, 'utf-8')
+         AS resolved_charset,
+       CASE WHEN bom IS NOT NULL THEN 'bom'
+            WHEN header_charset IS NOT NULL THEN 'http_header'
+            WHEN meta_charset IS NOT NULL THEN 'meta'
+            ELSE 'default' END AS charset_source
+FROM det
+"""
+
+
 REDIRECT_DOUBLINGS = 6   # pointer-doubling rounds → chains ≤ 2^6 = 64 hops
 
 
@@ -4275,6 +4379,7 @@ SPARK_QUERIES = {
     "pages_url_dedup": pages_url_dedup,
     "pages_redirect_resolve": pages_redirect_resolve,
     "pages_soft404": pages_soft404,
+    "pages_charset_detect": pages_charset_detect,
     "hosts_crawl_traps": hosts_crawl_traps,
     "pages_url_templates": pages_url_templates,
     "frontier_fetch_schedule": frontier_fetch_schedule,
@@ -4331,6 +4436,7 @@ ORACLE_SQL = {
     "pages_url_dedup": PAGES_URL_DEDUP_SQL,
     "pages_redirect_resolve": PAGES_REDIRECT_RESOLVE_SQL,
     "pages_soft404": PAGES_SOFT404_SQL,
+    "pages_charset_detect": PAGES_CHARSET_DETECT_SQL,
     "hosts_crawl_traps": HOSTS_CRAWL_TRAPS_SQL,
     "pages_url_templates": PAGES_URL_TEMPLATES_SQL,
     "frontier_fetch_schedule": FRONTIER_FETCH_SCHEDULE_SQL,

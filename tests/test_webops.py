@@ -824,3 +824,40 @@ def test_redirect_resolve_chains_and_loops(spark):
     assert base + "7" not in rows and base + "3" not in rows
     statuses = {r.status for r in rows.values()}
     assert statuses == {"resolved", "loop"}
+
+
+def test_charset_detect_precedence(spark):
+    """WHATWG precedence must be load-bearing on the conflict classes:
+    BOM beats a present header (m=2), BOM beats a present meta (m=6),
+    header beats a present meta (m=8); meta-only and default classes
+    resolve from their own evidence; zero shuffles."""
+    from tests.test_plans import SF, fmt, n_shuffles
+
+    from ocr_spark.plans.webops import pages_charset_detect
+
+    df = pages_charset_detect(spark, SF)
+    assert n_shuffles(fmt(df)) == 0
+    rows = {r["doc_id"]: r for r in df.collect()}
+    for did, r in rows.items():
+        m = did % 29
+        if m == 2:   # BOM + header conflict
+            assert r["header_charset"] == "iso-8859-1"
+            assert (r["resolved_charset"], r["charset_source"]) \
+                == ("utf-8", "bom")
+        elif m == 6:  # BOM + meta conflict
+            assert r["meta_charset"] == "windows-1251"
+            assert (r["resolved_charset"], r["charset_source"]) \
+                == ("utf-16be", "bom")
+        elif m == 8:  # header + meta conflict
+            assert r["meta_charset"] == "windows-1251"
+            assert (r["resolved_charset"], r["charset_source"]) \
+                == ("iso-8859-1", "http_header")
+        elif m == 14:  # no-space ;charset= variant still parses
+            assert (r["resolved_charset"], r["charset_source"]) \
+                == ("utf-8", "http_header")
+        elif m == 18:  # http-equiv meta form
+            assert (r["resolved_charset"], r["charset_source"]) \
+                == ("gb2312", "meta")
+        elif m in (0, 1, 3):
+            assert (r["resolved_charset"], r["charset_source"]) \
+                == ("utf-8", "default")
