@@ -3527,6 +3527,104 @@ FROM scored
 """
 
 
+SITEMAP_HOSTS = 4        # hosts (the pages_url_dedup host protocol)
+SITEMAP_ENTRIES = 60     # urls per sitemap; crawled pages are % 50, so
+                         # entries 50..59 are genuinely uncrawled seeds
+
+
+def pages_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingestion — the frontier-seeding op: parse each host's
+    sitemap.xml (``<url><loc>…</loc><lastmod>…</lastmod></url>``
+    entries, extracted with non-greedy regex exactly like a streaming
+    sitemap reader), then mark each advertised URL against the crawl
+    log so the scheduler sees which seeds are NEW. Sitemap bodies are
+    synthesized closed-form (one per host, SITEMAP_ENTRIES entries;
+    the crawl log covers pages % 50, so the 50..59 tail of every
+    sitemap is genuinely uncrawled) and then actually PARSED — the
+    parse, not the synthesis, is the operator.
+
+    Scale shape: the parse is a narrow map + generator explode on the
+    sitemap side (sitemaps are ≤50k urls per file — orders of
+    magnitude smaller than the crawl log); the crawl log collapses to
+    DISTINCT url (one shuffle, url-keyed) and the membership check is
+    a url equi-join — AQE broadcasts the sitemap side at runtime once
+    its post-parse size is known (a broadcast HINT is illegal here:
+    the sitemap side is the preserved side of the left join). The
+    reference has no frontier at all (SURVEY §2.1 S1)."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    hosts = (docs.select(
+        (F.col("doc_id") % SITEMAP_HOSTS).cast("string").alias("h"))
+        .distinct())
+    frags = [F.lit('<?xml version="1.0"?><urlset>')]
+    for k in range(SITEMAP_ENTRIES):
+        frags.append(F.concat(
+            F.lit("<url><loc>https://site"), F.col("h"),
+            F.lit(f".example.com/page/{k}</loc>"
+                  f"<lastmod>2026-07-{k % 28 + 1:02d}</lastmod></url>")))
+    frags.append(F.lit("</urlset>"))
+    sitemaps = hosts.select("h", F.concat(*frags).alias("body"))
+    entries = (sitemaps.select(
+        F.concat(F.lit("site"), F.col("h"),
+                 F.lit(".example.com")).alias("host"),
+        F.explode(F.regexp_extract_all(
+            "body", F.lit(r"<url>.*?</url>"), 0)).alias("entry"))
+        .select(
+            "host",
+            F.regexp_extract("entry", r"<loc>([^<]+)</loc>", 1)
+             .alias("url"),
+            F.regexp_extract("entry", r"<lastmod>([^<]+)</lastmod>", 1)
+             .alias("lastmod")))
+    # page index decorrelated from the host index (doc_id // HOSTS so
+    # every host's sitemap head 0..49 is genuinely fully crawled)
+    crawled = docs.select(F.concat(
+        F.lit("https://site"),
+        (F.col("doc_id") % SITEMAP_HOSTS).cast("string"),
+        F.lit(".example.com/page/"),
+        (F.floor(F.col("doc_id") / SITEMAP_HOSTS).cast("long") % 50)
+        .cast("string")).alias("url")).distinct()
+    flagged = entries.join(crawled.withColumn("seen", F.lit(True)),
+                           "url", "left")
+    return flagged.select(
+        "host", "url", "lastmod",
+        F.coalesce(F.col("seen"), F.lit(False)).alias("already_crawled"))
+
+
+def _sitemap_parse_sql() -> str:
+    return f"""
+WITH hosts AS (
+  SELECT DISTINCT CAST(doc_id % {SITEMAP_HOSTS} AS VARCHAR) AS h
+  FROM documents
+), sitemaps AS (
+  SELECT h, '<?xml version="1.0"?><urlset>' || string_agg(
+           '<url><loc>https://site' || h || '.example.com/page/'
+           || k || '</loc><lastmod>2026-07-'
+           || lpad(CAST(k % 28 + 1 AS VARCHAR), 2, '0')
+           || '</lastmod></url>', '' ORDER BY k) || '</urlset>' AS body
+  FROM hosts, (SELECT CAST(g AS INT) AS k
+               FROM generate_series(0, {SITEMAP_ENTRIES - 1}) s(g))
+  GROUP BY h
+), entries AS (
+  SELECT 'site' || h || '.example.com' AS host,
+         unnest(regexp_extract_all(body, '<url>.*?</url>')) AS entry
+  FROM sitemaps
+), parsed AS (
+  SELECT host,
+         regexp_extract(entry, '<loc>([^<]+)</loc>', 1) AS url,
+         regexp_extract(entry, '<lastmod>([^<]+)</lastmod>', 1) AS lastmod
+  FROM entries
+), crawled AS (
+  SELECT DISTINCT 'https://site'
+         || CAST(doc_id % {SITEMAP_HOSTS} AS VARCHAR)
+         || '.example.com/page/'
+         || CAST((doc_id // {SITEMAP_HOSTS}) % 50 AS VARCHAR) AS url
+  FROM documents
+)
+SELECT p.host, p.url, p.lastmod,
+       c.url IS NOT NULL AS already_crawled
+FROM parsed p LEFT JOIN crawled c ON p.url = c.url
+"""
+
+
 def pages_charset_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Charset resolution for raw captures — the decode step every
     HTML pipeline runs before parsing, with the WHATWG-encoding-spec
@@ -4380,6 +4478,7 @@ SPARK_QUERIES = {
     "pages_redirect_resolve": pages_redirect_resolve,
     "pages_soft404": pages_soft404,
     "pages_charset_detect": pages_charset_detect,
+    "pages_sitemap_parse": pages_sitemap_parse,
     "hosts_crawl_traps": hosts_crawl_traps,
     "pages_url_templates": pages_url_templates,
     "frontier_fetch_schedule": frontier_fetch_schedule,
@@ -4437,6 +4536,7 @@ ORACLE_SQL = {
     "pages_redirect_resolve": PAGES_REDIRECT_RESOLVE_SQL,
     "pages_soft404": PAGES_SOFT404_SQL,
     "pages_charset_detect": PAGES_CHARSET_DETECT_SQL,
+    "pages_sitemap_parse": _sitemap_parse_sql(),
     "hosts_crawl_traps": HOSTS_CRAWL_TRAPS_SQL,
     "pages_url_templates": PAGES_URL_TEMPLATES_SQL,
     "frontier_fetch_schedule": FRONTIER_FETCH_SCHEDULE_SQL,

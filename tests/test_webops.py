@@ -861,3 +861,26 @@ def test_charset_detect_precedence(spark):
         elif m in (0, 1, 3):
             assert (r["resolved_charset"], r["charset_source"]) \
                 == ("utf-8", "default")
+
+
+def test_sitemap_parse_seeds_and_join_shape(spark):
+    """The parse must recover every advertised entry (hosts ×
+    SITEMAP_ENTRIES rows), the 50..59 tail of each sitemap is genuinely
+    uncrawled (the frontier seeds), pages < 50 are all crawled at this
+    SF, and the membership join broadcasts the sitemap side — no
+    SortMergeJoin of the crawl log."""
+    from tests.test_plans import SF, fmt
+
+    from ocr_spark.plans.webops import (
+        SITEMAP_ENTRIES, SITEMAP_HOSTS, pages_sitemap_parse)
+
+    df = pages_sitemap_parse(spark, SF)
+    plan = fmt(df)
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    rows = df.collect()
+    assert len(rows) == SITEMAP_HOSTS * SITEMAP_ENTRIES
+    for r in rows:
+        page = int(r["url"].rsplit("/", 1)[1])
+        assert r["url"].startswith("https://site")
+        assert r["lastmod"].startswith("2026-07-")
+        assert r["already_crawled"] == (page < 50)
