@@ -54,7 +54,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "docs_near_dup_clusters_logstar", "docs_cluster_safe_split",
     "docs_collocations_pmi", "shards_zone_map", "pages_redirect_resolve",
     "pages_soft404", "emb_decontaminate_semantic", "docs_script_profile",
-    "pages_charset_detect", "pages_sitemap_parse",
+    "pages_charset_detect", "pages_sitemap_parse", "mm_phash_near_dup",
     "pages_content_sniff", "emb_mutual_knn", "hosts_perplexity_buckets",
     "docs_nfc_normalize", "hosts_registered_domain",
     "docs_lsh_band_planner",

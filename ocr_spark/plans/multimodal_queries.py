@@ -142,7 +142,132 @@ FROM feats GROUP BY doc_id
 """
 
 
+PHASH_BITS = 64       # DCT-sign bits of a real pHash
+PHASH_SCENES = 101    # media with equal doc_id % PHASH_SCENES are the
+                      # same underlying footage, re-encoded
+PHASH_BANDS = 4
+PHASH_BAND_BITS = PHASH_BITS // PHASH_BANDS
+PHASH_MAX_HAM = 6     # verify threshold (re-encode noise is ≤2 bits/doc
+                      # → true pairs differ by ≤4)
+PHASH_BUCKET_CAP = 50  # same O(n²) guard as the SimHash/MinHash paths
+
+
+def _phash() -> F.Column:
+    """64-bit perceptual-hash stub: the hash of a media item is its
+    SCENE's DCT-sign pattern (two md5s over the scene id → 64 hex
+    digits → high bit each) with ≤2 deterministic per-doc bit flips —
+    exactly the signature geometry a real pHash produces for the same
+    footage re-encoded at different bitrates. A real pHash (DCT over
+    decoded pixels) replaces only this column at the decode seam
+    (operators/multimodal.py); the banding join below is unchanged."""
+    scene = (F.col("doc_id") % PHASH_SCENES).cast("string")
+    hexs = F.concat(F.md5(F.concat(F.lit("ph_"), scene)),
+                    F.md5(F.concat(F.lit("ph2_"), scene)))
+    p1 = (F.col("doc_id") * 7) % PHASH_BITS + 1
+    f1 = (F.col("doc_id") % 3 == 1).cast("int")
+    p2 = (F.col("doc_id") * 11) % PHASH_BITS + 1
+    f2 = (F.col("doc_id") % 5 == 2).cast("int")
+    return F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(PHASH_BITS)),
+            lambda i: F.when(
+                ((F.when(F.substring(hexs, i, 1).rlike("[89a-f]"),
+                         F.lit(1)).otherwise(F.lit(0))
+                  + F.when(i == p1, f1).otherwise(F.lit(0))
+                  + F.when(i == p2, f2).otherwise(F.lit(0))) % 2) == 1,
+                F.lit("1")).otherwise(F.lit("0"))), "")
+
+
+def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup pairs over media items — the visual
+    dedup stage (re-encoded / re-uploaded copies of the same footage
+    that byte-digest dedup cannot see). Same LSH discipline as the
+    text SimHash path: by pigeonhole, two 64-bit hashes within Hamming
+    PHASH_MAX_HAM=6 agree exactly on ≥1 of 4 bands UNLESS the flips
+    spread across all shared bands (the documented recall trade);
+    candidates come from capped band-bucket equi-joins, then exact
+    Hamming verifies.
+
+    Scale shape: hash is a narrow map; the only shuffle is the capped
+    band-bucket self-join + its count window — never an all-pairs
+    scan of the media corpus."""
+    fp = _docs(spark, sf_dir).select("doc_id", _phash().alias("phash"))
+    from pyspark.sql.window import Window
+    bands = fp.select(
+        "doc_id", "phash",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.substring("phash", b * PHASH_BAND_BITS + 1,
+                                 PHASH_BAND_BITS).alias("bucket"))
+            for b in range(PHASH_BANDS)
+        ])).alias("bb"),
+    ).select("doc_id", "phash", "bb.band", "bb.bucket")
+    w = Window.partitionBy("band", "bucket")
+    bands = (bands.withColumn("bucket_n", F.count(F.lit(1)).over(w))
+             .filter(F.col("bucket_n") <= PHASH_BUCKET_CAP)
+             .drop("bucket_n"))
+    a = bands.select(F.col("doc_id").alias("doc_a"),
+                     F.col("phash").alias("ph_a"), "band", "bucket")
+    b = bands.select(F.col("doc_id").alias("doc_b"),
+                     F.col("phash").alias("ph_b"), "band", "bucket")
+    pairs = (a.join(b, ["band", "bucket"])
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b", "ph_a", "ph_b").distinct())
+    hamming = F.aggregate(
+        F.zip_with(F.split("ph_a", ""), F.split("ph_b", ""),
+                   lambda x, y: F.when(x == y, 0).otherwise(1)),
+        F.lit(0), lambda acc, x: acc + x)
+    return (pairs.withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= PHASH_MAX_HAM)
+            .select("doc_a", "doc_b", "hamming"))
+
+
+_PHASH_EXPR = f"""list_aggregate(list_transform(range(1, {PHASH_BITS + 1}),
+    i -> CASE WHEN (
+           (CASE WHEN substring(md5('ph_' || CAST(doc_id % {PHASH_SCENES}
+                      AS VARCHAR))
+                 || md5('ph2_' || CAST(doc_id % {PHASH_SCENES} AS VARCHAR)),
+                 i, 1) SIMILAR TO '[89a-f]' THEN 1 ELSE 0 END
+            + CASE WHEN i = (doc_id * 7) % {PHASH_BITS} + 1
+                    AND doc_id % 3 = 1 THEN 1 ELSE 0 END
+            + CASE WHEN i = (doc_id * 11) % {PHASH_BITS} + 1
+                    AND doc_id % 5 = 2 THEN 1 ELSE 0 END) % 2 = 1)
+         THEN '1' ELSE '0' END), 'string_agg', '')"""
+
+
+_PHASH_NEAR_DUP_SQL = f"""
+WITH fp AS (
+  SELECT doc_id, {_PHASH_EXPR} AS phash FROM documents
+), bands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, phash, {b} AS band, "
+      f"substring(phash, {b * PHASH_BAND_BITS + 1}, "
+      f"{PHASH_BAND_BITS}) AS bucket FROM fp"
+      for b in range(PHASH_BANDS))}
+), capped AS (
+  SELECT * FROM (
+    SELECT doc_id, phash, band, bucket,
+           COUNT(*) OVER (PARTITION BY band, bucket) AS bucket_n
+    FROM bands
+  ) WHERE bucket_n <= {PHASH_BUCKET_CAP}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.phash AS ph_a, b.phash AS ph_b
+  FROM capped a JOIN capped b USING (band, bucket)
+  WHERE a.doc_id < b.doc_id
+), ham AS (
+  SELECT doc_a, doc_b,
+         CAST(list_sum(list_transform(range(1, {PHASH_BITS + 1}),
+              i -> CASE WHEN substring(ph_a, i, 1) = substring(ph_b, i, 1)
+                   THEN 0 ELSE 1 END)) AS INT) AS hamming
+  FROM pairs
+)
+SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= {PHASH_MAX_HAM}
+"""
+
+
 SPARK_QUERIES = {
+    "mm_phash_near_dup": mm_phash_near_dup,
     "mm_media_meta": mm_media_meta,
     "mm_frame_sample": mm_frame_sample,
     "mm_frame_rollup": mm_frame_rollup,
@@ -150,6 +275,7 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "mm_phash_near_dup": _PHASH_NEAR_DUP_SQL,
     "mm_media_meta": _MEDIA_META_SQL,
     "mm_frame_sample": _FRAME_SAMPLE_SQL,
     "mm_frame_rollup": _FRAME_ROLLUP_SQL,

@@ -51,3 +51,28 @@ def test_resize_restamps_header(spark):
         assert (meta[i].width, meta[i].height) == (32, 48)
         assert meta[i].n_frames == media_dims(i)[2]
         assert meta[i].error is None
+
+
+def test_phash_near_dup_pairs_are_same_scene(spark):
+    """Every emitted pair is a true re-encode pair (same scene class),
+    Hamming ≤ the threshold and ≤ 4 (two flips per side), pairs from
+    DIFFERENT scenes never appear, and the bucket cap sits below the
+    self-join exactly like the SimHash path."""
+    import re
+
+    from tests.test_plans import SF
+
+    from ocr_spark.plans.multimodal_queries import (
+        PHASH_MAX_HAM, PHASH_SCENES, mm_phash_near_dup)
+
+    df = mm_phash_near_dup(spark, SF)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "bucket_n" in plan
+    cap = re.search(r"bucket_n#\d+L? <=", plan)
+    assert cap and plan.index("Join") < cap.start()
+
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r["doc_a"] % PHASH_SCENES == r["doc_b"] % PHASH_SCENES
+        assert 0 <= r["hamming"] <= min(4, PHASH_MAX_HAM)
