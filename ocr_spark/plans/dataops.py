@@ -2440,6 +2440,97 @@ WHERE d.doc_id % {SNAPSHOT_MOD} = 2
 
 
 # --------------------------------------------------------------------------
+# corpus lexical diversity (distinct-n / TTR / hapax)
+# --------------------------------------------------------------------------
+
+DIVERSITY_ROUND = 6
+
+
+def docs_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus diversity report: type-token ratio,
+    distinct-bigram ratio (the distinct-1/distinct-2 metrics of Li et
+    al. 2016), and the hapax-legomenon share of the vocabulary — the
+    monitoring panel that catches template-flooded or generator-looped
+    corpora (diversity collapses) and OCR-noise floods (hapax share
+    explodes) before they reach training. Complements
+    docs_zipf_profile (rank-frequency shape) with the scalar
+    per-language summary a data card quotes.
+
+    Scale shape: two explode→groupBy chains keyed (lang, term) — the
+    honest token-volume shuffle of any exact distinct count, fully
+    partial-aggregated — each collapsing to |langs| rows, then a
+    |langs|-row join. For 100 TB dashboards the same report runs on
+    sketches (docs_hll_by_lang is the approximate unigram half)."""
+    docs = t(spark, sf_dir, "documents").select("lang", "text")
+    toks = _tokens()
+    base = (docs.select("lang", toks.alias("toks"))
+            .filter((F.size("toks") > 0) & (F.col("toks")[0] != "")))
+    uni = (base.select("lang", F.explode("toks").alias("tok"))
+           .groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("n"))
+           .groupBy("lang")
+           .agg(F.sum("n").alias("n_tokens"),
+                F.count(F.lit(1)).alias("n_types"),
+                F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+                 .alias("n_hapax")))
+    bigrams = F.zip_with(
+        F.slice("toks", 1, F.size("toks") - 1),
+        F.slice("toks", 2, F.size("toks") - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b))
+    bi = (base.filter(F.size("toks") >= 2)
+          .select("lang", F.explode(bigrams).alias("bg"))
+          .groupBy("lang", "bg").agg(F.count(F.lit(1)).alias("n"))
+          .groupBy("lang")
+          .agg(F.sum("n").alias("n_bigrams"),
+               F.count(F.lit(1)).alias("n_distinct_bigrams")))
+    j = uni.join(bi, "lang")
+    return j.select(
+        "lang", "n_tokens", "n_types", "n_hapax",
+        "n_bigrams", "n_distinct_bigrams",
+        F.round(F.col("n_types") / F.col("n_tokens"),
+                DIVERSITY_ROUND).alias("ttr"),
+        F.round(F.col("n_distinct_bigrams") / F.col("n_bigrams"),
+                DIVERSITY_ROUND).alias("distinct2"),
+        F.round(F.col("n_hapax") / F.col("n_types"),
+                DIVERSITY_ROUND).alias("hapax_frac"))
+
+
+_LEXICAL_DIVERSITY_SQL = f"""
+WITH base AS (
+  SELECT lang, {_SQL_TOKENS} AS toks FROM documents
+), nz AS (
+  SELECT lang, toks FROM base WHERE len(toks) > 0 AND toks[1] <> ''
+), uc AS (
+  SELECT lang, tok, COUNT(*) AS n
+  FROM (SELECT lang, unnest(toks) AS tok FROM nz) GROUP BY lang, tok
+), uni AS (
+  SELECT lang, CAST(SUM(n) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hapax
+  FROM uc GROUP BY lang
+), bc AS (
+  SELECT lang, bg, COUNT(*) AS n
+  FROM (SELECT lang,
+               unnest(list_transform(range(1, len(toks)),
+                      j -> toks[j] || ' ' || toks[j + 1])) AS bg
+        FROM nz WHERE len(toks) >= 2)
+  GROUP BY lang, bg
+), bi AS (
+  SELECT lang, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams
+  FROM bc GROUP BY lang
+)
+SELECT lang, n_tokens, n_types, n_hapax, n_bigrams, n_distinct_bigrams,
+       round(n_types / CAST(n_tokens AS DOUBLE), {DIVERSITY_ROUND}) AS ttr,
+       round(n_distinct_bigrams / CAST(n_bigrams AS DOUBLE),
+             {DIVERSITY_ROUND}) AS distinct2,
+       round(n_hapax / CAST(n_types AS DOUBLE), {DIVERSITY_ROUND})
+         AS hapax_frac
+FROM uni JOIN bi USING (lang)
+"""
+
+
+# --------------------------------------------------------------------------
 # Unicode script profile (mixed-script / homoglyph spam signal)
 # --------------------------------------------------------------------------
 
@@ -2561,6 +2652,7 @@ FROM s
 
 SPARK_QUERIES = {
     "docs_script_profile": docs_script_profile,
+    "docs_lexical_diversity": docs_lexical_diversity,
     "docs_near_dup_vs_snapshot": docs_near_dup_vs_snapshot,
     "docs_near_dup_quality_keepers": docs_near_dup_quality_keepers,
     "docs_minhash_signature": docs_minhash_signature,
@@ -2595,6 +2687,7 @@ SPARK_QUERIES = {
 
 ORACLE_SQL = {
     "docs_script_profile": _script_profile_sql(),
+    "docs_lexical_diversity": _LEXICAL_DIVERSITY_SQL,
     "docs_near_dup_vs_snapshot": _near_dup_vs_snapshot_sql(),
     "docs_near_dup_quality_keepers": _quality_keepers_sql(),
     "docs_minhash_signature": _MINHASH_SIG_SQL,

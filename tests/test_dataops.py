@@ -280,3 +280,34 @@ def test_cms_counters_merge_by_add(spark):
     b = counters(docs.filter(F.col("doc_id") % 2 == 1))
     merged = {k: a.get(k, 0) + b.get(k, 0) for k in set(a) | set(b)}
     assert merged == full
+
+
+def test_lexical_diversity_partial_agg_and_invariants(spark):
+    """Both distinct-count chains must partial-aggregate below their
+    exchanges (map-side combine on the token-volume shuffle), and the
+    metrics obey their identities: 0 < ttr ≤ 1, distinct2 ≥ ttr is NOT
+    required but hapax ≤ types ≤ tokens and bigrams = tokens - docs
+    per language."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.plans.dataops import _tokens, docs_lexical_diversity, t
+    from tests.test_plans import SF
+
+    df = docs_lexical_diversity(spark, SF)
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in simple or "partial_sum" in simple
+    rows = {r["lang"]: r for r in df.collect()}
+    assert rows
+    docs = (t(spark, SF, "documents")
+            .select("lang", F.size(_tokens()).alias("n"))
+            .groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"),
+                                 F.sum("n").alias("n_tokens")).collect())
+    by_lang = {r["lang"]: r for r in docs}
+    for lang, r in rows.items():
+        assert 0 < r["ttr"] <= 1.0
+        assert 0 < r["distinct2"] <= 1.0
+        assert r["n_hapax"] <= r["n_types"] <= r["n_tokens"]
+        assert abs(r["hapax_frac"] - r["n_hapax"] / r["n_types"]) < 1e-4
+        exp = by_lang[lang]
+        assert r["n_tokens"] == exp["n_tokens"]
+        assert r["n_bigrams"] == exp["n_tokens"] - exp["n_docs"]
