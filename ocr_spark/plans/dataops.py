@@ -208,13 +208,16 @@ def minhash_sigs_frame(df: DataFrame, key: str = "doc_id",
             .filter(F.col("minvec").isNotNull()))
 
 
-def lsh_bands_frame(sigs: DataFrame, key: str = "doc_id") -> DataFrame:
+def lsh_bands_frame(sigs: DataFrame, key: str = "doc_id",
+                    carry: tuple = ()) -> DataFrame:
     """(key, minvec) → exploded (key, band, bucket): the banding map.
     The generator references the materialized minvec COLUMN (4 cheap
-    slices), never re-deriving the md5 chain per band."""
+    slices), never re-deriving the md5 chain per band. ``carry``
+    columns pass through unchanged (the streaming state path carries
+    minvec itself so the state comparator never re-signs)."""
     rows_per_band = MINHASH_K // LSH_BANDS
     return sigs.select(
-        key,
+        key, *carry,
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band"),
@@ -226,7 +229,7 @@ def lsh_bands_frame(sigs: DataFrame, key: str = "doc_id") -> DataFrame:
             )
             for b in range(LSH_BANDS)
         ])).alias("bb"),
-    ).select(key, "bb.band", "bb.bucket")
+    ).select(key, *carry, "bb.band", "bb.bucket")
 
 
 def lsh_pairs_frame(sigs: DataFrame, key: str = "doc_id") -> DataFrame:

@@ -823,3 +823,120 @@ def compact_near_dup_store(spark: SparkSession, sigstore_dir: str,
         if _os.path.isdir(d):
             _shutil.rmtree(d)
     return {"compacted_batches": len(to_merge), "rows": rows}
+
+
+NEAR_DUP_STATE_SCHEMA = StructType([
+    StructField("urls", StringType()),   # '\x1f'-joined accepted urls
+    StructField("sigs", StringType()),   # '\x1e'-joined '|'-joined sigs
+])
+
+NEAR_DUP_OUT_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("band", LongType()),
+    StructField("bucket", StringType()),
+    StructField("best_est", StringType()),     # 4-dp decimal string
+    StructField("matched_url", StringType()),
+    StructField("is_dup", StringType()),       # 'true'/'false'
+])
+
+
+def _near_dup_state_fn(bucket_cap: int, threshold: float):
+    """Per-(band, bucket) stateful comparator: state holds the MinHash
+    signatures of every url ACCEPTED into this bucket so far (capped at
+    ``bucket_cap`` — the same O(n²)/state-size guard as the batch
+    LSH_BUCKET_CAP, and the same recall trade: a hot bucket stops
+    admitting comparators once full). Batch rows process in url order
+    for determinism; a row is a dup when its signature-overlap estimate
+    against any stored signature clears ``threshold``."""
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        band, bucket = key
+        if state.exists:
+            urls_s, sigs_s = state.get
+            urls = urls_s.split("\x1f") if urls_s else []
+            sigs = [[int(x) for x in s.split("|")]
+                    for s in sigs_s.split("\x1e")] if sigs_s else []
+        else:
+            urls, sigs = [], []
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values("url", kind="mergesort")
+        out = []
+        for _, r in rows.iterrows():
+            vec = list(r["minvec"])
+            best, match = 0.0, None
+            for u, s in zip(urls, sigs):
+                est = sum(1 for a, b in zip(vec, s) if a == b) / len(vec)
+                if est > best:
+                    best, match = est, u
+            dup = best >= threshold
+            if not dup and len(urls) < bucket_cap:
+                urls.append(r["url"])
+                sigs.append(vec)
+            out.append((r["url"], band, bucket, f"{best:.4f}",
+                        match, "true" if dup else "false"))
+        state.update(("\x1f".join(urls),
+                      "\x1e".join("|".join(str(x) for x in s)
+                                  for s in sigs)))
+        yield pd.DataFrame(out, columns=[
+            "url", "band", "bucket", "best_est", "matched_url", "is_dup"])
+    return fn
+
+
+def stream_near_dup_state(spark: SparkSession, input_dir: str,
+                          output_dir: str, checkpoint_dir: str) -> Any:
+    """Streaming near-dup dedup with the signature store IN THE STATE
+    STORE — the sub-batch-latency variant of stream_extract_near_dup:
+    instead of re-probing an external parquet signature table every
+    micro-batch (a scan whose cost grows with everything accepted so
+    far), each LSH (band, bucket) keeps its accepted signatures as
+    keyed state via applyInPandasWithState, so a batch's probe cost is
+    exactly its own rows × their buckets' residents, independent of
+    corpus age. Run it under the RocksDB state-store provider (see
+    test_stream_dedup_under_rocksdb_state_store) and state lives on
+    executor-local disk — memory-bounded at crawl scale.
+
+    Emits one verdict row per (url, band); a url is a near-dup iff ANY
+    of its bands flags (consumers aggregate max(best_est) — the same
+    OR-amplification semantics as the batch lsh_pairs path). State per
+    bucket is capped at LSH_BUCKET_CAP signatures — simultaneously the
+    O(n²) comparator guard and the state-size bound; MINHASH_K longs
+    per signature ≈ 200 bytes, so worst-case state per bucket ~10 KB.
+
+    Exactly-once: the stateful operator's output commits through the
+    streaming checkpoint; a re-delivered epoch replays against the
+    checkpointed state version, yielding identical verdicts."""
+    from ocr_spark.operators.extraction import (
+        EXTRACT_RESULT_SCHEMA, _extract_batches_fn,
+    )
+    from ocr_spark.plans.dataops import (
+        LSH_BUCKET_CAP, NEAR_DUP_JACCARD, lsh_bands_frame,
+        minhash_sigs_frame,
+    )
+
+    pages = read_pages_stream(spark, input_dir)
+    extracted = pages.select("url", "html").withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(64)).cast("int")
+    ).mapInPandas(_extract_batches_fn("full"), schema=EXTRACT_RESULT_SCHEMA)
+    ok = extracted.filter(
+        F.col("error").isNull() & F.col("text").isNotNull()
+        & (F.col("text") != ""))
+    sigs = minhash_sigs_frame(ok, key="url", text_col="text")
+    bands = lsh_bands_frame(sigs, key="url", carry=("minvec",))
+    verdicts = bands.groupBy("band", "bucket").applyInPandasWithState(
+        _near_dup_state_fn(LSH_BUCKET_CAP, NEAR_DUP_JACCARD),
+        outputStructType=NEAR_DUP_OUT_SCHEMA,
+        stateStructType=NEAR_DUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(output_dir))
+
+    return (verdicts.writeStream
+            .foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start())

@@ -874,3 +874,47 @@ def test_stream_dedup_under_rocksdb_state_store(spark, stream_dirs):
         found.extend(f for f in files if "rocksdb" in f.lower()
                      or f.endswith(".sst") or f == "CURRENT")
     assert found, "no rocksdb artifacts under the checkpoint"
+
+
+def test_stream_near_dup_state_remembers_across_batches(spark, stream_dirs):
+    """The state-store near-dup variant: batch 2 re-sends 8 of batch
+    1's pages under NEW urls (the mirror case url-dedup cannot see).
+    The keyed state must remember batch 1's signatures — every mirror
+    flags with estimate 1.0 against its original url, genuinely new
+    pages pass, and batch 1 itself is all-clear."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.streaming.ingest import stream_near_dup_state
+
+    rows = generate_pages(25, oversized_rows=0)
+    _write_pages_batch(spark, rows[:20], stream_dirs["in"])
+    q = stream_near_dup_state(spark, stream_dirs["in"], stream_dirs["out"],
+                              stream_dirs["ckpt1"])
+    q.awaitTermination()
+    first = spark.read.parquet(stream_dirs["out"])
+    assert first.filter(F.col("is_dup") == "true").count() == 0
+
+    mirrors = []
+    for r in rows[:8]:
+        d = dict(r)
+        d["url"] = r["url"].replace("doc://", "mirror://")
+        mirrors.append(d)
+    _write_pages_batch(spark, mirrors + rows[20:], stream_dirs["in"])
+    q = stream_near_dup_state(spark, stream_dirs["in"], stream_dirs["out"],
+                              stream_dirs["ckpt1"])
+    q.awaitTermination()
+
+    out = spark.read.parquet(stream_dirs["out"])
+    second = out.filter(F.col("batch_id") >= 1)
+    per_url = (second.groupBy("url")
+               .agg(F.max("best_est").alias("best"),
+                    F.max("is_dup").alias("dup"),
+                    F.max("matched_url").alias("matched"))
+               .collect())
+    got = {r["url"]: r for r in per_url}
+    for m in mirrors:
+        r = got[m["url"]]
+        assert r["dup"] == "true" and r["best"] == "1.0000"
+        assert r["matched"] == m["url"].replace("mirror://", "doc://")
+    for n in rows[20:]:
+        assert got[n["url"]]["dup"] == "false"
