@@ -906,7 +906,114 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
 """
 
 
+BOT_USER_MOD = 29     # user_id % 29 == 3 → the scripted-client class
+BOT_MIN_EVENTS = 20   # volume floor before regularity is meaningful
+BOT_CV_MAX = 0.3      # coefficient-of-variation ceiling: humans on this
+                      # log measure cv ~ 1 (memoryless arrivals); a
+                      # scripted 60s cadence with ±7s jitter lands ~0.04
+
+
+def ev_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/scripted-client detection from request-timing regularity —
+    the abuse-filtering stage of a crawl/serving log pipeline: humans
+    arrive roughly memoryless (inter-event coefficient of variation
+    near 1), scripted clients poll on a timer (cv near 0). Flag =
+    volume floor AND cv ceiling, both knobs.
+
+    The request log derives closed-form from events (the pages_soft404
+    protocol): users ≡ 3 (mod 29) replay their events on a 60-second
+    cadence with a deterministic ±jitter (event_id % 7 seconds), so
+    true positives with nonzero-but-tiny cv and true negatives both
+    exist and the oracle regenerates the log exactly.
+
+    Scale shape: ONE user-keyed window pass (row_number + lag share the
+    same sort) then a partial-aggregated per-user rollup — the same
+    single-shuffle shape as ev_sessionize; the cv arithmetic is exact
+    integer sums (micros) folded to doubles only at the final division.
+    """
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rn = F.row_number().over(w)
+    base = ev.select("user_id", "event_id", "ts", rn.alias("rn"))
+    is_bot_class = F.col("user_id") % BOT_USER_MOD == 3
+    # micros relative to the log epoch — NTZ-safe (timestamp_diff never
+    # interprets the naive timestamps in a zone) and gaps only ever see
+    # differences, so the base cancels
+    ts_us = F.when(
+        is_bot_class,
+        (F.col("rn").cast("long") * 60
+         + F.col("event_id") % 7) * 1000000
+    ).otherwise(F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("2024-01-01").cast("timestamp_ntz"), F.col("ts")))
+    w_rn = Window.partitionBy("user_id").orderBy("rn")
+    # gaps at SECOND resolution: keeps every sum an exact integer (no
+    # double-summation order sensitivity, no long overflow on squares)
+    gaps = (base.select("user_id", "rn", ts_us.alias("us"))
+            .withColumn("gap",
+                        ((F.col("us") - F.lag("us").over(w_rn))
+                         / F.lit(1000000)).cast("long")))
+    agg = (gaps.groupBy("user_id")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.count("gap").alias("n_gaps"),
+                F.sum("gap").alias("gsum"),
+                F.sum(F.col("gap") * F.col("gap")).alias("gsum2")))
+    n = F.col("n_gaps").cast("double")
+    mean = F.col("gsum") / n
+    var = (n * F.col("gsum2") - F.col("gsum") * F.col("gsum")) \
+        / (n * (n - 1))
+    cv = F.round(F.sqrt(F.greatest(var, F.lit(0.0))) / mean, 6)
+    out = agg.select(
+        "user_id", "n_events",
+        F.round(mean, 4).alias("mean_gap_s"),
+        cv.alias("cv"))
+    return out.select(
+        "user_id", "n_events", "mean_gap_s", "cv",
+        ((F.col("n_events") >= BOT_MIN_EVENTS)
+         & (F.col("cv") < BOT_CV_MAX)).alias("is_bot"))
+
+
+EV_BOT_DETECTION_SQL = f"""
+WITH base AS (
+  SELECT user_id, event_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+), tsx AS (
+  SELECT user_id, rn,
+         CASE WHEN user_id % {BOT_USER_MOD} = 3
+              THEN (rn * 60 + event_id % 7) * 1000000
+              ELSE date_diff('microsecond', TIMESTAMP '2024-01-01', ts)
+              END AS us
+  FROM base
+), gaps AS (
+  SELECT user_id,
+         (us - lag(us) OVER (PARTITION BY user_id ORDER BY rn))
+           // 1000000 AS gap
+  FROM tsx
+), agg AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         COUNT(gap) AS n_gaps,
+         SUM(gap) AS gsum, SUM(gap * gap) AS gsum2
+  FROM gaps GROUP BY user_id
+), stats AS (
+  SELECT user_id, n_events,
+         round(gsum / CAST(n_gaps AS DOUBLE), 4) AS mean_gap_s,
+         round(sqrt(greatest(
+                 (CAST(n_gaps AS DOUBLE) * gsum2 - gsum * gsum)
+                 / (CAST(n_gaps AS DOUBLE) * (CAST(n_gaps AS DOUBLE) - 1)),
+                 0.0))
+               / (gsum / CAST(n_gaps AS DOUBLE)), 6) AS cv
+  FROM agg
+)
+SELECT user_id, n_events, mean_gap_s, cv,
+       n_events >= {BOT_MIN_EVENTS} AND cv < {BOT_CV_MAX} AS is_bot
+FROM stats
+"""
+
+
 SPARK_QUERIES = {
+    "ev_bot_detection": ev_bot_detection,
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
     "q10_returned_items": q10_returned_items,
@@ -932,6 +1039,7 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "ev_bot_detection": EV_BOT_DETECTION_SQL,
     "q7_volume_shipping": Q7_SQL,
     "q8_market_share": Q8_SQL,
     "q10_returned_items": Q10_SQL,

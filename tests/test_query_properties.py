@@ -359,3 +359,28 @@ def test_kmv_diff_frame_membership_is_exact(rows):
         return
     assert mism == 0
     assert frame_anotb == full_anotb
+
+
+def test_bot_detection_separates_scripted_from_human(spark):
+    """Every user in the scripted class (user_id % 29 == 3) flags with
+    cv well under the ceiling and ~60 s cadence; every human user
+    measures cv near 1 (memoryless arrivals) and does not flag; the
+    plan is one user-keyed window pass + a partial-aggregated rollup."""
+    from ocr_spark.plans.relational_extra import (
+        BOT_CV_MAX, BOT_MIN_EVENTS, BOT_USER_MOD, ev_bot_detection)
+    from tests.test_plans import SF
+
+    df = ev_bot_detection(spark, SF)
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in simple or "partial_sum" in simple
+    rows = {r["user_id"]: r for r in df.collect()}
+    bots = [r for u, r in rows.items() if u % BOT_USER_MOD == 3]
+    humans = [r for u, r in rows.items() if u % BOT_USER_MOD != 3]
+    assert bots and humans
+    for r in bots:
+        assert r["is_bot"] and r["cv"] < BOT_CV_MAX
+        assert 55 <= r["mean_gap_s"] <= 65
+        assert r["n_events"] >= BOT_MIN_EVENTS
+    for r in humans:
+        assert not r["is_bot"]
+        assert r["cv"] > BOT_CV_MAX  # natural arrivals are irregular
