@@ -3527,6 +3527,107 @@ FROM scored
 """
 
 
+CACHE_HEURISTIC_FRAC = 10   # RFC 9111 §4.2.2: heuristic freshness =
+                            # age-since-Last-Modified / 10
+CACHE_DEFAULT_TTL = 86400   # no evidence at all → 1-day recrawl
+
+
+def pages_http_cache_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP cache-policy parsing for recrawl scheduling — what a
+    polite incremental crawler derives from each capture's response
+    headers: the freshness TTL (explicit ``max-age``, else the RFC
+    9111 heuristic tenth-of-Last-Modified-age, else a default) and the
+    revalidation mode (``no-store`` → always refetch; ETag present →
+    cheap conditional GET; else full fetch). Complements
+    pages_recrawl_priority (which ranks by OBSERVED change history)
+    with the server's own declared policy.
+
+    The header log derives closed-form from doc_id (m = doc_id % 31,
+    the pages_soft404 protocol): explicit max-age with and without
+    ETag, max-age=0+must-revalidate, no-store, heuristic-only
+    (Last-Modified 10 days back), and header-less classes all exist.
+    The PARSER reads only the header strings.
+
+    Scale shape: pure narrow map — one regexp_extract and CASEs per
+    row, zero shuffles at any corpus size."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    m = F.col("doc_id") % 31
+    cache_control = (
+        F.when(m == 1, F.lit("max-age=3600"))
+        .when(m == 3, F.lit("no-store"))
+        .when(m == 5, F.lit("max-age=0, must-revalidate"))
+        .when(m == 7, F.lit("public, max-age=86400")))
+    etag = F.when((m == 1) | (m == 5),
+                  F.concat(F.lit('"v'), F.col("doc_id").cast("string"),
+                           F.lit('"')))
+    last_mod_age_s = F.when(m == 9, F.lit(864000))  # 10 days back
+    hdrs = docs.select("doc_id", cache_control.alias("cache_control"),
+                       etag.alias("etag"),
+                       last_mod_age_s.alias("last_modified_age_s"))
+    max_age = F.regexp_extract(
+        F.coalesce(F.col("cache_control"), F.lit("")),
+        r"max-age=(\d+)", 1)
+    ttl = (F.when(F.col("cache_control") == "no-store", F.lit(0))
+           .when(max_age != "", max_age.cast("long"))
+           .when(F.col("last_modified_age_s").isNotNull(),
+                 (F.col("last_modified_age_s")
+                  / CACHE_HEURISTIC_FRAC).cast("long"))
+           .otherwise(F.lit(CACHE_DEFAULT_TTL)))
+    ttl_src = (F.when(F.col("cache_control") == "no-store",
+                      F.lit("no_store"))
+               .when(max_age != "", F.lit("max_age"))
+               .when(F.col("last_modified_age_s").isNotNull(),
+                     F.lit("heuristic"))
+               .otherwise(F.lit("default")))
+    mode = (F.when(F.col("cache_control") == "no-store",
+                   F.lit("always_fetch"))
+            .when(F.col("etag").isNotNull(), F.lit("etag_conditional"))
+            .otherwise(F.lit("full_fetch")))
+    return hdrs.select(
+        "doc_id", "cache_control",
+        F.col("etag").isNotNull().alias("has_etag"),
+        ttl.alias("ttl_s"), ttl_src.alias("ttl_source"),
+        mode.alias("revalidate_mode"))
+
+
+PAGES_CACHE_HEADERS_SQL = f"""
+WITH hdrs AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 31 AS INT)
+           WHEN 1 THEN 'max-age=3600'
+           WHEN 3 THEN 'no-store'
+           WHEN 5 THEN 'max-age=0, must-revalidate'
+           WHEN 7 THEN 'public, max-age=86400'
+         END AS cache_control,
+         CASE WHEN CAST(doc_id % 31 AS INT) IN (1, 5)
+              THEN '"v' || CAST(doc_id AS VARCHAR) || '"' END AS etag,
+         CASE WHEN CAST(doc_id % 31 AS INT) = 9
+              THEN 864000 END AS last_modified_age_s
+  FROM documents
+), parsed AS (
+  SELECT *,
+         regexp_extract(COALESCE(cache_control, ''),
+                        'max-age=(\\d+)', 1) AS ma
+  FROM hdrs
+)
+SELECT doc_id, cache_control,
+       etag IS NOT NULL AS has_etag,
+       CAST(CASE WHEN cache_control = 'no-store' THEN 0
+            WHEN ma <> '' THEN CAST(ma AS BIGINT)
+            WHEN last_modified_age_s IS NOT NULL
+              THEN last_modified_age_s // {CACHE_HEURISTIC_FRAC}
+            ELSE {CACHE_DEFAULT_TTL} END AS BIGINT) AS ttl_s,
+       CASE WHEN cache_control = 'no-store' THEN 'no_store'
+            WHEN ma <> '' THEN 'max_age'
+            WHEN last_modified_age_s IS NOT NULL THEN 'heuristic'
+            ELSE 'default' END AS ttl_source,
+       CASE WHEN cache_control = 'no-store' THEN 'always_fetch'
+            WHEN etag IS NOT NULL THEN 'etag_conditional'
+            ELSE 'full_fetch' END AS revalidate_mode
+FROM parsed
+"""
+
+
 SITEMAP_HOSTS = 4        # hosts (the pages_url_dedup host protocol)
 SITEMAP_ENTRIES = 60     # urls per sitemap; crawled pages are % 50, so
                          # entries 50..59 are genuinely uncrawled seeds
@@ -4479,6 +4580,7 @@ SPARK_QUERIES = {
     "pages_soft404": pages_soft404,
     "pages_charset_detect": pages_charset_detect,
     "pages_sitemap_parse": pages_sitemap_parse,
+    "pages_http_cache_headers": pages_http_cache_headers,
     "hosts_crawl_traps": hosts_crawl_traps,
     "pages_url_templates": pages_url_templates,
     "frontier_fetch_schedule": frontier_fetch_schedule,
@@ -4537,6 +4639,7 @@ ORACLE_SQL = {
     "pages_soft404": PAGES_SOFT404_SQL,
     "pages_charset_detect": PAGES_CHARSET_DETECT_SQL,
     "pages_sitemap_parse": _sitemap_parse_sql(),
+    "pages_http_cache_headers": PAGES_CACHE_HEADERS_SQL,
     "hosts_crawl_traps": HOSTS_CRAWL_TRAPS_SQL,
     "pages_url_templates": PAGES_URL_TEMPLATES_SQL,
     "frontier_fetch_schedule": FRONTIER_FETCH_SCHEDULE_SQL,

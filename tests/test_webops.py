@@ -884,3 +884,33 @@ def test_sitemap_parse_seeds_and_join_shape(spark):
         assert r["url"].startswith("https://site")
         assert r["lastmod"].startswith("2026-07-")
         assert r["already_crawled"] == (page < 50)
+
+
+def test_cache_headers_policy_classes(spark):
+    """Each header class resolves per RFC 9111: explicit max-age wins,
+    no-store always refetches, heuristic = age/10, ETag selects the
+    conditional mode even at ttl 0; zero shuffles."""
+    from tests.test_plans import SF, fmt, n_shuffles
+
+    from ocr_spark.plans.webops import (
+        CACHE_DEFAULT_TTL, pages_http_cache_headers)
+
+    df = pages_http_cache_headers(spark, SF)
+    assert n_shuffles(fmt(df)) == 0
+    for r in df.collect():
+        m = r["doc_id"] % 31
+        got = (r["ttl_s"], r["ttl_source"], r["revalidate_mode"],
+               r["has_etag"])
+        if m == 1:
+            assert got == (3600, "max_age", "etag_conditional", True)
+        elif m == 3:
+            assert got == (0, "no_store", "always_fetch", False)
+        elif m == 5:
+            assert got == (0, "max_age", "etag_conditional", True)
+        elif m == 7:
+            assert got == (86400, "max_age", "full_fetch", False)
+        elif m == 9:
+            assert got == (86400, "heuristic", "full_fetch", False)
+        else:
+            assert got == (CACHE_DEFAULT_TTL, "default", "full_fetch",
+                           False)
