@@ -1612,6 +1612,130 @@ FROM ranked WHERE rank <= {IVF_TOPK}
 
 
 # --------------------------------------------------------------------------
+# top principal component (power iteration)
+# --------------------------------------------------------------------------
+
+PCA_ITERS = 4     # fixed power-method rounds — fixed, not
+                  # converge-tested, so the unrolled-CTE oracle is
+                  # finite (the emb_kmeans_train discipline)
+PCA_ROUND = 6     # round mean / weights / component each round on BOTH
+                  # engines so downstream arithmetic sees identical
+                  # doubles
+PCA_INIT = 0.125  # exact 1/sqrt(64): the deterministic unit init
+
+
+def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by POWER
+    ITERATION in pure DataFrame algebra — the whitening / dominant-
+    direction stage of embedding curation (ABTT-style "all-but-the-top"
+    postprocessing removes exactly this direction; drift monitors watch
+    its eigenvalue between snapshots). Each round is one corpus pass:
+    s_i = (x_i − μ)·v, then w = Σ s_i (x_i − μ) per dimension,
+    normalize, repeat PCA_ITERS times; eigenvalue = Rayleigh quotient
+    avg(s²), reported with the total variance and the explained
+    fraction.
+
+    Scale shape (100 TB): μ and each round's w are partial-aggregated
+    (pos)-keyed sums — DIM rows out per round; v re-enters as a 1-row
+    broadcast, never a shuffle of the corpus; the whole loop is
+    O(PCA_ITERS) bounded exchanges. localCheckpoint truncates
+    per-round lineage (the _kmeans discipline). The reference has no
+    embedding stage at all (SURVEY §2 absent lists)."""
+    emb = t(spark, sf_dir).select("vec_id", _vecd().alias("v"))
+    n_docs = emb.count()  # 1 driver scalar: sizes nothing, labels output
+    mu_row = (emb.select(F.posexplode("v").alias("pos", "x"))
+              .groupBy("pos").agg(F.round(F.avg("x"), PCA_ROUND).alias("m"))
+              .agg(F.transform(
+                  F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                  lambda s: s.m).alias("mu")))
+    xc = (emb.crossJoin(F.broadcast(mu_row))
+          .select("vec_id", F.zip_with(
+              "v", "mu", lambda a, b: a - b).alias("xc")))
+    v_row = spark.range(1).select(
+        F.array(*[F.lit(float(PCA_INIT))] * DIM).alias("pv"))
+    for _ in range(PCA_ITERS):
+        s = _dot(F.col("xc"), F.col("pv"))
+        weighted = (xc.crossJoin(F.broadcast(v_row))
+                    .select(s.alias("s"), "xc")
+                    .select(F.posexplode(
+                        F.transform("xc",
+                                    lambda x: x * F.col("s")))
+                            .alias("pos", "wx")))
+        w = (weighted.groupBy("pos")
+             .agg(F.round(F.sum("wx"), PCA_ROUND).alias("w")))
+        v_row = (w.agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "w"))),
+            lambda st: st.w).alias("wv"))
+            .select(F.transform(
+                "wv",
+                lambda x: F.round(x / F.sqrt(F.aggregate(
+                    "wv", F.lit(0.0), lambda a, b: a + b * b)),
+                    PCA_ROUND)).alias("pv"))
+            ).localCheckpoint(eager=False)
+    scored = (xc.crossJoin(F.broadcast(v_row))
+              .select(_dot(F.col("xc"), F.col("pv")).alias("s"),
+                      _dot(F.col("xc"), F.col("xc")).alias("x2"), "pv"))
+    stats = scored.agg(
+        F.round(F.avg(F.col("s") * F.col("s")), PCA_ROUND)
+         .alias("eigenvalue"),
+        F.round(F.avg("x2"), PCA_ROUND).alias("total_variance"),
+        F.first("pv").alias("pv"))
+    return (stats.select(
+        F.posexplode("pv").alias("pos", "component"),
+        "eigenvalue", "total_variance")
+        .select("pos", "component", "eigenvalue", "total_variance",
+                F.round(F.col("eigenvalue") / F.col("total_variance"),
+                        PCA_ROUND).alias("explained_frac"),
+                F.lit(n_docs).alias("n_vectors")))
+
+
+def _pca_sql() -> str:
+    parts = [
+        f"e AS (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings)",
+        f"mu AS (SELECT list(m ORDER BY pos) AS mu FROM ("
+        f"  SELECT g.i AS pos, ROUND(AVG(v[g.i]), {PCA_ROUND}) AS m"
+        f"  FROM e, generate_series(1, {DIM}) AS g(i) GROUP BY g.i))",
+        "xc AS (SELECT vec_id, "
+        "list_transform(list_zip(v, mu), p -> p[1] - p[2]) AS xc "
+        "FROM e CROSS JOIN mu)",
+        f"v0 AS (SELECT list_transform(range(1, {DIM + 1}), "
+        f"i -> {PCA_INIT}) AS pv)",
+    ]
+    prev = "v0"
+    for it in range(1, PCA_ITERS + 1):
+        parts.append(
+            f"w{it} AS (SELECT g.i AS pos, "
+            f"ROUND(SUM({_sql_dot('xc.xc', f'{prev}.pv')} * xc.xc[g.i]),"
+            f" {PCA_ROUND}) AS w "
+            f"FROM xc CROSS JOIN {prev}, "
+            f"generate_series(1, {DIM}) AS g(i) GROUP BY g.i)")
+        parts.append(
+            f"v{it} AS (SELECT list_transform(wv, x -> ROUND(x / "
+            f"sqrt(list_reduce(list_transform(wv, y -> y * y), "
+            f"(a, b) -> a + b)), {PCA_ROUND})) AS pv FROM ("
+            f"SELECT list(w ORDER BY pos) AS wv FROM w{it}))")
+        prev = f"v{it}"
+    parts.append(
+        f"sc AS (SELECT {_sql_dot('xc.xc', f'{prev}.pv')} AS s, "
+        f"{_sql_dot('xc.xc', 'xc.xc')} AS x2 "
+        f"FROM xc CROSS JOIN {prev})")
+    parts.append(
+        f"st AS (SELECT ROUND(AVG(s * s), {PCA_ROUND}) AS eigenvalue, "
+        f"ROUND(AVG(x2), {PCA_ROUND}) AS total_variance, "
+        f"CAST(COUNT(*) AS BIGINT) AS n_vectors FROM sc)")
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT g.i - 1 AS pos, {prev}.pv[g.i] AS component,
+       st.eigenvalue, st.total_variance,
+       ROUND(st.eigenvalue / st.total_variance, {PCA_ROUND})
+         AS explained_frac,
+       st.n_vectors
+FROM {prev} CROSS JOIN st, generate_series(1, {DIM}) AS g(i)
+"""
+
+
+# --------------------------------------------------------------------------
 # semantic decontamination (embedding-space eval overlap)
 # --------------------------------------------------------------------------
 
@@ -1695,6 +1819,7 @@ FROM ranked WHERE rn = 1
 
 SPARK_QUERIES = {
     "emb_decontaminate_semantic": emb_decontaminate_semantic,
+    "emb_pca_power": emb_pca_power,
     "emb_ivfpq_topk": emb_ivfpq_topk,
     "emb_kmeans_train": emb_kmeans_train,
     "emb_cluster_balanced_sample": emb_cluster_balanced_sample,
@@ -1719,6 +1844,7 @@ SPARK_QUERIES = {
 
 ORACLE_SQL = {
     "emb_decontaminate_semantic": _SEM_DECON_SQL,
+    "emb_pca_power": _pca_sql(),
     "emb_ivfpq_topk": _ivfpq_sql(),
     "emb_kmeans_train": _KMEANS_TRAIN_SQL,
     "emb_cluster_balanced_sample": _CLUSTER_SAMPLE_SQL,

@@ -1346,3 +1346,34 @@ def test_script_profile_zero_shuffle_and_classes(spark):
     for m in (0, 1, 2):
         assert all(r["dominant_script"] == "latin"
                    and not r["is_mixed_script"] for r in by_m[m])
+
+
+def test_pca_power_dominant_direction(spark):
+    """The returned component is unit-norm; the Rayleigh eigenvalue is
+    sandwiched correctly (at least the largest single-axis variance —
+    the dominant eigenvalue dominates every diagonal covariance entry —
+    and at most the total variance); v re-enters each round as a 1-row
+    broadcast (BroadcastNestedLoopJoin), never a corpus shuffle join."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.plans.simsearch import _vecd, emb_pca_power, t
+
+    df = emb_pca_power(spark, SF)
+    plan = fmt(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    rows = df.collect()
+    assert len(rows) == 64
+    comp = [r["component"] for r in sorted(rows, key=lambda r: r["pos"])]
+    assert abs(sum(c * c for c in comp) - 1.0) < 1e-3
+    ev = rows[0]["eigenvalue"]
+    tot = rows[0]["total_variance"]
+    assert rows[0]["explained_frac"] > 1.0 / 64
+    # independent per-axis variance bound
+    emb = t(spark, SF).select(F.posexplode(_vecd()).alias("pos", "x"))
+    axis = (emb.groupBy("pos")
+            .agg((F.avg(F.col("x") * F.col("x"))
+                  - F.avg("x") * F.avg("x")).alias("var"))
+            .agg(F.max("var").alias("mx")).first())
+    assert ev >= axis["mx"] - 1e-6
+    assert ev <= tot + 1e-6
