@@ -87,6 +87,12 @@ HEADLINE = [
     # harness over the full pipeline), crawl-age-decayed PageRank
     "extract_eval_tokenf1",
     "hosts_pagerank_aged",
+    # round 4 (this session): power-iteration PCA (bounded-exchange
+    # iterative corpus pass), lexical diversity (token-volume distinct
+    # agg), perceptual-hash visual near-dup (banded Hamming join)
+    "emb_pca_power",
+    "docs_lexical_diversity",
+    "mm_phash_near_dup",
 ]
 
 

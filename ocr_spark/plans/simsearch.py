@@ -1641,52 +1641,54 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(PCA_ITERS) bounded exchanges. localCheckpoint truncates
     per-round lineage (the _kmeans discipline). The reference has no
     embedding stage at all (SURVEY §2 absent lists)."""
+    import math
+
     emb = t(spark, sf_dir).select("vec_id", _vecd().alias("v"))
-    n_docs = emb.count()  # 1 driver scalar: sizes nothing, labels output
-    mu_row = (emb.select(F.posexplode("v").alias("pos", "x"))
-              .groupBy("pos").agg(F.round(F.avg("x"), PCA_ROUND).alias("m"))
-              .agg(F.transform(
-                  F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                  lambda s: s.m).alias("mu")))
-    xc = (emb.crossJoin(F.broadcast(mu_row))
-          .select("vec_id", F.zip_with(
-              "v", "mu", lambda a, b: a - b).alias("xc")))
-    v_row = spark.range(1).select(
-        F.array(*[F.lit(float(PCA_INIT))] * DIM).alias("pv"))
+    # mu and v are DIM doubles — bounded metadata, the same class of
+    # driver scalar as the kmeans/pagerank convergence collects; as
+    # plan LITERALS each round is one scan → one DIM-row partial-agg
+    # (no crossJoin re-derivation of the centering lineage per round)
+    mu = [r["m"] for r in
+          (emb.select(F.posexplode("v").alias("pos", "x"))
+           .groupBy("pos").agg(F.round(F.avg("x"), PCA_ROUND).alias("m"))
+           .orderBy("pos").collect())]
+    xc = emb.select("vec_id", F.zip_with(
+        "v", F.array(*[F.lit(m) for m in mu]),
+        lambda a, b: a - b).alias("xc"))
+    v = [float(PCA_INIT)] * DIM
     for _ in range(PCA_ITERS):
-        s = _dot(F.col("xc"), F.col("pv"))
-        weighted = (xc.crossJoin(F.broadcast(v_row))
-                    .select(s.alias("s"), "xc")
-                    .select(F.posexplode(
-                        F.transform("xc",
-                                    lambda x: x * F.col("s")))
-                            .alias("pos", "wx")))
-        w = (weighted.groupBy("pos")
-             .agg(F.round(F.sum("wx"), PCA_ROUND).alias("w")))
-        v_row = (w.agg(F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "w"))),
-            lambda st: st.w).alias("wv"))
-            .select(F.transform(
-                "wv",
-                lambda x: F.round(x / F.sqrt(F.aggregate(
-                    "wv", F.lit(0.0), lambda a, b: a + b * b)),
-                    PCA_ROUND)).alias("pv"))
-            ).localCheckpoint(eager=False)
-    scored = (xc.crossJoin(F.broadcast(v_row))
-              .select(_dot(F.col("xc"), F.col("pv")).alias("s"),
-                      _dot(F.col("xc"), F.col("xc")).alias("x2"), "pv"))
+        pv = F.array(*[F.lit(x) for x in v])
+        s = _dot(F.col("xc"), pv)
+        w_rows = (xc.select(s.alias("s"), "xc")
+                  .select(F.posexplode(
+                      F.transform("xc", lambda x: x * F.col("s")))
+                          .alias("pos", "wx"))
+                  .groupBy("pos")
+                  .agg(F.round(F.sum("wx"), PCA_ROUND).alias("w"))
+                  .orderBy("pos").collect())
+        w = [r["w"] for r in w_rows]
+        nrm = math.sqrt(sum(x * x for x in w))
+        # half-away-from-zero, matching Spark ROUND / DuckDB round —
+        # Python's builtin round() is banker's and would diverge on
+        # exact half cases
+        v = [math.copysign(
+            math.floor(abs(x / nrm) * 10**PCA_ROUND + 0.5)
+            / 10**PCA_ROUND, x) for x in w]
+    pv = F.array(*[F.lit(x) for x in v])
+    scored = xc.select(_dot(F.col("xc"), pv).alias("s"),
+                       _dot(F.col("xc"), F.col("xc")).alias("x2"))
     stats = scored.agg(
         F.round(F.avg(F.col("s") * F.col("s")), PCA_ROUND)
          .alias("eigenvalue"),
         F.round(F.avg("x2"), PCA_ROUND).alias("total_variance"),
-        F.first("pv").alias("pv"))
+        F.count(F.lit(1)).alias("n_vectors"))
     return (stats.select(
-        F.posexplode("pv").alias("pos", "component"),
-        "eigenvalue", "total_variance")
+        F.posexplode(pv).alias("pos", "component"),
+        "eigenvalue", "total_variance", "n_vectors")
         .select("pos", "component", "eigenvalue", "total_variance",
                 F.round(F.col("eigenvalue") / F.col("total_variance"),
                         PCA_ROUND).alias("explained_frac"),
-                F.lit(n_docs).alias("n_vectors")))
+                "n_vectors"))
 
 
 def _pca_sql() -> str:

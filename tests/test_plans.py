@@ -1352,16 +1352,17 @@ def test_pca_power_dominant_direction(spark):
     """The returned component is unit-norm; the Rayleigh eigenvalue is
     sandwiched correctly (at least the largest single-axis variance —
     the dominant eigenvalue dominates every diagonal covariance entry —
-    and at most the total variance); v re-enters each round as a 1-row
-    broadcast (BroadcastNestedLoopJoin), never a corpus shuffle join."""
+    and at most the total variance); mu and v enter each round as plan
+    LITERALS (bounded-metadata collects), so the final plan has NO join
+    at all — one scan, one aggregate."""
     from pyspark.sql import functions as F
 
     from ocr_spark.plans.simsearch import _vecd, emb_pca_power, t
 
     df = emb_pca_power(spark, SF)
     plan = fmt(df)
-    assert "BroadcastNestedLoopJoin" in plan
-    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert n_shuffles(plan) <= 1
     rows = df.collect()
     assert len(rows) == 64
     comp = [r["component"] for r in sorted(rows, key=lambda r: r["pos"])]
