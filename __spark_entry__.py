@@ -56,7 +56,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "pages_soft404", "emb_decontaminate_semantic", "docs_script_profile",
     "pages_charset_detect", "pages_sitemap_parse", "mm_phash_near_dup",
     "docs_lexical_diversity", "ev_bot_detection",
-    "pages_http_cache_headers", "emb_pca_power",
+    "pages_http_cache_headers", "emb_pca_power", "emb_abtt_postprocess",
     "pages_content_sniff", "emb_mutual_knn", "hosts_perplexity_buckets",
     "docs_nfc_normalize", "hosts_registered_domain",
     "docs_lsh_band_planner",

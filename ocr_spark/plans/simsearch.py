@@ -1624,30 +1624,16 @@ PCA_ROUND = 6     # round mean / weights / component each round on BOTH
 PCA_INIT = 0.125  # exact 1/sqrt(64): the deterministic unit init
 
 
-def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top principal component of the embedding corpus by POWER
-    ITERATION in pure DataFrame algebra — the whitening / dominant-
-    direction stage of embedding curation (ABTT-style "all-but-the-top"
-    postprocessing removes exactly this direction; drift monitors watch
-    its eigenvalue between snapshots). Each round is one corpus pass:
-    s_i = (x_i − μ)·v, then w = Σ s_i (x_i − μ) per dimension,
-    normalize, repeat PCA_ITERS times; eigenvalue = Rayleigh quotient
-    avg(s²), reported with the total variance and the explained
-    fraction.
-
-    Scale shape (100 TB): μ and each round's w are partial-aggregated
-    (pos)-keyed sums — DIM rows out per round; v re-enters as a 1-row
-    broadcast, never a shuffle of the corpus; the whole loop is
-    O(PCA_ITERS) bounded exchanges. localCheckpoint truncates
-    per-round lineage (the _kmeans discipline). The reference has no
-    embedding stage at all (SURVEY §2 absent lists)."""
+def _pca_fit(spark: SparkSession, sf_dir: str):
+    """Fit the top principal component; returns (centered frame,
+    component as a plan-literal array column). mu and v are DIM
+    doubles — bounded metadata, the same class of driver scalar as the
+    kmeans/pagerank convergence collects; as plan LITERALS each round
+    is one scan → one DIM-row partial-agg (no crossJoin re-derivation
+    of the centering lineage per round)."""
     import math
 
     emb = t(spark, sf_dir).select("vec_id", _vecd().alias("v"))
-    # mu and v are DIM doubles — bounded metadata, the same class of
-    # driver scalar as the kmeans/pagerank convergence collects; as
-    # plan LITERALS each round is one scan → one DIM-row partial-agg
-    # (no crossJoin re-derivation of the centering lineage per round)
     mu = [r["m"] for r in
           (emb.select(F.posexplode("v").alias("pos", "x"))
            .groupBy("pos").agg(F.round(F.avg("x"), PCA_ROUND).alias("m"))
@@ -1674,7 +1660,27 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         v = [math.copysign(
             math.floor(abs(x / nrm) * 10**PCA_ROUND + 0.5)
             / 10**PCA_ROUND, x) for x in w]
-    pv = F.array(*[F.lit(x) for x in v])
+    return xc, F.array(*[F.lit(x) for x in v])
+
+
+def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by POWER
+    ITERATION in pure DataFrame algebra — the whitening / dominant-
+    direction stage of embedding curation (ABTT-style "all-but-the-top"
+    postprocessing removes exactly this direction; drift monitors watch
+    its eigenvalue between snapshots). Each round is one corpus pass:
+    s_i = (x_i − μ)·v, then w = Σ s_i (x_i − μ) per dimension,
+    normalize, repeat PCA_ITERS times; eigenvalue = Rayleigh quotient
+    avg(s²), reported with the total variance and the explained
+    fraction.
+
+    Scale shape (100 TB): μ and each round's w are partial-aggregated
+    (pos)-keyed sums — DIM rows out per round; v re-enters as a 1-row
+    broadcast, never a shuffle of the corpus; the whole loop is
+    O(PCA_ITERS) bounded exchanges. localCheckpoint truncates
+    per-round lineage (the _kmeans discipline). The reference has no
+    embedding stage at all (SURVEY §2 absent lists)."""
+    xc, pv = _pca_fit(spark, sf_dir)
     scored = xc.select(_dot(F.col("xc"), pv).alias("s"),
                        _dot(F.col("xc"), F.col("xc")).alias("x2"))
     stats = scored.agg(
@@ -1691,7 +1697,7 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_vectors"))
 
 
-def _pca_sql() -> str:
+def _pca_sql_ctes() -> tuple[str, str]:
     parts = [
         f"e AS (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings)",
         f"mu AS (SELECT list(m ORDER BY pos) AS mu FROM ("
@@ -1717,23 +1723,74 @@ def _pca_sql() -> str:
             f"(a, b) -> a + b)), {PCA_ROUND})) AS pv FROM ("
             f"SELECT list(w ORDER BY pos) AS wv FROM w{it}))")
         prev = f"v{it}"
-    parts.append(
-        f"sc AS (SELECT {_sql_dot('xc.xc', f'{prev}.pv')} AS s, "
-        f"{_sql_dot('xc.xc', 'xc.xc')} AS x2 "
-        f"FROM xc CROSS JOIN {prev})")
-    parts.append(
-        f"st AS (SELECT ROUND(AVG(s * s), {PCA_ROUND}) AS eigenvalue, "
-        f"ROUND(AVG(x2), {PCA_ROUND}) AS total_variance, "
-        f"CAST(COUNT(*) AS BIGINT) AS n_vectors FROM sc)")
-    ctes = ",\n".join(parts)
+    return ",\n".join(parts), prev
+
+
+def _pca_sql() -> str:
+    ctes, prev = _pca_sql_ctes()
     return f"""
-WITH {ctes}
+WITH {ctes},
+sc AS (SELECT {_sql_dot('xc.xc', f'{prev}.pv')} AS s,
+       {_sql_dot('xc.xc', 'xc.xc')} AS x2
+       FROM xc CROSS JOIN {prev}),
+st AS (SELECT ROUND(AVG(s * s), {PCA_ROUND}) AS eigenvalue,
+       ROUND(AVG(x2), {PCA_ROUND}) AS total_variance,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors FROM sc)
 SELECT g.i - 1 AS pos, {prev}.pv[g.i] AS component,
        st.eigenvalue, st.total_variance,
        ROUND(st.eigenvalue / st.total_variance, {PCA_ROUND})
          AS explained_frac,
        st.n_vectors
 FROM {prev} CROSS JOIN st, generate_series(1, {DIM}) AS g(i)
+"""
+
+
+def emb_abtt_postprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-top postprocessing (Mu & Viswanath 2018): subtract
+    the fitted dominant direction from every centered embedding —
+    x' = xc − (xc·v)v — the cheap isotropy fix that measurably improves
+    cosine-similarity quality on anisotropic embedding spaces (the
+    dominant component mostly encodes frequency, not meaning). Emits
+    per vector the projection s, squared norms before/after, and the
+    energy fraction the removal reclaimed; the Pythagorean identity
+    norm²_after = norm²_before − s² is pinned in test (v is unit).
+
+    Scale shape: the fit is _pca_fit's bounded-exchange loop; the
+    postprocess itself is a pure narrow map against the literal v —
+    zero additional shuffles at any corpus size."""
+    xc, pv = _pca_fit(spark, sf_dir)
+    s = _dot(F.col("xc"), pv)
+    rows = xc.select("vec_id", s.alias("s"), "xc")
+    post = F.zip_with("xc", pv,
+                      lambda x, vv: x - F.col("s") * vv)
+    out = rows.select("vec_id", "s",
+                      _dot(F.col("xc"), F.col("xc")).alias("n2_before"),
+                      post.alias("xp"))
+    return out.select(
+        "vec_id", F.round("s", 4).alias("projection"),
+        F.round("n2_before", 4).alias("norm2_before"),
+        F.round(_dot(F.col("xp"), F.col("xp")), 4).alias("norm2_after"),
+        F.round((F.col("s") * F.col("s")) / F.col("n2_before"), 4)
+         .alias("energy_removed_frac"))
+
+
+def _abtt_sql() -> str:
+    ctes, prev = _pca_sql_ctes()
+    return f"""
+WITH {ctes},
+sc AS (SELECT vec_id, {_sql_dot('xc.xc', f'{prev}.pv')} AS s,
+              xc, {prev}.pv AS pv
+       FROM xc CROSS JOIN {prev}),
+post AS (SELECT vec_id, s,
+                {_sql_dot('xc', 'xc')} AS n2_before,
+                list_transform(list_zip(xc, pv),
+                               p -> p[1] - s * p[2]) AS xp
+         FROM sc)
+SELECT vec_id, ROUND(s, 4) AS projection,
+       ROUND(n2_before, 4) AS norm2_before,
+       ROUND({_sql_dot('xp', 'xp')}, 4) AS norm2_after,
+       ROUND(s * s / n2_before, 4) AS energy_removed_frac
+FROM post
 """
 
 
@@ -1822,6 +1879,7 @@ FROM ranked WHERE rn = 1
 SPARK_QUERIES = {
     "emb_decontaminate_semantic": emb_decontaminate_semantic,
     "emb_pca_power": emb_pca_power,
+    "emb_abtt_postprocess": emb_abtt_postprocess,
     "emb_ivfpq_topk": emb_ivfpq_topk,
     "emb_kmeans_train": emb_kmeans_train,
     "emb_cluster_balanced_sample": emb_cluster_balanced_sample,
@@ -1847,6 +1905,7 @@ SPARK_QUERIES = {
 ORACLE_SQL = {
     "emb_decontaminate_semantic": _SEM_DECON_SQL,
     "emb_pca_power": _pca_sql(),
+    "emb_abtt_postprocess": _abtt_sql(),
     "emb_ivfpq_topk": _ivfpq_sql(),
     "emb_kmeans_train": _KMEANS_TRAIN_SQL,
     "emb_cluster_balanced_sample": _CLUSTER_SAMPLE_SQL,

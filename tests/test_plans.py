@@ -1378,3 +1378,31 @@ def test_pca_power_dominant_direction(spark):
             .agg(F.max("var").alias("mx")).first())
     assert ev >= axis["mx"] - 1e-6
     assert ev <= tot + 1e-6
+
+
+def test_abtt_pythagorean_identity_and_narrow_map(spark):
+    """ABTT removal: norm²_after = norm²_before − s² (v is unit —
+    Pythagorean split of the projection), the removed-energy fraction
+    is consistent, the corpus-wide mean projection shrinks the
+    dominant direction to ~zero, and the postprocess adds no joins
+    (literal v, narrow map)."""
+    from ocr_spark.plans.simsearch import emb_abtt_postprocess
+
+    df = emb_abtt_postprocess(spark, SF)
+    plan = fmt(df)
+    assert "Join" not in plan
+    rows = df.collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert abs((r["norm2_before"] - r["projection"] ** 2)
+                   - r["norm2_after"]) < 2e-3
+        if r["norm2_before"] > 0:
+            assert abs(r["energy_removed_frac"]
+                       - r["projection"] ** 2 / r["norm2_before"]) < 2e-3
+    # centered data: mean projection on any fixed direction ≈ 0, while
+    # mean |projection| is substantially positive (the direction holds
+    # real variance)
+    n = len(rows)
+    mean_s = sum(r["projection"] for r in rows) / n
+    mean_abs = sum(abs(r["projection"]) for r in rows) / n
+    assert abs(mean_s) < 0.05 and mean_abs > 0.05
