@@ -49,14 +49,31 @@ _DRIVER_FRONT: tuple[str, ...] = (
     # rule's byte-identical extraction gate must always have a fresh
     # CORRECTNESS row
     "extract_roundtrip", "extract_block_stats", "document_graph_edges",
-    # new in round 4 (never driver-checked by definition)
-    "extract_eval_tokenf1", "hosts_pagerank_aged", "hosts_salsa",
-    "docs_near_dup_clusters_logstar", "docs_cluster_safe_split",
-    "docs_collocations_pmi", "shards_zone_map", "pages_redirect_resolve",
+    # the round-3 verdict's #1 ask: the never-driver-checked
+    # webops/curation/composed-verdict families MUST land inside the
+    # ~50-row sample window this round — they come directly after the
+    # flagship, ahead of everything else
+    "docs_fineweb_verdict", "docs_curation_verdict",
+    "docs_drop_reason_report",
+    "pages_para_dedup", "pages_span_dedup", "docs_substring_dedup",
+    "docs_decontaminate", "docs_classifier_score",
+    "docs_unigram_logprob", "docs_bigram_logprob",
+    "pages_pii_scan", "pages_url_dedup", "docs_repetition_profile",
+    "docs_blocklist_filter", "docs_data_card", "shards_manifest",
+    "docs_domain_mixture", "docs_sample_stratified", "docs_token_shards",
+    "docs_quality_percentile_gate", "docs_length_histogram",
+    "ev_retention_cohorts", "docs_new_vs_snapshot",
+    "docs_repetition_metrics", "docs_substring_dup_coverage",
+    # this session's additions (never driver-checked by definition)
     "pages_soft404", "emb_decontaminate_semantic", "docs_script_profile",
     "pages_charset_detect", "pages_sitemap_parse", "mm_phash_near_dup",
     "docs_lexical_diversity", "ev_bot_detection",
     "pages_http_cache_headers", "emb_pca_power", "emb_abtt_postprocess",
+    "hosts_ip_colocation",
+    # earlier round-4 additions, newest families first
+    "extract_eval_tokenf1", "hosts_pagerank_aged", "hosts_salsa",
+    "docs_near_dup_clusters_logstar", "docs_cluster_safe_split",
+    "docs_collocations_pmi", "shards_zone_map", "pages_redirect_resolve",
     "pages_content_sniff", "emb_mutual_knn", "hosts_perplexity_buckets",
     "docs_nfc_normalize", "hosts_registered_domain",
     "docs_lsh_band_planner",
@@ -94,20 +111,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "emb_kmeans_train", "emb_ivf_trained_topk",
     "docs_gopher_line_filters", "docs_bpe_merges_token_count",
     "hosts_pagerank_full",
-    # never driver-checked through r3: the composed verdicts and the
-    # headline webops/curation operators the round-3 verdict called
-    # out by name — these take the rest of the ~50-row sample window
-    "docs_fineweb_verdict", "docs_curation_verdict",
-    "docs_drop_reason_report",
-    "pages_para_dedup", "pages_span_dedup", "docs_substring_dedup",
-    "docs_decontaminate", "docs_classifier_score",
-    "docs_unigram_logprob", "docs_bigram_logprob",
-    "pages_pii_scan", "pages_url_dedup", "docs_repetition_profile",
-    "docs_blocklist_filter", "docs_data_card", "shards_manifest",
-    "docs_domain_mixture", "docs_sample_stratified", "docs_token_shards",
-    "docs_quality_percentile_gate", "docs_length_histogram",
-    "ev_retention_cohorts", "docs_new_vs_snapshot",
-    "docs_repetition_metrics", "docs_substring_dup_coverage",
     # below the expected sample cutoff: remaining never-checked rows in
     # priority order, so a larger-than-expected sample keeps helping
     "pages_outlinks", "pages_host_outdegree", "hosts_pagerank",

@@ -3527,6 +3527,64 @@ FROM scored
 """
 
 
+COLO_HOSTS = 97     # synthetic host universe for the resolution log
+COLO_IPS = 31       # 97 hosts over 31 addresses → ~3-host colo groups
+COLO_MIN_HOSTS = 3  # flag threshold: addresses hosting ≥3 of our hosts
+
+
+def hosts_ip_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IP-colocation clustering — the infrastructure-level spam
+    signal: link farms and PBNs (private blog networks) present as
+    MANY registrable domains resolving to ONE address, so rank
+    manipulation detected per-host (hosts_link_spam, hosts_spam_mass)
+    gains a cheap corroborating feature that content analysis cannot
+    fake away. Emits, per host, its resolved address, how many corpus
+    hosts share it, the colo flag, and the group's canonical (min)
+    host for cluster-level attribution.
+
+    The resolution log derives closed-form from doc_id (host = doc_id
+    % 97, ip = 10.0.<h % 31>.<h*7 % 13>, the pages_soft404 protocol) —
+    real pipelines join a DNS snapshot table here; the shape is
+    identical.
+
+    Scale shape: hosts collapse to one row each (first partial-agg
+    groupBy), then ONE window keyed ip over |hosts| rows — both
+    bounded by the host universe, independent of page volume."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    h = F.col("doc_id") % COLO_HOSTS
+    host = F.concat(F.lit("site"), h.cast("string"), F.lit(".example.com"))
+    ip = F.concat(F.lit("10.0."), (h % COLO_IPS).cast("string"),
+                  F.lit("."), ((h * 7) % 13).cast("string"))
+    hosts = (docs.select(host.alias("host"), ip.alias("ip"))
+             .groupBy("host", "ip").agg(F.count(F.lit(1)).alias("n_pages")))
+    w = Window.partitionBy("ip")
+    return (hosts
+            .withColumn("n_hosts_on_ip", F.count(F.lit(1)).over(w))
+            .withColumn("canonical_host", F.min("host").over(w))
+            .select("host", "ip", "n_pages", "n_hosts_on_ip",
+                    (F.col("n_hosts_on_ip") >= COLO_MIN_HOSTS)
+                    .alias("is_colocated"), "canonical_host"))
+
+
+HOSTS_IP_COLOCATION_SQL = f"""
+WITH hosts AS (
+  SELECT 'site' || CAST(doc_id % {COLO_HOSTS} AS VARCHAR)
+         || '.example.com' AS host,
+         '10.0.' || CAST((doc_id % {COLO_HOSTS}) % {COLO_IPS} AS VARCHAR)
+         || '.' || CAST(((doc_id % {COLO_HOSTS}) * 7) % 13 AS VARCHAR)
+           AS ip,
+         CAST(COUNT(*) AS BIGINT) AS n_pages
+  FROM documents GROUP BY 1, 2
+)
+SELECT host, ip, n_pages,
+       COUNT(*) OVER (PARTITION BY ip) AS n_hosts_on_ip,
+       COUNT(*) OVER (PARTITION BY ip) >= {COLO_MIN_HOSTS}
+         AS is_colocated,
+       MIN(host) OVER (PARTITION BY ip) AS canonical_host
+FROM hosts
+"""
+
+
 CACHE_HEURISTIC_FRAC = 10   # RFC 9111 §4.2.2: heuristic freshness =
                             # age-since-Last-Modified / 10
 CACHE_DEFAULT_TTL = 86400   # no evidence at all → 1-day recrawl
@@ -4581,6 +4639,7 @@ SPARK_QUERIES = {
     "pages_charset_detect": pages_charset_detect,
     "pages_sitemap_parse": pages_sitemap_parse,
     "pages_http_cache_headers": pages_http_cache_headers,
+    "hosts_ip_colocation": hosts_ip_colocation,
     "hosts_crawl_traps": hosts_crawl_traps,
     "pages_url_templates": pages_url_templates,
     "frontier_fetch_schedule": frontier_fetch_schedule,
@@ -4640,6 +4699,7 @@ ORACLE_SQL = {
     "pages_charset_detect": PAGES_CHARSET_DETECT_SQL,
     "pages_sitemap_parse": _sitemap_parse_sql(),
     "pages_http_cache_headers": PAGES_CACHE_HEADERS_SQL,
+    "hosts_ip_colocation": HOSTS_IP_COLOCATION_SQL,
     "hosts_crawl_traps": HOSTS_CRAWL_TRAPS_SQL,
     "pages_url_templates": PAGES_URL_TEMPLATES_SQL,
     "frontier_fetch_schedule": FRONTIER_FETCH_SCHEDULE_SQL,

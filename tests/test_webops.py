@@ -914,3 +914,33 @@ def test_cache_headers_policy_classes(spark):
         else:
             assert got == (CACHE_DEFAULT_TTL, "default", "full_fetch",
                            False)
+
+
+def test_ip_colocation_groups_and_shape(spark):
+    """Colo groups are exact mod-class partitions of the host
+    universe: every host on one address shares h % COLO_IPS, group
+    sizes are 3-4 (97 hosts over 31 addresses), every group ≥3 flags,
+    and the canonical host is the group minimum; the plan is bounded
+    by the host universe (one groupBy + one ip-keyed window)."""
+    from collections import defaultdict
+
+    from tests.test_plans import SF
+
+    from ocr_spark.plans.webops import (
+        COLO_HOSTS, COLO_IPS, COLO_MIN_HOSTS, hosts_ip_colocation)
+
+    rows = hosts_ip_colocation(spark, SF).collect()
+    assert len(rows) == COLO_HOSTS
+    by_ip = defaultdict(list)
+    for r in rows:
+        by_ip[r["ip"]].append(r)
+    assert len(by_ip) == COLO_IPS
+    for ip, grp in by_ip.items():
+        hs = sorted(int(g["host"][4:].split(".")[0]) for g in grp)
+        assert len({h % COLO_IPS for h in hs}) == 1
+        assert 3 <= len(grp) <= 4
+        assert all(g["n_hosts_on_ip"] == len(grp) for g in grp)
+        assert all(g["is_colocated"] == (len(grp) >= COLO_MIN_HOSTS)
+                   for g in grp)
+        assert all(g["canonical_host"] == min(x["host"] for x in grp)
+                   for g in grp)
