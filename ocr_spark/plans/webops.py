@@ -3553,8 +3553,10 @@ def hosts_ip_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id")
     h = F.col("doc_id") % COLO_HOSTS
     host = F.concat(F.lit("site"), h.cast("string"), F.lit(".example.com"))
+    # both variable octets derive from the SAME colo class (h % 31) —
+    # deriving one from h directly would give every host its own ip
     ip = F.concat(F.lit("10.0."), (h % COLO_IPS).cast("string"),
-                  F.lit("."), ((h * 7) % 13).cast("string"))
+                  F.lit("."), ((h % COLO_IPS) * 7 % 13).cast("string"))
     hosts = (docs.select(host.alias("host"), ip.alias("ip"))
              .groupBy("host", "ip").agg(F.count(F.lit(1)).alias("n_pages")))
     w = Window.partitionBy("ip")
@@ -3571,8 +3573,8 @@ WITH hosts AS (
   SELECT 'site' || CAST(doc_id % {COLO_HOSTS} AS VARCHAR)
          || '.example.com' AS host,
          '10.0.' || CAST((doc_id % {COLO_HOSTS}) % {COLO_IPS} AS VARCHAR)
-         || '.' || CAST(((doc_id % {COLO_HOSTS}) * 7) % 13 AS VARCHAR)
-           AS ip,
+         || '.' || CAST(((doc_id % {COLO_HOSTS}) % {COLO_IPS}) * 7 % 13
+                        AS VARCHAR) AS ip,
          CAST(COUNT(*) AS BIGINT) AS n_pages
   FROM documents GROUP BY 1, 2
 )
