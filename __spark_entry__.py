@@ -69,7 +69,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "pages_charset_detect", "pages_sitemap_parse", "mm_phash_near_dup",
     "docs_lexical_diversity", "ev_bot_detection",
     "pages_http_cache_headers", "emb_pca_power", "emb_abtt_postprocess",
-    "hosts_ip_colocation",
+    "hosts_ip_colocation", "pages_hreflang_clusters",
     # earlier round-4 additions, newest families first
     "extract_eval_tokenf1", "hosts_pagerank_aged", "hosts_salsa",
     "docs_near_dup_clusters_logstar", "docs_cluster_safe_split",

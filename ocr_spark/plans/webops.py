@@ -3527,6 +3527,84 @@ FROM scored
 """
 
 
+HREFLANG_GROUPS = 85   # doc_id % 85 → the translation-set id
+HREFLANG_UNDECLARED_MOD = 7   # ids ≡ 0 (mod 7) carry no hreflang link
+
+
+def pages_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hreflang translation-set clustering — the i18n dedup stage: a
+    page declaring ``<link rel="alternate" hreflang="x-default">``
+    belongs to one translation SET, and a training mixture that treats
+    each language variant as an independent document over-represents
+    multilingual sites exactly in proportion to their translation
+    count. Cluster key = the parsed x-default target (pages without a
+    declaration form singleton clusters keyed on themselves); keeper
+    election prefers the English variant, then min doc_id — the
+    variant the monolingual-majority mixture keeps.
+
+    The head log derives closed-form from doc_id (set id = doc_id %
+    85, ids ≡ 0 mod 7 undeclared — the pages_soft404 protocol); the
+    PARSER reads only the head string.
+
+    Scale shape: parse is a narrow map; clustering is ONE shuffle
+    keyed cluster_key (two window functions over the same key); no
+    self-join — translation sets are equivalence classes by key, not
+    pairwise similarity."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    g = (F.col("doc_id") % HREFLANG_GROUPS).cast("string")
+    declared = F.col("doc_id") % HREFLANG_UNDECLARED_MOD != 0
+    head = F.when(declared, F.concat(
+        F.lit('<head><link rel="alternate" hreflang="x-default" '
+              'href="https://cdn.example.com/g/'), g,
+        F.lit('"><title>x</title></head>'))) \
+        .otherwise(F.lit("<head><title>x</title></head>"))
+    parsed = docs.select(
+        "doc_id", "lang",
+        F.regexp_extract(head, r'hreflang="x-default"\s+href="([^"]+)"', 1)
+         .alias("xd"))
+    key = F.when(F.col("xd") != "", F.col("xd")).otherwise(
+        F.concat(F.lit("self:"), F.col("doc_id").cast("string")))
+    rows = parsed.select("doc_id", "lang", key.alias("cluster_key"))
+    w = Window.partitionBy("cluster_key")
+    rk = Window.partitionBy("cluster_key").orderBy(
+        F.when(F.col("lang") == "en", 0).otherwise(1), F.asc("doc_id"))
+    return (rows
+            .withColumn("n_variants", F.count(F.lit(1)).over(w))
+            .withColumn("rn", F.row_number().over(rk))
+            .select("doc_id", "lang", "cluster_key", "n_variants",
+                    (F.col("rn") == 1).alias("is_keeper")))
+
+
+PAGES_HREFLANG_SQL = f"""
+WITH heads AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % {HREFLANG_UNDECLARED_MOD} <> 0
+              THEN '<head><link rel="alternate" hreflang="x-default" '
+                   || 'href="https://cdn.example.com/g/'
+                   || CAST(doc_id % {HREFLANG_GROUPS} AS VARCHAR)
+                   || '"><title>x</title></head>'
+              ELSE '<head><title>x</title></head>' END AS head
+  FROM documents
+), parsed AS (
+  SELECT doc_id, lang,
+         regexp_extract(head,
+             'hreflang="x-default"\\s+href="([^"]+)"', 1) AS xd
+  FROM heads
+), keyed AS (
+  SELECT doc_id, lang,
+         CASE WHEN xd <> '' THEN xd
+              ELSE 'self:' || CAST(doc_id AS VARCHAR) END AS cluster_key
+  FROM parsed
+)
+SELECT doc_id, lang, cluster_key,
+       COUNT(*) OVER (PARTITION BY cluster_key) AS n_variants,
+       ROW_NUMBER() OVER (PARTITION BY cluster_key
+                          ORDER BY CASE WHEN lang = 'en' THEN 0 ELSE 1
+                                   END, doc_id) = 1 AS is_keeper
+FROM keyed
+"""
+
+
 COLO_HOSTS = 97     # synthetic host universe for the resolution log
 COLO_IPS = 31       # 97 hosts over 31 addresses → ~3-host colo groups
 COLO_MIN_HOSTS = 3  # flag threshold: addresses hosting ≥3 of our hosts
@@ -4642,6 +4720,7 @@ SPARK_QUERIES = {
     "pages_sitemap_parse": pages_sitemap_parse,
     "pages_http_cache_headers": pages_http_cache_headers,
     "hosts_ip_colocation": hosts_ip_colocation,
+    "pages_hreflang_clusters": pages_hreflang_clusters,
     "hosts_crawl_traps": hosts_crawl_traps,
     "pages_url_templates": pages_url_templates,
     "frontier_fetch_schedule": frontier_fetch_schedule,
@@ -4702,6 +4781,7 @@ ORACLE_SQL = {
     "pages_sitemap_parse": _sitemap_parse_sql(),
     "pages_http_cache_headers": PAGES_CACHE_HEADERS_SQL,
     "hosts_ip_colocation": HOSTS_IP_COLOCATION_SQL,
+    "pages_hreflang_clusters": PAGES_HREFLANG_SQL,
     "hosts_crawl_traps": HOSTS_CRAWL_TRAPS_SQL,
     "pages_url_templates": PAGES_URL_TEMPLATES_SQL,
     "frontier_fetch_schedule": FRONTIER_FETCH_SCHEDULE_SQL,

@@ -944,3 +944,38 @@ def test_ip_colocation_groups_and_shape(spark):
                    for g in grp)
         assert all(g["canonical_host"] == min(x["host"] for x in grp)
                    for g in grp)
+
+
+def test_hreflang_clusters_keeper_election(spark):
+    """Declared pages cluster by translation-set id with the English
+    variant elected keeper (min doc_id among English, else min overall
+    when the set has no English page); undeclared pages are singleton
+    keepers; exactly one keeper per cluster."""
+    from collections import defaultdict
+
+    from tests.test_plans import SF
+
+    from ocr_spark.plans.webops import (
+        HREFLANG_GROUPS, HREFLANG_UNDECLARED_MOD, pages_hreflang_clusters)
+
+    rows = pages_hreflang_clusters(spark, SF).collect()
+    by_key = defaultdict(list)
+    for r in rows:
+        by_key[r["cluster_key"]].append(r)
+        if r["doc_id"] % HREFLANG_UNDECLARED_MOD == 0:
+            assert r["cluster_key"] == f"self:{r['doc_id']}"
+            assert r["n_variants"] == 1 and r["is_keeper"]
+        else:
+            assert r["cluster_key"].endswith(
+                f"/g/{r['doc_id'] % HREFLANG_GROUPS}")
+    multi = 0
+    for key, grp in by_key.items():
+        assert len(grp) == grp[0]["n_variants"]
+        keepers = [r for r in grp if r["is_keeper"]]
+        assert len(keepers) == 1
+        en = [r for r in grp if r["lang"] == "en"]
+        pool = en if en else grp
+        assert keepers[0]["doc_id"] == min(r["doc_id"] for r in pool)
+        if len(grp) > 1:
+            multi += 1
+    assert multi > 0  # real translation sets exist at this SF
