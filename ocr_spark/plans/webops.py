@@ -2560,6 +2560,130 @@ FROM j GROUP BY lang
 """
 
 
+DRIFT_SPAM_MOD = 10   # every 10th arrival (doc_id % 30 == 5 under the
+                      # %3==2 arrival split) is recoded to the modeled
+                      # spam-wave language so a nonzero drift signal
+                      # exists in the monolingual fixture (role-split
+                      # device, see docs_encoding_repair)
+
+
+def docs_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot metadata-distribution drift monitor — the companion to
+    docs_vocab_novelty (which watches the VOCABULARY): per language,
+    the document-share and mean-length shift between the prior
+    snapshot and the new crawl's arrivals (doc_id % 3 == 2, the same
+    role split as docs_new_vs_snapshot), plus one ``__all__`` summary
+    row whose ``share_delta`` is the total-variation distance between
+    the two language distributions. A share spike in one language or a
+    TVD jump is the standard admission alarm for a crawler-routing
+    regression or a spam wave before a snapshot enters training.
+
+    The fixture is stationary by construction, so the drift case is
+    MODELED in-plan: every DRIFT_SPAM_MOD-th arrival is recoded to the
+    'xx' spam-wave language, which must surface as an 'xx' row with
+    zero prior mass and a strictly positive TVD — on a real crawl the
+    lang column is the input unchanged.
+
+    Scale shape: ONE partial-agg groupBy(lang) with conditional sums
+    (the role predicate folds both snapshots into a single pass — no
+    second scan, no join of two aggregates); totals are a 1-row
+    broadcast; the TVD rollup runs over the |langs|-sized frame."""
+    docs = _docs(spark, sf_dir)
+    is_new = F.col("doc_id") % 3 == 2
+    wlang = F.when(is_new & (F.col("doc_id") % (3 * DRIFT_SPAM_MOD) == 5),
+                   F.lit("xx")).otherwise(F.col("lang"))
+    per = (docs.select(wlang.alias("lang"), is_new.alias("is_new"),
+                       F.length("text").alias("len"))
+           .groupBy("lang")
+           .agg(F.sum((~F.col("is_new")).cast("long")).alias("n_prior"),
+                F.sum(F.col("is_new").cast("long")).alias("n_new"),
+                F.sum(F.when(~F.col("is_new"), F.col("len"))
+                       .otherwise(0)).cast("long").alias("len_prior"),
+                F.sum(F.when(F.col("is_new"), F.col("len"))
+                       .otherwise(0)).cast("long").alias("len_new")))
+    tot = per.agg(F.sum("n_prior").alias("t_prior"),
+                  F.sum("n_new").alias("t_new"),
+                  F.sum("len_prior").alias("tl_prior"),
+                  F.sum("len_new").alias("tl_new"))
+    j = per.crossJoin(F.broadcast(tot))
+    prior_frac = F.col("n_prior") / F.col("t_prior")
+    new_frac = F.col("n_new") / F.col("t_new")
+    lang_rows = j.select(
+        "lang", "n_prior", "n_new",
+        F.round(prior_frac, 4).alias("prior_frac"),
+        F.round(new_frac, 4).alias("new_frac"),
+        F.round(new_frac - prior_frac, 4).alias("share_delta"),
+        F.when(F.col("n_prior") > 0,
+               F.round(F.col("len_prior") / F.col("n_prior"), 2))
+         .alias("mean_len_prior"),
+        F.when(F.col("n_new") > 0,
+               F.round(F.col("len_new") / F.col("n_new"), 2))
+         .alias("mean_len_new"))
+    summary = j.groupBy("t_prior", "t_new", "tl_prior", "tl_new").agg(
+        F.round(F.sum(F.abs(new_frac - prior_frac)) / 2, 4).alias("tvd")
+    ).select(
+        F.lit("__all__").alias("lang"),
+        F.col("t_prior").alias("n_prior"),
+        F.col("t_new").alias("n_new"),
+        F.lit(1.0).alias("prior_frac"),
+        F.lit(1.0).alias("new_frac"),
+        F.col("tvd").alias("share_delta"),
+        F.round(F.col("tl_prior") / F.col("t_prior"), 2)
+         .alias("mean_len_prior"),
+        F.round(F.col("tl_new") / F.col("t_new"), 2)
+         .alias("mean_len_new"))
+    return lang_rows.unionByName(summary)
+
+
+DOCS_SNAPSHOT_DRIFT_SQL = f"""
+WITH per AS (
+  SELECT CASE WHEN doc_id % 3 = 2
+              AND doc_id % {3 * DRIFT_SPAM_MOD} = 5
+              THEN 'xx' ELSE lang END AS lang,
+         CAST(SUM(CASE WHEN doc_id % 3 <> 2 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_prior,
+         CAST(SUM(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_new,
+         CAST(SUM(CASE WHEN doc_id % 3 <> 2 THEN length(text)
+                  ELSE 0 END) AS BIGINT) AS len_prior,
+         CAST(SUM(CASE WHEN doc_id % 3 = 2 THEN length(text)
+                  ELSE 0 END) AS BIGINT) AS len_new
+  FROM documents GROUP BY 1
+), tot AS (
+  SELECT SUM(n_prior) AS t_prior, SUM(n_new) AS t_new,
+         SUM(len_prior) AS tl_prior, SUM(len_new) AS tl_new
+  FROM per
+), lang_rows AS (
+  SELECT lang, n_prior, n_new,
+         round(n_prior / CAST(t_prior AS DOUBLE), 4) AS prior_frac,
+         round(n_new / CAST(t_new AS DOUBLE), 4) AS new_frac,
+         round(n_new / CAST(t_new AS DOUBLE)
+               - n_prior / CAST(t_prior AS DOUBLE), 4) AS share_delta,
+         CASE WHEN n_prior > 0
+              THEN round(len_prior / CAST(n_prior AS DOUBLE), 2)
+         END AS mean_len_prior,
+         CASE WHEN n_new > 0
+              THEN round(len_new / CAST(n_new AS DOUBLE), 2)
+         END AS mean_len_new
+  FROM per, tot
+), summary AS (
+  SELECT '__all__' AS lang,
+         CAST(t_prior AS BIGINT) AS n_prior,
+         CAST(t_new AS BIGINT) AS n_new,
+         1.0 AS prior_frac, 1.0 AS new_frac,
+         round(SUM(ABS(n_new / CAST(t_new AS DOUBLE)
+                       - n_prior / CAST(t_prior AS DOUBLE))) / 2, 4)
+             AS share_delta,
+         round(tl_prior / CAST(t_prior AS DOUBLE), 2)
+             AS mean_len_prior,
+         round(tl_new / CAST(t_new AS DOUBLE), 2) AS mean_len_new
+  FROM per, tot
+  GROUP BY t_prior, t_new, tl_prior, tl_new
+)
+SELECT * FROM lang_rows UNION ALL SELECT * FROM summary
+"""
+
+
 BLOOM_M = 1024   # filter bits. Production sizing: m ≈ 1.44·k·n bits
 BLOOM_K = 3      # for the target FP rate 2^-k; sized here so the
                  # sf0.01 corpus produces OBSERVABLE false positives
@@ -4702,6 +4826,7 @@ SPARK_QUERIES = {
     "docs_encoding_repair": docs_encoding_repair,
     "docs_host_cap": docs_host_cap,
     "docs_vocab_novelty": docs_vocab_novelty,
+    "docs_snapshot_drift": docs_snapshot_drift,
     "pages_robots_txt_gate": pages_robots_txt_gate,
     "pages_wet_export": pages_wet_export,
     "pages_pii_scan": pages_pii_scan,
@@ -4763,6 +4888,7 @@ ORACLE_SQL = {
     "docs_encoding_repair": _encoding_repair_sql(),
     "docs_host_cap": DOCS_HOST_CAP_SQL,
     "docs_vocab_novelty": DOCS_VOCAB_NOVELTY_SQL,
+    "docs_snapshot_drift": DOCS_SNAPSHOT_DRIFT_SQL,
     "pages_robots_txt_gate": _robots_txt_gate_sql(),
     "pages_wet_export": PAGES_WET_EXPORT_SQL,
     "pages_pii_scan": PAGES_PII_SQL,

@@ -979,3 +979,31 @@ def test_hreflang_clusters_keeper_election(spark):
         if len(grp) > 1:
             multi += 1
     assert multi > 0  # real translation sets exist at this SF
+
+
+def test_snapshot_drift_signal_and_shape(spark):
+    """The modeled spam wave must surface as an 'xx' arrivals-only row
+    and a strictly positive corpus TVD; counters conserve the corpus;
+    the per-language pass is ONE partial-aggregated groupBy (the
+    summary rollup and 1-row totals add only broadcast-sized work)."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.plans.webops import _docs, docs_snapshot_drift
+
+    df = docs_snapshot_drift(spark, SF)
+    plan = fmt(df)
+    assert "partial_sum" in plan.lower()
+    rows = {r["lang"]: r for r in df.collect()}
+    assert "xx" in rows and "__all__" in rows
+    xx, al = rows["xx"], rows["__all__"]
+    assert xx["n_prior"] == 0 and xx["n_new"] > 0
+    assert xx["prior_frac"] == 0.0 and xx["new_frac"] > 0
+    assert xx["mean_len_prior"] is None and xx["mean_len_new"] > 0
+    assert al["share_delta"] > 0, "modeled wave must move the TVD"
+    n_docs = _docs(spark, SF).count()
+    assert al["n_prior"] + al["n_new"] == n_docs
+    # per-language share deltas cancel (each distribution sums to 1)
+    langs = [r for lg, r in rows.items() if lg != "__all__"]
+    assert abs(sum(r["share_delta"] for r in langs)) < 1e-3
+    assert al["share_delta"] <= sum(
+        abs(r["share_delta"]) for r in langs) / 2 + 1e-3
