@@ -1682,6 +1682,240 @@ GROUP BY big.doc_id, big.lang
 """
 
 
+KN_DISCOUNT = 0.75    # Chen & Goodman 1998's fixed absolute discount
+
+
+def docs_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; Chen
+    & Goodman 1998) — the smoothing the production KenLM actually uses,
+    beside docs_bigram_logprob's Stupid Backoff:
+
+      P(w|p) = max(c(p,w) - D, 0)/c(p.) + D*N1+(p.)/c(p.) * Pcont(w)
+
+    with the CONTINUATION probability Pcont(w) = N1+(.w)/N1+(..) —
+    "how many contexts has w completed", the distinction that stops
+    'Francisco' (frequent but only after 'San') from scoring high in
+    novel contexts. Held-out novelty is finite by construction: an
+    unseen context backs off to Pcont alone, and Pcont carries add-1
+    smoothing over the training continuation vocabulary (the one
+    documented deviation from the textbook form, needed because a
+    held-out-only token has N1+(.w) = 0 and log 0 otherwise). Trained
+    on the same disjoint doc_id % LM_TRAIN_MOD == 0 half as the other
+    LM scores, so interpolation and continuation backoff genuinely
+    fire on the held-out half (the *_frac columns prove it).
+
+    Scale shape: identical to docs_bigram_logprob — narrow bigram
+    construction, probe pre-aggregated per (doc, prev, tok) with a
+    multiplicity BEFORE the count-table joins (the round-3 skew pin),
+    count tables collapse to vocabulary-sized frames, totals broadcast
+    as 1 row; production swaps the tables for a pruned KenLM broadcast
+    through the proven artifact seam."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), _TOKS)
+    empty = F.array().cast("array<struct<prev:string,tok:string>>")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - 2),
+                    lambda i: F.struct(
+                        F.element_at(toks, i + 1).alias("prev"),
+                        F.element_at(toks, i + 2).alias("tok"))),
+    ).otherwise(empty)
+    big = (docs.select("doc_id", "lang", F.explode(bigrams).alias("bg"))
+           .select("doc_id", "lang",
+                   F.col("bg.prev").alias("prev"),
+                   F.col("bg.tok").alias("tok")))
+    is_train = F.col("doc_id") % LM_TRAIN_MOD == 0
+    bc = (big.filter(is_train)
+          .groupBy("prev", "tok").agg(F.count("*").alias("bc")))
+    ctx = bc.groupBy("prev").agg(F.sum("bc").alias("cc"),
+                                 F.count("*").alias("n1f"))
+    cont = bc.groupBy("tok").agg(F.count("*").alias("n1r"))
+    totals = cont.agg(F.sum("n1r").alias("n_types"),
+                      F.count("*").alias("vocab_cont"))  # 1 row
+    probe = (big.groupBy("doc_id", "lang", "prev", "tok")
+             .agg(F.count("*").alias("m")))
+    pcont = ((F.coalesce(F.col("n1r"), F.lit(0)) + 1)
+             / (F.col("n_types") + F.col("vocab_cont")))
+    seen_ctx = F.col("cc").isNotNull()
+    disc = F.greatest(F.coalesce(F.col("bc"), F.lit(0)) - KN_DISCOUNT,
+                      F.lit(0.0))
+    p = F.when(seen_ctx,
+               disc / F.col("cc")
+               + KN_DISCOUNT * F.col("n1f") / F.col("cc") * pcont)          .otherwise(pcont)
+    m = F.col("m")
+    unseen_bg = F.col("bc").isNull()
+    return (probe
+            .join(bc, ["prev", "tok"], "left")
+            .join(ctx, "prev", "left")
+            .join(cont, "tok", "left")
+            .crossJoin(F.broadcast(totals))
+            .groupBy("doc_id", "lang")
+            .agg(F.sum(m).alias("n_bigrams"),
+                 F.round(F.sum(m * F.log(p)) / F.sum(m), LOGPROB_ROUND)
+                  .alias("avg_logprob"),
+                 F.round(F.sum(F.when(unseen_bg, m).otherwise(0))
+                         / F.sum(m), LOGPROB_ROUND)
+                  .alias("unseen_bigram_frac"),
+                 F.round(F.sum(F.when(~seen_ctx, m).otherwise(0))
+                         / F.sum(m), LOGPROB_ROUND)
+                  .alias("unseen_ctx_frac")))
+
+
+BIGRAM_KN_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, lang,
+         string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents
+), big AS (
+  SELECT doc_id, lang, t[i] AS prev, t[i + 1] AS tok
+  FROM tk, LATERAL unnest(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+), bc AS (
+  SELECT prev, tok, COUNT(*) AS bc FROM big
+  WHERE doc_id % {LM_TRAIN_MOD} = 0 GROUP BY prev, tok
+), ctx AS (
+  SELECT prev, SUM(bc) AS cc, COUNT(*) AS n1f FROM bc GROUP BY prev
+), cont AS (
+  SELECT tok, COUNT(*) AS n1r FROM bc GROUP BY tok
+), totals AS (
+  SELECT CAST(SUM(n1r) AS BIGINT) AS n_types,
+         CAST(COUNT(*) AS BIGINT) AS vocab_cont
+  FROM cont
+), sc AS (
+  SELECT big.doc_id, big.lang,
+         (COALESCE(cont.n1r, 0) + 1)
+           / CAST(totals.n_types + totals.vocab_cont AS DOUBLE) AS pcont,
+         ctx.cc, ctx.n1f, bc.bc
+  FROM big
+  LEFT JOIN bc USING (prev, tok)
+  LEFT JOIN ctx USING (prev)
+  LEFT JOIN cont ON cont.tok = big.tok
+  CROSS JOIN totals
+)
+SELECT doc_id, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       round(AVG(ln(CASE WHEN cc IS NOT NULL
+                         THEN GREATEST(COALESCE(bc, 0) - {KN_DISCOUNT}, 0)
+                              / CAST(cc AS DOUBLE)
+                              + {KN_DISCOUNT} * n1f / CAST(cc AS DOUBLE)
+                                * pcont
+                         ELSE pcont END)), {LOGPROB_ROUND})
+           AS avg_logprob,
+       round(AVG(CASE WHEN bc IS NULL THEN 1.0 ELSE 0.0 END),
+             {LOGPROB_ROUND}) AS unseen_bigram_frac,
+       round(AVG(CASE WHEN cc IS NULL THEN 1.0 ELSE 0.0 END),
+             {LOGPROB_ROUND}) AS unseen_ctx_frac
+FROM sc GROUP BY doc_id, lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# T5-style span-corruption planning
+# ---------------------------------------------------------------------------
+
+CORRUPT_DENSITY_PCT = 15   # noise density, percent (T5's 0.15)
+CORRUPT_MEAN_SPAN = 3      # mean noise-span length (T5's 3.0)
+CORRUPT_MIN_TOKENS = 20    # shorter docs are packed uncorrupted
+
+
+def docs_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic T5-style span-corruption PLAN (Raffel et al.
+    2020 §3.1.4): for every document long enough to corrupt, choose
+    the noise spans — round(15% of tokens) masked across
+    ceil(n_masked/3) spans — and emit one row per span with its
+    0-based start token, length, and sentinel id, plus the doc-level
+    inputs/targets lengths the packer budgets with
+    (inputs = n - masked + spans sentinels; targets = masked + spans
+    sentinels + EOS). T5 draws spans from an RNG; a data PIPELINE
+    wants the draw reproducible across runs, engines, and cluster
+    sizes, so the randomness here is a seeded hash (the
+    docs_training_order device): the doc is cut into n_spans equal
+    segments — which makes spans non-overlapping BY CONSTRUCTION, no
+    sequential rejection loop to distribute — and each span lands at
+    md5-chosen offset inside its segment. All sizing is integer
+    arithmetic (round-half-up via (n*15+50)//100) so both engines
+    agree bit-for-bit with no float rounding seam.
+
+    Scale shape: one narrow explode (n_spans ≈ n/20 rows per doc),
+    zero shuffle; composes upstream of docs_seq_pack on inputs_len."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), _TOKS)
+    n = F.size(toks).cast("long")
+    n_masked = F.greatest(
+        F.lit(1), F.floor((n * CORRUPT_DENSITY_PCT + 50) / 100))
+    n_spans = F.ceil(n_masked / CORRUPT_MEAN_SPAN).cast("long")
+    base = (docs.filter(n >= CORRUPT_MIN_TOKENS)
+            .select("doc_id", n.alias("n_tokens"),
+                    n_masked.alias("n_masked"),
+                    n_spans.alias("n_spans"),
+                    F.explode(F.sequence(
+                        F.lit(0), (n_spans - 1).cast("int")))
+                     .alias("span_id")))
+    k = F.col("span_id").cast("long")
+    nm, ns, nt = F.col("n_masked"), F.col("n_spans"), F.col("n_tokens")
+    want_len = F.floor(nm / ns) + F.when(k < nm % ns, 1).otherwise(0)
+    seg_start = F.floor(k * nt / ns)
+    seg_len = F.floor((k + 1) * nt / ns) - seg_start
+    span_len = F.least(want_len, seg_len)
+    off_range = seg_len - span_len + 1
+    offset = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("span:"), F.col("doc_id").cast("string"),
+                       F.lit(":"), k.cast("string"))), 1, 8), 16, 10)
+        .cast("long") % off_range)
+    return base.select(
+        "doc_id", "n_tokens", "n_masked", "n_spans",
+        (nt - nm + ns).alias("inputs_len"),
+        (nm + ns + 1).alias("targets_len"),
+        "span_id",
+        (seg_start + offset).cast("long").alias("start_tok"),
+        span_len.cast("long").alias("span_len"),
+        F.concat(F.lit("<extra_id_"), F.col("span_id").cast("string"),
+                 F.lit(">")).alias("sentinel"))
+
+
+SPAN_CORRUPTION_SQL = f"""
+WITH tk AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
+              AS BIGINT) AS n
+  FROM documents
+), sized AS (
+  SELECT doc_id, n,
+         GREATEST(1, (n * {CORRUPT_DENSITY_PCT} + 50) // 100)
+             AS n_masked
+  FROM tk WHERE n >= {CORRUPT_MIN_TOKENS}
+), spans AS (
+  SELECT doc_id, n, n_masked,
+         CAST(ceil(n_masked / {CORRUPT_MEAN_SPAN}.0) AS BIGINT)
+             AS n_spans
+  FROM sized
+), ex AS (
+  SELECT doc_id, n, n_masked, n_spans, unnest(range(0, n_spans)) AS k
+  FROM spans
+), geo AS (
+  SELECT doc_id, n, n_masked, n_spans, k,
+         n_masked // n_spans
+           + CASE WHEN k < n_masked % n_spans THEN 1 ELSE 0 END
+             AS want_len,
+         (k * n) // n_spans AS seg_start,
+         ((k + 1) * n) // n_spans - (k * n) // n_spans AS seg_len
+  FROM ex
+)
+SELECT doc_id, n AS n_tokens, n_masked, n_spans,
+       n - n_masked + n_spans AS inputs_len,
+       n_masked + n_spans + 1 AS targets_len,
+       CAST(k AS INT) AS span_id,
+       seg_start
+         + ('0x' || substring(md5('span:' || CAST(doc_id AS VARCHAR)
+                                  || ':' || CAST(k AS VARCHAR)), 1, 8))
+             ::BIGINT % (seg_len - LEAST(want_len, seg_len) + 1)
+           AS start_tok,
+       LEAST(want_len, seg_len) AS span_len,
+       '<extra_id_' || CAST(k AS VARCHAR) || '>' AS sentinel
+FROM geo
+"""
+
+
 # ---------------------------------------------------------------------------
 # deterministic epoch shuffle (training-order reproducibility)
 # ---------------------------------------------------------------------------
@@ -2046,6 +2280,8 @@ SPARK_QUERIES = {
     "docs_unigram_logprob": docs_unigram_logprob,
     "hosts_perplexity_buckets": hosts_perplexity_buckets,
     "docs_bigram_logprob": docs_bigram_logprob,
+    "docs_bigram_kneser_ney": docs_bigram_kneser_ney,
+    "docs_span_corruption": docs_span_corruption,
     "docs_sample_stratified": docs_sample_stratified,
     "docs_token_shards": docs_token_shards,
     "docs_seq_pack": docs_seq_pack,
@@ -2077,6 +2313,8 @@ ORACLE_SQL = {
     "docs_unigram_logprob": UNIGRAM_LOGPROB_SQL,
     "hosts_perplexity_buckets": HOSTS_PERPLEXITY_SQL,
     "docs_bigram_logprob": BIGRAM_LOGPROB_SQL,
+    "docs_bigram_kneser_ney": BIGRAM_KN_SQL,
+    "docs_span_corruption": SPAN_CORRUPTION_SQL,
     "docs_sample_stratified": SAMPLE_STRATIFIED_SQL,
     "docs_token_shards": TOKEN_SHARDS_SQL,
     "docs_seq_pack": SEQ_PACK_SQL,

@@ -739,6 +739,99 @@ SELECT vec_id, pq_codes, md5(pq_codes) AS codes_md5 FROM c
 """
 
 
+
+
+def emb_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization-distortion report: per vector, the exact squared
+    reconstruction error of BOTH storage-tier codecs — int8 scalar
+    quantization (decode: (code+128)/255*scale + vmin) and product
+    quantization (whose per-subspace min distance IS the subspace
+    reconstruction error, so the PQ error is the sum of the assigned
+    distances — no second pass) — plus the codec each vector would
+    pick at equal read cost. This is the dashboard an ANN storage tier
+    publishes per corpus before committing to a codec/bit budget
+    (recall curves measure the END effect; distortion is the leading
+    indicator and needs no query set).
+
+    Determinism across engines: every fold is per-row left-to-right
+    over the dims with the same rounding as the codecs themselves
+    (round 6); no cross-row float aggregation exists to reorder.
+
+    Scale shape: pure narrow map over the corpus, zero shuffle; the
+    codebooks are plan literals exactly as in emb_pq_codes."""
+    emb = t(spark, sf_dir).select("vec_id", _vecd().alias("v"))
+    vmin, vmax = F.array_min("v"), F.array_max("v")
+    scale = F.when(vmax > vmin, vmax - vmin).otherwise(F.lit(1.0))
+    recon = F.transform(
+        "v", lambda x: ((F.round((x - vmin) / scale * 255.0, 0)
+                         .cast("int")).cast("double") / 255.0 * scale
+                        + vmin))
+    sq_err = F.round(F.aggregate(
+        F.zip_with("v", recon, lambda x, r: (x - r) * (x - r)),
+        F.lit(0.0), lambda acc, x: acc + x), 6)
+    pq_terms = []
+    for j in range(PQ_M):
+        sub = F.slice("v", j * PQ_DSUB + 1, PQ_DSUB)
+        dists = F.array(*[
+            F.round(F.aggregate(
+                F.zip_with(sub, F.array(*[F.lit(x) for x in cb]),
+                           lambda x, c: (x - c) * (x - c)),
+                F.lit(0.0), lambda acc, x: acc + x), 6)
+            for cb in PQ_CODEBOOKS[j]])
+        pq_terms.append(F.array_min(dists))
+    pq_err = F.round(sum(pq_terms[1:], pq_terms[0]), 6)
+    return emb.select(
+        "vec_id",
+        sq_err.alias("sq_err"),
+        pq_err.alias("pq_err"),
+        F.lit(DIM + 8).alias("sq_bytes"),      # codes + (min, max)
+        F.lit(PQ_M).alias("pq_bytes"),         # one byte per code
+        F.when(sq_err <= pq_err, F.lit("sq_int8")).otherwise(F.lit("pq"))
+         .alias("lower_distortion"))
+
+
+def _sql_pq_err(j: int) -> str:
+    dists = []
+    for cb in PQ_CODEBOOKS[j]:
+        lit = "[" + ", ".join(f"{x:.6f}" for x in cb) + "]"
+        dists.append(
+            f"round(list_reduce(list_transform(range(1, {PQ_DSUB + 1}), "
+            f"i -> (v[{j * PQ_DSUB}+i] - ({lit})[i]) "
+            f"* (v[{j * PQ_DSUB}+i] - ({lit})[i])), (x, y) -> x + y), 6)")
+    return f"list_min([{', '.join(dists)}])"
+
+
+_QUANT_ERR_SQL = f"""
+WITH e AS (
+  SELECT vec_id, {_SQL_VEC} AS v FROM embeddings
+), mm AS (
+  SELECT vec_id, v,
+         list_min(v) AS vmin,
+         CASE WHEN list_max(v) > list_min(v)
+              THEN list_max(v) - list_min(v) ELSE 1.0 END AS scale
+  FROM e
+), err AS (
+  SELECT vec_id,
+         round(list_reduce(list_transform(v,
+             x -> (x - (CAST(CAST(round((x - vmin) / scale * 255.0, 0)
+                                  AS INT) AS DOUBLE) / 255.0 * scale
+                        + vmin))
+                  * (x - (CAST(CAST(round((x - vmin) / scale * 255.0, 0)
+                                    AS INT) AS DOUBLE) / 255.0 * scale
+                          + vmin))),
+             (x, y) -> x + y), 6) AS sq_err,
+         round({" + ".join(_sql_pq_err(j) for j in range(PQ_M))}, 6)
+             AS pq_err
+  FROM mm
+)
+SELECT vec_id, sq_err, pq_err,
+       {DIM + 8} AS sq_bytes, {PQ_M} AS pq_bytes,
+       CASE WHEN sq_err <= pq_err THEN 'sq_int8' ELSE 'pq' END
+           AS lower_distortion
+FROM err
+"""
+
+
 # --------------------------------------------------------------------------
 # SemDeDup: semantic within-cluster deduplication
 # --------------------------------------------------------------------------
@@ -1894,6 +1987,7 @@ SPARK_QUERIES = {
     "emb_ivf_range_search": emb_ivf_range_search,
     "emb_lsh_multiprobe_topk": emb_lsh_multiprobe_topk,
     "emb_pq_codes": emb_pq_codes,
+    "emb_quantization_error": emb_quantization_error,
     "emb_ivf_topk": emb_ivf_topk,
     "emb_label_centroids": emb_label_centroids,
     "emb_lsh_near_dup": emb_lsh_near_dup,
@@ -1920,6 +2014,7 @@ ORACLE_SQL = {
     "emb_ivf_range_search": _IVF_RANGE_SQL,
     "emb_lsh_multiprobe_topk": _MULTIPROBE_SQL,
     "emb_pq_codes": _PQ_SQL,
+    "emb_quantization_error": _QUANT_ERR_SQL,
     "emb_ivf_topk": _IVF_TOPK_SQL,
     "emb_label_centroids": _CENTROIDS_SQL,
     "emb_lsh_near_dup": _LSH_NEAR_DUP_SQL,

@@ -1406,3 +1406,92 @@ def test_abtt_pythagorean_identity_and_narrow_map(spark):
     mean_s = sum(r["projection"] for r in rows) / n
     mean_abs = sum(abs(r["projection"]) for r in rows) / n
     assert abs(mean_s) < 0.05 and mean_abs > 0.05
+
+
+def test_bigram_kn_held_out_backoff_and_preagg(spark):
+    """Kneser-Ney: training-half docs score with zero unseen mass (the
+    LM saw every one of their bigrams); the held-out half genuinely
+    exercises both backoff tiers; log-probs are finite and negative.
+    The probe side keeps the round-3 skew pin (map-side partial
+    aggregate before the count-table joins)."""
+    from ocr_spark.plans.curation import LM_TRAIN_MOD, docs_bigram_kneser_ney
+
+    df = docs_bigram_kneser_ney(spark, SF)
+    assert "partial_sum" in fmt(df).lower()
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r["avg_logprob"] < 0
+        assert 0.0 <= r["unseen_bigram_frac"] <= 1.0
+        assert r["unseen_ctx_frac"] <= r["unseen_bigram_frac"]
+        if r["doc_id"] % LM_TRAIN_MOD == 0:
+            assert r["unseen_bigram_frac"] == 0.0
+            assert r["unseen_ctx_frac"] == 0.0
+    held = [r for r in rows if r["doc_id"] % LM_TRAIN_MOD != 0]
+    assert any(r["unseen_bigram_frac"] > 0 for r in held)
+
+
+def test_span_corruption_plan_is_consistent_and_narrow(spark):
+    """The deterministic corruption plan must be a zero-shuffle narrow
+    map, and per document: spans sorted by id are non-overlapping,
+    inside the token range, sum exactly to n_masked, and the packer
+    budget identities hold (inputs = n - masked + spans; targets =
+    masked + spans + 1)."""
+    from collections import defaultdict
+
+    from ocr_spark.plans.curation import (
+        CORRUPT_MIN_TOKENS, docs_span_corruption,
+    )
+
+    df = docs_span_corruption(spark, SF)
+    assert n_shuffles(fmt(df)) == 0
+    by_doc = defaultdict(list)
+    for r in df.collect():
+        by_doc[r["doc_id"]].append(r)
+    assert by_doc
+    for doc_id, spans in by_doc.items():
+        spans.sort(key=lambda r: r["span_id"])
+        head = spans[0]
+        assert head["n_tokens"] >= CORRUPT_MIN_TOKENS
+        assert len(spans) == head["n_spans"]
+        assert sum(r["span_len"] for r in spans) == head["n_masked"]
+        assert head["inputs_len"] == (head["n_tokens"] - head["n_masked"]
+                                      + head["n_spans"])
+        assert head["targets_len"] == head["n_masked"] + head["n_spans"] + 1
+        prev_end = 0
+        for r in spans:
+            assert r["span_len"] >= 1
+            assert r["start_tok"] >= prev_end
+            prev_end = r["start_tok"] + r["span_len"]
+            assert r["sentinel"] == f"<extra_id_{r['span_id']}>"
+        assert prev_end <= head["n_tokens"]
+
+
+def test_quantization_error_bounds_and_shape(spark):
+    """Distortion report is a zero-shuffle narrow map; int8 scalar
+    error respects its half-step analytic bound per vector
+    (DIM * (scale/255/2 + eps)^2), and on this corpus the 8-byte PQ
+    codec always loses to 72-byte int8 — the size/distortion trade the
+    report exists to show."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.plans.simsearch import (
+        DIM, _vecd, emb_quantization_error, t,
+    )
+
+    df = emb_quantization_error(spark, SF)
+    assert n_shuffles(fmt(df)) == 0
+    scales = {r["vec_id"]: r["s"] for r in (
+        t(spark, SF).select(
+            "vec_id",
+            (F.array_max(_vecd()) - F.array_min(_vecd())).alias("s"))
+        .collect())}
+    rows = df.collect()
+    assert len(rows) == len(scales)
+    for r in rows:
+        assert 0.0 <= r["sq_err"]
+        bound = DIM * (scales[r["vec_id"]] / 255.0 / 2.0 + 1e-9) ** 2
+        assert r["sq_err"] <= bound * 1.001
+        assert r["pq_err"] > r["sq_err"]
+        assert r["lower_distortion"] == "sq_int8"
+        assert r["sq_bytes"] == DIM + 8 and r["pq_bytes"] == 8
