@@ -446,12 +446,138 @@ WHERE NOT EXISTS (SELECT 1 FROM prior p
 """
 
 
+# ---------------------------------------------------------------------------
+# recrawl content-delta estimation
+# ---------------------------------------------------------------------------
+
+DELTA_SHINGLE_W = 3     # token shingle width for the change estimate
+DELTA_MINOR_JAC = 0.5   # >= this Jaccard: a minor edit, not a rewrite
+
+
+def pages_recrawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl content-delta estimation: for every consecutive capture
+    pair of the same URL, the exact token-3-gram Jaccard between the
+    two payloads, classified identical (digest match) / minor_edit
+    (Jaccard >= DELTA_MINOR_JAC) / rewrite. pages_recrawl_priority
+    schedules from the binary changed/unchanged digest signal; this
+    operator grades HOW MUCH changed — the input a crawler needs to
+    distinguish a timestamp-only template tick from a genuine rewrite
+    before spending re-extraction and re-dedup on the capture.
+
+    The capture log extends the shared _capture_log cohorts with a
+    modeled REWRITE class (doc_id % 11 == 3 re-crawled at 2025-04-01
+    with token order reversed: same unigrams, disjoint 3-grams — a
+    worst case the digest alone cannot grade), so all three classes
+    exist in the fixture.
+
+    Scale shape: capture multiplication is the same narrow
+    conditional-array explode as the siblings; shingling is per-row;
+    the ONE shuffle keys captures by url for the lag window. Payload
+    text crosses the exchange once — the honest price of an exact
+    delta; the MinHash families are the cheap approximate path."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rev = F.array_join(
+        F.reverse(F.split(F.trim(F.col("text")), r"\s+")), " ")
+    cap = lambda ts, content: F.struct(  # noqa: E731
+        F.lit(ts).alias("ts14"), content.alias("content"))
+    caps = F.filter(F.array(
+        cap("20250101000000", F.col("text")),
+        F.when((F.col("doc_id") % 5) == 0,
+               cap("20250201000000", F.col("text"))),
+        F.when((F.col("doc_id") % 7) == 0,
+               cap("20250301000000",
+                   F.concat(F.col("text"), F.lit(" [updated]")))),
+        F.when((F.col("doc_id") % 11) == 3, cap("20250401000000", rev)),
+    ), lambda st: st.isNotNull())
+    toks = F.split(F.lower(F.trim(F.col("content"))), r"\s+")
+    sh = F.when(
+        F.size(toks) >= DELTA_SHINGLE_W,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(0), F.size(toks) - DELTA_SHINGLE_W),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, i + 1, DELTA_SHINGLE_W)))),
+    ).otherwise(F.array().cast("array<string>"))
+    capf = (docs.select(_canon_url_col().alias("url"),
+                        F.explode(caps).alias("c"))
+            .select("url", F.col("c.ts14").alias("ts14"),
+                    F.md5("c.content").alias("digest"),
+                    F.col("c.content").alias("content"))
+            .select("url", "ts14", "digest", sh.alias("sh")))
+    w = Window.partitionBy("url").orderBy("ts14")
+    prev_sh = F.lag("sh").over(w)
+    paired = capf.select(
+        "url", F.lag("ts14").over(w).alias("prev_ts14"), "ts14",
+        (F.lag("digest").over(w) == F.col("digest")).alias("identical"),
+        F.size(F.array_intersect("sh", prev_sh)).alias("n_inter"),
+        F.size(F.array_union("sh", prev_sh)).alias("n_union"),
+    ).filter(F.col("prev_ts14").isNotNull())
+    jac = F.when(F.col("n_union") > 0,
+                 F.round(F.col("n_inter") / F.col("n_union"), 4)) \
+           .otherwise(F.lit(1.0))
+    return paired.select(
+        "url", "prev_ts14", "ts14", "identical",
+        jac.alias("jaccard"),
+        F.when(F.col("identical"), F.lit("identical"))
+         .when(jac >= DELTA_MINOR_JAC, F.lit("minor_edit"))
+         .otherwise(F.lit("rewrite")).alias("change_class"))
+
+
+PAGES_RECRAWL_DELTA_SQL = f"""
+WITH caps AS (
+  SELECT {_CANON_URL} AS url, '20250101000000' AS ts14, text AS content
+  FROM documents
+  UNION ALL
+  SELECT {_CANON_URL}, '20250201000000', text
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT {_CANON_URL}, '20250301000000', text || ' [updated]'
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT {_CANON_URL}, '20250401000000',
+         array_to_string(list_reverse(
+             string_split_regex(trim(text), '\\s+')), ' ')
+  FROM documents WHERE doc_id % 11 = 3
+), shing AS (
+  SELECT url, ts14, md5(content) AS digest,
+         CASE WHEN len(t) >= {DELTA_SHINGLE_W}
+              THEN list_distinct(list_transform(
+                  range(1, len(t) - {DELTA_SHINGLE_W - 2}),
+                  i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))
+              ELSE [] END AS sh
+  FROM (SELECT url, ts14, content,
+               string_split_regex(lower(trim(content)), '\\s+') AS t
+        FROM caps)
+), paired AS (
+  SELECT url,
+         lag(ts14) OVER w AS prev_ts14, ts14,
+         lag(digest) OVER w = digest AS identical,
+         len(list_filter(sh,
+             x -> list_contains(lag(sh) OVER w, x))) AS n_inter,
+         len(list_distinct(list_concat(sh, lag(sh) OVER w))) AS n_union
+  FROM shing
+  WINDOW w AS (PARTITION BY url ORDER BY ts14)
+)
+SELECT url, prev_ts14, ts14, identical,
+       CASE WHEN n_union > 0
+            THEN round(n_inter / CAST(n_union AS DOUBLE), 4)
+            ELSE 1.0 END AS jaccard,
+       CASE WHEN identical THEN 'identical'
+            WHEN (CASE WHEN n_union > 0
+                       THEN round(n_inter / CAST(n_union AS DOUBLE), 4)
+                       ELSE 1.0 END) >= {DELTA_MINOR_JAC}
+            THEN 'minor_edit'
+            ELSE 'rewrite' END AS change_class
+FROM paired WHERE prev_ts14 IS NOT NULL
+"""
+
+
 SPARK_QUERIES = {
     "pages_cdx_index": pages_cdx_index,
     "pages_wat_export": pages_wat_export,
     "pages_revisit_records": pages_revisit_records,
     "pages_cdx_merge": pages_cdx_merge,
     "pages_recrawl_priority": pages_recrawl_priority,
+    "pages_recrawl_delta": pages_recrawl_delta,
 }
 
 ORACLE_SQL = {
@@ -460,4 +586,5 @@ ORACLE_SQL = {
     "pages_revisit_records": PAGES_REVISIT_RECORDS_SQL,
     "pages_cdx_merge": PAGES_CDX_MERGE_SQL,
     "pages_recrawl_priority": PAGES_RECRAWL_PRIORITY_SQL,
+    "pages_recrawl_delta": PAGES_RECRAWL_DELTA_SQL,
 }

@@ -1969,6 +1969,109 @@ FROM ranked WHERE rn = 1
 """
 
 
+def emb_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall scorecard — the embedding-side twin of
+    docs_lsh_eval: per query and per index family, recall@k of the
+    TRAINED-IVF probe and the multiprobe-LSH probe against the
+    brute-force cosine truth at the same k (each method judged at its
+    own depth: IVF at IVF_TOPK, LSH at MULTIPROBE_TOPK, both capped by
+    the truth depth TOPK), plus one mean row per method (q_id = -1).
+    This is the per-corpus QA row an ANN serving tier publishes before
+    trusting an index build; BENCH/recall.json plays the sweep role,
+    this query is the oracle-checked spot number.
+
+    Scale shape: the truth side is the one honest brute-force pass
+    (query side broadcasts, corpus streams — already the shape of
+    emb_cosine_topk); everything downstream joins frames of
+    N_QUERIES·k rows, i.e. vanishing next to the scans. At 100 TB the
+    truth pass runs over a fixed sampled query set, exactly as here."""
+    truth = emb_cosine_topk(spark, sf_dir)
+    methods = [
+        ("ivf_trained", emb_ivf_trained_topk(spark, sf_dir), IVF_TOPK),
+        ("lsh_multiprobe", emb_lsh_multiprobe_topk(spark, sf_dir),
+         MULTIPROBE_TOPK),
+    ]
+    outs = []
+    for name, cand_df, k in methods:
+        kk = min(k, TOPK)
+        tr = (truth.filter(F.col("rank") <= kk)
+              .select("q_id", "neighbor_id"))
+        cand = (cand_df.filter(F.col("rank") <= kk)
+                .select("q_id", "neighbor_id"))
+        t_cnt = tr.groupBy("q_id").agg(F.count("*").alias("n_truth"))
+        c_cnt = cand.groupBy("q_id").agg(
+            F.count("*").alias("n_returned"))
+        hits = (cand.join(tr, ["q_id", "neighbor_id"], "left_semi")
+                .groupBy("q_id").agg(F.count("*").alias("n_hits")))
+        per = (t_cnt
+               .join(c_cnt, "q_id", "left")
+               .join(hits, "q_id", "left")
+               .select(
+                   F.lit(name).alias("method"),
+                   F.col("q_id").cast("long").alias("q_id"),
+                   F.coalesce("n_returned", F.lit(0)).cast("long")
+                    .alias("n_returned"),
+                   F.coalesce("n_hits", F.lit(0)).cast("long")
+                    .alias("n_hits"),
+                   F.round(F.coalesce("n_hits", F.lit(0))
+                           / F.col("n_truth"), 4).alias("recall")))
+        mean = per.agg(
+            F.sum("n_returned").alias("n_returned"),
+            F.sum("n_hits").alias("n_hits"),
+            F.round(F.avg("recall"), 4).alias("recall"),
+        ).select(F.lit(name).alias("method"),
+                 F.lit(-1).cast("long").alias("q_id"),
+                 "n_returned", "n_hits", "recall")
+        outs.append(per.unionByName(mean))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _ann_recall_sql() -> str:
+    def method(name: str, method_sql: str, k: int) -> str:
+        kk = min(k, TOPK)
+        return f"""
+{name}_cand AS (
+  SELECT q_id, neighbor_id FROM ({method_sql}) WHERE rank <= {kk}
+), {name}_truth AS (
+  SELECT q_id, neighbor_id FROM truth_all WHERE rank <= {kk}
+), {name}_per AS (
+  SELECT '{name}' AS method, CAST(t.q_id AS BIGINT) AS q_id,
+         CAST(COALESCE(c.n_returned, 0) AS BIGINT) AS n_returned,
+         CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+         round(COALESCE(h.n_hits, 0) / CAST(t.n_truth AS DOUBLE), 4)
+             AS recall
+  FROM (SELECT q_id, COUNT(*) AS n_truth FROM {name}_truth
+        GROUP BY q_id) t
+  LEFT JOIN (SELECT q_id, COUNT(*) AS n_returned FROM {name}_cand
+             GROUP BY q_id) c USING (q_id)
+  LEFT JOIN (SELECT cc.q_id, COUNT(*) AS n_hits
+             FROM {name}_cand cc
+             WHERE EXISTS (SELECT 1 FROM {name}_truth tt
+                           WHERE tt.q_id = cc.q_id
+                             AND tt.neighbor_id = cc.neighbor_id)
+             GROUP BY cc.q_id) h USING (q_id)
+), {name}_mean AS (
+  SELECT '{name}' AS method, CAST(-1 AS BIGINT) AS q_id,
+         CAST(SUM(n_returned) AS BIGINT) AS n_returned,
+         CAST(SUM(n_hits) AS BIGINT) AS n_hits,
+         round(AVG(recall), 4) AS recall
+  FROM {name}_per
+)"""
+    return f"""
+WITH truth_all AS (
+{_COSINE_TOPK_SQL}
+), {method('ivf_trained', _IVF_TRAINED_TOPK_SQL, IVF_TOPK)},
+{method('lsh_multiprobe', _MULTIPROBE_SQL, MULTIPROBE_TOPK)}
+SELECT * FROM ivf_trained_per
+UNION ALL SELECT * FROM ivf_trained_mean
+UNION ALL SELECT * FROM lsh_multiprobe_per
+UNION ALL SELECT * FROM lsh_multiprobe_mean
+"""
+
+
 SPARK_QUERIES = {
     "emb_decontaminate_semantic": emb_decontaminate_semantic,
     "emb_pca_power": emb_pca_power,
@@ -1988,6 +2091,7 @@ SPARK_QUERIES = {
     "emb_lsh_multiprobe_topk": emb_lsh_multiprobe_topk,
     "emb_pq_codes": emb_pq_codes,
     "emb_quantization_error": emb_quantization_error,
+    "emb_ann_recall_eval": emb_ann_recall_eval,
     "emb_ivf_topk": emb_ivf_topk,
     "emb_label_centroids": emb_label_centroids,
     "emb_lsh_near_dup": emb_lsh_near_dup,
@@ -2015,6 +2119,7 @@ ORACLE_SQL = {
     "emb_lsh_multiprobe_topk": _MULTIPROBE_SQL,
     "emb_pq_codes": _PQ_SQL,
     "emb_quantization_error": _QUANT_ERR_SQL,
+    "emb_ann_recall_eval": _ann_recall_sql(),
     "emb_ivf_topk": _IVF_TOPK_SQL,
     "emb_label_centroids": _CENTROIDS_SQL,
     "emb_lsh_near_dup": _LSH_NEAR_DUP_SQL,

@@ -1495,3 +1495,65 @@ def test_quantization_error_bounds_and_shape(spark):
         assert r["pq_err"] > r["sq_err"]
         assert r["lower_distortion"] == "sq_int8"
         assert r["sq_bytes"] == DIM + 8 and r["pq_bytes"] == 8
+
+
+def test_ann_recall_eval_scorecard_consistency(spark):
+    """Both ANN families get per-query rows plus one mean row; hit
+    counts never exceed returns or depth; mean rows are exact sums /
+    averages of the per-query rows; both indexes recover something."""
+    from collections import defaultdict
+
+    from ocr_spark.plans.simsearch import (
+        IVF_TOPK, MULTIPROBE_TOPK, N_QUERIES, TOPK, emb_ann_recall_eval,
+    )
+
+    rows = emb_ann_recall_eval(spark, SF).collect()
+    by_method = defaultdict(list)
+    for r in rows:
+        by_method[r["method"]].append(r)
+    assert set(by_method) == {"ivf_trained", "lsh_multiprobe"}
+    depth = {"ivf_trained": min(IVF_TOPK, TOPK),
+             "lsh_multiprobe": min(MULTIPROBE_TOPK, TOPK)}
+    for method, rs in by_method.items():
+        per = [r for r in rs if r["q_id"] >= 0]
+        means = [r for r in rs if r["q_id"] == -1]
+        assert len(per) == N_QUERIES and len(means) == 1
+        for r in per:
+            assert 0 <= r["n_hits"] <= r["n_returned"] <= depth[method]
+            assert 0.0 <= r["recall"] <= 1.0
+        m = means[0]
+        assert m["n_hits"] == sum(r["n_hits"] for r in per)
+        assert m["n_returned"] == sum(r["n_returned"] for r in per)
+        assert abs(m["recall"]
+                   - sum(r["recall"] for r in per) / len(per)) < 1e-3
+        assert m["recall"] > 0, f"{method} recovered nothing"
+
+
+def test_recrawl_delta_grades_all_three_change_classes(spark):
+    """The delta estimator must grade the modeled cohorts correctly:
+    unchanged recrawls → identical (Jaccard 1), the ' [updated]'
+    append → minor_edit with high-but-<1 Jaccard, the token-reversed
+    rewrite → rewrite with near-zero Jaccard (same unigrams, disjoint
+    3-grams); one url-keyed exchange feeds the lag window."""
+    from ocr_spark.plans.indexing import DELTA_MINOR_JAC, pages_recrawl_delta
+
+    df = pages_recrawl_delta(spark, SF)
+    rows = df.collect()
+    assert rows
+    def did(url):  # doc_id back out of the canonical url
+        return int(url.rsplit("/", 1)[1])
+    for r in rows:
+        d = did(r["url"])
+        if r["ts14"] == "20250201000000":
+            assert r["identical"] and r["change_class"] == "identical"
+            assert r["jaccard"] == 1.0 and d % 5 == 0
+        elif r["ts14"] == "20250301000000":
+            assert not r["identical"] and d % 7 == 0
+            assert r["change_class"] == "minor_edit"
+            assert DELTA_MINOR_JAC <= r["jaccard"] < 1.0
+        elif r["ts14"] == "20250401000000":
+            assert not r["identical"] and d % 11 == 3
+            assert r["change_class"] == "rewrite"
+            assert r["jaccard"] < 0.2
+    classes = {r["change_class"] for r in rows}
+    assert classes == {"identical", "minor_edit", "rewrite"}
