@@ -68,7 +68,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "docs_lsh_eval", "docs_bm25_search", "docs_lang_segments",
     "docs_snapshot_drift", "docs_bigram_kneser_ney",
     "docs_span_corruption", "emb_quantization_error",
-    "emb_ann_recall_eval", "pages_recrawl_delta",
+    "emb_ann_recall_eval", "pages_recrawl_delta", "hosts_cocitation",
     "pages_soft404", "emb_decontaminate_semantic", "docs_script_profile",
     "pages_charset_detect", "pages_sitemap_parse", "mm_phash_near_dup",
     "docs_lexical_diversity", "ev_bot_detection",

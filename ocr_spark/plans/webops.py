@@ -4807,6 +4807,94 @@ FROM m
 """
 
 
+# ---------------------------------------------------------------------------
+# co-citation host similarity
+# ---------------------------------------------------------------------------
+
+COCITE_FANOUT_CAP = 50   # sources linking more distinct hosts than
+                         # this are excluded BEFORE the self-join: a
+                         # directory page linking 10k hosts would mint
+                         # 10k^2/2 pairs — the same pre-join cap
+                         # discipline as LSH_BUCKET_CAP
+COCITE_MIN_SOURCES = 2   # pairs below this co-citation count are noise
+
+
+def hosts_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation similarity over the followed host graph (Small
+    1973, applied to the web per Dean & Henzinger 1999): two hosts are
+    similar when the same sources link BOTH — the signal behind
+    related-site discovery and mirror/spam-farm corroboration, and the
+    complement of hosts_mirror_pairs' content-based view (co-citation
+    sees structure even when payloads differ). Per pair: the number of
+    distinct co-citing source hosts and the Jaccard over the two
+    citing-source sets (n_cocite / (deg_a + deg_b - n_cocite)).
+
+    Scale shape: the edge list is first collapsed to DISTINCT
+    (src, dst) host pairs (host-cardinality frame); sources above
+    COCITE_FANOUT_CAP distinct targets are excluded BEFORE the
+    src-keyed self-join — the pair count is then bounded by
+    cap^2/2 per source instead of fanout^2; citing-degree joins are
+    host-keyed equi-joins on the tiny degree frame."""
+    edges = (_followed_host_edges(spark, sf_dir)
+             .select("src", "dst").distinct())
+    src_deg = edges.groupBy("src").agg(
+        F.count("*").alias("fanout"))
+    bounded = (edges.join(src_deg, "src")
+               .filter(F.col("fanout") <= COCITE_FANOUT_CAP)
+               .select("src", "dst"))
+    deg = bounded.groupBy("dst").agg(F.count("*").alias("deg"))
+    a = bounded.select("src", F.col("dst").alias("host_a"))
+    b = bounded.select("src", F.col("dst").alias("host_b"))
+    pairs = (a.join(b, "src")
+             .filter(F.col("host_a") < F.col("host_b"))
+             .groupBy("host_a", "host_b")
+             .agg(F.count("*").alias("n_cocite"))
+             .filter(F.col("n_cocite") >= COCITE_MIN_SOURCES))
+    da = deg.select(F.col("dst").alias("host_a"),
+                    F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("dst").alias("host_b"),
+                    F.col("deg").alias("deg_b"))
+    out = pairs.join(da, "host_a").join(db, "host_b")
+    jac = (F.col("n_cocite")
+           / (F.col("deg_a") + F.col("deg_b") - F.col("n_cocite")))
+    return out.select("host_a", "host_b", "n_cocite", "deg_a", "deg_b",
+                      F.round(jac, 4).alias("cocite_jaccard"))
+
+
+HOSTS_COCITATION_SQL = f"""
+WITH page_edges AS (
+  SELECT 'site' || CAST(doc_id % 13 AS VARCHAR) || '.example.com' AS src,
+         'partner' || CAST(CASE WHEN doc_id % 13 = 11 THEN 2
+                                ELSE doc_id % 5 END AS VARCHAR)
+           || '.example.org' AS dst
+  FROM documents
+  WHERE doc_id % 17 <> 3
+), edges AS (
+  SELECT DISTINCT src, dst FROM page_edges
+), bounded AS (
+  SELECT src, dst FROM edges
+  WHERE src IN (SELECT src FROM edges GROUP BY src
+                HAVING COUNT(*) <= {COCITE_FANOUT_CAP})
+), deg AS (
+  SELECT dst, CAST(COUNT(*) AS BIGINT) AS deg FROM bounded GROUP BY dst
+), pairs AS (
+  SELECT a.dst AS host_a, b.dst AS host_b,
+         CAST(COUNT(*) AS BIGINT) AS n_cocite
+  FROM bounded a JOIN bounded b
+    ON a.src = b.src AND a.dst < b.dst
+  GROUP BY a.dst, b.dst
+  HAVING COUNT(*) >= {COCITE_MIN_SOURCES}
+)
+SELECT host_a, host_b, n_cocite,
+       da.deg AS deg_a, db.deg AS deg_b,
+       round(n_cocite / CAST(da.deg + db.deg - n_cocite AS DOUBLE), 4)
+           AS cocite_jaccard
+FROM pairs
+JOIN deg da ON da.dst = pairs.host_a
+JOIN deg db ON db.dst = pairs.host_b
+"""
+
+
 SPARK_QUERIES = {
     "pages_outlinks": pages_outlinks,
     "pages_host_outdegree": pages_host_outdegree,
@@ -4827,6 +4915,7 @@ SPARK_QUERIES = {
     "docs_host_cap": docs_host_cap,
     "docs_vocab_novelty": docs_vocab_novelty,
     "docs_snapshot_drift": docs_snapshot_drift,
+    "hosts_cocitation": hosts_cocitation,
     "pages_robots_txt_gate": pages_robots_txt_gate,
     "pages_wet_export": pages_wet_export,
     "pages_pii_scan": pages_pii_scan,
@@ -4889,6 +4978,7 @@ ORACLE_SQL = {
     "docs_host_cap": DOCS_HOST_CAP_SQL,
     "docs_vocab_novelty": DOCS_VOCAB_NOVELTY_SQL,
     "docs_snapshot_drift": DOCS_SNAPSHOT_DRIFT_SQL,
+    "hosts_cocitation": HOSTS_COCITATION_SQL,
     "pages_robots_txt_gate": _robots_txt_gate_sql(),
     "pages_wet_export": PAGES_WET_EXPORT_SQL,
     "pages_pii_scan": PAGES_PII_SQL,

@@ -1007,3 +1007,31 @@ def test_snapshot_drift_signal_and_shape(spark):
     assert abs(sum(r["share_delta"] for r in langs)) < 1e-3
     assert al["share_delta"] <= sum(
         abs(r["share_delta"]) for r in langs) / 2 + 1e-3
+
+
+def test_cocitation_cap_guards_pair_blowup(spark, tmp_path):
+    """A directory host linking more than COCITE_FANOUT_CAP targets
+    must contribute ZERO pairs (capped out before the self-join), while
+    normal sources still co-cite; Jaccard identities hold on the real
+    fixture output."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.plans.webops import (
+        COCITE_FANOUT_CAP, hosts_cocitation,
+    )
+
+    rows = hosts_cocitation(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["host_a"] < r["host_b"]
+        assert r["n_cocite"] >= 2
+        assert r["n_cocite"] <= min(r["deg_a"], r["deg_b"])
+        expect = r["n_cocite"] / (r["deg_a"] + r["deg_b"] - r["n_cocite"])
+        assert abs(r["cocite_jaccard"] - expect) < 1e-3
+    # the fixture's partner hosts are co-cited by many site hosts
+    assert any(r["n_cocite"] >= 5 for r in rows)
+    # structural gate: the fanout cap aggregate sits below the
+    # pair-join in the optimized plan (no uncapped self-join path)
+    plan = hosts_cocitation(spark, SF)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert str(COCITE_FANOUT_CAP) in plan
