@@ -2072,6 +2072,172 @@ UNION ALL SELECT * FROM lsh_multiprobe_mean
 """
 
 
+# --------------------------------------------------------------------------
+# contrastive hard-negative mining + label-based retrieval eval
+# --------------------------------------------------------------------------
+
+HARDNEG_K = 5   # hardest negatives kept per anchor
+
+
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (DPR, Karpukhin
+    et al. 2020; SimCSE): per anchor (the demo query set), the
+    HARDNEG_K highest-cosine corpus vectors whose label DIFFERS from
+    the anchor's — the near-misses that make an embedding model learn
+    boundaries, mined exactly the way a retrieval-training pipeline
+    does it (bulk ANN pass, keep top non-positives). Same plan as
+    emb_cosine_topk with one extra broadcast-side column and a
+    label-mismatch predicate pushed into the join.
+
+    Scale shape: anchors broadcast, corpus streams through one
+    BroadcastNestedLoopJoin scan; per-anchor ranking windows run over
+    k-bounded frames. Production replaces the brute-force scan with
+    any of the repo's ANN probes — the downstream shape is unchanged."""
+    emb = t(spark, sf_dir).select(
+        "vec_id", "label", _vecd().alias("v")
+    ).withColumn("nrm", _norm(F.col("v")))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("q_label"),
+        F.col("v").alias("qv"), F.col("nrm").alias("qn"))
+    j = emb.join(F.broadcast(q),
+                 (F.col("vec_id") != F.col("q_id"))
+                 & (F.col("label") != F.col("q_label")))
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    scored = j.select("q_id", "q_label",
+                      F.col("vec_id").alias("neg_id"),
+                      F.col("label").alias("neg_label"),
+                      F.round(cos, 6).alias("cos6"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos6"),
+                                           F.asc("neg_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= HARDNEG_K)
+            .select("q_id", "q_label", "neg_id", "neg_label",
+                    F.round("cos6", 4).alias("cos_sim"), "rank"))
+
+
+_HARDNEG_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, {_SQL_VEC} AS v FROM embeddings
+), n AS (
+  SELECT vec_id, label, v, {_sql_norm('v')} AS nrm FROM e
+), q AS (
+  SELECT vec_id AS q_id, label AS q_label, v AS qv, nrm AS qn
+  FROM n WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q.q_id, q.q_label, n.vec_id AS neg_id, n.label AS neg_label,
+         ROUND({_sql_dot('q.qv', 'n.v')} / (q.qn * n.nrm), 6) AS cos6
+  FROM q, n
+  WHERE n.vec_id <> q.q_id AND n.label <> q.q_label
+), ranked AS (
+  SELECT q_id, q_label, neg_id, neg_label, cos6,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cos6 DESC, neg_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, q_label, neg_id, neg_label,
+       ROUND(cos6, 4) AS cos_sim, rank
+FROM ranked WHERE rank <= {HARDNEG_K}
+"""
+
+
+RETRIEVAL_P_AT = 5   # precision depth for the label-retrieval eval
+
+
+def emb_label_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality retrieval eval with labels as relevance
+    (the BEIR/MTEB protocol shrunk to the corpus's own cluster
+    labels): per query, the reciprocal rank of the FIRST same-label
+    neighbor and precision@RETRIEVAL_P_AT over the cosine ranking,
+    plus one mean row (q_id = -1) carrying MRR and mean P@k — the
+    number that decides whether an embedding build is good enough to
+    index before any ANN tuning starts.
+
+    Scale shape: one brute-force pass (queries broadcast, corpus
+    streams); the ranking window is per-query; the rollup is
+    N_QUERIES rows. At 100 TB the eval runs over a fixed sampled
+    query set against the full corpus — the same plan."""
+    emb = t(spark, sf_dir).select(
+        "vec_id", "label", _vecd().alias("v")
+    ).withColumn("nrm", _norm(F.col("v")))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("q_label"),
+        F.col("v").alias("qv"), F.col("nrm").alias("qn"))
+    j = emb.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    scored = j.select(
+        "q_id",
+        (F.col("label") == F.col("q_label")).alias("relevant"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cos, 6).alias("cos6"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos6"),
+                                           F.asc("neighbor_id"))
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    per = (ranked.groupBy("q_id")
+           .agg(F.min(F.when(F.col("relevant"), F.col("rank")))
+                 .alias("first_rel_rank"),
+                F.sum(F.when(F.col("relevant")
+                             & (F.col("rank") <= RETRIEVAL_P_AT), 1)
+                       .otherwise(0)).cast("long").alias("n_rel_at_k"))
+           .select(F.col("q_id").cast("long").alias("q_id"),
+                   F.coalesce("first_rel_rank", F.lit(0)).cast("long")
+                    .alias("first_rel_rank"),
+                   "n_rel_at_k",
+                   F.round(F.when(F.col("first_rel_rank").isNotNull(),
+                                  1.0 / F.col("first_rel_rank"))
+                            .otherwise(F.lit(0.0)), 4)
+                    .alias("reciprocal_rank"),
+                   F.round(F.col("n_rel_at_k") / RETRIEVAL_P_AT, 4)
+                    .alias("p_at_k")))
+    mean = per.agg(
+        F.sum("n_rel_at_k").alias("n_rel_at_k"),
+        F.round(F.avg("reciprocal_rank"), 4).alias("reciprocal_rank"),
+        F.round(F.avg("p_at_k"), 4).alias("p_at_k"),
+    ).select(F.lit(-1).cast("long").alias("q_id"),
+             F.lit(0).cast("long").alias("first_rel_rank"),
+             "n_rel_at_k", "reciprocal_rank", "p_at_k")
+    return per.unionByName(mean)
+
+
+_LABEL_RETRIEVAL_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, {_SQL_VEC} AS v FROM embeddings
+), n AS (
+  SELECT vec_id, label, v, {_sql_norm('v')} AS nrm FROM e
+), q AS (
+  SELECT vec_id AS q_id, label AS q_label, v AS qv, nrm AS qn
+  FROM n WHERE vec_id < {N_QUERIES}
+), ranked AS (
+  SELECT q.q_id, (n.label = q.q_label) AS relevant,
+         ROW_NUMBER() OVER (
+             PARTITION BY q.q_id
+             ORDER BY ROUND({_sql_dot('q.qv', 'n.v')}
+                            / (q.qn * n.nrm), 6) DESC,
+                      n.vec_id ASC) AS rank
+  FROM q, n WHERE n.vec_id <> q.q_id
+), per AS (
+  SELECT CAST(q_id AS BIGINT) AS q_id,
+         CAST(COALESCE(MIN(CASE WHEN relevant THEN rank END), 0)
+              AS BIGINT) AS first_rel_rank,
+         CAST(SUM(CASE WHEN relevant AND rank <= {RETRIEVAL_P_AT}
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_at_k,
+         round(CASE WHEN MIN(CASE WHEN relevant THEN rank END)
+                        IS NOT NULL
+                    THEN 1.0 / MIN(CASE WHEN relevant THEN rank END)
+                    ELSE 0.0 END, 4) AS reciprocal_rank,
+         round(SUM(CASE WHEN relevant AND rank <= {RETRIEVAL_P_AT}
+                   THEN 1 ELSE 0 END)
+               / CAST({RETRIEVAL_P_AT} AS DOUBLE), 4) AS p_at_k
+  FROM ranked GROUP BY q_id
+)
+SELECT * FROM per
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT),
+       CAST(SUM(n_rel_at_k) AS BIGINT),
+       round(AVG(reciprocal_rank), 4), round(AVG(p_at_k), 4)
+FROM per
+"""
+
+
 SPARK_QUERIES = {
     "emb_decontaminate_semantic": emb_decontaminate_semantic,
     "emb_pca_power": emb_pca_power,
@@ -2092,6 +2258,8 @@ SPARK_QUERIES = {
     "emb_pq_codes": emb_pq_codes,
     "emb_quantization_error": emb_quantization_error,
     "emb_ann_recall_eval": emb_ann_recall_eval,
+    "emb_hard_negatives": emb_hard_negatives,
+    "emb_label_retrieval_eval": emb_label_retrieval_eval,
     "emb_ivf_topk": emb_ivf_topk,
     "emb_label_centroids": emb_label_centroids,
     "emb_lsh_near_dup": emb_lsh_near_dup,
@@ -2120,6 +2288,8 @@ ORACLE_SQL = {
     "emb_pq_codes": _PQ_SQL,
     "emb_quantization_error": _QUANT_ERR_SQL,
     "emb_ann_recall_eval": _ann_recall_sql(),
+    "emb_hard_negatives": _HARDNEG_SQL,
+    "emb_label_retrieval_eval": _LABEL_RETRIEVAL_SQL,
     "emb_ivf_topk": _IVF_TOPK_SQL,
     "emb_label_centroids": _CENTROIDS_SQL,
     "emb_lsh_near_dup": _LSH_NEAR_DUP_SQL,

@@ -1557,3 +1557,54 @@ def test_recrawl_delta_grades_all_three_change_classes(spark):
             assert r["jaccard"] < 0.2
     classes = {r["change_class"] for r in rows}
     assert classes == {"identical", "minor_edit", "rewrite"}
+
+
+def test_hard_negatives_exclude_positives_and_broadcast(spark):
+    """Every mined negative carries a label different from its
+    anchor's; ranks are dense per anchor; cosines non-increasing; the
+    corpus side streams through a broadcast join (no corpus shuffle)."""
+    from collections import defaultdict
+
+    from ocr_spark.plans.simsearch import (
+        HARDNEG_K, N_QUERIES, emb_hard_negatives,
+    )
+
+    df = emb_hard_negatives(spark, SF)
+    assert "BroadcastNestedLoopJoin" in fmt(df)
+    by_q = defaultdict(list)
+    for r in df.collect():
+        assert r["neg_label"] != r["q_label"]
+        by_q[r["q_id"]].append(r)
+    assert len(by_q) == N_QUERIES
+    for rs in by_q.values():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, HARDNEG_K + 1))
+        sims = [r["cos_sim"] for r in rs]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_label_retrieval_eval_identities(spark):
+    """Per-query rows obey rr = 1/first_rel_rank and p@k = hits/k; the
+    mean row is the exact average; on the clustered fixture the
+    embedding must retrieve its own label above chance."""
+    from ocr_spark.plans.simsearch import (
+        N_QUERIES, RETRIEVAL_P_AT, emb_label_retrieval_eval,
+    )
+
+    rows = emb_label_retrieval_eval(spark, SF).collect()
+    per = [r for r in rows if r["q_id"] >= 0]
+    mean = [r for r in rows if r["q_id"] == -1]
+    assert len(per) == N_QUERIES and len(mean) == 1
+    for r in per:
+        if r["first_rel_rank"] > 0:
+            assert abs(r["reciprocal_rank"]
+                       - 1.0 / r["first_rel_rank"]) < 1e-3
+        else:
+            assert r["reciprocal_rank"] == 0.0
+        assert abs(r["p_at_k"]
+                   - r["n_rel_at_k"] / RETRIEVAL_P_AT) < 1e-3
+    m = mean[0]
+    assert m["n_rel_at_k"] == sum(r["n_rel_at_k"] for r in per)
+    assert abs(m["reciprocal_rank"]
+               - sum(r["reciprocal_rank"] for r in per) / len(per)) < 1e-3
+    assert m["reciprocal_rank"] > 0
