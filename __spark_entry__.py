@@ -70,6 +70,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "docs_span_corruption", "emb_quantization_error",
     "emb_ann_recall_eval", "pages_recrawl_delta", "hosts_cocitation",
     "emb_hard_negatives", "emb_label_retrieval_eval",
+    "docs_code_detect", "docs_toxicity_score", "shards_skew_report",
     "pages_soft404", "emb_decontaminate_semantic", "docs_script_profile",
     "pages_charset_detect", "pages_sitemap_parse", "mm_phash_near_dup",
     "docs_lexical_diversity", "ev_bot_detection",

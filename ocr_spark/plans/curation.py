@@ -2274,6 +2274,71 @@ FROM j
 """
 
 
+def shards_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-balance QA over the token-budget packing: per (lang,
+    shard) the doc/token loads, plus one summary row per language with
+    the max/mean token-load ratio (the skew number) and the count of
+    underfull shards — the health check a pipeline publishes before
+    handing shards to trainers, because one hot shard sets the epoch's
+    wall-clock exactly the way one hot Spark partition sets a stage's.
+    Summary rows carry shard_id = -1.
+
+    Scale shape: reuses docs_token_shards' per-language window, then
+    ONE partial-agg groupBy (lang, shard_id) — vocabulary-of-shards
+    sized — and a |langs|-row rollup."""
+    shards = docs_token_shards(spark, sf_dir)
+    per = (shards.groupBy("lang", "shard_id")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("n_tokens").alias("n_tokens")))
+    roll = (per.groupBy("lang")
+            .agg(F.count("*").alias("n_shards"),
+                 F.sum("n_docs").alias("total_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.max("n_tokens").alias("max_tokens"),
+                 (F.sum("n_tokens") / F.count("*")).alias("mean_tok"),
+                 F.sum(((F.col("n_tokens")
+                         < int(SHARD_TOKEN_BUDGET * 0.5))).cast("long"))
+                  .alias("n_underfull")))
+    lang_rows = per.select(
+        "lang", "shard_id",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.lit(None).cast("double").alias("skew_ratio"),
+        F.lit(None).cast("long").alias("n_underfull"))
+    summary = roll.select(
+        "lang", F.lit(-1).cast("int").alias("shard_id"),
+        F.col("total_docs").cast("long").alias("n_docs"),
+        F.col("total_tokens").cast("long").alias("n_tokens"),
+        F.round(F.col("max_tokens") / F.col("mean_tok"), 4)
+         .alias("skew_ratio"),
+        F.col("n_underfull").cast("long").alias("n_underfull"))
+    return lang_rows.unionByName(summary)
+
+
+SHARDS_SKEW_REPORT_SQL = f"""
+WITH shards AS (
+{TOKEN_SHARDS_SQL}
+), per AS (
+  SELECT lang, shard_id,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+  FROM shards GROUP BY lang, shard_id
+)
+SELECT lang, shard_id, n_docs, n_tokens,
+       CAST(NULL AS DOUBLE) AS skew_ratio,
+       CAST(NULL AS BIGINT) AS n_underfull
+FROM per
+UNION ALL
+SELECT lang, CAST(-1 AS INT), CAST(SUM(n_docs) AS BIGINT),
+       CAST(SUM(n_tokens) AS BIGINT),
+       round(MAX(n_tokens)
+             / (SUM(n_tokens) / CAST(COUNT(*) AS DOUBLE)), 4),
+       CAST(SUM(CASE WHEN n_tokens < {int(SHARD_TOKEN_BUDGET * 0.5)}
+                THEN 1 ELSE 0 END) AS BIGINT)
+FROM per GROUP BY lang
+"""
+
+
 SPARK_QUERIES = {
     "docs_dsir_weights": docs_dsir_weights,
     "docs_training_order": docs_training_order,
@@ -2284,6 +2349,7 @@ SPARK_QUERIES = {
     "docs_span_corruption": docs_span_corruption,
     "docs_sample_stratified": docs_sample_stratified,
     "docs_token_shards": docs_token_shards,
+    "shards_skew_report": shards_skew_report,
     "docs_seq_pack": docs_seq_pack,
     "docs_classifier_score": docs_classifier_score,
     "docs_decontaminate": docs_decontaminate,
@@ -2317,6 +2383,7 @@ ORACLE_SQL = {
     "docs_span_corruption": SPAN_CORRUPTION_SQL,
     "docs_sample_stratified": SAMPLE_STRATIFIED_SQL,
     "docs_token_shards": TOKEN_SHARDS_SQL,
+    "shards_skew_report": SHARDS_SKEW_REPORT_SQL,
     "docs_seq_pack": SEQ_PACK_SQL,
     "docs_classifier_score": _classifier_sql(),
     "docs_decontaminate": DECONTAMINATE_SQL,

@@ -3018,6 +3018,96 @@ FROM lg
 """
 
 
+# --------------------------------------------------------------------------
+# code-vs-prose routing (pretraining-mix triage)
+# --------------------------------------------------------------------------
+
+CODE_MOD = 9          # every CODE_MOD-th doc (% == 4) carries the
+                      # modeled code block (role-split device)
+CODE_SYM_MIN = 0.05   # symbol chars per char above this → code-ish
+CODE_KW_MIN = 3       # language-keyword hits above this → code-ish
+_CODE_BLOCK = ("def f0(x): return x * 2; "
+               "def f1(y): return y + 1; "
+               "for i in range(10): total += f0(i) "
+               "if total > 0 else f1(i); "
+               "while not done: queue.pop(); "
+               "class C: pass; import os; return C()")
+_CODE_KEYWORDS = ("def", "return", "import", "class", "for", "while",
+                  "if", "else")
+
+
+def docs_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose routing: the triage that decides whether a page
+    goes to the code pipeline (different dedup granularity, different
+    quality rules, its own mixture bucket) or the text pipeline —
+    every pretraining corpus build runs this split before anything
+    else touches the document. Signals: symbol-character density
+    ({}();=<>[] per char), language-keyword hits, and the both-ways
+    vote is_code = symbols above CODE_SYM_MIN AND keywords above
+    CODE_KW_MIN (either alone misfires: math-heavy prose has symbols,
+    a tutorial MENTIONS 'if' and 'class').
+
+    The prose fixture models the code cohort in-plan (the
+    docs_encoding_repair role-split device): every CODE_MOD-th doc's
+    payload is REPLACED by a deterministic code block (a code page's
+    content IS code) that must flip both signals; on a real crawl the
+    text column is the input unchanged.
+
+    Scale shape: zero shuffle — regexp counts and a token filter per
+    row, no explode, no join."""
+    docs = t(spark, sf_dir, "documents")
+    wild = F.when(F.col("doc_id") % CODE_MOD == 4,
+                  F.lit(_CODE_BLOCK)).otherwise(F.col("text"))
+    n_chars = F.length(wild)
+    n_sym = (n_chars - F.length(F.regexp_replace(
+        wild, r"[{}();=<>\[\]]", "")))
+    toks = F.split(F.lower(F.trim(wild)), r"\s+")
+    kw = F.size(F.filter(toks, lambda x: x.isin(*_CODE_KEYWORDS)))
+    sym_frac = F.round(n_sym / n_chars, 4)
+    return docs.select(
+        "doc_id",
+        (F.col("doc_id") % CODE_MOD == 4).alias("modeled_code"),
+        n_chars.cast("long").alias("n_chars"),
+        n_sym.cast("long").alias("n_symbol_chars"),
+        sym_frac.alias("symbol_frac"),
+        kw.cast("long").alias("n_keywords"),
+        ((sym_frac > CODE_SYM_MIN) & (kw > CODE_KW_MIN))
+         .alias("is_code"))
+
+
+def _code_detect_sql() -> str:
+    kws = ", ".join(f"'{k}'" for k in _CODE_KEYWORDS)
+    return f"""
+WITH wild AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {CODE_MOD} = 4
+              THEN '{_CODE_BLOCK}' ELSE text END AS wtext
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(length(wtext) AS BIGINT) AS n_chars,
+         CAST(length(wtext)
+              - length(regexp_replace(wtext, '[{{}}();=<>\\[\\]]',
+                                      '', 'g')) AS BIGINT)
+             AS n_symbol_chars,
+         CAST(len(list_filter(
+             string_split_regex(lower(trim(wtext)), '\\s+'),
+             x -> x IN ({kws}))) AS BIGINT) AS n_keywords
+  FROM wild
+)
+SELECT doc_id,
+       doc_id % {CODE_MOD} = 4 AS modeled_code,
+       n_chars, n_symbol_chars,
+       round(n_symbol_chars / CAST(n_chars AS DOUBLE), 4)
+           AS symbol_frac,
+       n_keywords,
+       round(n_symbol_chars / CAST(n_chars AS DOUBLE), 4)
+           > {CODE_SYM_MIN}
+         AND n_keywords > {CODE_KW_MIN} AS is_code
+FROM m
+"""
+
+
 SPARK_QUERIES = {
     "docs_script_profile": docs_script_profile,
     "docs_lexical_diversity": docs_lexical_diversity,
@@ -3054,6 +3144,7 @@ SPARK_QUERIES = {
     "docs_lsh_eval": docs_lsh_eval,
     "docs_bm25_search": docs_bm25_search,
     "docs_lang_segments": docs_lang_segments,
+    "docs_code_detect": docs_code_detect,
 }
 
 ORACLE_SQL = {
@@ -3092,4 +3183,5 @@ ORACLE_SQL = {
     "docs_lsh_eval": _LSH_EVAL_SQL,
     "docs_bm25_search": _bm25_sql(),
     "docs_lang_segments": _lang_segments_sql(),
+    "docs_code_detect": _code_detect_sql(),
 }

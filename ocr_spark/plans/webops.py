@@ -4895,6 +4895,83 @@ JOIN deg db ON db.dst = pairs.host_b
 """
 
 
+# ---------------------------------------------------------------------------
+# graded toxicity scoring (the report beside the binary blocklist gate)
+# ---------------------------------------------------------------------------
+
+TOX_LEXICON = {"slow": 1, "stale": 2, "skew": 3}   # term -> severity
+                      # (stand-in terms that exist in the synthetic
+                      # corpus, exactly like BAD_WORDS; a real lexicon
+                      # is a data swap through the same plan shape)
+TOX_MILD_PER_KT = 5.0    # severity mass per 1k tokens: mild above this
+TOX_TOXIC_PER_KT = 20.0  # toxic above this
+
+
+def docs_toxicity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded toxicity report — the severity-weighted companion to
+    docs_blocklist_filter's binary gate: per document, lexicon hits
+    weighted by severity, normalized per 1k tokens, bucketed
+    none/mild/toxic. Production corpus cards (Gopher, PaLM) report the
+    toxicity DISTRIBUTION, not just a drop count, because the mild
+    band is a mixture-weighting input rather than a filter.
+
+    Scale shape: zero shuffle — the lexicon is a plan-literal CASE
+    over the token array (at real lexicon sizes it becomes the same
+    broadcast weight table as docs_classifier_score); severity mass is
+    a per-row fold."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n = F.size(toks)
+    sev = F.lit(0)
+    for term, w in TOX_LEXICON.items():
+        sev = sev + w * F.size(F.filter(toks, _tox_eq(term)))
+    hits = F.size(F.filter(
+        toks, lambda x: x.isin(*tuple(TOX_LEXICON))))
+    per_kt = F.round(sev * 1000.0 / n, 4)
+    return docs.select(
+        "doc_id", "lang",
+        n.cast("long").alias("n_tokens"),
+        hits.cast("long").alias("n_hits"),
+        sev.cast("long").alias("severity_mass"),
+        per_kt.alias("severity_per_kt"),
+        F.when(per_kt > TOX_TOXIC_PER_KT, F.lit("toxic"))
+         .when(per_kt > TOX_MILD_PER_KT, F.lit("mild"))
+         .otherwise(F.lit("none")).alias("tox_bucket"))
+
+
+def _tox_eq(term: str):
+    return lambda x: x == F.lit(term)
+
+
+def _toxicity_sql() -> str:
+    sev = " + ".join(
+        f"{w} * len(list_filter(t, x -> x = '{term}'))"
+        for term, w in TOX_LEXICON.items())
+    terms = ", ".join(f"'{term}'" for term in TOX_LEXICON)
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang,
+         string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents
+), m AS (
+  SELECT doc_id, lang,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(t, x -> x IN ({terms}))) AS BIGINT)
+             AS n_hits,
+         CAST({sev} AS BIGINT) AS severity_mass
+  FROM base
+)
+SELECT doc_id, lang, n_tokens, n_hits, severity_mass,
+       round(severity_mass * 1000.0 / n_tokens, 4) AS severity_per_kt,
+       CASE WHEN round(severity_mass * 1000.0 / n_tokens, 4)
+                 > {TOX_TOXIC_PER_KT} THEN 'toxic'
+            WHEN round(severity_mass * 1000.0 / n_tokens, 4)
+                 > {TOX_MILD_PER_KT} THEN 'mild'
+            ELSE 'none' END AS tox_bucket
+FROM m
+"""
+
+
 SPARK_QUERIES = {
     "pages_outlinks": pages_outlinks,
     "pages_host_outdegree": pages_host_outdegree,
@@ -4916,6 +4993,7 @@ SPARK_QUERIES = {
     "docs_vocab_novelty": docs_vocab_novelty,
     "docs_snapshot_drift": docs_snapshot_drift,
     "hosts_cocitation": hosts_cocitation,
+    "docs_toxicity_score": docs_toxicity_score,
     "pages_robots_txt_gate": pages_robots_txt_gate,
     "pages_wet_export": pages_wet_export,
     "pages_pii_scan": pages_pii_scan,
@@ -4979,6 +5057,7 @@ ORACLE_SQL = {
     "docs_vocab_novelty": DOCS_VOCAB_NOVELTY_SQL,
     "docs_snapshot_drift": DOCS_SNAPSHOT_DRIFT_SQL,
     "hosts_cocitation": HOSTS_COCITATION_SQL,
+    "docs_toxicity_score": _toxicity_sql(),
     "pages_robots_txt_gate": _robots_txt_gate_sql(),
     "pages_wet_export": PAGES_WET_EXPORT_SQL,
     "pages_pii_scan": PAGES_PII_SQL,

@@ -382,3 +382,23 @@ def test_lang_segments_detects_modeled_multilingual(spark):
         exp = max(order, key=lambda lg: (counts[lg], -order.index(lg)))
         exp = exp if counts[exp] > 0 else "und"
         assert r["majority_lang"] == exp, (r["doc_id"], langs)
+
+
+def test_code_detect_routes_modeled_cohort_only(spark):
+    """Every modeled code doc must flip is_code; no prose doc may
+    (the corpus is prose by construction); signals agree with the
+    vote; zero-shuffle plan."""
+    from ocr_spark.plans.dataops import (
+        CODE_KW_MIN, CODE_MOD, CODE_SYM_MIN, docs_code_detect,
+    )
+    from tests.test_webops import fmt, n_shuffles
+
+    df = docs_code_detect(spark, "/root/testdata/sf0.01")
+    assert n_shuffles(fmt(df)) == 0
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r["modeled_code"] == (r["doc_id"] % CODE_MOD == 4)
+        assert r["is_code"] == ((r["symbol_frac"] > CODE_SYM_MIN)
+                                and (r["n_keywords"] > CODE_KW_MIN))
+        assert r["is_code"] == r["modeled_code"]

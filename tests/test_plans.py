@@ -1608,3 +1608,33 @@ def test_label_retrieval_eval_identities(spark):
     assert abs(m["reciprocal_rank"]
                - sum(r["reciprocal_rank"] for r in per) / len(per)) < 1e-3
     assert m["reciprocal_rank"] > 0
+
+
+def test_shards_skew_report_identities(spark):
+    """Summary rows aggregate the per-shard rows exactly; skew ratio
+    >= 1; underfull counts only sub-half-budget shards."""
+    from collections import defaultdict
+
+    from ocr_spark.plans.curation import (
+        SHARD_TOKEN_BUDGET, shards_skew_report,
+    )
+
+    rows = shards_skew_report(spark, SF).collect()
+    per = defaultdict(list)
+    summ = {}
+    for r in rows:
+        if r["shard_id"] == -1:
+            summ[r["lang"]] = r
+        else:
+            per[r["lang"]].append(r)
+    assert set(per) == set(summ)
+    for lang, rs in per.items():
+        s = summ[lang]
+        assert s["n_docs"] == sum(r["n_docs"] for r in rs)
+        assert s["n_tokens"] == sum(r["n_tokens"] for r in rs)
+        mean = s["n_tokens"] / len(rs)
+        assert abs(s["skew_ratio"]
+                   - max(r["n_tokens"] for r in rs) / mean) < 1e-3
+        assert s["skew_ratio"] >= 1.0
+        assert s["n_underfull"] == sum(
+            r["n_tokens"] < SHARD_TOKEN_BUDGET * 0.5 for r in rs)

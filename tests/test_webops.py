@@ -1035,3 +1035,26 @@ def test_cocitation_cap_guards_pair_blowup(spark, tmp_path):
     plan = hosts_cocitation(spark, SF)._jdf.queryExecution() \
         .optimizedPlan().toString()
     assert str(COCITE_FANOUT_CAP) in plan
+
+
+def test_toxicity_buckets_and_severity_identity(spark):
+    """severity_mass is the exact weighted hit sum; buckets follow the
+    per-1k thresholds; the graded report agrees with the binary
+    blocklist gate on what a hit is (n_hits identical per doc)."""
+    from ocr_spark.plans.webops import (
+        TOX_MILD_PER_KT, TOX_TOXIC_PER_KT, docs_blocklist_filter,
+        docs_toxicity_score,
+    )
+
+    tox = {r["doc_id"]: r for r in docs_toxicity_score(spark, SF).collect()}
+    gate = {r["doc_id"]: r for r in
+            docs_blocklist_filter(spark, SF).collect()}
+    assert set(tox) == set(gate)
+    for d, r in tox.items():
+        assert r["n_hits"] == gate[d]["n_bad_tokens"]
+        assert r["severity_mass"] >= r["n_hits"]
+        per_kt = r["severity_per_kt"]
+        exp = ("toxic" if per_kt > TOX_TOXIC_PER_KT
+               else "mild" if per_kt > TOX_MILD_PER_KT else "none")
+        assert r["tox_bucket"] == exp
+    assert {r["tox_bucket"] for r in tox.values()} >= {"none"}
