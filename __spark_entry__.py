@@ -65,6 +65,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "ev_retention_cohorts", "docs_new_vs_snapshot",
     "docs_repetition_metrics", "docs_substring_dup_coverage",
     # this session's additions (never driver-checked by definition)
+    "pages_wrap_digest", "pages_html_features", "docs_quality_rrf",
     "docs_lsh_eval", "docs_bm25_search", "docs_lang_segments",
     "docs_snapshot_drift", "docs_bigram_kneser_ney",
     "docs_span_corruption", "emb_quantization_error",
@@ -149,7 +150,7 @@ def _reorder(out: dict) -> dict:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 / §7.8."""
     from ocr_spark.plans import (
-        curation, dataops, extract_queries, indexing, linkrank,
+        curation, dataops, extract_queries, htmlfeat, indexing, linkrank,
         multimodal_queries, queries as q, relational_extra, simsearch,
         sketches, tpch_rest, webops,
     )
@@ -167,13 +168,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(indexing.SPARK_QUERIES)
     out.update(sketches.SPARK_QUERIES)
     out.update(linkrank.SPARK_QUERIES)
+    out.update(htmlfeat.SPARK_QUERIES)
     return _reorder(out)
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (same column names/aliases)."""
     from ocr_spark.plans import (
-        curation, dataops, extract_queries, indexing, linkrank,
+        curation, dataops, extract_queries, htmlfeat, indexing, linkrank,
         multimodal_queries, queries as q, relational_extra, simsearch,
         sketches, tpch_rest, webops,
     )
@@ -191,4 +193,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(indexing.ORACLE_SQL)
     out.update(sketches.ORACLE_SQL)
     out.update(linkrank.ORACLE_SQL)
+    out.update(htmlfeat.ORACLE_SQL)
     return _reorder(out)

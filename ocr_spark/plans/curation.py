@@ -2339,7 +2339,105 @@ FROM per GROUP BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# reciprocal-rank-fusion quality ensemble
+# ---------------------------------------------------------------------------
+
+RRF_K = 60        # the standard RRF damping constant (Cormack et al. 2009)
+RRF_ROUND = 6
+
+
+def docs_quality_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble quality ranking via reciprocal-rank fusion — the
+    Nemotron-CC-style move of combining MULTIPLE quality classifiers
+    instead of trusting one: per-language ranks under three
+    independent signals (heuristic quality score, fastText-style
+    classifier score, Flesch readability) fused as
+    Σ 1/(K + rank_i) with K=60.  Rank fusion is used instead of score
+    z-averaging deliberately: ranks are integers, so the fused score
+    is a per-row sum of three terms — no cross-row float aggregation,
+    bit-stable under any partition order at any cluster size (the
+    same determinism argument as the classifier's integer weights).
+
+    Scale shape: three per-language sort windows over one-row-per-doc
+    frames plus doc_id equi-joins — the same shape as
+    docs_quality_percentile_gate; at 10^12 docs the windows become
+    per-shard like docs_token_shards, or the ranks are replaced by
+    approx-percentile buckets with the same fusion arithmetic."""
+    from ocr_spark.plans.queries import docs_quality_score
+
+    heur = docs_quality_score(spark, sf_dir) \
+        .select("doc_id", "lang", "quality_score")
+    cls = docs_classifier_score(spark, sf_dir) \
+        .select("doc_id", F.col("score").alias("cls_score"))
+    read = docs_readability(spark, sf_dir).select("doc_id", "flesch")
+    j = heur.join(cls, "doc_id").join(read, "doc_id")
+
+    def rk(col: str):
+        w = Window.partitionBy("lang").orderBy(F.col(col).desc(), "doc_id")
+        return F.row_number().over(w).cast("long")
+
+    ranked = j.select(
+        "doc_id", "lang",
+        rk("quality_score").alias("r_heuristic"),
+        rk("cls_score").alias("r_classifier"),
+        rk("flesch").alias("r_flesch"),
+    )
+    rrf = F.round(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("r_heuristic"))
+        + F.lit(1.0) / (F.lit(RRF_K) + F.col("r_classifier"))
+        + F.lit(1.0) / (F.lit(RRF_K) + F.col("r_flesch")),
+        RRF_ROUND)
+    scored = ranked.select("*", rrf.alias("rrf"))
+    w_out = Window.partitionBy("lang").orderBy(F.col("rrf").desc(),
+                                               "doc_id")
+    return scored.select(
+        "*", F.row_number().over(w_out).cast("long").alias("ensemble_rank"))
+
+
+def _quality_rrf_sql() -> str:
+    from ocr_spark.plans.queries import DOCS_QUALITY_SQL
+
+    return f"""
+WITH heur AS (
+{DOCS_QUALITY_SQL}
+), cls AS (
+{_classifier_sql()}
+), rd AS (
+{READABILITY_SQL}
+), j AS (
+  SELECT h.doc_id, h.lang, h.quality_score, c.score AS cls_score,
+         r.flesch
+  FROM heur h
+  JOIN cls c ON h.doc_id = c.doc_id
+  JOIN rd r ON h.doc_id = r.doc_id
+), rks AS (
+  SELECT doc_id, lang,
+         CAST(row_number() OVER (PARTITION BY lang
+              ORDER BY quality_score DESC, doc_id) AS BIGINT)
+           AS r_heuristic,
+         CAST(row_number() OVER (PARTITION BY lang
+              ORDER BY cls_score DESC, doc_id) AS BIGINT)
+           AS r_classifier,
+         CAST(row_number() OVER (PARTITION BY lang
+              ORDER BY flesch DESC, doc_id) AS BIGINT) AS r_flesch
+  FROM j
+), sc AS (
+  SELECT doc_id, lang, r_heuristic, r_classifier, r_flesch,
+         round(1.0 / ({RRF_K} + r_heuristic)
+               + 1.0 / ({RRF_K} + r_classifier)
+               + 1.0 / ({RRF_K} + r_flesch), {RRF_ROUND}) AS rrf
+  FROM rks
+)
+SELECT doc_id, lang, r_heuristic, r_classifier, r_flesch, rrf,
+       CAST(row_number() OVER (PARTITION BY lang
+            ORDER BY rrf DESC, doc_id) AS BIGINT) AS ensemble_rank
+FROM sc
+"""
+
+
 SPARK_QUERIES = {
+    "docs_quality_rrf": docs_quality_rrf,
     "docs_dsir_weights": docs_dsir_weights,
     "docs_training_order": docs_training_order,
     "docs_unigram_logprob": docs_unigram_logprob,
@@ -2374,6 +2472,7 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "docs_quality_rrf": _quality_rrf_sql(),
     "docs_dsir_weights": DSIR_WEIGHTS_SQL,
     "docs_training_order": TRAINING_ORDER_SQL,
     "docs_unigram_logprob": UNIGRAM_LOGPROB_SQL,

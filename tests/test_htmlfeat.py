@@ -1,0 +1,113 @@
+"""Raw-page feature queries (plans/htmlfeat.py): plan-shape gates,
+generator byte-parity through the SQL reconstruction, and the RRF
+ensemble's rank algebra. Full value parity vs DuckDB is the driver
+oracle's job; the digest test here pins the reconstruction CTE inside
+pytest so wrap.py can never drift from the oracles silently."""
+
+from __future__ import annotations
+
+import re
+
+SF = "/root/testdata/sf0.01"
+SF_TINY = "/root/testdata/sf0.001"
+
+
+def fmt(df) -> str:
+    qe = df._jdf.queryExecution()
+    return df._sc._jvm.org.apache.spark.sql.api.python.PythonSQLUtils \
+        .explainString(qe, "formatted")
+
+
+def n_shuffles(plan: str) -> int:
+    return len(re.findall(r"\(\d+\) Exchange\b", plan))
+
+
+def test_html_features_is_narrow_map(spark):
+    """DOM-heuristic features are scan → project: zero shuffles, all
+    regexp work JVM-side — the pre-extraction routing table must not
+    cost a single exchange at 100 TB."""
+    from ocr_spark.plans.htmlfeat import pages_html_features
+    plan = fmt(pages_html_features(spark, SF))
+    assert n_shuffles(plan) == 0
+
+
+def test_wrap_digest_is_narrow_map(spark):
+    from ocr_spark.plans.htmlfeat import pages_wrap_digest
+    plan = fmt(pages_wrap_digest(spark, SF))
+    assert n_shuffles(plan) == 0
+
+
+def test_wrap_digest_matches_python_generator(spark):
+    """Spark md5 over the UDF-wrapped bytes == hashlib md5 over
+    wrap.py's output for the same doc — pins binary md5 semantics."""
+    import hashlib
+
+    from ocr_spark.gen.wrap import html_for_document
+    from ocr_spark.plans.htmlfeat import pages_wrap_digest
+
+    rows = {r["url"]: r for r in
+            pages_wrap_digest(spark, SF_TINY).collect()}
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet") \
+        .select("doc_id", "text").limit(20).collect()
+    for d in docs:
+        raw = html_for_document(int(d["doc_id"]), d["text"] or "")
+        got = rows[f"doc://{d['doc_id']}"]
+        assert got["html_md5"] == hashlib.md5(raw).hexdigest()
+        assert got["html_bytes"] == len(raw)
+
+
+def test_wrap_digest_sql_reconstruction_byte_parity():
+    """The oracle's pure-SQL page reconstruction is byte-identical to
+    gen/wrap.py — the parity pin the whole _BLOCKS_CTE oracle family
+    implicitly leans on."""
+    import duckdb
+
+    from ocr_spark.gen.wrap import html_for_document
+    from ocr_spark.plans.htmlfeat import _HTML_CTE
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{SF_TINY}/documents.parquet'")
+    got = con.sql(
+        _HTML_CTE + "SELECT doc_id, html_str FROM page ORDER BY doc_id"
+    ).fetchall()
+    docs = dict(con.sql(
+        "SELECT doc_id, text FROM documents").fetchall())
+    assert len(got) == len(docs)
+    for doc_id, html_str in got:
+        expect = html_for_document(int(doc_id), docs[doc_id] or "")
+        assert html_str.encode("utf-8") == expect, doc_id
+
+
+def test_html_features_heuristics_sane(spark):
+    """Every fixture page is boilerplate-laden by construction: the
+    shell contributes >= 16 anchors, densities land in (0, 1)."""
+    from ocr_spark.plans.htmlfeat import pages_html_features
+
+    rows = pages_html_features(spark, SF_TINY).collect()
+    assert rows
+    for r in rows:
+        assert r["n_anchors"] >= 16
+        assert 0.0 < r["text_density"] < 1.0
+        assert 0.0 < r["link_density"] < 1.0
+        assert 0 < r["visible_chars"] < r["html_chars"] <= r["html_bytes"]
+        assert r["anchor_chars"] > 0 and r["n_paragraphs"] >= 1
+
+
+def test_quality_rrf_rank_algebra(spark):
+    """Per-language ensemble ranks are a permutation of 1..n, and the
+    fused score is exactly the per-row RRF sum of the three ranks."""
+    from ocr_spark.plans.curation import RRF_K, docs_quality_rrf
+
+    rows = docs_quality_rrf(spark, SF_TINY).collect()
+    assert rows
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+        expect = round(sum(1.0 / (RRF_K + r[c]) for c in
+                           ("r_heuristic", "r_classifier", "r_flesch")), 6)
+        assert abs(r["rrf"] - expect) < 1e-12
+    for lang, rs in by_lang.items():
+        n = len(rs)
+        assert sorted(r["ensemble_rank"] for r in rs) == list(range(1, n + 1))
+        assert sorted(r["r_heuristic"] for r in rs) == list(range(1, n + 1))
