@@ -243,12 +243,67 @@ FROM feat
 """
 
 
+# ---------------------------------------------------------------------------
+# pages_extract_router
+# ---------------------------------------------------------------------------
+
+# Route thresholds. ROUTER_BIG_BYTES mirrors the extraction job's
+# oversized-row route (operators/extraction.py DEFAULT_BIG_THRESHOLD);
+# the density cuts sit inside the fixture's observed spread
+# (link_density 0.12-0.58, text_density 0.21-0.55 at sf0.01) so both
+# density routes genuinely fire in the corpus (link_heavy catches the
+# thinnest pages too, so the low-text cut sits above the min
+# text_density of the non-link-heavy remainder).
+ROUTER_BIG_BYTES = 2_000_000
+ROUTER_LINK_HEAVY = 0.35
+ROUTER_LOW_TEXT = 0.33
+
+
+def pages_extract_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-extraction routing gate composed over the DOM-heuristic
+    features: oversized pages go to the isolated big route (the same
+    rule run_extraction applies physically), link-heavy pages are
+    flagged for the strict/skip path (link farms aren't worth full
+    extraction), low-text-density pages for the cheap path, the rest
+    to normal extraction.  At 100 TB this table IS the job planner's
+    input — routing before extraction is how a crawl avoids paying
+    Arrow + Python for pages that a JVM regexp already condemns.
+
+    Scale shape: the features subplan's zero-shuffle narrow map plus a
+    per-row CASE — still zero shuffles."""
+    feats = pages_html_features(spark, sf_dir)
+    route = (
+        F.when(F.col("html_bytes") > ROUTER_BIG_BYTES, F.lit("oversized"))
+        .when(F.col("link_density") >= ROUTER_LINK_HEAVY,
+              F.lit("link_heavy"))
+        .when(F.col("text_density") < ROUTER_LOW_TEXT, F.lit("low_text"))
+        .otherwise(F.lit("extract")))
+    return feats.select("url", "html_bytes", "text_density",
+                        "link_density", route.alias("route"))
+
+
+def _router_sql() -> str:
+    return f"""
+WITH feat AS (
+{PAGES_HTML_FEATURES_SQL}
+)
+SELECT url, html_bytes, text_density, link_density,
+       CASE WHEN html_bytes > {ROUTER_BIG_BYTES} THEN 'oversized'
+            WHEN link_density >= {ROUTER_LINK_HEAVY} THEN 'link_heavy'
+            WHEN text_density < {ROUTER_LOW_TEXT} THEN 'low_text'
+            ELSE 'extract' END AS route
+FROM feat
+"""
+
+
 SPARK_QUERIES = {
     "pages_wrap_digest": pages_wrap_digest,
     "pages_html_features": pages_html_features,
+    "pages_extract_router": pages_extract_router,
 }
 
 ORACLE_SQL = {
     "pages_wrap_digest": PAGES_WRAP_DIGEST_SQL,
     "pages_html_features": PAGES_HTML_FEATURES_SQL,
+    "pages_extract_router": _router_sql(),
 }

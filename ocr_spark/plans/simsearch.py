@@ -1461,6 +1461,70 @@ FROM per
 
 
 # --------------------------------------------------------------------------
+# per-cell snapshot drift (semantic distribution shift)
+# --------------------------------------------------------------------------
+
+DRIFT_ROUND = 6
+
+
+def emb_cell_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic drift between crawl snapshots, measured in embedding
+    space: assign BOTH snapshot halves (even vec_id = prior crawl, odd
+    = new crawl — the same deterministic split docs_new_vs_snapshot
+    uses) to the SAME trained Lloyd cells, then report each cell's
+    population share in each snapshot and the share delta.  This is
+    the embedding-space companion of docs_vocab_novelty: vocabulary
+    novelty catches new WORDS, cell-share drift catches topic-mix
+    shift even when the vocabulary is stable — the monitor that
+    decides whether a mixture spec tuned on the old crawl still holds.
+
+    Scale shape: cell assignment is the broadcast-centroid narrow map
+    (same as emb_ivf_assign); the drift table is ONE groupBy on cell
+    with conditional counts plus a broadcast 1-row totals join.
+    Shares are computed from exact integer counts, so the per-row
+    rounded division is bit-stable at any parallelism."""
+    _, assigned = _kmeans(spark, sf_dir)
+    counts = assigned.groupBy("cell").agg(
+        F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0))
+         .cast("long").alias("n_old"),
+        F.sum(F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0))
+         .cast("long").alias("n_new"))
+    tot = counts.agg(F.sum("n_old").alias("t_old"),
+                     F.sum("n_new").alias("t_new"))
+    j = counts.crossJoin(F.broadcast(tot))
+    share_old = F.col("n_old") / F.col("t_old")
+    share_new = F.col("n_new") / F.col("t_new")
+    return j.select(
+        "cell", "n_old", "n_new",
+        F.round(share_old, DRIFT_ROUND).alias("share_old"),
+        F.round(share_new, DRIFT_ROUND).alias("share_new"),
+        F.round(share_new - share_old, DRIFT_ROUND).alias("share_delta"),
+    )
+
+
+_CELL_DRIFT_SQL = f"""
+{_KM_CTES},
+counts AS (
+  SELECT cell,
+         CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_old,
+         CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new
+  FROM af GROUP BY cell
+), tot AS (
+  SELECT SUM(n_old) AS t_old, SUM(n_new) AS t_new FROM counts
+)
+SELECT cell, n_old, n_new,
+       round(n_old / CAST(t_old AS DOUBLE), {DRIFT_ROUND}) AS share_old,
+       round(n_new / CAST(t_new AS DOUBLE), {DRIFT_ROUND}) AS share_new,
+       round(n_new / CAST(t_new AS DOUBLE)
+             - n_old / CAST(t_old AS DOUBLE), {DRIFT_ROUND})
+         AS share_delta
+FROM counts CROSS JOIN tot
+"""
+
+
+# --------------------------------------------------------------------------
 # embedding outlier scan (distance-to-centroid z-score)
 # --------------------------------------------------------------------------
 
@@ -2248,6 +2312,7 @@ SPARK_QUERIES = {
     "emb_cluster_quota_sample": emb_cluster_quota_sample,
     "emb_mutual_knn": emb_mutual_knn,
     "emb_outlier_scan": emb_outlier_scan,
+    "emb_cell_drift": emb_cell_drift,
     "emb_bitext_mine": emb_bitext_mine,
     "emb_ivf_trained_topk": emb_ivf_trained_topk,
     "emb_ivf_trained_multiprobe_topk": emb_ivf_trained_multiprobe_topk,
@@ -2278,6 +2343,7 @@ ORACLE_SQL = {
     "emb_cluster_quota_sample": _cluster_quota_sql(),
     "emb_mutual_knn": _MUTUAL_KNN_SQL,
     "emb_outlier_scan": _OUTLIER_SCAN_SQL,
+    "emb_cell_drift": _CELL_DRIFT_SQL,
     "emb_bitext_mine": _BITEXT_MINE_SQL,
     "emb_ivf_trained_topk": _IVF_TRAINED_TOPK_SQL,
     "emb_ivf_trained_multiprobe_topk": _IVF_TRAINED_MULTIPROBE_SQL,

@@ -94,6 +94,30 @@ def test_html_features_heuristics_sane(spark):
         assert r["anchor_chars"] > 0 and r["n_paragraphs"] >= 1
 
 
+def test_extract_router_is_narrow_map_and_covers_routes(spark):
+    """Routing must add nothing to the features' zero-shuffle plan,
+    and both density routes must genuinely fire on the fixture corpus
+    (a router that routes everything one way tests nothing)."""
+    from ocr_spark.plans.htmlfeat import pages_extract_router
+    df = pages_extract_router(spark, SF)
+    assert n_shuffles(fmt(df)) == 0
+    got = {r["route"] for r in df.select("route").distinct().collect()}
+    assert {"extract", "link_heavy", "low_text"} <= got
+
+
+def test_cell_drift_shares_sum_to_one(spark):
+    """Per-snapshot cell shares are exact-count ratios: each side sums
+    to ~1 and uses every trained cell's population."""
+    from ocr_spark.plans.simsearch import emb_cell_drift
+    rows = emb_cell_drift(spark, SF_TINY).collect()
+    assert rows
+    assert abs(sum(r["share_old"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["share_new"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert abs((r["share_new"] - r["share_old"]) - r["share_delta"]) \
+            < 2e-6
+
+
 def test_quality_rrf_rank_algebra(spark):
     """Per-language ensemble ranks are a permutation of 1..n, and the
     fused score is exactly the per-row RRF sum of the three ranks."""
