@@ -66,7 +66,8 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "docs_repetition_metrics", "docs_substring_dup_coverage",
     # this session's additions (never driver-checked by definition)
     "pages_wrap_digest", "pages_html_features", "pages_extract_router",
-    "docs_quality_rrf", "emb_cell_drift",
+    "docs_quality_rrf", "emb_cell_drift", "docs_fim_split",
+    "pages_warc_export",
     "docs_lsh_eval", "docs_bm25_search", "docs_lang_segments",
     "docs_snapshot_drift", "docs_bigram_kneser_ney",
     "docs_span_corruption", "emb_quantization_error",

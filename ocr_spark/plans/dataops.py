@@ -3108,7 +3108,98 @@ FROM m
 """
 
 
+# ---------------------------------------------------------------------------
+# fill-in-the-middle (FIM) training transform
+# ---------------------------------------------------------------------------
+
+FIM_PRE = "<|fim_pre|>"
+FIM_SUF = "<|fim_suf|>"
+FIM_MID = "<|fim_mid|>"
+
+
+def docs_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle training transform (Bavarian et al. 2022 —
+    the code-model pretraining op): split each document into
+    prefix/middle/suffix at a HASH-derived boundary and re-emit in PSM
+    order (prefix, suffix, middle) with sentinel tokens, so the model
+    learns infilling from an autoregressive objective.  The middle
+    span is the center third with its start jittered by the document's
+    own md5 (13 hex chars → exact 52-bit integer in both engines) —
+    deterministic, so the oracle recomputes the identical split; a
+    production run swaps the md5 jitter for a seeded RNG per epoch.
+    Uses the same modeled-code cohort device as docs_code_detect
+    (every CODE_MOD-th doc % == 4 carries a code payload): FIM is
+    gated onto the code route in a real pipeline, and the transform
+    must be exercised on genuinely code-shaped text.
+
+    Scale shape: zero shuffle — md5, modular arithmetic, three
+    substrings, and one concat per row; emits the reassembled text's
+    md5 (not the text) so the check pins bytes without hauling them."""
+    docs = t(spark, sf_dir, "documents")
+    wild = F.when(F.col("doc_id") % CODE_MOD == 4,
+                  F.lit(_CODE_BLOCK)).otherwise(F.col("text"))
+    n = F.length(wild)
+    third = F.floor(n / 3).cast("long")
+    h = F.conv(F.substring(F.md5(wild), 1, 13), 16, 10).cast("long")
+    s = (third + 1 + (h % third)).cast("int")     # split ∈ [third+1, 2·third]
+    applied = n >= 3
+    prefix = F.substring(wild, F.lit(1), s - 1)
+    middle = F.substring(wild, s, third.cast("int"))
+    suffix = F.substring(wild, (s + third).cast("int"),
+                         (n - s - third + 1).cast("int"))
+    fim = F.concat(F.lit(FIM_PRE), prefix, F.lit(FIM_SUF), suffix,
+                   F.lit(FIM_MID), middle)
+    return docs.select(
+        "doc_id",
+        (F.col("doc_id") % CODE_MOD == 4).alias("modeled_code"),
+        n.cast("long").alias("n_chars"),
+        applied.alias("fim_applied"),
+        F.when(applied, s.cast("long")).otherwise(F.lit(0)).alias("split_start"),
+        F.when(applied, (s - 1).cast("long")).otherwise(F.lit(0)).alias("prefix_len"),
+        F.when(applied, third).otherwise(F.lit(0)).alias("middle_len"),
+        F.when(applied, (n - s - third + 1).cast("long")).otherwise(F.lit(0))
+         .alias("suffix_len"),
+        F.when(applied, F.md5(fim)).otherwise(F.md5(wild))
+         .alias("fim_digest"))
+
+
+def _fim_split_sql() -> str:
+    return f"""
+WITH wild AS (
+  SELECT doc_id, doc_id % {CODE_MOD} = 4 AS modeled_code,
+         CASE WHEN doc_id % {CODE_MOD} = 4
+              THEN '{_CODE_BLOCK}' ELSE text END AS wtext
+  FROM documents
+), m AS (
+  SELECT doc_id, modeled_code, wtext,
+         CAST(length(wtext) AS BIGINT) AS n,
+         CAST(FLOOR(length(wtext) / 3) AS BIGINT) AS third,
+         CAST(('0x' || substr(md5(wtext), 1, 13)) AS BIGINT) AS h
+  FROM wild
+), sp AS (
+  SELECT doc_id, modeled_code, wtext, n, third,
+         third + 1 + (h % third) AS s
+  FROM m WHERE n >= 3
+)
+SELECT doc_id, modeled_code, n AS n_chars,
+       TRUE AS fim_applied, s AS split_start,
+       s - 1 AS prefix_len, third AS middle_len,
+       n - s - third + 1 AS suffix_len,
+       md5('{FIM_PRE}' || substr(wtext, 1, CAST(s - 1 AS INT))
+           || '{FIM_SUF}' || substr(wtext, CAST(s + third AS INT),
+                                    CAST(n - s - third + 1 AS INT))
+           || '{FIM_MID}' || substr(wtext, CAST(s AS INT),
+                                    CAST(third AS INT))) AS fim_digest
+FROM sp
+UNION ALL
+SELECT doc_id, modeled_code, n AS n_chars,
+       FALSE AS fim_applied, 0, 0, 0, 0, md5(wtext)
+FROM m WHERE n < 3
+"""
+
+
 SPARK_QUERIES = {
+    "docs_fim_split": docs_fim_split,
     "docs_script_profile": docs_script_profile,
     "docs_lexical_diversity": docs_lexical_diversity,
     "docs_near_dup_vs_snapshot": docs_near_dup_vs_snapshot,
@@ -3148,6 +3239,7 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "docs_fim_split": _fim_split_sql(),
     "docs_script_profile": _script_profile_sql(),
     "docs_lexical_diversity": _LEXICAL_DIVERSITY_SQL,
     "docs_near_dup_vs_snapshot": _near_dup_vs_snapshot_sql(),

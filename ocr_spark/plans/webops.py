@@ -1792,6 +1792,81 @@ FROM ext
 """
 
 
+def pages_warc_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC/1.1 response-record export over the RAW page bytes — the
+    fourth record family next to WET (conversion), WAT (metadata) and
+    CDXJ (index): the re-crawl/archival writer that lets this engine
+    EMIT a Common-Crawl-shaped archive, not just consume one
+    (sources/warc.py is the read side). Record-ID is a deterministic
+    urn:uuid derived from md5(url) (re-exports are stable — the same
+    idempotency rule as the shard manifests), the payload digest is
+    sha256 over the exact payload bytes, and Content-Length counts
+    payload OCTETS — the same multi-byte pin as pages_wet_export.
+
+    Scale shape: narrow per-row string build over the page scan, zero
+    shuffles; the production sink writes segment-partitioned like
+    run_export_job."""
+    pages = pages_from_documents(spark, sf_dir)
+    h = F.decode(F.col("html"), "UTF-8")
+    m = F.md5("url")
+    rid = F.concat(
+        F.lit("urn:uuid:"), F.substring(m, 1, 8), F.lit("-"),
+        F.substring(m, 9, 4), F.lit("-"), F.substring(m, 13, 4),
+        F.lit("-"), F.substring(m, 17, 4), F.lit("-"),
+        F.substring(m, 21, 12))
+    clen = F.length("html")
+    record = F.concat(
+        F.concat_ws(
+            "\r\n",
+            F.lit("WARC/1.1"),
+            F.lit("WARC-Type: response"),
+            F.concat(F.lit("WARC-Record-ID: <"), rid, F.lit(">")),
+            F.concat(F.lit("WARC-Target-URI: "), F.col("url")),
+            F.lit("WARC-Date: 2025-01-01T00:00:00Z"),
+            F.concat(F.lit("WARC-Payload-Digest: sha256:"),
+                     F.sha2(F.col("html"), 256)),
+            F.lit("Content-Type: application/http; msgtype=response"),
+            F.concat(F.lit("Content-Length: "), clen.cast("string"))),
+        F.lit("\r\n\r\n"), h)
+    return pages.select(
+        "url", rid.alias("record_id"),
+        clen.cast("long").alias("content_length"),
+        record.alias("warc_record"))
+
+
+def _warc_export_sql() -> str:
+    from ocr_spark.plans.htmlfeat import _HTML_CTE
+
+    return _HTML_CTE + """
+, rec AS (
+  SELECT url, html_str, md5(url) AS m,
+         CAST(octet_length(encode(html_str)) AS BIGINT) AS clen
+  FROM page
+)
+SELECT url,
+       'urn:uuid:' || substr(m, 1, 8) || '-' || substr(m, 9, 4) || '-'
+         || substr(m, 13, 4) || '-' || substr(m, 17, 4) || '-'
+         || substr(m, 21, 12) AS record_id,
+       clen AS content_length,
+       'WARC/1.1' || chr(13) || chr(10)
+       || 'WARC-Type: response' || chr(13) || chr(10)
+       || 'WARC-Record-ID: <urn:uuid:' || substr(m, 1, 8) || '-'
+         || substr(m, 9, 4) || '-' || substr(m, 13, 4) || '-'
+         || substr(m, 17, 4) || '-' || substr(m, 21, 12) || '>'
+         || chr(13) || chr(10)
+       || 'WARC-Target-URI: ' || url || chr(13) || chr(10)
+       || 'WARC-Date: 2025-01-01T00:00:00Z' || chr(13) || chr(10)
+       || 'WARC-Payload-Digest: sha256:' || sha256(html_str)
+         || chr(13) || chr(10)
+       || 'Content-Type: application/http; msgtype=response'
+         || chr(13) || chr(10)
+       || 'Content-Length: ' || CAST(clen AS VARCHAR)
+       || chr(13) || chr(10) || chr(13) || chr(10) || html_str
+         AS warc_record
+FROM rec
+"""
+
+
 ANCHOR_PAT = r'<a href="([^"]*)"[^>]*>([^<]*)</a>'
 
 
@@ -4996,6 +5071,7 @@ SPARK_QUERIES = {
     "docs_toxicity_score": docs_toxicity_score,
     "pages_robots_txt_gate": pages_robots_txt_gate,
     "pages_wet_export": pages_wet_export,
+    "pages_warc_export": pages_warc_export,
     "pages_pii_scan": pages_pii_scan,
     "pages_para_dedup": pages_para_dedup,
     "pages_line_dedup": pages_line_dedup,
@@ -5060,6 +5136,7 @@ ORACLE_SQL = {
     "docs_toxicity_score": _toxicity_sql(),
     "pages_robots_txt_gate": _robots_txt_gate_sql(),
     "pages_wet_export": PAGES_WET_EXPORT_SQL,
+    "pages_warc_export": _warc_export_sql(),
     "pages_pii_scan": PAGES_PII_SQL,
     "pages_para_dedup": PAGES_PARA_DEDUP_SQL,
     "pages_line_dedup": PAGES_LINE_DEDUP_SQL,

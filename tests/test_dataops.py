@@ -402,3 +402,47 @@ def test_code_detect_routes_modeled_cohort_only(spark):
         assert r["is_code"] == ((r["symbol_frac"] > CODE_SYM_MIN)
                                 and (r["n_keywords"] > CODE_KW_MIN))
         assert r["is_code"] == r["modeled_code"]
+
+
+def test_fim_split_partition_algebra(spark):
+    """prefix+middle+suffix lengths must repartition the document
+    exactly, the split must land inside the center window, the digest
+    must match a Python recomputation, and the plan is zero-shuffle."""
+    import hashlib
+
+    from ocr_spark.plans.dataops import (
+        _CODE_BLOCK, CODE_MOD, FIM_MID, FIM_PRE, FIM_SUF, docs_fim_split,
+    )
+    from tests.test_webops import fmt, n_shuffles
+
+    df = docs_fim_split(spark, "/root/testdata/sf0.001")
+    assert n_shuffles(fmt(df)) == 0
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert rows
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").collect()
+    for d in docs[:40]:
+        r = rows[d["doc_id"]]
+        text = _CODE_BLOCK if d["doc_id"] % CODE_MOD == 4 else d["text"]
+        n = len(text)
+        assert r["n_chars"] == n
+        if not r["fim_applied"]:
+            assert n < 3
+            continue
+        third = n // 3
+        s = r["split_start"]
+        assert third + 1 <= s <= 2 * third
+        assert r["prefix_len"] + r["middle_len"] + r["suffix_len"] == n
+        pre, mid, suf = (text[:s - 1], text[s - 1:s - 1 + third],
+                         text[s - 1 + third:])
+        fim = FIM_PRE + pre + FIM_SUF + suf + FIM_MID + mid
+        assert r["fim_digest"] == hashlib.md5(
+            fim.encode("utf-8")).hexdigest()
+
+
+def test_fim_split_exercises_code_cohort(spark):
+    from ocr_spark.plans.dataops import CODE_MOD, docs_fim_split
+    rows = docs_fim_split(spark, "/root/testdata/sf0.001").collect()
+    modeled = [r for r in rows if r["modeled_code"]]
+    assert modeled and all(r["doc_id"] % CODE_MOD == 4 for r in modeled)
+    assert all(r["fim_applied"] for r in modeled)

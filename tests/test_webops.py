@@ -1058,3 +1058,26 @@ def test_toxicity_buckets_and_severity_identity(spark):
                else "mild" if per_kt > TOX_MILD_PER_KT else "none")
         assert r["tox_bucket"] == exp
     assert {r["tox_bucket"] for r in tox.values()} >= {"none"}
+
+
+def test_warc_export_record_wellformed(spark):
+    """WARC response records: Content-Length counts payload octets,
+    the record-id is a deterministic uuid shape, headers/payload are
+    separated by CRLFCRLF, and the plan is zero-shuffle."""
+    import re as _re
+
+    from ocr_spark.plans.webops import pages_warc_export
+
+    df = pages_warc_export(spark, SF_TINY)
+    assert n_shuffles(fmt(df)) == 0
+    rows = df.collect()
+    assert rows
+    for r in rows[:40]:
+        head, _, payload = r["warc_record"].partition("\r\n\r\n")
+        assert head.startswith("WARC/1.1\r\nWARC-Type: response")
+        assert f"WARC-Target-URI: {r['url']}" in head
+        assert _re.search(
+            r"WARC-Record-ID: <urn:uuid:[0-9a-f]{8}(-[0-9a-f]{4}){3}"
+            r"-[0-9a-f]{12}>", head)
+        assert len(payload.encode("utf-8")) == r["content_length"]
+        assert f"Content-Length: {r['content_length']}" in head
