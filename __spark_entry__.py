@@ -67,7 +67,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     # this session's additions (never driver-checked by definition)
     "pages_wrap_digest", "pages_html_features", "pages_extract_router",
     "docs_quality_rrf", "emb_cell_drift", "docs_fim_split",
-    "pages_warc_export",
+    "pages_warc_export", "emb_mrl_recall",
     "docs_lsh_eval", "docs_bm25_search", "docs_lang_segments",
     "docs_snapshot_drift", "docs_bigram_kneser_ney",
     "docs_span_corruption", "emb_quantization_error",

@@ -1525,6 +1525,118 @@ FROM counts CROSS JOIN tot
 
 
 # --------------------------------------------------------------------------
+# Matryoshka truncation recall (prefix-dim ANN scorecard)
+# --------------------------------------------------------------------------
+
+MRL_DIMS = (16, 32, DIM)
+MRL_ROUND = 4
+
+
+def emb_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation truncation scorecard (Kusupati et al.
+    2022): re-run the brute-force cosine top-k with each query/corpus
+    vector TRUNCATED to its prefix dims (16, 32, full 64) and report
+    per-query overlap@k against the full-dim ranking.  This is the
+    measurement that decides whether a deployment can shortlist at a
+    fraction of the vector read/compute cost (prefix dims are free to
+    slice — no re-encode) and re-rank at full width — the same
+    shortlist-then-rerank economics as emb_ivfpq_topk, evaluated the
+    same way as emb_ann_recall_eval. The full-dim row (recall 1.0) is
+    kept as the scorecard's self-check anchor.
+
+    Scale shape: one broadcast of the small query side per dim tier
+    (the corpus side streams, never shuffles), per-query rank windows,
+    then a left join of two k-row-per-query lists. Dot products fold
+    left-to-right (same order as DuckDB list_reduce) so cos values are
+    bit-identical cross-engine.
+
+    Fixture note: the synthetic corpus has a FLAT spectrum (information
+    spread evenly over dims), so prefix recall here sits near the d/D
+    floor (~0.14 at 16/64) — real MRL-trained embeddings front-load
+    variance and score far higher; the scorecard exists to measure
+    exactly that property before trusting a truncated shortlist."""
+    emb = t(spark, sf_dir).select("vec_id", _vecd().alias("v"))
+
+    def topk_at(d: int) -> DataFrame:
+        base = emb.select(
+            "vec_id", F.slice(F.col("v"), 1, d).alias("vd"))
+        base = base.withColumn("nrm", _norm(F.col("vd")))
+        q = base.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("q_id"), F.col("vd").alias("qv"),
+            F.col("nrm").alias("qn"))
+        j = base.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        cos6 = F.round(_dot(F.col("qv"), F.col("vd"))
+                       / (F.col("qn") * F.col("nrm")), 6)
+        w = Window.partitionBy("q_id").orderBy(
+            F.desc("cos6"), F.asc("neighbor_id"))
+        return (j.select("q_id", F.col("vec_id").alias("neighbor_id"),
+                         cos6.alias("cos6"))
+                .withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= TOPK)
+                .select(F.lit(d).cast("int").alias("dim"),
+                        "q_id", "neighbor_id"))
+
+    u = topk_at(MRL_DIMS[0])
+    for d in MRL_DIMS[1:]:
+        u = u.unionByName(topk_at(d))
+    full = (topk_at(DIM).select("q_id", "neighbor_id")
+            .withColumn("hit", F.lit(1)))
+    ov = (u.join(full, ["q_id", "neighbor_id"], "left")
+          .groupBy("dim", "q_id")
+          .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+               .cast("long").alias("n_overlap")))
+    return ov.select(
+        "dim", "q_id", "n_overlap",
+        F.round(F.col("n_overlap") / F.lit(float(TOPK)), MRL_ROUND)
+         .alias("recall_at_k"))
+
+
+def _mrl_sql() -> str:
+    def dot_d(a: str, b: str, d: int) -> str:
+        return (f"list_reduce(list_transform(range(1, {d + 1}), "
+                f"i -> {a}[i] * {b}[i]), (x, y) -> x + y)")
+
+    def norm_d(a: str, d: int) -> str:
+        return (f"sqrt(list_reduce(list_transform({a}[1:{d}], "
+                f"x -> x * x), (x, y) -> x + y))")
+
+    parts = [f"e AS (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings)",
+             f"q AS (SELECT vec_id AS q_id, v AS qv FROM e "
+             f"WHERE vec_id < {N_QUERIES})"]
+    tops = []
+    for d in MRL_DIMS:
+        parts.append(
+            f"r{d} AS (\n"
+            f"  SELECT q_id, neighbor_id, ROW_NUMBER() OVER (\n"
+            f"    PARTITION BY q_id ORDER BY cos6 DESC, neighbor_id)\n"
+            f"      AS rank\n"
+            f"  FROM (SELECT q.q_id, e.vec_id AS neighbor_id,\n"
+            f"          ROUND({dot_d('q.qv', 'e.v', d)}\n"
+            f"            / ({norm_d('q.qv', d)} * {norm_d('e.v', d)}),\n"
+            f"            6) AS cos6\n"
+            f"        FROM q, e WHERE e.vec_id <> q.q_id))")
+        tops.append(f"SELECT CAST({d} AS INT) AS dim, q_id, neighbor_id "
+                    f"FROM r{d} WHERE rank <= {TOPK}")
+    parts.append("u AS (" + " UNION ALL ".join(tops) + ")")
+    parts.append(f"fl AS (SELECT q_id, neighbor_id FROM r{DIM} "
+                 f"WHERE rank <= {TOPK})")
+    return ("WITH " + ",\n".join(parts) + f"""
+, ov AS (
+  SELECT u.dim, u.q_id,
+         CAST(SUM(CASE WHEN fl.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_overlap
+  FROM u LEFT JOIN fl
+    ON u.q_id = fl.q_id AND u.neighbor_id = fl.neighbor_id
+  GROUP BY u.dim, u.q_id
+)
+SELECT dim, q_id, n_overlap,
+       round(n_overlap / CAST({TOPK} AS DOUBLE), {MRL_ROUND})
+         AS recall_at_k
+FROM ov
+""")
+
+
+# --------------------------------------------------------------------------
 # embedding outlier scan (distance-to-centroid z-score)
 # --------------------------------------------------------------------------
 
@@ -2313,6 +2425,7 @@ SPARK_QUERIES = {
     "emb_mutual_knn": emb_mutual_knn,
     "emb_outlier_scan": emb_outlier_scan,
     "emb_cell_drift": emb_cell_drift,
+    "emb_mrl_recall": emb_mrl_recall,
     "emb_bitext_mine": emb_bitext_mine,
     "emb_ivf_trained_topk": emb_ivf_trained_topk,
     "emb_ivf_trained_multiprobe_topk": emb_ivf_trained_multiprobe_topk,
@@ -2344,6 +2457,7 @@ ORACLE_SQL = {
     "emb_mutual_knn": _MUTUAL_KNN_SQL,
     "emb_outlier_scan": _OUTLIER_SCAN_SQL,
     "emb_cell_drift": _CELL_DRIFT_SQL,
+    "emb_mrl_recall": _mrl_sql(),
     "emb_bitext_mine": _BITEXT_MINE_SQL,
     "emb_ivf_trained_topk": _IVF_TRAINED_TOPK_SQL,
     "emb_ivf_trained_multiprobe_topk": _IVF_TRAINED_MULTIPROBE_SQL,

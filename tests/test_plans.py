@@ -1638,3 +1638,24 @@ def test_shards_skew_report_identities(spark):
         assert s["skew_ratio"] >= 1.0
         assert s["n_underfull"] == sum(
             r["n_tokens"] < SHARD_TOKEN_BUDGET * 0.5 for r in rs)
+
+
+def test_mrl_recall_anchor_and_bounds(spark):
+    """The full-dim tier must self-report recall 1.0 for every query
+    (the scorecard's anchor), truncated tiers stay in [0,1] with
+    overlap counting bounded by k, and the corpus side must not
+    shuffle (query side broadcasts per tier)."""
+    from ocr_spark.plans.simsearch import (
+        DIM, MRL_DIMS, N_QUERIES, TOPK, emb_mrl_recall,
+    )
+
+    df = emb_mrl_recall(spark, "/root/testdata/sf0.001")
+    plan = fmt(df)
+    assert plan.count("BroadcastExchange") >= len(MRL_DIMS)
+    rows = df.collect()
+    assert len(rows) == len(MRL_DIMS) * N_QUERIES
+    for r in rows:
+        assert 0 <= r["n_overlap"] <= TOPK
+        assert abs(r["recall_at_k"] - r["n_overlap"] / TOPK) < 1e-9
+        if r["dim"] == DIM:
+            assert r["n_overlap"] == TOPK
