@@ -93,6 +93,13 @@ HEADLINE = [
     "emb_pca_power",
     "docs_lexical_diversity",
     "mm_phash_near_dup",
+    # round 4 (final session): pre-extraction routing over raw-bytes
+    # DOM heuristics (zero-shuffle JVM regexp map), Matryoshka
+    # prefix-dim recall scorecard (tiered broadcast ANN), FIM split
+    # (hash-jittered narrow transform)
+    "pages_extract_router",
+    "emb_mrl_recall",
+    "docs_fim_split",
 ]
 
 
