@@ -565,6 +565,66 @@ FROM documents
 """
 
 
+def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over event types WITHIN
+    sessions — the user-behavior model behind funnel design, bot
+    heuristics, and next-action prediction baselines: for every
+    (prev_type → next_type) pair observed between consecutive events
+    of the same 30-min-gap session, the transition count and the
+    row-normalized probability P(next | prev).
+
+    Session scoping is load-bearing: a transition across a session
+    boundary is noise, not behavior. Instead of materializing session
+    ids and re-windowing by (user, session) — which would cost a
+    SECOND exchange keyed on the finer key — the same single
+    user-keyed window produces both lag(event_type) and the
+    new-session flag, and boundary rows are simply filtered
+    (is_new = 1 ⟺ the lagged event belongs to a previous session or
+    doesn't exist). One shuffle keyed user_id, then a partial-agg
+    groupBy on the tiny (prev, next) key space, then a window over
+    the k×k count frame — the matrix itself is event-type-cardinality
+    sized at any corpus scale."""
+    ev = t(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = (ev.withColumn("prev_ts", F.lag("ts").over(w_user))
+               .withColumn("prev_type", F.lag("event_type").over(w_user))
+               .withColumn(
+                   "is_new",
+                   F.when(F.col("prev_ts").isNull()
+                          | F.expr("ts - prev_ts > INTERVAL '30' MINUTE"),
+                          1).otherwise(0)))
+    counts = (flagged.filter(F.col("is_new") == 0)
+              .groupBy("prev_type",
+                       F.col("event_type").alias("next_type"))
+              .agg(F.count("*").alias("n_trans")))
+    w_prev = Window.partitionBy("prev_type")
+    p = F.col("n_trans") / F.sum("n_trans").over(w_prev)
+    return counts.select("prev_type", "next_type", "n_trans",
+                         F.round(p, 6).alias("p_trans"))
+
+
+EV_MARKOV_SQL = """
+WITH flagged AS (
+  SELECT event_type,
+         lag(event_type) OVER w AS prev_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), counts AS (
+  SELECT prev_type, event_type AS next_type,
+         CAST(COUNT(*) AS BIGINT) AS n_trans
+  FROM flagged WHERE is_new = 0
+  GROUP BY prev_type, event_type
+)
+SELECT prev_type, next_type, n_trans,
+       round(n_trans / CAST(SUM(n_trans) OVER (PARTITION BY prev_type)
+                            AS DOUBLE), 6) AS p_trans
+FROM counts
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -583,6 +643,7 @@ SPARK_QUERIES = {
     "ev_hopping_counts": ev_hopping_counts,
     "ev_user_top2_by_value": ev_user_top2_by_value,
     "ev_props_json": ev_props_json,
+    "ev_markov_transitions": ev_markov_transitions,
     "docs_lang_stats": docs_lang_stats,
     "docs_token_count": docs_token_count,
     "docs_exact_dedup": docs_exact_dedup,
@@ -604,6 +665,7 @@ ORACLE_SQL = {
     "ev_hopping_counts": EV_HOPPING_SQL,
     "ev_user_top2_by_value": EV_TOP2_SQL,
     "ev_props_json": EV_PROPS_SQL,
+    "ev_markov_transitions": EV_MARKOV_SQL,
     "docs_lang_stats": DOCS_LANG_SQL,
     "docs_token_count": DOCS_TOKENS_SQL,
     "docs_exact_dedup": DOCS_DEDUP_SQL,

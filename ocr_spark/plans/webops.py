@@ -1168,6 +1168,13 @@ def hosts_registered_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    F.lit(".ac.jp")))
             .otherwise(F.lit("localhost")))
     hosts = pages.select("url", host.alias("host"))
+    return _psl_resolve(spark, hosts)
+
+
+def _psl_resolve(spark: SparkSession, hosts: DataFrame) -> DataFrame:
+    """(url, host) → + public_suffix / registered_domain / subdomain
+    under broadcast PSL longest-match — the shared kernel behind
+    hosts_registered_domain and hosts_subdomain_explosion."""
     suf = spark.createDataFrame([(s,) for s in PSL_SUFFIXES],
                                 "suffix string")
     matched = hosts.join(
@@ -1238,6 +1245,104 @@ SELECT url, host, public_suffix, registered_domain,
                            - length(registered_domain) - 1)
        END AS subdomain
 FROM reg
+"""
+
+
+# subdomain-explosion thresholds: a registered domain is flagged when
+# it spreads its pages across MANY distinct hosts AND nearly one host
+# per page — the wildcard-subdomain spam signature (u12345.spam.com),
+# which per-HOST caps and per-host keep rates cannot see because every
+# such host looks like a harmless singleton.
+SUBDOMAIN_EXPLOSION_MIN_HOSTS = 20
+SUBDOMAIN_EXPLOSION_RATIO = 0.8
+
+
+def hosts_subdomain_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain rollup against wildcard-subdomain spam: group
+    hosts by eTLD+1 (PSL longest-match, the _psl_resolve kernel) and
+    flag domains whose distinct-host count approaches their page count
+    — every page minting its own subdomain is the classic evasion of
+    host-level quality controls (docs_host_cap, hosts_keep_rate key on
+    HOST, so a spammer with one page per subdomain sails through all
+    of them; the registered-domain rollup is the level where the
+    pattern reappears). A deterministic host mix is synthesized
+    in-plan with one genuinely exploding cohort (u{doc_id}.
+    usercontent.com — one host per page), two legitimately multi-host
+    domains (news sites with a www tier, a 13-subdomain example.com),
+    a depth-2 CDN tier, and bare apex hosts pinning depth 0.
+
+    Scale shape: _psl_resolve's broadcast suffix join + per-url
+    partial-agg max, then ONE groupBy keyed registered_domain
+    (domain-cardinality output, far below page count; distinct-host
+    counting partial-aggregates map-side)."""
+    pages = pages_from_documents(spark, sf_dir)
+    d = F.regexp_extract("url", r"doc://(\d+)", 1).cast("long")
+    m = d % 5
+    host = (F.when(m == 0, F.concat(F.lit("www.news"),
+                                    (d % 7).cast("string"),
+                                    F.lit(".co.uk")))
+            .when(m == 1, F.concat(F.lit("u"), d.cast("string"),
+                                   F.lit(".usercontent.com")))
+            .when(m == 2, F.concat(F.lit("site"), (d % 13).cast("string"),
+                                   F.lit(".example.com")))
+            .when(m == 3, F.concat(F.lit("cdn.eu.static"),
+                                   (d % 3).cast("string"), F.lit(".net")))
+            .otherwise(F.concat(F.lit("media"), (d % 3).cast("string"),
+                                F.lit(".org"))))
+    resolved = _psl_resolve(spark, pages.select("url", host.alias("host")))
+    depth = F.when(F.col("subdomain") == "", F.lit(0)) \
+        .otherwise(F.size(F.split("subdomain", r"\.")))
+    agg = (resolved.select("registered_domain", "host",
+                           depth.alias("depth"))
+           .groupBy("registered_domain")
+           .agg(F.countDistinct("host").alias("n_hosts"),
+                F.count("*").alias("n_pages"),
+                F.max("depth").alias("max_subdomain_depth")))
+    ratio = F.round(F.col("n_hosts") / F.col("n_pages"), 4)
+    return agg.select(
+        "registered_domain", "n_hosts", "n_pages", "max_subdomain_depth",
+        ratio.alias("hosts_per_page"),
+        ((F.col("n_hosts") >= SUBDOMAIN_EXPLOSION_MIN_HOSTS)
+         & (ratio >= SUBDOMAIN_EXPLOSION_RATIO)).alias("exploded"))
+
+
+def _subdomain_explosion_sql() -> str:
+    return f"""
+WITH hosts AS (
+  SELECT doc_id,
+         CASE doc_id % 5
+           WHEN 0 THEN 'www.news' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.co.uk'
+           WHEN 1 THEN 'u' || CAST(doc_id AS VARCHAR)
+                       || '.usercontent.com'
+           WHEN 2 THEN 'site' || CAST(doc_id % 13 AS VARCHAR)
+                       || '.example.com'
+           WHEN 3 THEN 'cdn.eu.static' || CAST(doc_id % 3 AS VARCHAR)
+                       || '.net'
+           ELSE 'media' || CAST(doc_id % 3 AS VARCHAR) || '.org' END
+           AS host,
+         CASE doc_id % 5
+           WHEN 0 THEN 'news' || CAST(doc_id % 7 AS VARCHAR) || '.co.uk'
+           WHEN 1 THEN 'usercontent.com'
+           WHEN 2 THEN 'example.com'
+           WHEN 3 THEN 'static' || CAST(doc_id % 3 AS VARCHAR) || '.net'
+           ELSE 'media' || CAST(doc_id % 3 AS VARCHAR) || '.org' END
+           AS registered_domain,
+         CASE doc_id % 5 WHEN 3 THEN 2 WHEN 4 THEN 0 ELSE 1 END AS depth
+  FROM documents
+), agg AS (
+  SELECT registered_domain,
+         CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+         CAST(COUNT(*) AS BIGINT) AS n_pages,
+         CAST(MAX(depth) AS INT) AS max_subdomain_depth
+  FROM hosts GROUP BY registered_domain
+)
+SELECT registered_domain, n_hosts, n_pages, max_subdomain_depth,
+       round(n_hosts / CAST(n_pages AS DOUBLE), 4) AS hosts_per_page,
+       (n_hosts >= {SUBDOMAIN_EXPLOSION_MIN_HOSTS}
+        AND round(n_hosts / CAST(n_pages AS DOUBLE), 4)
+            >= {SUBDOMAIN_EXPLOSION_RATIO}) AS exploded
+FROM agg
 """
 
 
@@ -5105,6 +5210,7 @@ SPARK_QUERIES = {
     "pages_content_sniff": pages_content_sniff,
     "docs_nfc_normalize": docs_nfc_normalize,
     "hosts_registered_domain": hosts_registered_domain,
+    "hosts_subdomain_explosion": hosts_subdomain_explosion,
     "docs_bloom_snapshot_merge": docs_bloom_snapshot_merge,
     "docs_substring_dedup": docs_substring_dedup,
     "docs_gopher_line_filters": docs_gopher_line_filters,
@@ -5171,6 +5277,7 @@ ORACLE_SQL = {
     "pages_content_sniff": PAGES_CONTENT_SNIFF_SQL,
     "docs_nfc_normalize": DOCS_NFC_NORMALIZE_SQL,
     "hosts_registered_domain": _registered_domain_sql(),
+    "hosts_subdomain_explosion": _subdomain_explosion_sql(),
     "docs_bloom_snapshot_merge": DOCS_BLOOM_MERGE_SQL,
     "docs_substring_dedup": DOCS_SUBSTR_DEDUP_SQL,
     "docs_gopher_line_filters": GOPHER_LINE_SQL,

@@ -1659,3 +1659,46 @@ def test_mrl_recall_anchor_and_bounds(spark):
         assert abs(r["recall_at_k"] - r["n_overlap"] / TOPK) < 1e-9
         if r["dim"] == DIM:
             assert r["n_overlap"] == TOPK
+
+
+def test_markov_transitions_rowsum_and_session_scope(spark):
+    """Transition probabilities must row-normalize to 1 per prev_type,
+    and session scoping must hold exactly: every session of length L
+    contributes L-1 transitions, so Σ n_trans == Σ events - Σ sessions
+    (cross-checked against ev_sessionize's independent rollup)."""
+    from ocr_spark.plans.queries import ev_markov_transitions, ev_sessionize
+
+    rows = ev_markov_transitions(spark, SF).collect()
+    assert rows
+    by_prev: dict = {}
+    for r in rows:
+        by_prev.setdefault(r["prev_type"], []).append(r)
+    for prev, rs in by_prev.items():
+        assert abs(sum(x["p_trans"] for x in rs) - 1.0) < 1e-4, prev
+    n_trans = sum(r["n_trans"] for r in rows)
+    sess = ev_sessionize(spark, SF).collect()
+    assert n_trans == sum(r["n_events"] for r in sess) \
+        - sum(r["n_sessions"] for r in sess)
+
+
+def test_extract_eval_cer_insertion_identity(spark):
+    """On this corpus the gold text survives as one contiguous block,
+    so the edit distance must equal the inserted-boilerplate mass
+    exactly (lev == n_pred - n_gold) for EVERY document — and the
+    underlying kernel must be a real DP, not a length difference
+    (pinned on substitution/transposition pairs)."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.plans.extract_queries import extract_eval_cer
+
+    rows = extract_eval_cer(spark, SF).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert r["lev_dist"] == r["n_pred_chars"] - r["n_gold_chars"], r
+        assert r["cer"] > 0.0
+    pairs = spark.createDataFrame(
+        [("kitten", "sitting"), ("abcd", "badc"), ("same", "same")],
+        "a string, b string")
+    got = [r["d"] for r in pairs.select(
+        F.levenshtein("a", "b").alias("d")).collect()]
+    assert got == [3, 3, 0]  # same lengths, nonzero distances

@@ -1081,3 +1081,30 @@ def test_warc_export_record_wellformed(spark):
             r"-[0-9a-f]{12}>", head)
         assert len(payload.encode("utf-8")) == r["content_length"]
         assert f"Content-Length: {r['content_length']}" in head
+
+
+def test_subdomain_explosion_flags_only_wildcard_cohort(spark):
+    """The registered-domain rollup must flag exactly the
+    one-host-per-page cohort (u{doc}.usercontent.com) and clear the
+    legitimately multi-host domains (13-subdomain example.com, www
+    news tier, depth-2 CDN, bare apex) — the signal host-keyed caps
+    cannot see. Depth and host-count identities pinned per cohort."""
+    from ocr_spark.plans.webops import (
+        SUBDOMAIN_EXPLOSION_MIN_HOSTS, hosts_subdomain_explosion)
+
+    rows = {r["registered_domain"]: r
+            for r in hosts_subdomain_explosion(spark, SF).collect()}
+    uc = rows["usercontent.com"]
+    assert uc["exploded"]
+    assert uc["n_hosts"] == uc["n_pages"]
+    assert uc["n_hosts"] >= SUBDOMAIN_EXPLOSION_MIN_HOSTS
+    assert uc["hosts_per_page"] == 1.0
+    for dom, r in rows.items():
+        if dom != "usercontent.com":
+            assert not r["exploded"], dom
+    assert rows["example.com"]["n_hosts"] == 13
+    assert rows["example.com"]["max_subdomain_depth"] == 1
+    cdn = [r for d, r in rows.items() if d.startswith("static")]
+    assert cdn and all(r["max_subdomain_depth"] == 2 for r in cdn)
+    apex = [r for d, r in rows.items() if d.startswith("media")]
+    assert apex and all(r["max_subdomain_depth"] == 0 for r in apex)
