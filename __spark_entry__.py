@@ -66,7 +66,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "docs_repetition_metrics", "docs_substring_dup_coverage",
     # this session's additions (never driver-checked by definition)
     "extract_eval_cer", "hosts_subdomain_explosion",
-    "ev_markov_transitions",
+    "ev_markov_transitions", "emb_pq_train", "docs_quality_calibration",
     "pages_wrap_digest", "pages_html_features", "pages_extract_router",
     "docs_quality_rrf", "emb_cell_drift", "docs_fim_split",
     "pages_warc_export", "emb_mrl_recall",

@@ -2436,8 +2436,90 @@ FROM sc
 """
 
 
+CAL_BINS = 10   # score deciles
+
+
+def docs_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-calibration table — the QA artifact published
+    before a model-based quality filter is trusted (the reliability-
+    diagram companion to docs_lsh_eval / emb_ann_recall_eval's
+    candidate scorecards): documents are binned into CAL_BINS score
+    deciles (ties broken by doc_id so the binning is deterministic),
+    and each decile reports its mean classifier score against the
+    fraction passing the INDEPENDENT heuristic Gopher gate. A
+    well-calibrated classifier shows keep_rate rising monotonically
+    with the decile; a flat curve means the classifier learned
+    nothing the heuristics don't already know.
+
+    Determinism: mean_score is computed from an exact integer sum of
+    the 6-decimal scores (score_x1e6), not a float AVG — float
+    summation order differs between engines/partitions and can flip
+    the rounded last digit; keep_rate is an integer ratio.
+
+    Scale shape: the two subplans are the audited classifier/Gopher
+    shapes; the decile assignment here is one global NTILE window
+    (exact form); at 10^12 docs it becomes approx_percentile
+    cutpoints broadcast back — the same exact-vs-approx note as
+    docs_quality_percentile_gate; the final rollup is a
+    CAL_BINS-row aggregate."""
+    from ocr_spark.plans.dataops import docs_gopher_filters
+
+    s = docs_classifier_score(spark, sf_dir).select("doc_id", "score")
+    g = docs_gopher_filters(spark, sf_dir) \
+        .select("doc_id", F.col("keep").alias("keep_gopher"))
+    j = s.join(g, "doc_id")
+    w = Window.orderBy("score", "doc_id")
+    binned = j.select(
+        "score", "keep_gopher",
+        F.ntile(CAL_BINS).over(w).alias("decile"),
+        F.round(F.col("score") * 1e6).cast("long").alias("score_x1e6"))
+    agg = binned.groupBy("decile").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("score_x1e6").alias("s1e6"),
+        F.sum(F.col("keep_gopher").cast("long")).alias("n_keep"))
+    return agg.select(
+        "decile", "n_docs",
+        F.round(F.col("s1e6") / (F.col("n_docs") * 1e6), 6)
+         .alias("mean_score"),
+        "n_keep",
+        F.round(F.col("n_keep") / F.col("n_docs"), 6).alias("keep_rate"))
+
+
+def _quality_calibration_sql() -> str:
+    from ocr_spark.plans.dataops import _GOPHER_SQL
+
+    return f"""
+WITH cls AS (
+{_classifier_sql()}
+), gph AS (
+{_GOPHER_SQL}
+), j AS (
+  SELECT cls.doc_id, cls.score, gph.keep AS keep_gopher
+  FROM cls JOIN gph ON cls.doc_id = gph.doc_id
+), b AS (
+  SELECT score, keep_gopher,
+         CAST(NTILE({CAL_BINS}) OVER (ORDER BY score, doc_id) AS INT)
+           AS decile,
+         CAST(round(score * 1e6) AS BIGINT) AS score_x1e6
+  FROM j
+), agg AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         SUM(score_x1e6) AS s1e6,
+         CAST(SUM(CASE WHEN keep_gopher THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_keep
+  FROM b GROUP BY decile
+)
+SELECT decile, n_docs,
+       round(s1e6 / (n_docs * 1e6), 6) AS mean_score,
+       n_keep,
+       round(n_keep / CAST(n_docs AS DOUBLE), 6) AS keep_rate
+FROM agg
+"""
+
+
 SPARK_QUERIES = {
     "docs_quality_rrf": docs_quality_rrf,
+    "docs_quality_calibration": docs_quality_calibration,
     "docs_dsir_weights": docs_dsir_weights,
     "docs_training_order": docs_training_order,
     "docs_unigram_logprob": docs_unigram_logprob,
@@ -2473,6 +2555,7 @@ SPARK_QUERIES = {
 
 ORACLE_SQL = {
     "docs_quality_rrf": _quality_rrf_sql(),
+    "docs_quality_calibration": _quality_calibration_sql(),
     "docs_dsir_weights": DSIR_WEIGHTS_SQL,
     "docs_training_order": TRAINING_ORDER_SQL,
     "docs_unigram_logprob": UNIGRAM_LOGPROB_SQL,

@@ -741,6 +741,148 @@ SELECT vec_id, pq_codes, md5(pq_codes) AS codes_md5 FROM c
 
 
 
+PQT_ITERS = 2   # fixed Lloyd rounds per subspace — fixed so the
+                # unrolled-CTE oracle stays finite (same discipline as
+                # KM_ITERS); PQ codebooks converge fast because each
+                # subspace is only PQ_DSUB dims
+
+
+def _pq_subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, m, sv): every vector split into its PQ_M subvectors —
+    the training frame for per-subspace Lloyd."""
+    emb = t(spark, sf_dir).select("vec_id", _vecd().alias("v"))
+    subs = F.array(*[
+        F.struct(F.lit(j).alias("m"),
+                 F.slice("v", j * PQ_DSUB + 1, PQ_DSUB).alias("sv"))
+        for j in range(PQ_M)])
+    return (emb.select("vec_id", F.explode(subs).alias("s"))
+            .select("vec_id", F.col("s.m").alias("m"),
+                    F.col("s.sv").alias("sv")))
+
+
+def emb_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebook TRAINING — per-subspace Lloyd's algorithm (Jégou
+    et al. 2011 §III: product quantizers are trained as M independent
+    k-means problems over the subvector projections). Closes the same
+    gap for emb_pq_codes that emb_kmeans_train closed for emb_ivf_topk:
+    the codebooks stop being seeded literals and become learned
+    in-plan, with the trained table feeding the identical assignment
+    shape. Init = the first PQ_K subvectors per subspace, PQT_ITERS
+    fixed rounds, centroid components rounded to KM_ROUND each round
+    on both engines so downstream argmins see identical doubles.
+
+    Scale shape: all PQ_M subspace problems train SIMULTANEOUSLY in
+    one frame keyed m — per round, assignment is an equi-join against
+    a broadcast PQ_M-row centroid-array table (narrow map; no corpus
+    shuffle), and the update is ONE partial-agg groupBy keyed
+    (m, cell, pos) emitting at most M·K·DSUB rows; localCheckpoint
+    truncates per-round lineage (the hosts_pagerank discipline).
+    Output: (m, cell, pos, cv, n_members) — the exploded trained
+    codebooks plus final member counts."""
+    subs = _pq_subvectors(spark, sf_dir)
+    cent = (subs.filter(F.col("vec_id") < PQ_K)
+            .select("m", F.col("vec_id").alias("cell"),
+                    F.col("sv").alias("cv")))
+
+    def assign(c: DataFrame) -> DataFrame:
+        centm = c.groupBy("m").agg(F.array_sort(
+            F.collect_list(F.struct("cell", "cv"))).alias("cents"))
+        return (subs.join(F.broadcast(centm), "m")
+                .select("vec_id", "m", "sv",
+                        _km_argmin_sub(F.col("sv"),
+                                       F.col("cents")).alias("cell")))
+
+    for _ in range(PQT_ITERS):
+        assigned = assign(cent)
+        cent = (assigned
+                .select("m", "cell", F.posexplode("sv").alias("pos", "x"))
+                .groupBy("m", "cell", "pos")
+                .agg(F.round(F.avg("x"), KM_ROUND).alias("cv"))
+                .groupBy("m", "cell")
+                .agg(F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                    lambda s: s.cv).alias("cv"))
+                ).localCheckpoint(eager=False)
+    final = assign(cent)
+    counts = final.groupBy("m", "cell").agg(
+        F.count("*").alias("n_members"))
+    return (cent.select("m", "cell", F.posexplode("cv").alias("pos", "c"))
+            .join(counts, ["m", "cell"])
+            .select("m", "cell", "pos", F.col("c").alias("cv"),
+                    "n_members"))
+
+
+def _km_argmin_sub(sv: Column, cents: Column) -> Column:
+    """_km_argmin over subvectors (any length — _dist2's zip_with
+    fold is length-agnostic)."""
+    scored = F.transform(
+        cents, lambda c: F.struct(_dist2(sv, c["cv"]).alias("d"),
+                                  c["cell"].alias("cell")))
+    return F.array_min(scored).getField("cell")
+
+
+def _sql_sub_dist2(a: str, b: str) -> str:
+    return (f"list_reduce(list_transform(range(1, {PQ_DSUB + 1}), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), "
+            f"(x, y) -> x + y)")
+
+
+def _pq_train_sql() -> str:
+    """Unrolled per-subspace Lloyd — the emb_kmeans_train oracle
+    pattern with subspace id m as an extra key column (one CTE chain
+    trains all PQ_M problems at once, mirroring the Spark frame)."""
+    parts = [
+        f"e AS (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings)",
+        f"s AS (SELECT vec_id, CAST(t.m AS INT) AS m,\n"
+        f"              list_transform(range(1, {PQ_DSUB + 1}),\n"
+        f"                  i -> v[t.m * {PQ_DSUB} + i]) AS sv\n"
+        f"       FROM e, range(0, {PQ_M}) AS t(m))",
+        f"c0 AS (SELECT m, vec_id AS cell, sv AS cv FROM s "
+        f"WHERE vec_id < {PQ_K})",
+    ]
+    prev = "c0"
+    for it in range(1, PQT_ITERS + 1):
+        parts.append(
+            f"a{it} AS (\n"
+            f"  SELECT vec_id, m, sv, cell FROM (\n"
+            f"    SELECT vec_id, m, sv, cell, ROW_NUMBER() OVER (\n"
+            f"      PARTITION BY vec_id, m ORDER BY d, cell) AS rn\n"
+            f"    FROM (SELECT s.vec_id, s.m, s.sv, c.cell,\n"
+            f"                 {_sql_sub_dist2('s.sv', 'c.cv')} AS d\n"
+            f"          FROM s JOIN {prev} c ON s.m = c.m))\n"
+            f"  WHERE rn = 1)")
+        parts.append(
+            f"c{it} AS (\n"
+            f"  SELECT m, cell, list(cv ORDER BY pos) AS cv FROM (\n"
+            f"    SELECT m, cell, u.i AS pos,\n"
+            f"           ROUND(AVG(sv[u.i]), {KM_ROUND}) AS cv\n"
+            f"    FROM a{it}, generate_series(1, {PQ_DSUB}) AS u(i)\n"
+            f"    GROUP BY m, cell, u.i)\n"
+            f"  GROUP BY m, cell)")
+        prev = f"c{it}"
+    parts.append(
+        f"af AS (\n"
+        f"  SELECT vec_id, m, cell FROM (\n"
+        f"    SELECT vec_id, m, cell, ROW_NUMBER() OVER (\n"
+        f"      PARTITION BY vec_id, m ORDER BY d, cell) AS rn\n"
+        f"    FROM (SELECT s.vec_id, s.m, c.cell,\n"
+        f"                 {_sql_sub_dist2('s.sv', 'c.cv')} AS d\n"
+        f"          FROM s JOIN {prev} c ON s.m = c.m))\n"
+        f"  WHERE rn = 1)")
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes},
+counts AS (
+  SELECT m, cell, CAST(COUNT(*) AS BIGINT) AS n_members
+  FROM af GROUP BY m, cell
+)
+SELECT c.m, c.cell, CAST(u.i - 1 AS INT) AS pos, c.cv[u.i] AS cv,
+       counts.n_members
+FROM {prev} c JOIN counts ON counts.m = c.m AND counts.cell = c.cell,
+     generate_series(1, {PQ_DSUB}) AS u(i)
+"""
+
+
 def emb_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantization-distortion report: per vector, the exact squared
     reconstruction error of BOTH storage-tier codecs — int8 scalar
@@ -2420,6 +2562,7 @@ SPARK_QUERIES = {
     "emb_abtt_postprocess": emb_abtt_postprocess,
     "emb_ivfpq_topk": emb_ivfpq_topk,
     "emb_kmeans_train": emb_kmeans_train,
+    "emb_pq_train": emb_pq_train,
     "emb_cluster_balanced_sample": emb_cluster_balanced_sample,
     "emb_cluster_quota_sample": emb_cluster_quota_sample,
     "emb_mutual_knn": emb_mutual_knn,
@@ -2452,6 +2595,7 @@ ORACLE_SQL = {
     "emb_abtt_postprocess": _abtt_sql(),
     "emb_ivfpq_topk": _ivfpq_sql(),
     "emb_kmeans_train": _KMEANS_TRAIN_SQL,
+    "emb_pq_train": _pq_train_sql(),
     "emb_cluster_balanced_sample": _CLUSTER_SAMPLE_SQL,
     "emb_cluster_quota_sample": _cluster_quota_sql(),
     "emb_mutual_knn": _MUTUAL_KNN_SQL,

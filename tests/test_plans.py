@@ -1702,3 +1702,70 @@ def test_extract_eval_cer_insertion_identity(spark):
     got = [r["d"] for r in pairs.select(
         F.levenshtein("a", "b").alias("d")).collect()]
     assert got == [3, 3, 0]  # same lengths, nonzero distances
+
+
+def test_pq_train_beats_seeded_codebooks_and_covers_corpus(spark):
+    """PQ training must be load-bearing: the Lloyd-trained codebooks
+    must reconstruct the corpus with LOWER total squared error than
+    the seeded literal PQ_CODEBOOKS they replace (per subspace, summed
+    over all vectors), membership must cover every vector in every
+    subspace, and the codebook shape must be (m < PQ_M, cells <= PQ_K,
+    PQ_DSUB positions each)."""
+    import numpy as np
+
+    from ocr_spark.plans.simsearch import (
+        PQ_CODEBOOKS, PQ_DSUB, PQ_K, PQ_M, emb_pq_train, t, _vecd)
+    from pyspark.sql import functions as F
+
+    rows = emb_pq_train(spark, SF).collect()
+    assert rows
+    cb: dict = {}
+    members: dict = {}
+    for r in rows:
+        assert 0 <= r["m"] < PQ_M
+        assert 0 <= r["cell"] < PQ_K
+        assert 0 <= r["pos"] < PQ_DSUB
+        cb.setdefault((r["m"], r["cell"]), {})[r["pos"]] = r["cv"]
+        members[(r["m"], r["cell"])] = r["n_members"]
+    for key, comp in cb.items():
+        assert len(comp) == PQ_DSUB, key
+    n_vecs = t(spark, SF).count()
+    per_m: dict = {}
+    for (m, _c), n in members.items():
+        per_m[m] = per_m.get(m, 0) + n
+    assert all(v == n_vecs for v in per_m.values()), per_m
+
+    vecs = np.array(
+        [r["v"] for r in
+         t(spark, SF).select(_vecd().alias("v")).collect()])
+    for m in range(PQ_M):
+        sub = vecs[:, m * PQ_DSUB:(m + 1) * PQ_DSUB]
+        trained = np.array(
+            [[cb[(m, c)][p] for p in range(PQ_DSUB)]
+             for c in sorted(c2 for (m2, c2) in cb if m2 == m)])
+        seeded = np.array(PQ_CODEBOOKS[m])
+
+        def sse(codebook):
+            d = ((sub[:, None, :] - codebook[None, :, :]) ** 2).sum(-1)
+            return d.min(axis=1).sum()
+
+        assert sse(trained) < sse(seeded), m
+
+
+def test_quality_calibration_bins_and_monotone_score(spark):
+    """Deciles must partition the corpus evenly, and mean_score must
+    be nondecreasing in the decile by construction (bins are ordered
+    by score) — a violated monotonicity means the binning broke."""
+    from ocr_spark.plans.curation import CAL_BINS, docs_quality_calibration
+
+    rows = sorted(docs_quality_calibration(spark, SF).collect(),
+                  key=lambda r: r["decile"])
+    assert [r["decile"] for r in rows] == list(range(1, CAL_BINS + 1))
+    assert sum(r["n_docs"] for r in rows) == 500
+    assert max(r["n_docs"] for r in rows) \
+        - min(r["n_docs"] for r in rows) <= 1
+    for a, b in zip(rows, rows[1:]):
+        assert a["mean_score"] <= b["mean_score"]
+    for r in rows:
+        assert 0.0 <= r["keep_rate"] <= 1.0
+        assert r["n_keep"] <= r["n_docs"]
