@@ -2517,9 +2517,93 @@ FROM agg
 """
 
 
+SFT_MAX_RESPONSE = 256        # response char budget before truncation
+SFT_USER_PRE = "<|user|>\nSummarize document "
+SFT_USER_POST = ".\n<|assistant|>\n"
+SFT_END = "<|end|>"
+
+
+def docs_sft_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT example assembly — the instruction-tuning counterpart of
+    docs_seq_pack / docs_span_corruption: render each document into a
+    chat-template example (user turn + assistant response) and emit
+    the LOSS-MASK char span (loss is computed on the response only;
+    the prompt tokens are masked out — the supervised-fine-tuning
+    convention every SFT trainer consumes). Responses over
+    SFT_MAX_RESPONSE chars are truncated at the last whitespace
+    BOUNDARY inside the budget (never mid-word; a doc with no space
+    inside the budget truncates hard at the budget), so the span
+    arithmetic is real logic, not a concat. The rendered example is
+    pinned by md5 (bytes checked without hauling them); offsets are
+    0-based [loss_start, loss_end).
+
+    Scale shape: zero shuffle — template literals, one substring
+    scan for the boundary, and per-row md5."""
+    docs = _docs(spark, sf_dir)
+    prompt = F.concat(F.lit(SFT_USER_PRE),
+                      F.col("doc_id").cast("string"),
+                      F.lit(SFT_USER_POST))
+    over = F.length("text") > SFT_MAX_RESPONSE
+    head = F.substring("text", 1, SFT_MAX_RESPONSE)
+    k = F.instr(F.reverse(head), " ")   # last space in the budget win
+    cut = F.when(k > 0, F.length(head) - k).otherwise(F.length(head))
+    response = F.when(over, F.substring(head, F.lit(1), cut)) \
+        .otherwise(F.col("text"))
+    rendered = F.concat(prompt, response, F.lit(SFT_END))
+    return docs.select(
+        "doc_id", "lang",
+        F.length(prompt).cast("long").alias("prompt_chars"),
+        F.length(response).cast("long").alias("response_chars"),
+        over.alias("truncated"),
+        F.length(prompt).cast("long").alias("loss_start"),
+        (F.length(prompt) + F.length(response)).cast("long")
+         .alias("loss_end"),
+        F.round(F.length(response)
+                / (F.length(prompt) + F.length(response)
+                   + F.length(F.lit(SFT_END))), 6).alias("loss_frac"),
+        F.md5(rendered).alias("rendered_md5"))
+
+
+def _sft_format_sql() -> str:
+    pre = SFT_USER_PRE.replace("\n", "' || chr(10) || '")
+    post = SFT_USER_POST.replace("\n", "' || chr(10) || '")
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, text,
+         '{pre}' || CAST(doc_id AS VARCHAR) || '{post}' AS prompt,
+         substring(text, 1, {SFT_MAX_RESPONSE}) AS head
+  FROM documents
+), cutc AS (
+  SELECT doc_id, lang, text, prompt, head,
+         CASE WHEN strpos(reverse(head), ' ') > 0
+              THEN length(head) - strpos(reverse(head), ' ')
+              ELSE length(head) END AS cut
+  FROM base
+), r AS (
+  SELECT doc_id, lang, prompt,
+         CASE WHEN length(text) > {SFT_MAX_RESPONSE}
+              THEN substring(head, 1, cut) ELSE text END AS response,
+         length(text) > {SFT_MAX_RESPONSE} AS truncated
+  FROM cutc
+)
+SELECT doc_id, lang,
+       CAST(length(prompt) AS BIGINT) AS prompt_chars,
+       CAST(length(response) AS BIGINT) AS response_chars,
+       truncated,
+       CAST(length(prompt) AS BIGINT) AS loss_start,
+       CAST(length(prompt) + length(response) AS BIGINT) AS loss_end,
+       round(length(response)
+             / CAST(length(prompt) + length(response)
+                    + {len(SFT_END)} AS DOUBLE), 6) AS loss_frac,
+       md5(prompt || response || '{SFT_END}') AS rendered_md5
+FROM r
+"""
+
+
 SPARK_QUERIES = {
     "docs_quality_rrf": docs_quality_rrf,
     "docs_quality_calibration": docs_quality_calibration,
+    "docs_sft_format": docs_sft_format,
     "docs_dsir_weights": docs_dsir_weights,
     "docs_training_order": docs_training_order,
     "docs_unigram_logprob": docs_unigram_logprob,
@@ -2556,6 +2640,7 @@ SPARK_QUERIES = {
 ORACLE_SQL = {
     "docs_quality_rrf": _quality_rrf_sql(),
     "docs_quality_calibration": _quality_calibration_sql(),
+    "docs_sft_format": _sft_format_sql(),
     "docs_dsir_weights": DSIR_WEIGHTS_SQL,
     "docs_training_order": TRAINING_ORDER_SQL,
     "docs_unigram_logprob": UNIGRAM_LOGPROB_SQL,

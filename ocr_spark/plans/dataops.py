@@ -3198,6 +3198,75 @@ FROM m WHERE n < 3
 """
 
 
+CB_MIN_BATCHES = 16   # floor on the batch count (≈ corpus / batch size)
+
+
+def docs_contrastive_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-AWARE training-batch construction — the contrastive-
+    learning guard the near-dup pipeline feeds: with in-batch
+    negatives (CLIP/DPR-style training), two near-duplicates landing
+    in the same batch become a FALSE negative (the loss pushes apart
+    two views of the same content), so batch assignment must separate
+    every near-dup cluster across batches. Deterministic scheme with
+    a hard guarantee: batch_id = (within-cluster rank + md5(cluster)
+    offset) mod n_batches, where n_batches = max(CB_MIN_BATCHES,
+    largest cluster size) — ranks within a cluster are distinct mod
+    n_batches, so NO batch ever holds two members of one cluster,
+    while the per-cluster hash offset spreads cluster starts evenly
+    so batch sizes stay balanced. Singleton docs (never paired) are
+    their own cluster.
+
+    Scale shape: the cluster subplan is the audited near-dup tail;
+    on top of it one doc_id equi-join, one cluster-keyed window for
+    the rank (clusters are tiny — bounded by the LSH bucket cap),
+    the batch count as a broadcast 1-row aggregate, and narrow
+    modular arithmetic."""
+    docs = t(spark, sf_dir, "documents")
+    clusters = docs_near_dup_clusters(spark, sf_dir) \
+        .select("doc_id", "cluster_id")
+    assigned = (docs.select("doc_id").join(clusters, "doc_id", "left")
+                .select("doc_id",
+                        F.coalesce("cluster_id", F.col("doc_id"))
+                         .alias("cluster")))
+    sizes = assigned.groupBy("cluster").agg(F.count("*").alias("csz"))
+    nbrow = sizes.agg(
+        F.greatest(F.max("csz"),
+                   F.lit(CB_MIN_BATCHES).cast("long")).alias("nb"))
+    w = Window.partitionBy("cluster").orderBy("doc_id")
+    ranked = assigned.withColumn("r", F.row_number().over(w) - 1)
+    off = F.conv(F.substring(F.md5(F.col("cluster").cast("string")),
+                             1, 13), 16, 10).cast("long")
+    return (ranked.crossJoin(F.broadcast(nbrow))
+            .select("doc_id", "cluster",
+                    ((F.col("r") + off % F.col("nb")) % F.col("nb"))
+                    .cast("int").alias("batch_id")))
+
+
+_CONTRASTIVE_BATCHES_SQL = f"""
+WITH clusters AS (
+{_NEAR_DUP_CLUSTERS_SQL}
+), assigned AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster
+  FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+), sizes AS (
+  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS csz
+  FROM assigned GROUP BY cluster
+), nb AS (
+  SELECT GREATEST(MAX(csz), {CB_MIN_BATCHES}) AS nb FROM sizes
+), ranked AS (
+  SELECT doc_id, cluster,
+         ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY doc_id) - 1
+           AS r
+  FROM assigned
+)
+SELECT doc_id, cluster,
+       CAST((r + CAST(('0x' || substr(md5(CAST(cluster AS VARCHAR)),
+                                      1, 13)) AS BIGINT) % nb.nb)
+            % nb.nb AS INT) AS batch_id
+FROM ranked, nb
+"""
+
+
 SPARK_QUERIES = {
     "docs_fim_split": docs_fim_split,
     "docs_script_profile": docs_script_profile,
@@ -3214,6 +3283,7 @@ SPARK_QUERIES = {
     "docs_ngram_jaccard_pairs": docs_ngram_jaccard_pairs,
     "docs_jaccard_verify_candidates": docs_jaccard_verify_candidates,
     "docs_near_dup_clusters": docs_near_dup_clusters,
+    "docs_contrastive_batches": docs_contrastive_batches,
     "docs_near_dup_clusters_logstar": docs_near_dup_clusters_logstar,
     "docs_gopher_filters": docs_gopher_filters,
     "docs_langid": docs_langid,
@@ -3254,6 +3324,7 @@ ORACLE_SQL = {
     "docs_ngram_jaccard_pairs": _JACCARD_SQL,
     "docs_jaccard_verify_candidates": _JACCARD_VERIFY_SQL,
     "docs_near_dup_clusters": _NEAR_DUP_CLUSTERS_SQL,
+    "docs_contrastive_batches": _CONTRASTIVE_BATCHES_SQL,
     "docs_near_dup_clusters_logstar": _NEAR_DUP_CLUSTERS_SQL,
     "docs_gopher_filters": _GOPHER_SQL,
     "docs_langid": _LANGID_SQL,

@@ -1769,3 +1769,67 @@ def test_quality_calibration_bins_and_monotone_score(spark):
     for r in rows:
         assert 0.0 <= r["keep_rate"] <= 1.0
         assert r["n_keep"] <= r["n_docs"]
+
+
+def test_contrastive_batches_never_collide_clusters(spark):
+    """The hard guarantee: no batch may contain two members of the
+    same near-dup cluster (that would mint false negatives for
+    in-batch contrastive training). Load-bearing only if multi-member
+    clusters exist — asserted too."""
+    from ocr_spark.plans.dataops import (
+        CB_MIN_BATCHES, docs_contrastive_batches)
+
+    rows = docs_contrastive_batches(spark, SF).collect()
+    assert len(rows) == 500
+    seen = set()
+    csize: dict = {}
+    bsize: dict = {}
+    for r in rows:
+        key = (r["cluster"], r["batch_id"])
+        assert key not in seen, key
+        seen.add(key)
+        csize[r["cluster"]] = csize.get(r["cluster"], 0) + 1
+        bsize[r["batch_id"]] = bsize.get(r["batch_id"], 0) + 1
+    assert max(csize.values()) >= 2        # fixture has real clusters
+    nb = max(CB_MIN_BATCHES, max(csize.values()))
+    assert all(0 <= b < nb for b in bsize)
+    assert len(bsize) == nb                # every batch is used
+
+
+def test_sft_format_mask_spans_and_byte_pin(spark):
+    """Loss-mask arithmetic must be internally consistent, truncation
+    must respect the budget AND word boundaries, and rendered_md5 must
+    match a pure-Python re-rendering byte-for-byte."""
+    import hashlib
+
+    import pandas as pd
+
+    from ocr_spark.plans.curation import (
+        SFT_END, SFT_MAX_RESPONSE, SFT_USER_POST, SFT_USER_PRE,
+        docs_sft_format)
+
+    rows = {r["doc_id"]: r for r in docs_sft_format(spark, SF).collect()}
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    n_trunc = 0
+    for _, d in docs.iterrows():
+        r = rows[d["doc_id"]]
+        assert r["loss_end"] - r["loss_start"] == r["response_chars"]
+        prompt = f"{SFT_USER_PRE}{d['doc_id']}{SFT_USER_POST}"
+        assert r["loss_start"] == len(prompt)
+        text = d["text"]
+        if len(text) > SFT_MAX_RESPONSE:
+            n_trunc += 1
+            assert r["truncated"]
+            head = text[:SFT_MAX_RESPONSE]
+            cut = head.rfind(" ")
+            resp = head[:cut] if cut >= 0 else head
+            assert r["response_chars"] == len(resp) <= SFT_MAX_RESPONSE
+            # never mid-word: next char in the original is part of the
+            # dropped tail, and the response never ends with a space
+            assert not resp.endswith(" ")
+        else:
+            assert not r["truncated"]
+            resp = text
+        md5 = hashlib.md5((prompt + resp + SFT_END).encode()).hexdigest()
+        assert r["rendered_md5"] == md5, d["doc_id"]
+    assert n_trunc > 0                     # truncation genuinely fires
