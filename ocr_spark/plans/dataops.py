@@ -404,6 +404,85 @@ JOIN mh mb ON mb.doc_id = p.doc_b
 """
 
 
+BBIT_B = 2                      # bits kept per minhash value
+BBIT_C = 1.0 / (1 << BBIT_B)    # collision prob of unrelated values
+
+
+def docs_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit MinHash (Li & König 2010): keep only the lowest BBIT_B
+    bits of each minhash value — a 32×-64× signature-storage cut, the
+    move that makes billion-doc signature stores fit in memory — and
+    estimate Jaccard with the collision-corrected unbiased form
+    Ĵ = (M − C)/(1 − C), where M is the b-bit match fraction and
+    C = 2^-b is the chance two UNRELATED values collide in b bits.
+    Emitted per LSH candidate pair beside the full-width Broder
+    estimate, so the storage-vs-variance trade is observable per pair
+    (bbit_err column); the estimator clamps at 0 (M < C happens on
+    genuinely unrelated pairs at small K).
+
+    Scale shape: identical to docs_minhash_jaccard_estimate — the
+    capped LSH pair list bounds the join, signatures are narrow maps,
+    and the b-bit compare is a per-row fold."""
+    docs = t(spark, sf_dir, "documents")
+    sigs = minhash_sigs_frame(docs, "doc_id", "text")
+    pairs = lsh_pairs_frame(sigs, "doc_id") \
+        .select(F.col("key_a").alias("doc_a"),
+                F.col("key_b").alias("doc_b"),
+                "n_shared_bands", "jaccard_est")
+    mod = 1 << BBIT_B
+    sa = sigs.select(F.col("doc_id").alias("doc_a"),
+                     F.col("minvec").alias("va"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"),
+                     F.col("minvec").alias("vb"))
+    mb = F.aggregate(
+        F.zip_with("va", "vb",
+                   lambda x, y: ((x % mod) == (y % mod)).cast("int")),
+        F.lit(0), lambda acc, x: acc + x)
+    est_b = F.round(
+        F.greatest(F.lit(0.0),
+                   (mb / F.lit(float(MINHASH_K)) - F.lit(BBIT_C))
+                   / F.lit(1.0 - BBIT_C)), 4)
+    return (pairs.join(sa, "doc_a").join(sb, "doc_b")
+            .select("doc_a", "doc_b", "n_shared_bands", "jaccard_est",
+                    est_b.alias("jaccard_bbit"),
+                    F.round(est_b - F.col("jaccard_est"), 4)
+                     .alias("bbit_err")))
+
+
+def _bbit_minhash_sql() -> str:
+    mod = 1 << BBIT_B
+    full_terms = " + ".join(
+        f"(CASE WHEN ma.minvec[{i + 1}] = mb.minvec[{i + 1}]"
+        f" THEN 1 ELSE 0 END)" for i in range(MINHASH_K))
+    bbit_terms = " + ".join(
+        f"(CASE WHEN ma.minvec[{i + 1}] % {mod}"
+        f" = mb.minvec[{i + 1}] % {mod}"
+        f" THEN 1 ELSE 0 END)" for i in range(MINHASH_K))
+    est_b = (f"round(GREATEST(0.0, (({bbit_terms}) / {MINHASH_K}.0"
+             f" - {BBIT_C}) / {1.0 - BBIT_C}), 4)")
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents
+), nz AS (
+  SELECT * FROM sh WHERE len(shingles) > 0
+), per AS (
+  SELECT doc_id, {_SQL_PER_SHINGLE} AS per_sh FROM nz
+), mh AS (
+  SELECT doc_id, {_SQL_MINVEC} AS minvec FROM per
+), pairs AS (
+{_LSH_PAIRS_SQL}
+)
+SELECT p.doc_a, p.doc_b, p.n_shared_bands,
+       round(({full_terms}) / {MINHASH_K}.0, 4) AS jaccard_est,
+       {est_b} AS jaccard_bbit,
+       round({est_b}
+             - round(({full_terms}) / {MINHASH_K}.0, 4), 4) AS bbit_err
+FROM pairs p
+JOIN mh ma ON ma.doc_id = p.doc_a
+JOIN mh mb ON mb.doc_id = p.doc_b
+"""
+
+
 _ROWS_PER_BAND = MINHASH_K // LSH_BANDS
 _LSH_PAIRS_SQL = f"""
 WITH sh AS (
@@ -1608,6 +1687,129 @@ SELECT doc_id,
        END AS rolling_hash,
        length(norm) AS n_chars_norm
 FROM n
+"""
+
+
+CDC_W = 8      # rolling-window width (chars) for the boundary test
+CDC_D = 32     # boundary divisor → expected chunk length ≈ CDC_D chars
+
+
+def docs_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (the Rabin/gear-CDC family of
+    LBFS / rsync / storage dedup, applied to corpus text): chunk
+    boundaries are placed where the rolling hash of the trailing
+    CDC_W-char window ≡ 0 (mod CDC_D), so boundaries move WITH the
+    content — an insertion near the head of a document shifts only
+    the chunks it touches, and every identical run downstream still
+    cuts at the identical positions and hashes to the identical
+    chunks. That insertion-robustness is exactly what byte-offset
+    (fixed-size-block) dedup lacks, and it is a different axis from
+    the doc/paragraph/span dedup families above: CDC sees REUSE of
+    content regions across otherwise-different documents. Per doc:
+    chunk count, mean chunk length, and the fraction of its chunks
+    whose content also appears in ANOTHER document (dup_chunk_frac —
+    the transfer/storage saving a chunk-store would realize).
+
+    Scale shape: boundary detection and chunk slicing are per-row
+    array expressions (zero shuffle; ~n window-hashes per doc, each a
+    CDC_W-char fold); the only exchanges are the chunk-hash groupBy
+    (distinct-chunk cardinality, partial-aggregated) and the doc_id
+    rollup — the same two-exchange shape as pages_para_dedup, one
+    level finer."""
+    docs = t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    base = docs.select("doc_id", norm.alias("norm"),
+                       F.length(norm).alias("n"),
+                       F.split(norm, "").alias("chars"))
+    whash = lambda p: F.aggregate(          # noqa: E731
+        F.slice("chars", p - F.lit(CDC_W - 1), CDC_W),
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * _RH_BASE + F.ascii(c)) % _RH_MOD)
+    bounds = F.when(
+        F.col("n") >= CDC_W,
+        F.filter(F.sequence(F.lit(CDC_W), F.col("n")),
+                 lambda p: whash(p) % CDC_D == 0)
+    ).otherwise(F.array().cast("array<int>"))
+    b = base.select("doc_id", "norm", "n", bounds.alias("bnd"))
+    starts = F.concat(F.array(F.lit(1)),
+                      F.transform("bnd", lambda p: p + 1))
+    ends = F.concat(F.col("bnd"), F.array(F.col("n")))
+    chunks = F.filter(
+        F.zip_with(starts, ends,
+                   lambda s, e: F.struct(s.alias("s"), e.alias("e"))),
+        lambda c: c["s"] <= c["e"])
+    texts = b.select(
+        "doc_id",
+        F.transform(chunks,
+                    lambda c: F.col("norm").substr(
+                        c["s"], c["e"] - c["s"] + 1)).alias("cts"))
+    exploded = (texts.select("doc_id",
+                             F.explode("cts").alias("chunk"))
+                .select("doc_id", F.md5("chunk").alias("ch"),
+                        F.length("chunk").alias("clen")))
+    shared = (exploded.groupBy("ch")
+              .agg(F.countDistinct("doc_id").alias("ndocs")))
+    j = exploded.join(shared, "ch")
+    agg = j.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.round(F.avg("clen"), 4).alias("mean_chunk_len"),
+        F.sum((F.col("ndocs") >= 2).cast("long")).alias("n_dup_chunks"))
+    return agg.select(
+        "doc_id", "n_chunks", "mean_chunk_len", "n_dup_chunks",
+        F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 6)
+         .alias("dup_chunk_frac"))
+
+
+_CDC_SQL = f"""
+WITH nrm AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+  FROM documents
+), base AS (
+  SELECT doc_id, norm, length(norm) AS n,
+         string_split(norm, '') AS chars
+  FROM nrm
+), bnds AS (
+  SELECT doc_id, norm, n,
+         list_filter(range(CAST({CDC_W} AS BIGINT), CAST(n + 1 AS BIGINT)),
+           p -> list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(
+                      list_slice(chars, CAST(p AS INT) - {CDC_W - 1},
+                                 CAST(p AS INT)),
+                      c -> CAST(ascii(c) AS BIGINT))),
+                  (a, x) -> (a * {_RH_BASE} + x) % {_RH_MOD})
+                % {CDC_D} = 0) AS bnd
+  FROM base
+), spans AS (
+  SELECT doc_id, norm,
+         list_zip(
+           list_prepend(CAST(1 AS BIGINT),
+                        list_transform(bnd, p -> p + 1)),
+           list_append(bnd, CAST(n AS BIGINT))) AS se
+  FROM bnds
+), chunks AS (
+  SELECT doc_id,
+         md5(substring(norm, CAST(u.c[1] AS INT),
+             CAST(u.c[2] - u.c[1] + 1 AS INT))) AS ch,
+         CAST(u.c[2] - u.c[1] + 1 AS BIGINT) AS clen
+  FROM spans, unnest(se) AS u(c)
+  WHERE u.c[1] <= u.c[2]
+), shared AS (
+  SELECT ch, COUNT(DISTINCT doc_id) AS ndocs FROM chunks GROUP BY ch
+), agg AS (
+  SELECT c.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         round(AVG(clen), 4) AS mean_chunk_len,
+         CAST(SUM(CASE WHEN s.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_chunks
+  FROM chunks c JOIN shared s USING (ch)
+  GROUP BY c.doc_id
+)
+SELECT doc_id, n_chunks, mean_chunk_len, n_dup_chunks,
+       round(n_dup_chunks / CAST(n_chunks AS DOUBLE), 6)
+         AS dup_chunk_frac
+FROM agg
 """
 
 
@@ -3284,6 +3486,8 @@ SPARK_QUERIES = {
     "docs_jaccard_verify_candidates": docs_jaccard_verify_candidates,
     "docs_near_dup_clusters": docs_near_dup_clusters,
     "docs_contrastive_batches": docs_contrastive_batches,
+    "docs_bbit_minhash": docs_bbit_minhash,
+    "docs_cdc_chunks": docs_cdc_chunks,
     "docs_near_dup_clusters_logstar": docs_near_dup_clusters_logstar,
     "docs_gopher_filters": docs_gopher_filters,
     "docs_langid": docs_langid,
@@ -3325,6 +3529,8 @@ ORACLE_SQL = {
     "docs_jaccard_verify_candidates": _JACCARD_VERIFY_SQL,
     "docs_near_dup_clusters": _NEAR_DUP_CLUSTERS_SQL,
     "docs_contrastive_batches": _CONTRASTIVE_BATCHES_SQL,
+    "docs_bbit_minhash": _bbit_minhash_sql(),
+    "docs_cdc_chunks": _CDC_SQL,
     "docs_near_dup_clusters_logstar": _NEAR_DUP_CLUSTERS_SQL,
     "docs_gopher_filters": _GOPHER_SQL,
     "docs_langid": _LANGID_SQL,

@@ -446,3 +446,74 @@ def test_fim_split_exercises_code_cohort(spark):
     modeled = [r for r in rows if r["modeled_code"]]
     assert modeled and all(r["doc_id"] % CODE_MOD == 4 for r in modeled)
     assert all(r["fim_applied"] for r in modeled)
+
+
+def _py_cdc_chunks(text: str) -> list[str]:
+    """Pure-Python mirror of docs_cdc_chunks' boundary rule."""
+    import re
+
+    from ocr_spark.plans.dataops import _RH_BASE, _RH_MOD, CDC_D, CDC_W
+
+    norm = re.sub(r"\s+", " ", text.lower().strip())
+    n = len(norm)
+    bnd = []
+    for p in range(CDC_W, n + 1):
+        acc = 0
+        for c in norm[p - CDC_W:p]:
+            acc = (acc * _RH_BASE + ord(c)) % _RH_MOD
+        if acc % CDC_D == 0:
+            bnd.append(p)
+    starts = [1] + [p + 1 for p in bnd]
+    ends = bnd + [n]
+    return [norm[s - 1:e] for s, e in zip(starts, ends) if s <= e]
+
+
+def test_cdc_chunks_python_parity_and_insertion_robustness(spark):
+    """The Spark expression pipeline must agree with an independent
+    pure-Python CDC on chunk counts and mean lengths, corpus-level
+    duplicate chunks must genuinely exist (the fixture has exact and
+    near duplicates), and the defining CDC property must hold: a
+    head insertion leaves the downstream chunking untouched."""
+    import pandas as pd
+
+    from ocr_spark.plans.dataops import docs_cdc_chunks
+
+    sf = "/root/testdata/sf0.01"
+    res = {r["doc_id"]: r
+           for r in docs_cdc_chunks(spark, sf).collect()}
+    docs = pd.read_parquet(f"{sf}/documents.parquet").head(25)
+    for _, d in docs.iterrows():
+        chunks = _py_cdc_chunks(d["text"])
+        r = res[d["doc_id"]]
+        assert r["n_chunks"] == len(chunks), d["doc_id"]
+        mean = sum(len(c) for c in chunks) / len(chunks)
+        assert abs(r["mean_chunk_len"] - round(mean, 4)) < 1e-9
+    assert any(r["n_dup_chunks"] > 0 for r in res.values())
+    assert any(r["n_dup_chunks"] == 0 for r in res.values())
+
+    s = docs.iloc[0]["text"]
+    base = _py_cdc_chunks(s)
+    shifted = _py_cdc_chunks("zq inserted head. " + s)
+    # all but the first chunk(s) survive the insertion untouched
+    overlap = set(base) & set(shifted)
+    assert len(overlap) >= len(base) - 2
+
+
+def test_bbit_minhash_identity_and_variance(spark):
+    """b-bit estimates must clamp to [0, 1], agree exactly with the
+    full estimate at J=1 (all positions match in any bit width), and
+    genuinely differ from the full-width estimate somewhere (the
+    storage trade is real, not a no-op)."""
+    from ocr_spark.plans.dataops import docs_bbit_minhash
+
+    rows = docs_bbit_minhash(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["jaccard_bbit"] <= 1.0
+        if r["jaccard_est"] == 1.0:
+            assert r["jaccard_bbit"] == 1.0
+        assert abs(r["bbit_err"]
+                   - round(r["jaccard_bbit"] - r["jaccard_est"], 4)) \
+            <= 1e-9
+    assert any(r["jaccard_est"] == 1.0 for r in rows)
+    assert any(r["bbit_err"] != 0.0 for r in rows)
