@@ -2022,6 +2022,164 @@ FROM ranked WHERE rank <= {IVF_TOPK}
 """
 
 
+def emb_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding — the form FAISS's IVFPQ actually
+    ships (Jégou et al. 2011 §IV.B): each corpus vector stores the PQ
+    codes of its residual (v − centroid(cell)) instead of the raw
+    vector, and the query is residualized PER PROBED CELL before the
+    asymmetric-distance scan. Residuals concentrate near the origin,
+    so a fixed codebook budget spends its resolution on the
+    within-cell offsets that actually discriminate candidates — the
+    reason production IVF-PQ encodes residuals. The shortlist → exact
+    re-rank tail is identical to emb_ivfpq_topk, so the two variants
+    are directly comparable per query.
+
+    Scale shape: unchanged from emb_ivfpq_topk — the centroid table is
+    K rows (broadcast equi-join on cell to residualize the corpus
+    side, once, at index-build time in production), probes broadcast,
+    ADC streams the code table through the cell equi-join, and only
+    shortlist survivors touch full vectors.
+
+    Measured honestly (BENCH/residual_adc.json): with the SEEDED
+    literal codebooks the fidelity gain on this fixture is ~nil
+    (mean |ADC − exact L2²| 9.259 residual vs 9.268 raw over returned
+    rows) — residualization pays off when the codebooks are TRAINED
+    on residual statistics, which is exactly the emb_pq_train seam
+    (train on (v − centroid) instead of v; the assignment plan here is
+    unchanged). The operator is kept because it is the structurally
+    correct production form; the codebook data swap is the tuning."""
+    cent, assigned = _kmeans(spark, sf_dir)
+    cent_b = cent.select(F.col("cell").alias("rcell"),
+                         F.col("cv").alias("rcv"))
+    emb = (assigned
+           .join(F.broadcast(cent_b), F.col("cell") == F.col("rcell"))
+           .withColumn("nrm", _norm(F.col("v")))
+           .withColumn("codes", _pq_code_arr(
+               F.zip_with("v", "rcv", lambda a, b: a - b)))
+           .drop("rcell", "rcv"))
+    centrow = cent.agg(F.array_sort(
+        F.collect_list(F.struct("cell", "cv"))).alias("cents"))
+    scored_cells = F.transform(
+        F.col("cents"), lambda c: F.struct(
+            _dist2(F.col("v"), c["cv"]).alias("d"),
+            c["cell"].alias("cell")))
+    probes = F.transform(
+        F.slice(F.array_sort(scored_cells), 1, IVF_NPROBE),
+        lambda s: s["cell"])
+    q = (emb.filter(F.col("vec_id") < N_QUERIES)
+         .crossJoin(F.broadcast(centrow))
+         .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+                 F.col("nrm").alias("qn"),
+                 F.explode(probes).alias("q_cell"))
+         .join(F.broadcast(cent_b), F.col("q_cell") == F.col("rcell"))
+         .withColumn("qrv", F.zip_with("qv", "rcv", lambda a, b: a - b))
+         .drop("rcell", "rcv"))
+    j = emb.join(F.broadcast(q), (F.col("cell") == F.col("q_cell"))
+                 & (F.col("vec_id") != F.col("q_id")))
+    adc = None
+    for sj in range(PQ_M):
+        cb_lit = F.array(*[F.array(*[F.lit(x) for x in cb])
+                           for cb in PQ_CODEBOOKS[sj]])
+        chosen = F.element_at(cb_lit, F.element_at("codes", sj + 1) + 1)
+        term = _dist2(F.slice("qrv", sj * PQ_DSUB + 1, PQ_DSUB), chosen)
+        adc = term if adc is None else adc + term
+    scored = j.select(
+        "q_id", F.col("vec_id").alias("neighbor_id"),
+        F.round(adc, 6).alias("adc6"), "v", "nrm", "qv", "qn")
+    ws = Window.partitionBy("q_id").orderBy(F.asc("adc6"),
+                                            F.asc("neighbor_id"))
+    short = (scored.withColumn("srn", F.row_number().over(ws))
+             .filter(F.col("srn") <= PQ_SHORTLIST))
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    rer = short.select("q_id", "neighbor_id", "adc6",
+                       F.round(cos, 6).alias("cos6"))
+    wr = Window.partitionBy("q_id").orderBy(F.desc("cos6"),
+                                            F.asc("neighbor_id"))
+    return (rer.withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= IVF_TOPK)
+            .select("q_id", "neighbor_id",
+                    F.round("adc6", 4).alias("adc_dist"),
+                    F.round("cos6", 4).alias("cos_sim"), "rank"))
+
+
+def _sql_pq_sub_expr(j: int, vec: str) -> str:
+    """_sql_pq_sub generalized to any vector expression (the residual
+    variant encodes ``rv`` where emb_pq_codes encodes ``v``)."""
+    dists = []
+    for cb in PQ_CODEBOOKS[j]:
+        lit = "[" + ", ".join(f"{x:.6f}" for x in cb) + "]"
+        dists.append(
+            f"round(list_reduce(list_transform(range(1, {PQ_DSUB + 1}), "
+            f"i -> ({vec}[{j * PQ_DSUB}+i] - ({lit})[i]) "
+            f"* ({vec}[{j * PQ_DSUB}+i] - ({lit})[i])), (x, y) -> x + y), 6)")
+    arr = "[" + ", ".join(dists) + "]"
+    return f"CAST(list_position({arr}, list_min({arr})) - 1 AS INT)"
+
+
+def _ivfpq_residual_sql() -> str:
+    adc_terms = " + ".join(
+        f"list_reduce(list_transform(range(1, {PQ_DSUB + 1}), "
+        f"i -> (qp.qrv[{j * PQ_DSUB}+i] "
+        f"- ({_sql_pq_cb_lit(j)})[n.codes[{j + 1}] + 1][i]) "
+        f"* (qp.qrv[{j * PQ_DSUB}+i] "
+        f"- ({_sql_pq_cb_lit(j)})[n.codes[{j + 1}] + 1][i])), "
+        f"(x, y) -> x + y)"
+        for j in range(PQ_M))
+    return f"""
+{_KM_CTES},
+res AS (
+  SELECT af.vec_id, af.cell, af.v,
+         list_transform(range(1, {DIM + 1}),
+                        i -> af.v[i] - c.cv[i]) AS rv
+  FROM af JOIN {_KM_FINAL} c ON c.cell = af.cell
+), n AS (
+  SELECT vec_id, cell, v, {_sql_norm('v')} AS nrm,
+         [{", ".join(_sql_pq_sub_expr(j, 'rv') for j in range(PQ_M))}]
+           AS codes
+  FROM res
+), qp AS (
+  SELECT q_id, qv, qn, q_cell,
+         list_transform(range(1, {DIM + 1}),
+                        i -> qv[i] - cv[i]) AS qrv
+  FROM (
+    SELECT q_id, qv, qn, cell AS q_cell, cv FROM (
+      SELECT e.vec_id AS q_id, e.v AS qv, {_sql_norm('e.v')} AS qn,
+             c.cell, c.cv,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_sql_dist2('e.v', 'c.cv')}, c.cell) AS pr
+      FROM e CROSS JOIN {_KM_FINAL} c
+      WHERE e.vec_id < {N_QUERIES}
+    ) WHERE pr <= {IVF_NPROBE}
+  )
+), scored AS (
+  SELECT qp.q_id, n.vec_id AS neighbor_id,
+         ROUND({adc_terms}, 6) AS adc6,
+         n.v, n.nrm, qp.qv, qp.qn
+  FROM qp JOIN n ON n.cell = qp.q_cell AND n.vec_id <> qp.q_id
+), short AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                 ORDER BY adc6 ASC, neighbor_id ASC)
+              AS srn
+    FROM scored
+  ) WHERE srn <= {PQ_SHORTLIST}
+), rer AS (
+  SELECT q_id, neighbor_id, adc6,
+         ROUND({_sql_dot('qv', 'v')} / (qn * nrm), 6) AS cos6
+  FROM short
+), ranked AS (
+  SELECT q_id, neighbor_id, adc6, cos6,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cos6 DESC, neighbor_id ASC) AS rank
+  FROM rer
+)
+SELECT q_id, neighbor_id, ROUND(adc6, 4) AS adc_dist,
+       ROUND(cos6, 4) AS cos_sim, rank
+FROM ranked WHERE rank <= {IVF_TOPK}
+"""
+
+
 # --------------------------------------------------------------------------
 # top principal component (power iteration)
 # --------------------------------------------------------------------------
@@ -2561,6 +2719,7 @@ SPARK_QUERIES = {
     "emb_pca_power": emb_pca_power,
     "emb_abtt_postprocess": emb_abtt_postprocess,
     "emb_ivfpq_topk": emb_ivfpq_topk,
+    "emb_ivfpq_residual_topk": emb_ivfpq_residual_topk,
     "emb_kmeans_train": emb_kmeans_train,
     "emb_pq_train": emb_pq_train,
     "emb_cluster_balanced_sample": emb_cluster_balanced_sample,
@@ -2594,6 +2753,7 @@ ORACLE_SQL = {
     "emb_pca_power": _pca_sql(),
     "emb_abtt_postprocess": _abtt_sql(),
     "emb_ivfpq_topk": _ivfpq_sql(),
+    "emb_ivfpq_residual_topk": _ivfpq_residual_sql(),
     "emb_kmeans_train": _KMEANS_TRAIN_SQL,
     "emb_pq_train": _pq_train_sql(),
     "emb_cluster_balanced_sample": _CLUSTER_SAMPLE_SQL,

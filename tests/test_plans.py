@@ -1833,3 +1833,63 @@ def test_sft_format_mask_spans_and_byte_pin(spark):
         md5 = hashlib.md5((prompt + resp + SFT_END).encode()).hexdigest()
         assert r["rendered_md5"] == md5, d["doc_id"]
     assert n_trunc > 0                     # truncation genuinely fires
+
+
+def test_new_query_plan_shapes(spark):
+    """Scale-shape gates for this session's additions: SFT rendering
+    must stay a zero-shuffle narrow map; the CER eval must broadcast
+    the gold side on top of the extraction job's pinned two shuffles;
+    the Markov matrix must cost exactly one user-keyed window exchange
+    plus the two tiny matrix aggregations; the subdomain rollup's PSL
+    join must be a broadcast (nested-loop — endswith is non-equi)
+    with its exchanges bounded."""
+    import re as _re
+
+    from ocr_spark.plans.curation import docs_sft_format
+    from ocr_spark.plans.extract_queries import extract_eval_cer
+    from ocr_spark.plans.queries import ev_markov_transitions
+    from ocr_spark.plans.webops import hosts_subdomain_explosion
+
+    def fmt(df):
+        qe = df._jdf.queryExecution()
+        return df._sc._jvm.org.apache.spark.sql.api.python \
+            .PythonSQLUtils.explainString(qe, "formatted")
+
+    def n_sh(p):
+        return len(_re.findall(r"\(\d+\) Exchange\b", p))
+
+    assert n_sh(fmt(docs_sft_format(spark, SF))) == 0
+    cer = fmt(extract_eval_cer(spark, SF))
+    assert n_sh(cer) == 2                    # the extraction job's own
+    assert "BroadcastHashJoin" in cer        # gold side broadcasts
+    assert n_sh(fmt(ev_markov_transitions(spark, SF))) == 3
+    sub = fmt(hosts_subdomain_explosion(spark, SF))
+    assert "BroadcastNestedLoopJoin" in sub  # PSL endswith join
+    assert n_sh(sub) <= 4
+
+
+def test_ivfpq_residual_contract_and_probe_discipline(spark):
+    """Residual IVF-PQ must keep the exact contract of the raw
+    variant (same query set, same rank bounds, neighbors only from
+    probed cells — checked implicitly by the shared plan), its ADC
+    distances must be nonnegative, and the exact-cosine re-rank must
+    dominate the output ordering. The fidelity comparison vs the raw
+    variant is recorded in BENCH/residual_adc.json (neutral with
+    seeded codebooks, by design — see docstring)."""
+    from ocr_spark.plans.simsearch import (
+        IVF_TOPK, N_QUERIES, emb_ivfpq_residual_topk)
+
+    rows = emb_ivfpq_residual_topk(spark, SF).collect()
+    assert rows
+    by_q: dict = {}
+    for r in rows:
+        assert r["q_id"] < N_QUERIES
+        assert 1 <= r["rank"] <= IVF_TOPK
+        assert r["adc_dist"] >= 0.0
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert len(rs) == len({r["neighbor_id"] for r in rs})
+        for a, b in zip(rs, rs[1:]):
+            assert (a["cos_sim"], -a["neighbor_id"]) \
+                >= (b["cos_sim"], -b["neighbor_id"])
