@@ -2517,6 +2517,68 @@ FROM agg
 """
 
 
+DP_EPSILON = 1.0      # Laplace mechanism privacy budget
+DP_SALT = "dp1:"      # released-statistic identifier → noise draw
+
+
+def docs_dp_lang_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private corpus-statistic release — the
+    Census-style companion to hosts_stats_kanon's k-anonymity gate:
+    per-language document counts released through the Laplace
+    mechanism (sensitivity 1 — one document moves one count by one —
+    so noise ~ Laplace(1/ε)), clamped at 0 and rounded to integers.
+    Corpus data cards published outside the trust boundary release
+    THIS table, not the true counts.
+
+    Honesty note: the Laplace draw here is DETERMINISTIC — inverse-CDF
+    transform of a uniform derived from md5(salt || lang) — because the
+    oracle must recompute it exactly (cross-engine ln() parity was
+    probe-verified before this landed). A real release draws fresh
+    randomness per publication; the mechanism's arithmetic, clamping,
+    and budget accounting are what this plan pins. The true count
+    rides along for the oracle/QA only; the released artifact is
+    (lang, epsilon, released_count).
+
+    Scale shape: one partial-agg groupBy keyed lang (vocabulary-sized
+    output), then narrow per-row noise arithmetic."""
+    docs = _docs(spark, sf_dir)
+    agg = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    u = (F.conv(F.substring(F.md5(F.concat(F.lit(DP_SALT), "lang")),
+                            1, 13), 16, 10).cast("double")
+         / F.lit(float(1 << 52)))
+    noise = (-F.signum(u - 0.5) * F.log(1.0 - 2 * F.abs(u - 0.5))
+             / F.lit(DP_EPSILON))
+    released = F.greatest(
+        F.lit(0).cast("long"),
+        F.round(F.col("n_docs") + noise).cast("long"))
+    return agg.select(
+        "lang", "n_docs",
+        F.lit(DP_EPSILON).alias("epsilon"),
+        F.round(noise, 6).alias("noise"),
+        released.alias("released_count"))
+
+
+_DP_HIST_SQL = f"""
+WITH agg AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY lang
+), n AS (
+  SELECT lang, n_docs,
+         CAST(('0x' || substr(md5('{DP_SALT}' || lang), 1, 13))
+              AS BIGINT) / {float(1 << 52)} AS u
+  FROM agg
+)
+SELECT lang, n_docs,
+       {DP_EPSILON} AS epsilon,
+       round(-sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5))
+             / {DP_EPSILON}, 6) AS noise,
+       GREATEST(0, CAST(round(n_docs
+              - sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5))
+                / {DP_EPSILON}) AS BIGINT)) AS released_count
+FROM n
+"""
+
+
 SFT_MAX_RESPONSE = 256        # response char budget before truncation
 SFT_USER_PRE = "<|user|>\nSummarize document "
 SFT_USER_POST = ".\n<|assistant|>\n"
@@ -2604,6 +2666,7 @@ SPARK_QUERIES = {
     "docs_quality_rrf": docs_quality_rrf,
     "docs_quality_calibration": docs_quality_calibration,
     "docs_sft_format": docs_sft_format,
+    "docs_dp_lang_histogram": docs_dp_lang_histogram,
     "docs_dsir_weights": docs_dsir_weights,
     "docs_training_order": docs_training_order,
     "docs_unigram_logprob": docs_unigram_logprob,
@@ -2641,6 +2704,7 @@ ORACLE_SQL = {
     "docs_quality_rrf": _quality_rrf_sql(),
     "docs_quality_calibration": _quality_calibration_sql(),
     "docs_sft_format": _sft_format_sql(),
+    "docs_dp_lang_histogram": _DP_HIST_SQL,
     "docs_dsir_weights": DSIR_WEIGHTS_SQL,
     "docs_training_order": TRAINING_ORDER_SQL,
     "docs_unigram_logprob": UNIGRAM_LOGPROB_SQL,

@@ -625,6 +625,89 @@ FROM counts
 """
 
 
+EV_PATH_LEN = 5     # leading events kept per session path
+EV_TOP_PATHS = 20   # paths reported
+
+
+def ev_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey paths — the product-analytics staple beside
+    the Markov matrix (which sees single transitions; this sees whole
+    JOURNEYS): each session's first EV_PATH_LEN event types joined
+    into a path string, sessions counted per path, top EV_TOP_PATHS
+    reported with a deterministic (count desc, path) tie-break.
+
+    Scale shape: one user-keyed window pass (the shared sessionize
+    shape), per-session truncation BEFORE the path aggregation (the
+    collect_list is bounded at EV_PATH_LEN elements — never an
+    unbounded per-group array), then a partial-agg groupBy on the
+    path-string key space and a top-K."""
+    ev = t(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn("prev_ts", F.lag("ts").over(w_user)) \
+        .withColumn(
+            "is_new",
+            F.when(F.col("prev_ts").isNull()
+                   | F.expr("ts - prev_ts > INTERVAL '30' MINUTE"),
+                   1).otherwise(0))
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("is_new").over(
+            w_user.rowsBetween(Window.unboundedPreceding,
+                               Window.currentRow)))
+    w_sess = Window.partitionBy("user_id", "session_id") \
+        .orderBy("ts", "event_id")
+    headed = (sess.withColumn("rn", F.row_number().over(w_sess))
+              .filter(F.col("rn") <= EV_PATH_LEN))
+    paths = (headed.groupBy("user_id", "session_id")
+             .agg(F.array_join(
+                 F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("rn", "event_type"))),
+                     lambda s: s.event_type), ">").alias("path")))
+    counts = paths.groupBy("path").agg(F.count("*").alias("n_sessions"))
+    w_rank = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+    return (counts.withColumn("rank", F.row_number().over(w_rank))
+            .filter(F.col("rank") <= EV_TOP_PATHS)
+            .select("rank", "path", "n_sessions"))
+
+
+EV_TOP_PATHS_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, event_id, ts, event_type,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), headed AS (
+  SELECT * FROM (
+    SELECT user_id, session_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                              ORDER BY ts, event_id) AS rn
+    FROM sess
+  ) WHERE rn <= {EV_PATH_LEN}
+), paths AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM headed GROUP BY user_id, session_id
+), counts AS (
+  SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+  FROM paths GROUP BY path
+)
+SELECT rank, path, n_sessions FROM (
+  SELECT path, n_sessions,
+         CAST(ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path ASC)
+              AS INT) AS rank
+  FROM counts
+) WHERE rank <= {EV_TOP_PATHS}
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -644,6 +727,7 @@ SPARK_QUERIES = {
     "ev_user_top2_by_value": ev_user_top2_by_value,
     "ev_props_json": ev_props_json,
     "ev_markov_transitions": ev_markov_transitions,
+    "ev_top_paths": ev_top_paths,
     "docs_lang_stats": docs_lang_stats,
     "docs_token_count": docs_token_count,
     "docs_exact_dedup": docs_exact_dedup,
@@ -666,6 +750,7 @@ ORACLE_SQL = {
     "ev_user_top2_by_value": EV_TOP2_SQL,
     "ev_props_json": EV_PROPS_SQL,
     "ev_markov_transitions": EV_MARKOV_SQL,
+    "ev_top_paths": EV_TOP_PATHS_SQL,
     "docs_lang_stats": DOCS_LANG_SQL,
     "docs_token_count": DOCS_TOKENS_SQL,
     "docs_exact_dedup": DOCS_DEDUP_SQL,

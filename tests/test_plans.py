@@ -1893,3 +1893,40 @@ def test_ivfpq_residual_contract_and_probe_discipline(spark):
         for a, b in zip(rs, rs[1:]):
             assert (a["cos_sim"], -a["neighbor_id"]) \
                 >= (b["cos_sim"], -b["neighbor_id"])
+
+
+def test_top_paths_shape_and_vocabulary(spark):
+    """Paths must be bounded at EV_PATH_LEN segments, drawn from the
+    event-type vocabulary, ranked deterministically 1..EV_TOP_PATHS,
+    and counts must be nonincreasing in rank."""
+    from ocr_spark.plans.queries import EV_PATH_LEN, EV_TOP_PATHS, ev_top_paths, t
+
+    rows = sorted(ev_top_paths(spark, SF).collect(),
+                  key=lambda r: r["rank"])
+    assert [r["rank"] for r in rows] == list(range(1, EV_TOP_PATHS + 1))
+    vocab = {r["event_type"] for r in
+             t(spark, SF, "events").select("event_type")
+             .distinct().collect()}
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_sessions"] >= b["n_sessions"]
+    for r in rows:
+        segs = r["path"].split(">")
+        assert 1 <= len(segs) <= EV_PATH_LEN
+        assert set(segs) <= vocab
+
+
+def test_dp_histogram_mechanism_identity(spark):
+    """The release must satisfy its own arithmetic: released_count ==
+    max(0, round(n_docs + noise)) per row, noise must be genuinely
+    nonzero (the mechanism isn't a passthrough), and the budget column
+    must carry the declared epsilon."""
+    from ocr_spark.plans.curation import DP_EPSILON, docs_dp_lang_histogram
+
+    rows = docs_dp_lang_histogram(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["epsilon"] == DP_EPSILON
+        want = max(0, round(r["n_docs"] + r["noise"]))
+        assert abs(r["released_count"] - want) <= 1  # ±1 for the 6-dp noise view
+    assert any(abs(r["noise"]) > 1e-6 for r in rows)
+    assert any(r["released_count"] != r["n_docs"] for r in rows)
