@@ -2517,6 +2517,78 @@ FROM agg
 """
 
 
+PREF_MIN_GAP = 0.02   # minimum score separation for a usable pair
+
+
+def docs_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction for reward-model / DPO training —
+    the weak-supervision recipe that bootstraps a preference dataset
+    from an existing quality signal before any human labels exist:
+    per language, documents ranked by classifier score are paired
+    best-with-worst (rank i vs rank n−i+1), each pair emitting
+    (chosen, rejected, score gap) with a usability flag when the gap
+    clears PREF_MIN_GAP (a pair whose scores are indistinguishable
+    teaches the reward model noise). Mirror-rank pairing maximizes
+    the mean gap over any perfect matching of top-half to bottom-half
+    and is deterministic end to end.
+
+    Scale shape: the classifier subplan is the audited broadcast-
+    weight shape; on top, one per-language sort window for ranks
+    (same exact-form note as docs_quality_percentile_gate), one tiny
+    per-language count, and a (lang, pair_idx) equi-join of the two
+    half-frames."""
+    s = docs_classifier_score(spark, sf_dir) \
+        .select("doc_id", "lang", "score")
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), "doc_id")
+    wn = Window.partitionBy("lang")
+    ranked = (s.withColumn("rd", F.row_number().over(w))
+              .withColumn("n", F.count("*").over(wn)))
+    top = (ranked.filter(F.col("rd") <= F.col("n") / 2)
+           .select("lang", F.col("rd").cast("long").alias("pair_idx"),
+                   F.col("doc_id").alias("chosen_doc_id"),
+                   F.col("score").alias("chosen_score")))
+    bot = (ranked.filter(F.col("rd") > (F.col("n") + 1) / 2)
+           .select("lang",
+                   (F.col("n") - F.col("rd") + 1).cast("long")
+                   .alias("pair_idx"),
+                   F.col("doc_id").alias("rejected_doc_id"),
+                   F.col("score").alias("rejected_score")))
+    j = top.join(bot, ["lang", "pair_idx"])
+    gap = F.round(F.col("chosen_score") - F.col("rejected_score"), 6)
+    return j.select(
+        "lang", "pair_idx", "chosen_doc_id", "rejected_doc_id",
+        "chosen_score", "rejected_score", gap.alias("score_gap"),
+        (gap >= PREF_MIN_GAP).alias("usable"))
+
+
+def _preference_pairs_sql() -> str:
+    return f"""
+WITH cls AS (
+{_classifier_sql()}
+), ranked AS (
+  SELECT doc_id, lang, score,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY score DESC, doc_id) AS rd,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM cls
+), top AS (
+  SELECT lang, rd AS pair_idx, doc_id AS chosen_doc_id,
+         score AS chosen_score
+  FROM ranked WHERE rd <= n / 2.0
+), bot AS (
+  SELECT lang, n - rd + 1 AS pair_idx, doc_id AS rejected_doc_id,
+         score AS rejected_score
+  FROM ranked WHERE rd > (n + 1) / 2.0
+)
+SELECT lang, CAST(pair_idx AS BIGINT) AS pair_idx,
+       chosen_doc_id, rejected_doc_id, chosen_score, rejected_score,
+       round(chosen_score - rejected_score, 6) AS score_gap,
+       round(chosen_score - rejected_score, 6) >= {PREF_MIN_GAP}
+         AS usable
+FROM top JOIN bot USING (lang, pair_idx)
+"""
+
+
 DP_EPSILON = 1.0      # Laplace mechanism privacy budget
 DP_SALT = "dp1:"      # released-statistic identifier → noise draw
 
@@ -2667,6 +2739,7 @@ SPARK_QUERIES = {
     "docs_quality_calibration": docs_quality_calibration,
     "docs_sft_format": docs_sft_format,
     "docs_dp_lang_histogram": docs_dp_lang_histogram,
+    "docs_preference_pairs": docs_preference_pairs,
     "docs_dsir_weights": docs_dsir_weights,
     "docs_training_order": docs_training_order,
     "docs_unigram_logprob": docs_unigram_logprob,
@@ -2705,6 +2778,7 @@ ORACLE_SQL = {
     "docs_quality_calibration": _quality_calibration_sql(),
     "docs_sft_format": _sft_format_sql(),
     "docs_dp_lang_histogram": _DP_HIST_SQL,
+    "docs_preference_pairs": _preference_pairs_sql(),
     "docs_dsir_weights": DSIR_WEIGHTS_SQL,
     "docs_training_order": TRAINING_ORDER_SQL,
     "docs_unigram_logprob": UNIGRAM_LOGPROB_SQL,

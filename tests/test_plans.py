@@ -1930,3 +1930,35 @@ def test_dp_histogram_mechanism_identity(spark):
         assert abs(r["released_count"] - want) <= 1  # ±1 for the 6-dp noise view
     assert any(abs(r["noise"]) > 1e-6 for r in rows)
     assert any(r["released_count"] != r["n_docs"] for r in rows)
+
+
+def test_preference_pairs_mirror_matching(spark):
+    """Every pair must rank chosen strictly above rejected under the
+    deterministic (score desc, doc_id) order, no document may appear
+    in two pairs, per-language pair count must be floor(n/2), and
+    gaps must be nonincreasing in pair_idx (mirror matching pairs the
+    extremes first)."""
+    from ocr_spark.plans.curation import (
+        docs_classifier_score, docs_preference_pairs)
+
+    pairs = docs_preference_pairs(spark, SF).collect()
+    assert pairs
+    seen: set = set()
+    by_lang: dict = {}
+    for p in pairs:
+        assert (p["chosen_score"], -p["chosen_doc_id"]) \
+            > (p["rejected_score"], -p["rejected_doc_id"])
+        for d in (p["chosen_doc_id"], p["rejected_doc_id"]):
+            assert d not in seen
+            seen.add(d)
+        by_lang.setdefault(p["lang"], []).append(p)
+    n_lang = {r["lang"]: 0 for r in pairs}
+    for r in docs_classifier_score(spark, SF).collect():
+        if r["lang"] in n_lang:
+            n_lang[r["lang"]] += 1
+    for lang, ps in by_lang.items():
+        assert len(ps) == n_lang[lang] // 2, lang
+        ps.sort(key=lambda p: p["pair_idx"])
+        for a, b in zip(ps, ps[1:]):
+            assert a["score_gap"] >= b["score_gap"]
+    assert any(p["usable"] for p in pairs)
