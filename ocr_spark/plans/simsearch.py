@@ -2180,6 +2180,63 @@ FROM ranked WHERE rank <= {IVF_TOPK}
 """
 
 
+def emb_kcenter_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Farthest-first traversal (Gonzalez 1985) — the deterministic
+    k-center seeding that replaces emb_kmeans_train's first-K init
+    when cluster recovery matters: start from vec_id 0, then K−1
+    times pick the point FARTHEST from the chosen set (max over the
+    corpus of min-dist² to the seeds, ties to the lowest id). The
+    selection radii are the k-center 2-approximation certificates and
+    are provably NONINCREASING round over round — pinned in tests.
+    This is also the deterministic stand-in for k-means++ (argmax D²
+    instead of a D²-proportional draw; a production run swaps the
+    argmax for a seeded sample, same per-round plan).
+
+    Scale shape: each round is ONE narrow map (min-dist² against the
+    ≤K-seed plan-literal array) plus a global top-1 (TakeOrdered —
+    partial per partition, K·DIM doubles of driver state, the same
+    bounded-metadata collect class as _pca_fit's mean vector). K
+    rounds total; no corpus shuffle anywhere."""
+    emb = t(spark, sf_dir).select("vec_id", _vecd().alias("v"))
+    first = emb.orderBy(F.asc("vec_id")).limit(1).collect()[0]
+    seeds = [(0, int(first["vec_id"]), 0.0)]
+    seed_vecs = [list(first["v"])]
+    for r in range(1, KM_K):
+        lits = F.array(*[F.array(*[F.lit(float(x)) for x in sv])
+                         for sv in seed_vecs])
+        md = F.array_min(F.transform(
+            lits, lambda s: _dist2(F.col("v"), s)))
+        pick = (emb.select("vec_id", "v", md.alias("md"))
+                .orderBy(F.desc("md"), F.asc("vec_id"))
+                .limit(1).collect()[0])
+        seeds.append((r, int(pick["vec_id"]), round(float(pick["md"]), 6)))
+        seed_vecs.append(list(pick["v"]))
+    return spark.createDataFrame(
+        seeds, "round int, seed_vec_id bigint, radius2 double")
+
+
+def _kcenter_sql() -> str:
+    parts = [f"e AS (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings)",
+             "s0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1)"]
+    for r in range(1, KM_K):
+        md = "LEAST(" + ", ".join(
+            _sql_dist2("e.v", f"s{j}.v") for j in range(r)) + ")" \
+            if r > 1 else _sql_dist2("e.v", "s0.v")
+        joins = " ".join(f"CROSS JOIN s{j}" for j in range(r))
+        parts.append(
+            f"s{r} AS (\n"
+            f"  SELECT e.vec_id, e.v, {md} AS md\n"
+            f"  FROM e {joins}\n"
+            f"  ORDER BY md DESC, e.vec_id LIMIT 1)")
+    ctes = ",\n".join(parts)
+    sel = "\nUNION ALL\n".join(
+        ["SELECT 0 AS round, vec_id AS seed_vec_id, 0.0 AS radius2 "
+         "FROM s0"]
+        + [f"SELECT {r}, vec_id, round(md, 6) FROM s{r}"
+           for r in range(1, KM_K)])
+    return f"WITH {ctes}\n{sel}"
+
+
 # --------------------------------------------------------------------------
 # top principal component (power iteration)
 # --------------------------------------------------------------------------
@@ -2720,6 +2777,7 @@ SPARK_QUERIES = {
     "emb_abtt_postprocess": emb_abtt_postprocess,
     "emb_ivfpq_topk": emb_ivfpq_topk,
     "emb_ivfpq_residual_topk": emb_ivfpq_residual_topk,
+    "emb_kcenter_init": emb_kcenter_init,
     "emb_kmeans_train": emb_kmeans_train,
     "emb_pq_train": emb_pq_train,
     "emb_cluster_balanced_sample": emb_cluster_balanced_sample,
@@ -2754,6 +2812,7 @@ ORACLE_SQL = {
     "emb_abtt_postprocess": _abtt_sql(),
     "emb_ivfpq_topk": _ivfpq_sql(),
     "emb_ivfpq_residual_topk": _ivfpq_residual_sql(),
+    "emb_kcenter_init": _kcenter_sql(),
     "emb_kmeans_train": _KMEANS_TRAIN_SQL,
     "emb_pq_train": _pq_train_sql(),
     "emb_cluster_balanced_sample": _CLUSTER_SAMPLE_SQL,

@@ -1962,3 +1962,20 @@ def test_preference_pairs_mirror_matching(spark):
         for a, b in zip(ps, ps[1:]):
             assert a["score_gap"] >= b["score_gap"]
     assert any(p["usable"] for p in pairs)
+
+
+def test_kcenter_init_radii_nonincreasing_and_distinct(spark):
+    """Gonzalez selection invariants: K distinct seeds, round ids
+    0..K-1, and the selection radii nonincreasing (each new seed is
+    the farthest point from a GROWING set) with every later seed at
+    least as close to the set as the radius that admitted it."""
+    from ocr_spark.plans.simsearch import KM_K, emb_kcenter_init
+
+    rows = sorted(emb_kcenter_init(spark, SF).collect(),
+                  key=lambda r: r["round"])
+    assert [r["round"] for r in rows] == list(range(KM_K))
+    assert len({r["seed_vec_id"] for r in rows}) == KM_K
+    radii = [r["radius2"] for r in rows[1:]]
+    assert all(x > 0 for x in radii)
+    for a, b in zip(radii, radii[1:]):
+        assert a >= b
