@@ -676,15 +676,18 @@ def run_export_job(spark: SparkSession, work_dir: str, *,
             "tokens": sum(m["n_tokens"] for m in shard_manifest.values())}
 
 
-def shard_digest_rows(df: DataFrame, key_cols: list[str]) -> DataFrame:
+def shard_digest_rows(df: DataFrame, key_cols: list[str],
+                      text_col: str = "text_deduped") -> DataFrame:
     """Per-shard manifest rows (n_docs, n_tokens, content_digest) —
-    the ONE digest definition shared by the export and sampling
+    the ONE digest definition shared by the export, sampling, and SFT
     producers and by consumer-side verification, so a digest mismatch
     can only ever mean the data changed, never that two stages
     digested differently. ``key_cols`` pins the within-shard order
     (export: url; sampling: url + copy_idx — two copies of one doc
-    are distinct manifest entries)."""
-    return (df.withColumn("dg", F.md5("text_deduped"))
+    are distinct manifest entries); ``text_col`` names the payload
+    column (export/sampling: text_deduped; SFT: the rendered
+    example)."""
+    return (df.withColumn("dg", F.md5(text_col))
             .groupBy("shard_id")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_words").alias("n_tokens"),
@@ -735,11 +738,13 @@ def prune_export_shards(work_dir: str, lo: str, hi: str, *,
 
 
 def _verify_shards(spark: SparkSession, root: str, sid: str,
-                   key_cols: list[str]) -> dict:
+                   key_cols: list[str],
+                   text_col: str = "text_deduped") -> dict:
     manifest = shim.read_manifest(root, sid)
     expected = manifest.get("shards") or {}
     actual_rows = shard_digest_rows(
-        shim.read_snapshot(spark, root, sid), key_cols).collect()
+        shim.read_snapshot(spark, root, sid), key_cols,
+        text_col=text_col).collect()
     actual = _manifest_dict(actual_rows)
     mismatches: dict = {}
     for shard in set(expected) | set(actual):
@@ -780,15 +785,97 @@ def verify_sampling(spark: SparkSession, work_dir: str,
     return _verify_shards(spark, root, sid, ["url", "copy_idx"])
 
 
+def sft_root(work_dir: str) -> str:
+    return os.path.join(work_dir, "sft")
+
+
+def run_sft_job(spark: SparkSession, work_dir: str, *,
+                examples_per_shard: int = 200,
+                snapshot: str | None = None) -> dict:
+    """SFT-export stage — the instruction-tuning end product beside
+    run_export_job's pretraining shards: render every KEPT curated
+    document into a chat-template example with its loss-mask span
+    (the SAME kernel as the oracle-checked docs_sft_format, keyed by
+    url — plans/curation.py::sft_format_frame, so the pipeline
+    artifact and the correctness gate render identically by
+    construction), shard the examples, and commit them atomically
+    with the standard per-shard content-digest manifest over the
+    RENDERED bytes (the artifact a trainer consumes and must be able
+    to verify).
+
+    Shard assignment is a deterministic md5-hash bucket over url with
+    the bucket count sized from the example count (ceil(n / target)) —
+    no global sort window, so assignment parallelizes at any corpus
+    size and re-runs land every example in the same shard; per-shard
+    counts are binomial around the target and the manifest records
+    actuals. n_tokens in the manifest counts RESPONSE whitespace
+    tokens (the loss-bearing tokens — what an SFT run budgets by).
+
+    Scale shape: render is the kernel's zero-shuffle narrow map; one
+    1-row count broadcast; one repartition on shard_id feeding the
+    partitioned write; one groupBy(shard_id) for the manifest."""
+    run_id = uuid.uuid4().hex[:12]
+    from ocr_spark.plans.curation import sft_format_frame
+
+    cur_root = curation_root(work_dir)
+    sid = snapshot or shim.current_snapshot_id(cur_root)
+    if sid is None:
+        raise FileNotFoundError(f"no curation snapshot under {cur_root}")
+    kept = (shim.read_snapshot(spark, cur_root, sid)
+            .filter(F.col("keep"))
+            .select("url", F.col("text_deduped").alias("text")))
+    rendered = sft_format_frame(kept, "url")
+    n = rendered.count()
+    n_shards = max(1, -(-n // examples_per_shard))
+    resp_toks = F.size(F.split(F.trim("response"), r"\s+"))
+    examples = rendered.select(
+        "url", "rendered", "prompt_chars", "response_chars",
+        "truncated", "loss_start", "loss_end",
+        resp_toks.cast("long").alias("n_words"),
+        F.format_string(
+            "sft-%05d",
+            (F.conv(F.substring(F.md5("url"), 1, 13), 16, 10)
+             .cast("long") % n_shards).cast("int")).alias("shard_id"))
+    manifest_rows = shard_digest_rows(
+        examples, ["url"], text_col="rendered").collect()
+    shard_manifest = _manifest_dict(manifest_rows)
+    out_sid = shim.prepare_snapshot(
+        examples.repartition("shard_id"), sft_root(work_dir),
+        partition_by=["shard_id"],
+        snapshot_id=f"sft-{run_id}", parent_id=None,
+        extra={"rendered_from": sid,
+               "examples_per_shard_target": examples_per_shard,
+               "shards": shard_manifest})
+    shim.publish_snapshot(sft_root(work_dir), out_sid)
+    return {"run_id": run_id, "snapshot": out_sid,
+            "rendered_from": sid, "shards": len(shard_manifest),
+            "examples": n,
+            "response_tokens": sum(m["n_tokens"]
+                                   for m in shard_manifest.values())}
+
+
+def verify_sft(spark: SparkSession, work_dir: str,
+               snapshot: str | None = None) -> dict:
+    """verify_export's twin for the SFT corpus: identical digest
+    definition over the RENDERED example bytes."""
+    root = sft_root(work_dir)
+    sid = snapshot or shim.current_snapshot_id(root)
+    if sid is None:
+        raise FileNotFoundError(f"no sft snapshot under {root}")
+    return _verify_shards(spark, root, sid, ["url"],
+                          text_col="rendered")
+
+
 def verify_all(spark: SparkSession, work_dir: str) -> dict:
     """One consumer-side integrity call over every published shard
-    stage: verifies the export snapshot and, when the sampling stage
-    has run, the sampled corpus too. ``ok`` is True iff every present
-    stage verifies clean; stages that never ran are reported absent,
-    not failed."""
+    stage: verifies the export snapshot and, when the sampling or SFT
+    stages have run, those corpora too. ``ok`` is True iff every
+    present stage verifies clean; stages that never ran are reported
+    absent, not failed."""
     out: dict = {"stages": {}, "ok": True}
     for name, fn in (("export", verify_export),
-                     ("sampling", verify_sampling)):
+                     ("sampling", verify_sampling),
+                     ("sft", verify_sft)):
         try:
             res = fn(spark, work_dir)
         except FileNotFoundError:

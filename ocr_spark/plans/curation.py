@@ -2674,18 +2674,31 @@ def docs_sft_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: zero shuffle — template literals, one substring
     scan for the boundary, and per-row md5."""
     docs = _docs(spark, sf_dir)
+    return sft_format_frame(docs, "doc_id", carry=("lang",)) \
+        .drop("rendered", "response")
+
+
+def sft_format_frame(df: DataFrame, id_col: str, text_col: str = "text",
+                     carry: tuple = ()) -> DataFrame:
+    """The SFT render as a frame kernel keyed on ``id_col`` — shared
+    by the oracle-checked query (doc_id over documents) and the
+    pipeline stage (url over the curated snapshot, job.py
+    run_sft_job), so batch exports and the correctness gate render
+    identically by construction. Emits the rendered example and the
+    response text alongside the span/length metadata; callers that
+    only need the metadata drop the heavy columns."""
     prompt = F.concat(F.lit(SFT_USER_PRE),
-                      F.col("doc_id").cast("string"),
+                      F.col(id_col).cast("string"),
                       F.lit(SFT_USER_POST))
-    over = F.length("text") > SFT_MAX_RESPONSE
-    head = F.substring("text", 1, SFT_MAX_RESPONSE)
+    over = F.length(text_col) > SFT_MAX_RESPONSE
+    head = F.substring(text_col, 1, SFT_MAX_RESPONSE)
     k = F.instr(F.reverse(head), " ")   # last space in the budget win
     cut = F.when(k > 0, F.length(head) - k).otherwise(F.length(head))
     response = F.when(over, F.substring(head, F.lit(1), cut)) \
-        .otherwise(F.col("text"))
+        .otherwise(F.col(text_col))
     rendered = F.concat(prompt, response, F.lit(SFT_END))
-    return docs.select(
-        "doc_id", "lang",
+    return df.select(
+        id_col, *carry,
         F.length(prompt).cast("long").alias("prompt_chars"),
         F.length(response).cast("long").alias("response_chars"),
         over.alias("truncated"),
@@ -2695,7 +2708,9 @@ def docs_sft_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.length(response)
                 / (F.length(prompt) + F.length(response)
                    + F.length(F.lit(SFT_END))), 6).alias("loss_frac"),
-        F.md5(rendered).alias("rendered_md5"))
+        F.md5(rendered).alias("rendered_md5"),
+        response.alias("response"),
+        rendered.alias("rendered"))
 
 
 def _sft_format_sql() -> str:

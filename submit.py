@@ -68,6 +68,12 @@ def main(argv: list[str] | None = None) -> int:
                          "mixture copy counts, re-packed token-budget "
                          "shards with a digest manifest; implies "
                          "--curate)")
+    ap.add_argument("--sft", action="store_true",
+                    help="after curation, render the kept docs into "
+                         "chat-template SFT examples with loss-mask "
+                         "spans, shard them by url-hash bucket, and "
+                         "commit with a per-shard digest manifest "
+                         "over the rendered bytes (implies --curate)")
     ap.add_argument("--export", action="store_true",
                     help="after curation, export the kept shard-packed "
                          "docs partitioned by shard_id with a per-shard "
@@ -113,7 +119,7 @@ def main(argv: list[str] | None = None) -> int:
             from ocr_spark.sources import iceberg_shim as shim
             summary["vacuum"] = shim.vacuum_absorbed(
                 output_root(args.work_dir))
-        if args.curate or args.export or args.sample:
+        if args.curate or args.export or args.sample or args.sft:
             from ocr_spark.job import run_curation_job
             summary["curation"] = run_curation_job(
                 spark, args.work_dir, dedup=args.curate_dedup,
@@ -122,6 +128,9 @@ def main(argv: list[str] | None = None) -> int:
         if args.sample:
             from ocr_spark.job import run_sampling_job
             summary["sampling"] = run_sampling_job(spark, args.work_dir)
+        if args.sft:
+            from ocr_spark.job import run_sft_job
+            summary["sft"] = run_sft_job(spark, args.work_dir)
         if args.stats:
             from ocr_spark.job import run_stats_job, verify_stats
             summary["stats"] = run_stats_job(spark, args.work_dir)
@@ -143,9 +152,9 @@ def main(argv: list[str] | None = None) -> int:
         if args.export:
             from ocr_spark.job import run_export_job
             summary["export"] = run_export_job(spark, args.work_dir)
-        if args.export or args.sample:
+        if args.export or args.sample or args.sft:
             # one consumer-side integrity call over every shard stage
-            # that ran (export and/or sampled corpus)
+            # that ran (export, sampled corpus, and/or SFT examples)
             from ocr_spark.job import verify_all
             check = verify_all(spark, args.work_dir)
             if args.export:
@@ -154,6 +163,9 @@ def main(argv: list[str] | None = None) -> int:
             if args.sample:
                 summary["sampling"]["verified"] = \
                     not check["stages"]["sampling"].get("mismatches")
+            if args.sft:
+                summary["sft"]["verified"] = \
+                    not check["stages"]["sft"].get("mismatches")
             if not check["ok"]:
                 bad = {n: s["mismatches"]
                        for n, s in check["stages"].items()

@@ -248,3 +248,38 @@ def test_sampling_job_realizes_mixture(spark, tmp_path_factory):
     bad = verify_all(spark, work)
     assert not bad["ok"]
     assert bad["stages"]["sampling"]["mismatches"]
+
+
+def test_sft_job_renders_shards_and_verifies(exported):
+    """SFT-export stage: every kept curated doc becomes exactly one
+    rendered example, loss-mask spans slice the rendered string
+    correctly, the committed manifest digests verify consumer-side,
+    and a re-run reproduces every digest bit-for-bit."""
+    from ocr_spark.job import run_sft_job, sft_root, verify_all, verify_sft
+    from ocr_spark.plans.curation import SFT_END, SFT_USER_PRE
+
+    spark, work, cur, _ = exported
+    summary = run_sft_job(spark, work, examples_per_shard=50)
+    assert summary["examples"] == cur["docs_kept"]
+    assert summary["shards"] >= 1
+    check = verify_sft(spark, work)
+    assert check["mismatches"] == {}
+    allcheck = verify_all(spark, work)
+    assert allcheck["ok"] and allcheck["stages"]["sft"]["present"]
+
+    out = shim.read_snapshot(spark, sft_root(work), summary["snapshot"])
+    rows = out.collect()
+    assert len(rows) == summary["examples"]
+    for r in rows[:50]:
+        assert r["rendered"].startswith(SFT_USER_PRE)
+        assert r["rendered"].endswith(SFT_END)
+        assert r["loss_end"] - r["loss_start"] == r["response_chars"]
+        body = r["rendered"][r["loss_start"]:r["loss_end"]]
+        assert len(body) == r["response_chars"]
+        assert r["rendered"][:r["loss_start"]].endswith("<|assistant|>\n")
+        assert r["n_words"] > 0
+
+    rerun = run_sft_job(spark, work, examples_per_shard=50)
+    m1 = shim.read_manifest(sft_root(work), summary["snapshot"])["shards"]
+    m2 = shim.read_manifest(sft_root(work), rerun["snapshot"])["shards"]
+    assert m1 == m2
