@@ -708,6 +708,71 @@ SELECT rank, path, n_sessions FROM (
 """
 
 
+RFM_BINS = 5   # quintiles per axis → 125 segment codes
+
+
+def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (Hughes 1994 — the classic user-value
+    taxonomy): per user, Recency (days since last event, relative to
+    the corpus max timestamp so the query is reproducible), Frequency
+    (event count), Monetary (value sum), each quintile-binned with
+    deterministic (metric, user_id) tie-breaks, composed into the
+    three-digit segment code marketing/product stacks key on (555 =
+    best on every axis; recency bins INVERT days so recent = 5).
+
+    Scale shape: one partial-agg groupBy keyed user, three NTILE
+    windows over the per-user frame (user-cardinality, far below
+    events; the exact-vs-approx note of docs_quality_percentile_gate
+    applies at extreme user counts), zero joins."""
+    ev = t(spark, sf_dir, "events")
+    ref = ev.agg(F.max("ts").alias("ref_ts"))
+    per = (ev.crossJoin(F.broadcast(ref))
+           .groupBy("user_id")
+           .agg(F.min(F.datediff(F.col("ref_ts"), F.col("ts")))
+                .alias("recency_days"),
+                F.count("*").alias("frequency"),
+                F.round(F.sum("value"), 4).alias("monetary")))
+    rb = F.ntile(RFM_BINS).over(
+        Window.orderBy(F.desc("recency_days"), "user_id"))
+    fb = F.ntile(RFM_BINS).over(
+        Window.orderBy(F.asc("frequency"), "user_id"))
+    mb = F.ntile(RFM_BINS).over(
+        Window.orderBy(F.asc("monetary"), "user_id"))
+    binned = per.select(
+        "user_id", "recency_days", "frequency", "monetary",
+        rb.alias("r_bin"), fb.alias("f_bin"), mb.alias("m_bin"))
+    seg = F.concat(F.col("r_bin").cast("string"),
+                   F.col("f_bin").cast("string"),
+                   F.col("m_bin").cast("string"))
+    return binned.select("*", seg.alias("segment"))
+
+
+EV_RFM_SQL = f"""
+WITH ref AS (SELECT MAX(ts) AS ref_ts FROM events),
+per AS (
+  SELECT user_id,
+         MIN(datediff('day', ts, ref_ts)) AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         round(SUM(value), 4) AS monetary
+  FROM events, ref GROUP BY user_id
+), binned AS (
+  SELECT user_id, CAST(recency_days AS INT) AS recency_days,
+         frequency, monetary,
+         CAST(NTILE({RFM_BINS}) OVER (
+             ORDER BY recency_days DESC, user_id) AS INT) AS r_bin,
+         CAST(NTILE({RFM_BINS}) OVER (
+             ORDER BY frequency ASC, user_id) AS INT) AS f_bin,
+         CAST(NTILE({RFM_BINS}) OVER (
+             ORDER BY monetary ASC, user_id) AS INT) AS m_bin
+  FROM per
+)
+SELECT user_id, recency_days, frequency, monetary, r_bin, f_bin, m_bin,
+       CAST(r_bin AS VARCHAR) || CAST(f_bin AS VARCHAR)
+         || CAST(m_bin AS VARCHAR) AS segment
+FROM binned
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -728,6 +793,7 @@ SPARK_QUERIES = {
     "ev_props_json": ev_props_json,
     "ev_markov_transitions": ev_markov_transitions,
     "ev_top_paths": ev_top_paths,
+    "ev_rfm_segments": ev_rfm_segments,
     "docs_lang_stats": docs_lang_stats,
     "docs_token_count": docs_token_count,
     "docs_exact_dedup": docs_exact_dedup,
@@ -751,6 +817,7 @@ ORACLE_SQL = {
     "ev_props_json": EV_PROPS_SQL,
     "ev_markov_transitions": EV_MARKOV_SQL,
     "ev_top_paths": EV_TOP_PATHS_SQL,
+    "ev_rfm_segments": EV_RFM_SQL,
     "docs_lang_stats": DOCS_LANG_SQL,
     "docs_token_count": DOCS_TOKENS_SQL,
     "docs_exact_dedup": DOCS_DEDUP_SQL,

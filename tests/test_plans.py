@@ -1979,3 +1979,29 @@ def test_kcenter_init_radii_nonincreasing_and_distinct(spark):
     assert all(x > 0 for x in radii)
     for a, b in zip(radii, radii[1:]):
         assert a >= b
+
+
+def test_rfm_segments_bins_and_code(spark):
+    """Each axis must quintile the user base evenly (±1), the segment
+    code must be the concatenation of its bins, and the best segment
+    must dominate the worst on every raw metric."""
+    from ocr_spark.plans.queries import RFM_BINS, ev_rfm_segments
+
+    rows = ev_rfm_segments(spark, SF).collect()
+    n = len(rows)
+    assert n > 0
+    for axis in ("r_bin", "f_bin", "m_bin"):
+        counts: dict = {}
+        for r in rows:
+            assert 1 <= r[axis] <= RFM_BINS
+            counts[r[axis]] = counts.get(r[axis], 0) + 1
+        assert max(counts.values()) - min(counts.values()) <= 1, axis
+    for r in rows:
+        assert r["segment"] == f"{r['r_bin']}{r['f_bin']}{r['m_bin']}"
+    best = [r for r in rows if r["segment"] == "555"]
+    worst = [r for r in rows if r["segment"] == "111"]
+    if best and worst:
+        assert min(b["frequency"] for b in best) \
+            >= max(w["frequency"] for w in worst)
+        assert min(b["monetary"] for b in best) \
+            >= max(w["monetary"] for w in worst)
