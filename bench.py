@@ -100,6 +100,13 @@ HEADLINE = [
     "pages_extract_router",
     "emb_mrl_recall",
     "docs_fim_split",
+    # round 4 (continuation): content-defined chunk dedup (per-row
+    # window hashing + chunk-hash exchange), preference-pair
+    # construction (classifier subplan + mirror-rank join), per-
+    # subspace PQ codebook training (bounded iterative aggregates)
+    "docs_cdc_chunks",
+    "docs_preference_pairs",
+    "emb_pq_train",
 ]
 
 
