@@ -369,12 +369,152 @@ FROM pred p JOIN documents d ON p.doc_id = d.doc_id
 """
 
 
+def pages_paginate_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paginated-document reassembly — the MANY-pages→ONE-doc
+    extraction cardinality (article split across /doc/N?page=1..3):
+    page parts are synthesized in-plan by cutting each document's
+    text at fixed third boundaries, then the OPERATOR re-derives the
+    base url and page index from each part's url, shuffles parts to
+    their base, and stitches them back in page order (sort_array over
+    (page, part) structs — the same unspecified-collect_list-order
+    pin as the shard manifests). The oracle recomputes the md5 of the
+    ORIGINAL text, so the value hash is a byte-parity gate on the
+    ordered reassembly: any part lost, duplicated, or concatenated
+    out of order fails the compare.
+
+    Scale shape: one shuffle keyed base_url (partial-agg collect of
+    ≤3 bounded parts per group); the split side is a narrow map +
+    explode."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = F.length("text")
+    b1 = F.floor(n / 3).cast("int")
+    b2 = F.floor(n * 2 / 3).cast("int")
+    parts = F.array(
+        F.struct(F.lit(1).alias("page"),
+                 F.substring("text", F.lit(1), b1).alias("part")),
+        F.struct(F.lit(2).alias("page"),
+                 F.substring("text", b1 + 1, b2 - b1).alias("part")),
+        F.struct(F.lit(3).alias("page"),
+                 F.substring("text", b2 + 1, (n - b2).cast("int"))
+                  .alias("part")))
+    paged = (docs.select("doc_id", F.explode(parts).alias("p"))
+             .select(
+                 F.concat(F.lit("https://site"),
+                          (F.col("doc_id") % 13).cast("string"),
+                          F.lit(".example.com/doc/"),
+                          F.col("doc_id").cast("string"),
+                          F.lit("?page="),
+                          F.col("p.page").cast("string")).alias("url"),
+                 F.col("p.part").alias("part")))
+    base = F.regexp_extract("url", r"^(.*)\?page=\d+$", 1)
+    page = F.regexp_extract("url", r"\?page=(\d+)$", 1).cast("int")
+    stitched = (paged
+                .select(base.alias("base_url"), page.alias("page"), "part")
+                .groupBy("base_url")
+                .agg(F.count("*").alias("n_parts"),
+                     F.array_join(F.transform(
+                         F.sort_array(F.collect_list(
+                             F.struct("page", "part"))),
+                         lambda s: s["part"]), "").alias("stitched")))
+    return stitched.select(
+        "base_url", "n_parts",
+        F.length("stitched").cast("long").alias("stitched_len"),
+        F.md5("stitched").alias("stitched_md5"))
+
+
+PAGES_PAGINATE_STITCH_SQL = """
+SELECT 'https://site' || CAST(doc_id % 13 AS VARCHAR)
+         || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS base_url,
+       CAST(3 AS BIGINT) AS n_parts,
+       CAST(length(text) AS BIGINT) AS stitched_len,
+       md5(text) AS stitched_md5
+FROM documents
+"""
+
+
+THREAD_POSTS = 3   # documents embedded per synthesized thread page
+
+
+def pages_thread_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thread-page post extraction — the ONE-page→MANY-docs
+    cardinality (forum thread / comment page carrying several
+    independent documents): thread pages are synthesized in-plan by
+    packing THREAD_POSTS consecutive documents into one page body
+    with ``<post id=…>`` markers, then the OPERATOR parses every post
+    back out with a non-greedy generator regex, emitting one row per
+    post with its id, byte offsets within the page, and text md5. The
+    oracle recomputes ids/offsets/md5s closed-form from the member
+    documents, so marker parsing, explode cardinality, and the offset
+    arithmetic are all value-checked.
+
+    Scale shape: synthesis is one groupBy keyed thread_id (bounded
+    groups of THREAD_POSTS); the extraction itself — the operator
+    under test — is a zero-shuffle narrow map + generator explode."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    member = (docs.select(
+        (F.floor(F.col("doc_id") / THREAD_POSTS)).cast("long")
+        .alias("thread_id"),
+        "doc_id", "text"))
+    body = (member.groupBy("thread_id")
+            .agg(F.array_join(F.transform(
+                F.sort_array(F.collect_list(F.struct("doc_id", "text"))),
+                lambda s: F.concat(F.lit("<post id="),
+                                   s["doc_id"].cast("string"),
+                                   F.lit(">"), s["text"],
+                                   F.lit("</post>"))), "")
+                .alias("body")))
+    posts = (body.select(
+        "thread_id",
+        F.explode(F.regexp_extract_all(
+            "body", F.lit(r"<post id=\d+>.*?</post>"), 0)).alias("p"),
+        "body")
+        .select(
+            "thread_id",
+            F.regexp_extract("p", r"<post id=(\d+)>", 1).cast("long")
+             .alias("post_doc_id"),
+            (F.expr("instr(body, p)")     # 1-based fragment position
+             + F.length(F.regexp_extract("p", r"^<post id=\d+>", 0)))
+            .cast("long").alias("char_start"),
+            F.md5(F.regexp_extract("p", r"^<post id=\d+>(.*)</post>$", 1))
+             .alias("post_md5"),
+            F.length(F.regexp_extract("p", r"^<post id=\d+>(.*)</post>$",
+                                      1)).cast("long").alias("post_len")))
+    return posts
+
+
+PAGES_THREAD_EXPLODE_SQL = f"""
+WITH member AS (
+  SELECT CAST(doc_id // {THREAD_POSTS} AS BIGINT) AS thread_id,
+         doc_id, text,
+         '<post id=' || CAST(doc_id AS VARCHAR) || '>' || text
+           || '</post>' AS frag
+  FROM documents
+), offs AS (
+  SELECT thread_id, doc_id, text,
+         COALESCE(SUM(length(frag)) OVER (
+             PARTITION BY thread_id ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS frag_start,
+         length('<post id=' || CAST(doc_id AS VARCHAR) || '>')
+           AS marker_len
+  FROM member
+)
+SELECT thread_id, doc_id AS post_doc_id,
+       CAST(frag_start + marker_len + 1 AS BIGINT) AS char_start,
+       md5(text) AS post_md5,
+       CAST(length(text) AS BIGINT) AS post_len
+FROM offs
+"""
+
+
 SPARK_QUERIES = {
     "extract_roundtrip": extract_roundtrip,
     "extract_block_stats": extract_block_stats,
     "document_graph_edges": graph_edges,
     "extract_eval_tokenf1": extract_eval_tokenf1,
     "extract_eval_cer": extract_eval_cer,
+    "pages_paginate_stitch": pages_paginate_stitch,
+    "pages_thread_explode": pages_thread_explode,
 }
 
 ORACLE_SQL = {
@@ -383,4 +523,6 @@ ORACLE_SQL = {
     "document_graph_edges": GRAPH_EDGES_SQL,
     "extract_eval_tokenf1": EXTRACT_EVAL_TOKENF1_SQL,
     "extract_eval_cer": EXTRACT_EVAL_CER_SQL,
+    "pages_paginate_stitch": PAGES_PAGINATE_STITCH_SQL,
+    "pages_thread_explode": PAGES_THREAD_EXPLODE_SQL,
 }

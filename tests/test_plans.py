@@ -2005,3 +2005,55 @@ def test_rfm_segments_bins_and_code(spark):
             >= max(w["frequency"] for w in worst)
         assert min(b["monetary"] for b in best) \
             >= max(w["monetary"] for w in worst)
+
+
+def test_paginate_stitch_byte_parity_and_shape(spark):
+    """Many-pages-to-one reassembly must reproduce the original text
+    byte-for-byte for EVERY document (md5 compare against the source
+    table) with exactly 3 parts per base url."""
+    import hashlib
+
+    import pandas as pd
+
+    from ocr_spark.plans.extract_queries import pages_paginate_stitch
+
+    rows = {r["base_url"]: r
+            for r in pages_paginate_stitch(spark, SF).collect()}
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    assert len(rows) == len(docs)
+    for _, d in docs.iterrows():
+        u = (f"https://site{d['doc_id'] % 13}.example.com"
+             f"/doc/{d['doc_id']}")
+        r = rows[u]
+        assert r["n_parts"] == 3
+        assert r["stitched_len"] == len(d["text"])
+        assert r["stitched_md5"] \
+            == hashlib.md5(d["text"].encode()).hexdigest()
+
+
+def test_thread_explode_offsets_slice_the_page(spark):
+    """One-page-to-many extraction: rebuilding each thread body in
+    Python, every emitted (char_start, post_len) span must slice out
+    exactly the post whose md5 was emitted."""
+    import hashlib
+
+    import pandas as pd
+
+    from ocr_spark.plans.extract_queries import (
+        THREAD_POSTS, pages_thread_explode)
+
+    rows = pages_thread_explode(spark, SF).collect()
+    docs = pd.read_parquet(f"{SF}/documents.parquet") \
+        .sort_values("doc_id")
+    bodies: dict = {}
+    for _, d in docs.iterrows():
+        tid = d["doc_id"] // THREAD_POSTS
+        bodies[tid] = bodies.get(tid, "") \
+            + f"<post id={d['doc_id']}>{d['text']}</post>"
+    assert len(rows) == len(docs)
+    for r in rows:
+        body = bodies[r["thread_id"]]
+        s = r["char_start"] - 1          # 1-based → 0-based
+        span = body[s:s + r["post_len"]]
+        assert hashlib.md5(span.encode()).hexdigest() == r["post_md5"]
+        assert body[s - 1] == ">" and body[s + r["post_len"]:][:2] == "</"
