@@ -1694,6 +1694,32 @@ CDC_W = 8      # rolling-window width (chars) for the boundary test
 CDC_D = 32     # boundary divisor → expected chunk length ≈ CDC_D chars
 
 
+def cdc_chunks_py(text: str | None) -> list[str]:
+    """Content-defined chunks of the whitespace-normalized text —
+    the single kernel behind docs_cdc_chunks' pandas UDF and the
+    test mirror. Boundary after position p (1-based) iff the rolling
+    hash of the trailing CDC_W chars ≡ 0 (mod CDC_D); the window
+    hash comes from one O(n) prefix-hash pass:
+    h(p) = (P_p − P_{p−W}·B^W) mod M with P_i = P_{i−1}·B + c_i."""
+    import re as _re
+
+    norm = _re.sub(r"\s+", " ", (text or "").lower().strip())
+    n = len(norm)
+    if n == 0:
+        return []
+    if n < CDC_W:
+        return [norm]
+    bw = pow(_RH_BASE, CDC_W, _RH_MOD)
+    pref = [0] * (n + 1)
+    for i, ch in enumerate(norm):
+        pref[i + 1] = (pref[i] * _RH_BASE + ord(ch)) % _RH_MOD
+    bnd = [p for p in range(CDC_W, n + 1)
+           if (pref[p] - pref[p - CDC_W] * bw) % _RH_MOD % CDC_D == 0]
+    starts = [0] + bnd
+    ends = bnd + [n]
+    return [norm[s:e] for s, e in zip(starts, ends) if s < e]
+
+
 def docs_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking dedup (the Rabin/gear-CDC family of
     LBFS / rsync / storage dedup, applied to corpus text): chunk
@@ -1710,41 +1736,30 @@ def docs_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose content also appears in ANOTHER document (dup_chunk_frac —
     the transfer/storage saving a chunk-store would realize).
 
-    Scale shape: boundary detection and chunk slicing are per-row
-    array expressions (zero shuffle; ~n window-hashes per doc, each a
-    CDC_W-char fold); the only exchanges are the chunk-hash groupBy
-    (distinct-chunk cardinality, partial-aggregated) and the doc_id
-    rollup — the same two-exchange shape as pages_para_dedup, one
-    level finer."""
+    Scale shape: boundary detection and chunk slicing are a per-row
+    Arrow-batched kernel (zero shuffle); the only exchanges are the
+    chunk-hash groupBy (distinct-chunk cardinality, partial-
+    aggregated) and the doc_id rollup — the same two-exchange shape
+    as pages_para_dedup, one level finer.
+
+    Why a pandas UDF when this file preaches JVM expressions: the
+    expression formulation (per-position slice + aggregate fold over
+    a HigherOrderFunction chain) is CodegenFallback — measured 133 s
+    for this query alone at sf0.1/local[32]; the kernel below
+    computes the identical boundaries with an O(n) incremental
+    prefix-hash pass per document (h(window p) = P_p − P_{p−W}·B^W
+    mod M) — the same justification, and the same parity discipline,
+    as _minhash_vec's hashlib loop. Semantics are pinned by the
+    DuckDB oracle value-for-value and by the pure-Python mirror in
+    tests."""
     docs = t(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
-    base = docs.select("doc_id", norm.alias("norm"),
-                       F.length(norm).alias("n"),
-                       F.split(norm, "").alias("chars"))
-    whash = lambda p: F.aggregate(          # noqa: E731
-        F.slice("chars", p - F.lit(CDC_W - 1), CDC_W),
-        F.lit(0).cast("bigint"),
-        lambda acc, c: (acc * _RH_BASE + F.ascii(c)) % _RH_MOD)
-    bounds = F.when(
-        F.col("n") >= CDC_W,
-        F.filter(F.sequence(F.lit(CDC_W), F.col("n")),
-                 lambda p: whash(p) % CDC_D == 0)
-    ).otherwise(F.array().cast("array<int>"))
-    b = base.select("doc_id", "norm", "n", bounds.alias("bnd"))
-    starts = F.concat(F.array(F.lit(1)),
-                      F.transform("bnd", lambda p: p + 1))
-    ends = F.concat(F.col("bnd"), F.array(F.col("n")))
-    chunks = F.filter(
-        F.zip_with(starts, ends,
-                   lambda s, e: F.struct(s.alias("s"), e.alias("e"))),
-        lambda c: c["s"] <= c["e"])
-    texts = b.select(
-        "doc_id",
-        F.transform(chunks,
-                    lambda c: F.col("norm").substr(
-                        c["s"], c["e"] - c["s"] + 1)).alias("cts"))
-    exploded = (texts.select("doc_id",
-                             F.explode("cts").alias("chunk"))
+
+    @F.pandas_udf("array<string>")
+    def cdc_udf(texts: pd.Series) -> pd.Series:
+        return texts.map(cdc_chunks_py)
+
+    exploded = (docs.select("doc_id", cdc_udf("text").alias("cts"))
+                .select("doc_id", F.explode("cts").alias("chunk"))
                 .select("doc_id", F.md5("chunk").alias("ch"),
                         F.length("chunk").alias("clen")))
     shared = (exploded.groupBy("ch")
