@@ -72,6 +72,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "ev_top_paths", "docs_dp_lang_histogram", "docs_preference_pairs",
     "emb_kcenter_init", "ev_rfm_segments",
     "pages_paginate_stitch", "pages_thread_explode",
+    "ev_markov_stationary", "docs_stopword_induction",
     "pages_wrap_digest", "pages_html_features", "pages_extract_router",
     "docs_quality_rrf", "emb_cell_drift", "docs_fim_split",
     "pages_warc_export", "emb_mrl_recall",

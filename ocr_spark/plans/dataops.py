@@ -3415,6 +3415,70 @@ FROM m WHERE n < 3
 """
 
 
+STOPW_K = 10   # induced stopwords reported per language
+
+
+def docs_stopword_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven stopword-table induction — the bootstrap behind
+    the fixed stopword lists the langid / quality / lexical operators
+    consume: per language, rank tokens by DOCUMENT frequency (the
+    fraction of that language's docs containing the token at least
+    once — df, not tf, so one spammy doc can't promote its own
+    vocabulary) and keep the top STOPW_K with deterministic
+    (df desc, token) tie-breaks. On a new language or domain this
+    table IS how the list gets built; the fixed lists elsewhere are
+    then a reviewed artifact swap of this output.
+
+    Scale shape: per-doc DISTINCT tokens first (array_distinct — a
+    narrow map, so the groupBy ships one row per (doc, distinct tok)),
+    one partial-agg groupBy keyed (lang, token) at distinct-token
+    volume, a tiny per-lang count, and a per-lang top-K window over
+    the (lang, token) frame."""
+    docs = t(spark, sf_dir, "documents")
+    toks = _tokens()
+    per_doc = (docs.select("doc_id", "lang",
+                           F.explode(F.array_distinct(toks)).alias("tok"))
+               .filter(F.col("tok") != ""))
+    df_counts = per_doc.groupBy("lang", "tok").agg(
+        F.count("*").alias("n_docs_with"))
+    lang_n = docs.groupBy("lang").agg(F.count("*").alias("n_docs_lang"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n_docs_with"), "tok")
+    ranked = (df_counts.withColumn("rank", F.row_number().over(w))
+              .filter(F.col("rank") <= STOPW_K)
+              .join(F.broadcast(lang_n), "lang"))
+    return ranked.select(
+        "lang", "rank", F.col("tok").alias("token"), "n_docs_with",
+        F.round(F.col("n_docs_with") / F.col("n_docs_lang"), 6)
+         .alias("df_frac"))
+
+
+def _stopword_induction_sql() -> str:
+    return f"""
+WITH per_doc AS (
+  SELECT DISTINCT doc_id, lang, tok
+  FROM (SELECT doc_id, lang, unnest({_SQL_TOKENS}) AS tok
+        FROM documents)
+  WHERE tok <> ''
+), dfc AS (
+  SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS n_docs_with
+  FROM per_doc GROUP BY lang, tok
+), ln AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs_lang
+  FROM documents GROUP BY lang
+), ranked AS (
+  SELECT lang, tok, n_docs_with,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang
+              ORDER BY n_docs_with DESC, tok) AS INT) AS rank
+  FROM dfc
+)
+SELECT r.lang, r.rank, r.tok AS token, r.n_docs_with,
+       round(r.n_docs_with / CAST(ln.n_docs_lang AS DOUBLE), 6)
+         AS df_frac
+FROM ranked r JOIN ln ON ln.lang = r.lang
+WHERE r.rank <= {STOPW_K}
+"""
+
+
 CB_MIN_BATCHES = 16   # floor on the batch count (≈ corpus / batch size)
 
 
@@ -3501,6 +3565,7 @@ SPARK_QUERIES = {
     "docs_jaccard_verify_candidates": docs_jaccard_verify_candidates,
     "docs_near_dup_clusters": docs_near_dup_clusters,
     "docs_contrastive_batches": docs_contrastive_batches,
+    "docs_stopword_induction": docs_stopword_induction,
     "docs_bbit_minhash": docs_bbit_minhash,
     "docs_cdc_chunks": docs_cdc_chunks,
     "docs_near_dup_clusters_logstar": docs_near_dup_clusters_logstar,
@@ -3544,6 +3609,7 @@ ORACLE_SQL = {
     "docs_jaccard_verify_candidates": _JACCARD_VERIFY_SQL,
     "docs_near_dup_clusters": _NEAR_DUP_CLUSTERS_SQL,
     "docs_contrastive_batches": _CONTRASTIVE_BATCHES_SQL,
+    "docs_stopword_induction": _stopword_induction_sql(),
     "docs_bbit_minhash": _bbit_minhash_sql(),
     "docs_cdc_chunks": _CDC_SQL,
     "docs_near_dup_clusters_logstar": _NEAR_DUP_CLUSTERS_SQL,

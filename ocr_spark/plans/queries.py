@@ -708,6 +708,88 @@ SELECT rank, path, n_sessions FROM (
 """
 
 
+MK_ITERS = 8          # fixed power-method rounds (unrolled oracle)
+MK_PI_SCALE = 10**9   # π carried in integer micro-units
+MK_P_SCALE = 10**6    # transition probs as micro-int weights
+
+
+def ev_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the session transition matrix —
+    the power method over ev_markov_transitions' output (the same
+    fixed-rounds discipline as hosts_pagerank / emb_pca_power): where
+    users spend their long-run attention, the k-state analogue of
+    PageRank on the behavior graph. All arithmetic is INTEGER
+    micro-units (π in 1e-9, P in 1e-6, per-edge contribution
+    floor(π·P / 1e6) before the sum), so every round is a sum of
+    integers — bit-stable under any partition order, the
+    docs_classifier_score determinism argument. Truncation drift
+    makes Σπ sag a few micro-units per round; the drift is emitted
+    (pi_sum_micro) rather than hidden, and every state on this
+    fixture has outgoing transitions so no dangling-mass term is
+    needed (asserted by the test).
+
+    Scale shape: the matrix is event-type² rows — everything after
+    the transition subplan is joins/aggregates over a k×k frame."""
+    m = ev_markov_transitions(spark, sf_dir).select(
+        "prev_type", "next_type",
+        F.round(F.col("p_trans") * MK_P_SCALE).cast("long")
+         .alias("p_micro"))
+    states = m.select(F.col("prev_type").alias("state")).union(
+        m.select("next_type")).distinct()
+    n_states = states.count()
+    pi = states.select(
+        "state", F.lit(MK_PI_SCALE // n_states).alias("pi_micro"))
+    for _ in range(MK_ITERS):
+        pi = (m.join(pi, m.prev_type == pi.state)
+              .select(F.col("next_type").alias("state"),
+                      # exact long arithmetic: products stay < 2^63
+                      # and `div` is integer division — no double hop
+                      F.expr(f"(pi_micro * p_micro) div {MK_P_SCALE}")
+                      .alias("c"))
+              .groupBy("state")
+              .agg(F.sum("c").alias("pi_micro"))).localCheckpoint(
+                  eager=False)
+    tot = pi.agg(F.sum("pi_micro").alias("pi_sum_micro"))
+    return (pi.crossJoin(F.broadcast(tot))
+            .select("state",
+                    F.round(F.col("pi_micro") / MK_PI_SCALE, 6)
+                     .alias("pi"),
+                    "pi_micro", "pi_sum_micro"))
+
+
+def _markov_stationary_sql() -> str:
+    parts = [
+        "m AS (\n"
+        "  SELECT prev_type, next_type,\n"
+        f"         CAST(round(p_trans * {MK_P_SCALE}) AS BIGINT)"
+        " AS p_micro\n"
+        f"  FROM ({EV_MARKOV_SQL})\n)",
+        "states AS (SELECT DISTINCT prev_type AS state FROM m\n"
+        "           UNION SELECT DISTINCT next_type FROM m)",
+        "nst AS (SELECT COUNT(*) AS n FROM states)",
+        f"pi0 AS (SELECT state, CAST({MK_PI_SCALE} // n AS BIGINT)"
+        " AS pi_micro FROM states, nst)",
+    ]
+    prev = "pi0"
+    for it in range(1, MK_ITERS + 1):
+        parts.append(
+            f"pi{it} AS (\n"
+            f"  SELECT m.next_type AS state,\n"
+            f"         CAST(SUM((p.pi_micro * m.p_micro) // {MK_P_SCALE})"
+            f" AS BIGINT) AS pi_micro\n"
+            f"  FROM m JOIN {prev} p ON p.state = m.prev_type\n"
+            f"  GROUP BY m.next_type)")
+        prev = f"pi{it}"
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes},
+tot AS (SELECT CAST(SUM(pi_micro) AS BIGINT) AS pi_sum_micro FROM {prev})
+SELECT state, round(pi_micro / {MK_PI_SCALE}.0, 6) AS pi,
+       pi_micro, pi_sum_micro
+FROM {prev}, tot
+"""
+
+
 RFM_BINS = 5   # quintiles per axis → 125 segment codes
 
 
@@ -794,6 +876,7 @@ SPARK_QUERIES = {
     "ev_markov_transitions": ev_markov_transitions,
     "ev_top_paths": ev_top_paths,
     "ev_rfm_segments": ev_rfm_segments,
+    "ev_markov_stationary": ev_markov_stationary,
     "docs_lang_stats": docs_lang_stats,
     "docs_token_count": docs_token_count,
     "docs_exact_dedup": docs_exact_dedup,
@@ -818,6 +901,7 @@ ORACLE_SQL = {
     "ev_markov_transitions": EV_MARKOV_SQL,
     "ev_top_paths": EV_TOP_PATHS_SQL,
     "ev_rfm_segments": EV_RFM_SQL,
+    "ev_markov_stationary": _markov_stationary_sql(),
     "docs_lang_stats": DOCS_LANG_SQL,
     "docs_token_count": DOCS_TOKENS_SQL,
     "docs_exact_dedup": DOCS_DEDUP_SQL,

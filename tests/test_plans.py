@@ -2057,3 +2057,46 @@ def test_thread_explode_offsets_slice_the_page(spark):
         span = body[s:s + r["post_len"]]
         assert hashlib.md5(span.encode()).hexdigest() == r["post_md5"]
         assert body[s - 1] == ">" and body[s + r["post_len"]:][:2] == "</"
+
+
+def test_markov_stationary_is_fixed_point_and_conserves_mass(spark):
+    """The power-method output must (a) keep total mass within the
+    documented truncation drift of 1.0 (a few micro-units per round,
+    never more than MK_ITERS * n_states), (b) be an approximate fixed
+    point of the transition matrix: one more exact-arithmetic step in
+    Python moves every state by at most a few parts in 1e4."""
+    from ocr_spark.plans.queries import (
+        MK_ITERS, MK_P_SCALE, MK_PI_SCALE, ev_markov_stationary,
+        ev_markov_transitions)
+
+    pi = {r["state"]: r for r in ev_markov_stationary(spark, SF).collect()}
+    n = len(pi)
+    drift = MK_PI_SCALE - next(iter(pi.values()))["pi_sum_micro"]
+    assert abs(drift) <= MK_ITERS * n * MK_P_SCALE // 1000 + n * MK_ITERS
+    m = ev_markov_transitions(spark, SF).collect()
+    nxt: dict = {s: 0 for s in pi}
+    for r in m:
+        pmic = round(r["p_trans"] * MK_P_SCALE)
+        nxt[r["next_type"]] += (pi[r["prev_type"]]["pi_micro"]
+                                * pmic) // MK_P_SCALE
+    for s, r in pi.items():
+        assert abs(nxt[s] - r["pi_micro"]) / MK_PI_SCALE < 5e-4, s
+
+
+def test_stopword_induction_ranks_df_not_tf(spark):
+    """Induced stopwords must be ranked by DOCUMENT frequency: every
+    reported df_frac must be <= 1, ranks dense 1..K per language, and
+    the rank-1 token's doc frequency must dominate its language's
+    listed tail."""
+    from ocr_spark.plans.dataops import STOPW_K, docs_stopword_induction
+
+    rows = docs_stopword_induction(spark, SF).collect()
+    by_lang: dict = {}
+    for r in rows:
+        assert 0.0 < r["df_frac"] <= 1.0
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, STOPW_K + 1))
+        for a, b in zip(rs, rs[1:]):
+            assert a["n_docs_with"] >= b["n_docs_with"]
