@@ -866,6 +866,131 @@ def verify_sft(spark: SparkSession, work_dir: str,
                           text_col="rendered")
 
 
+def index_root(work_dir: str) -> str:
+    return os.path.join(work_dir, "ann_index")
+
+
+def run_index_job(spark: SparkSession, work_dir: str,
+                  sf_dir: str) -> dict:
+    """ANN index BUILD stage — the build/serve separation a 100 TB
+    vector deployment actually runs: train the coarse quantizer once
+    (the oracle-checked Lloyd loop of emb_kmeans_train), assign every
+    corpus vector to its cell, PQ-encode it, and COMMIT the index —
+    centroids + a posting table of (vec_id, cell, nrm, codes) — as an
+    atomic snapshot with a content digest in the manifest. Queries
+    then run against the committed index (``ivf_topk_from_index``)
+    without re-deriving the quantizer, and only shortlist survivors
+    gather their full vectors from the source table by vec_id.
+
+    The posting row is the storage tier: cell id + norm + PQ code
+    string per vector, NOT the vector itself — the float table stays
+    wherever it lives and is touched only by the re-rank gather.
+
+    Scale shape: the build is emb_kmeans_train's audited iterative
+    shape plus one narrow encode map; the commit is one snapshot
+    write partitioned by cell (probes prune to probed cells at read
+    time — partition pruning is the IVF inverted list)."""
+    from ocr_spark.plans.simsearch import (
+        _kmeans, _norm, _pq_code_arr)
+
+    run_id = uuid.uuid4().hex[:12]
+    cent, assigned = _kmeans(spark, sf_dir)
+    postings = assigned.select(
+        "vec_id", "cell",
+        F.round(_norm(F.col("v")), 6).alias("nrm"),
+        F.array_join(F.transform(_pq_code_arr(F.col("v")),
+                                 lambda c: c.cast("string")), ",")
+         .alias("codes"))
+    cent_rows = (cent.select("cell", F.posexplode("cv")
+                             .alias("pos", "cv_val")))
+    digest = postings.agg(F.md5(F.concat_ws("|", F.sort_array(
+        F.collect_list(F.concat_ws(":", "vec_id", "cell", "codes"))))
+    ).alias("d")).collect()[0]["d"]
+    root = index_root(work_dir)
+    csid = shim.prepare_snapshot(
+        cent_rows.coalesce(1), os.path.join(root, "centroids"),
+        snapshot_id=f"idxc-{run_id}", extra={"indexed_from": sf_dir})
+    shim.publish_snapshot(os.path.join(root, "centroids"), csid)
+    psid = shim.prepare_snapshot(
+        postings.repartition("cell"), os.path.join(root, "postings"),
+        partition_by=["cell"],
+        snapshot_id=f"idxp-{run_id}",
+        extra={"indexed_from": sf_dir, "content_digest": digest,
+               "centroids_snapshot": csid})
+    shim.publish_snapshot(os.path.join(root, "postings"), psid)
+    return {"run_id": run_id, "centroids_snapshot": csid,
+            "postings_snapshot": psid, "content_digest": digest}
+
+
+def verify_index(spark: SparkSession, work_dir: str) -> dict:
+    """Consumer-side index verification: recompute the posting-table
+    digest from the published data and diff against the manifest."""
+    root = os.path.join(index_root(work_dir), "postings")
+    sid = shim.current_snapshot_id(root)
+    if sid is None:
+        raise FileNotFoundError(f"no index snapshot under {root}")
+    manifest = shim.read_manifest(root, sid)
+    got = shim.read_snapshot(spark, root, sid).agg(F.md5(F.concat_ws(
+        "|", F.sort_array(F.collect_list(F.concat_ws(
+            ":", "vec_id", "cell", "codes"))))).alias("d")) \
+        .collect()[0]["d"]
+    ok = got == manifest.get("content_digest")
+    return {"snapshot": sid, "ok": ok,
+            "expected": manifest.get("content_digest"), "actual": got}
+
+
+def ivf_topk_from_index(spark: SparkSession, work_dir: str,
+                        sf_dir: str) -> DataFrame:
+    """SERVE path over the committed index: queries assign to their
+    nearest committed centroid (broadcast K-row array — never
+    retrained), probe = cell equi-join against the posting table
+    (partition-pruned to probed cells), survivors gather full vectors
+    from the SOURCE table by vec_id for the exact re-rank. Output
+    contract is identical to the in-plan emb_ivf_trained_topk —
+    pinned row-for-row in tests, which is the proof that build/serve
+    separation loses nothing."""
+    from pyspark.sql.window import Window
+
+    from ocr_spark.plans.simsearch import (
+        IVF_TOPK, N_QUERIES, _dot, _km_argmin, _norm, _vecd, t as emb_t)
+
+    root = index_root(work_dir)
+    croot, proot = os.path.join(root, "centroids"), \
+        os.path.join(root, "postings")
+    cent_rows = shim.read_snapshot(spark, croot,
+                                   shim.current_snapshot_id(croot))
+    postings = shim.read_snapshot(spark, proot,
+                                  shim.current_snapshot_id(proot)) \
+        .select("vec_id", "cell")
+    cent = (cent_rows.groupBy("cell")
+            .agg(F.transform(F.array_sort(F.collect_list(
+                F.struct("pos", "cv_val"))), lambda s: s.cv_val)
+                .alias("cv")))
+    centrow = cent.agg(F.array_sort(
+        F.collect_list(F.struct("cell", "cv"))).alias("cents"))
+    src = emb_t(spark, sf_dir).select("vec_id", _vecd().alias("v")) \
+        .withColumn("nrm", _norm(F.col("v")))
+    q = (src.filter(F.col("vec_id") < N_QUERIES)
+         .crossJoin(F.broadcast(centrow))
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("v").alias("qv"), F.col("nrm").alias("qn"),
+                 _km_argmin(F.col("v"), F.col("cents")).alias("q_cell")))
+    cand = postings.join(F.broadcast(q),
+                         (F.col("cell") == F.col("q_cell"))
+                         & (F.col("vec_id") != F.col("q_id")))
+    gathered = cand.join(src, "vec_id")
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    scored = gathered.select("q_id", "cell",
+                             F.col("vec_id").alias("neighbor_id"),
+                             F.round(cos, 6).alias("cos6"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos6"),
+                                           F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= IVF_TOPK)
+            .select("q_id", "cell", "neighbor_id",
+                    F.round("cos6", 4).alias("cos_sim"), "rank"))
+
+
 def verify_all(spark: SparkSession, work_dir: str) -> dict:
     """One consumer-side integrity call over every published shard
     stage: verifies the export snapshot and, when the sampling or SFT

@@ -283,3 +283,30 @@ def test_sft_job_renders_shards_and_verifies(exported):
     m1 = shim.read_manifest(sft_root(work), summary["snapshot"])["shards"]
     m2 = shim.read_manifest(sft_root(work), rerun["snapshot"])["shards"]
     assert m1 == m2
+
+
+def test_index_job_build_serve_parity(spark, tmp_path):
+    """ANN index build/serve separation must lose nothing: the serve
+    path over the COMMITTED index (broadcast committed centroids →
+    cell-pruned posting probe → vec_id gather → exact re-rank) must
+    reproduce the in-plan emb_ivf_trained_topk row-for-row, the
+    committed digest must verify consumer-side, and a rebuild must
+    reproduce the digest bit-for-bit."""
+    from ocr_spark.job import (
+        ivf_topk_from_index, run_index_job, verify_index)
+    from ocr_spark.plans.simsearch import emb_ivf_trained_topk
+
+    sf = "/root/testdata/sf0.01"
+    work = str(tmp_path / "idx")
+    s1 = run_index_job(spark, work, sf)
+    assert verify_index(spark, work)["ok"]
+    served = sorted((r["q_id"], r["rank"], r["neighbor_id"],
+                     r["cos_sim"], r["cell"])
+                    for r in ivf_topk_from_index(spark, work, sf)
+                    .collect())
+    inplan = sorted((r["q_id"], r["rank"], r["neighbor_id"],
+                     r["cos_sim"], r["cell"])
+                    for r in emb_ivf_trained_topk(spark, sf).collect())
+    assert served == inplan and served
+    s2 = run_index_job(spark, work, sf)
+    assert s2["content_digest"] == s1["content_digest"]
