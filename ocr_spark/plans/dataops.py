@@ -3415,6 +3415,104 @@ FROM m WHERE n < 3
 """
 
 
+def docs_dedup_method_agreement(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Dedup-method agreement matrix — the QA artifact that decides
+    which dedup families a pipeline actually needs to RUN: per-doc
+    drop flags under each family (exact md5, MinHash-LSH connected
+    components, SimHash banded Hamming — each with its own documented
+    keeper convention: exact/minhash drop non-keepers, simhash drops
+    any doc with a smaller-id verified near-dup), then the pairwise
+    Jaccard agreement of the drop SETS. High agreement between two
+    families means the cheaper one subsumes the dearer; low agreement
+    means they see different duplication classes (exact sees bytes,
+    minhash sees token overlap, simhash sees weighted-term profiles)
+    and both earn their cost.
+
+    Scale shape: the three subplans are the audited dedup shapes;
+    flags join on doc_id; everything after is ONE single-row
+    aggregate unpivoted into 3 matrix rows."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    ex = docs_dedup_keepers(spark, sf_dir) \
+        .select("doc_id", F.col("is_dup").alias("exf"))
+    mh = (docs_near_dup_clusters(spark, sf_dir)
+          .filter(~F.col("is_keeper"))
+          .select("doc_id", F.lit(1).alias("mhf")))
+    sh = (docs_simhash_near_dup(spark, sf_dir)
+          .select(F.col("doc_b").alias("doc_id")).distinct()
+          .withColumn("shf", F.lit(1)))
+    flags = (docs.join(ex, "doc_id", "left")
+             .join(mh, "doc_id", "left").join(sh, "doc_id", "left")
+             .select(F.coalesce("exf", F.lit(0)).alias("ex"),
+                     F.coalesce("mhf", F.lit(0)).alias("mh"),
+                     F.coalesce("shf", F.lit(0)).alias("sh")))
+    s = flags.agg(
+        F.sum("ex").alias("ne"), F.sum("mh").alias("nm"),
+        F.sum("sh").alias("ns"),
+        F.sum(F.col("ex") * F.col("mh")).alias("nem"),
+        F.sum(F.col("ex") * F.col("sh")).alias("nes"),
+        F.sum(F.col("mh") * F.col("sh")).alias("nms"))
+
+    def row(ma, mb, na, nb, nboth):
+        either = F.col(na) + F.col(nb) - F.col(nboth)
+        agree = F.when(either == 0, F.lit(None).cast("double")) \
+            .otherwise(F.round(F.col(nboth) / either, 6))
+        return F.struct(
+            F.lit(ma).alias("method_a"), F.lit(mb).alias("method_b"),
+            F.col(na).cast("long").alias("n_drop_a"),
+            F.col(nb).cast("long").alias("n_drop_b"),
+            F.col(nboth).cast("long").alias("n_both"),
+            either.cast("long").alias("n_either"),
+            agree.alias("agreement"))
+
+    rows = F.array(row("exact", "minhash", "ne", "nm", "nem"),
+                   row("exact", "simhash", "ne", "ns", "nes"),
+                   row("minhash", "simhash", "nm", "ns", "nms"))
+    return (s.select(F.explode(rows).alias("r")).select("r.*"))
+
+
+def _dedup_agreement_sql() -> str:
+    def row(ma, mb, na, nb, nboth):
+        either = f"({na} + {nb} - {nboth})"
+        return (f"SELECT '{ma}' AS method_a, '{mb}' AS method_b, "
+                f"{na} AS n_drop_a, {nb} AS n_drop_b, "
+                f"{nboth} AS n_both, {either} AS n_either, "
+                f"CASE WHEN {either} = 0 THEN NULL "
+                f"ELSE round({nboth} / CAST({either} AS DOUBLE), 6) "
+                f"END AS agreement FROM s")
+
+    return f"""
+WITH ex AS (
+  SELECT doc_id, is_dup AS d FROM ({_DEDUP_KEEPERS_SQL})
+), mh AS (
+  SELECT doc_id, 1 AS d FROM ({_NEAR_DUP_CLUSTERS_SQL})
+  WHERE NOT is_keeper
+), sh AS (
+  SELECT DISTINCT doc_b AS doc_id, 1 AS d
+  FROM ({_SIMHASH_NEAR_DUP_SQL})
+), flags AS (
+  SELECT COALESCE(ex.d, 0) AS ex, COALESCE(mh.d, 0) AS mh,
+         COALESCE(sh.d, 0) AS sh
+  FROM documents d
+  LEFT JOIN ex ON ex.doc_id = d.doc_id
+  LEFT JOIN mh ON mh.doc_id = d.doc_id
+  LEFT JOIN sh ON sh.doc_id = d.doc_id
+), s AS (
+  SELECT CAST(SUM(ex) AS BIGINT) AS ne, CAST(SUM(mh) AS BIGINT) AS nm,
+         CAST(SUM(sh) AS BIGINT) AS ns,
+         CAST(SUM(ex * mh) AS BIGINT) AS nem,
+         CAST(SUM(ex * sh) AS BIGINT) AS nes,
+         CAST(SUM(mh * sh) AS BIGINT) AS nms
+  FROM flags
+)
+{row("exact", "minhash", "ne", "nm", "nem")}
+UNION ALL
+{row("exact", "simhash", "ne", "ns", "nes")}
+UNION ALL
+{row("minhash", "simhash", "nm", "ns", "nms")}
+"""
+
+
 STOPW_K = 10   # induced stopwords reported per language
 
 
@@ -3566,6 +3664,7 @@ SPARK_QUERIES = {
     "docs_near_dup_clusters": docs_near_dup_clusters,
     "docs_contrastive_batches": docs_contrastive_batches,
     "docs_stopword_induction": docs_stopword_induction,
+    "docs_dedup_method_agreement": docs_dedup_method_agreement,
     "docs_bbit_minhash": docs_bbit_minhash,
     "docs_cdc_chunks": docs_cdc_chunks,
     "docs_near_dup_clusters_logstar": docs_near_dup_clusters_logstar,
@@ -3610,6 +3709,7 @@ ORACLE_SQL = {
     "docs_near_dup_clusters": _NEAR_DUP_CLUSTERS_SQL,
     "docs_contrastive_batches": _CONTRASTIVE_BATCHES_SQL,
     "docs_stopword_induction": _stopword_induction_sql(),
+    "docs_dedup_method_agreement": _dedup_agreement_sql(),
     "docs_bbit_minhash": _bbit_minhash_sql(),
     "docs_cdc_chunks": _CDC_SQL,
     "docs_near_dup_clusters_logstar": _NEAR_DUP_CLUSTERS_SQL,

@@ -517,3 +517,32 @@ def test_bbit_minhash_identity_and_variance(spark):
             <= 1e-9
     assert any(r["jaccard_est"] == 1.0 for r in rows)
     assert any(r["bbit_err"] != 0.0 for r in rows)
+
+
+def test_dedup_agreement_matrix_identities(spark):
+    """Set-algebra identities must hold on every matrix row
+    (n_both <= min(n_a, n_b), n_either = n_a + n_b - n_both,
+    agreement in [0, 1]), and the fixture must genuinely exercise the
+    comparison: this corpus has near-dups but NO byte-identical dups
+    (verified directly), so the exact drop set is empty while the two
+    near-dup families must both fire and agree on a nonzero overlap
+    (both see token-level duplication)."""
+    from ocr_spark.plans.dataops import docs_dedup_method_agreement
+
+    sf = "/root/testdata/sf0.01"
+    rows = {(r["method_a"], r["method_b"]): r
+            for r in docs_dedup_method_agreement(spark, sf).collect()}
+    assert set(rows) == {("exact", "minhash"), ("exact", "simhash"),
+                         ("minhash", "simhash")}
+    for key, r in rows.items():
+        assert r["n_both"] <= min(r["n_drop_a"], r["n_drop_b"]), key
+        assert r["n_either"] == r["n_drop_a"] + r["n_drop_b"] \
+            - r["n_both"], key
+        if r["agreement"] is not None:
+            assert 0.0 <= r["agreement"] <= 1.0
+    em = rows[("exact", "minhash")]
+    assert em["n_drop_a"] == 0          # no byte-dups in this fixture
+    assert em["agreement"] is None or em["agreement"] == 0.0
+    ms = rows[("minhash", "simhash")]
+    assert ms["n_drop_a"] > 0 and ms["n_drop_b"] > 0
+    assert ms["agreement"] and ms["agreement"] > 0.0
