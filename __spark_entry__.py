@@ -73,7 +73,8 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "emb_kcenter_init", "ev_rfm_segments",
     "pages_paginate_stitch", "pages_thread_explode",
     "ev_markov_stationary", "docs_stopword_induction",
-    "docs_dedup_method_agreement",
+    "docs_dedup_method_agreement", "docs_canary_probe",
+    "docs_metric_correlations",
     "pages_wrap_digest", "pages_html_features", "pages_extract_router",
     "docs_quality_rrf", "emb_cell_drift", "docs_fim_split",
     "pages_warc_export", "emb_mrl_recall",

@@ -2517,6 +2517,160 @@ FROM agg
 """
 
 
+CANARY_NEG = 4   # synthetic never-in-corpus negative controls
+
+
+def docs_canary_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination CONTROL harness — the canary pattern every
+    production decon deployment runs before being trusted: probe the
+    corpus n-gram machinery with (a) one POSITIVE control built from
+    a real training document's leading DECONTAM_K-token window (must
+    be detected — at minimum by its own source document) and (b)
+    CANARY_NEG NEGATIVE controls built from nonce tokens that cannot
+    exist in any natural corpus (must never be detected). A decon
+    stage whose positive canary goes undetected is silently broken;
+    one whose negative canaries hit is hashing wrong. Same gram
+    definition, same broadcast-probe shape as docs_decontaminate, so
+    the controls exercise the REAL machinery, not a copy.
+
+    Scale shape: the canary gram set is a handful of rows —
+    broadcast; the corpus side is the same narrow explode; one
+    per-canary partial-agg count."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), _TOKS)
+    grams = F.when(
+        F.size(toks) >= DECONTAM_K,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - DECONTAM_K),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice(toks, i + 1,
+                                                 DECONTAM_K)))),
+    ).otherwise(F.array().cast("array<string>"))
+    corpus = docs.select("doc_id", F.explode(grams).alias("gh"))
+    pos = (docs.filter(F.col("doc_id") == 1)
+           .select(F.lit(0).alias("canary_id"),
+                   F.lit("positive").alias("kind"),
+                   F.md5(F.concat_ws(
+                       " ", F.slice(toks, 1, DECONTAM_K))).alias("ch")))
+    import hashlib as _hl
+    neg_rows = []
+    for i in range(1, CANARY_NEG + 1):
+        nonce_toks = [
+            "zq" + _hl.md5(f"canary{i}:{j}".encode()).hexdigest()[:8]
+            for j in range(DECONTAM_K)]
+        gram = " ".join(nonce_toks)
+        neg_rows.append(
+            (i, "negative", _hl.md5(gram.encode()).hexdigest()))
+    neg = spark.createDataFrame(
+        neg_rows, "canary_id int, kind string, ch string")
+    canaries = pos.union(neg)
+    hits = (corpus.join(F.broadcast(canaries),
+                        corpus.gh == canaries.ch, "right")
+            .groupBy("canary_id", "kind")
+            .agg(F.countDistinct("doc_id").alias("n_matching_docs")))
+    return hits.select(
+        "canary_id", "kind", "n_matching_docs",
+        (F.col("n_matching_docs") > 0).alias("detected"))
+
+
+def _canary_probe_sql() -> str:
+    import hashlib as _hl
+    neg_rows = []
+    for i in range(1, CANARY_NEG + 1):
+        gram = " ".join(
+            "zq" + _hl.md5(f"canary{i}:{j}".encode()).hexdigest()[:8]
+            for j in range(DECONTAM_K))
+        neg_rows.append(
+            f"({i}, 'negative', '{_hl.md5(gram.encode()).hexdigest()}')")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+  FROM documents
+), corpus AS (
+  SELECT doc_id,
+         md5(list_aggregate(tk[i:i+{DECONTAM_K - 1}], 'string_agg', ' '))
+           AS gh
+  FROM toks, LATERAL unnest(range(1, len(tk) - {DECONTAM_K - 2}))
+       AS u(i)
+  WHERE len(tk) >= {DECONTAM_K}
+), canaries(canary_id, kind, ch) AS (
+  SELECT 0, 'positive',
+         md5(list_aggregate(tk[1:{DECONTAM_K}], 'string_agg', ' '))
+  FROM toks WHERE doc_id = 1
+  UNION ALL VALUES {", ".join(neg_rows)}
+)
+SELECT c.canary_id, c.kind,
+       CAST(COUNT(DISTINCT corpus.doc_id) AS BIGINT)
+         AS n_matching_docs,
+       COUNT(DISTINCT corpus.doc_id) > 0 AS detected
+FROM canaries c LEFT JOIN corpus ON corpus.gh = c.ch
+GROUP BY c.canary_id, c.kind
+"""
+
+
+def docs_metric_correlations(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Quality-signal correlation report — the sanity check before
+    composing signals into an ensemble (docs_quality_rrf) or a gate:
+    per language, the Pearson correlation between document length and
+    classifier score. Signals that correlate near ±1 are redundant in
+    an ensemble; near 0 they bring independent information. All five
+    moment sums are EXACT integers (length and the 6-decimal score in
+    micro-units), so the aggregation is partition-order-proof; the
+    final Pearson formula is one fixed-order double expression over
+    those integers — identical in both engines.
+
+    Scale shape: the classifier subplan plus one narrow length map
+    and ONE per-language partial-agg groupBy of five integer sums."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.length("text").cast("long").alias("x"))
+    s = docs_classifier_score(spark, sf_dir).select(
+        "doc_id", "lang",
+        F.round(F.col("score") * 1e6).cast("long").alias("y"))
+    j = s.join(docs, "doc_id")
+    agg = j.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"))
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                 .cast("double")
+                 * (F.col("n") * F.col("syy")
+                    - F.col("sy") * F.col("sy")).cast("double"))
+    r = F.when(den == 0, F.lit(None).cast("double")) \
+        .otherwise(F.round(num.cast("double") / den, 6))
+    return agg.select("lang", "n", r.alias("pearson_len_score"))
+
+
+def _metric_correlations_sql() -> str:
+    return f"""
+WITH cls AS (
+{_classifier_sql()}
+), j AS (
+  SELECT c.lang, CAST(length(d.text) AS BIGINT) AS x,
+         CAST(round(c.score * 1e6) AS BIGINT) AS y
+  FROM cls c JOIN documents d ON d.doc_id = c.doc_id
+), agg AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM j GROUP BY lang
+)
+SELECT lang, n,
+       CASE WHEN sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * syy - sy * sy AS DOUBLE)) = 0
+            THEN NULL
+            ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                              * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+       END AS pearson_len_score
+FROM agg
+"""
+
+
 PREF_MIN_GAP = 0.02   # minimum score separation for a usable pair
 
 
@@ -2755,6 +2909,8 @@ SPARK_QUERIES = {
     "docs_sft_format": docs_sft_format,
     "docs_dp_lang_histogram": docs_dp_lang_histogram,
     "docs_preference_pairs": docs_preference_pairs,
+    "docs_canary_probe": docs_canary_probe,
+    "docs_metric_correlations": docs_metric_correlations,
     "docs_dsir_weights": docs_dsir_weights,
     "docs_training_order": docs_training_order,
     "docs_unigram_logprob": docs_unigram_logprob,
@@ -2794,6 +2950,8 @@ ORACLE_SQL = {
     "docs_sft_format": _sft_format_sql(),
     "docs_dp_lang_histogram": _DP_HIST_SQL,
     "docs_preference_pairs": _preference_pairs_sql(),
+    "docs_canary_probe": _canary_probe_sql(),
+    "docs_metric_correlations": _metric_correlations_sql(),
     "docs_dsir_weights": DSIR_WEIGHTS_SQL,
     "docs_training_order": TRAINING_ORDER_SQL,
     "docs_unigram_logprob": UNIGRAM_LOGPROB_SQL,

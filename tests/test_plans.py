@@ -2100,3 +2100,49 @@ def test_stopword_induction_ranks_df_not_tf(spark):
         assert [r["rank"] for r in rs] == list(range(1, STOPW_K + 1))
         for a, b in zip(rs, rs[1:]):
             assert a["n_docs_with"] >= b["n_docs_with"]
+
+
+def test_canary_probe_controls(spark):
+    """The decon control harness must behave like controls: the
+    positive canary (a real doc's leading n-gram window) detected,
+    every nonce negative undetected."""
+    from ocr_spark.plans.curation import CANARY_NEG, docs_canary_probe
+
+    rows = {r["canary_id"]: r for r in
+            docs_canary_probe(spark, SF).collect()}
+    assert len(rows) == CANARY_NEG + 1
+    assert rows[0]["kind"] == "positive" and rows[0]["detected"]
+    assert rows[0]["n_matching_docs"] >= 1
+    for i in range(1, CANARY_NEG + 1):
+        assert rows[i]["kind"] == "negative"
+        assert not rows[i]["detected"]
+        assert rows[i]["n_matching_docs"] == 0
+
+
+def test_metric_correlations_bounds_and_python_parity(spark):
+    """Pearson values must be in [-1, 1] and match a numpy
+    recomputation from the raw per-doc pairs to 6 decimals."""
+    import numpy as np
+
+    from ocr_spark.plans.curation import (
+        docs_classifier_score, docs_metric_correlations)
+    from pyspark.sql import functions as F
+
+    got = {r["lang"]: r for r in
+           docs_metric_correlations(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .select("doc_id", F.length("text").alias("x"))
+    cls = docs_classifier_score(spark, SF) \
+        .select("doc_id", "lang", "score")
+    per = cls.join(docs, "doc_id").collect()
+    by_lang: dict = {}
+    for r in per:
+        by_lang.setdefault(r["lang"], []).append(
+            (r["x"], round(r["score"] * 1e6)))
+    for lang, pairs in by_lang.items():
+        xs = np.array([p[0] for p in pairs], dtype=float)
+        ys = np.array([p[1] for p in pairs], dtype=float)
+        want = float(np.corrcoef(xs, ys)[0, 1])
+        r = got[lang]["pearson_len_score"]
+        assert -1.0 <= r <= 1.0
+        assert abs(r - want) < 1e-4, (lang, r, want)
