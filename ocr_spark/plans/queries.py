@@ -790,6 +790,60 @@ FROM {prev}, tot
 """
 
 
+MAU_WINDOW_DAYS = 30   # trailing window for the MAU denominator
+
+
+def ev_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness — the engagement ratio every product
+    dashboard tracks: per day, distinct active users that day (DAU)
+    over distinct users in the trailing MAU_WINDOW_DAYS window (MAU).
+    Exact form: the per-(day, user) frame joins onto the day spine
+    with a bounded date-range condition, then one distinct-count per
+    day — shuffle volume is day×user pairs × window width, far below
+    event volume after the first distinct.
+
+    Scale note: at extreme user counts the exact trailing distinct is
+    replaced by the mergeable-HLL path this repo already pins
+    (docs_hll_snapshot_merge / run_stats_job): one HLL register frame
+    per day, trailing MAU = register-max fold of 30 frames — same
+    output contract, no user-level shuffle. The exact form stays the
+    oracle."""
+    ev = t(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = du.select("day").distinct()
+    dau = du.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    joined = days.alias("d").join(
+        du.alias("u"),
+        (F.col("u.day") <= F.col("d.day"))
+        & (F.col("u.day") > F.date_sub(F.col("d.day"), MAU_WINDOW_DAYS)))
+    mau = (joined.groupBy(F.col("d.day").alias("day"))
+           .agg(F.countDistinct("u.user_id").alias("mau")))
+    return (dau.join(mau, "day")
+            .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    "dau", "mau",
+                    F.round(F.col("dau") / F.col("mau"), 6)
+                     .alias("stickiness")))
+
+
+EV_STICKINESS_SQL = f"""
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+), dau AS (
+  SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+  FROM du GROUP BY day
+), mau AS (
+  SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS mau
+  FROM (SELECT DISTINCT day FROM du) d
+  JOIN du u ON u.day <= d.day
+           AND u.day > d.day - INTERVAL {MAU_WINDOW_DAYS} DAY
+  GROUP BY d.day
+)
+SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, mau.mau,
+       round(dau.dau / CAST(mau.mau AS DOUBLE), 6) AS stickiness
+FROM dau JOIN mau ON dau.day = mau.day
+"""
+
+
 RFM_BINS = 5   # quintiles per axis → 125 segment codes
 
 
@@ -877,6 +931,7 @@ SPARK_QUERIES = {
     "ev_top_paths": ev_top_paths,
     "ev_rfm_segments": ev_rfm_segments,
     "ev_markov_stationary": ev_markov_stationary,
+    "ev_stickiness": ev_stickiness,
     "docs_lang_stats": docs_lang_stats,
     "docs_token_count": docs_token_count,
     "docs_exact_dedup": docs_exact_dedup,
@@ -902,6 +957,7 @@ ORACLE_SQL = {
     "ev_top_paths": EV_TOP_PATHS_SQL,
     "ev_rfm_segments": EV_RFM_SQL,
     "ev_markov_stationary": _markov_stationary_sql(),
+    "ev_stickiness": EV_STICKINESS_SQL,
     "docs_lang_stats": DOCS_LANG_SQL,
     "docs_token_count": DOCS_TOKENS_SQL,
     "docs_exact_dedup": DOCS_DEDUP_SQL,

@@ -2146,3 +2146,21 @@ def test_metric_correlations_bounds_and_python_parity(spark):
         r = got[lang]["pearson_len_score"]
         assert -1.0 <= r <= 1.0
         assert abs(r - want) < 1e-4, (lang, r, want)
+
+
+def test_stickiness_bounds_and_warmup(spark):
+    """DAU <= MAU always (stickiness in (0, 1]); on day 1 the
+    trailing window holds only that day, so DAU == MAU there; MAU
+    must be nondecreasing through the first window's warm-up."""
+    from ocr_spark.plans.queries import ev_stickiness
+
+    rows = sorted(ev_stickiness(spark, SF).collect(),
+                  key=lambda r: r["day"])
+    assert rows
+    for r in rows:
+        assert r["dau"] <= r["mau"]
+        assert 0.0 < r["stickiness"] <= 1.0
+    assert rows[0]["dau"] == rows[0]["mau"]
+    warm = rows[:min(len(rows), 30 - 1)]
+    for a, b in zip(warm, warm[1:]):
+        assert b["mau"] >= a["mau"]
