@@ -74,7 +74,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "pages_paginate_stitch", "pages_thread_explode",
     "ev_markov_stationary", "docs_stopword_induction",
     "docs_dedup_method_agreement", "docs_canary_probe",
-    "docs_metric_correlations", "ev_stickiness",
+    "docs_metric_correlations", "ev_stickiness", "docs_ct_langid",
     "pages_wrap_digest", "pages_html_features", "pages_extract_router",
     "docs_quality_rrf", "emb_cell_drift", "docs_fim_split",
     "pages_warc_export", "emb_mrl_recall",

@@ -3513,6 +3513,148 @@ UNION ALL
 """
 
 
+CT_NGRAM = 3        # char n-gram width
+CT_PROFILE = 64     # profile depth P (ranks 1..P per profile)
+
+# Modeled language-marker cohorts (the docs_lang_segments device): the
+# fixture's ``lang`` column is a pure LABEL — the text vocabulary is
+# identical English tech terms in every language (verified: top-8
+# tokens per lang are the same shared words), so no content-based
+# classifier can have signal on the raw text. Real multilingual text
+# is modeled by appending each language's actual function words
+# in-plan; the synthesis is the fixture, the rank-order classification
+# is the operator.
+CT_MARKERS: dict[str, str] = {
+    "en": "the of and to in is it that was for",
+    "de": "der die das und ist nicht von mit sich auf",
+    "es": "el la los las que de en una por con",
+    "fr": "le la les des et est dans une pour que",
+    "zh": "de shi bu le zai you wo ta men zhe",
+}
+
+
+def docs_ct_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cavnar–Trenkle rank-order language ID (1994, "N-Gram-Based
+    Text Categorization") — the SECOND langid algorithm beside the
+    stopword voter (docs_langid), because production pipelines
+    arbitrate language with independent signals (the
+    docs_lang_confusion pattern needs a second opinion): per-language
+    char-trigram profiles are TRAINED on the even-doc_id half (top
+    CT_PROFILE trigrams by frequency, rank-ordered), each odd-half
+    document builds its own profile the same way, and the document is
+    assigned the language minimizing the out-of-place distance
+    Σ |rank_doc − rank_lang| with a CT_PROFILE penalty for trigrams
+    missing from the language profile. Ties break to the
+    lexicographically first language. Text carries the CT_MARKERS
+    modeled multilingual cohort (see above) — measured: accuracy is
+    chance (0.22) on the raw label-only fixture and must be ≥0.95
+    with the markers (pinned in tests).
+
+    Scale shape: profile training is one (lang, gram) partial-agg
+    groupBy + a per-lang top-P window over a vocabulary-sized frame —
+    the result is a ≤|langs|·P-row table that BROADCASTS; scoring is
+    the doc-profile groupBy (distinct-gram volume), a broadcast left
+    join, and a per-(doc, lang) rollup over ≤P rows each."""
+    docs = t(spark, sf_dir, "documents")
+    marker = F.col("lang")
+    for lg, words in CT_MARKERS.items():
+        marker = F.when(F.col("lang") == lg,
+                        F.lit((" " + words) * 3)).otherwise(marker)
+    wild = F.concat(F.col("text"), marker)
+    norm = F.regexp_replace(F.lower(F.trim(wild)), r"\s+", " ")
+    n = F.length(norm)
+    grams = F.when(
+        n >= CT_NGRAM,
+        F.transform(F.sequence(F.lit(1), n - (CT_NGRAM - 1)),
+                    lambda i: F.substring(norm, i, CT_NGRAM))
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select("doc_id", "lang", F.explode(grams).alias("g"))
+    train = base.filter(F.col("doc_id") % 2 == 0)
+    test = base.filter(F.col("doc_id") % 2 == 1)
+
+    w_lang = Window.partitionBy("lang").orderBy(F.desc("cnt"), "g")
+    lang_prof = (train.groupBy("lang", "g")
+                 .agg(F.count("*").alias("cnt"))
+                 .withColumn("lrank", F.row_number().over(w_lang))
+                 .filter(F.col("lrank") <= CT_PROFILE)
+                 .select(F.col("lang").alias("plang"), "g", "lrank"))
+    w_doc = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), "g")
+    doc_prof = (test.groupBy("doc_id", "lang", "g")
+                .agg(F.count("*").alias("cnt"))
+                .withColumn("drank", F.row_number().over(w_doc))
+                .filter(F.col("drank") <= CT_PROFILE)
+                .select("doc_id", F.col("lang").alias("true_lang"),
+                        "g", "drank"))
+    langs = lang_prof.select("plang").distinct()
+    pairs = doc_prof.crossJoin(F.broadcast(langs))
+    scored = (pairs.join(F.broadcast(lang_prof), ["plang", "g"], "left")
+              .select("doc_id", "true_lang", "plang",
+                      F.coalesce(F.abs(F.col("drank") - F.col("lrank")),
+                                 F.lit(CT_PROFILE)).alias("oop")))
+    dist = scored.groupBy("doc_id", "true_lang", "plang").agg(
+        F.sum("oop").alias("distance"))
+    w_best = Window.partitionBy("doc_id").orderBy("distance", "plang")
+    return (dist.withColumn("rn", F.row_number().over(w_best))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", "true_lang",
+                    F.col("plang").alias("pred_lang"),
+                    F.col("distance").cast("long").alias("distance"),
+                    (F.col("plang") == F.col("true_lang"))
+                    .alias("correct")))
+
+
+def _ct_marker_case() -> str:
+    whens = " ".join(
+        f"WHEN '{lg}' THEN '{(' ' + words) * 3}'"
+        for lg, words in CT_MARKERS.items())
+    return f"CASE lang {whens} ELSE lang END"
+
+
+_CT_LANGID_SQL = f"""
+WITH nrm AS (
+  SELECT doc_id, lang,
+         regexp_replace(lower(trim(text || {_ct_marker_case()})),
+                        '\\s+', ' ', 'g') AS norm
+  FROM documents
+), base AS (
+  SELECT doc_id, lang, substring(norm, CAST(u.i AS INT), {CT_NGRAM}) AS g
+  FROM nrm, LATERAL unnest(range(1, length(norm) - {CT_NGRAM - 2}))
+       AS u(i)
+  WHERE length(norm) >= {CT_NGRAM}
+), lang_prof AS (
+  SELECT lang AS plang, g, lrank FROM (
+    SELECT lang, g, ROW_NUMBER() OVER (PARTITION BY lang
+             ORDER BY COUNT(*) DESC, g) AS lrank
+    FROM base WHERE doc_id % 2 = 0 GROUP BY lang, g
+  ) WHERE lrank <= {CT_PROFILE}
+), doc_prof AS (
+  SELECT doc_id, true_lang, g, drank FROM (
+    SELECT doc_id, lang AS true_lang, g,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+             ORDER BY COUNT(*) DESC, g) AS drank
+    FROM base WHERE doc_id % 2 = 1 GROUP BY doc_id, lang, g
+  ) WHERE drank <= {CT_PROFILE}
+), pairs AS (
+  SELECT d.doc_id, d.true_lang, l.plang, d.g, d.drank
+  FROM doc_prof d CROSS JOIN (SELECT DISTINCT plang FROM lang_prof) l
+), dist AS (
+  SELECT p.doc_id, p.true_lang, p.plang,
+         CAST(SUM(COALESCE(ABS(p.drank - lp.lrank), {CT_PROFILE}))
+              AS BIGINT) AS distance
+  FROM pairs p LEFT JOIN lang_prof lp
+    ON lp.plang = p.plang AND lp.g = p.g
+  GROUP BY p.doc_id, p.true_lang, p.plang
+)
+SELECT doc_id, true_lang, plang AS pred_lang, distance,
+       plang = true_lang AS correct
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+             ORDER BY distance, plang) AS rn
+  FROM dist
+) WHERE rn = 1
+"""
+
+
 STOPW_K = 10   # induced stopwords reported per language
 
 
@@ -3665,6 +3807,7 @@ SPARK_QUERIES = {
     "docs_contrastive_batches": docs_contrastive_batches,
     "docs_stopword_induction": docs_stopword_induction,
     "docs_dedup_method_agreement": docs_dedup_method_agreement,
+    "docs_ct_langid": docs_ct_langid,
     "docs_bbit_minhash": docs_bbit_minhash,
     "docs_cdc_chunks": docs_cdc_chunks,
     "docs_near_dup_clusters_logstar": docs_near_dup_clusters_logstar,
@@ -3710,6 +3853,7 @@ ORACLE_SQL = {
     "docs_contrastive_batches": _CONTRASTIVE_BATCHES_SQL,
     "docs_stopword_induction": _stopword_induction_sql(),
     "docs_dedup_method_agreement": _dedup_agreement_sql(),
+    "docs_ct_langid": _CT_LANGID_SQL,
     "docs_bbit_minhash": _bbit_minhash_sql(),
     "docs_cdc_chunks": _CDC_SQL,
     "docs_near_dup_clusters_logstar": _NEAR_DUP_CLUSTERS_SQL,

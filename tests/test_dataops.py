@@ -546,3 +546,21 @@ def test_dedup_agreement_matrix_identities(spark):
     ms = rows[("minhash", "simhash")]
     assert ms["n_drop_a"] > 0 and ms["n_drop_b"] > 0
     assert ms["agreement"] and ms["agreement"] > 0.0
+
+
+def test_ct_langid_signal_is_load_bearing(spark):
+    """Rank-order classification must actually classify: >=0.95
+    accuracy on the modeled multilingual cohort (measured 0.22 =
+    chance without the markers, so the marker cohort, profile depth,
+    and out-of-place distance are all load-bearing), every prediction
+    drawn from the trained label set, and only odd-half (test) docs
+    scored."""
+    from ocr_spark.plans.dataops import CT_MARKERS, docs_ct_langid
+
+    sf = "/root/testdata/sf0.01"
+    rows = docs_ct_langid(spark, sf).collect()
+    assert rows
+    assert all(r["doc_id"] % 2 == 1 for r in rows)
+    assert {r["pred_lang"] for r in rows} <= set(CT_MARKERS)
+    acc = sum(r["correct"] for r in rows) / len(rows)
+    assert acc >= 0.95, acc
