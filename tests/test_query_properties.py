@@ -384,3 +384,45 @@ def test_bot_detection_separates_scripted_from_human(spark):
     for r in humans:
         assert not r["is_bot"]
         assert r["cv"] > BOT_CV_MAX  # natural arrivals are irregular
+
+
+@given(st.lists(st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2022),
+    min_size=0, max_size=400), min_size=1, max_size=12))
+@settings(max_examples=200, deadline=None)
+def test_cdc_chunks_reassemble_and_respect_boundaries(texts):
+    """CDC kernel properties over arbitrary generated strings:
+    (a) chunks reassemble to the normalized text exactly (lossless);
+    (b) every internal boundary satisfies the rolling-hash rule and
+    every non-final position inside a chunk does NOT (boundaries are
+    exactly the rule's fixed points);
+    (c) prepending a head keeps every chunk after the first affected
+    region identical (insertion robustness, corpus-free form)."""
+    import re
+
+    from ocr_spark.plans.dataops import (
+        _RH_BASE, _RH_MOD, CDC_D, CDC_W, cdc_chunks_py)
+
+    def whash(s, p):
+        acc = 0
+        for c in s[p - CDC_W:p]:
+            acc = (acc * _RH_BASE + ord(c)) % _RH_MOD
+        return acc
+
+    for text in texts:
+        norm = re.sub(r"\s+", " ", text.lower().strip())
+        chunks = cdc_chunks_py(text)
+        assert "".join(chunks) == norm
+        if len(norm) >= CDC_W:
+            pos = 0
+            for ch in chunks[:-1]:
+                pos += len(ch)
+                assert whash(norm, pos) % CDC_D == 0, pos
+            pos = 0
+            for ch in chunks:
+                for q in range(max(pos + 1, CDC_W), pos + len(ch)):
+                    assert whash(norm, q) % CDC_D != 0, q
+                pos += len(ch)
+        shifted = cdc_chunks_py("zq head. " + text)
+        if len(chunks) > 2:
+            assert chunks[-1] == shifted[-1]
