@@ -3513,6 +3513,112 @@ UNION ALL
 """
 
 
+PFX_JACCARD_T = 0.6   # similarity threshold the prefix filter serves
+
+
+def docs_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact set-similarity join (SSJoin /
+    AllPairs / PPJoin family — Chaudhuri et al. 2006, Bayardo et al.
+    2007, Xiao et al. 2008): the COMPLETE near-dup candidate
+    generator the LSH tier cannot be — for token-set Jaccard ≥ t,
+    any qualifying pair MUST share a token within each side's prefix
+    of its ⌊(1−t)·|x|⌋+1 RAREST tokens, so equi-joining on prefix
+    tokens yields every true pair (no-false-negative guarantee,
+    pinned against a brute-force sweep in tests), and rarest-first
+    ordering makes prefix tokens the least shared — the join's fanout
+    control is the algorithm itself, not a cap. Candidates are then
+    verified with the exact Jaccard and filtered at t. Set elements
+    are distinct word 3-shingles — the SAME universe as the MinHash
+    tier, so the complete join and the LSH approximation are directly
+    comparable (tests pin candidates ⊇ the LSH-verified pairs AND ⊇ a
+    brute-force sweep).
+
+    Where it sits: LSH (docs_minhash_lsh_pairs) trades recall for a
+    hard bucket bound — right at 10^12 docs; the prefix filter is
+    exact and right when completeness is contractual (legal takedown
+    scans, eval-set leak audits) at the price of a token-ordered
+    prefix join whose volume depends on the df distribution.
+
+    Scale shape: one df groupBy (vocabulary-sized), a broadcast df
+    rank table onto the token explode, one window per doc for the
+    rarity order, the prefix equi-join, and candidate-driven exact
+    verification (pair-keyed partial-agg counts)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = (docs.select("doc_id",
+                        F.explode(F.array_distinct(
+                            _shingles(_tokens()))).alias("tok")))
+    df_rank = (toks.groupBy("tok").agg(F.count("*").alias("df"))
+               .select("tok", F.struct("df", "tok").alias("rk")))
+    ranked = toks.join(F.broadcast(df_rank), "tok")
+    w = Window.partitionBy("doc_id").orderBy("rk")
+    sized = (ranked.withColumn("pos", F.row_number().over(w))
+             .withColumn("sz", F.count("*").over(
+                 Window.partitionBy("doc_id"))))
+    prefix_len = F.floor((1.0 - PFX_JACCARD_T) * F.col("sz")) + 1
+    prefix = sized.filter(F.col("pos") <= prefix_len) \
+        .select("doc_id", "tok", "sz")
+    a = prefix.select(F.col("doc_id").alias("doc_a"),
+                      F.col("sz").alias("sz_a"), "tok")
+    b = prefix.select(F.col("doc_id").alias("doc_b"),
+                      F.col("sz").alias("sz_b"), "tok")
+    cand = (a.join(b, "tok")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "sz_a", "sz_b").distinct())
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    # candidate-DRIVEN verification: intersect only candidate pairs'
+    # token lists (Σ_cand |A| rows), never the all-pairs co-token join
+    # the prefix filter exists to avoid
+    inter = (cand.join(ta, "doc_a")
+             .join(tb, ["doc_b", "tok"])
+             .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+             .agg(F.count("*").alias("n_inter")))
+    jac = F.round(
+        F.col("n_inter")
+        / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6)
+    return (inter.select("doc_a", "doc_b",
+                         F.col("n_inter").cast("long").alias("n_inter"),
+                         jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= PFX_JACCARD_T))
+
+
+_PREFIX_JOIN_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest({_SQL_SHINGLES}) AS tok FROM documents)
+), dfr AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM toks GROUP BY tok
+), sized AS (
+  SELECT t.doc_id, t.tok,
+         ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                            ORDER BY d.df, t.tok) AS pos,
+         COUNT(*) OVER (PARTITION BY t.doc_id) AS sz
+  FROM toks t JOIN dfr d ON d.tok = t.tok
+), prefix AS (
+  SELECT doc_id, tok, sz FROM sized
+  WHERE pos <= FLOOR((1.0 - {PFX_JACCARD_T}) * sz) + 1
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.sz AS sz_a, b.sz AS sz_b
+  FROM prefix a JOIN prefix b ON a.tok = b.tok
+  WHERE a.doc_id < b.doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, c.sz_a, c.sz_b,
+         CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM cand c
+  JOIN toks a ON a.doc_id = c.doc_a
+  JOIN toks b ON b.doc_id = c.doc_b AND b.tok = a.tok
+  GROUP BY c.doc_a, c.doc_b, c.sz_a, c.sz_b
+)
+SELECT doc_a, doc_b, n_inter,
+       round(n_inter / CAST(sz_a + sz_b - n_inter AS DOUBLE), 6)
+         AS jaccard
+FROM inter
+WHERE round(n_inter / CAST(sz_a + sz_b - n_inter AS DOUBLE), 6)
+      >= {PFX_JACCARD_T}
+"""
+
+
 CT_NGRAM = 3        # char n-gram width
 CT_PROFILE = 64     # profile depth P (ranks 1..P per profile)
 
@@ -3808,6 +3914,7 @@ SPARK_QUERIES = {
     "docs_stopword_induction": docs_stopword_induction,
     "docs_dedup_method_agreement": docs_dedup_method_agreement,
     "docs_ct_langid": docs_ct_langid,
+    "docs_prefix_filter_join": docs_prefix_filter_join,
     "docs_bbit_minhash": docs_bbit_minhash,
     "docs_cdc_chunks": docs_cdc_chunks,
     "docs_near_dup_clusters_logstar": docs_near_dup_clusters_logstar,
@@ -3854,6 +3961,7 @@ ORACLE_SQL = {
     "docs_stopword_induction": _stopword_induction_sql(),
     "docs_dedup_method_agreement": _dedup_agreement_sql(),
     "docs_ct_langid": _CT_LANGID_SQL,
+    "docs_prefix_filter_join": _PREFIX_JOIN_SQL,
     "docs_bbit_minhash": _bbit_minhash_sql(),
     "docs_cdc_chunks": _CDC_SQL,
     "docs_near_dup_clusters_logstar": _NEAR_DUP_CLUSTERS_SQL,

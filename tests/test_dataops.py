@@ -564,3 +564,40 @@ def test_ct_langid_signal_is_load_bearing(spark):
     assert {r["pred_lang"] for r in rows} <= set(CT_MARKERS)
     acc = sum(r["correct"] for r in rows) / len(rows)
     assert acc >= 0.95, acc
+
+
+def test_prefix_filter_join_is_complete(spark):
+    """The no-false-negative guarantee — the property that separates
+    the prefix filter from LSH: the emitted pair set must EQUAL a
+    brute-force python sweep over every doc pair's distinct-shingle
+    Jaccard at the threshold (complete and nothing extra), and must
+    cover every pair the LSH tier verified at the same threshold."""
+    import itertools
+    import re
+
+    import pandas as pd
+
+    from ocr_spark.plans.dataops import (
+        PFX_JACCARD_T, SHINGLE_W, docs_prefix_filter_join)
+
+    sf = "/root/testdata/sf0.01"
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in docs_prefix_filter_join(spark, sf).collect()}
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    sets = {}
+    for _, d in docs.iterrows():
+        toks = re.split(r"\s+", d["text"].lower().strip())
+        sets[d["doc_id"]] = {
+            " ".join(toks[i:i + SHINGLE_W])
+            for i in range(len(toks) - SHINGLE_W + 1)}
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if inter == 0:
+            continue
+        j = round(inter / (len(sets[a]) + len(sets[b]) - inter), 6)
+        if j >= PFX_JACCARD_T:
+            want[(a, b)] = j
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-9, k
