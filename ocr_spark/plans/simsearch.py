@@ -779,7 +779,13 @@ def emb_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncates per-round lineage (the hosts_pagerank discipline).
     Output: (m, cell, pos, cv, n_members) — the exploded trained
     codebooks plus final member counts."""
-    subs = _pq_subvectors(spark, sf_dir)
+    return _pq_train_from(_pq_subvectors(spark, sf_dir))
+
+
+def _pq_train_from(subs: DataFrame) -> DataFrame:
+    """Per-subspace Lloyd over any (vec_id, m, sv) frame — shared by
+    emb_pq_train (raw subvectors) and emb_pq_train_residual
+    (residual subvectors)."""
     cent = (subs.filter(F.col("vec_id") < PQ_K)
             .select("m", F.col("vec_id").alias("cell"),
                     F.col("sv").alias("cv")))
@@ -831,19 +837,28 @@ def _pq_train_sql() -> str:
     """Unrolled per-subspace Lloyd — the emb_kmeans_train oracle
     pattern with subspace id m as an extra key column (one CTE chain
     trains all PQ_M problems at once, mirroring the Spark frame)."""
-    parts = [
+    return _pq_train_sql_from([
         f"e AS (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings)",
         f"s AS (SELECT vec_id, CAST(t.m AS INT) AS m,\n"
         f"              list_transform(range(1, {PQ_DSUB + 1}),\n"
         f"                  i -> v[t.m * {PQ_DSUB} + i]) AS sv\n"
         f"       FROM e, range(0, {PQ_M}) AS t(m))",
-        f"c0 AS (SELECT m, vec_id AS cell, sv AS cv FROM s "
-        f"WHERE vec_id < {PQ_K})",
-    ]
-    prev = "c0"
+    ])
+
+
+def _pq_train_sql_from(base_parts: list[str], pfx: str = "c") -> str:
+    """The Lloyd CTE chain over any base providing s(vec_id, m, sv);
+    ``pfx`` namespaces the chain's CTEs so a caller can embed it
+    beside another iterative chain (the residual variant nests it
+    after _KM_CTES, whose own a1../c1.. names must stay untouched)."""
+    parts = list(base_parts)
+    parts.append(
+        f"{pfx}0 AS (SELECT m, vec_id AS cell, sv AS cv FROM s "
+        f"WHERE vec_id < {PQ_K})")
+    prev = f"{pfx}0"
     for it in range(1, PQT_ITERS + 1):
         parts.append(
-            f"a{it} AS (\n"
+            f"{pfx}a{it} AS (\n"
             f"  SELECT vec_id, m, sv, cell FROM (\n"
             f"    SELECT vec_id, m, sv, cell, ROW_NUMBER() OVER (\n"
             f"      PARTITION BY vec_id, m ORDER BY d, cell) AS rn\n"
@@ -852,16 +867,16 @@ def _pq_train_sql() -> str:
             f"          FROM s JOIN {prev} c ON s.m = c.m))\n"
             f"  WHERE rn = 1)")
         parts.append(
-            f"c{it} AS (\n"
+            f"{pfx}{it} AS (\n"
             f"  SELECT m, cell, list(cv ORDER BY pos) AS cv FROM (\n"
             f"    SELECT m, cell, u.i AS pos,\n"
             f"           ROUND(AVG(sv[u.i]), {KM_ROUND}) AS cv\n"
-            f"    FROM a{it}, generate_series(1, {PQ_DSUB}) AS u(i)\n"
+            f"    FROM {pfx}a{it}, generate_series(1, {PQ_DSUB}) AS u(i)\n"
             f"    GROUP BY m, cell, u.i)\n"
             f"  GROUP BY m, cell)")
-        prev = f"c{it}"
+        prev = f"{pfx}{it}"
     parts.append(
-        f"af AS (\n"
+        f"{pfx}af AS (\n"
         f"  SELECT vec_id, m, cell FROM (\n"
         f"    SELECT vec_id, m, cell, ROW_NUMBER() OVER (\n"
         f"      PARTITION BY vec_id, m ORDER BY d, cell) AS rn\n"
@@ -874,13 +889,65 @@ def _pq_train_sql() -> str:
 WITH {ctes},
 counts AS (
   SELECT m, cell, CAST(COUNT(*) AS BIGINT) AS n_members
-  FROM af GROUP BY m, cell
+  FROM {pfx}af GROUP BY m, cell
 )
 SELECT c.m, c.cell, CAST(u.i - 1 AS INT) AS pos, c.cv[u.i] AS cv,
        counts.n_members
 FROM {prev} c JOIN counts ON counts.m = c.m AND counts.cell = c.cell,
      generate_series(1, {PQ_DSUB}) AS u(i)
 """
+
+
+def emb_pq_train_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebooks trained on RESIDUAL statistics — the missing half
+    of emb_ivfpq_residual_topk's measured-neutral verdict
+    (BENCH/residual_adc.json: residual ENCODING with seeded codebooks
+    gains nothing; the production win is codebooks trained on
+    (v − centroid) — this op). Per-subspace Lloyd over the residual
+    subvectors of the trained coarse quantizer's final assignment —
+    the same shared kernel as emb_pq_train, different input frame.
+    The test closes the loop quantitatively: residual-trained
+    codebooks must reconstruct residuals with LOWER total squared
+    error than BOTH the seeded literals and the raw-trained codebooks
+    evaluated on the same residuals.
+
+    Scale shape: the coarse quantizer is the audited _kmeans loop;
+    the residualization is one broadcast K-row equi-join; training is
+    emb_pq_train's audited bounded-aggregate iteration."""
+    cent, assigned = _kmeans(spark, sf_dir)
+    cent_b = cent.select(F.col("cell").alias("rcell"),
+                         F.col("cv").alias("rcv"))
+    res = (assigned
+           .join(F.broadcast(cent_b), F.col("cell") == F.col("rcell"))
+           .select("vec_id",
+                   F.zip_with("v", "rcv", lambda a, b: a - b)
+                   .alias("rv")))
+    subs = F.array(*[
+        F.struct(F.lit(j).alias("m"),
+                 F.slice("rv", j * PQ_DSUB + 1, PQ_DSUB).alias("sv"))
+        for j in range(PQ_M)])
+    frame = (res.select("vec_id", F.explode(subs).alias("s"))
+             .select("vec_id", F.col("s.m").alias("m"),
+                     F.col("s.sv").alias("sv")))
+    return _pq_train_from(frame)
+
+
+def _pq_train_residual_sql() -> str:
+    base = [
+        # e, a1../c1.., af — the trained coarse quantizer (_KM_CTES
+        # carries its own leading WITH; the chain builder adds ours)
+        _KM_CTES.removeprefix("WITH "),
+        f"res AS (\n"
+        f"  SELECT af.vec_id,\n"
+        f"         list_transform(range(1, {DIM + 1}),\n"
+        f"                        i -> af.v[i] - c.cv[i]) AS rv\n"
+        f"  FROM af JOIN {_KM_FINAL} c ON c.cell = af.cell)",
+        f"s AS (SELECT vec_id, CAST(t.m AS INT) AS m,\n"
+        f"              list_transform(range(1, {PQ_DSUB + 1}),\n"
+        f"                  i -> rv[t.m * {PQ_DSUB} + i]) AS sv\n"
+        f"       FROM res, range(0, {PQ_M}) AS t(m))",
+    ]
+    return _pq_train_sql_from(base, pfx="pqc")
 
 
 def emb_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2780,6 +2847,7 @@ SPARK_QUERIES = {
     "emb_kcenter_init": emb_kcenter_init,
     "emb_kmeans_train": emb_kmeans_train,
     "emb_pq_train": emb_pq_train,
+    "emb_pq_train_residual": emb_pq_train_residual,
     "emb_cluster_balanced_sample": emb_cluster_balanced_sample,
     "emb_cluster_quota_sample": emb_cluster_quota_sample,
     "emb_mutual_knn": emb_mutual_knn,
@@ -2815,6 +2883,7 @@ ORACLE_SQL = {
     "emb_kcenter_init": _kcenter_sql(),
     "emb_kmeans_train": _KMEANS_TRAIN_SQL,
     "emb_pq_train": _pq_train_sql(),
+    "emb_pq_train_residual": _pq_train_residual_sql(),
     "emb_cluster_balanced_sample": _CLUSTER_SAMPLE_SQL,
     "emb_cluster_quota_sample": _cluster_quota_sql(),
     "emb_mutual_knn": _MUTUAL_KNN_SQL,

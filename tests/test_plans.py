@@ -2164,3 +2164,51 @@ def test_stickiness_bounds_and_warmup(spark):
     warm = rows[:min(len(rows), 30 - 1)]
     for a, b in zip(warm, warm[1:]):
         assert b["mau"] >= a["mau"]
+
+
+def test_pq_residual_training_closes_the_fidelity_loop(spark):
+    """The quantitative close of BENCH/residual_adc.json's neutral
+    verdict: codebooks TRAINED on residual statistics must
+    reconstruct the residuals with lower total squared error than
+    both the seeded literal codebooks and the raw-vector-trained
+    codebooks evaluated on the same residuals — i.e. residual IVF-PQ
+    wins exactly when (and because) the codebooks are residual-
+    trained."""
+    import numpy as np
+
+    from ocr_spark.plans.simsearch import (
+        PQ_CODEBOOKS, PQ_DSUB, PQ_M, _kmeans, emb_pq_train,
+        emb_pq_train_residual)
+
+    cent, assigned = _kmeans(spark, SF)
+    cents = {r["cell"]: np.array(r["cv"]) for r in cent.collect()}
+    res = np.array([np.array(r["v"]) - cents[r["cell"]]
+                    for r in assigned.collect()])
+
+    def codebook_of(rows):
+        cb: dict = {}
+        for r in rows:
+            cb.setdefault((r["m"], r["cell"]), {})[r["pos"]] = r["cv"]
+        out = []
+        for m in range(PQ_M):
+            cells = sorted(c for (m2, c) in cb if m2 == m)
+            out.append(np.array(
+                [[cb[(m, c)][p] for p in range(PQ_DSUB)]
+                 for c in cells]))
+        return out
+
+    trained_res = codebook_of(emb_pq_train_residual(spark, SF).collect())
+    trained_raw = codebook_of(emb_pq_train(spark, SF).collect())
+    seeded = [np.array(cb) for cb in PQ_CODEBOOKS]
+
+    def sse(cbs):
+        total = 0.0
+        for m in range(PQ_M):
+            sub = res[:, m * PQ_DSUB:(m + 1) * PQ_DSUB]
+            d = ((sub[:, None, :] - cbs[m][None, :, :]) ** 2).sum(-1)
+            total += d.min(axis=1).sum()
+        return total
+
+    s_res, s_raw, s_seed = sse(trained_res), sse(trained_raw), sse(seeded)
+    assert s_res < s_raw, (s_res, s_raw)
+    assert s_res < s_seed, (s_res, s_seed)
