@@ -3561,8 +3561,14 @@ def docs_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("sz").alias("sz_a"), "tok")
     b = prefix.select(F.col("doc_id").alias("doc_b"),
                       F.col("sz").alias("sz_b"), "tok")
+    # AllPairs length filter (completeness-preserving: J(A,B) >= t
+    # forces t <= |A|/|B| <= 1/t, since J <= min/max) — prunes
+    # size-incompatible candidates before verification
+    compat = (F.least("sz_a", "sz_b")
+              >= PFX_JACCARD_T * F.greatest("sz_a", "sz_b"))
     cand = (a.join(b, "tok")
             .filter(F.col("doc_a") < F.col("doc_b"))
+            .filter(compat)
             .select("doc_a", "doc_b", "sz_a", "sz_b").distinct())
     ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
     tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
@@ -3602,6 +3608,7 @@ WITH toks AS (
          a.sz AS sz_a, b.sz AS sz_b
   FROM prefix a JOIN prefix b ON a.tok = b.tok
   WHERE a.doc_id < b.doc_id
+    AND LEAST(a.sz, b.sz) >= {PFX_JACCARD_T} * GREATEST(a.sz, b.sz)
 ), inter AS (
   SELECT c.doc_a, c.doc_b, c.sz_a, c.sz_b,
          CAST(COUNT(*) AS BIGINT) AS n_inter
