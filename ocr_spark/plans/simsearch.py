@@ -2282,6 +2282,106 @@ def emb_kcenter_init(spark: SparkSession, sf_dir: str) -> DataFrame:
         seeds, "round int, seed_vec_id bigint, radius2 double")
 
 
+MMR_K = 5        # selections
+MMR_LAMBDA = 0.7  # relevance weight (1-λ penalizes redundancy)
+
+
+def emb_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein
+    1998) — diversity-aware top-k, the re-ranking layer between ANN
+    retrieval and what a RAG/few-shot pipeline actually shows a
+    model: greedily pick the candidate maximizing
+    λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s), so near-duplicate
+    hits cannot crowd the slate. Relevance = cosine to the query
+    (vec_id 0); both terms rounded to 6 before the argmax and ties
+    break to the lowest id, so selection is deterministic
+    cross-engine. The emitted mmr_score is the objective at selection
+    time — strictly nonincreasing round over round for λ·rel bounded
+    by the previous pick (pinned looser in tests: first pick is the
+    plain top-1 by relevance).
+
+    Scale shape: identical to emb_kcenter_init — per round one narrow
+    map against the ≤K-row selected-vector literal array plus a
+    global top-1 (bounded driver state); no corpus shuffle."""
+    emb = (t(spark, sf_dir).select("vec_id", _vecd().alias("v"))
+           .withColumn("nrm", _norm(F.col("v"))))
+    qrow = emb.filter(F.col("vec_id") == 0).collect()[0]
+    qv, qn = list(qrow["v"]), float(qrow["nrm"])
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    rel = F.round(_dot(F.col("v"), qlit) / (F.col("nrm") * F.lit(qn)), 6)
+    cand = emb.filter(F.col("vec_id") != 0) \
+        .select("vec_id", "v", "nrm", rel.alias("rel"))
+    picked: list = []
+    picked_vecs: list = []
+    for r in range(MMR_K):
+        if picked_vecs:
+            sel = F.array(*[
+                F.struct(F.array(*[F.lit(float(x)) for x in sv])
+                         .alias("sv"), F.lit(sn).alias("sn"))
+                for sv, sn in picked_vecs])
+            maxsim = F.round(F.array_max(F.transform(
+                sel, lambda s: _dot(F.col("v"), s["sv"])
+                / (F.col("nrm") * s["sn"]))), 6)
+        else:
+            maxsim = F.lit(0.0)
+        score = F.round(MMR_LAMBDA * F.col("rel")
+                        - (1 - MMR_LAMBDA) * maxsim, 6)
+        pool = cand.filter(
+            ~F.col("vec_id").isin(*[p[1] for p in picked])
+            if picked else F.lit(True))
+        top = (pool.select("vec_id", "v", "nrm", "rel",
+                           score.alias("score"))
+               .orderBy(F.desc("score"), F.asc("vec_id"))
+               .limit(1).collect()[0])
+        picked.append((r, int(top["vec_id"]), float(top["rel"]),
+                       float(top["score"])))
+        picked_vecs.append((list(top["v"]), float(top["nrm"])))
+    return spark.createDataFrame(
+        picked,
+        "round int, vec_id bigint, relevance double, mmr_score double")
+
+
+def _mmr_sql() -> str:
+    lam, mu = MMR_LAMBDA, 1 - MMR_LAMBDA
+    parts = [
+        f"e0 AS (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings)",
+        f"e AS (SELECT vec_id, v, {_sql_norm('v')} AS nrm FROM e0)",
+        "q AS (SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = 0)",
+        f"cand AS (SELECT vec_id, v, nrm,\n"
+        f"  round({_sql_dot('e.v', 'q.qv')} / (e.nrm * q.qn), 6) AS rel\n"
+        f"  FROM e, q WHERE vec_id <> 0)",
+    ]
+    prev_sel: list[str] = []
+    for r in range(MMR_K):
+        if prev_sel:
+            sims = ", ".join(
+                f"round({_sql_dot('c.v', f'{s}.v')} / (c.nrm * {s}.nrm)"
+                f", 6)" for s in prev_sel)
+            maxsim = f"GREATEST({sims})" if len(prev_sel) > 1 \
+                else f"round({_sql_dot('c.v', f'{prev_sel[0]}.v')}" \
+                     f" / (c.nrm * {prev_sel[0]}.nrm), 6)"
+        else:
+            maxsim = "0.0"
+        froms = " ".join(f"CROSS JOIN {s}" for s in prev_sel)
+        excl = (" AND c.vec_id NOT IN ("
+                + ", ".join(f"(SELECT vec_id FROM {s})"
+                            for s in prev_sel) + ")") if prev_sel else ""
+        parts.append(
+            f"s{r} AS (\n"
+            f"  SELECT c.vec_id, c.v, c.nrm, c.rel,\n"
+            f"         round({lam} * c.rel - {mu} * {maxsim}, 6)"
+            f" AS score\n"
+            f"  FROM cand c {froms}\n"
+            f"  WHERE TRUE{excl}\n"
+            f"  ORDER BY score DESC, c.vec_id LIMIT 1)")
+        prev_sel.append(f"s{r}")
+    ctes = ",\n".join(parts)
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, vec_id, rel AS relevance,"
+        f" score AS mmr_score FROM s{r}" for r in range(MMR_K))
+    return f"WITH {ctes}\n{sel}"
+
+
 def _kcenter_sql() -> str:
     parts = [f"e AS (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings)",
              "s0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1)"]
@@ -2845,6 +2945,7 @@ SPARK_QUERIES = {
     "emb_ivfpq_topk": emb_ivfpq_topk,
     "emb_ivfpq_residual_topk": emb_ivfpq_residual_topk,
     "emb_kcenter_init": emb_kcenter_init,
+    "emb_mmr_select": emb_mmr_select,
     "emb_kmeans_train": emb_kmeans_train,
     "emb_pq_train": emb_pq_train,
     "emb_pq_train_residual": emb_pq_train_residual,
@@ -2881,6 +2982,7 @@ ORACLE_SQL = {
     "emb_ivfpq_topk": _ivfpq_sql(),
     "emb_ivfpq_residual_topk": _ivfpq_residual_sql(),
     "emb_kcenter_init": _kcenter_sql(),
+    "emb_mmr_select": _mmr_sql(),
     "emb_kmeans_train": _KMEANS_TRAIN_SQL,
     "emb_pq_train": _pq_train_sql(),
     "emb_pq_train_residual": _pq_train_residual_sql(),

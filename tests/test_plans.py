@@ -2212,3 +2212,35 @@ def test_pq_residual_training_closes_the_fidelity_loop(spark):
     s_res, s_raw, s_seed = sse(trained_res), sse(trained_raw), sse(seeded)
     assert s_res < s_raw, (s_res, s_raw)
     assert s_res < s_seed, (s_res, s_seed)
+
+
+def test_mmr_select_diversity_is_load_bearing(spark):
+    """MMR invariants: K distinct picks, round 0 is the plain
+    relevance top-1, scores nonincreasing, and the diversity penalty
+    must actually change the slate — the MMR picks must differ from
+    the pure top-K by relevance (the fixture's clustered embeddings
+    make pure top-K redundant)."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.plans.simsearch import (
+        MMR_K, _dot, _norm, _vecd, emb_mmr_select, t)
+
+    rows = sorted(emb_mmr_select(spark, SF).collect(),
+                  key=lambda r: r["round"])
+    assert len(rows) == MMR_K
+    assert len({r["vec_id"] for r in rows}) == MMR_K
+    for a, b in zip(rows, rows[1:]):
+        assert a["mmr_score"] >= b["mmr_score"]
+    emb = (t(spark, SF).select("vec_id", _vecd().alias("v"))
+           .withColumn("nrm", _norm(F.col("v"))))
+    q = emb.filter(F.col("vec_id") == 0).collect()[0]
+    qlit = F.array(*[F.lit(float(x)) for x in q["v"]])
+    rel = F.round(_dot(F.col("v"), qlit)
+                  / (F.col("nrm") * F.lit(float(q["nrm"]))), 6)
+    topk = [r["vec_id"] for r in
+            emb.filter(F.col("vec_id") != 0)
+            .select("vec_id", rel.alias("rel"))
+            .orderBy(F.desc("rel"), F.asc("vec_id"))
+            .limit(MMR_K).collect()]
+    assert rows[0]["vec_id"] == topk[0]
+    assert {r["vec_id"] for r in rows} != set(topk)
