@@ -3513,6 +3513,95 @@ UNION ALL
 """
 
 
+EX_SUMMARY_K = 2    # segments kept per document
+EX_SEG_W = 10       # tokens per summarization segment
+
+
+def docs_extractive_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-method extractive summarization (Radev et al. 2004 —
+    the MEAD family): score each candidate span by the mean
+    document-level term frequency of its tokens (spans made of the
+    document's dominant vocabulary are its centroid), keep the top
+    EX_SUMMARY_K, and re-emit them in ORIGINAL order — the stage that
+    manufactures (document → summary) pairs for summarization SFT
+    from raw corpus text. Candidate spans are fixed EX_SEG_W-token
+    windows because this corpus is single-sentence by construction
+    (verified: every doc regex-splits to exactly 1 sentence), so
+    sentence segmentation degenerates — the window device is the
+    docs_lang_segments / docs_chunk_spans convention, and the scoring
+    + deterministic selection (ties to the earlier span) is the
+    operator. The summary is whitespace-normalized (tokens rejoined
+    with single spaces).
+
+    Scale shape: token explode → ONE (doc, token) tf groupBy →
+    (doc, token)-keyed equi-join → per-segment rollup → per-doc top-K
+    window; every exchange carries doc_id."""
+    docs = t(spark, sf_dir, "documents")
+    stoks = (docs.select(
+        "doc_id",
+        F.posexplode(_tokens()).alias("pos", "tok"))
+        .filter(F.col("tok") != "")
+        .withColumn("seg_idx",
+                    F.floor(F.col("pos") / EX_SEG_W).cast("int")))
+    tf = stoks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    mass = (stoks.join(tf, ["doc_id", "tok"])
+            .groupBy("doc_id", "seg_idx")
+            .agg(F.sum("tf").alias("tf_mass"),
+                 F.count("*").alias("seg_len")))
+    score = F.round(F.col("tf_mass") / F.col("seg_len"), 6)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"),
+                                             F.asc("seg_idx"))
+    chosen = (mass.select("doc_id", "seg_idx", score.alias("score"))
+              .withColumn("rk", F.row_number().over(w))
+              .filter(F.col("rk") <= EX_SUMMARY_K))
+    seg_text = (stoks.groupBy("doc_id", "seg_idx")
+                .agg(F.array_join(F.transform(
+                    F.sort_array(F.collect_list(
+                        F.struct("pos", "tok"))),
+                    lambda x: x["tok"]), " ").alias("seg")))
+    sel = chosen.join(seg_text, ["doc_id", "seg_idx"])
+    return (sel.groupBy("doc_id")
+            .agg(F.count("*").alias("n_selected"),
+                 F.array_join(F.transform(
+                     F.sort_array(F.collect_list(
+                         F.struct("seg_idx", "seg"))),
+                     lambda x: x["seg"]), " ").alias("summary")))
+
+
+_EXTRACTIVE_SUMMARY_SQL = rf"""
+WITH stoks AS (
+  SELECT doc_id, CAST(u.i - 1 AS INT) AS pos, tk[u.i] AS tok,
+         CAST((u.i - 1) // {EX_SEG_W} AS INT) AS seg_idx
+  FROM (SELECT doc_id, {_SQL_TOKENS} AS tk FROM documents),
+       LATERAL unnest(range(1, len(tk) + 1)) AS u(i)
+  WHERE tk[u.i] <> ''
+), tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM stoks GROUP BY doc_id, tok
+), mass AS (
+  SELECT s.doc_id, s.seg_idx,
+         round(SUM(tf.tf) / CAST(COUNT(*) AS DOUBLE), 6) AS score
+  FROM stoks s JOIN tf ON tf.doc_id = s.doc_id AND tf.tok = s.tok
+  GROUP BY s.doc_id, s.seg_idx
+), chosen AS (
+  SELECT doc_id, seg_idx FROM (
+    SELECT doc_id, seg_idx, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, seg_idx) AS rk
+    FROM mass
+  ) WHERE rk <= {EX_SUMMARY_K}
+), seg_text AS (
+  SELECT doc_id, seg_idx,
+         string_agg(tok, ' ' ORDER BY pos) AS seg
+  FROM stoks GROUP BY doc_id, seg_idx
+)
+SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_selected,
+       string_agg(s.seg, ' ' ORDER BY s.seg_idx) AS summary
+FROM chosen c JOIN seg_text s
+  ON s.doc_id = c.doc_id AND s.seg_idx = c.seg_idx
+GROUP BY s.doc_id
+"""
+
+
 PFX_JACCARD_T = 0.6   # similarity threshold the prefix filter serves
 
 
@@ -3922,6 +4011,7 @@ SPARK_QUERIES = {
     "docs_dedup_method_agreement": docs_dedup_method_agreement,
     "docs_ct_langid": docs_ct_langid,
     "docs_prefix_filter_join": docs_prefix_filter_join,
+    "docs_extractive_summary": docs_extractive_summary,
     "docs_bbit_minhash": docs_bbit_minhash,
     "docs_cdc_chunks": docs_cdc_chunks,
     "docs_near_dup_clusters_logstar": docs_near_dup_clusters_logstar,
@@ -3969,6 +4059,7 @@ ORACLE_SQL = {
     "docs_dedup_method_agreement": _dedup_agreement_sql(),
     "docs_ct_langid": _CT_LANGID_SQL,
     "docs_prefix_filter_join": _PREFIX_JOIN_SQL,
+    "docs_extractive_summary": _EXTRACTIVE_SUMMARY_SQL,
     "docs_bbit_minhash": _bbit_minhash_sql(),
     "docs_cdc_chunks": _CDC_SQL,
     "docs_near_dup_clusters_logstar": _NEAR_DUP_CLUSTERS_SQL,

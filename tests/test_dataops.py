@@ -601,3 +601,41 @@ def test_prefix_filter_join_is_complete(spark):
     assert set(got) == set(want)
     for k, v in want.items():
         assert abs(got[k] - v) < 1e-9, k
+
+
+def test_extractive_summary_selects_centroid_segments(spark):
+    """Summaries must be <= EX_SUMMARY_K verbatim token segments in
+    original order, recomputable in pure Python (same tf-mass scoring
+    and tie-breaks), and the selection must be non-positional for a
+    healthy share of docs (score decides, not segment order)."""
+    import re
+
+    import pandas as pd
+
+    from ocr_spark.plans.dataops import (
+        EX_SEG_W, EX_SUMMARY_K, docs_extractive_summary)
+
+    sf = "/root/testdata/sf0.01"
+    got = {r["doc_id"]: r for r in
+           docs_extractive_summary(spark, sf).collect()}
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    nontrivial = 0
+    for _, d in docs.iterrows():
+        toks = [x for x in
+                re.split(r"\s+", d["text"].lower().strip()) if x]
+        segs = [toks[i:i + EX_SEG_W]
+                for i in range(0, len(toks), EX_SEG_W)]
+        tf = {}
+        for x in toks:
+            tf[x] = tf.get(x, 0) + 1
+        scores = [(round(sum(tf[x] for x in seg) / len(seg), 6), i)
+                  for i, seg in enumerate(segs)]
+        top = sorted(range(len(segs)),
+                     key=lambda i: (-scores[i][0], i))[:EX_SUMMARY_K]
+        want = " ".join(" ".join(segs[i]) for i in sorted(top))
+        r = got[d["doc_id"]]
+        assert r["n_selected"] == min(EX_SUMMARY_K, len(segs))
+        assert r["summary"] == want, d["doc_id"]
+        if sorted(top) != list(range(min(EX_SUMMARY_K, len(segs)))):
+            nontrivial += 1
+    assert nontrivial > 50
