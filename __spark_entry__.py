@@ -76,7 +76,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "docs_dedup_method_agreement", "docs_canary_probe",
     "docs_metric_correlations", "ev_stickiness", "docs_ct_langid",
     "docs_prefix_filter_join", "emb_pq_train_residual",
-    "emb_mmr_select", "docs_extractive_summary",
+    "emb_mmr_select", "docs_extractive_summary", "mm_scene_cuts",
     "pages_wrap_digest", "pages_html_features", "pages_extract_router",
     "docs_quality_rrf", "emb_cell_drift", "docs_fim_split",
     "pages_warc_export", "emb_mrl_recall",

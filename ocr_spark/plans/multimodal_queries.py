@@ -266,12 +266,109 @@ SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= {PHASH_MAX_HAM}
 """
 
 
+SCENE_CUT_COS = 0.55   # consecutive-frame cosine below this = cut
+                       # (placed inside the stub featurizer's observed
+                       # spread: min 0.09 / p10 0.55 / median 0.82, so
+                       # cuts genuinely fire on ~10% of pairs)
+
+
+def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection from frame-embedding deltas — the shot
+    segmentation every video-training pipeline runs before clip
+    sampling (one training clip per shot, not per fixed stride):
+    consecutive SAMPLED frames whose feature cosine drops below
+    SCENE_CUT_COS mark a cut. The featurizer is the same
+    deterministic hash stand-in as mm_frame_embed_pool (the real
+    vision tower swaps in at the documented mapInPandas seam);
+    everything downstream — the lag window, the cosine, the
+    thresholding — is the real operator. One row per consecutive
+    frame pair with the cosine and the verdict.
+
+    Scale shape: frame sampling is the existing generator; features
+    are a narrow map; the ONE exchange is the per-video window
+    (doc_id-keyed, frames-per-video bounded by the media header)."""
+    from pyspark.sql.window import Window
+
+    media = synthesize_media(_docs(spark, sf_dir))
+    frames = sample_frames(media, every_k=2)
+    feats = [
+        ((F.conv(F.substring(
+            F.md5(F.concat("frame_md5", F.lit(f":{j}"))), 1, 8), 16, 10)
+          .cast("long") % 1000) / 1000.0)
+        for j in range(EMBED_DIM)
+    ]
+    pf = frames.select("doc_id", "frame_idx",
+                       F.array(*feats).alias("fv"))
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    paired = (pf.withColumn("prev_idx", F.lag("frame_idx").over(w))
+              .withColumn("pv", F.lag("fv").over(w))
+              .filter(F.col("pv").isNotNull()))
+    dot = F.aggregate(F.zip_with("fv", "pv", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+
+    def nrm(c):
+        return F.sqrt(F.aggregate(
+            F.transform(c, lambda x: x * x),
+            F.lit(0.0), lambda acc, x: acc + x))
+
+    cos = F.round(dot / (nrm(F.col("fv")) * nrm(F.col("pv"))), 6)
+    return paired.select(
+        "doc_id", F.col("prev_idx").alias("frame_a"),
+        F.col("frame_idx").alias("frame_b"),
+        cos.alias("cos_sim"),
+        (cos < SCENE_CUT_COS).alias("is_cut"))
+
+
+_SCENE_CUTS_SQL = f"""
+WITH fr AS (
+  SELECT doc_id, unnest(range(0, 1 + doc_id % 8, 2)) AS f FROM documents
+), fm AS (
+  SELECT doc_id, CAST(f AS INT) AS frame_idx,
+         md5(md5(CAST(doc_id AS VARCHAR) || '_' || CAST(f AS VARCHAR)))
+           AS frame_md5
+  FROM fr
+), feats AS (
+  SELECT doc_id, frame_idx,
+         [{", ".join(
+             f"(('0x' || substring(md5(frame_md5 || ':{j}'), 1, 8))"
+             f"::BIGINT % 1000) / 1000.0"
+             for j in range(EMBED_DIM))}] AS fv
+  FROM fm
+), paired AS (
+  SELECT doc_id, frame_idx,
+         lag(frame_idx) OVER w AS prev_idx,
+         lag(fv) OVER w AS pv, fv
+  FROM feats
+  WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
+)
+SELECT doc_id, prev_idx AS frame_a, frame_idx AS frame_b,
+       round(list_reduce(list_transform(range(1, {EMBED_DIM + 1}),
+                 i -> fv[i] * pv[i]), (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(range(1, {EMBED_DIM + 1}),
+                     i -> fv[i] * fv[i]), (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(
+                     range(1, {EMBED_DIM + 1}),
+                     i -> pv[i] * pv[i]), (x, y) -> x + y))), 6)
+         AS cos_sim,
+       round(list_reduce(list_transform(range(1, {EMBED_DIM + 1}),
+                 i -> fv[i] * pv[i]), (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(range(1, {EMBED_DIM + 1}),
+                     i -> fv[i] * fv[i]), (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(
+                     range(1, {EMBED_DIM + 1}),
+                     i -> pv[i] * pv[i]), (x, y) -> x + y))), 6)
+         < {SCENE_CUT_COS} AS is_cut
+FROM paired WHERE pv IS NOT NULL
+"""
+
+
 SPARK_QUERIES = {
     "mm_phash_near_dup": mm_phash_near_dup,
     "mm_media_meta": mm_media_meta,
     "mm_frame_sample": mm_frame_sample,
     "mm_frame_rollup": mm_frame_rollup,
     "mm_frame_embed_pool": mm_frame_embed_pool,
+    "mm_scene_cuts": mm_scene_cuts,
 }
 
 ORACLE_SQL = {
@@ -280,4 +377,5 @@ ORACLE_SQL = {
     "mm_frame_sample": _FRAME_SAMPLE_SQL,
     "mm_frame_rollup": _FRAME_ROLLUP_SQL,
     "mm_frame_embed_pool": _FRAME_EMBED_SQL,
+    "mm_scene_cuts": _SCENE_CUTS_SQL,
 }

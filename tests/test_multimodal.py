@@ -76,3 +76,22 @@ def test_phash_near_dup_pairs_are_same_scene(spark):
     for r in rows:
         assert r["doc_a"] % PHASH_SCENES == r["doc_b"] % PHASH_SCENES
         assert 0 <= r["hamming"] <= min(4, PHASH_MAX_HAM)
+
+
+def test_scene_cuts_fire_and_pairs_are_consecutive(spark):
+    """Scene cuts must genuinely fire on the fixture (threshold sits
+    inside the measured cosine spread), every pair must be a
+    consecutive sampled-frame pair (frame_b = frame_a + stride), and
+    the verdict must equal the thresholded cosine."""
+    from ocr_spark.plans.multimodal_queries import (
+        SCENE_CUT_COS, mm_scene_cuts)
+
+    rows = mm_scene_cuts(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    n_cut = 0
+    for r in rows:
+        assert r["frame_b"] == r["frame_a"] + 2   # every_k=2 stride
+        assert -1.0 <= r["cos_sim"] <= 1.0
+        assert r["is_cut"] == (r["cos_sim"] < SCENE_CUT_COS)
+        n_cut += r["is_cut"]
+    assert 0 < n_cut < len(rows)
