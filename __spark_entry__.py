@@ -77,6 +77,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "docs_metric_correlations", "ev_stickiness", "docs_ct_langid",
     "docs_prefix_filter_join", "emb_pq_train_residual",
     "emb_mmr_select", "docs_extractive_summary", "mm_scene_cuts",
+    "ev_funnel_latency",
     "pages_wrap_digest", "pages_html_features", "pages_extract_router",
     "docs_quality_rrf", "emb_cell_drift", "docs_fim_split",
     "pages_warc_export", "emb_mrl_recall",

@@ -433,6 +433,98 @@ FROM v LEFT JOIN c ON v.user_id = c.user_id
 """
 
 
+FL_PCTS = (0.5, 0.9)
+
+
+def ev_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel time-to-convert — the latency companion of
+    ev_funnel_conversion's depth counts (HOW LONG each stage
+    transition takes decides where the product intervenes): for every
+    converted stage pair (view→click, click→purchase, view→purchase),
+    the converter count and exact p50/p90 latencies in seconds
+    (type-7 interpolated percentiles, the docs_length_percentiles
+    cross-engine convention; integer-second inputs). Same
+    user-cardinality chained-aggregate shape as the funnel itself,
+    then one tiny per-pair percentile aggregate; at extreme user
+    counts the exact percentile swaps for approx_percentile — the
+    standing exact-vs-approx note."""
+    ev = t(spark, sf_dir, "events")
+    v = (ev.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("view_ts")))
+    c = (ev.join(v, "user_id")
+         .filter((F.col("event_type") == "click")
+                 & (F.col("ts") > F.col("view_ts")))
+         .groupBy("user_id").agg(F.min("ts").alias("click_ts")))
+    p = (ev.join(c, "user_id")
+         .filter((F.col("event_type") == "purchase")
+                 & (F.col("ts") > F.col("click_ts")))
+         .groupBy("user_id").agg(F.min("ts").alias("purchase_ts")))
+    j = v.join(c, "user_id").join(p, "user_id", "left")
+
+    def sec(a, b):
+        # exact integer microseconds, NTZ-safe (the ev_bot_detection
+        # convention — unix_timestamp truncates and the oracle's
+        # epoch() rounds; micros agree bit-for-bit)
+        return F.expr(f"timestampdiff(MICROSECOND, {a}, {b})")
+
+    pairs = j.select(
+        F.explode(F.filter(F.array(
+            F.struct(F.lit("view->click").alias("stage_pair"),
+                     sec("view_ts", "click_ts").alias("latency_s")),
+            F.when(F.col("purchase_ts").isNotNull(), F.struct(
+                F.lit("click->purchase").alias("stage_pair"),
+                sec("click_ts", "purchase_ts").alias("latency_s"))),
+            F.when(F.col("purchase_ts").isNotNull(), F.struct(
+                F.lit("view->purchase").alias("stage_pair"),
+                sec("view_ts", "purchase_ts").alias("latency_s"))),
+        ), lambda x: x.isNotNull())).alias("e")).select("e.*")
+    pct = F.percentile("latency_s", F.lit(list(FL_PCTS)))
+    return (pairs.groupBy("stage_pair")
+            .agg(F.count("*").alias("n_converted"),
+                 *[F.round(F.element_at(pct, i + 1) / 1e6, 4)
+                   .alias(f"p{int(q * 100)}_latency_s")
+                   for i, q in enumerate(FL_PCTS)]))
+
+
+_FUNNEL_LATENCY_SQL = f"""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS view_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS click_ts
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.view_ts
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS purchase_ts
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+  GROUP BY e.user_id
+), j AS (
+  SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts
+  FROM v JOIN c ON v.user_id = c.user_id
+  LEFT JOIN p ON v.user_id = p.user_id
+), pairs AS (
+  SELECT 'view->click' AS stage_pair,
+         epoch_us(click_ts) - epoch_us(view_ts) AS latency_s
+  FROM j
+  UNION ALL
+  SELECT 'click->purchase',
+         epoch_us(purchase_ts) - epoch_us(click_ts)
+  FROM j WHERE purchase_ts IS NOT NULL
+  UNION ALL
+  SELECT 'view->purchase',
+         epoch_us(purchase_ts) - epoch_us(view_ts)
+  FROM j WHERE purchase_ts IS NOT NULL
+)
+SELECT stage_pair, CAST(COUNT(*) AS BIGINT) AS n_converted,
+       {", ".join(
+           f"round(quantile_cont(latency_s, {q}) / 1e6, 4)"
+           f" AS p{int(q * 100)}_latency_s" for q in FL_PCTS)}
+FROM pairs GROUP BY stage_pair
+"""
+
+
 # --------------------------------------------------------------------------
 # R15: weekly cohort retention matrix
 # --------------------------------------------------------------------------
@@ -1026,6 +1118,7 @@ SPARK_QUERIES = {
     "li_grouping_sets": li_grouping_sets,
     "li_approx_aggs": li_approx_aggs,
     "ev_funnel_conversion": ev_funnel_conversion,
+    "ev_funnel_latency": ev_funnel_latency,
     "nations_set_ops": nations_set_ops,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q21_exists_notexists": q21_exists_notexists,
@@ -1052,6 +1145,7 @@ ORACLE_SQL = {
     "li_grouping_sets": _GROUPING_SETS_SQL,
     "li_approx_aggs": _APPROX_AGGS_SQL,
     "ev_funnel_conversion": _FUNNEL_SQL,
+    "ev_funnel_latency": _FUNNEL_LATENCY_SQL,
     "nations_set_ops": _SET_OPS_SQL,
     "q17_small_quantity_revenue": _Q17_SQL,
     "q21_exists_notexists": _Q21_SQL,

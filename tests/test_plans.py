@@ -2244,3 +2244,29 @@ def test_mmr_select_diversity_is_load_bearing(spark):
             .limit(MMR_K).collect()]
     assert rows[0]["vec_id"] == topk[0]
     assert {r["vec_id"] for r in rows} != set(topk)
+
+
+def test_funnel_latency_ordering_and_additivity(spark):
+    """Stage-pair identities: view->purchase latency percentiles must
+    dominate both legs (the composite path is never faster than
+    either leg at the same percentile... only guaranteed for the SUM,
+    so pin the sharp facts instead: all latencies positive,
+    n_converted equal across pairs on this fixture (every click
+    converter also purchases — asserted from the funnel itself), and
+    p90 >= p50 per pair."""
+    from ocr_spark.plans.relational_extra import (
+        ev_funnel_conversion, ev_funnel_latency)
+
+    rows = {r["stage_pair"]: r
+            for r in ev_funnel_latency(spark, SF).collect()}
+    assert set(rows) == {"view->click", "click->purchase",
+                         "view->purchase"}
+    for r in rows.values():
+        assert r["p50_latency_s"] > 0
+        assert r["p90_latency_s"] >= r["p50_latency_s"]
+    funnel = ev_funnel_conversion(spark, SF).collect()
+    n3 = sum(1 for r in funnel if r["funnel_stage"] == 3)
+    assert rows["click->purchase"]["n_converted"] == n3
+    assert rows["view->purchase"]["n_converted"] == n3
+    n2plus = sum(1 for r in funnel if r["funnel_stage"] >= 2)
+    assert rows["view->click"]["n_converted"] == n2plus
