@@ -2270,3 +2270,36 @@ def test_funnel_latency_ordering_and_additivity(spark):
     assert rows["view->purchase"]["n_converted"] == n3
     n2plus = sum(1 for r in funnel if r["funnel_stage"] >= 2)
     assert rows["view->click"]["n_converted"] == n2plus
+
+
+def test_latest_query_plan_shapes(spark):
+    """Plan gates for the closing additions: scene cuts cost exactly
+    ONE exchange (the per-video window; features stay narrow), the
+    CT language profiles and the prefix-join df table reach the probe
+    side as broadcasts, and every exchange count stays at the audited
+    bound (a regression here means a broadcast fell back to a
+    shuffle join or a subplan re-derived)."""
+    import re as _re
+
+    from ocr_spark.plans.dataops import (
+        docs_ct_langid, docs_extractive_summary, docs_prefix_filter_join)
+    from ocr_spark.plans.multimodal_queries import mm_scene_cuts
+    from ocr_spark.plans.queries import ev_rfm_segments
+
+    def fmt(df):
+        qe = df._jdf.queryExecution()
+        return df._sc._jvm.org.apache.spark.sql.api.python \
+            .PythonSQLUtils.explainString(qe, "formatted")
+
+    def n_sh(p):
+        return len(_re.findall(r"\(\d+\) Exchange\b", p))
+
+    p = fmt(mm_scene_cuts(spark, SF))
+    assert n_sh(p) == 1                      # the per-video window
+    p = fmt(docs_ct_langid(spark, SF))
+    assert n_sh(p) <= 6 and "BroadcastHashJoin" in p
+    p = fmt(docs_prefix_filter_join(spark, SF))
+    assert n_sh(p) <= 4 and "BroadcastHashJoin" in p
+    p = fmt(docs_extractive_summary(spark, SF))
+    assert n_sh(p) <= 5
+    assert n_sh(fmt(ev_rfm_segments(spark, SF))) <= 3
