@@ -909,6 +909,134 @@ FROM binned
 """
 
 
+def ev_experiment_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with CUPED variance reduction (Deng,
+    Xu, Kohavi & Walker, WSDM 2013 — the adjustment every large
+    experimentation platform applies before reading a lift): users are
+    hash-assigned to control/treatment (md5(user_id) parity — the
+    deterministic stand-in for the platform's bucketing hash), the
+    observation window is split at its midpoint into a pre-period
+    (covariate X = per-user value sum before the split — "what the
+    user was already worth") and a post-period (metric Y), and the
+    CUPED-adjusted metric is Y' = Y − θ·(X − E[X]) with
+    θ = cov(X,Y)/var(X) pooled across arms.
+
+    Cross-engine float discipline: per-user sums are integer cents
+    (round(value·100)), so every partial aggregate is exact regardless
+    of partition order; θ, means, and the variance-reduction ratio
+    1 − ρ² are derived from the five exact integer moment sums in one
+    fixed expression tree (centered second moments are cast to double
+    BEFORE multiplying so nothing overflows BIGINT), and the per-arm
+    adjusted mean uses the closed form
+    mean_adj = ȳ_a − θ·(x̄_a − x̄) — no double is ever SUMMED.
+
+    Scale shape (100 TB of events): one partial-agg groupBy keyed
+    user_id builds the per-user frame; the global moment row and the
+    window-midpoint row are 1-row broadcasts; the per-arm rollup is a
+    2-group aggregate. No window functions, no user-level join."""
+    ev = t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.unix_timestamp("ts")).alias("ts_min"),
+        F.max(F.unix_timestamp("ts")).alias("ts_max"))
+    mid = ((F.col("ts_min") + F.col("ts_max")) / 2).cast("long")
+    cents = F.round(F.col("value") * 100).cast("long")
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(F.coalesce(F.sum(F.when(F.unix_timestamp("ts") <= mid,
+                                     cents)), F.lit(0)).alias("x"),
+             F.coalesce(F.sum(F.when(F.unix_timestamp("ts") > mid,
+                                     cents)), F.lit(0)).alias("y")))
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 13),
+               16, 10).cast("long") % 2 == 0,
+        F.lit("control")).otherwise(F.lit("treatment"))
+    pu = per_user.select(arm.alias("arm"), "x", "y")
+    mom = pu.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"))
+    nd = F.col("n").cast("double")
+    cxy = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    cxx = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    cyy = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    theta = cxy / cxx
+    rho2 = (cxy * cxy) / (cxx * cyy)
+    glob = mom.select(
+        theta.alias("theta"), rho2.alias("rho2"),
+        (F.col("sx") / F.col("n") / 100.0).alias("xbar"))
+    arms = pu.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("x").alias("sx_a"), F.sum("y").alias("sy_a"))
+    xbar_a = F.col("sx_a") / F.col("n_users") / 100.0
+    ybar_a = F.col("sy_a") / F.col("n_users") / 100.0
+    return (arms.crossJoin(F.broadcast(glob))
+            .select("arm", "n_users",
+                    F.round(xbar_a, 6).alias("mean_pre"),
+                    F.round(ybar_a, 6).alias("mean_post"),
+                    F.round(ybar_a - F.col("theta")
+                            * (xbar_a - F.col("xbar")), 6)
+                     .alias("mean_post_cuped"),
+                    F.round("theta", 6).alias("theta"),
+                    F.round(1 - F.col("rho2"), 6).alias("var_reduction"))
+            .orderBy("arm"))
+
+
+EV_CUPED_SQL = """
+WITH b AS (
+  SELECT CAST((epoch(MIN(ts)) + epoch(MAX(ts))) / 2 AS BIGINT) AS mid
+  FROM events
+), pu AS (
+  SELECT user_id,
+         CAST(COALESCE(SUM(CASE WHEN epoch(ts) <= b.mid
+              THEN CAST(round(value * 100) AS BIGINT) END), 0)
+              AS BIGINT) AS x,
+         CAST(COALESCE(SUM(CASE WHEN epoch(ts) > b.mid
+              THEN CAST(round(value * 100) AS BIGINT) END), 0)
+              AS BIGINT) AS y
+  FROM events, b GROUP BY user_id, b.mid
+), pa AS (
+  SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                        1, 13)) AS BIGINT) % 2 = 0
+              THEN 'control' ELSE 'treatment' END AS arm, x, y
+  FROM pu
+), mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM pa
+), g AS (
+  SELECT (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS theta,
+         ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+          * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
+           / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+              * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+           AS rho2,
+         sx / CAST(n AS DOUBLE) / 100.0 AS xbar
+  FROM mom
+), arms AS (
+  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(x) AS BIGINT) AS sx_a, CAST(SUM(y) AS BIGINT) AS sy_a
+  FROM pa GROUP BY arm
+)
+SELECT arm, n_users,
+       round(sx_a / CAST(n_users AS DOUBLE) / 100.0, 6) AS mean_pre,
+       round(sy_a / CAST(n_users AS DOUBLE) / 100.0, 6) AS mean_post,
+       round(sy_a / CAST(n_users AS DOUBLE) / 100.0
+             - g.theta * (sx_a / CAST(n_users AS DOUBLE) / 100.0
+                          - g.xbar), 6) AS mean_post_cuped,
+       round(g.theta, 6) AS theta,
+       round(1 - g.rho2, 6) AS var_reduction
+FROM arms CROSS JOIN g
+ORDER BY arm
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -932,6 +1060,7 @@ SPARK_QUERIES = {
     "ev_rfm_segments": ev_rfm_segments,
     "ev_markov_stationary": ev_markov_stationary,
     "ev_stickiness": ev_stickiness,
+    "ev_experiment_cuped": ev_experiment_cuped,
     "docs_lang_stats": docs_lang_stats,
     "docs_token_count": docs_token_count,
     "docs_exact_dedup": docs_exact_dedup,
@@ -958,6 +1087,7 @@ ORACLE_SQL = {
     "ev_rfm_segments": EV_RFM_SQL,
     "ev_markov_stationary": _markov_stationary_sql(),
     "ev_stickiness": EV_STICKINESS_SQL,
+    "ev_experiment_cuped": EV_CUPED_SQL,
     "docs_lang_stats": DOCS_LANG_SQL,
     "docs_token_count": DOCS_TOKENS_SQL,
     "docs_exact_dedup": DOCS_DEDUP_SQL,

@@ -426,3 +426,25 @@ def test_cdc_chunks_reassemble_and_respect_boundaries(texts):
         shifted = cdc_chunks_py("zq head. " + text)
         if len(chunks) > 2:
             assert chunks[-1] == shifted[-1]
+
+
+def test_cuped_preserves_pooled_mean_and_reduces_variance(spark):
+    """CUPED's two contracts: (a) the adjustment is mean-preserving —
+    the user-weighted pooled mean of the adjusted metric equals the
+    pooled raw post-period mean (θ·(X − E[X]) has zero expectation by
+    construction), and (b) 1 − ρ² ∈ [0, 1] with the SAME θ pooled
+    across arms (per-arm θ would bias the lift)."""
+    from ocr_spark.plans.queries import ev_experiment_cuped
+
+    rows = ev_experiment_cuped(spark, "/root/testdata/sf0.01").collect()
+    assert {r.arm for r in rows} == {"control", "treatment"}
+    thetas = {r.theta for r in rows}
+    assert len(thetas) == 1, "theta must be pooled, not per-arm"
+    vr = rows[0].var_reduction
+    assert 0.0 <= vr <= 1.0
+    n = sum(r.n_users for r in rows)
+    pooled_adj = sum(r.n_users * r.mean_post_cuped for r in rows) / n
+    pooled_raw = sum(r.n_users * r.mean_post for r in rows) / n
+    assert abs(pooled_adj - pooled_raw) < 1e-3
+    for r in rows:
+        assert r.n_users > 0
