@@ -2903,7 +2903,97 @@ FROM r
 """
 
 
+def docs_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative data-quality constraint suite over the
+    ``documents`` table (Schelter et al., "Automating Large-Scale Data
+    Quality Verification", VLDB 2018 — the validation gate every
+    production ingest runs before a snapshot is promoted): each
+    constraint is a completeness / uniqueness / consistency / set- or
+    range-membership predicate, reported as one row with the checked
+    count, violation count, pass rate, and pass/fail status.
+
+    The suite deliberately includes two constraints that FAIL on the
+    driver's corpus (``lang_in_allowed`` excludes ``zh``;
+    ``n_chars_in_range`` uses a [64, 512] band inside the corpus's
+    [48, 553] actual range) so the violation-counting path is exercised
+    with real non-zero counts, not vacuously green checks.
+
+    Scale shape (100 TB): ALL constraints evaluate in ONE scan — each
+    is a conditional partial aggregate (sum-of-violations), merged
+    map-side, so the whole suite costs one pass + a 1-row final agg
+    regardless of how many constraints are registered (exactly Deequ's
+    shared-scan design). Uniqueness is the only distinct-requiring
+    check and rides the same agg as a count_distinct. The 1-row result
+    explodes driver-free into the per-constraint report."""
+    docs = _docs(spark, sf_dir)
+    viol = {
+        "text_complete": F.col("text").isNull() | (F.length("text") == 0),
+        "n_chars_consistent": F.col("n_chars") != F.length("text"),
+        "lang_in_allowed": ~F.col("lang").isin("en", "de", "fr", "es"),
+        "n_chars_in_range": ~F.col("n_chars").between(64, 512),
+        "source_complete": F.col("source").isNull()
+        | (F.length("source") == 0),
+    }
+    aggs = [F.count(F.lit(1)).alias("checked"),
+            F.count_distinct(F.col("doc_id")).alias("n_distinct")]
+    aggs += [F.sum(v.cast("long")).alias(k) for k, v in viol.items()]
+    one = docs.agg(*aggs)
+    rows = [F.struct(F.lit(k).alias("constraint"),
+                     F.col(k).alias("violations"))
+            for k in viol]
+    rows.append(F.struct(
+        F.lit("doc_id_unique").alias("constraint"),
+        (F.col("checked") - F.col("n_distinct")).alias("violations")))
+    return (
+        one.select("checked", F.explode(F.array(*rows)).alias("c"))
+        .select(
+            F.col("c.constraint").alias("constraint"),
+            F.col("checked").cast("long").alias("checked"),
+            F.col("c.violations").cast("long").alias("violations"),
+            F.round(1 - F.col("c.violations")
+                    / F.greatest(F.col("checked"), F.lit(1)),
+                    6).alias("pass_rate"),
+            F.when(F.col("c.violations") == 0, F.lit("pass"))
+            .otherwise(F.lit("fail")).alias("status"))
+        .orderBy("constraint"))
+
+
+QUALITY_CONSTRAINTS_SQL = """
+WITH agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS checked,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+         CAST(SUM(CASE WHEN text IS NULL OR length(text) = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS text_complete,
+         CAST(SUM(CASE WHEN n_chars <> length(text)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_consistent,
+         CAST(SUM(CASE WHEN lang NOT IN ('en', 'de', 'fr', 'es')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS lang_in_allowed,
+         CAST(SUM(CASE WHEN n_chars NOT BETWEEN 64 AND 512
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_in_range,
+         CAST(SUM(CASE WHEN source IS NULL OR length(source) = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS source_complete
+  FROM documents
+), rows_ AS (
+  SELECT checked, 'text_complete' AS "constraint",
+         text_complete AS violations FROM agg
+  UNION ALL SELECT checked, 'n_chars_consistent', n_chars_consistent
+  FROM agg
+  UNION ALL SELECT checked, 'lang_in_allowed', lang_in_allowed FROM agg
+  UNION ALL SELECT checked, 'n_chars_in_range', n_chars_in_range FROM agg
+  UNION ALL SELECT checked, 'source_complete', source_complete FROM agg
+  UNION ALL SELECT checked, 'doc_id_unique', checked - n_distinct FROM agg
+)
+SELECT "constraint", checked, violations,
+       round(1 - violations / CAST(GREATEST(checked, 1) AS DOUBLE), 6)
+         AS pass_rate,
+       CASE WHEN violations = 0 THEN 'pass' ELSE 'fail' END AS status
+FROM rows_
+ORDER BY "constraint"
+"""
+
+
 SPARK_QUERIES = {
+    "docs_quality_constraints": docs_quality_constraints,
     "docs_quality_rrf": docs_quality_rrf,
     "docs_quality_calibration": docs_quality_calibration,
     "docs_sft_format": docs_sft_format,
@@ -2945,6 +3035,7 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "docs_quality_constraints": QUALITY_CONSTRAINTS_SQL,
     "docs_quality_rrf": _quality_rrf_sql(),
     "docs_quality_calibration": _quality_calibration_sql(),
     "docs_sft_format": _sft_format_sql(),

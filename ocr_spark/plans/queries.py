@@ -1037,6 +1037,93 @@ ORDER BY arm
 """
 
 
+def ev_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over event baskets (the Apriori /
+    market-basket readout, Agrawal & Srikant VLDB 1994): a basket is a
+    (user_id, day), its items the DISTINCT event types seen that day;
+    every directional rule antecedent ⇒ consequent is reported with
+    basket counts, support = P(a,b), confidence = P(b|a), and
+    lift = P(b|a) / P(b).
+
+    Scale shape (100 TB of events): exactly ONE event-volume shuffle —
+    ``groupBy(user, day).agg(collect_set(event_type))`` with map-side
+    partial collect_set (events repeat types heavily within a day, so
+    the exchange carries near-deduped sets, not raw events). There is
+    NO self-join: ordered pairs are generated per basket by a narrow
+    array comprehension over the item set, whose size is bounded by the
+    event-type vocabulary, never by event volume. Downstream aggregates
+    are vocab-bounded (≤ |vocab|² pair rows, |vocab| item rows, one
+    total row) and join back as broadcasts."""
+    ev = t(spark, sf_dir, "events")
+    baskets = (
+        ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.collect_set("event_type").alias("items")))
+    nb = baskets.agg(F.count(F.lit(1)).alias("n_baskets"))
+    ic = (baskets.select(F.explode("items").alias("event_type"))
+          .groupBy("event_type").agg(F.count(F.lit(1)).alias("n_item")))
+    pair_arr = F.flatten(F.transform(
+        F.col("items"),
+        lambda a: F.transform(
+            F.filter(F.col("items"), lambda c: c != a),
+            lambda c: F.struct(a.alias("antecedent"),
+                               c.alias("consequent")))))
+    pairs = (
+        baskets.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.antecedent").alias("antecedent"),
+                 F.col("p.consequent").alias("consequent"))
+        .agg(F.count(F.lit(1)).alias("n_both")))
+    joined = (
+        pairs
+        .join(F.broadcast(ic.withColumnRenamed("n_item", "n_ante")),
+              F.col("antecedent") == F.col("event_type")).drop("event_type")
+        .join(F.broadcast(ic.withColumnRenamed("n_item", "n_cons")),
+              F.col("consequent") == F.col("event_type")).drop("event_type")
+        .crossJoin(F.broadcast(nb)))
+    nbd = F.col("n_baskets").cast("double")
+    conf = F.col("n_both") / F.col("n_ante")
+    return joined.select(
+        "antecedent", "consequent",
+        F.col("n_both").cast("long").alias("n_both"),
+        F.col("n_ante").cast("long").alias("n_ante"),
+        F.col("n_cons").cast("long").alias("n_cons"),
+        F.round(F.col("n_both") / nbd, 6).alias("support"),
+        F.round(conf, 6).alias("confidence"),
+        F.round(conf / (F.col("n_cons") / nbd), 6).alias("lift"),
+    ).orderBy(F.desc("lift"), "antecedent", "consequent")
+
+
+EV_ASSOC_SQL = """
+WITH b AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+  FROM events
+), nb AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_baskets
+  FROM (SELECT DISTINCT user_id, day FROM b)
+), ic AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_item
+  FROM b GROUP BY event_type
+), pairs AS (
+  SELECT a.event_type AS antecedent, c.event_type AS consequent,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM b a JOIN b c
+    ON a.user_id = c.user_id AND a.day = c.day
+   AND a.event_type <> c.event_type
+  GROUP BY 1, 2
+)
+SELECT antecedent, consequent, n_both,
+       ia.n_item AS n_ante, ik.n_item AS n_cons,
+       round(n_both / CAST(nb.n_baskets AS DOUBLE), 6) AS support,
+       round(n_both / CAST(ia.n_item AS DOUBLE), 6) AS confidence,
+       round((n_both / CAST(ia.n_item AS DOUBLE))
+             / (ik.n_item / CAST(nb.n_baskets AS DOUBLE)), 6) AS lift
+FROM pairs
+JOIN ic ia ON ia.event_type = antecedent
+JOIN ic ik ON ik.event_type = consequent
+CROSS JOIN nb
+ORDER BY lift DESC, antecedent, consequent
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1061,6 +1148,7 @@ SPARK_QUERIES = {
     "ev_markov_stationary": ev_markov_stationary,
     "ev_stickiness": ev_stickiness,
     "ev_experiment_cuped": ev_experiment_cuped,
+    "ev_assoc_rules": ev_assoc_rules,
     "docs_lang_stats": docs_lang_stats,
     "docs_token_count": docs_token_count,
     "docs_exact_dedup": docs_exact_dedup,
@@ -1088,6 +1176,7 @@ ORACLE_SQL = {
     "ev_markov_stationary": _markov_stationary_sql(),
     "ev_stickiness": EV_STICKINESS_SQL,
     "ev_experiment_cuped": EV_CUPED_SQL,
+    "ev_assoc_rules": EV_ASSOC_SQL,
     "docs_lang_stats": DOCS_LANG_SQL,
     "docs_token_count": DOCS_TOKENS_SQL,
     "docs_exact_dedup": DOCS_DEDUP_SQL,

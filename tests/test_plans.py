@@ -2303,3 +2303,36 @@ def test_latest_query_plan_shapes(spark):
     p = fmt(docs_extractive_summary(spark, SF))
     assert n_sh(p) <= 5
     assert n_sh(fmt(ev_rfm_segments(spark, SF))) <= 3
+
+
+def test_constraint_suite_is_one_scan(spark):
+    """Deequ's core design claim, pinned: N constraints cost ONE scan
+    of documents — conditional partial aggregates merged map-side —
+    not one scan per constraint."""
+    from ocr_spark.plans.curation import docs_quality_constraints
+    df = docs_quality_constraints(spark, SF)
+    plan = fmt(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in simple or "partial" in simple
+
+
+def test_assoc_rules_one_event_shuffle_no_self_join(spark):
+    """Exactly one event-volume exchange (the basket collect_set, with
+    map-side partial aggregation); pairs come from a narrow array
+    comprehension, NOT a self-join; the vocab-bounded item/total sides
+    come back as broadcasts."""
+    from ocr_spark.plans.queries import ev_assoc_rules
+    df = ev_assoc_rules(spark, SF)
+    plan = fmt(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" in plan      # the 1-row total
+    assert "SortMergeJoin" not in plan
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert "collect_set" in simple
+    # statically the basket exchange appears once per consumer (pairs /
+    # item counts / basket total); at runtime AQE stage-reuse collapses
+    # the duplicates so the event volume is shuffled ONCE — pin that
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert final.count("ReusedExchange") >= 2
