@@ -79,6 +79,54 @@ def robots_for_document(doc_id: int) -> str:
     return "noindex,nofollow" if doc_id % 17 == 3 else "index,follow"
 
 
+def published_iso_for_document(doc_id: int) -> str:
+    """Deterministic publication timestamp (ISO-8601 Z)."""
+    return (f"2024-{1 + doc_id % 12:02d}-{1 + doc_id % 28:02d}"
+            f"T{doc_id % 24:02d}:00:00Z")
+
+
+def meta_published_for_document(doc_id: int) -> str | None:
+    """``article:published_time`` head meta — present on 2 of 3 pages,
+    so publication-date extraction has a genuine meta-only / none
+    split (plans/htmlfeat.py pages_date_extract)."""
+    if doc_id % 3 != 1:
+        return published_iso_for_document(doc_id)
+    return None
+
+
+def jsonld_for_document(doc_id: int) -> str | None:
+    """Deterministic schema.org JSON-LD block (every second page) —
+    the structured-metadata substrate (plans/htmlfeat.py
+    pages_structured_meta / pages_date_extract). Built by f-string, not
+    json.dumps, so the byte-parity SQL mirror stays a plain concat.
+    Deliberately contains NO ``href=`` attribute and no email/phone
+    shapes, so the outlink / PII scans are untouched."""
+    if doc_id % 2 != 0:
+        return None
+    jtype = "NewsArticle" if doc_id % 10 == 0 else "Article"
+    return (
+        '{"@context":"https://schema.org","@type":"' + jtype
+        + '","headline":"' + title_for_document(doc_id)
+        + '","datePublished":"' + published_iso_for_document(doc_id)
+        + '","author":{"@type":"Person","name":"Author '
+        + str(doc_id % 20) + '"}}'
+    )
+
+
+def appendix_rows_for_document(doc_id: int) -> list[tuple[str, int, str]] | None:
+    """Deterministic data-appendix table rows (every sixth page,
+    2-4 rows): the substrate for HTML-table→structured-rows extraction
+    (plans/htmlfeat.py pages_table_extract). The table lives in a
+    bad-class (``widget``) container so every cell is boilerplate to
+    the main-content extractor — extracted text, goldens, and all
+    block/span oracles are untouched."""
+    if doc_id % 6 != 3:
+        return None
+    return [(f"metric{i}", (doc_id * 31 + i * 7) % 1000,
+             f"unit{(i + doc_id) % 4}")
+            for i in range(1, 3 + doc_id % 3)]
+
+
 def title_for_document(doc_id: int) -> str:
     return f"Document {doc_id} Report"
 
@@ -183,11 +231,19 @@ def html_for_document(doc_id: int, text: str) -> bytes:
         + (f"<p>{_html.escape(disc)}</p>" if disc is not None else "")
         + ul
     )
+    arows = appendix_rows_for_document(doc_id)
+    appendix = (
+        '<section class="widget data-appendix"><table>'
+        + "".join(f"<tr><td>{m}</td><td>{v}</td><td>{u}</td></tr>"
+                  for m, v, u in arows)
+        + "</table></section>"
+    ) if arows is not None else ""
     body = (
         f'<nav class="navbar"><ul>{nav}</ul></nav>'
         f'<header class="masthead"><span>site {doc_id % 13}</span></header>'
         f'<div class="ad-banner"><a href="/ad{doc_id % 11}">buy now today</a></div>'
         f"<main><article>{article}</article></main>"
+        f"{appendix}"
         f'<aside class="sidebar"><ul><li><a href="/r1">related one</a></li>'
         f'<li><a href="/r2">related two</a></li></ul></aside>'
         f"<footer><div>{foot}</div>"
@@ -198,10 +254,21 @@ def html_for_document(doc_id: int, text: str) -> bytes:
         f'<a href="{partner_url_for_document(doc_id)}">partner site</a>'
         f"</div></footer>"
     )
+    pub = meta_published_for_document(doc_id)
+    jsonld = jsonld_for_document(doc_id)
+    head_meta = (
+        f'<meta property="og:title" '
+        f'content="{_html.escape(title_for_document(doc_id))}">'
+        + (f'<meta property="article:published_time" content="{pub}">'
+           if pub is not None else "")
+        + (f'<script type="application/ld+json">{jsonld}</script>'
+           if jsonld is not None else "")
+    )
     page = (
         "<!DOCTYPE html><html><head><title>t</title>"
         f'<link rel="canonical" href="{canonical_url_for_document(doc_id)}">'
         f'<meta name="robots" content="{robots_for_document(doc_id)}">'
+        f"{head_meta}"
         "<script>var x=1;</script><style>.a{}</style></head>"
         f"<body>{body}</body></html>"
     )

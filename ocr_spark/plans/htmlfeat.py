@@ -84,6 +84,50 @@ def _build_html_cte() -> str:
                  + " || '.example.com/doc/' || " + sid)
     robots = ("CASE WHEN doc_id % 17 = 3 THEN 'noindex,nofollow'"
               " ELSE 'index,follow' END")
+    iso = ("'2024-' || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0')"
+           " || '-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')"
+           " || 'T' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')"
+           " || ':00:00Z'")
+    jsonld = (
+        "'{\"@context\":\"https://schema.org\",\"@type\":\"'"
+        " || CASE WHEN doc_id % 10 = 0 THEN 'NewsArticle'"
+        " ELSE 'Article' END"
+        " || '\",\"headline\":\"Document ' || " + sid
+        + " || ' Report\",\"datePublished\":\"' || " + iso
+        + " || '\",\"author\":{\"@type\":\"Person\",\"name\":\"Author '"
+        " || CAST(doc_id % 20 AS VARCHAR) || '\"}}'"
+    )
+    head_meta = (
+        "'<meta property=\"og:title\" content=\"Document ' || " + sid
+        + " || ' Report\">'"
+        " || CASE WHEN doc_id % 3 <> 1 THEN"
+        " '<meta property=\"article:published_time\" content=\"' || "
+        + iso + " || '\">' ELSE '' END"
+        " || CASE WHEN doc_id % 2 = 0 THEN"
+        " '<script type=\"application/ld+json\">' || " + jsonld
+        + " || '</script>' ELSE '' END"
+    )
+
+    def _arow(i: int) -> str:
+        return (
+            "'<tr><td>metric" + str(i) + "</td><td>'"
+            " || CAST((doc_id * 31 + " + str(i * 7)
+            + ") % 1000 AS VARCHAR)"
+            " || '</td><td>unit'"
+            " || CAST((doc_id + " + str(i) + ") % 4 AS VARCHAR)"
+            " || '</td></tr>'"
+        )
+
+    appendix = (
+        "CASE WHEN doc_id % 6 = 3 THEN"
+        " '<section class=\"widget data-appendix\"><table>'"
+        " || " + _arow(1) + " || " + _arow(2)
+        + " || CASE WHEN doc_id % 3 >= 1 THEN " + _arow(3)
+        + " ELSE '' END"
+        " || CASE WHEN doc_id % 3 = 2 THEN " + _arow(4)
+        + " ELSE '' END"
+        " || '</table></section>' ELSE '' END"
+    )
 
     article = (
         "'<h1>Document ' || " + sid + " || ' Report</h1>'"
@@ -117,6 +161,7 @@ def _build_html_cte() -> str:
         " || '<div class=\"ad-banner\"><a href=\"/ad' || " + s11
         + " || '\">buy now today</a></div>'"
         " || '<main><article>' || " + article + " || '</article></main>'"
+        " || " + appendix +
         " || '<aside class=\"sidebar\"><ul>"
         "<li><a href=\"/r1\">related one</a></li>"
         "<li><a href=\"/r2\">related two</a></li></ul></aside>'"
@@ -131,8 +176,9 @@ def _build_html_cte() -> str:
     page = (
         "'<!DOCTYPE html><html><head><title>t</title>"
         "<link rel=\"canonical\" href=\"' || " + canonical + " || '\">"
-        "<meta name=\"robots\" content=\"' || " + robots + " || '\">"
-        "<script>var x=1;</script><style>.a{}</style></head><body>'"
+        "<meta name=\"robots\" content=\"' || " + robots + " || '\">'"
+        " || " + head_meta + " || "
+        "'<script>var x=1;</script><style>.a{}</style></head><body>'"
         " || " + body + " || '</body></html>'"
     )
 
@@ -296,13 +342,168 @@ FROM feat
 """
 
 
+# ---------------------------------------------------------------------------
+# structured metadata / publication date / table extraction
+# ---------------------------------------------------------------------------
+
+_OG_TITLE_PAT = '<meta property="og:title" content="([^"]*)"'
+_META_PUB_PAT = ('<meta property="article:published_time" '
+                 'content="([^"]*)"')
+_JSONLD_PAT = r'<script type="application/ld\+json">(.*?)</script>'
+_JSONLD_SCHEMA = ("`@type` STRING, headline STRING, "
+                  "datePublished STRING, author STRUCT<name: STRING>")
+
+
+def pages_structured_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-metadata harvest from raw page bytes: OpenGraph
+    ``og:title``, ``article:published_time``, and the schema.org
+    JSON-LD block (type / headline / datePublished / author) — the
+    metadata pass a Common-Crawl-style pipeline runs to attach titles,
+    authorship, and publication dates to extracted documents (CCNet /
+    news-corpus construction both key on exactly these fields).
+
+    Spark-first: the JSON-LD payload is parsed with ``from_json``
+    (JVM-side Jackson, schema-projected) — not a Python JSON loop —
+    after a single anchored ``regexp_extract`` isolates the block.
+    Narrow map, zero shuffles at any corpus size; the oracle
+    reconstructs every field closed-form from doc_id, so a parse bug on
+    EITHER side breaks the hash."""
+    pages = pages_from_documents(spark, sf_dir)
+    h = F.decode(F.col("html"), "UTF-8")
+    ld = F.from_json(
+        F.nullif(F.regexp_extract(h, _JSONLD_PAT, 1), F.lit("")),
+        _JSONLD_SCHEMA)
+    return pages.select(
+        "url",
+        F.nullif(F.regexp_extract(h, _OG_TITLE_PAT, 1), F.lit(""))
+            .alias("og_title"),
+        ld["@type"].alias("jsonld_type"),
+        ld["headline"].alias("headline"),
+        ld["author"]["name"].alias("author_name"),
+        ld["datePublished"].alias("date_jsonld"),
+        F.nullif(F.regexp_extract(h, _META_PUB_PAT, 1), F.lit(""))
+            .alias("date_meta"),
+    )
+
+
+_ISO_SQL = ("'2024-' || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0')"
+            " || '-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')"
+            " || 'T' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')"
+            " || ':00:00Z'")
+
+PAGES_STRUCTURED_META_SQL = f"""
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+       'Document ' || CAST(doc_id AS VARCHAR) || ' Report' AS og_title,
+       CASE WHEN doc_id % 2 = 0 THEN
+         CASE WHEN doc_id % 10 = 0 THEN 'NewsArticle' ELSE 'Article' END
+       END AS jsonld_type,
+       CASE WHEN doc_id % 2 = 0 THEN
+         'Document ' || CAST(doc_id AS VARCHAR) || ' Report'
+       END AS headline,
+       CASE WHEN doc_id % 2 = 0 THEN
+         'Author ' || CAST(doc_id % 20 AS VARCHAR)
+       END AS author_name,
+       CASE WHEN doc_id % 2 = 0 THEN {_ISO_SQL} END AS date_jsonld,
+       CASE WHEN doc_id % 3 <> 1 THEN {_ISO_SQL} END AS date_meta
+FROM documents
+"""
+
+
+def pages_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publication-date resolution with explicit source precedence:
+    JSON-LD ``datePublished`` beats the ``article:published_time``
+    meta, which beats nothing (the standard news-pipeline rule —
+    JSON-LD is author-maintained structured data; the meta tag is
+    CMS-injected and stale more often). The corpus genuinely routes
+    through all three branches (JSON-LD on even doc_ids, meta on
+    doc_id % 3 != 1, neither on odd multiples-of-3-plus-1), so the
+    precedence column is load-bearing, not constant. Narrow map,
+    zero shuffles; dates stay ISO strings end-to-end (no timezone
+    semantics to drift between engines)."""
+    pages = pages_from_documents(spark, sf_dir)
+    h = F.decode(F.col("html"), "UTF-8")
+    ld = F.from_json(
+        F.nullif(F.regexp_extract(h, _JSONLD_PAT, 1), F.lit("")),
+        _JSONLD_SCHEMA)
+    d_ld = ld["datePublished"]
+    d_meta = F.nullif(F.regexp_extract(h, _META_PUB_PAT, 1), F.lit(""))
+    return pages.select(
+        "url",
+        F.coalesce(d_ld, d_meta).alias("pub_date"),
+        F.when(d_ld.isNotNull(), F.lit("jsonld"))
+        .when(d_meta.isNotNull(), F.lit("meta"))
+        .otherwise(F.lit("none")).alias("date_source"),
+    )
+
+
+PAGES_DATE_EXTRACT_SQL = f"""
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+       CASE WHEN doc_id % 2 = 0 OR doc_id % 3 <> 1
+            THEN {_ISO_SQL} END AS pub_date,
+       CASE WHEN doc_id % 2 = 0 THEN 'jsonld'
+            WHEN doc_id % 3 <> 1 THEN 'meta'
+            ELSE 'none' END AS date_source
+FROM documents
+"""
+
+
+_TR_PAT = "<tr>(.*?)</tr>"
+_TD_PAT = "<td>([^<]*)</td>"
+
+
+def pages_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML ``<table>`` → structured rows: every data-appendix table
+    row becomes a typed (metric, value, unit) record — the
+    table-understanding half of document extraction (the reference's
+    layout taxonomy has a first-class ``table`` label,
+    /root/reference/service/core/graph.py:40-47; here the cells land
+    in COLUMNS, not a text blob).
+
+    Narrow map: ``regexp_extract_all`` rows → ``posexplode`` →
+    per-row cell split, all JVM-side; pages without a table vanish at
+    the explode. Zero shuffles at any corpus size."""
+    pages = pages_from_documents(spark, sf_dir)
+    h = F.decode(F.col("html"), "UTF-8")
+    rows = F.regexp_extract_all(h, F.lit(_TR_PAT), 1)
+    cells = F.regexp_extract_all(F.col("row"), F.lit(_TD_PAT), 1)
+    return (
+        pages.select("url", F.posexplode(rows).alias("row_idx", "row"))
+        .select("url", "row_idx", cells.alias("c"))
+        .select(
+            "url",
+            F.col("row_idx").cast("int").alias("row_idx"),
+            F.col("c")[0].alias("metric"),
+            F.col("c")[1].cast("long").alias("value"),
+            F.col("c")[2].alias("unit"),
+        )
+    )
+
+
+PAGES_TABLE_EXTRACT_SQL = """
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+       CAST(i - 1 AS INT) AS row_idx,
+       'metric' || CAST(i AS VARCHAR) AS metric,
+       CAST((doc_id * 31 + i * 7) % 1000 AS BIGINT) AS value,
+       'unit' || CAST((doc_id + i) % 4 AS VARCHAR) AS unit
+FROM documents,
+     LATERAL (SELECT unnest(generate_series(1, 2 + doc_id % 3)) AS i) g
+WHERE doc_id % 6 = 3
+"""
+
+
 SPARK_QUERIES = {
+    "pages_structured_meta": pages_structured_meta,
+    "pages_date_extract": pages_date_extract,
+    "pages_table_extract": pages_table_extract,
     "pages_wrap_digest": pages_wrap_digest,
     "pages_html_features": pages_html_features,
     "pages_extract_router": pages_extract_router,
 }
 
 ORACLE_SQL = {
+    "pages_structured_meta": PAGES_STRUCTURED_META_SQL,
+    "pages_date_extract": PAGES_DATE_EXTRACT_SQL,
+    "pages_table_extract": PAGES_TABLE_EXTRACT_SQL,
     "pages_wrap_digest": PAGES_WRAP_DIGEST_SQL,
     "pages_html_features": PAGES_HTML_FEATURES_SQL,
     "pages_extract_router": _router_sql(),

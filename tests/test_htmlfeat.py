@@ -135,3 +135,71 @@ def test_quality_rrf_rank_algebra(spark):
         n = len(rs)
         assert sorted(r["ensemble_rank"] for r in rs) == list(range(1, n + 1))
         assert sorted(r["r_heuristic"] for r in rs) == list(range(1, n + 1))
+
+
+def test_date_extract_precedence_routes_all_three_branches(spark):
+    """The precedence column is load-bearing: JSON-LD beats meta beats
+    none, and every branch genuinely occurs in the corpus. Where both
+    structured sources exist they agree, so source choice is about
+    provenance, not value divergence — pinned per doc_id class."""
+    from ocr_spark.plans.htmlfeat import pages_date_extract
+    rows = pages_date_extract(spark, SF_TINY).collect()
+    by_src = {}
+    for r in rows:
+        did = int(r["url"].rsplit("/", 1)[-1])
+        by_src.setdefault(r["date_source"], []).append(did)
+        if did % 2 == 0:
+            assert r["date_source"] == "jsonld"
+        elif did % 3 != 1:
+            assert r["date_source"] == "meta"
+        else:
+            assert r["date_source"] == "none" and r["pub_date"] is None
+        if r["pub_date"] is not None:
+            assert r["pub_date"].endswith(":00:00Z")
+    assert set(by_src) == {"jsonld", "meta", "none"}
+
+
+def test_structured_meta_jsonld_parsed_jvm_side(spark):
+    """from_json projects the schema.org block into typed columns; the
+    author name round-trips through the nested struct, and pages
+    without JSON-LD yield NULLs, not empty strings."""
+    from ocr_spark.plans.htmlfeat import pages_structured_meta
+    rows = pages_structured_meta(spark, SF_TINY).collect()
+    for r in rows:
+        did = int(r["url"].rsplit("/", 1)[-1])
+        assert r["og_title"] == f"Document {did} Report"
+        if did % 2 == 0:
+            assert r["headline"] == r["og_title"]
+            assert r["author_name"] == f"Author {did % 20}"
+            assert r["jsonld_type"] == (
+                "NewsArticle" if did % 10 == 0 else "Article")
+        else:
+            assert r["jsonld_type"] is None and r["author_name"] is None
+
+
+def test_table_extract_typed_rows_and_content_isolation(spark):
+    """Cells land in typed columns (value is BIGINT, not text), row
+    counts follow 2 + doc_id % 3, and the appendix table leaks nothing
+    into extracted text (the wrap generator promise)."""
+    from ocr_spark.core.html_extract import extract_html
+    from ocr_spark.gen.wrap import (
+        expected_text_for_document, html_for_document)
+    from ocr_spark.plans.htmlfeat import pages_table_extract
+
+    df = pages_table_extract(spark, SF_TINY)
+    assert dict(df.dtypes)["value"] == "bigint"
+    rows = df.collect()
+    assert rows
+    per_url = {}
+    for r in rows:
+        did = int(r["url"].rsplit("/", 1)[-1])
+        assert did % 6 == 3
+        per_url.setdefault(did, []).append(r)
+        assert r["value"] == (did * 31 + (r["row_idx"] + 1) * 7) % 1000
+    for did, rs in per_url.items():
+        assert len(rs) == 2 + did % 3
+    # content isolation: a table-bearing page still extracts byte-identically
+    probe = "the probe body text with enough words to be content"
+    text, _ = extract_html(html_for_document(3, probe).decode())
+    assert text == expected_text_for_document(3, probe)
+    assert "metric1" not in text
