@@ -80,6 +80,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "ev_funnel_latency",
     "ev_experiment_cuped", "ev_assoc_rules", "docs_quality_constraints",
     "pages_structured_meta", "pages_date_extract", "pages_table_extract",
+    "pages_scd2_history",
     "pages_wrap_digest", "pages_html_features", "pages_extract_router",
     "docs_quality_rrf", "emb_cell_drift", "docs_fim_split",
     "pages_warc_export", "emb_mrl_recall",

@@ -287,6 +287,73 @@ FROM ranked
 """
 
 
+def pages_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build over the capture log:
+    the warehouse-maintenance operator that turns an append-only crawl
+    log into a queryable page-version history (Kimball SCD2 — the
+    declarative equivalent of an iterative MERGE INTO). A new VERSION
+    opens exactly when the payload digest differs from the previous
+    capture of the same url; unchanged re-crawls collapse into the
+    open version (their count is kept as ``n_captures``). Each version
+    carries ``[valid_from, valid_to)`` with ``valid_to = NULL`` /
+    ``is_current = true`` on the newest — so "the page as of ts" is a
+    range predicate, not a log scan.
+
+    The shared cohorts exercise every path: unchanged re-crawls
+    (doc_id % 5) collapse, edits (doc_id % 7) open version 2, and
+    doc_id % 35 does both in one history.
+
+    Scale shape (10^12-capture log): ONE shuffle keyed url — the
+    change-flag window, the version groupBy (url, version), and the
+    valid_to lead window all share hashpartitioning(url)
+    (ClusteredDistribution(url, version) is satisfied by the url
+    exchange, pinned in test_plans), and payload bytes never move —
+    the log carries only (url, ts14, digest)."""
+    caps = _capture_log(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    w = Window.partitionBy("url").orderBy("ts14")
+    changed = (F.lag("digest").over(w).isNull()
+               | (F.lag("digest").over(w) != F.col("digest")))
+    versioned = caps.select(
+        "url", "ts14", "digest",
+        F.sum(changed.cast("int")).over(w).alias("version"))
+    spans = (versioned
+             .groupBy("url", "version", "digest")
+             .agg(F.min("ts14").alias("valid_from"),
+                  F.count(F.lit(1)).alias("n_captures")))
+    wv = Window.partitionBy("url").orderBy("version")
+    valid_to = F.lead("valid_from").over(wv)
+    return spans.select(
+        "url", F.col("version").cast("int").alias("version"), "digest",
+        "valid_from", valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+        F.col("n_captures").cast("long").alias("n_captures"))
+
+
+PAGES_SCD2_HISTORY_SQL = f"""
+WITH {_CAPS_CTE.strip()}, flagged AS (
+  SELECT url, ts14, digest,
+         CASE WHEN lag(digest) OVER w IS NULL
+                OR lag(digest) OVER w <> digest THEN 1 ELSE 0 END AS chg
+  FROM caps
+  WINDOW w AS (PARTITION BY url ORDER BY ts14)
+), versioned AS (
+  SELECT url, ts14, digest,
+         SUM(chg) OVER (PARTITION BY url ORDER BY ts14) AS version
+  FROM flagged
+), spans AS (
+  SELECT url, version, digest, MIN(ts14) AS valid_from,
+         CAST(COUNT(*) AS BIGINT) AS n_captures
+  FROM versioned GROUP BY url, version, digest
+)
+SELECT url, CAST(version AS INT) AS version, digest, valid_from,
+       lead(valid_from) OVER w2 AS valid_to,
+       lead(valid_from) OVER w2 IS NULL AS is_current,
+       n_captures
+FROM spans
+WINDOW w2 AS (PARTITION BY url ORDER BY version)
+"""
+
+
 # ---------------------------------------------------------------------------
 # adaptive recrawl priority (change-rate estimation)
 # ---------------------------------------------------------------------------
@@ -578,6 +645,7 @@ SPARK_QUERIES = {
     "pages_cdx_merge": pages_cdx_merge,
     "pages_recrawl_priority": pages_recrawl_priority,
     "pages_recrawl_delta": pages_recrawl_delta,
+    "pages_scd2_history": pages_scd2_history,
 }
 
 ORACLE_SQL = {
@@ -587,4 +655,5 @@ ORACLE_SQL = {
     "pages_cdx_merge": PAGES_CDX_MERGE_SQL,
     "pages_recrawl_priority": PAGES_RECRAWL_PRIORITY_SQL,
     "pages_recrawl_delta": PAGES_RECRAWL_DELTA_SQL,
+    "pages_scd2_history": PAGES_SCD2_HISTORY_SQL,
 }

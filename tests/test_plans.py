@@ -2336,3 +2336,32 @@ def test_assoc_rules_one_event_shuffle_no_self_join(spark):
     df.collect()
     final = df._jdf.queryExecution().executedPlan().toString()
     assert final.count("ReusedExchange") >= 2
+
+
+def test_scd2_history_one_url_shuffle_and_interval_algebra(spark):
+    """Plan: the change-flag window, the (url, version) groupBy, and
+    the valid_to lead window all ride ONE url-keyed exchange
+    (hashpartitioning(url) satisfies every downstream distribution).
+    Semantics: versions are 1..k per url, intervals chain exactly
+    (valid_to == next valid_from), exactly one open version per url,
+    and unchanged re-crawls collapse (doc_id % 5 & % 7 cohorts)."""
+    from ocr_spark.plans.indexing import pages_scd2_history
+    df = pages_scd2_history(spark, SF)
+    assert n_shuffles(fmt(df)) == 1
+    rows = df.collect()
+    by_url = {}
+    for r in rows:
+        by_url.setdefault(r["url"], []).append(r)
+    assert by_url
+    for url, rs in by_url.items():
+        rs.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in rs] == list(range(1, len(rs) + 1))
+        assert sum(r["is_current"] for r in rs) == 1
+        assert rs[-1]["valid_to"] is None and rs[-1]["is_current"]
+        for a, b in zip(rs, rs[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["digest"] != b["digest"]
+        did = int(url.rsplit("/", 1)[-1])
+        n_caps = 1 + (did % 5 == 0) + (did % 7 == 0)
+        assert sum(r["n_captures"] for r in rs) == n_caps
+        assert len(rs) == 1 + (did % 7 == 0)  # only edits open versions
