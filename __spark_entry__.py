@@ -78,7 +78,8 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "docs_prefix_filter_join", "emb_pq_train_residual",
     "emb_mmr_select", "docs_extractive_summary", "mm_scene_cuts",
     "ev_funnel_latency",
-    "ev_experiment_cuped", "ev_assoc_rules", "docs_quality_constraints",
+    "ev_experiment_cuped", "ev_assoc_rules", "ev_attribution",
+    "docs_quality_constraints", "docs_keyphrases_rake",
     "pages_structured_meta", "pages_date_extract", "pages_table_extract",
     "pages_scd2_history",
     "pages_wrap_digest", "pages_html_features", "pages_extract_router",

@@ -3990,7 +3990,119 @@ FROM ranked, nb
 """
 
 
+# ---------------------------------------------------------------------------
+# RAKE keyphrase extraction
+# ---------------------------------------------------------------------------
+
+# Phrase-boundary stopwords (RAKE delimiters). Small fixed list shared
+# verbatim by the Spark plan and the oracle; docs_stopword_induction is
+# the data-driven bootstrap for extending it per language/domain.
+_RAKE_STOPWORDS = ("the", "and", "of", "to", "in", "with", "that", "for",
+                   "a", "an", "is", "are", "on", "by", "or", "as", "at")
+_RAKE_SPLIT = r"\b(?:" + "|".join(_RAKE_STOPWORDS) + r")\b"
+RAKE_TOP_K = 3
+
+
+def docs_keyphrases_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010, "Automatic Keyword
+    Extraction from Individual Documents"): candidate phrases are the
+    maximal runs of non-stopword tokens; each member word scores
+    degree(w)/freq(w) over the document's candidates (degree = summed
+    length of the phrases containing w — long-phrase co-occurrence
+    boosts); a phrase scores the sum of its word scores, and the top
+    RAKE_TOP_K phrases per document win (score desc, phrase asc).
+
+    Cross-engine float discipline: the word ratio is materialized as
+    exact integer micro-units (``degree * 1_000_000 DIV freq``) and
+    SUMMED AS BIGINT, so partial-aggregation order can never perturb
+    the hash; the exposed score divides once at the end.
+
+    Scale shape (100 TB): phrase segmentation is one narrow JVM
+    regexp split (no Python); everything downstream shuffles on
+    doc_id-prefixed keys only — (doc_id, word) stats, (doc_id, phrase)
+    occurrence counts, the score join, and the per-doc top-k window
+    all co-partition by doc_id, and nothing is corpus-global."""
+    docs = t(spark, sf_dir, "documents")
+    clean = F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " ")
+    segs = F.transform(
+        F.split(clean, _RAKE_SPLIT),
+        lambda s: F.trim(F.regexp_replace(s, " +", " ")))
+    ph = (docs.select(
+            "doc_id",
+            F.explode(F.filter(segs, lambda s: s != "")).alias("phrase"))
+          .select("doc_id", "phrase",
+                  F.split("phrase", " ").alias("words"),
+                  F.size(F.split("phrase", " ")).alias("plen")))
+    wstats = (ph.select("doc_id", "plen", F.explode("words").alias("word"))
+              .groupBy("doc_id", "word")
+              .agg(F.count(F.lit(1)).alias("freq"),
+                   F.sum("plen").alias("degree")))
+    phrases = (ph.groupBy("doc_id", "phrase")
+               .agg(F.count(F.lit(1)).alias("n_occ")))
+    member = phrases.select(
+        "doc_id", "phrase", "n_occ",
+        F.explode(F.split("phrase", " ")).alias("word"))
+    scored = (member.join(wstats, ["doc_id", "word"])
+              .groupBy("doc_id", "phrase", "n_occ")
+              .agg(F.sum(F.expr("degree * 1000000 DIV freq"))
+                   .alias("score_micro")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_micro"), F.asc("phrase"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= RAKE_TOP_K)
+            .select("doc_id", F.col("rank").cast("int").alias("rank"),
+                    "phrase", F.col("n_occ").cast("long").alias("n_occ"),
+                    F.round(F.col("score_micro") / 1e6, 6).alias("score")))
+
+
+def _rake_sql() -> str:
+    stop = _RAKE_SPLIT  # DuckDB string literals keep backslashes as-is
+    return f"""
+WITH segs AS (
+  SELECT doc_id,
+         trim(regexp_replace(s, ' +', ' ', 'g')) AS phrase
+  FROM documents,
+       LATERAL unnest(string_split_regex(
+         regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+         '{stop}')) AS u(s)
+), ph AS (
+  SELECT doc_id, phrase,
+         string_split(phrase, ' ') AS words,
+         len(string_split(phrase, ' ')) AS plen
+  FROM segs WHERE phrase <> ''
+), wstats AS (
+  SELECT doc_id, w.word,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(plen) AS BIGINT) AS degree
+  FROM ph, LATERAL unnest(words) AS w(word)
+  GROUP BY doc_id, w.word
+), phrases AS (
+  SELECT doc_id, phrase, CAST(COUNT(*) AS BIGINT) AS n_occ
+  FROM ph GROUP BY doc_id, phrase
+), member AS (
+  SELECT p.doc_id, p.phrase, p.n_occ, w.word
+  FROM phrases p, LATERAL unnest(string_split(p.phrase, ' ')) AS w(word)
+), scored AS (
+  SELECT m.doc_id, m.phrase, m.n_occ,
+         CAST(SUM(ws.degree * 1000000 // ws.freq) AS BIGINT)
+           AS score_micro
+  FROM member m
+  JOIN wstats ws ON ws.doc_id = m.doc_id AND ws.word = m.word
+  GROUP BY m.doc_id, m.phrase, m.n_occ
+), ranked AS (
+  SELECT doc_id, phrase, n_occ, score_micro,
+         CAST(row_number() OVER (PARTITION BY doc_id
+              ORDER BY score_micro DESC, phrase) AS INT) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, phrase, n_occ,
+       round(score_micro / 1000000.0, 6) AS score
+FROM ranked WHERE rank <= {RAKE_TOP_K}
+"""
+
+
 SPARK_QUERIES = {
+    "docs_keyphrases_rake": docs_keyphrases_rake,
     "docs_fim_split": docs_fim_split,
     "docs_script_profile": docs_script_profile,
     "docs_lexical_diversity": docs_lexical_diversity,
@@ -4039,6 +4151,7 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "docs_keyphrases_rake": _rake_sql(),
     "docs_fim_split": _fim_split_sql(),
     "docs_script_profile": _script_profile_sql(),
     "docs_lexical_diversity": _LEXICAL_DIVERSITY_SQL,

@@ -1124,6 +1124,98 @@ ORDER BY lift DESC, antecedent, consequent
 """
 
 
+ATTR_WINDOW_S = 7 * 24 * 3600  # 7-day lookback
+
+
+def ev_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution over conversion paths: every purchase
+    is a conversion; the view/click touches of the same user in the
+    7-day lookback window form its path, and credit is assigned under
+    the three standard models side by side — first-touch, last-touch,
+    and linear (1/n per touch). Conversions with an empty path are
+    credited to the synthetic ``direct`` channel, so total credit per
+    model always equals the conversion count (the books balance).
+
+    Cross-engine float discipline: linear credit is integer
+    micro-units (``1_000_000 DIV n`` per touch) summed as BIGINT;
+    the exposed columns divide once at the end.
+
+    Scale shape (100 TB of events): one equi-join keyed user_id (the
+    range predicate rides the join as a filter; per-user fan-out is
+    bounded by user activity in the window), one conversion-keyed
+    window for path ordering, then a channel-keyed aggregate whose
+    cardinality is the event-type vocabulary."""
+    ev = t(spark, sf_dir, "events")
+    conv = (ev.filter(F.col("event_type") == "purchase")
+            .select("user_id", F.col("event_id").alias("conv_id"),
+                    F.unix_timestamp("ts").alias("conv_ts")))
+    touch = (ev.filter(F.col("event_type").isin("view", "click"))
+             .select(F.col("user_id").alias("t_user"),
+                     F.col("event_id").alias("touch_id"),
+                     F.col("event_type").alias("channel"),
+                     F.unix_timestamp("ts").alias("touch_ts")))
+    paths = conv.join(
+        touch,
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("touch_ts") <= F.col("conv_ts"))
+        & (F.col("touch_ts") > F.col("conv_ts") - ATTR_WINDOW_S),
+        "left",
+    ).select("conv_id",
+             F.coalesce("channel", F.lit("direct")).alias("channel"),
+             "touch_ts", "touch_id")
+    wp = Window.partitionBy("conv_id")
+    wa = wp.orderBy(F.asc("touch_ts"), F.asc("touch_id"))
+    n = F.count(F.lit(1)).over(wp)
+    rn = F.row_number().over(wa)
+    credited = paths.select(
+        "channel",
+        F.when(rn == 1, 1).otherwise(0).alias("c_first"),
+        F.when(rn == n, 1).otherwise(0).alias("c_last"),
+        F.expr(f"1000000 DIV count(*) OVER "
+               f"(PARTITION BY conv_id)").alias("c_lin_micro"))
+    return (credited.groupBy("channel")
+            .agg(F.count(F.lit(1)).alias("n_touches"),
+                 F.sum("c_first").cast("long").alias("credit_first"),
+                 F.sum("c_last").cast("long").alias("credit_last"),
+                 F.round(F.sum("c_lin_micro") / 1e6, 6)
+                  .alias("credit_linear"))
+            .orderBy("channel"))
+
+
+EV_ATTRIBUTION_SQL = f"""
+WITH conv AS (
+  SELECT user_id, event_id AS conv_id, epoch(ts) AS conv_ts
+  FROM events WHERE event_type = 'purchase'
+), touch AS (
+  SELECT user_id AS t_user, event_id AS touch_id,
+         event_type AS channel, epoch(ts) AS touch_ts
+  FROM events WHERE event_type IN ('view', 'click')
+), paths AS (
+  SELECT c.conv_id, COALESCE(t.channel, 'direct') AS channel,
+         t.touch_ts, t.touch_id
+  FROM conv c LEFT JOIN touch t
+    ON c.user_id = t.t_user
+   AND t.touch_ts <= c.conv_ts
+   AND t.touch_ts > c.conv_ts - {ATTR_WINDOW_S}
+), credited AS (
+  SELECT channel,
+         CASE WHEN row_number() OVER wa = 1 THEN 1 ELSE 0 END AS c_first,
+         CASE WHEN row_number() OVER wa = COUNT(*) OVER wp
+              THEN 1 ELSE 0 END AS c_last,
+         1000000 // (COUNT(*) OVER wp) AS c_lin_micro
+  FROM paths
+  WINDOW wp AS (PARTITION BY conv_id),
+         wa AS (PARTITION BY conv_id
+                ORDER BY touch_ts ASC, touch_id ASC)
+)
+SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(c_first) AS BIGINT) AS credit_first,
+       CAST(SUM(c_last) AS BIGINT) AS credit_last,
+       round(SUM(c_lin_micro) / 1000000.0, 6) AS credit_linear
+FROM credited GROUP BY channel ORDER BY channel
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1149,6 +1241,7 @@ SPARK_QUERIES = {
     "ev_stickiness": ev_stickiness,
     "ev_experiment_cuped": ev_experiment_cuped,
     "ev_assoc_rules": ev_assoc_rules,
+    "ev_attribution": ev_attribution,
     "docs_lang_stats": docs_lang_stats,
     "docs_token_count": docs_token_count,
     "docs_exact_dedup": docs_exact_dedup,
@@ -1177,6 +1270,7 @@ ORACLE_SQL = {
     "ev_stickiness": EV_STICKINESS_SQL,
     "ev_experiment_cuped": EV_CUPED_SQL,
     "ev_assoc_rules": EV_ASSOC_SQL,
+    "ev_attribution": EV_ATTRIBUTION_SQL,
     "docs_lang_stats": DOCS_LANG_SQL,
     "docs_token_count": DOCS_TOKENS_SQL,
     "docs_exact_dedup": DOCS_DEDUP_SQL,

@@ -448,3 +448,59 @@ def test_cuped_preserves_pooled_mean_and_reduces_variance(spark):
     assert abs(pooled_adj - pooled_raw) < 1e-3
     for r in rows:
         assert r.n_users > 0
+
+
+def test_attribution_books_balance(spark):
+    """Credit conservation per model: summed first/last/linear credit
+    each equals the conversion count (within linear's integer-micro
+    truncation), and the direct channel exists exactly when some
+    conversion had an empty lookback path."""
+    from ocr_spark.plans.queries import ev_attribution
+
+    rows = ev_attribution(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    n_conv = sum(r.credit_first for r in rows)
+    assert n_conv > 0
+    assert sum(r.credit_last for r in rows) == n_conv
+    lin = sum(r.credit_linear for r in rows)
+    # 1e6 DIV n truncation loses < n micro-units per conversion
+    assert n_conv - 0.01 * n_conv <= lin <= n_conv
+    chans = {r.channel for r in rows}
+    assert chans <= {"view", "click", "direct"}
+
+
+def test_rake_scores_follow_word_stats(spark):
+    """Python replay of RAKE on a handful of documents: phrase scores
+    equal the sum of degree/freq over member words computed from the
+    same candidate segmentation (exact integer micro-units)."""
+    import re
+
+    from ocr_spark.plans.dataops import (
+        _RAKE_SPLIT, RAKE_TOP_K, docs_keyphrases_rake)
+
+    df = docs_keyphrases_rake(spark, "/root/testdata/sf0.001")
+    got = {}
+    for r in df.collect():
+        got.setdefault(r.doc_id, []).append(r)
+        assert 1 <= r.rank <= RAKE_TOP_K
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text").limit(8).collect())
+    for d in docs:
+        clean = re.sub("[^a-z0-9]+", " ", d.text.lower())
+        segs = [re.sub(" +", " ", s).strip()
+                for s in re.split(_RAKE_SPLIT, clean)]
+        phrases = [s for s in segs if s]
+        freq, degree = {}, {}
+        for p in phrases:
+            ws = p.split(" ")
+            for w in ws:
+                freq[w] = freq.get(w, 0) + 1
+                degree[w] = degree.get(w, 0) + len(ws)
+        score = {p: sum(degree[w] * 1000000 // freq[w]
+                        for w in p.split(" ")) for p in set(phrases)}
+        expect = sorted(set(phrases), key=lambda p: (-score[p], p))
+        expect = expect[:RAKE_TOP_K]
+        mine = sorted(got[d.doc_id], key=lambda r: r.rank)
+        assert [r.phrase for r in mine] == expect
+        for r in mine:
+            assert abs(r.score - score[r.phrase] / 1e6) < 1e-9
