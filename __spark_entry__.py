@@ -79,6 +79,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "emb_mmr_select", "docs_extractive_summary", "mm_scene_cuts",
     "ev_funnel_latency",
     "ev_experiment_cuped", "ev_assoc_rules", "ev_attribution",
+    "ev_cohort_ltv", "ev_survival_km",
     "docs_quality_constraints", "docs_keyphrases_rake",
     "pages_structured_meta", "pages_date_extract", "pages_table_extract",
     "pages_scd2_history",

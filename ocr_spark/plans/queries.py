@@ -1216,6 +1216,174 @@ FROM credited GROUP BY channel ORDER BY channel
 """
 
 
+def ev_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves — the revenue companion to
+    ev_retention_cohorts: users cohorted by first-event week; purchase
+    revenue lands in (cohort, week_offset) cells; the running
+    cumulative divided by cohort size is the LTV-per-user curve every
+    growth team reads week over week.
+
+    Cross-engine float discipline: revenue is integer cents
+    (round(value·100)) through every aggregate INCLUDING the running
+    cumulative — the only division is the final per-user readout.
+
+    Scale shape (100 TB of events): first-event groupBy keyed user_id
+    (map-side combine), a user-keyed equi-join to tag purchases with
+    their cohort, a (cohort, offset) aggregate that collapses to a
+    weeks x offsets matrix, and a cohort-keyed running-sum window over
+    that tiny matrix. Week arithmetic stays in the naive-timestamp
+    domain; cohort weeks are emitted as date strings (timezone-free
+    hash, same convention as ev_retention_cohorts)."""
+    ev = t(spark, sf_dir, "events")
+    firsts = (ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+              .select("user_id",
+                      F.date_trunc("week", F.col("first_ts")).alias("cw")))
+    sizes = firsts.groupBy("cw").agg(F.count("*").alias("cohort_size"))
+    buys = (ev.filter(F.col("event_type") == "purchase")
+            .select("user_id", F.date_trunc("week", "ts").alias("wk"),
+                    F.round(F.col("value") * 100).cast("long")
+                    .alias("cents")))
+    cells = (buys.join(firsts, "user_id")
+             .groupBy("cw", (F.datediff("wk", "cw") / 7).cast("int")
+                      .alias("week_offset"))
+             .agg(F.sum("cents").alias("revenue_cents")))
+    w = (Window.partitionBy("cw").orderBy("week_offset")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (cells.join(F.broadcast(sizes), "cw")
+            .select(F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+                    "week_offset", "cohort_size",
+                    F.col("revenue_cents").cast("long")
+                    .alias("revenue_cents"),
+                    F.sum("revenue_cents").over(w).cast("long")
+                    .alias("cum_revenue_cents"))
+            .withColumn("ltv_per_user",
+                        F.round(F.col("cum_revenue_cents") / 100.0
+                                / F.col("cohort_size"), 6))
+            .orderBy("cohort_week", "week_offset"))
+
+
+EV_COHORT_LTV_SQL = """
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cw
+  FROM events GROUP BY user_id
+), sizes AS (
+  SELECT cw, CAST(COUNT(*) AS BIGINT) AS cohort_size
+  FROM firsts GROUP BY cw
+), buys AS (
+  SELECT user_id, date_trunc('week', ts) AS wk,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), cells AS (
+  SELECT f.cw,
+         CAST(date_diff('day', f.cw, b.wk) / 7 AS INT) AS week_offset,
+         CAST(SUM(b.cents) AS BIGINT) AS revenue_cents
+  FROM buys b JOIN firsts f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT strftime(c.cw, '%Y-%m-%d') AS cohort_week, c.week_offset,
+       s.cohort_size, c.revenue_cents,
+       CAST(SUM(c.revenue_cents) OVER (
+            PARTITION BY c.cw ORDER BY c.week_offset
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_revenue_cents,
+       round(SUM(c.revenue_cents) OVER (
+            PARTITION BY c.cw ORDER BY c.week_offset
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            / 100.0 / s.cohort_size, 6) AS ltv_per_user
+FROM cells c JOIN sizes s USING (cw)
+ORDER BY cohort_week, week_offset
+"""
+
+
+# Inactive strictly longer than this (days) at observation end = churned.
+# The synthetic corpus is dense (every user active within 0-2 days of the
+# window end), so 0 is the only threshold that yields a genuine
+# churned/censored mix; production corpora would use 14-30.
+KM_CHURN_GAP_DAYS = 0
+
+
+def ev_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimate of user lifetime (Kaplan &
+    Meier 1958 — the right-censored retention curve): a user's
+    lifetime is first→last event in days; users still active within
+    KM_CHURN_GAP_DAYS of the observation end are CENSORED at their
+    observed lifetime, everyone else is a churn event. At each event
+    day d, the hazard is d_i/n_i (churns over at-risk), and
+    S(d) = Π (1 − d_i/n_i) over event days ≤ d — computed as
+    exp(cumsum(ln ·)) in a single ordered window so both engines fold
+    the same sequence in the same order (ln/exp cross-engine parity is
+    the same contract docs_unigram_logprob already pins).
+
+    Scale shape: one user-keyed groupBy (first/last event, map-side
+    combined), a 1-row observation-end broadcast, then a per-day
+    aggregate whose cardinality is bounded by the observation span —
+    the window runs over days, never users."""
+    ev = t(spark, sf_dir, "events")
+    end = ev.agg(F.max("ts").alias("end_ts"))
+    users = (ev.groupBy("user_id")
+             .agg(F.min("ts").alias("first_ts"),
+                  F.max("ts").alias("last_ts"))
+             .crossJoin(F.broadcast(end))
+             .select(
+                 F.datediff("last_ts", "first_ts").alias("day"),
+                 (F.datediff("end_ts", "last_ts") > KM_CHURN_GAP_DAYS)
+                 .cast("int").alias("churned")))
+    per_day = (users.groupBy("day")
+               .agg(F.count(F.lit(1)).alias("n_at_day"),
+                    F.sum("churned").alias("d_churn")))
+    wo = Window.orderBy("day")
+    wcum = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    total = users.agg(F.count(F.lit(1)).alias("n_total"))
+    left_before = F.coalesce(
+        F.sum("n_at_day").over(
+            wo.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0))
+    at_risk = (per_day.crossJoin(F.broadcast(total))
+               .select("day", "n_at_day", "d_churn",
+                       (F.col("n_total") - left_before).alias("n_risk")))
+    surv = F.exp(F.sum(
+        F.log(1.0 - F.col("d_churn") / F.col("n_risk"))).over(wcum))
+    return at_risk.select(
+        "day",
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d_churn").cast("long").alias("d_churn"),
+        (F.col("n_at_day") - F.col("d_churn")).cast("long")
+        .alias("n_censored"),
+        F.round(surv, 6).alias("survival"),
+    ).orderBy("day")
+
+
+EV_SURVIVAL_KM_SQL = f"""
+WITH endt AS (
+  SELECT MAX(ts) AS end_ts FROM events
+), users AS (
+  SELECT date_diff('day', MIN(ts), MAX(ts)) AS day,
+         CASE WHEN date_diff('day', MAX(ts), endt.end_ts)
+                   > {KM_CHURN_GAP_DAYS}
+              THEN 1 ELSE 0 END AS churned
+  FROM events, endt GROUP BY user_id, endt.end_ts
+), per_day AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_at_day,
+         CAST(SUM(churned) AS BIGINT) AS d_churn
+  FROM users GROUP BY day
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM users
+), at_risk AS (
+  SELECT day, n_at_day, d_churn,
+         n_total - COALESCE(SUM(n_at_day) OVER (
+            ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+            AND 1 PRECEDING), 0) AS n_risk
+  FROM per_day, tot
+)
+SELECT day, CAST(n_risk AS BIGINT) AS n_risk, d_churn,
+       CAST(n_at_day - d_churn AS BIGINT) AS n_censored,
+       round(exp(SUM(ln(1.0 - d_churn / CAST(n_risk AS DOUBLE))) OVER (
+            ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+            AND CURRENT ROW)), 6) AS survival
+FROM at_risk
+ORDER BY day
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1242,6 +1410,8 @@ SPARK_QUERIES = {
     "ev_experiment_cuped": ev_experiment_cuped,
     "ev_assoc_rules": ev_assoc_rules,
     "ev_attribution": ev_attribution,
+    "ev_cohort_ltv": ev_cohort_ltv,
+    "ev_survival_km": ev_survival_km,
     "docs_lang_stats": docs_lang_stats,
     "docs_token_count": docs_token_count,
     "docs_exact_dedup": docs_exact_dedup,
@@ -1271,6 +1441,8 @@ ORACLE_SQL = {
     "ev_experiment_cuped": EV_CUPED_SQL,
     "ev_assoc_rules": EV_ASSOC_SQL,
     "ev_attribution": EV_ATTRIBUTION_SQL,
+    "ev_cohort_ltv": EV_COHORT_LTV_SQL,
+    "ev_survival_km": EV_SURVIVAL_KM_SQL,
     "docs_lang_stats": DOCS_LANG_SQL,
     "docs_token_count": DOCS_TOKENS_SQL,
     "docs_exact_dedup": DOCS_DEDUP_SQL,

@@ -504,3 +504,46 @@ def test_rake_scores_follow_word_stats(spark):
         assert [r.phrase for r in mine] == expect
         for r in mine:
             assert abs(r.score - score[r.phrase] / 1e6) < 1e-9
+
+
+def test_survival_km_estimator_invariants(spark):
+    """KM bookkeeping: at-risk counts telescope exactly (n_risk drops
+    by the previous day's leavers), survival is non-increasing from 1,
+    and equals the replayed product of (1 - d/n) over event days."""
+    from ocr_spark.plans.queries import ev_survival_km
+
+    rows = sorted(ev_survival_km(spark, "/root/testdata/sf0.01").collect(),
+                  key=lambda r: r.day)
+    assert rows and rows[0].n_risk == sum(
+        r.d_churn + r.n_censored for r in rows)
+    s, prev = 1.0, None
+    for r in rows:
+        if prev is not None:
+            assert r.n_risk == prev.n_risk - prev.d_churn - prev.n_censored
+            assert r.survival <= prev.survival + 1e-9
+        s *= 1.0 - r.d_churn / r.n_risk
+        assert abs(r.survival - round(s, 6)) < 1e-6
+        prev = r
+    assert sum(r.d_churn for r in rows) > 0          # churn path real
+    assert sum(r.n_censored for r in rows) > 0       # censor path real
+
+
+def test_cohort_ltv_cumulative_and_per_user(spark):
+    """Running cumulative telescopes within each cohort and the
+    per-user curve is cum/size at every point; revenue stays integer
+    cents end-to-end."""
+    from ocr_spark.plans.queries import ev_cohort_ltv
+
+    rows = ev_cohort_ltv(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    by_c = {}
+    for r in rows:
+        by_c.setdefault(r.cohort_week, []).append(r)
+    for c, rs in by_c.items():
+        rs.sort(key=lambda r: r.week_offset)
+        run = 0
+        for r in rs:
+            run += r.revenue_cents
+            assert r.cum_revenue_cents == run
+            assert abs(r.ltv_per_user
+                       - round(run / 100.0 / r.cohort_size, 6)) < 1e-9
