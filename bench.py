@@ -107,6 +107,14 @@ HEADLINE = [
     "docs_cdc_chunks",
     "docs_preference_pairs",
     "emb_pq_train",
+    # round 4 (this continuation): structured-metadata harvest
+    # (JVM from_json, zero shuffle), RAKE keyphrases (doc-co-partitioned
+    # multi-stage), SCD2 page history (one url-keyed shuffle),
+    # association rules (single collect_set event shuffle + AQE reuse)
+    "pages_structured_meta",
+    "docs_keyphrases_rake",
+    "pages_scd2_history",
+    "ev_assoc_rules",
 ]
 
 

@@ -2992,7 +2992,68 @@ ORDER BY "constraint"
 """
 
 
+COMPACT_TARGET_BYTES = 20_000
+
+
+def shards_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning — the Iceberg/Delta OPTIMIZE
+    planner: input files (here one per ``source``, sized by summed
+    n_chars) are packed into output groups near COMPACT_TARGET_BYTES
+    using the distributed next-fit rule ``group = cumsum_exclusive DIV
+    target`` over a size-desc ordering (the shuffle-free approximation
+    of first-fit-decreasing: every group lands in (target/2, target +
+    max_file) and the plan is a pure function of the file list — no
+    sequential bin state).
+
+    Scale shape: packing runs over file METADATA (one row per file —
+    ~10^5 rows for a 100 TB table), so the single ordered window is
+    bounded by file count, never data volume; the only data-volume
+    work is the per-file size rollup (one partial-agg groupBy keyed
+    source)."""
+    docs = _docs(spark, sf_dir)
+    files = (docs.groupBy("source")
+             .agg(F.sum("n_chars").alias("file_bytes")))
+    wo = Window.orderBy(F.desc("file_bytes"), F.asc("source"))
+    cum_excl = F.coalesce(
+        F.sum("file_bytes").over(
+            wo.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0))
+    planned = files.select(
+        "source", F.col("file_bytes").cast("long").alias("file_bytes"),
+        (cum_excl / F.lit(COMPACT_TARGET_BYTES)).cast("long")
+        .alias("out_group"))
+    wg = Window.partitionBy("out_group")
+    return (planned.select(
+        "source", "file_bytes",
+        F.col("out_group").cast("int").alias("out_group"),
+        F.sum("file_bytes").over(wg).cast("long").alias("group_bytes"),
+        F.count(F.lit(1)).over(wg).cast("long").alias("n_files_in_group"))
+        .orderBy("out_group", F.desc("file_bytes"), "source"))
+
+
+SHARDS_COMPACTION_SQL = f"""
+WITH files AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS file_bytes
+  FROM documents GROUP BY source
+), planned AS (
+  SELECT source, file_bytes,
+         CAST(COALESCE(SUM(file_bytes) OVER (
+              ORDER BY file_bytes DESC, source
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              // {COMPACT_TARGET_BYTES} AS INT) AS out_group
+  FROM files
+)
+SELECT source, file_bytes, out_group,
+       CAST(SUM(file_bytes) OVER (PARTITION BY out_group) AS BIGINT)
+         AS group_bytes,
+       CAST(COUNT(*) OVER (PARTITION BY out_group) AS BIGINT)
+         AS n_files_in_group
+FROM planned
+ORDER BY out_group, file_bytes DESC, source
+"""
+
+
 SPARK_QUERIES = {
+    "shards_compaction_plan": shards_compaction_plan,
     "docs_quality_constraints": docs_quality_constraints,
     "docs_quality_rrf": docs_quality_rrf,
     "docs_quality_calibration": docs_quality_calibration,
@@ -3036,6 +3097,7 @@ SPARK_QUERIES = {
 
 ORACLE_SQL = {
     "docs_quality_constraints": QUALITY_CONSTRAINTS_SQL,
+    "shards_compaction_plan": SHARDS_COMPACTION_SQL,
     "docs_quality_rrf": _quality_rrf_sql(),
     "docs_quality_calibration": _quality_calibration_sql(),
     "docs_sft_format": _sft_format_sql(),

@@ -1384,6 +1384,186 @@ ORDER BY day
 """
 
 
+def ev_experiment_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check for the hash-bucketed experiment
+    (the first gate every experimentation platform runs before reading
+    a lift — Fabijan et al. 2019 "Diagnosing Sample Ratio Mismatch"):
+    users are assigned by the same md5-parity rule as
+    ev_experiment_cuped, the design allocation is 50/50, and the
+    one-df chi-square statistic against expected counts is compared to
+    the 0.001-level critical value 10.828 (SRM checks alarm at strict
+    thresholds because the test runs on every experiment every day).
+
+    All inputs to the statistic are exact integers (user counts); the
+    only floats are the final fixed-form expression. One user-distinct
+    aggregate keyed user_id, then a 1-row readout."""
+    ev = t(spark, sf_dir, "events")
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 13),
+               16, 10).cast("long") % 2 == 0,
+        F.lit("control")).otherwise(F.lit("treatment"))
+    counts = (ev.select("user_id").distinct()
+              .select(arm.alias("arm"))
+              .groupBy().agg(
+                  F.sum(F.when(F.col("arm") == "control", 1)
+                        .otherwise(0)).alias("n_control"),
+                  F.sum(F.when(F.col("arm") == "treatment", 1)
+                        .otherwise(0)).alias("n_treatment")))
+    n = F.col("n_control") + F.col("n_treatment")
+    exp_d = n.cast("double") / 2
+    chi2 = ((F.col("n_control") - exp_d) ** 2 / exp_d
+            + (F.col("n_treatment") - exp_d) ** 2 / exp_d)
+    return counts.select(
+        F.col("n_control").cast("long").alias("n_control"),
+        F.col("n_treatment").cast("long").alias("n_treatment"),
+        n.cast("long").alias("n_total"),
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > 10.828).alias("srm_flag"))
+
+
+EV_SRM_SQL = """
+WITH u AS (
+  SELECT DISTINCT user_id FROM events
+), arms AS (
+  SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                        1, 13)) AS BIGINT) % 2 = 0
+              THEN 'control' ELSE 'treatment' END AS arm
+  FROM u
+), c AS (
+  SELECT CAST(SUM(CASE WHEN arm = 'control' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_control,
+         CAST(SUM(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_treatment
+  FROM arms
+)
+SELECT n_control, n_treatment,
+       n_control + n_treatment AS n_total,
+       round(pow(n_control - (n_control + n_treatment) / 2.0, 2)
+               / ((n_control + n_treatment) / 2.0)
+             + pow(n_treatment - (n_control + n_treatment) / 2.0, 2)
+               / ((n_control + n_treatment) / 2.0), 6) AS chi2,
+       (pow(n_control - (n_control + n_treatment) / 2.0, 2)
+          / ((n_control + n_treatment) / 2.0)
+        + pow(n_treatment - (n_control + n_treatment) / 2.0, 2)
+          / ((n_control + n_treatment) / 2.0)) > 10.828 AS srm_flag
+FROM c
+"""
+
+
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.3
+HOLT_SIGMA_K = 2.0  # anomaly if |residual| > K * sd(residuals)
+
+
+def ev_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend exponential smoothing over the daily event
+    series (Holt 1957 / Hyndman & Athanasopoulos FPP §8.2) with
+    one-step-ahead fitted values and residual-based anomaly flags —
+    the forecasting/monitoring readout behind every ops dashboard:
+    level_t = α·y_t + (1−α)·(level_{t−1}+trend_{t−1}),
+    trend_t = β·(level_t−level_{t−1}) + (1−β)·trend_{t−1},
+    fitted_t = level_{t−1}+trend_{t−1}, initialized level₁ = y₁,
+    trend₁ = y₂−y₁.
+
+    Determinism: the recurrence is inherently sequential, so it folds
+    ONCE over the day-ordered array with ``F.aggregate`` (JVM
+    higher-order function, fixed fold order — the same fold the
+    DuckDB oracle's recursive CTE performs step for step, so every
+    IEEE operation happens in the same sequence on both engines); the
+    anomaly sigma comes from full-frame ordered window sums, never a
+    partition-order-dependent aggregate.
+
+    Scale shape: ONE day-keyed partial aggregate (map-side combined —
+    shuffle volume is the day cardinality), a 1-row collect_list of
+    the bounded day series, the narrow fold, one explode. The window
+    over days is single-partition by construction and bounded by the
+    observation span, never event volume."""
+    ev = t(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.to_date("ts").alias("day"))
+             .agg(F.count(F.lit(1)).alias("y")))
+    series = daily.agg(F.sort_array(
+        F.collect_list(F.struct("day", "y"))).alias("s"))
+    a, b = HOLT_ALPHA, HOLT_BETA
+    first = F.col("s")[0]
+    second = F.col("s")[1]
+    init = F.struct(
+        first["y"].cast("double").alias("level"),
+        (second["y"] - first["y"]).cast("double").alias("trend"),
+        F.array(F.struct(
+            first["day"].alias("day"),
+            first["y"].alias("y"),
+            first["y"].cast("double").alias("fitted"))).alias("out"))
+    folded = F.aggregate(
+        F.slice(F.col("s"), 2, F.size("s") - 1), init,
+        lambda acc, x: F.struct(
+            (a * x["y"] + (1 - a) * (acc["level"] + acc["trend"]))
+            .alias("level"),
+            (b * ((a * x["y"] + (1 - a) * (acc["level"] + acc["trend"]))
+                  - acc["level"]) + (1 - b) * acc["trend"]).alias("trend"),
+            F.concat(acc["out"], F.array(F.struct(
+                x["day"].alias("day"), x["y"].alias("y"),
+                (acc["level"] + acc["trend"]).alias("fitted"))))
+            .alias("out")))
+    rows = (series.select(F.explode(folded["out"]).alias("r"))
+            .select(F.col("r.day").alias("day"),
+                    F.col("r.y").cast("long").alias("y"),
+                    F.col("r.fitted").alias("fitted_raw"))
+            .withColumn("residual_raw",
+                        F.col("y") - F.col("fitted_raw")))
+    wall = (Window.orderBy("day")
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
+    n = F.count(F.lit(1)).over(wall)
+    sr = F.sum("residual_raw").over(wall)
+    srr = F.sum(F.col("residual_raw") * F.col("residual_raw")).over(wall)
+    sd = F.sqrt((srr - sr * sr / n) / (n - 1))
+    return (rows.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"), "y",
+        F.round("fitted_raw", 6).alias("fitted"),
+        F.round("residual_raw", 6).alias("residual"),
+        (F.abs("residual_raw") > HOLT_SIGMA_K * sd + 1e-9)
+        .alias("anomaly"))
+        .orderBy("day"))
+
+
+def _holt_sql() -> str:
+    a, b = HOLT_ALPHA, HOLT_BETA
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), ordered AS (
+  SELECT day, y, row_number() OVER (ORDER BY day) AS rn FROM daily
+), step(rn, day, y, level, trend, fitted) AS (
+  SELECT o1.rn, o1.day, o1.y, CAST(o1.y AS DOUBLE),
+         CAST(o2.y - o1.y AS DOUBLE), CAST(o1.y AS DOUBLE)
+  FROM ordered o1 JOIN ordered o2 ON o2.rn = 2
+  WHERE o1.rn = 1
+  UNION ALL
+  SELECT o.rn, o.day, o.y,
+         {a} * o.y + (1 - {a}) * (s.level + s.trend),
+         {b} * (({a} * o.y + (1 - {a}) * (s.level + s.trend))
+                - s.level) + (1 - {b}) * s.trend,
+         s.level + s.trend
+  FROM step s JOIN ordered o ON o.rn = s.rn + 1
+), resid AS (
+  SELECT day, y, fitted, y - fitted AS r FROM step
+), sig AS (
+  SELECT sqrt((SUM(r * r) OVER w
+               - SUM(r) OVER w * SUM(r) OVER w / COUNT(*) OVER w)
+              / (COUNT(*) OVER w - 1)) AS sd,
+         day, y, fitted, r
+  FROM resid
+  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+               AND UNBOUNDED FOLLOWING)
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, y,
+       round(fitted, 6) AS fitted, round(r, 6) AS residual,
+       abs(r) > {HOLT_SIGMA_K} * sd + 1e-9 AS anomaly
+FROM sig ORDER BY day
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1411,6 +1591,8 @@ SPARK_QUERIES = {
     "ev_assoc_rules": ev_assoc_rules,
     "ev_attribution": ev_attribution,
     "ev_cohort_ltv": ev_cohort_ltv,
+    "ev_experiment_srm": ev_experiment_srm,
+    "ev_forecast_holt": ev_forecast_holt,
     "ev_survival_km": ev_survival_km,
     "docs_lang_stats": docs_lang_stats,
     "docs_token_count": docs_token_count,
@@ -1442,6 +1624,8 @@ ORACLE_SQL = {
     "ev_assoc_rules": EV_ASSOC_SQL,
     "ev_attribution": EV_ATTRIBUTION_SQL,
     "ev_cohort_ltv": EV_COHORT_LTV_SQL,
+    "ev_experiment_srm": EV_SRM_SQL,
+    "ev_forecast_holt": _holt_sql(),
     "ev_survival_km": EV_SURVIVAL_KM_SQL,
     "docs_lang_stats": DOCS_LANG_SQL,
     "docs_token_count": DOCS_TOKENS_SQL,

@@ -547,3 +547,51 @@ def test_cohort_ltv_cumulative_and_per_user(spark):
             assert r.cum_revenue_cents == run
             assert abs(r.ltv_per_user
                        - round(run / 100.0 / r.cohort_size, 6)) < 1e-9
+
+
+def test_compaction_plan_bin_bounds(spark):
+    """Next-fit-by-cumsum guarantees: every file appears exactly once,
+    group byte totals telescope to the corpus total, and every group
+    except possibly the last stays under target + max_file (the
+    documented next-fit bound)."""
+    from ocr_spark.plans.curation import (
+        COMPACT_TARGET_BYTES, shards_compaction_plan)
+
+    rows = shards_compaction_plan(spark, "/root/testdata/sf0.01").collect()
+    assert rows and len({r.source for r in rows}) == len(rows)
+    max_file = max(r.file_bytes for r in rows)
+    groups = {}
+    for r in rows:
+        groups.setdefault(r.out_group, []).append(r)
+    total = 0
+    for g, rs in groups.items():
+        gb = rs[0].group_bytes
+        assert all(r.group_bytes == gb for r in rs)
+        assert sum(r.file_bytes for r in rs) == gb
+        assert len(rs) == rs[0].n_files_in_group
+        assert gb < COMPACT_TARGET_BYTES + max_file
+        total += gb
+    assert total == sum(r.file_bytes for r in rows)
+
+
+def test_holt_fold_matches_python_replay(spark):
+    """The JVM array fold IS the Holt recurrence: replay it in Python
+    from the daily counts and match fitted values to 1e-6."""
+    from ocr_spark.plans.queries import (
+        HOLT_ALPHA, HOLT_BETA, ev_forecast_holt)
+
+    rows = sorted(ev_forecast_holt(spark, "/root/testdata/sf0.01")
+                  .collect(), key=lambda r: r.day)
+    ys = [r.y for r in rows]
+    assert len(ys) > 3
+    level, trend = float(ys[0]), float(ys[1] - ys[0])
+    fitted = [float(ys[0])]
+    for y in ys[1:]:
+        f = level + trend
+        fitted.append(f)
+        new_level = HOLT_ALPHA * y + (1 - HOLT_ALPHA) * f
+        trend = HOLT_BETA * (new_level - level) + (1 - HOLT_BETA) * trend
+        level = new_level
+    for r, f in zip(rows, fitted):
+        assert abs(r.fitted - round(f, 6)) < 1e-6
+        assert abs(r.residual - round(r.y - f, 6)) < 1e-6
