@@ -80,6 +80,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "ev_funnel_latency",
     "ev_experiment_cuped", "ev_assoc_rules", "ev_attribution",
     "ev_cohort_ltv", "ev_survival_km", "ev_experiment_srm",
+    "ev_experiment_ci",
     "ev_forecast_holt",
     "docs_quality_constraints", "docs_keyphrases_rake",
     "shards_compaction_plan",

@@ -1384,6 +1384,143 @@ ORDER BY day
 """
 
 
+def ev_experiment_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The readout that completes the experimentation family (SRM gate
+    → CUPED adjustment → this): the CUPED-adjusted treatment effect
+    with its normal-approximation 95% interval. Per user,
+    Y′ = y − θ·(x − x̄) with θ and x̄ pooled (ev_experiment_cuped's
+    estimator); per arm, mean and sample variance of Y′ are derived
+    purely from the five exact integer-cent moment sums (n, Σx, Σy,
+    Σxx, Σxy, Σyy per arm) in one fixed expression —
+    Var(Y′) = Var(y) − 2θ·Cov(x,y) + θ²·Var(x) — so no double is ever
+    summed; then Δ = ȳ′_t − ȳ′_c, SE = √(v_t/n_t + v_c/n_c), and the
+    ±1.96·SE interval with a significance flag.
+
+    Scale shape: identical to ev_experiment_cuped — one user-keyed
+    partial-agg groupBy, 1-row broadcasts, a 2-group rollup, and a
+    single-row readout."""
+    ev = t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.unix_timestamp("ts")).alias("ts_min"),
+        F.max(F.unix_timestamp("ts")).alias("ts_max"))
+    mid = ((F.col("ts_min") + F.col("ts_max")) / 2).cast("long")
+    cents = F.round(F.col("value") * 100).cast("long")
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(F.coalesce(F.sum(F.when(F.unix_timestamp("ts") <= mid,
+                                     cents)), F.lit(0)).alias("x"),
+             F.coalesce(F.sum(F.when(F.unix_timestamp("ts") > mid,
+                                     cents)), F.lit(0)).alias("y")))
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 13),
+               16, 10).cast("long") % 2 == 0,
+        F.lit("control")).otherwise(F.lit("treatment"))
+    pu = per_user.select(arm.alias("arm"), "x", "y")
+    moms = pu.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"))
+    g = moms.agg(
+        F.sum("n").alias("n"), F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"), F.sum("sxx").alias("sxx"),
+        F.sum("sxy").alias("sxy"), F.sum("syy").alias("syy"))
+    nd = F.col("n").cast("double")
+    cxy = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    cxx = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    glob = g.select((cxy / cxx).alias("theta"),
+                    (F.col("sx") / nd).alias("xbar_c100"))
+    a = moms.crossJoin(F.broadcast(glob))
+    an = F.col("n").cast("double")
+    mean_adj = ((F.col("sy") / an)
+                - F.col("theta") * (F.col("sx") / an - F.col("xbar_c100"))
+                ) / 100.0
+    vx = (F.col("sxx") - F.col("sx").cast("double") * F.col("sx") / an) \
+        / (an - 1)
+    vy = (F.col("syy") - F.col("sy").cast("double") * F.col("sy") / an) \
+        / (an - 1)
+    vxy = (F.col("sxy") - F.col("sx").cast("double") * F.col("sy") / an) \
+        / (an - 1)
+    var_adj = (vy - 2 * F.col("theta") * vxy
+               + F.col("theta") * F.col("theta") * vx) / 10000.0
+    arms = a.select("arm", F.col("n").cast("long").alias("n_users"),
+                    mean_adj.alias("m"), (var_adj / an).alias("vn"))
+    wide = arms.groupBy().pivot("arm", ["control", "treatment"]).agg(
+        F.first("n_users").alias("n"), F.first("m").alias("m"),
+        F.first("vn").alias("vn"))
+    delta = F.col("treatment_m") - F.col("control_m")
+    se = F.sqrt(F.col("treatment_vn") + F.col("control_vn"))
+    return wide.select(
+        F.col("control_n").alias("n_control"),
+        F.col("treatment_n").alias("n_treatment"),
+        F.round("control_m", 6).alias("mean_adj_control"),
+        F.round("treatment_m", 6).alias("mean_adj_treatment"),
+        F.round(delta, 6).alias("delta"),
+        F.round(se, 6).alias("se"),
+        F.round(delta - 1.96 * se, 6).alias("ci_lo"),
+        F.round(delta + 1.96 * se, 6).alias("ci_hi"),
+        (F.abs(delta) > 1.96 * se).alias("significant"))
+
+
+EV_EXPERIMENT_CI_SQL = """
+WITH b AS (
+  SELECT CAST((epoch(MIN(ts)) + epoch(MAX(ts))) / 2 AS BIGINT) AS mid
+  FROM events
+), pu AS (
+  SELECT user_id,
+         CAST(COALESCE(SUM(CASE WHEN epoch(ts) <= b.mid
+              THEN CAST(round(value * 100) AS BIGINT) END), 0)
+              AS BIGINT) AS x,
+         CAST(COALESCE(SUM(CASE WHEN epoch(ts) > b.mid
+              THEN CAST(round(value * 100) AS BIGINT) END), 0)
+              AS BIGINT) AS y
+  FROM events, b GROUP BY user_id, b.mid
+), pa AS (
+  SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                        1, 13)) AS BIGINT) % 2 = 0
+              THEN 'control' ELSE 'treatment' END AS arm, x, y
+  FROM pu
+), moms AS (
+  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM pa GROUP BY arm
+), g AS (
+  SELECT (CAST(SUM(n) AS DOUBLE) * SUM(sxy)
+            - CAST(SUM(sx) AS DOUBLE) * SUM(sy))
+         / (CAST(SUM(n) AS DOUBLE) * SUM(sxx)
+            - CAST(SUM(sx) AS DOUBLE) * SUM(sx)) AS theta,
+         SUM(sx) / CAST(SUM(n) AS DOUBLE) AS xbar_c100
+  FROM moms
+), arms AS (
+  SELECT arm, n,
+         ((sy / CAST(n AS DOUBLE))
+          - g.theta * (sx / CAST(n AS DOUBLE) - g.xbar_c100)) / 100.0
+           AS m,
+         (((syy - CAST(sy AS DOUBLE) * sy / n) / (n - 1))
+          - 2 * g.theta * ((sxy - CAST(sx AS DOUBLE) * sy / n) / (n - 1))
+          + g.theta * g.theta
+            * ((sxx - CAST(sx AS DOUBLE) * sx / n) / (n - 1)))
+          / 10000.0 / n AS vn
+  FROM moms, g
+)
+SELECT c.n AS n_control, t.n AS n_treatment,
+       round(c.m, 6) AS mean_adj_control,
+       round(t.m, 6) AS mean_adj_treatment,
+       round(t.m - c.m, 6) AS delta,
+       round(sqrt(t.vn + c.vn), 6) AS se,
+       round(t.m - c.m - 1.96 * sqrt(t.vn + c.vn), 6) AS ci_lo,
+       round(t.m - c.m + 1.96 * sqrt(t.vn + c.vn), 6) AS ci_hi,
+       abs(t.m - c.m) > 1.96 * sqrt(t.vn + c.vn) AS significant
+FROM arms c, arms t
+WHERE c.arm = 'control' AND t.arm = 'treatment'
+"""
+
+
 def ev_experiment_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample-ratio-mismatch check for the hash-bucketed experiment
     (the first gate every experimentation platform runs before reading
@@ -1592,6 +1729,7 @@ SPARK_QUERIES = {
     "ev_attribution": ev_attribution,
     "ev_cohort_ltv": ev_cohort_ltv,
     "ev_experiment_srm": ev_experiment_srm,
+    "ev_experiment_ci": ev_experiment_ci,
     "ev_forecast_holt": ev_forecast_holt,
     "ev_survival_km": ev_survival_km,
     "docs_lang_stats": docs_lang_stats,
@@ -1625,6 +1763,7 @@ ORACLE_SQL = {
     "ev_attribution": EV_ATTRIBUTION_SQL,
     "ev_cohort_ltv": EV_COHORT_LTV_SQL,
     "ev_experiment_srm": EV_SRM_SQL,
+    "ev_experiment_ci": EV_EXPERIMENT_CI_SQL,
     "ev_forecast_holt": _holt_sql(),
     "ev_survival_km": EV_SURVIVAL_KM_SQL,
     "docs_lang_stats": DOCS_LANG_SQL,

@@ -595,3 +595,23 @@ def test_holt_fold_matches_python_replay(spark):
     for r, f in zip(rows, fitted):
         assert abs(r.fitted - round(f, 6)) < 1e-6
         assert abs(r.residual - round(r.y - f, 6)) < 1e-6
+
+
+def test_experiment_ci_aa_readout_consistent(spark):
+    """The hash-parity experiment is an A/A test on this corpus, so
+    the CUPED-adjusted effect must be non-significant with the CI
+    straddling zero; interval algebra (lo = delta - 1.96 se, hi =
+    delta + 1.96 se) holds exactly, and arm counts match the SRM
+    query's."""
+    from ocr_spark.plans.queries import (
+        ev_experiment_ci, ev_experiment_srm)
+
+    sf = "/root/testdata/sf0.01"
+    r = ev_experiment_ci(spark, sf).collect()[0]
+    assert r.se > 0
+    assert abs(r.ci_lo - round(r.delta - 1.96 * r.se, 6)) < 2e-6
+    assert abs(r.ci_hi - round(r.delta + 1.96 * r.se, 6)) < 2e-6
+    assert not r.significant and r.ci_lo < 0 < r.ci_hi
+    s = ev_experiment_srm(spark, sf).collect()[0]
+    assert (s.n_control, s.n_treatment) == (r.n_control, r.n_treatment)
+    assert not s.srm_flag
