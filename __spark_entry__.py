@@ -80,10 +80,10 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "ev_funnel_latency",
     "ev_experiment_cuped", "ev_assoc_rules", "ev_attribution",
     "ev_cohort_ltv", "ev_survival_km", "ev_experiment_srm",
-    "ev_experiment_ci",
+    "ev_experiment_ci", "ev_next_event_eval",
     "ev_forecast_holt",
     "docs_quality_constraints", "docs_keyphrases_rake",
-    "shards_compaction_plan",
+    "shards_compaction_plan", "docs_summary_coverage",
     "pages_structured_meta", "pages_date_extract", "pages_table_extract",
     "pages_scd2_history",
     "pages_wrap_digest", "pages_html_features", "pages_extract_router",

