@@ -1146,6 +1146,92 @@ def read_extracted(spark: SparkSession, work_dir: str) -> DataFrame:
     return out.select(*[f.name for f in EXTRACT_RESULT_SCHEMA])
 
 
+class ValidationError(RuntimeError):
+    """Raised by run_validation_job(gate=True) when a constraint fails."""
+
+
+VALIDATION_MAX_ERROR_FRAC = 0.05
+
+
+def validation_root(work_dir: str) -> str:
+    return os.path.join(work_dir, "validation")
+
+
+def run_validation_job(spark: SparkSession, work_dir: str, *,
+                       max_error_frac: float = VALIDATION_MAX_ERROR_FRAC,
+                       gate: bool = False) -> dict:
+    """Deequ-style pre-promote validation gate over the committed
+    extraction output (Schelter et al., VLDB 2018 — run the constraint
+    suite BEFORE downstream stages consume a snapshot; the query-side
+    twin over the driver's documents table is
+    plans/curation.py::docs_quality_constraints).
+
+    Constraints (each a completeness / uniqueness / consistency /
+    rate predicate over the full committed table):
+
+      * ``url_complete``              — url never null/empty
+      * ``url_unique``                — the idempotency invariant: the
+        two-phase bucket commit must make re-runs exact, so ANY
+        duplicate url in the committed union is a pipeline bug
+      * ``text_present_on_success``   — error-free rows carry text
+      * ``blocks_positive_on_success``— error-free rows have ≥1 block
+      * ``bytes_in_positive``         — input accounting sane
+      * ``error_rate_bounded``        — failed-row fraction ≤
+        ``max_error_frac`` (violations reported only past the bound)
+
+    ALL constraints evaluate in ONE scan as conditional partial
+    aggregates (the Deequ shared-scan design); the only driver-side
+    data is the single aggregate row. The per-constraint report is
+    committed under ``validation/run=<id>/`` so lineage keeps every
+    gate decision; ``gate=True`` raises ValidationError on any failure
+    — the mode a scheduled pipeline runs between extract and
+    curate/export."""
+    out = read_extracted(spark, work_dir)
+    ok = F.col("error").isNull()
+    row = out.agg(
+        F.count(F.lit(1)).alias("checked"),
+        F.count_distinct(F.col("url")).alias("n_urls"),
+        F.sum((F.col("url").isNull() | (F.length("url") == 0))
+              .cast("long")).alias("url_bad"),
+        F.sum((ok & (F.col("text").isNull() | (F.length("text") == 0)))
+              .cast("long")).alias("text_missing"),
+        F.sum((ok & (F.col("n_blocks").isNull() | (F.col("n_blocks") <= 0)))
+              .cast("long")).alias("blocks_bad"),
+        F.sum((F.col("bytes_in").isNull() | (F.col("bytes_in") <= 0))
+              .cast("long")).alias("bytes_bad"),
+        F.sum((~ok).cast("long")).alias("n_errors"),
+    ).collect()[0]
+    checked = row["checked"]
+    n_success = checked - row["n_errors"]
+    err_over = (row["n_errors"]
+                if row["n_errors"] > max_error_frac * checked else 0)
+    constraints = [
+        ("url_complete", checked, row["url_bad"]),
+        ("url_unique", checked, checked - row["n_urls"]),
+        ("text_present_on_success", n_success, row["text_missing"]),
+        ("blocks_positive_on_success", n_success, row["blocks_bad"]),
+        ("bytes_in_positive", checked, row["bytes_bad"]),
+        ("error_rate_bounded", checked, err_over),
+    ]
+    run_id = uuid.uuid4().hex[:12]
+    report = spark.createDataFrame(
+        [(run_id, name, int(n), int(v), v == 0)
+         for name, n, v in constraints],
+        "run_id string, constraint string, checked long, "
+        "violations long, passed boolean")
+    dest = os.path.join(validation_root(work_dir), f"run={run_id}")
+    report.coalesce(1).write.mode("overwrite").parquet(dest)
+    failed = {name: int(v) for name, _n, v in constraints if v}
+    result = {"run_id": run_id, "checked": int(checked),
+              "passed": not failed, "failed": failed,
+              "report_path": dest}
+    if gate and failed:
+        raise ValidationError(
+            f"extraction output failed validation: {failed} "
+            f"(report at {dest})")
+    return result
+
+
 def eval_root(work_dir: str) -> str:
     return os.path.join(work_dir, "eval_metrics")
 

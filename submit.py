@@ -92,6 +92,13 @@ def main(argv: list[str] | None = None) -> int:
                          "text) via the token-F1 kernel, appending "
                          "per-doc + summary metrics tables; fails the "
                          "run when any gold url went unextracted")
+    ap.add_argument("--validate", action="store_true",
+                    help="after extraction, run the Deequ-style "
+                         "constraint suite over the committed output "
+                         "(one-scan conditional aggregates; report "
+                         "committed under validation/) and fail the "
+                         "run on any violation — the pre-promote gate "
+                         "between extract and curate/export")
     ap.add_argument("--master", default=None,
                     help="override master when not launched via spark-submit")
     args = ap.parse_args(argv)
@@ -119,6 +126,15 @@ def main(argv: list[str] | None = None) -> int:
             from ocr_spark.sources import iceberg_shim as shim
             summary["vacuum"] = shim.vacuum_absorbed(
                 output_root(args.work_dir))
+        if args.validate:
+            from ocr_spark.job import run_validation_job
+            summary["validation"] = run_validation_job(
+                spark, args.work_dir)
+            if not summary["validation"]["passed"]:
+                print("extraction validation FAILED: "
+                      f"{summary['validation']['failed']}",
+                      file=sys.stderr)
+                return 1
         if args.curate or args.export or args.sample or args.sft:
             from ocr_spark.job import run_curation_job
             summary["curation"] = run_curation_job(

@@ -593,3 +593,45 @@ def test_vacuum_absorbed_reclaims_only_compacted_dirs(spark, pages_table,
     assert after == before
     again = shim.vacuum_absorbed(out_root)
     assert again["vacuumed"] == [] and again["dirs_deleted"] == 0
+
+
+def test_validation_job_gate(spark, pages_table, tmp_path):
+    """The pre-promote constraint suite: a clean extraction passes all
+    six constraints in one scan; injecting a duplicate-url row into a
+    committed snapshot dir flips url_unique and the gate raises."""
+    from ocr_spark.job import (
+        ValidationError, output_root, read_extracted, run_extraction_job,
+        run_validation_job)
+    from ocr_spark.sources import iceberg_shim as shim
+
+    root, _rows = pages_table
+    work = str(tmp_path / "work")
+    run_extraction_job(spark, root, work, partitions=16,
+                       big_partitions=2, waves=2)
+
+    res = run_validation_job(spark, work, gate=True)
+    assert res["passed"] and not res["failed"]
+    assert res["checked"] == N_ROWS
+    report = spark.read.parquet(res["report_path"])
+    got = {r.constraint: (r.checked, r.violations, r.passed)
+           for r in report.collect()}
+    assert set(got) == {
+        "url_complete", "url_unique", "text_present_on_success",
+        "blocks_positive_on_success", "bytes_in_positive",
+        "error_rate_bounded"}
+    assert all(v[2] for v in got.values())
+
+    # corrupt: append a duplicate of one committed row into a bucket dir
+    sid = shim.history(output_root(work))[0]
+    data_dir = shim.read_manifest(output_root(work), sid)["data_dir"]
+    bucket_dir = next(
+        os.path.join(data_dir, d) for d in sorted(os.listdir(data_dir))
+        if d.startswith("bucket="))
+    one = read_extracted(spark, work).limit(1).drop("bucket")
+    one.write.mode("append").parquet(bucket_dir)
+
+    res2 = run_validation_job(spark, work)
+    assert not res2["passed"]
+    assert res2["failed"].get("url_unique") == 1
+    with pytest.raises(ValidationError, match="url_unique"):
+        run_validation_job(spark, work, gate=True)
