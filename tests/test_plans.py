@@ -2365,3 +2365,34 @@ def test_scd2_history_one_url_shuffle_and_interval_algebra(spark):
         n_caps = 1 + (did % 5 == 0) + (did % 7 == 0)
         assert sum(r["n_captures"] for r in rs) == n_caps
         assert len(rs) == 1 + (did % 7 == 0)  # only edits open versions
+
+
+def test_final_session_event_plan_shapes(spark):
+    """Exchange budgets for the final-session event operators: the
+    experiment readouts ride ONE user-keyed aggregate + broadcasts
+    (no SortMergeJoin anywhere), attribution's only non-broadcast
+    join is the user-keyed path join, and LTV joins its cohort-size
+    side as a broadcast."""
+    from ocr_spark.plans.queries import (
+        ev_attribution, ev_cohort_ltv, ev_experiment_ci,
+        ev_experiment_srm, ev_next_event_eval, ev_survival_km)
+
+    p = fmt(ev_experiment_srm(spark, SF))
+    assert "SortMergeJoin" not in p and n_shuffles(p) <= 3
+    p = fmt(ev_experiment_ci(spark, SF))
+    assert "SortMergeJoin" not in p and "BroadcastNestedLoopJoin" in p
+    p = fmt(ev_survival_km(spark, SF))
+    assert "SortMergeJoin" not in p       # 1-row frames broadcast
+    p = fmt(ev_cohort_ltv(spark, SF))
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    p = fmt(ev_attribution(spark, SF))
+    assert n_shuffles(p) <= 6 and "SortMergeJoin" not in p
+    # next-event eval statically re-derives the transition subtree for
+    # train/pred/marginal; at runtime AQE stage-reuse collapses the
+    # duplicates — pin that, not the static count
+    df = ev_next_event_eval(spark, SF)
+    p = fmt(df)
+    assert "SortMergeJoin" not in p and p.count("BroadcastHashJoin") >= 1
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final
