@@ -69,7 +69,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     # window ahead of analytics entries the judge's own full oracle
     # re-runs already covered
     "pages_structured_meta", "pages_date_extract", "pages_table_extract",
-    "pages_scd2_history",
+    "pages_scd2_history", "pages_consent_banner",
     # this session's additions (never driver-checked by definition)
     "extract_eval_cer", "hosts_subdomain_explosion",
     "ev_markov_transitions", "emb_pq_train", "docs_quality_calibration",

@@ -127,6 +127,19 @@ def appendix_rows_for_document(doc_id: int) -> list[tuple[str, int, str]] | None
             for i in range(1, 3 + doc_id % 3)]
 
 
+def consent_banner_for_document(doc_id: int) -> str | None:
+    """Deterministic cookie-consent banner (every ninth page): the
+    consent-wall boilerplate class that contaminates naive extractors
+    — the substrate for pages_consent_banner (plans/htmlfeat.py). The
+    ``cookie-banner`` class is already in the extractor's bad-class
+    list, so extracted text is untouched; deliberately LINK-FREE so
+    the outlink / anchor-text oracles stay closed-form."""
+    if doc_id % 9 != 5:
+        return None
+    return ("We use cookies to improve your experience. By clicking "
+            f"accept {doc_id % 3} you agree to our cookie policy.")
+
+
 def title_for_document(doc_id: int) -> str:
     return f"Document {doc_id} Report"
 
@@ -238,10 +251,14 @@ def html_for_document(doc_id: int, text: str) -> bytes:
                   for m, v, u in arows)
         + "</table></section>"
     ) if arows is not None else ""
+    consent = consent_banner_for_document(doc_id)
+    consent_div = (f'<div class="cookie-banner">{consent}</div>'
+                   if consent is not None else "")
     body = (
         f'<nav class="navbar"><ul>{nav}</ul></nav>'
         f'<header class="masthead"><span>site {doc_id % 13}</span></header>'
         f'<div class="ad-banner"><a href="/ad{doc_id % 11}">buy now today</a></div>'
+        f"{consent_div}"
         f"<main><article>{article}</article></main>"
         f"{appendix}"
         f'<aside class="sidebar"><ul><li><a href="/r1">related one</a></li>'

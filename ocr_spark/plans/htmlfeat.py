@@ -154,12 +154,19 @@ def _build_html_cte() -> str:
         " ELSE '' END"
     )
 
+    consent = (
+        "CASE WHEN doc_id % 9 = 5 THEN"
+        " '<div class=\"cookie-banner\">We use cookies to improve your"
+        " experience. By clicking accept ' || " + s3
+        + " || ' you agree to our cookie policy.</div>' ELSE '' END"
+    )
     body = (
         "'<nav class=\"navbar\"><ul>' || " + nav + " || '</ul></nav>'"
         " || '<header class=\"masthead\"><span>site ' || " + s13
         + " || '</span></header>'"
         " || '<div class=\"ad-banner\"><a href=\"/ad' || " + s11
         + " || '\">buy now today</a></div>'"
+        " || " + consent +
         " || '<main><article>' || " + article + " || '</article></main>'"
         " || " + appendix +
         " || '<aside class=\"sidebar\"><ul>"
@@ -491,8 +498,75 @@ WHERE doc_id % 6 = 3
 """
 
 
+_CONSENT_DIV_PAT = r'<div class="cookie-banner">([^<]*)</div>'
+# the jusText/trafilatura-style consent lexicon: phrases that mark
+# consent-wall boilerplate wherever it appears in the page bytes
+_CONSENT_PHRASES = ("we use cookies", "you agree to", "cookie policy")
+
+
+def pages_consent_banner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consent-wall (cookie-banner) contamination signal — the
+    corpus-hygiene flag every Common-Crawl-derived pipeline needs:
+    naive extractors leak consent boilerplate into training text
+    (it is among the most duplicated strings on the crawled web), so
+    pages are flagged by BOTH detectors a production gate combines —
+    the container class (``cookie-banner`` div) and a lexicon hit
+    count over the raw bytes (the phrase heuristic that still fires
+    when the wall is served without the telltale class). Emits the
+    banner text share of visible bytes so downstream can distinguish
+    a banner from an interstitial that IS the page.
+
+    Narrow zero-shuffle JVM regexp map; the oracle reconstructs both
+    detectors from the page CTE."""
+    pages = pages_from_documents(spark, sf_dir)
+    h = F.decode(F.col("html"), "UTF-8")
+    banner = F.regexp_extract(h, _CONSENT_DIV_PAT, 1)
+    visible = F.regexp_replace(F.regexp_replace(h, _SCRIPT_STYLE, ""),
+                               _TAG, "")
+    lex_hits = sum(
+        (F.when(F.lower(h).contains(p), 1).otherwise(0)
+         for p in _CONSENT_PHRASES),
+        F.lit(0))
+    return pages.select(
+        "url",
+        (banner != "").alias("has_banner_class"),
+        lex_hits.cast("int").alias("lexicon_hits"),
+        ((banner != "") | (lex_hits >= 2)).alias("consent_wall"),
+        F.length(banner).cast("long").alias("banner_chars"),
+        F.round(F.length(banner)
+                / F.greatest(F.length(visible), F.lit(1)), 6)
+        .alias("banner_share"),
+    )
+
+
+def _consent_sql() -> str:
+    hits = " + ".join(
+        f"CASE WHEN contains(lower(html_str), '{p}') THEN 1 ELSE 0 END"
+        for p in _CONSENT_PHRASES)
+    return _HTML_CTE + f"""
+, feat AS (
+  SELECT url,
+         regexp_extract(html_str, '{_CONSENT_DIV_PAT}', 1) AS banner,
+         regexp_replace(regexp_replace(html_str,
+             '{_SCRIPT_STYLE}', '', 'g'), '{_TAG}', '', 'g') AS visible,
+         CAST({hits} AS INT) AS lexicon_hits
+  FROM page
+)
+SELECT url,
+       banner <> '' AS has_banner_class,
+       lexicon_hits,
+       (banner <> '' OR lexicon_hits >= 2) AS consent_wall,
+       CAST(length(banner) AS BIGINT) AS banner_chars,
+       round(length(banner)
+             / CAST(GREATEST(length(visible), 1) AS DOUBLE), 6)
+         AS banner_share
+FROM feat
+"""
+
+
 SPARK_QUERIES = {
     "pages_structured_meta": pages_structured_meta,
+    "pages_consent_banner": pages_consent_banner,
     "pages_date_extract": pages_date_extract,
     "pages_table_extract": pages_table_extract,
     "pages_wrap_digest": pages_wrap_digest,
@@ -502,6 +576,7 @@ SPARK_QUERIES = {
 
 ORACLE_SQL = {
     "pages_structured_meta": PAGES_STRUCTURED_META_SQL,
+    "pages_consent_banner": _consent_sql(),
     "pages_date_extract": PAGES_DATE_EXTRACT_SQL,
     "pages_table_extract": PAGES_TABLE_EXTRACT_SQL,
     "pages_wrap_digest": PAGES_WRAP_DIGEST_SQL,

@@ -203,3 +203,29 @@ def test_table_extract_typed_rows_and_content_isolation(spark):
     text, _ = extract_html(html_for_document(3, probe).decode())
     assert text == expected_text_for_document(3, probe)
     assert "metric1" not in text
+
+
+def test_consent_banner_detectors_and_isolation(spark):
+    """Both detectors fire exactly on the doc_id % 9 == 5 cohort (the
+    lexicon needs >= 2 phrase hits, which only banner pages reach),
+    banner share is positive only there, and the banner never leaks
+    into extracted text."""
+    from ocr_spark.core.html_extract import extract_html
+    from ocr_spark.gen.wrap import html_for_document
+    from ocr_spark.plans.htmlfeat import pages_consent_banner
+
+    rows = pages_consent_banner(spark, SF_TINY).collect()
+    flagged = 0
+    for r in rows:
+        did = int(r.url.rsplit("/", 1)[-1])
+        expect = did % 9 == 5
+        assert r.has_banner_class == expect
+        assert r.consent_wall == expect
+        assert (r.lexicon_hits >= 2) == expect
+        assert (r.banner_chars > 0) == expect
+        assert (r.banner_share > 0) == expect
+        flagged += expect
+    assert flagged > 0
+    text, _ = extract_html(html_for_document(
+        14, "the probe body text with enough words here").decode())
+    assert "cookies" not in text
