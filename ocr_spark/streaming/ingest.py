@@ -32,7 +32,7 @@ from collections.abc import Iterator
 from typing import Any
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
@@ -619,6 +619,79 @@ def stream_quality_gate(spark: SparkSession, input_dir: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .outputMode("append")
+            .start())
+
+
+def dlq_reason_col() -> Column:
+    """FIRST-failing-constraint classifier over extraction output rows
+    — the row-level form of job.run_validation_job's table-level suite
+    (same predicates, same order), shared by the streaming DLQ sink so
+    a row quarantined in streaming is exactly a row the batch gate
+    would count as a violation. NULL = row is clean."""
+    return (
+        F.when(F.col("url").isNull() | (F.length("url") == 0),
+               "url_missing")
+        .when(F.col("error").isNotNull(), "extract_error")
+        .when(F.col("text").isNull() | (F.length("text") == 0),
+              "empty_text")
+        .when(F.col("n_blocks").isNull() | (F.col("n_blocks") <= 0),
+              "no_blocks")
+        .when(F.col("bytes_in").isNull() | (F.col("bytes_in") <= 0),
+              "bad_bytes_in")
+    )
+
+
+def dlq_sink(output_dir: str, quarantine_dir: str):
+    """foreachBatch body of stream_extract_dlq, exposed so exactly-once
+    (same batch_id twice → identical output AND quarantine) is directly
+    testable. Clean rows land in ``output_dir``; violating rows are NOT
+    dropped — they land in ``quarantine_dir`` tagged with the first
+    failing constraint (the dead-letter-queue pattern: a malformed page
+    must stay inspectable and replayable, silently vanishing rows are
+    how crawl pipelines lose corpus mass unaccounted). Both sides are
+    batch_id-keyed overwrites, so epoch re-delivery replaces partitions
+    with identical content instead of appending duplicates."""
+    import os as _os
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        tagged = batch_df.withColumn("dlq_reason", dlq_reason_col()) \
+            .persist()
+        try:
+            (tagged.filter(F.col("dlq_reason").isNull())
+             .drop("dlq_reason")
+             .write.mode("overwrite")
+             .parquet(_os.path.join(output_dir, f"batch={batch_id}")))
+            (tagged.filter(F.col("dlq_reason").isNotNull())
+             .write.mode("overwrite")
+             .parquet(_os.path.join(quarantine_dir,
+                                    f"batch={batch_id}")))
+        finally:
+            tagged.unpersist()
+
+    return sink
+
+
+def stream_extract_dlq(spark: SparkSession, input_dir: str,
+                       output_dir: str, quarantine_dir: str,
+                       checkpoint_dir: str) -> Any:
+    """Incremental extraction with a dead-letter queue: every
+    micro-batch extracts, then routes rows through the shared
+    row-level constraint classifier — clean rows to the output table,
+    violating rows (extract errors, empty text, missing blocks, bad
+    byte accounting) to the quarantine table with their reason.
+    Exactly-once on both sides via batch_id-keyed overwrite commits."""
+    from ocr_spark.operators.extraction import (
+        EXTRACT_RESULT_SCHEMA, _extract_batches_fn,
+    )
+
+    pages = read_pages_stream(spark, input_dir)
+    extracted = pages.select("url", "html").withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(64)).cast("int")
+    ).mapInPandas(_extract_batches_fn("full"), schema=EXTRACT_RESULT_SCHEMA)
+    return (extracted.writeStream
+            .foreachBatch(dlq_sink(output_dir, quarantine_dir))
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
             .start())
 
 

@@ -918,3 +918,57 @@ def test_stream_near_dup_state_remembers_across_batches(spark, stream_dirs):
         assert r["matched"] == m["url"].replace("mirror://", "doc://")
     for n in rows[20:]:
         assert got[n["url"]]["dup"] == "false"
+
+
+def test_stream_extract_dlq_routing_and_exactly_once(spark, stream_dirs):
+    """Clean rows land in output, malformed rows land in quarantine
+    with the FIRST failing constraint named, nothing vanishes, and
+    re-delivering the same epoch leaves both sides identical."""
+    from ocr_spark.streaming.ingest import dlq_sink, stream_extract_dlq
+
+    rows = generate_pages(20, oversized_rows=0)
+    # two malformed pages: undecodable bytes (extract error) and a
+    # page with no extractable content (empty text)
+    rows.append({"url": "doc://bad-bytes", "warc_ts": rows[0]["warc_ts"],
+                 "html": b"\xff\xfe\xff invalid \xff",
+                 "text": "", "lang": "en"})
+    rows.append({"url": "doc://no-content", "warc_ts": rows[0]["warc_ts"],
+                 "html": b"<html><body><nav>only chrome</nav></body></html>",
+                 "text": "", "lang": "en"})
+    _write_pages_batch(spark, rows, stream_dirs["in"])
+
+    qdir = str(os.path.join(os.path.dirname(stream_dirs["out"]), "dlq"))
+    q = stream_extract_dlq(spark, stream_dirs["in"], stream_dirs["out"],
+                           qdir, stream_dirs["ckpt1"])
+    q.awaitTermination()
+
+    good = spark.read.parquet(stream_dirs["out"])
+    bad = spark.read.parquet(qdir)
+    assert good.count() + bad.count() == len(rows)   # nothing vanishes
+    good_urls = {r.url for r in good.select("url").collect()}
+    reasons = {r.url: r.dlq_reason for r in bad.collect()}
+    assert "doc://bad-bytes" not in good_urls
+    assert "doc://no-content" not in good_urls
+    assert reasons["doc://no-content"] == "empty_text"
+    assert reasons["doc://bad-bytes"] in ("extract_error", "empty_text")
+    assert len(good_urls) == len(rows) - len(reasons)
+
+    # exactly-once: re-running the sink body with the same batch_id
+    # replaces partitions with identical content
+    batch_dir = sorted(os.listdir(qdir))[0]
+    before = sorted(
+        (r.url, r.dlq_reason) for r in
+        spark.read.parquet(os.path.join(qdir, batch_dir)).collect())
+    sink = dlq_sink(stream_dirs["out"], qdir)
+    bid = int(batch_dir.split("=")[1])
+    full = spark.read.parquet(
+        os.path.join(stream_dirs["out"], batch_dir)).unionByName(
+        spark.read.parquet(os.path.join(qdir, batch_dir))
+        .drop("dlq_reason")).localCheckpoint()  # break file lineage:
+    # the sink overwrites the very files this frame was read from
+    sink(full, bid)
+    after = sorted(
+        (r.url, r.dlq_reason) for r in
+        spark.read.parquet(os.path.join(qdir, batch_dir)).collect())
+    assert after == before
+    assert spark.read.parquet(stream_dirs["out"]).count() == len(good_urls)
