@@ -11,6 +11,10 @@ well as the DataFrame API:
     ocr_langid(text)             -> stopword-vote language guess
     ocr_token_count(text)        -> BPE-ish pre-tokenizer token count
     split_sentences(text)        -> UDTF: (sent_idx, sentence) rows
+    ocr_pub_date(html)           -> publication date (jsonld > meta > NULL)
+    ocr_consent_wall(html)       -> cookie-wall flag (class OR lexicon)
+    ocr_table_rows(html)         -> UDTF: typed (row_idx, metric, value, unit)
+    ocr_rake_phrases(text)       -> UDTF: RAKE (rank, phrase, score)
 
 Scalar functions are Arrow-batched pandas UDFs (never row-at-a-time
 Python). The MinHash body delegates to the SAME kernel the DataFrame
@@ -139,3 +143,96 @@ def register_all(spark: SparkSession) -> None:
                     i += 1
 
     spark.udtf.register("split_sentences", SplitSentences)
+
+    @F.pandas_udf("string")
+    def ocr_pub_date(html: pd.Series) -> pd.Series:
+        return html.map(_pub_date)
+
+    @F.pandas_udf("boolean")
+    def ocr_consent_wall(html: pd.Series) -> pd.Series:
+        return html.map(_consent_wall)
+
+    spark.udf.register("ocr_pub_date", ocr_pub_date)
+    spark.udf.register("ocr_consent_wall", ocr_consent_wall)
+
+    @udtf(returnType="row_idx int, metric string, value bigint, "
+                     "unit string")
+    class TableRows:
+        def eval(self, html: str):
+            for i, row in enumerate(
+                    _TR_RE.findall(html or "")):
+                cells = _TD_RE.findall(row)
+                if len(cells) >= 3:
+                    try:
+                        v = int(cells[1])
+                    except ValueError:
+                        continue
+                    yield i, cells[0], v, cells[2]
+
+    spark.udtf.register("ocr_table_rows", TableRows)
+
+    @udtf(returnType="rank int, phrase string, score double")
+    class RakePhrases:
+        def eval(self, text: str):
+            for rank, phrase, score in _rake_phrases(text or ""):
+                yield rank, phrase, score
+
+    spark.udtf.register("ocr_rake_phrases", RakePhrases)
+
+
+# python mirrors of the final-session plan kernels (same constants,
+# pinned value-for-value by tests/test_functions.py)
+
+_META_PUB_RE = re.compile(
+    '<meta property="article:published_time" content="([^"]*)"')
+_JSONLD_RE = re.compile(
+    r'<script type="application/ld\+json">(.*?)</script>', re.DOTALL)
+_DATE_PUBLISHED_RE = re.compile('"datePublished":"([^"]*)"')
+_CONSENT_DIV_RE = re.compile('<div class="cookie-banner">([^<]*)</div>')
+_TR_RE = re.compile("<tr>(.*?)</tr>")
+_TD_RE = re.compile("<td>([^<]*)</td>")
+
+
+def _pub_date(html: str | None) -> str | None:
+    """jsonld > meta > None — the pages_date_extract precedence."""
+    h = html or ""
+    m = _JSONLD_RE.search(h)
+    if m:
+        d = _DATE_PUBLISHED_RE.search(m.group(1))
+        if d and d.group(1):
+            return d.group(1)
+    m = _META_PUB_RE.search(h)
+    return m.group(1) if m and m.group(1) else None
+
+
+def _consent_wall(html: str | None) -> bool:
+    from ocr_spark.plans.htmlfeat import _CONSENT_PHRASES
+    h = html or ""
+    if _CONSENT_DIV_RE.search(h):
+        return True
+    low = h.lower()
+    return sum(1 for p in _CONSENT_PHRASES if p in low) >= 2
+
+
+def _rake_phrases(text: str):
+    """Python mirror of docs_keyphrases_rake's segmentation + integer
+    micro-unit score algebra (same constants imported)."""
+    from ocr_spark.plans.dataops import _RAKE_SPLIT, RAKE_TOP_K
+    clean = re.sub("[^a-z0-9]+", " ", (text or "").lower())
+    segs = [re.sub(" +", " ", s).strip()
+            for s in re.split(_RAKE_SPLIT, clean)]
+    phrases = [s for s in segs if s]
+    if not phrases:
+        return
+    freq: dict[str, int] = {}
+    degree: dict[str, int] = {}
+    for p in phrases:
+        ws = p.split(" ")
+        for w in ws:
+            freq[w] = freq.get(w, 0) + 1
+            degree[w] = degree.get(w, 0) + len(ws)
+    score = {p: sum(degree[w] * 1_000_000 // freq[w]
+                    for w in p.split(" ")) for p in set(phrases)}
+    ranked = sorted(set(phrases), key=lambda p: (-score[p], p))
+    for rank, p in enumerate(ranked[:RAKE_TOP_K], start=1):
+        yield rank, p, round(score[p] / 1e6, 6)

@@ -55,3 +55,49 @@ def test_sql_extract_and_sentences(spark):
         LATERAL split_sentences(x) s
     """).collect()
     assert [r.sentence for r in sents] == ["One here.", "Two there.", "three"]
+
+
+def test_sql_surface_matches_final_session_plans(spark):
+    """ocr_pub_date / ocr_consent_wall / ocr_table_rows /
+    ocr_rake_phrases agree value-for-value with the plan-side queries
+    over the same wrapped pages / documents."""
+    register_all(spark)
+    sf = "/root/testdata/sf0.001"
+
+    from ocr_spark.plans.extract_queries import pages_from_documents
+    from ocr_spark.plans.htmlfeat import (
+        pages_consent_banner, pages_date_extract, pages_table_extract)
+
+    pages = pages_from_documents(spark, sf)
+    pages.createOrReplaceTempView("p_pages")
+
+    got = {r.url: r.d for r in spark.sql(
+        "SELECT url, ocr_pub_date(CAST(html AS STRING)) AS d "
+        "FROM p_pages").collect()}
+    want = {r.url: r.pub_date
+            for r in pages_date_extract(spark, sf).collect()}
+    assert got == want
+
+    gotc = {r.url: r.c for r in spark.sql(
+        "SELECT url, ocr_consent_wall(CAST(html AS STRING)) AS c "
+        "FROM p_pages").collect()}
+    wantc = {r.url: r.consent_wall
+             for r in pages_consent_banner(spark, sf).collect()}
+    assert gotc == wantc
+
+    gott = sorted(tuple(r) for r in spark.sql(
+        "SELECT url, t.row_idx, t.metric, t.value, t.unit FROM p_pages, "
+        "LATERAL ocr_table_rows(CAST(html AS STRING)) t").collect())
+    wantt = sorted(tuple(r)
+                   for r in pages_table_extract(spark, sf).collect())
+    assert gott == wantt
+
+    from ocr_spark.plans.dataops import docs_keyphrases_rake
+    spark.read.parquet(f"{sf}/documents.parquet") \
+        .createOrReplaceTempView("p_docs")
+    gotr = sorted(tuple(r) for r in spark.sql(
+        "SELECT doc_id, r.rank, r.phrase, r.score FROM p_docs, "
+        "LATERAL ocr_rake_phrases(text) r").collect())
+    wantr = sorted((r.doc_id, r.rank, r.phrase, r.score)
+                   for r in docs_keyphrases_rake(spark, sf).collect())
+    assert gotr == wantr
