@@ -2992,6 +2992,119 @@ ORDER BY "constraint"
 """
 
 
+# Poisson(1) inverse-CDF thresholds (cumulative probabilities for
+# k = 0..6; u past the last → w = 7). Shared verbatim by the Spark
+# expression and the oracle so the weight mapping is bit-identical.
+_POISSON1_CDF = (
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119,
+)
+BOOT_B = 200          # bootstrap replicas
+BOOT_LO_RANK = 5      # ceil(0.025 * B)
+BOOT_HI_RANK = 195    # ceil(0.975 * B)
+
+
+def docs_metric_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% confidence interval for a corpus metric
+    (the mean heuristic quality score) — the at-scale bootstrap
+    (Chamandy et al., Google 2012 "Estimating Uncertainty for Massive
+    Data Streams"; Efron 1979 underneath): instead of resampling rows
+    (impossible distributed), every (doc, replica) pair draws an
+    independent Poisson(1) weight from a deterministic hash, giving
+    each replica a valid multinomial-approximate resample in ONE
+    narrow pass. Corpus metrics reported without uncertainty are how
+    pipeline changes get shipped on noise — this operator is the
+    missing error bar.
+
+    Cross-engine float discipline: the metric is integer
+    ten-thousandths, weights are integers from a SHARED inverse-CDF
+    threshold table (the hash-uniform is one exact division, compared
+    against identical literals), so every per-replica sum is exact;
+    each replica's estimate involves exactly one float division, and
+    the CI bounds are ORDER-STATISTIC picks (rank 5 / 195 of 200 with
+    deterministic tie-breaks), never averaged.
+
+    Scale shape: one narrow explode (BOOT_B rows per doc — the
+    replica dimension is the map-side fan-out, not a join), one
+    partial-agg groupBy keyed replica (200 groups at any corpus
+    size), then order statistics over the 200-row frame."""
+    from ocr_spark.plans.queries import docs_quality_score
+
+    m = docs_quality_score(spark, sf_dir).select(
+        "doc_id",
+        F.round(F.col("quality_score") * 10000).cast("long").alias("m"))
+    u = (F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.col("doc_id"), F.col("b"))), 1, 13),
+        16, 10).cast("long") / F.lit(4503599627370496.0))
+    w = F.lit(len(_POISSON1_CDF))
+    for k in range(len(_POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    rep = (m.select("doc_id", "m",
+                    F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1)))
+                    .alias("b"))
+           .select("b", "m", w.cast("long").alias("w")))
+    ests = (rep.groupBy("b")
+            .agg((F.sum(F.col("w") * F.col("m"))
+                  / F.sum("w")).alias("est")))
+    wo = Window.orderBy("est", "b")
+    ranked = ests.withColumn("rk", F.row_number().over(wo))
+    point = m.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("m") / F.count(F.lit(1))).alias("pt"))
+    lo = ranked.filter(F.col("rk") == BOOT_LO_RANK) \
+        .select(F.col("est").alias("lo"))
+    hi = ranked.filter(F.col("rk") == BOOT_HI_RANK) \
+        .select(F.col("est").alias("hi"))
+    return (point.crossJoin(F.broadcast(lo)).crossJoin(F.broadcast(hi))
+            .select(
+                F.lit("mean_quality_score").alias("metric"),
+                F.col("n_docs").cast("long").alias("n_docs"),
+                F.lit(BOOT_B).cast("int").alias("n_replicas"),
+                F.round(F.col("pt") / 10000.0, 6).alias("estimate"),
+                F.round(F.col("lo") / 10000.0, 6).alias("ci_lo"),
+                F.round(F.col("hi") / 10000.0, 6).alias("ci_hi")))
+
+
+def _bootstrap_ci_sql() -> str:
+    from ocr_spark.plans.queries import DOCS_QUALITY_SQL
+    w_case = "CASE " + " ".join(
+        f"WHEN u < {t!r} THEN {k}"
+        for k, t in enumerate(_POISSON1_CDF)
+    ) + f" ELSE {len(_POISSON1_CDF)} END"
+    return f"""
+WITH q AS (
+  SELECT doc_id, CAST(round(quality_score * 10000) AS BIGINT) AS m
+  FROM ({DOCS_QUALITY_SQL})
+), rep AS (
+  SELECT b.b, q.m,
+         CAST(('0x' || substr(md5(CAST(q.doc_id AS VARCHAR) || ':'
+                                  || CAST(b.b AS VARCHAR)), 1, 13))
+              AS BIGINT) / 4503599627370496.0 AS u
+  FROM q, LATERAL (SELECT unnest(range(0, {BOOT_B})) AS b) b
+), wtab AS (
+  SELECT b, m, CAST({w_case} AS BIGINT) AS w FROM rep
+), ests AS (
+  SELECT b, SUM(w * m) / CAST(SUM(w) AS DOUBLE) AS est
+  FROM wtab GROUP BY b
+), ranked AS (
+  SELECT est, row_number() OVER (ORDER BY est, b) AS rk FROM ests
+), pt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         SUM(m) / CAST(COUNT(*) AS DOUBLE) AS p
+  FROM q
+)
+SELECT 'mean_quality_score' AS metric, pt.n_docs,
+       CAST({BOOT_B} AS INT) AS n_replicas,
+       round(pt.p / 10000.0, 6) AS estimate,
+       round(lo.est / 10000.0, 6) AS ci_lo,
+       round(hi.est / 10000.0, 6) AS ci_hi
+FROM pt,
+     (SELECT est FROM ranked WHERE rk = {BOOT_LO_RANK}) lo,
+     (SELECT est FROM ranked WHERE rk = {BOOT_HI_RANK}) hi
+"""
+
+
 COMPACT_TARGET_BYTES = 20_000
 
 
@@ -3053,6 +3166,7 @@ ORDER BY out_group, file_bytes DESC, source
 
 
 SPARK_QUERIES = {
+    "docs_metric_bootstrap_ci": docs_metric_bootstrap_ci,
     "shards_compaction_plan": shards_compaction_plan,
     "docs_quality_constraints": docs_quality_constraints,
     "docs_quality_rrf": docs_quality_rrf,
@@ -3097,6 +3211,7 @@ SPARK_QUERIES = {
 
 ORACLE_SQL = {
     "docs_quality_constraints": QUALITY_CONSTRAINTS_SQL,
+    "docs_metric_bootstrap_ci": _bootstrap_ci_sql(),
     "shards_compaction_plan": SHARDS_COMPACTION_SQL,
     "docs_quality_rrf": _quality_rrf_sql(),
     "docs_quality_calibration": _quality_calibration_sql(),

@@ -665,3 +665,20 @@ def test_next_event_eval_beats_or_ties_baseline_overall(spark):
     assert pooled >= 0 and sum(r.n_eval for r in rows) > 0
     # conditional model >= marginal baseline pooled (weak but real)
     assert pooled >= pooled_base * 0.8
+
+
+def test_bootstrap_ci_brackets_estimate_and_is_tight(spark):
+    """The 95% Poisson-bootstrap interval brackets the point estimate,
+    is strictly positive-width (replica weights genuinely vary), and
+    its width shrinks roughly like 1/sqrt(n): the sf0.01 corpus
+    (500 docs) must give a tighter interval than sf0.001 (50 docs)."""
+    from ocr_spark.plans.curation import docs_metric_bootstrap_ci
+
+    small = docs_metric_bootstrap_ci(
+        spark, "/root/testdata/sf0.001").collect()[0]
+    big = docs_metric_bootstrap_ci(
+        spark, "/root/testdata/sf0.01").collect()[0]
+    for r in (small, big):
+        assert r.ci_lo < r.estimate < r.ci_hi
+        assert r.n_replicas == 200
+    assert (big.ci_hi - big.ci_lo) < (small.ci_hi - small.ci_lo)
