@@ -90,7 +90,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "ev_forecast_holt",
     "docs_quality_constraints", "docs_keyphrases_rake",
     "shards_compaction_plan", "docs_summary_coverage",
-    "docs_metric_bootstrap_ci",
+    "docs_metric_bootstrap_ci", "docs_gate_mcnemar",
     "pages_wrap_digest", "pages_html_features", "pages_extract_router",
     "docs_quality_rrf", "emb_cell_drift", "docs_fim_split",
     "pages_warc_export", "emb_mrl_recall",

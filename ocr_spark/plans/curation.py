@@ -3105,6 +3105,99 @@ FROM pt,
 """
 
 
+def docs_gate_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired comparison of two quality gates — the absolute Gopher
+    gate vs the relative per-language percentile gate — with the
+    statistics a pipeline A/B actually needs before swapping filters:
+    the 2×2 keep/drop contingency cells, raw agreement, Cohen's kappa
+    (chance-corrected agreement from the marginals), and McNemar's
+    continuity-corrected chi-square over the DISCORDANT cells
+    ((|b−c|−1)²/(b+c), the correct paired test — overall accuracy
+    comparisons on paired decisions are statistically wrong) with the
+    0.05-level verdict. Every statistic is a fixed float expression
+    over exact integer cell counts.
+
+    Scale shape: two narrow gate subplans, one doc_id equi-join, one
+    conditional-aggregate row."""
+    from ocr_spark.plans.dataops import docs_gopher_filters
+
+    a = docs_gopher_filters(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("keep_a"))
+    b = docs_quality_percentile_gate(spark, sf_dir).select(
+        "doc_id", F.col("keep_quality_rel").alias("keep_b"))
+    cells = a.join(b, "doc_id").agg(
+        F.sum((F.col("keep_a") & F.col("keep_b")).cast("long"))
+        .alias("n11"),
+        F.sum((F.col("keep_a") & ~F.col("keep_b")).cast("long"))
+        .alias("n10"),
+        F.sum((~F.col("keep_a") & F.col("keep_b")).cast("long"))
+        .alias("n01"),
+        F.sum((~F.col("keep_a") & ~F.col("keep_b")).cast("long"))
+        .alias("n00"))
+    n = (F.col("n11") + F.col("n10") + F.col("n01")
+         + F.col("n00")).cast("double")
+    po = (F.col("n11") + F.col("n00")) / n
+    pe = (((F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01")))
+          + ((F.col("n00") + F.col("n01"))
+             * (F.col("n00") + F.col("n10")))) / (n * n)
+    disc = (F.col("n10") + F.col("n01")).cast("double")
+    chi2 = F.when(
+        disc > 0,
+        (F.abs(F.col("n10") - F.col("n01")) - 1) ** 2 / disc
+    ).otherwise(F.lit(0.0))
+    return cells.select(
+        "n11", "n10", "n01", "n00",
+        F.round(po, 6).alias("agreement"),
+        F.round((po - pe) / (1 - pe), 6).alias("kappa"),
+        F.round(chi2, 6).alias("mcnemar_chi2"),
+        (chi2 > 3.841).alias("gates_differ"))
+
+
+def _gate_mcnemar_sql() -> str:
+    from ocr_spark.plans.dataops import _GOPHER_SQL
+
+    return f"""
+WITH ga AS (
+  SELECT doc_id, keep AS keep_a FROM ({_GOPHER_SQL})
+), gb AS (
+  SELECT doc_id, keep_quality_rel AS keep_b
+  FROM ({_quality_percentile_sql()})
+), cells AS (
+  SELECT CAST(SUM(CASE WHEN keep_a AND keep_b THEN 1 ELSE 0 END)
+              AS BIGINT) AS n11,
+         CAST(SUM(CASE WHEN keep_a AND NOT keep_b THEN 1 ELSE 0 END)
+              AS BIGINT) AS n10,
+         CAST(SUM(CASE WHEN NOT keep_a AND keep_b THEN 1 ELSE 0 END)
+              AS BIGINT) AS n01,
+         CAST(SUM(CASE WHEN NOT keep_a AND NOT keep_b THEN 1 ELSE 0 END)
+              AS BIGINT) AS n00
+  FROM ga JOIN gb USING (doc_id)
+)
+SELECT n11, n10, n01, n00,
+       round((n11 + n00) / CAST(n11 + n10 + n01 + n00 AS DOUBLE), 6)
+         AS agreement,
+       round(((n11 + n00) / CAST(n11 + n10 + n01 + n00 AS DOUBLE)
+              - (((n11 + n10) * (n11 + n01))
+                 + ((n00 + n01) * (n00 + n10)))
+                / (CAST(n11 + n10 + n01 + n00 AS DOUBLE)
+                   * CAST(n11 + n10 + n01 + n00 AS DOUBLE)))
+             / (1 - (((n11 + n10) * (n11 + n01))
+                     + ((n00 + n01) * (n00 + n10)))
+                  / (CAST(n11 + n10 + n01 + n00 AS DOUBLE)
+                     * CAST(n11 + n10 + n01 + n00 AS DOUBLE))), 6)
+         AS kappa,
+       round(CASE WHEN n10 + n01 > 0
+             THEN pow(abs(n10 - n01) - 1, 2)
+                  / CAST(n10 + n01 AS DOUBLE) ELSE 0.0 END, 6)
+         AS mcnemar_chi2,
+       CASE WHEN n10 + n01 > 0
+            THEN pow(abs(n10 - n01) - 1, 2)
+                 / CAST(n10 + n01 AS DOUBLE) ELSE 0.0 END > 3.841
+         AS gates_differ
+FROM cells
+"""
+
+
 COMPACT_TARGET_BYTES = 20_000
 
 
@@ -3167,6 +3260,7 @@ ORDER BY out_group, file_bytes DESC, source
 
 SPARK_QUERIES = {
     "docs_metric_bootstrap_ci": docs_metric_bootstrap_ci,
+    "docs_gate_mcnemar": docs_gate_mcnemar,
     "shards_compaction_plan": shards_compaction_plan,
     "docs_quality_constraints": docs_quality_constraints,
     "docs_quality_rrf": docs_quality_rrf,
@@ -3212,6 +3306,7 @@ SPARK_QUERIES = {
 ORACLE_SQL = {
     "docs_quality_constraints": QUALITY_CONSTRAINTS_SQL,
     "docs_metric_bootstrap_ci": _bootstrap_ci_sql(),
+    "docs_gate_mcnemar": _gate_mcnemar_sql(),
     "shards_compaction_plan": SHARDS_COMPACTION_SQL,
     "docs_quality_rrf": _quality_rrf_sql(),
     "docs_quality_calibration": _quality_calibration_sql(),

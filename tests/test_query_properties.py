@@ -682,3 +682,24 @@ def test_bootstrap_ci_brackets_estimate_and_is_tight(spark):
         assert r.ci_lo < r.estimate < r.ci_hi
         assert r.n_replicas == 200
     assert (big.ci_hi - big.ci_lo) < (small.ci_hi - small.ci_lo)
+
+
+def test_gate_mcnemar_cell_and_kappa_algebra(spark):
+    """Cells tile the corpus, agreement/kappa/chi2 replay exactly from
+    the integer cells, and kappa <= agreement (chance correction can
+    only lower it)."""
+    from ocr_spark.plans.curation import docs_gate_mcnemar
+
+    r = docs_gate_mcnemar(spark, "/root/testdata/sf0.01").collect()[0]
+    n = r.n11 + r.n10 + r.n01 + r.n00
+    assert n == 500
+    po = (r.n11 + r.n00) / n
+    pe = ((r.n11 + r.n10) * (r.n11 + r.n01)
+          + (r.n00 + r.n01) * (r.n00 + r.n10)) / (n * n)
+    assert abs(r.agreement - round(po, 6)) < 1e-9
+    assert abs(r.kappa - round((po - pe) / (1 - pe), 6)) < 1e-9
+    disc = r.n10 + r.n01
+    chi = (abs(r.n10 - r.n01) - 1) ** 2 / disc if disc else 0.0
+    assert abs(r.mcnemar_chi2 - round(chi, 6)) < 1e-9
+    assert r.gates_differ == (chi > 3.841)
+    assert r.kappa <= r.agreement + 1e-9
