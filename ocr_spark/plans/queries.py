@@ -1810,6 +1810,441 @@ FROM sig ORDER BY day
 """
 
 
+POWER_Z_ALPHA = 1.959964   # two-sided 5%
+POWER_Z_BETA = 0.841621    # 80% power
+POWER_MDES = (0.01, 0.02, 0.05, 0.10)   # relative minimum detectable effects
+
+
+def ev_experiment_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-experiment power analysis — the planning companion to
+    ev_experiment_srm / _cuped / _ci: from the HISTORICAL per-user
+    revenue distribution, the required sample size per arm for each
+    candidate relative MDE under the standard two-sample normal
+    approximation n = 2·(z_α/2 + z_β)²·σ²/δ², δ = mde·μ (Kohavi et
+    al., "Trustworthy Online Controlled Experiments" §17), plus the
+    implied run length at the observed distinct-users-per-day rate.
+
+    Cross-engine float discipline: per-user revenue is integer cents;
+    μ and σ² come from BIGINT (n, Σx, Σx²) moments with the float
+    tree mirrored term for term in the oracle; n_per_arm is emitted
+    as round(·, 4) — a planning number — rather than ceil, so no
+    integer-boundary sensitivity exists anywhere.
+
+    Scale shape (100 TB of events): one user-keyed partial aggregate
+    (per-user cents), one 1-row moment aggregate, one day-cardinality
+    aggregate for the traffic rate, then a 4-element literal MDE
+    explode on the 1-row frame. Nothing downstream of the first
+    groupBy scales with event volume."""
+    ev = t(spark, sf_dir, "events")
+    per_user = (ev.groupBy("user_id")
+                .agg(F.sum(F.when(F.col("event_type") == "purchase",
+                                  F.round(F.col("value") * 100)
+                                  .cast("long")).otherwise(0))
+                     .alias("cents")))
+    mom = per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("cents").alias("sx"),
+        F.sum(F.col("cents") * F.col("cents")).alias("sxx"))
+    days = (ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+            .agg(F.count(F.lit(1)).alias("n_user_days"),
+                 F.countDistinct("day").alias("n_days")))
+    base = mom.crossJoin(F.broadcast(days)).select(
+        "n_users", "sx", "sxx",
+        (F.col("sx") / F.col("n_users")).alias("mu"),
+        ((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n_users"))
+         / (F.col("n_users") - 1)).alias("var"),
+        (F.col("n_user_days") / F.col("n_days")).alias("users_per_day"))
+    z2 = (POWER_Z_ALPHA + POWER_Z_BETA) ** 2
+    out = (base.select(
+        F.explode(F.array(*[F.lit(m) for m in POWER_MDES])).alias("mde"),
+        "n_users", "mu", "var", "users_per_day")
+        .withColumn("n_per_arm",
+                    2.0 * z2 * F.col("var")
+                    / ((F.col("mde") * F.col("mu"))
+                       * (F.col("mde") * F.col("mu")))))
+    return out.select(
+        F.round("mde", 4).alias("mde"),
+        F.col("n_users").cast("long").alias("n_users_hist"),
+        F.round(F.col("mu") / 100.0, 6).alias("mean_revenue"),
+        F.round(F.sqrt("var") / 100.0, 6).alias("sd_revenue"),
+        F.round("n_per_arm", 4).alias("n_per_arm"),
+        F.round(2.0 * F.col("n_per_arm") / F.col("users_per_day"), 4)
+        .alias("days_to_run")).orderBy("mde")
+
+
+def _power_sql() -> str:
+    z2 = (POWER_Z_ALPHA + POWER_Z_BETA) ** 2
+    mdes = ", ".join(f"({m})" for m in POWER_MDES)
+    return f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS cents
+  FROM events GROUP BY user_id
+), mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(cents) AS BIGINT) AS sx,
+         CAST(SUM(cents * cents) AS BIGINT) AS sxx
+  FROM per_user
+), days AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_user_days,
+         CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days
+  FROM (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events)
+), base AS (
+  SELECT n_users, sx / CAST(n_users AS DOUBLE) AS mu,
+         (sxx - sx * CAST(sx AS DOUBLE) / n_users)
+           / (n_users - 1) AS var,
+         n_user_days / CAST(n_days AS DOUBLE) AS users_per_day
+  FROM mom CROSS JOIN days
+), mdes(mde) AS (VALUES {mdes}),
+armed AS (
+  SELECT mde, n_users, mu, var, users_per_day,
+         2.0 * {z2!r} * var / ((mde * mu) * (mde * mu)) AS n_per_arm
+  FROM base CROSS JOIN mdes
+)
+SELECT round(mde, 4) AS mde, n_users AS n_users_hist,
+       round(mu / 100.0, 6) AS mean_revenue,
+       round(sqrt(var) / 100.0, 6) AS sd_revenue,
+       round(n_per_arm, 4) AS n_per_arm,
+       round(2.0 * n_per_arm / users_per_day, 4) AS days_to_run
+FROM armed ORDER BY mde
+"""
+
+
+CUSUM_K = 0.5    # slack, in sigma units
+CUSUM_H = 4.0    # decision threshold, in sigma units
+
+
+def ev_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided standardized CUSUM changepoint detection over the
+    daily event series (Page 1954) — the monitoring primitive that
+    catches sustained level shifts the per-day z-score of
+    ev_anomaly_daily misses: S⁺_t = max(0, S⁺_{t−1} + z_t − k),
+    S⁻_t = max(0, S⁻_{t−1} − z_t − k) with z_t standardized against
+    the full-series mean/sd, alarm when either side exceeds h.
+
+    Determinism: μ and σ come from BIGINT (n, Σy, Σy²) moments with
+    the float tree mirrored in the oracle; the recurrence is
+    inherently sequential so — exactly like ev_forecast_holt — it
+    folds ONCE over the day-ordered array with ``F.aggregate``, the
+    same IEEE op sequence the oracle's recursive CTE performs.
+
+    Scale shape: ONE day-keyed partial aggregate (shuffle volume =
+    day cardinality), a 1-row collect of the bounded day series, a
+    narrow fold, one explode. Event volume only touches the first
+    map-side-combined groupBy."""
+    ev = t(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.to_date("ts").alias("day"))
+             .agg(F.count(F.lit(1)).alias("y")))
+    mom = daily.agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("y").alias("sy"),
+                    F.sum(F.col("y") * F.col("y")).alias("syy"))
+    series = daily.agg(F.sort_array(
+        F.collect_list(F.struct("day", "y"))).alias("s"))
+    both = series.crossJoin(F.broadcast(mom)).select(
+        "s", (F.col("sy") / F.col("n")).alias("mu"),
+        F.sqrt((F.col("syy") - F.col("sy") * F.col("sy") / F.col("n"))
+               / (F.col("n") - 1)).alias("sd"))
+    k = F.lit(CUSUM_K)
+    init = F.struct(
+        F.lit(0.0).alias("sp"), F.lit(0.0).alias("sn"),
+        F.expr("CAST(array() AS "
+               "ARRAY<STRUCT<day: DATE, y: BIGINT, z: DOUBLE,"
+               " sp: DOUBLE, sn: DOUBLE>>)").alias("out"))
+    mu, sd = F.col("mu"), F.col("sd")
+    folded = F.aggregate(
+        F.col("s"), init,
+        lambda acc, x: F.struct(
+            F.greatest(F.lit(0.0),
+                       acc["sp"] + (x["y"] - mu) / sd - k).alias("sp"),
+            F.greatest(F.lit(0.0),
+                       acc["sn"] - (x["y"] - mu) / sd - k).alias("sn"),
+            F.concat(acc["out"], F.array(F.struct(
+                x["day"].alias("day"), x["y"].cast("long").alias("y"),
+                ((x["y"] - mu) / sd).alias("z"),
+                F.greatest(F.lit(0.0),
+                           acc["sp"] + (x["y"] - mu) / sd - k).alias("sp"),
+                F.greatest(F.lit(0.0),
+                           acc["sn"] - (x["y"] - mu) / sd - k)
+                .alias("sn")))).alias("out")))
+    return (both.select(F.explode(folded["out"]).alias("r"))
+            .select(F.date_format("r.day", "yyyy-MM-dd").alias("day"),
+                    F.col("r.y").alias("y"),
+                    F.round("r.z", 6).alias("z"),
+                    F.round("r.sp", 6).alias("cusum_pos"),
+                    F.round("r.sn", 6).alias("cusum_neg"),
+                    ((F.col("r.sp") > CUSUM_H) | (F.col("r.sn") > CUSUM_H))
+                    .alias("alarm"))
+            .orderBy("day"))
+
+
+def _cusum_sql() -> str:
+    k, h = CUSUM_K, CUSUM_H
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM daily
+), stats AS (
+  SELECT sy / CAST(n AS DOUBLE) AS mu,
+         sqrt((syy - sy * CAST(sy AS DOUBLE) / n) / (n - 1)) AS sd
+  FROM mom
+), ordered AS (
+  SELECT day, y, row_number() OVER (ORDER BY day) AS rn FROM daily
+), step(rn, day, y, z, sp, sn) AS (
+  SELECT o.rn, o.day, o.y, (o.y - s.mu) / s.sd,
+         greatest(0.0, 0.0 + (o.y - s.mu) / s.sd - {k}),
+         greatest(0.0, 0.0 - (o.y - s.mu) / s.sd - {k})
+  FROM ordered o CROSS JOIN stats s WHERE o.rn = 1
+  UNION ALL
+  SELECT o.rn, o.day, o.y, (o.y - s.mu) / s.sd,
+         greatest(0.0, p.sp + (o.y - s.mu) / s.sd - {k}),
+         greatest(0.0, p.sn - (o.y - s.mu) / s.sd - {k})
+  FROM step p JOIN ordered o ON o.rn = p.rn + 1 CROSS JOIN stats s
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, y, round(z, 6) AS z,
+       round(sp, 6) AS cusum_pos, round(sn, 6) AS cusum_neg,
+       (sp > {h} OR sn > {h}) AS alarm
+FROM step ORDER BY day
+"""
+
+
+MARKOV_ATTR_CHANNELS = ("view", "click")
+MARKOV_ATTR_ITERS = 25
+_MICRO = 1_000_000
+
+
+def _markov_attr_stages(div: str) -> tuple[list[list[tuple[str, str]]], str]:
+    """Shared emitter for the Markov-attribution integer arithmetic.
+
+    Returns ``(stages, n_conv_expr)``: each stage is a list of
+    (column_name, expression_string) pairs computed simultaneously
+    from the previous stage's columns, and BOTH engines evaluate the
+    same strings verbatim — the Spark side via one ``withColumns``
+    of ``F.expr`` per stage, the oracle via one chained CTE per
+    stage — parameterized only by the integer-div token (Spark
+    ``DIV``, DuckDB ``//``). Every iteration materializes its
+    absorption values as columns (``a_<variant>_<ch>_<i>``) so the
+    expression tree stays linear in the iteration count, and every
+    product, sum, and truncating division happens in the same order
+    with the same BIGINT semantics on both engines."""
+    chans = MARKOV_ATTR_CHANNELS
+    srcs = ("start",) + chans
+    stages: list[list[tuple[str, str]]] = []
+    probs = []
+    for s in srcs:
+        for d in chans + ("conv", "null"):
+            probs.append((
+                f"p_{s}_{d}",
+                f"CASE WHEN tot_{s} > 0 THEN (n_{s}_{d} * {_MICRO})"
+                f" {div} tot_{s} ELSE CAST(0 AS BIGINT) END"))
+    stages.append(probs)
+    for removed in (None,) + chans:
+        tag = "full" if removed is None else f"no_{removed}"
+        stages.append([(f"a_{tag}_{ch}_0", "CAST(0 AS BIGINT)")
+                       for ch in chans])
+        for i in range(1, MARKOV_ATTR_ITERS + 1):
+            stage = []
+            for ch in chans:
+                if removed == ch:
+                    stage.append((f"a_{tag}_{ch}_{i}",
+                                  "CAST(0 AS BIGINT)"))
+                    continue
+                terms = " + ".join(
+                    f"p_{ch}_{nx} * a_{tag}_{nx}_{i - 1}"
+                    for nx in chans if removed != nx)
+                stage.append((
+                    f"a_{tag}_{ch}_{i}",
+                    f"p_{ch}_conv + ({terms}) {div} {_MICRO}"))
+            stages.append(stage)
+        start_terms = " + ".join(
+            f"p_start_{ch} * a_{tag}_{ch}_{MARKOV_ATTR_ITERS}"
+            for ch in chans if removed != ch)
+        stages.append([(
+            f"p_{tag}",
+            f"p_start_conv + ({start_terms}) {div} {_MICRO}"
+            if start_terms else "p_start_conv")])
+    stages.append([
+        (f"re_{ch}",
+         f"greatest(CAST(0 AS BIGINT), p_full - p_no_{ch})")
+        for ch in chans])
+    stages.append([("re_sum",
+                    " + ".join(f"re_{ch}" for ch in chans))])
+    n_conv = " + ".join(f"n_{s}_conv" for s in srcs)
+    return stages, f"CAST({n_conv} AS BIGINT)"
+
+
+def ev_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven Markov removal-effect attribution (Anderl et al.
+    2016) — the model-based companion to ev_attribution's positional
+    heuristics: user journeys (delimited by purchases; a trailing
+    purchase-less suffix is a non-converting journey absorbed by the
+    'null' state) become a first-order chain over transient states
+    {start, view, click} with absorbing {conv, null}; a channel's
+    credit is its REMOVAL EFFECT — how much the start→conv absorption
+    probability drops when every edge into that channel is redirected
+    to null — normalized across channels and scaled by the observed
+    conversion count, so total Markov credit equals conversions.
+
+    Determinism: transition probabilities live in integer micro-units
+    (cnt·10⁶ DIV row-total); absorption is a 25-step value iteration
+    a' = p(conv) + (Σ p(ch)·a_ch) DIV 10⁶ in pure BIGINT. Spark and
+    the oracle evaluate the SAME generated expression strings
+    (``_markov_attr_stages``), differing only in the integer-div
+    token — bit-identical by construction, no float until the final
+    readout division. The channel set is the same literal pair the
+    heuristic model uses, so no driver-side collect exists.
+
+    Scale shape (100 TB of events): ONE user-keyed window shuffle
+    builds journey ids and lagged states; transition counting is a
+    partial-agg groupBy on the tiny (src, dst) vocabulary; everything
+    after — the pivot to one row and the staged iteration — is
+    narrow arithmetic on a 1-row frame."""
+    chans = MARKOV_ATTR_CHANNELS
+    srcs = ("start",) + chans
+    ev = (t(spark, sf_dir, "events")
+          .filter(F.col("event_type").isin(*chans, "purchase"))
+          .select("user_id", "ts", "event_id",
+                  F.when(F.col("event_type") == "purchase", "conv")
+                  .otherwise(F.col("event_type")).alias("state")))
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    jid = F.coalesce(
+        F.sum(F.when(F.col("state") == "conv", 1).otherwise(0))
+        .over(w_user.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0))
+    rows = ev.withColumn("jid", jid)
+    w_j = Window.partitionBy("user_id", "jid").orderBy("ts", "event_id")
+    lagged = rows.withColumn(
+        "src", F.coalesce(F.lag("state").over(w_j), F.lit("start")))
+    t1 = lagged.select("src", F.col("state").alias("dst"))
+    per_j = (rows.groupBy("user_id", "jid")
+             .agg(F.max(F.when(F.col("state") == "conv", 1).otherwise(0))
+                  .alias("has_conv"),
+                  F.expr("max_by(state, struct(ts, event_id))")
+                  .alias("last_state")))
+    t2 = (per_j.filter(F.col("has_conv") == 0)
+          .select(F.col("last_state").alias("src"),
+                  F.lit("null").alias("dst")))
+    counts = (t1.unionByName(t2)
+              .groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n")))
+    aggs = []
+    for s in srcs:
+        for d in chans + ("conv", "null"):
+            aggs.append(F.sum(F.when((F.col("src") == s)
+                                     & (F.col("dst") == d),
+                                     F.col("n")).otherwise(0))
+                        .cast("long").alias(f"n_{s}_{d}"))
+        aggs.append(F.sum(F.when(F.col("src") == s, F.col("n"))
+                          .otherwise(0)).cast("long").alias(f"tot_{s}"))
+    one = counts.agg(*aggs)
+    stages, n_conv_expr = _markov_attr_stages("DIV")
+    for stage in stages:
+        one = one.withColumns({name: F.expr(expr)
+                               for name, expr in stage})
+    one = one.withColumn("n_conv", F.expr(n_conv_expr))
+    slices = []
+    for ch in chans:
+        slices.append(one.select(
+            F.lit(ch).alias("channel"),
+            F.col("n_conv"),
+            F.round(F.col("p_full") / _MICRO, 6).alias("p_conv_full"),
+            F.round(F.col(f"p_no_{ch}") / _MICRO, 6)
+            .alias("p_conv_removed"),
+            F.round(F.col(f"re_{ch}") / _MICRO, 6)
+            .alias("removal_effect"),
+            F.round(F.when(F.col("re_sum") > 0,
+                           F.col("n_conv") * F.col(f"re_{ch}")
+                           / F.col("re_sum")).otherwise(0.0), 6)
+            .alias("credit_markov")))
+    out = slices[0]
+    for s in slices[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("channel")
+
+
+def _markov_attr_sql() -> str:
+    chans = MARKOV_ATTR_CHANNELS
+    srcs = ("start",) + chans
+    piv = []
+    for s in srcs:
+        for d in chans + ("conv", "null"):
+            piv.append(
+                f"CAST(SUM(CASE WHEN src = '{s}' AND dst = '{d}' "
+                f"THEN n ELSE 0 END) AS BIGINT) AS n_{s}_{d}")
+        piv.append(f"CAST(SUM(CASE WHEN src = '{s}' THEN n ELSE 0 END)"
+                   f" AS BIGINT) AS tot_{s}")
+    stages, n_conv_expr = _markov_attr_stages("//")
+    chain = []
+    prev = "pivoted"
+    for i, stage in enumerate(stages):
+        cols = ", ".join(f"{expr} AS {name}" for name, expr in stage)
+        chain.append(f"st{i} AS (SELECT *, {cols} FROM {prev})")
+        prev = f"st{i}"
+    chan_list = ", ".join(f"'{c}'" for c in chans)
+    selects = " UNION ALL ".join(
+        f"SELECT '{ch}' AS channel, n_conv, "
+        f"round(p_full / {_MICRO}.0, 6) AS p_conv_full, "
+        f"round(p_no_{ch} / {_MICRO}.0, 6) AS p_conv_removed, "
+        f"round(re_{ch} / {_MICRO}.0, 6) AS removal_effect, "
+        f"round(CASE WHEN re_sum > 0 THEN n_conv * re_{ch} "
+        f"/ CAST(re_sum AS DOUBLE) ELSE 0.0 END, 6) AS credit_markov "
+        f"FROM final" for ch in chans)
+    return f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'purchase' THEN 'conv'
+              ELSE event_type END AS state
+  FROM events
+  WHERE event_type IN ({chan_list}, 'purchase')
+), j AS (
+  SELECT user_id, ts, event_id, state,
+         COALESCE(SUM(CASE WHEN state = 'conv' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS jid
+  FROM ev
+), lagged AS (
+  SELECT COALESCE(lag(state) OVER (PARTITION BY user_id, jid
+                                   ORDER BY ts, event_id),
+                  'start') AS src,
+         state AS dst
+  FROM j
+), per_j AS (
+  SELECT user_id, jid,
+         MAX(CASE WHEN state = 'conv' THEN 1 ELSE 0 END) AS has_conv
+  FROM j GROUP BY user_id, jid
+), last AS (
+  SELECT user_id, jid, state AS last_state
+  FROM (SELECT user_id, jid, state,
+               row_number() OVER (PARTITION BY user_id, jid
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM j)
+  WHERE rn = 1
+), trans AS (
+  SELECT src, dst FROM lagged
+  UNION ALL
+  SELECT l.last_state AS src, 'null' AS dst
+  FROM per_j p JOIN last l
+    ON l.user_id = p.user_id AND l.jid = p.jid
+  WHERE p.has_conv = 0
+), counts AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+  FROM trans GROUP BY src, dst
+), pivoted AS (
+  SELECT {', '.join(piv)} FROM counts
+), {', '.join(chain)},
+final AS (
+  SELECT *, {n_conv_expr} AS n_conv FROM {prev}
+)
+{selects}
+ORDER BY channel
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1842,6 +2277,9 @@ SPARK_QUERIES = {
     "ev_next_event_eval": ev_next_event_eval,
     "ev_forecast_holt": ev_forecast_holt,
     "ev_survival_km": ev_survival_km,
+    "ev_experiment_power": ev_experiment_power,
+    "ev_changepoint_cusum": ev_changepoint_cusum,
+    "ev_attribution_markov": ev_attribution_markov,
     "docs_lang_stats": docs_lang_stats,
     "docs_token_count": docs_token_count,
     "docs_exact_dedup": docs_exact_dedup,
@@ -1877,6 +2315,9 @@ ORACLE_SQL = {
     "ev_next_event_eval": EV_NEXT_EVENT_EVAL_SQL,
     "ev_forecast_holt": _holt_sql(),
     "ev_survival_km": EV_SURVIVAL_KM_SQL,
+    "ev_experiment_power": _power_sql(),
+    "ev_changepoint_cusum": _cusum_sql(),
+    "ev_attribution_markov": _markov_attr_sql(),
     "docs_lang_stats": DOCS_LANG_SQL,
     "docs_token_count": DOCS_TOKENS_SQL,
     "docs_exact_dedup": DOCS_DEDUP_SQL,

@@ -2396,3 +2396,28 @@ def test_final_session_event_plan_shapes(spark):
     df.collect()
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in final
+
+
+def test_decision_ops_plan_shapes(spark):
+    """Exchange budgets for the power / CUSUM / Markov-attribution
+    trio: the 1-row moment frames ride broadcasts (never a
+    SortMergeJoin), the sequential folds leave event volume behind at
+    the first day-keyed partial aggregate, and Markov attribution's
+    two channel slices collapse onto shared exchanges at runtime
+    (AQE ReusedExchange) instead of re-scanning events."""
+    from ocr_spark.plans.queries import (
+        ev_attribution_markov, ev_changepoint_cusum,
+        ev_experiment_power)
+
+    p = fmt(ev_experiment_power(spark, SF))
+    assert "SortMergeJoin" not in p
+    assert "BroadcastNestedLoopJoin" in p   # 1-row traffic frame
+    p = fmt(ev_changepoint_cusum(spark, SF))
+    assert "SortMergeJoin" not in p
+    assert "BroadcastNestedLoopJoin" in p   # 1-row moment frame
+    df = ev_attribution_markov(spark, SF)
+    p = fmt(df)
+    assert "SortMergeJoin" not in p
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final

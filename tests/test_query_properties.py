@@ -703,3 +703,131 @@ def test_gate_mcnemar_cell_and_kappa_algebra(spark):
     assert abs(r.mcnemar_chi2 - round(chi, 6)) < 1e-9
     assert r.gates_differ == (chi > 3.841)
     assert r.kappa <= r.agreement + 1e-9
+
+
+def test_experiment_power_monotone_and_algebra(spark):
+    """n_per_arm falls as 1/mde² (exact ratio check against the
+    emitted means), days_to_run is the 2·n/users-per-day readout of
+    the same row, and every planning number is positive."""
+    from ocr_spark.plans.queries import POWER_MDES, ev_experiment_power
+
+    rows = sorted(ev_experiment_power(spark, "/root/testdata/sf0.01")
+                  .collect(), key=lambda r: r.mde)
+    assert [r.mde for r in rows] == [round(m, 4) for m in POWER_MDES]
+    for r in rows:
+        assert r.n_per_arm > 0 and r.days_to_run > 0
+        assert r.mean_revenue > 0 and r.sd_revenue > 0
+    # n ∝ 1/mde²: cross-ratios must match the mde ratio squared
+    for a, b in zip(rows, rows[1:]):
+        want = (b.mde / a.mde) ** 2
+        assert abs(a.n_per_arm / b.n_per_arm - want) < 1e-3 * want
+    # one shared users_per_day: days ratio mirrors the n ratio
+    for a, b in zip(rows, rows[1:]):
+        assert abs(a.days_to_run / b.days_to_run
+                   - a.n_per_arm / b.n_per_arm) < 1e-3
+
+
+def test_changepoint_cusum_python_replay(spark):
+    """Exact Python replay of the CUSUM recurrence from the same
+    daily counts: both sides are nonnegative, reset exactly where
+    max(0, ·) binds, and alarms fire iff a side exceeds h."""
+    import duckdb
+
+    from ocr_spark.plans.queries import (
+        CUSUM_H, CUSUM_K, ev_changepoint_cusum)
+
+    rows = sorted(ev_changepoint_cusum(spark, "/root/testdata/sf0.01")
+                  .collect(), key=lambda r: r.day)
+    daily = duckdb.sql(
+        "SELECT CAST(ts AS DATE) AS day, COUNT(*) AS y FROM "
+        "read_parquet('/root/testdata/sf0.01/events.parquet') "
+        "GROUP BY 1 ORDER BY 1").fetchall()
+    ys = [y for _, y in daily]
+    n = len(ys)
+    mu = sum(ys) / n
+    sd = ((sum(y * y for y in ys) - sum(ys) ** 2 / n) / (n - 1)) ** 0.5
+    sp = sn = 0.0
+    assert len(rows) == n
+    for r, y in zip(rows, ys):
+        z = (y - mu) / sd
+        sp = max(0.0, sp + z - CUSUM_K)
+        sn = max(0.0, sn - z - CUSUM_K)
+        assert r.y == y
+        assert abs(r.cusum_pos - round(sp, 6)) < 1e-9
+        assert abs(r.cusum_neg - round(sn, 6)) < 1e-9
+        assert r.alarm == (sp > CUSUM_H or sn > CUSUM_H)
+        assert r.cusum_pos >= 0 and r.cusum_neg >= 0
+
+
+def test_markov_attribution_removal_effect_invariants(spark):
+    """Removal can only lose conversions (p_removed ≤ p_full up to
+    integer-micro truncation), Markov credit books balance to the
+    conversion count, and the integer value iteration replayed in
+    pure Python from the same journey construction matches the
+    emitted micro-probabilities exactly."""
+    import duckdb
+
+    from ocr_spark.plans.queries import (
+        MARKOV_ATTR_CHANNELS, MARKOV_ATTR_ITERS, ev_attribution_markov)
+
+    rows = {r.channel: r
+            for r in ev_attribution_markov(
+                spark, "/root/testdata/sf0.01").collect()}
+    assert set(rows) == set(MARKOV_ATTR_CHANNELS)
+    n_conv = next(iter(rows.values())).n_conv
+    assert n_conv > 0
+    for r in rows.values():
+        assert r.n_conv == n_conv
+        assert r.removal_effect >= 0
+        assert r.p_conv_removed <= r.p_conv_full + 1e-5
+    credits = sum(r.credit_markov for r in rows.values())
+    assert abs(credits - n_conv) < 1e-3
+    # pure-Python replay of journeys → transitions → value iteration
+    ev = duckdb.sql(
+        "SELECT user_id, ts, event_id, CASE WHEN event_type = "
+        "'purchase' THEN 'conv' ELSE event_type END AS state FROM "
+        "read_parquet('/root/testdata/sf0.01/events.parquet') WHERE "
+        "event_type IN ('view', 'click', 'purchase') "
+        "ORDER BY user_id, ts, event_id").fetchall()
+    from collections import Counter, defaultdict
+    trans = Counter()
+    journeys = defaultdict(list)
+    jid_by_user = Counter()
+    for user, _, _, state in ev:
+        journeys[(user, jid_by_user[user])].append(state)
+        if state == "conv":
+            jid_by_user[user] += 1
+    for seq in journeys.values():
+        prev = "start"
+        for s in seq:
+            trans[(prev, s)] += 1
+            prev = s
+        if seq[-1] != "conv":
+            trans[(prev, "null")] += 1
+    M = 1_000_000
+    chans = MARKOV_ATTR_CHANNELS
+    tot = Counter()
+    for (s, _), c in trans.items():
+        tot[s] += c
+    def p(s, d):
+        return (trans[(s, d)] * M) // tot[s] if tot[s] else 0
+    def absorb(removed):
+        a = {ch: 0 for ch in chans}
+        for _ in range(MARKOV_ATTR_ITERS):
+            nxt = {}
+            for ch in chans:
+                if ch == removed:
+                    nxt[ch] = 0
+                    continue
+                acc = sum(p(ch, nx) * a[nx]
+                          for nx in chans if nx != removed)
+                nxt[ch] = p(ch, "conv") + acc // M
+            a = nxt
+        acc = sum(p("start", ch) * a[ch]
+                  for ch in chans if ch != removed)
+        return p("start", "conv") + acc // M
+    p_full = absorb(None)
+    for ch in chans:
+        r = rows[ch]
+        assert abs(r.p_conv_full - round(p_full / M, 6)) < 1e-9
+        assert abs(r.p_conv_removed - round(absorb(ch) / M, 6)) < 1e-9
