@@ -72,7 +72,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "pages_scd2_history", "pages_consent_banner",
     # round-4 closing-session additions (never driver-checked)
     "ev_attribution_markov", "ev_experiment_power",
-    "ev_changepoint_cusum",
+    "ev_changepoint_cusum", "hosts_label_propagation",
     # this session's additions (never driver-checked by definition)
     "extract_eval_cer", "hosts_subdomain_explosion",
     "ev_markov_transitions", "emb_pq_train", "docs_quality_calibration",

@@ -732,6 +732,94 @@ LEFT JOIN sa{last} ON sa{last}.host = nodes.host
 LEFT JOIN sh{last} ON sh{last}.host = nodes.host""")
 
 
+LPA_ITERS = 4
+
+
+def hosts_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted synchronous label propagation (Raghavan et al. 2007)
+    over the UNDIRECTED followed-outlink host graph — the linear-time
+    community detector crawl pipelines run to group hosts into link
+    neighborhoods (mirror farms, partner networks, topic pockets)
+    before per-community budgeting: every host starts as its own
+    label; each round a host adopts the label with the largest
+    incident edge-weight sum, ties broken by smallest label —
+    the asynchronous variant's update-order dependence is exactly
+    what a distributed engine cannot reproduce, so the synchronous
+    (deterministic) form is the one implemented AND the one any
+    Spark/Pregel deployment actually ships.
+
+    Scale shape (10^12 pages): the page volume is left behind at the
+    first (src, dst) groupBy; every one of the LPA_ITERS rounds is an
+    equi-join keyed host + a (host, label) partial aggregate + a
+    host-keyed argmax window over the HOST-cardinality frame, with
+    localCheckpoint truncating lineage exactly like _pagerank_loop.
+    Community sizes ride one final label-keyed window."""
+    edges = (_followed_host_edges(spark, sf_dir)
+             .groupBy("src", "dst").agg(F.count("*").alias("w")))
+    und = (edges.unionByName(
+               edges.select(F.col("dst").alias("src"),
+                            F.col("src").alias("dst"), "w"))
+           .groupBy("src", "dst").agg(F.sum("w").alias("w"))
+           .localCheckpoint())
+    labels = (und.select(F.col("src").alias("host")).distinct()
+              .withColumn("label", F.col("host")))
+    w_arg = Window.partitionBy("host").orderBy(
+        F.desc("wsum"), F.asc("label"))
+    for _ in range(LPA_ITERS):
+        pull = (und.join(labels.withColumnRenamed("host", "src"), "src")
+                .groupBy(F.col("dst").alias("host"), "label")
+                .agg(F.sum("w").alias("wsum")))
+        labels = (pull.withColumn("rn", F.row_number().over(w_arg))
+                  .filter(F.col("rn") == 1)
+                  .select("host", "label")
+                  .localCheckpoint())
+    w_size = Window.partitionBy("community")
+    return (labels.select("host", F.col("label").alias("community"))
+            .withColumn("community_size",
+                        F.count(F.lit(1)).over(w_size).cast("long"))
+            .orderBy("host"))
+
+
+def _lpa_sql() -> str:
+    steps = ["""
+WITH page_edges AS (
+  SELECT 'site' || CAST(doc_id % 13 AS VARCHAR) || '.example.com' AS src,
+         'partner' || CAST(CASE WHEN doc_id % 13 = 11 THEN 2
+                                ELSE doc_id % 5 END AS VARCHAR)
+           || '.example.org' AS dst
+  FROM documents
+  WHERE doc_id % 17 <> 3
+), edges0 AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM page_edges GROUP BY src, dst
+), und AS (
+  SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
+    SELECT src, dst, w FROM edges0
+    UNION ALL
+    SELECT dst AS src, src AS dst, w FROM edges0
+  ) GROUP BY src, dst
+), l0 AS (
+  SELECT DISTINCT src AS host, src AS label FROM und
+)"""]
+    for i in range(LPA_ITERS):
+        steps.append(f""", p{i} AS MATERIALIZED (
+  SELECT und.dst AS host, l.label, CAST(SUM(und.w) AS BIGINT) AS wsum
+  FROM und JOIN l{i} l ON l.host = und.src
+  GROUP BY und.dst, l.label
+), l{i + 1} AS MATERIALIZED (
+  SELECT host, label FROM p{i}
+  QUALIFY row_number() OVER (PARTITION BY host
+                             ORDER BY wsum DESC, label ASC) = 1
+)""")
+    return "".join(steps) + f"""
+SELECT host, label AS community,
+       CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT)
+         AS community_size
+FROM l{LPA_ITERS}
+ORDER BY host
+"""
+
+
 # ---------------------------------------------------------------------------
 # link-spam scoring over the host graph
 # ---------------------------------------------------------------------------
@@ -5206,6 +5294,7 @@ SPARK_QUERIES = {
     "hosts_mirror_clusters": hosts_mirror_clusters,
     "hosts_trustrank": hosts_trustrank,
     "hosts_salsa": hosts_salsa,
+    "hosts_label_propagation": hosts_label_propagation,
     "hosts_pagerank_aged": hosts_pagerank_aged,
     "pages_content_sniff": pages_content_sniff,
     "docs_nfc_normalize": docs_nfc_normalize,
@@ -5272,6 +5361,7 @@ ORACLE_SQL = {
     "hosts_mirror_clusters": HOSTS_MIRROR_CLUSTERS_SQL,
     "hosts_trustrank": _trustrank_sql(),
     "hosts_salsa": _salsa_sql(),
+    "hosts_label_propagation": _lpa_sql(),
     "hosts_pagerank_aged": _pagerank_full_sql(
         redistribute_dangling=False, edges_cte=_PR_AGED_EDGES_CTE),
     "pages_content_sniff": PAGES_CONTENT_SNIFF_SQL,

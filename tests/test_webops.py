@@ -1108,3 +1108,59 @@ def test_subdomain_explosion_flags_only_wildcard_cohort(spark):
     assert cdn and all(r["max_subdomain_depth"] == 2 for r in cdn)
     apex = [r for d, r in rows.items() if d.startswith("media")]
     assert apex and all(r["max_subdomain_depth"] == 0 for r in apex)
+
+
+def test_label_propagation_replay_and_bipartite_fixed_point(spark):
+    """Pure-Python replay of synchronous weighted LPA from the same
+    generator edge structure matches the Spark result host for host;
+    labels always partition the node set (sizes sum to n); and on the
+    fixture's BIPARTITE site→partner graph the synchronous update
+    settles into the two sides as communities — the documented
+    oscillation behavior of synchronous LPA on bipartite graphs
+    (Raghavan et al. 2007 §3), pinned here so a future edge-structure
+    change that breaks bipartiteness shows up as a diff."""
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from ocr_spark.plans.webops import LPA_ITERS, hosts_label_propagation
+
+    rows = hosts_label_propagation(spark, SF).collect()
+    got = {r.host: r.community for r in rows}
+    sizes = Counter(r.community for r in rows)
+    for r in rows:
+        assert r.community_size == sizes[r.community]
+    assert sum(sizes.values()) == len(rows)
+    # replay from the same doc_id arithmetic the oracle CTE mirrors
+    ids = [i for (i,) in duckdb.sql(
+        "SELECT doc_id FROM read_parquet("
+        "'/root/testdata/sf0.01/documents.parquet') "
+        "WHERE doc_id % 17 <> 3").fetchall()]
+    w = Counter()
+    for i in ids:
+        src = f"site{i % 13}.example.com"
+        dst = f"partner{2 if i % 13 == 11 else i % 5}.example.org"
+        w[(src, dst)] += 1
+        w[(dst, src)] += 1
+    nbrs = defaultdict(dict)
+    for (a, b), c in w.items():
+        nbrs[a][b] = c
+    labels = {h: h for h in nbrs}
+    for _ in range(LPA_ITERS):
+        nxt = {}
+        for h, nb in nbrs.items():
+            pull = Counter()
+            for other, wt in nb.items():
+                pull[labels[other]] += wt
+            best = min(pull, key=lambda l: (-pull[l], l))
+            nxt[h] = best
+        labels = nxt
+    assert got == labels
+    # bipartite: every site host lands in one community, every
+    # partner host in another
+    comm_of = {r.host: r.community for r in rows}
+    site_comms = {c for h, c in comm_of.items() if h.startswith("site")}
+    partner_comms = {c for h, c in comm_of.items()
+                     if h.startswith("partner")}
+    assert len(site_comms) == 1 and len(partner_comms) == 1
+    assert site_comms != partner_comms
