@@ -639,3 +639,67 @@ def test_extractive_summary_selects_centroid_segments(spark):
         if sorted(top) != list(range(min(EX_SUMMARY_K, len(segs)))):
             nontrivial += 1
     assert nontrivial > 50
+
+
+def test_oph_kernel_densification_and_estimates():
+    """OPH kernel invariants without Spark: (a) every densified slot
+    is filled from the nearest non-empty bin to its cyclic right;
+    (b) identical texts hash identically; (c) on a duplicate-heavy
+    pair the OPH bin-match fraction tracks exact Jaccard at least as
+    well as chance, while a disjoint pair matches (almost) nowhere —
+    the estimator property one hash per shingle must preserve."""
+    from ocr_spark.plans.dataops import (
+        _KM_MOD, OPH_BINS, SHINGLE_W, oph_vec_py)
+    import hashlib
+    import re
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    sig, n_empty = oph_vec_py(text)
+    assert len(sig) == OPH_BINS and 0 <= n_empty < OPH_BINS
+    # replay the binning by hand
+    toks = re.split(r"\s+", text.lower().strip())
+    shingles = [" ".join(toks[i:i + SHINGLE_W])
+                for i in range(len(toks) - SHINGLE_W + 1)]
+    bins = [None] * OPH_BINS
+    for sh in shingles:
+        h = int(hashlib.md5(sh.encode()).hexdigest()[0:15], 16) % _KM_MOD
+        b = h % OPH_BINS
+        if bins[b] is None or h < bins[b]:
+            bins[b] = h
+    assert n_empty == sum(1 for v in bins if v is None)
+    for j in range(OPH_BINS):
+        for off in range(OPH_BINS):
+            v = bins[(j + off) % OPH_BINS]
+            if v is not None:
+                assert sig[j] == v
+                break
+    # determinism + self-identity
+    assert oph_vec_py(text)[0] == sig
+    # near-duplicate vs disjoint separation
+    a = " ".join(f"tok{i}" for i in range(60))
+    b = " ".join(f"tok{i}" for i in range(58)) + " other words"
+    c = " ".join(f"zzz{i}" for i in range(60))
+    sa, _ = oph_vec_py(a)
+    sb, _ = oph_vec_py(b)
+    sc, _ = oph_vec_py(c)
+    near = sum(x == y for x, y in zip(sa, sb)) / OPH_BINS
+    far = sum(x == y for x, y in zip(sa, sc)) / OPH_BINS
+    assert near > 0.5 > far
+    # degenerate inputs
+    assert oph_vec_py("") is None
+    assert oph_vec_py("one two") is None
+
+
+def test_oph_plan_is_narrow_map(spark):
+    """The OPH signature pass must stay scan → project (zero
+    shuffle) — its entire reason to exist is cutting per-split CPU,
+    so any exchange in this plan is a regression."""
+    import re
+
+    from ocr_spark.plans.dataops import docs_minhash_oph
+
+    df = docs_minhash_oph(spark, "/root/testdata/sf0.01")
+    qe = df._jdf.queryExecution()
+    plan = df._sc._jvm.org.apache.spark.sql.api.python.PythonSQLUtils \
+        .explainString(qe, "formatted")
+    assert not re.findall(r"\(\d+\) Exchange\b", plan)
