@@ -73,7 +73,8 @@ _DRIVER_FRONT: tuple[str, ...] = (
     # round-4 closing-session additions (never driver-checked)
     "ev_attribution_markov", "ev_experiment_power",
     "ev_changepoint_cusum", "hosts_label_propagation",
-    "docs_minhash_oph",
+    "docs_minhash_oph", "shards_zorder_layout",
+    "docs_uncertainty_sample",
     # this session's additions (never driver-checked by definition)
     "extract_eval_cer", "hosts_subdomain_explosion",
     "ev_markov_transitions", "emb_pq_train", "docs_quality_calibration",

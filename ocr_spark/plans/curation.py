@@ -3258,6 +3258,200 @@ ORDER BY out_group, file_bytes DESC, source
 """
 
 
+ZORDER_BITS = 8          # bits per dimension in the Morton interleave
+ZORDER_FILE_CAP = 25     # docs per planned file
+ZORDER_LEN_BUCKET = 32   # chars per length-bucket unit
+
+# (label, k1_lo, k1_hi, k2_lo, k2_hi): the predicate workload the
+# layout decision is evaluated against — host-only, length-only, and
+# combined shapes, because the whole point of Z-order is that ONE
+# layout serves predicates on EITHER dimension
+ZORDER_PREDICATES = (
+    ("host_eq_3", 3, 3, 0, 255),
+    ("len_256_383", 0, 12, 8, 11),
+    ("host_3_7_and_len", 3, 7, 8, 11),
+    ("host_5_9", 5, 9, 0, 255),
+)
+
+
+def _morton_expr(div: str) -> str:
+    """Bit-interleave z(k1, k2) emitted as portable integer
+    arithmetic — ((k DIV 2^i) % 2)·2^(2i+1|2i) summed over bits — so
+    Spark (DIV) and DuckDB (//) compute the identical Morton code
+    without relying on either engine's shift-operator dialect."""
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(f"((k1 {div} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"((k2 {div} {1 << i}) % 2) * {1 << (2 * i)}")
+    return " + ".join(terms)
+
+
+def shards_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order vs linear file-layout planner — the OPTIMIZE ZORDER
+    decision (Delta/Iceberg) made observable: docs carry two skipping
+    dimensions (host index and length bucket); the LINEAR layout
+    sorts files by (host, length) and serves host predicates
+    perfectly but length predicates not at all, while the Z-ORDER
+    layout sorts by the Morton interleave z(host, length) and serves
+    BOTH within ~2× of optimal. For each layout the query packs docs
+    into ZORDER_FILE_CAP-sized files, builds per-file zone maps
+    (min/max of each key), and evaluates the literal predicate
+    workload: a file is scanned iff its zone intersects the
+    predicate box — the exact manifest-level pruning rule
+    shards_zone_map's consumer applies. Output: files scanned per
+    predicate under each layout, on identical file counts.
+
+    Scale shape: the ranking windows here are single-partition ONLY
+    because the query plans a layout over the bounded test corpus —
+    the production write path is repartitionByRange(z) (cluster-wide
+    range partition on the Morton key, Delta's own OPTIMIZE shape)
+    followed by per-file local stats; the zone-map evaluation is a
+    broadcast of the literal predicate list against a
+    file-cardinality frame either way. All-integer arithmetic."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.col("doc_id") % 13).alias("k1"),
+        F.least(F.lit(255),
+                (F.col("n_chars") / ZORDER_LEN_BUCKET).cast("long"))
+        .alias("k2"))
+    z = F.expr(_morton_expr("DIV"))
+    keyed = docs.withColumn("z", z)
+    w_z = Window.orderBy("z", "doc_id")
+    w_lin = Window.orderBy("k1", "k2", "doc_id")
+    filed = keyed.select(
+        "k1", "k2",
+        ((F.row_number().over(w_z) - 1) / ZORDER_FILE_CAP).cast("int")
+        .alias("file_z"),
+        ((F.row_number().over(w_lin) - 1) / ZORDER_FILE_CAP).cast("int")
+        .alias("file_lin"))
+    zones_z = (filed.groupBy("file_z")
+               .agg(F.min("k1").alias("k1_min"), F.max("k1").alias("k1_max"),
+                    F.min("k2").alias("k2_min"), F.max("k2").alias("k2_max")))
+    zones_lin = (filed.groupBy("file_lin")
+                 .agg(F.min("k1").alias("k1_min"), F.max("k1").alias("k1_max"),
+                      F.min("k2").alias("k2_min"), F.max("k2").alias("k2_max")))
+    preds = F.explode(F.array(*[
+        F.struct(F.lit(lbl).alias("predicate"),
+                 F.lit(a).cast("long").alias("k1_lo"),
+                 F.lit(b).cast("long").alias("k1_hi"),
+                 F.lit(c).cast("long").alias("k2_lo"),
+                 F.lit(d).cast("long").alias("k2_hi"))
+        for lbl, a, b, c, d in ZORDER_PREDICATES])).alias("p")
+    pframe = spark.range(1).select(preds).select("p.*")
+    hit = ((F.col("k1_max") >= F.col("k1_lo"))
+           & (F.col("k1_min") <= F.col("k1_hi"))
+           & (F.col("k2_max") >= F.col("k2_lo"))
+           & (F.col("k2_min") <= F.col("k2_hi")))
+    sz = (zones_z.crossJoin(F.broadcast(pframe))
+          .groupBy("predicate")
+          .agg(F.count(F.lit(1)).alias("n_files"),
+               F.sum(hit.cast("long")).alias("files_zorder")))
+    sl = (zones_lin.crossJoin(F.broadcast(pframe))
+          .groupBy("predicate")
+          .agg(F.sum(hit.cast("long")).alias("files_linear")))
+    return (sz.join(sl, "predicate")
+            .select("predicate", "n_files", "files_linear",
+                    "files_zorder")
+            .orderBy("predicate"))
+
+
+def _zorder_sql() -> str:
+    preds = ",\n    ".join(
+        f"('{lbl}', {a}, {b}, {c}, {d})"
+        for lbl, a, b, c, d in ZORDER_PREDICATES)
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, doc_id % 13 AS k1,
+         least(255, n_chars // {ZORDER_LEN_BUCKET}) AS k2
+  FROM documents
+), zkeyed AS (
+  SELECT *, {_morton_expr('//')} AS z FROM keyed
+), filed AS (
+  SELECT k1, k2,
+         CAST((row_number() OVER (ORDER BY z, doc_id) - 1)
+              // {ZORDER_FILE_CAP} AS INT) AS file_z,
+         CAST((row_number() OVER (ORDER BY k1, k2, doc_id) - 1)
+              // {ZORDER_FILE_CAP} AS INT) AS file_lin
+  FROM zkeyed
+), zones_z AS (
+  SELECT file_z, MIN(k1) AS k1_min, MAX(k1) AS k1_max,
+         MIN(k2) AS k2_min, MAX(k2) AS k2_max
+  FROM filed GROUP BY file_z
+), zones_lin AS (
+  SELECT file_lin, MIN(k1) AS k1_min, MAX(k1) AS k1_max,
+         MIN(k2) AS k2_min, MAX(k2) AS k2_max
+  FROM filed GROUP BY file_lin
+), preds(predicate, k1_lo, k1_hi, k2_lo, k2_hi) AS (VALUES
+    {preds}
+), sz AS (
+  SELECT predicate, CAST(COUNT(*) AS BIGINT) AS n_files,
+         CAST(SUM(CASE WHEN k1_max >= k1_lo AND k1_min <= k1_hi
+                        AND k2_max >= k2_lo AND k2_min <= k2_hi
+                       THEN 1 ELSE 0 END) AS BIGINT) AS files_zorder
+  FROM zones_z CROSS JOIN preds GROUP BY predicate
+), sl AS (
+  SELECT predicate,
+         CAST(SUM(CASE WHEN k1_max >= k1_lo AND k1_min <= k1_hi
+                        AND k2_max >= k2_lo AND k2_min <= k2_hi
+                       THEN 1 ELSE 0 END) AS BIGINT) AS files_linear
+  FROM zones_lin CROSS JOIN preds GROUP BY predicate
+)
+SELECT predicate, n_files, files_linear, files_zorder
+FROM sz JOIN sl USING (predicate)
+ORDER BY predicate
+"""
+
+
+UNC_SAMPLE_K = 10   # labeling-batch size per language
+
+
+def docs_uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based active-learning batch selection over the quality
+    classifier (Lewis & Gale 1994 uncertainty sampling): the docs
+    whose score sits closest to the 0.5 decision boundary are the
+    ones whose human labels improve the classifier fastest, so each
+    language stratum nominates its UNC_SAMPLE_K smallest-margin docs
+    as the next annotation batch. This is the loop that turns
+    docs_classifier_score from a static artifact into a maintained
+    model — every production quality filter (DCLM, FineWeb-Edu)
+    retrains on batches chosen roughly this way.
+
+    Determinism: the margin ranks the ALREADY-ROUNDED score column
+    (SCORE_ROUND decimals on both engines), ties broken by doc_id.
+
+    Scale shape: the classifier subplan's broadcast-join + per-doc
+    groupBy, then ONE lang-keyed top-k window over the scored frame —
+    no new corpus-volume shuffle beyond the classifier's own."""
+    scored = docs_classifier_score(spark, sf_dir)
+    margin = F.abs(F.col("score") - 0.5)
+    w = Window.partitionBy("lang").orderBy(
+        F.asc("margin"), F.asc("doc_id"))
+    return (scored.withColumn("margin", F.round(margin, SCORE_ROUND))
+            .withColumn("rank_in_lang", F.row_number().over(w))
+            .filter(F.col("rank_in_lang") <= UNC_SAMPLE_K)
+            .select("lang", "rank_in_lang", "doc_id", "score",
+                    "margin", "label")
+            .orderBy("lang", "rank_in_lang"))
+
+
+def _uncertainty_sample_sql() -> str:
+    return f"""
+WITH scored AS ({_classifier_sql()}),
+ranked AS (
+  SELECT lang, doc_id, score, label,
+         round(abs(score - 0.5), {SCORE_ROUND}) AS margin,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY round(abs(score - 0.5),
+                                           {SCORE_ROUND}) ASC,
+                                     doc_id ASC) AS rank_in_lang
+  FROM scored
+)
+SELECT lang, rank_in_lang, doc_id, score, margin, label
+FROM ranked WHERE rank_in_lang <= {UNC_SAMPLE_K}
+ORDER BY lang, rank_in_lang
+"""
+
+
 SPARK_QUERIES = {
     "docs_metric_bootstrap_ci": docs_metric_bootstrap_ci,
     "docs_gate_mcnemar": docs_gate_mcnemar,
@@ -3290,6 +3484,8 @@ SPARK_QUERIES = {
     "docs_curriculum_order": docs_curriculum_order,
     "shards_manifest": shards_manifest,
     "shards_zone_map": shards_zone_map,
+    "shards_zorder_layout": shards_zorder_layout,
+    "docs_uncertainty_sample": docs_uncertainty_sample,
     "docs_quality_percentile_gate": docs_quality_percentile_gate,
     "docs_length_histogram": docs_length_histogram,
     "docs_zipf_profile": docs_zipf_profile,
@@ -3335,6 +3531,8 @@ ORACLE_SQL = {
     "docs_curriculum_order": _curriculum_order_sql(),
     "shards_manifest": SHARDS_MANIFEST_SQL,
     "shards_zone_map": SHARDS_ZONE_MAP_SQL,
+    "shards_zorder_layout": _zorder_sql(),
+    "docs_uncertainty_sample": _uncertainty_sample_sql(),
     "docs_quality_percentile_gate": _quality_percentile_sql(),
     "docs_length_histogram": LENGTH_HISTOGRAM_SQL,
     "docs_zipf_profile": ZIPF_PROFILE_SQL,

@@ -831,3 +831,72 @@ def test_markov_attribution_removal_effect_invariants(spark):
         r = rows[ch]
         assert abs(r.p_conv_full - round(p_full / M, 6)) < 1e-9
         assert abs(r.p_conv_removed - round(absorb(ch) / M, 6)) < 1e-9
+
+
+def test_zorder_layout_pruning_sound_and_trade_visible(spark):
+    """Zone-map pruning must be SOUND (a layout never scans fewer
+    files than actually contain matching rows) and the documented
+    trade must be visible on the fixture: linear wins the host-only
+    point predicate, Z-order wins the length-only predicate, and
+    neither loses the combined predicate by more than the other's
+    win — the reason OPTIMIZE ZORDER exists."""
+    import duckdb
+
+    from ocr_spark.plans.curation import (
+        ZORDER_FILE_CAP, ZORDER_LEN_BUCKET, ZORDER_PREDICATES,
+        _morton_expr, shards_zorder_layout)
+
+    rows = {r.predicate: r for r in
+            shards_zorder_layout(spark, "/root/testdata/sf0.01")
+            .collect()}
+    assert set(rows) == {p[0] for p in ZORDER_PREDICATES}
+    docs = duckdb.sql(
+        f"SELECT doc_id, doc_id % 13 AS k1, "
+        f"least(255, n_chars // {ZORDER_LEN_BUCKET}) AS k2, "
+        f"{_morton_expr('//')} AS z FROM read_parquet("
+        f"'/root/testdata/sf0.01/documents.parquet')").fetchall()
+    by_z = sorted(docs, key=lambda r: (r[3], r[0]))
+    by_lin = sorted(docs, key=lambda r: (r[1], r[2], r[0]))
+    for lbl, a, b, c, d in ZORDER_PREDICATES:
+        r = rows[lbl]
+        for order, scanned in ((by_z, r.files_zorder),
+                               (by_lin, r.files_linear)):
+            needed = {i // ZORDER_FILE_CAP
+                      for i, (_, k1, k2, _) in enumerate(order)
+                      if a <= k1 <= b and c <= k2 <= d}
+            assert len(needed) <= scanned <= r.n_files
+    assert rows["host_eq_3"].files_linear \
+        < rows["host_eq_3"].files_zorder
+    assert rows["len_256_383"].files_zorder \
+        < rows["len_256_383"].files_linear
+    assert rows["host_3_7_and_len"].files_zorder \
+        <= rows["host_3_7_and_len"].files_linear
+
+
+def test_uncertainty_sample_is_true_margin_topk(spark):
+    """Per language: exactly UNC_SAMPLE_K rows, ranks contiguous,
+    margins nondecreasing in rank, and no unselected doc has a
+    (margin, doc_id) pair smaller than a selected one — the batch is
+    the true boundary neighborhood, not an arbitrary sample."""
+    from collections import defaultdict
+
+    from ocr_spark.plans.curation import (
+        UNC_SAMPLE_K, docs_classifier_score, docs_uncertainty_sample)
+
+    sf = "/root/testdata/sf0.01"
+    sel = defaultdict(list)
+    for r in docs_uncertainty_sample(spark, sf).collect():
+        sel[r.lang].append(r)
+    scored = defaultdict(list)
+    for r in docs_classifier_score(spark, sf).collect():
+        scored[r.lang].append((round(abs(r.score - 0.5), 4), r.doc_id))
+    assert set(sel) == set(scored)
+    for lang, rows in sel.items():
+        rows.sort(key=lambda r: r.rank_in_lang)
+        assert [r.rank_in_lang for r in rows] == list(
+            range(1, min(UNC_SAMPLE_K, len(scored[lang])) + 1))
+        margins = [r.margin for r in rows]
+        assert margins == sorted(margins)
+        want = sorted(scored[lang])[:UNC_SAMPLE_K]
+        got = sorted((r.margin, r.doc_id) for r in rows)
+        assert got == want
