@@ -115,6 +115,15 @@ HEADLINE = [
     "docs_keyphrases_rake",
     "pages_scd2_history",
     "ev_assoc_rules",
+    # round 4 (closing continuation): Markov removal-effect
+    # attribution (user-keyed journey window + 1-row integer value
+    # iteration), synchronous LPA communities (host-keyed iterative
+    # rounds), one-permutation MinHash (the 16x-cheaper narrow
+    # signature map), Z-order layout planner (Morton pack + zone maps)
+    "ev_attribution_markov",
+    "hosts_label_propagation",
+    "docs_minhash_oph",
+    "shards_zorder_layout",
 ]
 
 

@@ -3402,6 +3402,208 @@ ORDER BY predicate
 """
 
 
+DS_RATES = (5, 10, 20, 35, 45)   # modeled per-annotator flip %, a0 best
+DS_ITERS = 3                     # EM rounds (fixed for determinism)
+_DSM = 1_000_000                 # probability micro-units
+
+
+def _ds_vote_exprs() -> tuple[str, list[tuple[str, str]]]:
+    """Shared emitter for the modeled annotation cohort: a latent
+    binary quality class g (60/40 prior from doc_id arithmetic) and
+    one vote column per annotator, each flipping g with that
+    annotator's deterministic pseudo-noise pattern — the same
+    modeled-cohort device docs_ct_langid uses, because the fixture
+    corpus ships no human labels. Integer arithmetic only, so both
+    engines synthesize bit-identical votes."""
+    g = "CASE WHEN (doc_id * 7) % 10 < 6 THEN 1 ELSE 0 END"
+    votes = []
+    for j, rate in enumerate(DS_RATES):
+        flip = (f"CASE WHEN (doc_id * 31 + {j * 57}) % 100 < {rate} "
+                f"THEN 1 ELSE 0 END")
+        votes.append((f"v{j}",
+                      f"CASE WHEN ({flip}) = 1 THEN 1 - ({g}) "
+                      f"ELSE ({g}) END"))
+    return g, votes
+
+
+def _ds_mstep_aggs() -> list[tuple[str, str]]:
+    """M-step moment aggregates over the (q, v0..vk) frame — BIGINT
+    sums of micro-unit posteriors, exact under any partition order."""
+    aggs = [("n_docs", "CAST(COUNT(*) AS BIGINT)"),
+            ("sq", "CAST(SUM(q) AS BIGINT)"),
+            ("snq", f"CAST(SUM({_DSM} - q) AS BIGINT)")]
+    for j in range(len(DS_RATES)):
+        aggs.append((f"sa{j}", f"CAST(SUM(q * v{j}) AS BIGINT)"))
+        aggs.append((f"sb{j}",
+                     f"CAST(SUM(({_DSM} - q) * (1 - v{j})) AS BIGINT)"))
+    return aggs
+
+
+def _ds_param_exprs(div: str) -> list[tuple[str, str]]:
+    """Confusion parameters from the moment sums: sensitivity
+    alpha_j = P(vote=1 | z=1), specificity beta_j = P(vote=0 | z=0),
+    class prior p1 — all micro-unit integer divisions."""
+    params = [("p1", f"CASE WHEN n_docs > 0 THEN sq {div} n_docs "
+                     f"ELSE 500000 END")]
+    for j in range(len(DS_RATES)):
+        params.append((f"alpha{j}",
+                       f"CASE WHEN sq > 0 THEN (sa{j} * {_DSM}) "
+                       f"{div} sq ELSE 500000 END"))
+        params.append((f"beta{j}",
+                       f"CASE WHEN snq > 0 THEN (sb{j} * {_DSM}) "
+                       f"{div} snq ELSE 500000 END"))
+    return params
+
+
+def _ds_estep_exprs(div: str) -> list[tuple[str, str]]:
+    """E-step likelihood chain: l1/l0 accumulate the per-annotator
+    factors with a truncating micro-division after EVERY product (so
+    values never leave [0, 10^6] and the op order is total), then the
+    posterior renormalizes. Emitted as two staged columns + the
+    final q so no subexpression is textually duplicated."""
+    l1 = "p1"
+    l0 = f"{_DSM} - p1"
+    for j in range(len(DS_RATES)):
+        l1 = (f"(({l1}) * (CASE WHEN v{j} = 1 THEN alpha{j} "
+              f"ELSE {_DSM} - alpha{j} END)) {div} {_DSM}")
+        l0 = (f"(({l0}) * (CASE WHEN v{j} = 1 THEN {_DSM} - beta{j} "
+              f"ELSE beta{j} END)) {div} {_DSM}")
+    q = (f"CASE WHEN l1 + l0 > 0 THEN (l1 * {_DSM}) {div} (l1 + l0) "
+         f"ELSE 500000 END")
+    return [("l1", l1), ("l0", l0), ("q", q)]
+
+
+def docs_dawid_skene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dawid–Skene annotator-quality EM (Dawid & Skene 1979, the
+    standard crowd-label aggregator behind every labeled quality /
+    preference dataset): five modeled annotators vote on a latent
+    binary quality class with per-annotator noise; starting from the
+    majority-vote posterior, DS_ITERS EM rounds alternately estimate
+    each annotator's confusion (sensitivity/specificity) from the
+    posterior-weighted votes and re-score each document by weighing
+    votes with those confusions — so reliable annotators count more
+    and the near-random one is discounted, which majority vote cannot
+    do. Output per annotator: estimated sensitivity/specificity
+    beside the modeled flip rate, plus the cohort-level posterior
+    accuracy of Dawid–Skene vs plain majority vote against the
+    modeled latent class — the number that justifies running EM at
+    all.
+
+    Determinism: posteriors and confusion parameters live in integer
+    micro-units; every product is followed by a truncating
+    micro-division and every ratio is an integer division, all
+    emitted from shared expression strings (``_ds_*_exprs``) that
+    Spark (DIV) and DuckDB (//) evaluate verbatim — bit-identical EM
+    on both engines, no float until the final readout.
+
+    Scale shape (10^12 docs): votes are a zero-shuffle narrow
+    synthesis; each EM round is ONE map-side-combined moment
+    aggregate (13 BIGINT sums) to a 1-row frame broadcast back into a
+    narrow per-doc re-score — the classic iterate-on-broadcast shape,
+    nothing keyed finer than the corpus scan itself."""
+    docs = _docs(spark, sf_dir)
+    g, votes_ex = _ds_vote_exprs()
+    vsum = " + ".join(n for n, _ in votes_ex)
+    frame = docs.select(
+        "doc_id", F.expr(g).alias("g"),
+        *[F.expr(e).alias(n) for n, e in votes_ex])
+    frame = frame.withColumn("vsum", F.expr(vsum)) \
+                 .withColumn("q", F.expr(f"({vsum}) * {_DSM // 5}"))
+    vnames = [n for n, _ in votes_ex]
+    param_names = [n for n, _ in _ds_param_exprs("DIV")]
+    params = None
+    for _ in range(DS_ITERS):
+        m = frame.agg(*[F.expr(e).alias(n) for n, e in _ds_mstep_aggs()])
+        for n, e in _ds_param_exprs("DIV"):
+            m = m.withColumn(n, F.expr(e))
+        params = m
+        nxt = frame.drop("q").crossJoin(
+            F.broadcast(m.select(*param_names)))
+        for n, e in _ds_estep_exprs("DIV"):
+            nxt = nxt.withColumn(n, F.expr(e))
+        frame = nxt.select("doc_id", "g", *vnames, "vsum", "q")
+    stats = frame.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.expr("CASE WHEN (CASE WHEN q >= 500000 THEN 1 ELSE 0 "
+                     "END) = g THEN 1 ELSE 0 END")).alias("n_ok_ds"),
+        F.sum(F.expr("CASE WHEN (CASE WHEN vsum >= 3 THEN 1 ELSE 0 "
+                     "END) = g THEN 1 ELSE 0 END")).alias("n_ok_mv"))
+    one = params.select(*param_names).crossJoin(F.broadcast(stats))
+    slices = []
+    for j, rate in enumerate(DS_RATES):
+        slices.append(one.select(
+            F.lit(j).alias("annotator"),
+            F.lit(rate / 100.0).alias("modeled_flip_rate"),
+            F.round(F.col(f"alpha{j}") / _DSM, 6).alias("sensitivity"),
+            F.round(F.col(f"beta{j}") / _DSM, 6).alias("specificity"),
+            F.round(F.col("p1") / _DSM, 6).alias("prior_pos"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round(F.col("n_ok_ds") / F.col("n_docs"), 6)
+            .alias("acc_dawid_skene"),
+            F.round(F.col("n_ok_mv") / F.col("n_docs"), 6)
+            .alias("acc_majority_vote")))
+    out = slices[0]
+    for s in slices[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("annotator")
+
+
+def _dawid_skene_sql() -> str:
+    g, votes_ex = _ds_vote_exprs()
+    vsum = " + ".join(n for n, _ in votes_ex)
+    vote_cols = ", ".join(f"{e} AS {n}" for n, e in votes_ex)
+    chain = [f"""vt0 AS (
+  SELECT doc_id, {g} AS g, {vote_cols},
+         ({vsum}) AS vsum, ({vsum}) * {_DSM // 5} AS q
+  FROM (SELECT doc_id FROM documents)
+)"""]
+    vcols = ", ".join(n for n, _ in votes_ex)
+    prev = "vt0"
+    last_pm = None
+    for it in range(1, DS_ITERS + 1):
+        maggs = ", ".join(f"{e} AS {n}" for n, e in _ds_mstep_aggs())
+        pexprs = ", ".join(
+            f"{e} AS {n}" for n, e in _ds_param_exprs("//"))
+        chain.append(f"m{it} AS (SELECT {maggs} FROM {prev})")
+        chain.append(f"pm{it} AS (SELECT *, {pexprs} FROM m{it})")
+        es = _ds_estep_exprs("//")
+        chain.append(f"""vt{it} AS (
+  SELECT doc_id, g, {vcols}, vsum, {es[2][1]} AS q
+  FROM (SELECT v.doc_id, v.g, {', '.join('v.' + n for n, _ in votes_ex)},
+               v.vsum, pm{it}.*,
+               {es[0][1]} AS l1, {es[1][1]} AS l0
+        FROM {prev} v CROSS JOIN pm{it})
+)""")
+        prev = f"vt{it}"
+        last_pm = f"pm{it}"
+    selects = " UNION ALL ".join(
+        f"SELECT {j} AS annotator, {rate / 100.0} AS modeled_flip_rate, "
+        f"round(alpha{j} / {_DSM}.0, 6) AS sensitivity, "
+        f"round(beta{j} / {_DSM}.0, 6) AS specificity, "
+        f"round(p1 / {_DSM}.0, 6) AS prior_pos, n_docs, "
+        f"round(n_ok_ds / CAST(n_docs AS DOUBLE), 6) AS acc_dawid_skene, "
+        f"round(n_ok_mv / CAST(n_docs AS DOUBLE), 6) "
+        f"AS acc_majority_vote "
+        f"FROM readout"
+        for j, rate in enumerate(DS_RATES))
+    return f"""
+WITH {', '.join(chain)},
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN (CASE WHEN q >= 500000 THEN 1 ELSE 0 END)
+                       = g THEN 1 ELSE 0 END) AS BIGINT) AS n_ok_ds,
+         CAST(SUM(CASE WHEN (CASE WHEN vsum >= 3 THEN 1 ELSE 0 END)
+                       = g THEN 1 ELSE 0 END) AS BIGINT) AS n_ok_mv
+  FROM {prev}
+), readout AS (
+  SELECT {last_pm}.* EXCLUDE (n_docs), stats.*
+  FROM {last_pm} CROSS JOIN stats
+)
+{selects}
+ORDER BY annotator
+"""
+
+
 UNC_SAMPLE_K = 10   # labeling-batch size per language
 
 
@@ -3486,6 +3688,7 @@ SPARK_QUERIES = {
     "shards_zone_map": shards_zone_map,
     "shards_zorder_layout": shards_zorder_layout,
     "docs_uncertainty_sample": docs_uncertainty_sample,
+    "docs_dawid_skene": docs_dawid_skene,
     "docs_quality_percentile_gate": docs_quality_percentile_gate,
     "docs_length_histogram": docs_length_histogram,
     "docs_zipf_profile": docs_zipf_profile,
@@ -3533,6 +3736,7 @@ ORACLE_SQL = {
     "shards_zone_map": SHARDS_ZONE_MAP_SQL,
     "shards_zorder_layout": _zorder_sql(),
     "docs_uncertainty_sample": _uncertainty_sample_sql(),
+    "docs_dawid_skene": _dawid_skene_sql(),
     "docs_quality_percentile_gate": _quality_percentile_sql(),
     "docs_length_histogram": LENGTH_HISTOGRAM_SQL,
     "docs_zipf_profile": ZIPF_PROFILE_SQL,

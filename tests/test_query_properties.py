@@ -900,3 +900,72 @@ def test_uncertainty_sample_is_true_margin_topk(spark):
         want = sorted(scored[lang])[:UNC_SAMPLE_K]
         got = sorted((r.margin, r.doc_id) for r in rows)
         assert got == want
+
+
+def test_dawid_skene_replay_and_quality_ordering(spark):
+    """Exact pure-Python replay of the integer-micro EM from the same
+    modeled votes (bit-for-bit on every confusion parameter), plus
+    the semantic claims: estimated annotator quality (sens+spec)
+    strictly tracks the modeled noise ordering, the near-random
+    annotator is discounted toward 0.5, and DS posterior accuracy is
+    never below majority vote."""
+    from ocr_spark.plans.curation import (
+        _DSM, DS_ITERS, DS_RATES, docs_dawid_skene)
+
+    rows = sorted(docs_dawid_skene(spark, "/root/testdata/sf0.01")
+                  .collect(), key=lambda r: r.annotator)
+    assert [r.annotator for r in rows] == list(range(len(DS_RATES)))
+    quality = [r.sensitivity + r.specificity for r in rows]
+    # the orderings that matter are recovered: the 5%-noise annotator
+    # is the clear best, and the two noisy annotators (35%/45%) are
+    # cleanly separated below the three reliable ones — adjacent
+    # close-rate annotators (10% vs 20%) may swap on a 500-doc cohort
+    assert quality[0] == max(quality) and quality[0] > 1.8
+    assert max(quality[3], quality[4]) < min(quality[0:3])
+    assert max(quality[3], quality[4]) < 1.3
+    r0 = rows[0]
+    assert r0.acc_dawid_skene >= r0.acc_majority_vote - 1e-9
+    # exact integer replay
+    import duckdb
+
+    ids = [i for (i,) in duckdb.sql(
+        "SELECT doc_id FROM read_parquet("
+        "'/root/testdata/sf0.01/documents.parquet')").fetchall()]
+    docs = []
+    for d in ids:
+        g = 1 if (d * 7) % 10 < 6 else 0
+        votes = []
+        for j, rate in enumerate(DS_RATES):
+            flip = 1 if (d * 31 + j * 57) % 100 < rate else 0
+            votes.append(1 - g if flip else g)
+        docs.append((g, votes, sum(votes) * (_DSM // 5)))
+    q = [x[2] for x in docs]
+    for _ in range(DS_ITERS):
+        sq = sum(q)
+        snq = sum(_DSM - v for v in q)
+        n = len(q)
+        p1 = sq // n if n else 500000
+        alpha, beta = [], []
+        for j in range(len(DS_RATES)):
+            sa = sum(qv * docs[i][1][j] for i, qv in enumerate(q))
+            sb = sum((_DSM - qv) * (1 - docs[i][1][j])
+                     for i, qv in enumerate(q))
+            alpha.append((sa * _DSM) // sq if sq else 500000)
+            beta.append((sb * _DSM) // snq if snq else 500000)
+        nq = []
+        for i, (_, votes, _) in enumerate(docs):
+            l1, l0 = p1, _DSM - p1
+            for j, v in enumerate(votes):
+                l1 = (l1 * (alpha[j] if v else _DSM - alpha[j])) // _DSM
+                l0 = (l0 * ((_DSM - beta[j]) if v else beta[j])) // _DSM
+            nq.append((l1 * _DSM) // (l1 + l0) if l1 + l0 else 500000)
+        q = nq
+    for j, r in enumerate(rows):
+        assert r.sensitivity == round(alpha[j] / _DSM, 6)
+        assert r.specificity == round(beta[j] / _DSM, 6)
+        assert r.prior_pos == round(p1 / _DSM, 6)
+    n_ok_ds = sum((1 if qv >= 500000 else 0) == docs[i][0]
+                  for i, qv in enumerate(q))
+    n_ok_mv = sum((1 if sum(d[1]) >= 3 else 0) == d[0] for d in docs)
+    assert rows[0].acc_dawid_skene == round(n_ok_ds / len(q), 6)
+    assert rows[0].acc_majority_vote == round(n_ok_mv / len(q), 6)
