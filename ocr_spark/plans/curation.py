@@ -44,7 +44,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from ocr_spark.core.artifacts import load_artifact
@@ -3402,6 +3402,181 @@ ORDER BY predicate
 """
 
 
+SB_M = 256    # bloom bits per shard — sized so the sf0.01 shards sit
+SB_K = 2      # near fill 0.25 and produce OBSERVABLE false-positive
+              # shard scans (the quantity the index trades against
+              # its size), not hide them
+
+
+def _sb_pos(j: int, c: Column) -> Column:
+    """j-th Kirsch-Mitzenmacher bit position for fingerprint column
+    ``c`` (same scheme as webops._bloom_pos, sized for SB_M)."""
+    h = F.md5(F.concat(F.lit(f"{j}:"), c))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % SB_M)
+
+
+def _sb_pos_sql(j: int, fp: str) -> str:
+    return (f"('0x' || substring(md5('{j}:' || {fp}), 1, 8))::BIGINT"
+            f" % {SB_M}")
+
+
+def shards_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard Bloom index for point-lookup pruning — the
+    high-cardinality complement of shards_zone_map / zone-map
+    skipping: min/max ranges prune RANGE predicates but are useless
+    for "which shard holds fingerprint X" (content fingerprints are
+    uniform, every zone spans the space), so each shard carries an
+    SB_M-bit Bloom filter of its member fingerprints and a point
+    lookup scans only the shards whose filter says maybe — the
+    Iceberg/Delta bloom-column-index design made oracle-checkable
+    with the same hand-rolled md5 bit scheme as docs_bloom_probe.
+    The probe workload is split into fingerprints that DO exist
+    (lookup hits) and derived fingerprints that DON'T, so the
+    false-positive shard-scan overhead — what the index costs when
+    it's wrong — is a measured output column, not a hope.
+
+    Scale shape (10^12 docs): each shard's filter is a DISTINCT-bit
+    frame bounded by SB_M rows per shard regardless of shard size;
+    probes explode to SB_K bit rows and join the bit frame keyed on
+    bit — probe-cardinality × shard-cardinality bounded, corpus
+    volume touched only by the one packing pass the shard layout
+    already paid for."""
+    docs = _docs(spark, sf_dir)
+    packed = docs_token_shards(spark, sf_dir)
+    shard = F.concat_ws("/", "lang", F.col("shard_id").cast("string"))
+    keys = (packed.join(docs.select("doc_id",
+                                    F.md5("text").alias("fp")),
+                        "doc_id")
+            .select(shard.alias("shard"), "fp"))
+    shard_bits = (keys.select("shard", F.explode(F.array(
+        *[_sb_pos(j, F.col("fp")) for j in range(SB_K)])).alias("bit"))
+        .distinct())
+    n_shards = keys.select("shard").distinct() \
+        .agg(F.count(F.lit(1)).alias("n_shards"))   # 1 row → broadcast
+    base = docs.filter(F.col("doc_id") % 50 == 7)
+    probes = base.select(
+        F.col("doc_id").alias("probe_id"),
+        F.explode(F.array(
+            F.struct(F.lit("present").alias("kind"),
+                     F.md5("text").alias("fp")),
+            F.struct(F.lit("absent").alias("kind"),
+                     F.md5(F.concat(F.col("text"), F.lit("#missing")))
+                     .alias("fp")))).alias("p")) \
+        .select("probe_id", "p.kind", "p.fp")
+    probe_bits = probes.select(
+        "probe_id", "kind", "fp",
+        F.explode(F.array(*[_sb_pos(j, F.col("fp"))
+                            for j in range(SB_K)])).alias("bit"))
+    need = (probe_bits.groupBy("probe_id", "kind", "fp")
+            .agg(F.countDistinct("bit").alias("n_need")))
+    matched = (probe_bits.join(shard_bits, "bit")
+               .groupBy("probe_id", "kind", "shard")
+               .agg(F.countDistinct("bit").alias("n_hit")))
+    maybe = (matched.join(need.select("probe_id", "kind", "n_need"),
+                          ["probe_id", "kind"])
+             .filter(F.col("n_hit") == F.col("n_need"))
+             .groupBy("probe_id", "kind")
+             .agg(F.count(F.lit(1)).alias("shards_maybe")))
+    actual = (probes.join(keys, "fp")
+              .groupBy("probe_id", "kind")
+              .agg(F.countDistinct("shard").alias("shards_actual")))
+    per_probe = (probes.select("probe_id", "kind")
+                 .join(maybe, ["probe_id", "kind"], "left")
+                 .join(actual, ["probe_id", "kind"], "left")
+                 .select("probe_id", "kind",
+                         F.coalesce("shards_maybe", F.lit(0))
+                         .alias("m"),
+                         F.coalesce("shards_actual", F.lit(0))
+                         .alias("a")))
+    return (per_probe.groupBy("kind")
+            .agg(F.count(F.lit(1)).alias("n_probes"),
+                 F.sum("m").cast("long").alias("shards_scanned"),
+                 F.sum("a").cast("long").alias("shards_containing"),
+                 F.sum(F.col("m") - F.col("a")).cast("long")
+                 .alias("false_positive_scans"))
+            .crossJoin(F.broadcast(n_shards))
+            .select("kind", "n_probes", "n_shards", "shards_scanned",
+                    "shards_containing", "false_positive_scans",
+                    F.round(F.col("shards_scanned") / F.col("n_probes"),
+                            4).alias("avg_shards_per_lookup"))
+            .orderBy("kind"))
+
+
+def _shards_bloom_index_sql() -> str:
+    shard_pos = ", ".join(_sb_pos_sql(j, "fp") for j in range(SB_K))
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, text,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END
+              AS BIGINT) AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT doc_id, lang, text,
+         lang || '/' || CAST(CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                  PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / {SHARD_TOKEN_BUDGET}) AS INT) AS VARCHAR) AS shard
+  FROM base
+), keys AS (
+  SELECT shard, md5(text) AS fp FROM packed
+), shard_bits AS (
+  SELECT DISTINCT shard, u.bit
+  FROM keys, LATERAL unnest([{shard_pos}]) AS u(bit)
+), ns AS (
+  SELECT CAST(COUNT(DISTINCT shard) AS BIGINT) AS n_shards FROM keys
+), probes AS (
+  SELECT doc_id AS probe_id, p.kind, p.fp
+  FROM documents,
+       LATERAL unnest([
+         {{'kind': 'present', 'fp': md5(text)}},
+         {{'kind': 'absent', 'fp': md5(text || '#missing')}}
+       ]) AS t(p)
+  WHERE doc_id % 50 = 7
+), probe_bits AS (
+  SELECT probe_id, kind, fp, u.bit
+  FROM probes, LATERAL unnest([{shard_pos}]) AS u(bit)
+), need AS (
+  SELECT probe_id, kind, CAST(COUNT(DISTINCT bit) AS BIGINT) AS n_need
+  FROM probe_bits GROUP BY probe_id, kind
+), matched AS (
+  SELECT probe_id, kind, shard,
+         CAST(COUNT(DISTINCT pb.bit) AS BIGINT) AS n_hit
+  FROM probe_bits pb JOIN shard_bits sb ON pb.bit = sb.bit
+  GROUP BY probe_id, kind, shard
+), maybe AS (
+  SELECT m.probe_id, m.kind, CAST(COUNT(*) AS BIGINT) AS shards_maybe
+  FROM matched m JOIN need n
+    ON n.probe_id = m.probe_id AND n.kind = m.kind
+  WHERE m.n_hit = n.n_need
+  GROUP BY m.probe_id, m.kind
+), actual AS (
+  SELECT p.probe_id, p.kind,
+         CAST(COUNT(DISTINCT k.shard) AS BIGINT) AS shards_actual
+  FROM probes p JOIN keys k ON k.fp = p.fp
+  GROUP BY p.probe_id, p.kind
+), per_probe AS (
+  SELECT p.probe_id, p.kind,
+         COALESCE(mb.shards_maybe, 0) AS m,
+         COALESCE(a.shards_actual, 0) AS a
+  FROM probes p
+  LEFT JOIN maybe mb
+    ON mb.probe_id = p.probe_id AND mb.kind = p.kind
+  LEFT JOIN actual a
+    ON a.probe_id = p.probe_id AND a.kind = p.kind
+)
+SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_probes, ns.n_shards,
+       CAST(SUM(m) AS BIGINT) AS shards_scanned,
+       CAST(SUM(a) AS BIGINT) AS shards_containing,
+       CAST(SUM(m - a) AS BIGINT) AS false_positive_scans,
+       round(SUM(m) / CAST(COUNT(*) AS DOUBLE), 4)
+         AS avg_shards_per_lookup
+FROM per_probe CROSS JOIN ns
+GROUP BY kind, ns.n_shards
+ORDER BY kind
+"""
+
+
 DS_RATES = (5, 10, 20, 35, 45)   # modeled per-annotator flip %, a0 best
 DS_ITERS = 3                     # EM rounds (fixed for determinism)
 _DSM = 1_000_000                 # probability micro-units
@@ -3689,6 +3864,7 @@ SPARK_QUERIES = {
     "shards_zorder_layout": shards_zorder_layout,
     "docs_uncertainty_sample": docs_uncertainty_sample,
     "docs_dawid_skene": docs_dawid_skene,
+    "shards_bloom_index": shards_bloom_index,
     "docs_quality_percentile_gate": docs_quality_percentile_gate,
     "docs_length_histogram": docs_length_histogram,
     "docs_zipf_profile": docs_zipf_profile,
@@ -3737,6 +3913,7 @@ ORACLE_SQL = {
     "shards_zorder_layout": _zorder_sql(),
     "docs_uncertainty_sample": _uncertainty_sample_sql(),
     "docs_dawid_skene": _dawid_skene_sql(),
+    "shards_bloom_index": _shards_bloom_index_sql(),
     "docs_quality_percentile_gate": _quality_percentile_sql(),
     "docs_length_histogram": LENGTH_HISTOGRAM_SQL,
     "docs_zipf_profile": ZIPF_PROFILE_SQL,

@@ -969,3 +969,26 @@ def test_dawid_skene_replay_and_quality_ordering(spark):
     n_ok_mv = sum((1 if sum(d[1]) >= 3 else 0) == d[0] for d in docs)
     assert rows[0].acc_dawid_skene == round(n_ok_ds / len(q), 6)
     assert rows[0].acc_majority_vote == round(n_ok_mv / len(q), 6)
+
+
+def test_shards_bloom_index_soundness_and_pruning(spark):
+    """Bloom shard-index invariants: NO false negatives (every shard
+    that actually contains a looked-up fingerprint is scanned —
+    shards_scanned ≥ shards_containing per kind), every present probe
+    finds exactly one containing shard (fingerprints are unique to
+    their shard in this packing), absent probes contain nowhere, and
+    the index actually prunes: average shards per lookup is well
+    under the full shard count."""
+    from ocr_spark.plans.curation import shards_bloom_index
+
+    rows = {r.kind: r for r in
+            shards_bloom_index(spark, "/root/testdata/sf0.01")
+            .collect()}
+    assert set(rows) == {"present", "absent"}
+    for r in rows.values():
+        assert r.shards_scanned >= r.shards_containing
+        assert r.false_positive_scans \
+            == r.shards_scanned - r.shards_containing
+        assert r.avg_shards_per_lookup < r.n_shards / 2
+    assert rows["present"].shards_containing == rows["present"].n_probes
+    assert rows["absent"].shards_containing == 0
