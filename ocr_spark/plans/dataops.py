@@ -3846,6 +3846,133 @@ ORDER BY doc_id
 PFX_JACCARD_T = 0.6   # similarity threshold the prefix filter serves
 
 
+ROUGE_L_SRC_CAP = 64   # source tokens entering the LCS (literal cap —
+ROUGE_L_SUM_CAP = 20   # the quadratic DP needs a stated budget; both
+                       # engines cap identically so scores stay pinned)
+
+
+def rouge_l_py(text: str | None,
+               summary: str | None) -> tuple[int, int, int]:
+    """Pure-Python ROUGE-L kernel: (n_src, n_sum, lcs_len) over the
+    capped token sequences, with the LCS row recurrence written in
+    the masked-prefix-max form cur[j] = max(prev[j],
+    max_{k≤j, T_k=S_i}(prev[k−1]+1)) — the same formulation the
+    oracle's recursive CTE evaluates, so both engines walk the
+    identical DP (the classic three-way recurrence computes the same
+    integer; this form needs no within-row dependency, which is what
+    makes it SQL-expressible)."""
+    import re as _re
+
+    src = [w for w in _re.split(r"\s+", (text or "").lower().strip())
+           if w != ""][:ROUGE_L_SRC_CAP]
+    summ = [w for w in _re.split(r"\s+", (summary or "").strip())
+            if w != ""][:ROUGE_L_SUM_CAP]
+    n, m = len(src), len(summ)
+    prev = [0] * (n + 1)
+    for i in range(m):
+        cur = [0] * (n + 1)
+        best = 0
+        for j in range(1, n + 1):
+            if src[j - 1] == summ[i]:
+                if prev[j - 1] + 1 > best:
+                    best = prev[j - 1] + 1
+            cur[j] = prev[j] if prev[j] > best else best
+        prev = cur
+    return n, m, prev[n]
+
+
+def docs_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-L scorecard for the extractive summarizer (Lin 2004 §3):
+    longest-common-subsequence recall/precision/F1 of the summary
+    against its source — the ORDER-sensitive companion to
+    docs_summary_coverage's n-gram multisets (a bag-of-grams score
+    cannot see a summary that shuffles the document's clauses; LCS
+    can, because only in-order tokens count). Sequences are capped at
+    literal budgets (the DP is quadratic; at 10^12 docs the cap IS
+    the cost model) and the summary side reuses the SAME
+    docs_extractive_summary subplan the SFT-pair exporter ships.
+
+    Scale shape: the summarizer's doc_id-keyed subplan, one
+    doc_id-keyed join back to the source text, then a narrow
+    Arrow-batched kernel (bounded 64×20 integer DP per row — pure
+    CPU, zero shuffle). Floats appear only in the final P/R/F1
+    readout, with the expression tree mirrored in the oracle."""
+    docs = t(spark, sf_dir, "documents")
+    summ = docs_extractive_summary(spark, sf_dir) \
+        .select("doc_id", "summary")
+
+    @F.pandas_udf("struct<n_src: int, n_sum: int, lcs: int>")
+    def lcs_udf(texts: pd.Series, summaries: pd.Series) -> pd.DataFrame:
+        vals = [rouge_l_py(a, b) for a, b in zip(texts, summaries)]
+        return pd.DataFrame(vals, columns=["n_src", "n_sum", "lcs"])
+
+    joined = docs.select("doc_id", "text").join(summ, "doc_id")
+    scored = joined.select(
+        "doc_id", lcs_udf("text", "summary").alias("s")) \
+        .select("doc_id",
+                F.col("s.n_src").cast("long").alias("n_src_tokens"),
+                F.col("s.n_sum").cast("long").alias("n_sum_tokens"),
+                F.col("s.lcs").cast("long").alias("lcs_len"))
+    r = F.col("lcs_len") / F.col("n_src_tokens")
+    p = F.col("lcs_len") / F.col("n_sum_tokens")
+    f1 = F.when(F.col("lcs_len") > 0,
+                2 * p * r / (p + r)).otherwise(F.lit(0.0))
+    return (scored.select(
+        "doc_id", "n_src_tokens", "n_sum_tokens", "lcs_len",
+        F.round(r, 6).alias("rouge_l_recall"),
+        F.round(p, 6).alias("rouge_l_precision"),
+        F.round(f1, 6).alias("rouge_l_f1"))
+        .orderBy("doc_id"))
+
+
+def _rouge_l_sql() -> str:
+    return f"""
+WITH RECURSIVE summ AS (
+  SELECT doc_id, summary FROM ({_EXTRACTIVE_SUMMARY_SQL})
+), src AS (
+  SELECT doc_id,
+         list_slice(list_filter({_SQL_TOKENS}, w -> w <> ''),
+                    1, {ROUGE_L_SRC_CAP}) AS s
+  FROM documents
+), hyp AS (
+  SELECT summ.doc_id,
+         list_slice(list_filter(string_split(summary, ' '),
+                                w -> w <> ''),
+                    1, {ROUGE_L_SUM_CAP}) AS h
+  FROM summ
+), pair AS (
+  SELECT src.doc_id, src.s, hyp.h, len(src.s) AS n, len(hyp.h) AS m
+  FROM src JOIN hyp ON hyp.doc_id = src.doc_id
+), step(doc_id, s, h, n, m, i, row) AS (
+  SELECT doc_id, s, h, n, m, 0,
+         list_transform(range(0, n + 1), x -> 0)
+  FROM pair
+  UNION ALL
+  SELECT doc_id, s, h, n, m, i + 1,
+         list_transform(range(1, n + 2), j -> CASE WHEN j = 1 THEN 0
+           ELSE greatest(
+             row[j],
+             COALESCE(list_max(list_transform(range(1, j),
+               k -> CASE WHEN s[k] = h[i + 1]
+                         THEN row[k] + 1 ELSE 0 END)), 0))
+           END)
+  FROM step WHERE i < m
+), final AS (
+  SELECT doc_id, n, m, row[n + 1] AS lcs FROM step WHERE i = m
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_src_tokens,
+       CAST(m AS BIGINT) AS n_sum_tokens,
+       CAST(lcs AS BIGINT) AS lcs_len,
+       round(lcs / CAST(n AS DOUBLE), 6) AS rouge_l_recall,
+       round(lcs / CAST(m AS DOUBLE), 6) AS rouge_l_precision,
+       round(CASE WHEN lcs > 0 THEN
+               2 * (lcs / CAST(m AS DOUBLE)) * (lcs / CAST(n AS DOUBLE))
+               / ((lcs / CAST(m AS DOUBLE)) + (lcs / CAST(n AS DOUBLE)))
+             ELSE 0.0 END, 6) AS rouge_l_f1
+FROM final ORDER BY doc_id
+"""
+
+
 def docs_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-filtered exact set-similarity join (SSJoin /
     AllPairs / PPJoin family — Chaudhuri et al. 2006, Bayardo et al.
@@ -4345,6 +4472,7 @@ FROM ranked WHERE rank <= {RAKE_TOP_K}
 SPARK_QUERIES = {
     "docs_keyphrases_rake": docs_keyphrases_rake,
     "docs_summary_coverage": docs_summary_coverage,
+    "docs_rouge_l": docs_rouge_l,
     "docs_fim_split": docs_fim_split,
     "docs_script_profile": docs_script_profile,
     "docs_lexical_diversity": docs_lexical_diversity,
@@ -4396,6 +4524,7 @@ SPARK_QUERIES = {
 ORACLE_SQL = {
     "docs_keyphrases_rake": _rake_sql(),
     "docs_summary_coverage": _summary_coverage_sql(),
+    "docs_rouge_l": _rouge_l_sql(),
     "docs_fim_split": _fim_split_sql(),
     "docs_script_profile": _script_profile_sql(),
     "docs_lexical_diversity": _LEXICAL_DIVERSITY_SQL,

@@ -703,3 +703,43 @@ def test_oph_plan_is_narrow_map(spark):
     plan = df._sc._jvm.org.apache.spark.sql.api.python.PythonSQLUtils \
         .explainString(qe, "formatted")
     assert not re.findall(r"\(\d+\) Exchange\b", plan)
+
+
+def test_rouge_l_kernel_matches_textbook_dp_and_bounds():
+    """The masked-prefix-max LCS form equals the textbook three-way
+    recurrence on adversarial token pairs (repeats, shuffles,
+    disjoint, prefix/suffix), and ROUGE-L invariants hold: an
+    in-order extractive summary gets precision 1, a shuffled one
+    loses LCS mass (the order sensitivity docs_summary_coverage's
+    bag-of-grams cannot see)."""
+    from ocr_spark.plans.dataops import (
+        ROUGE_L_SRC_CAP, ROUGE_L_SUM_CAP, rouge_l_py)
+
+    def lcs_ref(a, b):
+        dp = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                dp[i][j] = (dp[i - 1][j - 1] + 1 if a[i - 1] == b[j - 1]
+                            else max(dp[i - 1][j], dp[i][j - 1]))
+        return dp[len(a)][len(b)]
+
+    cases = [
+        ("a b c d e f g", "b d f"),
+        ("a a b a b b a", "a b b a"),
+        ("x y z", "p q r"),
+        ("a b c a b c a b c", "c b a"),
+        ("one two three four", "one two three four"),
+        ("w1 w2 w3 w4 w5 w6 w7 w8", "w8 w1 w2"),
+        ("t " * 80, "t t t"),               # cap engagement
+    ]
+    for text, summ in cases:
+        n, m, lcs = rouge_l_py(text, summ)
+        src = text.lower().split()[:ROUGE_L_SRC_CAP]
+        hyp = summ.split()[:ROUGE_L_SUM_CAP]
+        assert (n, m) == (len(src), len(hyp))
+        assert lcs == lcs_ref(src, hyp), (text, summ)
+        assert lcs <= min(n, m)
+    # order sensitivity: same bag, different order, smaller LCS
+    _, _, in_order = rouge_l_py("a b c d e", "b c d")
+    _, _, shuffled = rouge_l_py("a b c d e", "d c b")
+    assert in_order == 3 and shuffled < 3
