@@ -3437,6 +3437,143 @@ FROM m
 
 
 # ---------------------------------------------------------------------------
+# license detection over the code cohort
+# ---------------------------------------------------------------------------
+
+# (SPDX id, phrase-form name, family): the marker table the modeled
+# headers draw from AND the detector maps back to. Policy literal:
+# permissive licenses are admitted to the training mix, copyleft and
+# unmarked code are held for review — the split every code-corpus
+# build (The Stack, StarCoder) applies before anything else.
+LICENSES = (
+    ("MIT", "MIT", "permissive"),
+    ("Apache-2.0", "Apache License, Version 2.0", "permissive"),
+    ("GPL-3.0-only", "GNU General Public License v3", "copyleft"),
+    ("BSD-3-Clause", "BSD 3-Clause", "permissive"),
+)
+
+
+def _license_modeled_expr(div: str) -> str:
+    """Shared SQL string synthesizing the modeled code-cohort text:
+    every CODE_MOD-th doc carries the code block (docs_code_detect's
+    device), and within that cohort doc_id % 3 picks the marker form
+    — 0: an SPDX tag line, 1: a license phrase, 2: unmarked (the
+    unlicensed-code case the gate must hold). The license itself
+    cycles with doc_id % 4. Pure integer/string ops, integer-div
+    token parameterized (Spark DIV, DuckDB //) → bit-identical on
+    both engines."""
+    lic_case = " ".join(
+        f"WHEN doc_id % 4 = {i} THEN '{lid}'"
+        for i, (lid, _, _) in enumerate(LICENSES))
+    phr_case = " ".join(
+        f"WHEN doc_id % 4 = {i} THEN '{name}'"
+        for i, (_, name, _) in enumerate(LICENSES))
+    block = _CODE_BLOCK
+    return (
+        f"CASE WHEN (doc_id {div} {CODE_MOD}) % 3 = 0 THEN "
+        f"'// SPDX-License-Identifier: ' || (CASE {lic_case} END) "
+        f"|| chr(10) || '{block}' "
+        f"WHEN (doc_id {div} {CODE_MOD}) % 3 = 1 THEN "
+        f"'// Licensed under the ' || (CASE {phr_case} END) "
+        f"|| '.' || chr(10) || '{block}' "
+        f"ELSE '{block}' END")
+
+
+def docs_license_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License detection + training-admission gate over the code
+    cohort — the compliance stage every code-corpus build runs before
+    dedup or quality (The Stack's license filter): detect an SPDX tag
+    (authoritative) or, failing that, a license phrase; map to the
+    SPDX id and its family; admit permissive code to the mix and hold
+    copyleft/unknown. The fixture corpus carries no license text, so
+    the code cohort models its headers in-plan (docs_code_detect's
+    role-split device) with all three marker forms present — tag,
+    phrase, unmarked — which makes the precedence order and the
+    unknown-branch behavior observable instead of vacuous.
+
+    Scale shape: zero-shuffle regexp scan per code doc, then one
+    partial-agg rollup on the (detector, license) vocabulary — at
+    10^12 docs the scan is the cost and it rides the code-routing
+    pass the pipeline already pays for."""
+    docs = t(spark, sf_dir, "documents")
+    code = docs.filter(F.col("doc_id") % CODE_MOD == 4)
+    wild = F.expr(_license_modeled_expr("DIV"))
+    spdx = F.regexp_extract(
+        wild, r"SPDX-License-Identifier:\s*([A-Za-z0-9.\-]+)", 1)
+    phrase = F.lower(F.regexp_extract(
+        wild, r"(?i)licensed under the ([A-Za-z0-9 ,.\-]+)\.", 1))
+    phr_map = None
+    for lid, name, _ in LICENSES:
+        cond = phrase == name.lower()
+        phr_map = (F.when(cond, lid) if phr_map is None
+                   else phr_map.when(cond, lid))
+    phr_map = phr_map.otherwise(F.lit("unknown"))
+    license_col = (F.when(spdx != "", spdx)
+                   .when(phrase != "", phr_map)
+                   .otherwise(F.lit("none")))
+    detector = (F.when(spdx != "", F.lit("spdx"))
+                .when(phrase != "", F.lit("phrase"))
+                .otherwise(F.lit("none")))
+    fam = None
+    for lid, _, family in LICENSES:
+        cond = license_col == lid
+        fam = (F.when(cond, family) if fam is None
+               else fam.when(cond, family))
+    fam = fam.otherwise(F.lit("unknown"))
+    return (code.select(detector.alias("detector"),
+                        license_col.alias("license"),
+                        fam.alias("family"))
+            .groupBy("detector", "license", "family")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .withColumn("allowed_for_training",
+                        F.col("family") == "permissive")
+            .orderBy("detector", "license"))
+
+
+def _license_detect_sql() -> str:
+    phr_case = " ".join(
+        f"WHEN phrase = '{name.lower()}' THEN '{lid}'"
+        for lid, name, _ in LICENSES)
+    fam_case = " ".join(
+        f"WHEN license = '{lid}' THEN '{family}'"
+        for lid, _, family in LICENSES)
+    return f"""
+WITH code AS (
+  SELECT doc_id, {_license_modeled_expr("//")} AS wtext
+  FROM documents WHERE doc_id % {CODE_MOD} = 4
+), det AS (
+  SELECT doc_id,
+         regexp_extract(wtext,
+             'SPDX-License-Identifier:\\s*([A-Za-z0-9.\\-]+)', 1)
+           AS spdx,
+         lower(regexp_extract(wtext,
+             '(?i)licensed under the ([A-Za-z0-9 ,.\\-]+)\\.', 1))
+           AS phrase
+  FROM code
+), mapped AS (
+  SELECT doc_id,
+         CASE WHEN spdx <> '' THEN 'spdx'
+              WHEN phrase <> '' THEN 'phrase'
+              ELSE 'none' END AS detector,
+         CASE WHEN spdx <> '' THEN spdx
+              WHEN phrase <> '' THEN (CASE {phr_case}
+                                      ELSE 'unknown' END)
+              ELSE 'none' END AS license
+  FROM det
+), fam AS (
+  SELECT detector, license,
+         CASE {fam_case} ELSE 'unknown' END AS family
+  FROM mapped
+)
+SELECT detector, license, family,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       family = 'permissive' AS allowed_for_training
+FROM fam GROUP BY detector, license, family
+ORDER BY detector, license
+"""
+
+
+# ---------------------------------------------------------------------------
 # fill-in-the-middle (FIM) training transform
 # ---------------------------------------------------------------------------
 
@@ -4473,6 +4610,7 @@ SPARK_QUERIES = {
     "docs_keyphrases_rake": docs_keyphrases_rake,
     "docs_summary_coverage": docs_summary_coverage,
     "docs_rouge_l": docs_rouge_l,
+    "docs_license_detect": docs_license_detect,
     "docs_fim_split": docs_fim_split,
     "docs_script_profile": docs_script_profile,
     "docs_lexical_diversity": docs_lexical_diversity,
@@ -4525,6 +4663,7 @@ ORACLE_SQL = {
     "docs_keyphrases_rake": _rake_sql(),
     "docs_summary_coverage": _summary_coverage_sql(),
     "docs_rouge_l": _rouge_l_sql(),
+    "docs_license_detect": _license_detect_sql(),
     "docs_fim_split": _fim_split_sql(),
     "docs_script_profile": _script_profile_sql(),
     "docs_lexical_diversity": _LEXICAL_DIVERSITY_SQL,

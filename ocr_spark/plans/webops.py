@@ -820,6 +820,125 @@ ORDER BY host
 """
 
 
+def hosts_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman–Girvan modularity of the LPA partition (Newman 2006,
+    eq. Q = Σ_c [in_c/2W − (deg_c/2W)²]) — the quality score that
+    tells an operator whether the detected communities are real
+    structure or noise, and the objective a Louvain upgrade would
+    maximize; computing it for the shipped LPA partition is how you
+    decide the upgrade is worth building. Per community: internal
+    edge weight, total incident degree weight, and the Q
+    contribution; the corpus-level Q rides every row (the n_conv
+    convention) and is folded over communities in SORTED order so
+    the float sum has one engine-independent op sequence.
+
+    Scale shape: the LPA subplan, one labels⋈edges join per endpoint
+    (host-keyed), a community-keyed partial aggregate, then a 1-row
+    fold over the community-cardinality frame. Degenerate guard: a
+    partition with all mass in one community scores Q ≈ 0, which is
+    exactly the signal the score exists to give."""
+    edges = (_followed_host_edges(spark, sf_dir)
+             .groupBy("src", "dst").agg(F.count("*").alias("w")))
+    und = (edges.unionByName(
+               edges.select(F.col("dst").alias("src"),
+                            F.col("src").alias("dst"), "w"))
+           .groupBy("src", "dst").agg(F.sum("w").alias("w"))
+           .localCheckpoint())
+    labels = hosts_label_propagation(spark, sf_dir) \
+        .select("host", "community")
+    lsrc = labels.select(F.col("host").alias("src"),
+                         F.col("community").alias("c_src"))
+    ldst = labels.select(F.col("host").alias("dst"),
+                         F.col("community").alias("c_dst"))
+    tagged = und.join(lsrc, "src").join(ldst, "dst")
+    per_c = (tagged.groupBy(F.col("c_src").alias("community"))
+             .agg(F.sum(F.when(F.col("c_src") == F.col("c_dst"),
+                               F.col("w")).otherwise(0))
+                  .alias("internal_w"),
+                  F.sum("w").alias("degree_w")))
+    sizes = (labels.groupBy("community")
+             .agg(F.count(F.lit(1)).alias("n_hosts")))
+    tot = per_c.agg(F.sum("degree_w").alias("w2"))   # 2W; 1 row
+    q_term = (F.col("internal_w") / F.col("w2")
+              - (F.col("degree_w") / F.col("w2"))
+              * (F.col("degree_w") / F.col("w2")))
+    terms = (per_c.crossJoin(F.broadcast(tot))
+             .select("community", "internal_w", "degree_w", "w2",
+                     q_term.alias("q_raw")))
+    folded = terms.agg(F.aggregate(
+        F.sort_array(F.collect_list(F.struct("community", "q_raw"))),
+        F.lit(0.0), lambda acc, x: acc + x["q_raw"]).alias("q"))
+    return (terms.join(F.broadcast(sizes), "community")
+            .crossJoin(F.broadcast(folded))
+            .select("community", "n_hosts",
+                    F.col("internal_w").cast("long").alias("internal_w"),
+                    F.col("degree_w").cast("long").alias("degree_w"),
+                    F.round("q_raw", 6).alias("q_contribution"),
+                    F.round("q", 6).alias("modularity"))
+            .orderBy("community"))
+
+
+def _modularity_sql() -> str:
+    lpa = _lpa_sql().strip().rstrip()
+    return f"""
+WITH lpa AS (
+  SELECT host, community FROM ({lpa})
+), page_edges AS (
+  SELECT 'site' || CAST(doc_id % 13 AS VARCHAR) || '.example.com' AS src,
+         'partner' || CAST(CASE WHEN doc_id % 13 = 11 THEN 2
+                                ELSE doc_id % 5 END AS VARCHAR)
+           || '.example.org' AS dst
+  FROM documents
+  WHERE doc_id % 17 <> 3
+), edges0 AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM page_edges GROUP BY src, dst
+), und AS (
+  SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
+    SELECT src, dst, w FROM edges0
+    UNION ALL
+    SELECT dst AS src, src AS dst, w FROM edges0
+  ) GROUP BY src, dst
+), tagged AS (
+  SELECT und.w, ls.community AS c_src, ld.community AS c_dst
+  FROM und
+  JOIN lpa ls ON ls.host = und.src
+  JOIN lpa ld ON ld.host = und.dst
+), per_c AS (
+  SELECT c_src AS community,
+         CAST(SUM(CASE WHEN c_src = c_dst THEN w ELSE 0 END)
+              AS BIGINT) AS internal_w,
+         CAST(SUM(w) AS BIGINT) AS degree_w
+  FROM tagged GROUP BY c_src
+), sizes AS (
+  SELECT community, CAST(COUNT(*) AS BIGINT) AS n_hosts
+  FROM lpa GROUP BY community
+), tot AS (
+  SELECT CAST(SUM(degree_w) AS BIGINT) AS w2 FROM per_c
+), terms AS (
+  SELECT community, internal_w, degree_w, w2,
+         internal_w / CAST(w2 AS DOUBLE)
+           - (degree_w / CAST(w2 AS DOUBLE))
+             * (degree_w / CAST(w2 AS DOUBLE)) AS q_raw
+  FROM per_c CROSS JOIN tot
+), folded AS (
+  SELECT list_aggregate(
+           list_transform(
+             list_sort(list({{'community': community,
+                              'q_raw': q_raw}})),
+             x -> x.q_raw),
+           'sum') AS q
+  FROM terms
+)
+SELECT t.community, s.n_hosts, t.internal_w, t.degree_w,
+       round(t.q_raw, 6) AS q_contribution,
+       round(f.q, 6) AS modularity
+FROM terms t JOIN sizes s ON s.community = t.community
+CROSS JOIN folded f
+ORDER BY t.community
+"""
+
+
 # ---------------------------------------------------------------------------
 # link-spam scoring over the host graph
 # ---------------------------------------------------------------------------
@@ -5295,6 +5414,7 @@ SPARK_QUERIES = {
     "hosts_trustrank": hosts_trustrank,
     "hosts_salsa": hosts_salsa,
     "hosts_label_propagation": hosts_label_propagation,
+    "hosts_modularity": hosts_modularity,
     "hosts_pagerank_aged": hosts_pagerank_aged,
     "pages_content_sniff": pages_content_sniff,
     "docs_nfc_normalize": docs_nfc_normalize,
@@ -5362,6 +5482,7 @@ ORACLE_SQL = {
     "hosts_trustrank": _trustrank_sql(),
     "hosts_salsa": _salsa_sql(),
     "hosts_label_propagation": _lpa_sql(),
+    "hosts_modularity": _modularity_sql(),
     "hosts_pagerank_aged": _pagerank_full_sql(
         redistribute_dangling=False, edges_cte=_PR_AGED_EDGES_CTE),
     "pages_content_sniff": PAGES_CONTENT_SNIFF_SQL,

@@ -743,3 +743,29 @@ def test_rouge_l_kernel_matches_textbook_dp_and_bounds():
     _, _, in_order = rouge_l_py("a b c d e", "b c d")
     _, _, shuffled = rouge_l_py("a b c d e", "d c b")
     assert in_order == 3 and shuffled < 3
+
+
+def test_license_detect_precedence_and_gate(spark):
+    """All three marker forms are genuinely routed (tag, phrase,
+    unmarked), the phrase map recovers the same SPDX ids the tag form
+    carries, copyleft is the only held license family among marked
+    docs, and unmarked code is never admitted."""
+    from ocr_spark.plans.dataops import LICENSES, docs_license_detect
+
+    rows = docs_license_detect(spark, "/root/testdata/sf0.01").collect()
+    by_det = {}
+    for r in rows:
+        by_det.setdefault(r.detector, []).append(r)
+    assert set(by_det) == {"spdx", "phrase", "none"}
+    ids = {lid for lid, _, _ in LICENSES}
+    for det in ("spdx", "phrase"):
+        assert {r.license for r in by_det[det]} == ids
+        for r in by_det[det]:
+            fam = next(f for lid, _, f in LICENSES if lid == r.license)
+            assert r.family == fam
+            assert r.allowed_for_training == (fam == "permissive")
+            assert r.n_docs > 0
+    (none_row,) = by_det["none"]
+    assert none_row.license == "none"
+    assert none_row.family == "unknown"
+    assert not none_row.allowed_for_training

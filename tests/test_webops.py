@@ -1164,3 +1164,30 @@ def test_label_propagation_replay_and_bipartite_fixed_point(spark):
                      if h.startswith("partner")}
     assert len(site_comms) == 1 and len(partner_comms) == 1
     assert site_comms != partner_comms
+
+
+def test_modularity_replay_and_bipartite_diagnosis(spark):
+    """Q replays exactly from the per-community integer sums
+    (q_c = in_c/2W − (deg_c/2W)², Q = Σ q_c), degree mass totals 2W,
+    and on the fixture the score DIAGNOSES the synchronous-LPA
+    bipartite oscillation: the two 'communities' are the graph's
+    sides, so internal weight is zero and Q = −Σ(deg_c/2W)² — the
+    strongly-negative readout an operator needs in order to reject
+    this partition (and justify a Louvain upgrade) instead of
+    trusting the community count."""
+    from ocr_spark.plans.webops import hosts_modularity
+
+    rows = hosts_modularity(spark, SF).collect()
+    assert rows
+    w2 = sum(r.degree_w for r in rows)
+    q = 0.0
+    for r in sorted(rows, key=lambda r: r.community):
+        term = r.internal_w / w2 - (r.degree_w / w2) ** 2
+        assert abs(r.q_contribution - round(term, 6)) < 1e-9
+        q += term
+    for r in rows:
+        assert abs(r.modularity - round(q, 6)) < 1e-9
+        assert -1.0 <= r.modularity <= 1.0
+    # the bipartite diagnosis
+    assert all(r.internal_w == 0 for r in rows)
+    assert rows[0].modularity < -0.4
