@@ -939,6 +939,235 @@ ORDER BY t.community
 """
 
 
+LOUVAIN_COLORS = 2   # hash-parity move classes per sweep
+
+
+def hosts_louvain_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Louvain refinement sweep (Blondel et al. 2008 phase 1)
+    over the LPA partition — the upgrade hosts_modularity's negative
+    readout motivates — executed as LOUVAIN_COLORS color-class
+    half-sweeps: only hosts whose md5 parity matches the half-sweep
+    move, then community degree sums are recomputed before the next
+    class moves. The coloring is the standard distributed-Louvain
+    device (a fully synchronous sweep lets symmetric node sets swap
+    communities in lockstep and oscillate — measured on this very
+    fixture: the all-at-once variant swapped the two bipartite sides
+    and left Q at −0.5).
+
+    The move score is EXACT-INTEGER (ΔQ ∝ S·k_{i,c} − k_i·Σ_c with
+    S = 2W and Σ_c excluding the node itself for its own community),
+    so the argmax that decides the partition has no float anywhere;
+    ties break on the smallest community label. Modularity
+    before/after is measured with the hosts_modularity fold, making
+    q_gain the measured value of the refinement, not a claim.
+
+    Scale shape: the LPA subplan, then per half-sweep one host-keyed
+    (node, neighbor-community) aggregate, a broadcast of the
+    community-cardinality degree table, and a host-keyed integer
+    argmax window — the same bounded-shuffle round shape as the LPA
+    iterations, with localCheckpoint truncating lineage between
+    half-sweeps."""
+    edges = (_followed_host_edges(spark, sf_dir)
+             .groupBy("src", "dst").agg(F.count("*").alias("w")))
+    und = (edges.unionByName(
+               edges.select(F.col("dst").alias("src"),
+                            F.col("src").alias("dst"), "w"))
+           .groupBy("src", "dst").agg(F.sum("w").alias("w"))
+           .localCheckpoint())
+    labels0 = hosts_label_propagation(spark, sf_dir) \
+        .select("host", "community")
+    deg = und.groupBy("src").agg(F.sum("w").alias("k")) \
+        .withColumnRenamed("src", "host").localCheckpoint()
+    s_tot = deg.agg(F.sum("k").alias("s"))   # 2W; 1 row → broadcast
+    color = (F.conv(F.substring(F.md5("host"), 1, 8), 16, 10)
+             .cast("long") % LOUVAIN_COLORS)
+
+    labels = labels0
+    for cls in range(LOUVAIN_COLORS):
+        sigma = (labels.join(deg, "host")
+                 .groupBy("community").agg(F.sum("k").alias("sigma")))
+        kic = (und.join(labels.withColumnRenamed("host", "dst")
+                        .withColumnRenamed("community", "c_cand"),
+                        "dst")
+               .groupBy(F.col("src").alias("host"), "c_cand")
+               .agg(F.sum("w").alias("k_ic")))
+        own = labels.select("host", F.col("community").alias("c_own"))
+        cand = (kic.unionByName(
+                    own.select("host",
+                               F.col("c_own").alias("c_cand"),
+                               F.lit(0).cast("long").alias("k_ic")))
+                .groupBy("host", "c_cand")
+                .agg(F.sum("k_ic").alias("k_ic")))
+        scored = (cand.join(own, "host").join(deg, "host")
+                  .join(F.broadcast(sigma.withColumnRenamed(
+                      "community", "c_cand")), "c_cand")
+                  .crossJoin(F.broadcast(s_tot))
+                  .withColumn(
+                      "sigma_adj",
+                      F.when(F.col("c_cand") == F.col("c_own"),
+                             F.col("sigma") - F.col("k"))
+                      .otherwise(F.col("sigma")))
+                  .withColumn("score",
+                              F.col("s") * F.col("k_ic")
+                              - F.col("k") * F.col("sigma_adj")))
+        w_arg = Window.partitionBy("host").orderBy(
+            F.desc("score"), F.asc("c_cand"))
+        moved = (scored.filter(color == cls)
+                 .withColumn("rn", F.row_number().over(w_arg))
+                 .filter(F.col("rn") == 1)
+                 .select("host", F.col("c_cand").alias("community")))
+        keep = labels.filter(color != cls)
+        labels = keep.unionByName(moved).localCheckpoint()
+
+    def q_of(lab: DataFrame) -> DataFrame:
+        lsrc = lab.select(F.col("host").alias("src"),
+                          F.col("community").alias("c_src"))
+        ldst = lab.select(F.col("host").alias("dst"),
+                          F.col("community").alias("c_dst"))
+        per_c = (und.join(lsrc, "src").join(ldst, "dst")
+                 .groupBy(F.col("c_src").alias("community"))
+                 .agg(F.sum(F.when(F.col("c_src") == F.col("c_dst"),
+                                   F.col("w")).otherwise(0))
+                      .alias("iw"),
+                      F.sum("w").alias("dw")))
+        tot = per_c.agg(F.sum("dw").alias("w2"))
+        q = (F.col("iw") / F.col("w2")
+             - (F.col("dw") / F.col("w2")) * (F.col("dw") / F.col("w2")))
+        return (per_c.crossJoin(F.broadcast(tot))
+                .select("community", q.alias("q_raw"))
+                .agg(F.aggregate(
+                    F.sort_array(F.collect_list(
+                        F.struct("community", "q_raw"))),
+                    F.lit(0.0), lambda acc, x: acc + x["q_raw"])
+                    .alias("q")))
+
+    q_before = q_of(labels0).withColumnRenamed("q", "qb")
+    q_after = q_of(labels).withColumnRenamed("q", "qa")
+    rollup = (labels.groupBy("community")
+              .agg(F.count(F.lit(1)).alias("n_hosts")))
+    return (rollup.crossJoin(F.broadcast(q_before))
+            .crossJoin(F.broadcast(q_after))
+            .select("community", "n_hosts",
+                    F.round("qb", 6).alias("q_before"),
+                    F.round("qa", 6).alias("q_after"),
+                    F.round(F.col("qa") - F.col("qb"), 6)
+                    .alias("q_gain"))
+            .orderBy("community"))
+
+
+def _louvain_sweep_sql(prev: str, cls: int, out: str) -> str:
+    """One color-class half-sweep as chained CTEs: recompute sigma
+    from ``prev`` labels, score candidate communities exact-integer,
+    move only hosts with md5-parity ``cls``."""
+    return f"""sigma_{out} AS (
+  SELECT l.community, CAST(SUM(d.k) AS BIGINT) AS sigma
+  FROM {prev} l JOIN deg d ON d.host = l.host
+  GROUP BY l.community
+), kic_{out} AS (
+  SELECT und.src AS host, l.community AS c_cand,
+         CAST(SUM(und.w) AS BIGINT) AS k_ic
+  FROM und JOIN {prev} l ON l.host = und.dst
+  GROUP BY und.src, l.community
+), cand_{out} AS (
+  SELECT host, c_cand, CAST(SUM(k_ic) AS BIGINT) AS k_ic FROM (
+    SELECT host, c_cand, k_ic FROM kic_{out}
+    UNION ALL
+    SELECT host, community AS c_cand, CAST(0 AS BIGINT) FROM {prev}
+  ) GROUP BY host, c_cand
+), scored_{out} AS (
+  SELECT c.host, c.c_cand,
+         s.s * c.k_ic
+           - d.k * (CASE WHEN c.c_cand = o.community
+                         THEN g.sigma - d.k ELSE g.sigma END) AS score
+  FROM cand_{out} c
+  JOIN {prev} o ON o.host = c.host
+  JOIN deg d ON d.host = c.host
+  JOIN sigma_{out} g ON g.community = c.c_cand
+  CROSS JOIN s_tot s
+), moved_{out} AS (
+  SELECT host, c_cand AS community FROM scored_{out}
+  WHERE ('0x' || substring(md5(host), 1, 8))::BIGINT
+        % {LOUVAIN_COLORS} = {cls}
+  QUALIFY row_number() OVER (PARTITION BY host
+                             ORDER BY score DESC, c_cand ASC) = 1
+), {out} AS (
+  SELECT host, community FROM {prev}
+  WHERE ('0x' || substring(md5(host), 1, 8))::BIGINT
+        % {LOUVAIN_COLORS} <> {cls}
+  UNION ALL
+  SELECT host, community FROM moved_{out}
+)"""
+
+
+def _louvain_pass_sql() -> str:
+    lpa = _lpa_sql().strip()
+    q_tmpl = """
+per_{tag} AS (
+  SELECT lab.c_src AS community,
+         CAST(SUM(CASE WHEN lab.c_src = labd.c_dst
+                       THEN und.w ELSE 0 END) AS BIGINT) AS iw,
+         CAST(SUM(und.w) AS BIGINT) AS dw
+  FROM und
+  JOIN (SELECT host, community AS c_src FROM {src}) lab
+    ON lab.host = und.src
+  JOIN (SELECT host, community AS c_dst FROM {src}) labd
+    ON labd.host = und.dst
+  GROUP BY lab.c_src
+), tot_{tag} AS (
+  SELECT CAST(SUM(dw) AS BIGINT) AS w2 FROM per_{tag}
+), q_{tag} AS (
+  SELECT list_aggregate(
+           list_transform(
+             list_sort(list({{'community': community, 'q_raw':
+               iw / CAST(w2 AS DOUBLE)
+               - (dw / CAST(w2 AS DOUBLE))
+                 * (dw / CAST(w2 AS DOUBLE))}})),
+             x -> x.q_raw), 'sum') AS q
+  FROM per_{tag} CROSS JOIN tot_{tag}
+)"""
+    sweeps = []
+    prev = "lpa"
+    for cls in range(LOUVAIN_COLORS):
+        out = f"lv{cls}"
+        sweeps.append(_louvain_sweep_sql(prev, cls, out))
+        prev = out
+    qb = q_tmpl.format(tag="b", src="lpa")
+    qa = q_tmpl.format(tag="a", src=prev)
+    return f"""
+WITH lpa AS (
+  SELECT host, community FROM ({lpa})
+), page_edges AS (
+  SELECT 'site' || CAST(doc_id % 13 AS VARCHAR) || '.example.com' AS src,
+         'partner' || CAST(CASE WHEN doc_id % 13 = 11 THEN 2
+                                ELSE doc_id % 5 END AS VARCHAR)
+           || '.example.org' AS dst
+  FROM documents
+  WHERE doc_id % 17 <> 3
+), edges0 AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM page_edges GROUP BY src, dst
+), und AS (
+  SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
+    SELECT src, dst, w FROM edges0
+    UNION ALL
+    SELECT dst AS src, src AS dst, w FROM edges0
+  ) GROUP BY src, dst
+), deg AS (
+  SELECT src AS host, CAST(SUM(w) AS BIGINT) AS k
+  FROM und GROUP BY src
+), s_tot AS (
+  SELECT CAST(SUM(k) AS BIGINT) AS s FROM deg
+), {', '.join(sweeps)}, {qb}, {qa}
+SELECT m.community, CAST(COUNT(*) AS BIGINT) AS n_hosts,
+       round(q_b.q, 6) AS q_before,
+       round(q_a.q, 6) AS q_after,
+       round(q_a.q - q_b.q, 6) AS q_gain
+FROM {prev} m CROSS JOIN q_b CROSS JOIN q_a
+GROUP BY m.community, q_b.q, q_a.q
+ORDER BY m.community
+"""
+
+
 # ---------------------------------------------------------------------------
 # link-spam scoring over the host graph
 # ---------------------------------------------------------------------------
@@ -5415,6 +5644,7 @@ SPARK_QUERIES = {
     "hosts_salsa": hosts_salsa,
     "hosts_label_propagation": hosts_label_propagation,
     "hosts_modularity": hosts_modularity,
+    "hosts_louvain_pass": hosts_louvain_pass,
     "hosts_pagerank_aged": hosts_pagerank_aged,
     "pages_content_sniff": pages_content_sniff,
     "docs_nfc_normalize": docs_nfc_normalize,
@@ -5483,6 +5713,7 @@ ORACLE_SQL = {
     "hosts_salsa": _salsa_sql(),
     "hosts_label_propagation": _lpa_sql(),
     "hosts_modularity": _modularity_sql(),
+    "hosts_louvain_pass": _louvain_pass_sql(),
     "hosts_pagerank_aged": _pagerank_full_sql(
         redistribute_dangling=False, edges_cte=_PR_AGED_EDGES_CTE),
     "pages_content_sniff": PAGES_CONTENT_SNIFF_SQL,

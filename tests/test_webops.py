@@ -1191,3 +1191,27 @@ def test_modularity_replay_and_bipartite_diagnosis(spark):
     # the bipartite diagnosis
     assert all(r.internal_w == 0 for r in rows)
     assert rows[0].modularity < -0.4
+
+
+def test_louvain_pass_improves_diagnosed_partition(spark):
+    """The color-class half-sweeps must realize the refinement the
+    modularity diagnosis motivates: q_after > q_before on the
+    oscillation-damaged LPA partition, q_before matches
+    hosts_modularity's own readout, gain algebra reconciles, sizes
+    partition the host set, and Q stays in [−1, 1]."""
+    from ocr_spark.plans.webops import (
+        hosts_label_propagation, hosts_louvain_pass, hosts_modularity)
+
+    rows = hosts_louvain_pass(spark, SF).collect()
+    assert rows
+    qb = rows[0].q_before
+    qa = rows[0].q_after
+    for r in rows:
+        assert (r.q_before, r.q_after) == (qb, qa)
+        assert abs(r.q_gain - round(qa - qb, 6)) < 1e-9
+        assert -1.0 <= r.q_after <= 1.0
+    assert qa > qb + 0.1    # the refinement is load-bearing
+    mod = hosts_modularity(spark, SF).collect()[0].modularity
+    assert abs(qb - mod) < 1e-9
+    n_hosts_lpa = hosts_label_propagation(spark, SF).count()
+    assert sum(r.n_hosts for r in rows) == n_hosts_lpa
