@@ -362,6 +362,173 @@ FROM paired WHERE pv IS NOT NULL
 """
 
 
+VAD_HI = 600       # enter-speech energy threshold (hysteresis high)
+VAD_LO = 300       # exit-speech threshold (hysteresis low)
+VAD_MIN_FRAMES = 2  # minimum segment length kept
+# modeled speech burst: frames [burst_start, burst_start+3) of every
+# doc_id % 3 == 0 clip carry a +700 energy boost, so both silent clips
+# and clips with a genuine segment exist
+_VAD_FRAMES = 8
+
+
+def _vad_energy_sql(doc: str, f: str) -> str:
+    """Per-frame energy as a shared integer expression: a hash noise
+    floor in [0, 500) plus a planted +700 burst on three consecutive
+    frames of every third clip — deterministic from (doc_id, frame)
+    so DuckDB recomputes it without the bytes (the FKIM convention).
+    Only the hex→int idiom differs per engine, so this emits the
+    DuckDB form and the Spark side builds the same value with
+    F.conv."""
+    return (f"(('0x' || substring(md5(CAST({doc} AS VARCHAR) || '_' "
+            f"|| CAST({f} AS VARCHAR) || ':e'), 1, 4))::BIGINT % 500"
+            f" + CASE WHEN {doc} % 3 = 0 AND {f} >= {doc} % 4"
+            f" AND {f} < {doc} % 4 + 3 THEN 700 ELSE 0 END)")
+
+
+def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hysteresis voice-activity detection over per-frame energies —
+    the segmentation every audio-training pipeline runs before
+    transcription or clip sampling (speech/silence gating with TWO
+    thresholds so boundary chatter cannot toggle the state: enter at
+    energy ≥ VAD_HI, exit below VAD_LO, drop segments shorter than
+    VAD_MIN_FRAMES). The energy extractor is a deterministic hash
+    stand-in with planted speech bursts (the FKIM decode-seam
+    convention — the real frontend swaps in at the mapInPandas seam);
+    the state machine, hysteresis, min-duration filter, and
+    per-segment energy rollup are the real operator.
+
+    Determinism/scale: the per-clip frame walk is inherently
+    sequential, so it folds ONCE per row over the frame array with
+    ``F.aggregate`` (all-JVM, zero shuffle, scales with input splits);
+    the oracle's recursive CTE walks the same state machine frame by
+    frame. Integer energies throughout; the only division is the
+    final mean readout."""
+    docs = _docs(spark, sf_dir)
+    n_frames = (1 + F.col("doc_id") % _VAD_FRAMES).cast("int")
+    noise = (F.conv(F.substring(F.md5(F.concat(
+        F.col("doc_id").cast("string"), F.lit("_"),
+        F.col("f").cast("string"), F.lit(":e"))), 1, 4), 16, 10)
+        .cast("long") % 500)
+    burst = F.when((F.col("doc_id") % 3 == 0)
+                   & (F.col("f") >= F.col("doc_id") % 4)
+                   & (F.col("f") < F.col("doc_id") % 4 + 3),
+                   700).otherwise(0)
+    frames = (docs.select("doc_id",
+                          F.explode(F.sequence(
+                              F.lit(0), n_frames - 1)).alias("f"))
+              .withColumn("e", noise + burst))
+    clip = (frames.groupBy("doc_id")
+            .agg(F.sort_array(F.collect_list(F.struct("f", "e")))
+                 .alias("fe")))
+    seg_t = ("ARRAY<STRUCT<s: INT, e: INT, sum_e: BIGINT>>")
+    init = F.struct(
+        F.lit(False).alias("in_speech"),
+        F.lit(-1).cast("int").alias("start"),
+        F.lit(0).cast("long").alias("acc_e"),
+        F.expr(f"CAST(array() AS {seg_t})").alias("segs"))
+    hi, lo = VAD_HI, VAD_LO
+
+    def step(acc, x):
+        enter = (~acc["in_speech"]) & (x["e"] >= hi)
+        leave = acc["in_speech"] & (x["e"] < lo)
+        emitted = F.when(
+            leave,
+            F.concat(acc["segs"], F.array(F.struct(
+                acc["start"].alias("s"), x["f"].alias("e"),
+                acc["acc_e"].alias("sum_e"))))).otherwise(acc["segs"])
+        return F.struct(
+            F.when(enter, F.lit(True))
+            .when(leave, F.lit(False))
+            .otherwise(acc["in_speech"]).alias("in_speech"),
+            F.when(enter, x["f"]).otherwise(acc["start"]).alias("start"),
+            F.when(enter, x["e"].cast("long"))
+            .when(acc["in_speech"] & ~leave, acc["acc_e"] + x["e"])
+            .otherwise(acc["acc_e"]).alias("acc_e"),
+            emitted.alias("segs"))
+
+    folded = F.aggregate(
+        F.col("fe"), init, step,
+        lambda acc: F.when(
+            acc["in_speech"],
+            F.concat(acc["segs"], F.array(F.struct(
+                acc["start"].alias("s"),
+                F.size("fe").cast("int").alias("e"),
+                acc["acc_e"].alias("sum_e"))))).otherwise(acc["segs"]))
+    segs = (clip.select("doc_id", F.explode(folded).alias("g"))
+            .select("doc_id",
+                    F.col("g.s").alias("seg_start"),
+                    F.col("g.e").alias("seg_end"),
+                    (F.col("g.e") - F.col("g.s")).alias("n_frames"),
+                    F.col("g.sum_e").alias("sum_energy"))
+            .filter(F.col("n_frames") >= VAD_MIN_FRAMES))
+    return (segs.select(
+        "doc_id",
+        F.col("seg_start").cast("int").alias("seg_start"),
+        F.col("seg_end").cast("int").alias("seg_end"),
+        F.col("n_frames").cast("int").alias("n_frames"),
+        F.col("sum_energy").cast("long").alias("sum_energy"),
+        F.round(F.col("sum_energy") / F.col("n_frames"), 4)
+        .alias("mean_energy"))
+        .orderBy("doc_id", "seg_start"))
+
+
+def _vad_sql() -> str:
+    e = _vad_energy_sql("fr.doc_id", "fr.f")
+    return f"""
+WITH RECURSIVE clips AS (
+  SELECT doc_id, CAST(1 + doc_id % {_VAD_FRAMES} AS INT) AS n
+  FROM documents
+), fr AS (
+  SELECT c.doc_id, CAST(u.f AS INT) AS f, c.n
+  FROM clips c, LATERAL unnest(range(0, c.n)) AS u(f)
+), en AS (
+  SELECT fr.doc_id, fr.f, fr.n, CAST({e} AS BIGINT) AS e FROM fr
+), walk(doc_id, f, n, in_speech, start, acc_e, segs) AS (
+  SELECT doc_id, 0, n,
+         e >= {VAD_HI},
+         CASE WHEN e >= {VAD_HI} THEN 0 ELSE -1 END,
+         CASE WHEN e >= {VAD_HI} THEN e ELSE 0 END,
+         CAST([] AS STRUCT(s INT, e INT, sum_e BIGINT)[])
+  FROM en WHERE f = 0
+  UNION ALL
+  SELECT w.doc_id, w.f + 1, w.n,
+         CASE WHEN NOT w.in_speech AND en.e >= {VAD_HI} THEN true
+              WHEN w.in_speech AND en.e < {VAD_LO} THEN false
+              ELSE w.in_speech END,
+         CASE WHEN NOT w.in_speech AND en.e >= {VAD_HI} THEN en.f
+              ELSE w.start END,
+         CASE WHEN NOT w.in_speech AND en.e >= {VAD_HI} THEN en.e
+              WHEN w.in_speech AND en.e >= {VAD_LO}
+                THEN w.acc_e + en.e
+              ELSE w.acc_e END,
+         CASE WHEN w.in_speech AND en.e < {VAD_LO}
+              THEN list_append(w.segs,
+                     {{'s': w.start, 'e': en.f, 'sum_e': w.acc_e}})
+              ELSE w.segs END
+  FROM walk w JOIN en ON en.doc_id = w.doc_id AND en.f = w.f + 1
+  WHERE w.f + 1 < w.n
+), final AS (
+  SELECT doc_id,
+         CASE WHEN in_speech
+              THEN list_append(segs,
+                     {{'s': start, 'e': n, 'sum_e': acc_e}})
+              ELSE segs END AS segs
+  FROM walk WHERE f = n - 1
+), seg AS (
+  SELECT doc_id, u.g.s AS seg_start, u.g.e AS seg_end,
+         u.g.e - u.g.s AS n_frames, u.g.sum_e AS sum_energy
+  FROM final, LATERAL unnest(segs) AS u(g)
+)
+SELECT doc_id, CAST(seg_start AS INT) AS seg_start,
+       CAST(seg_end AS INT) AS seg_end,
+       CAST(n_frames AS INT) AS n_frames,
+       CAST(sum_energy AS BIGINT) AS sum_energy,
+       round(sum_energy / CAST(n_frames AS DOUBLE), 4) AS mean_energy
+FROM seg WHERE n_frames >= {VAD_MIN_FRAMES}
+ORDER BY doc_id, seg_start
+"""
+
+
 SPARK_QUERIES = {
     "mm_phash_near_dup": mm_phash_near_dup,
     "mm_media_meta": mm_media_meta,
@@ -369,6 +536,7 @@ SPARK_QUERIES = {
     "mm_frame_rollup": mm_frame_rollup,
     "mm_frame_embed_pool": mm_frame_embed_pool,
     "mm_scene_cuts": mm_scene_cuts,
+    "mm_audio_vad": mm_audio_vad,
 }
 
 ORACLE_SQL = {
@@ -378,4 +546,5 @@ ORACLE_SQL = {
     "mm_frame_rollup": _FRAME_ROLLUP_SQL,
     "mm_frame_embed_pool": _FRAME_EMBED_SQL,
     "mm_scene_cuts": _SCENE_CUTS_SQL,
+    "mm_audio_vad": _vad_sql(),
 }

@@ -95,3 +95,59 @@ def test_scene_cuts_fire_and_pairs_are_consecutive(spark):
         assert r["is_cut"] == (r["cos_sim"] < SCENE_CUT_COS)
         n_cut += r["is_cut"]
     assert 0 < n_cut < len(rows)
+
+
+def test_vad_hysteresis_state_machine_replay(spark):
+    """Pure-Python replay of the hysteresis walk from the same
+    modeled energies matches segment for segment; segments never
+    overlap, respect the min-duration filter, and every emitted
+    segment ENTERED at >= VAD_HI and survived until a frame below
+    VAD_LO (or clip end) — the two-threshold property that
+    distinguishes VAD from naive thresholding."""
+    import hashlib
+    from collections import defaultdict
+
+    from ocr_spark.plans.multimodal_queries import (
+        _VAD_FRAMES, VAD_HI, VAD_LO, VAD_MIN_FRAMES, mm_audio_vad)
+
+    rows = mm_audio_vad(spark, "/root/testdata/sf0.01").collect()
+    got = defaultdict(list)
+    for r in rows:
+        got[r.doc_id].append(
+            (r.seg_start, r.seg_end, r.n_frames, r.sum_energy))
+
+    def energy(d, f):
+        h = hashlib.md5(f"{d}_{f}:e".encode()).hexdigest()
+        e = int(h[:4], 16) % 500
+        if d % 3 == 0 and d % 4 <= f < d % 4 + 3:
+            e += 700
+        return e
+
+    import duckdb
+    ids = [i for (i,) in duckdb.sql(
+        "SELECT doc_id FROM read_parquet("
+        "'/root/testdata/sf0.01/documents.parquet')").fetchall()]
+    want = defaultdict(list)
+    for d in ids:
+        n = 1 + d % _VAD_FRAMES
+        in_speech, start, acc = False, -1, 0
+        segs = []
+        for f in range(n):
+            e = energy(d, f)
+            if not in_speech and e >= VAD_HI:
+                in_speech, start, acc = True, f, e
+            elif in_speech and e < VAD_LO:
+                segs.append((start, f, f - start, acc))
+                in_speech = False
+            elif in_speech:
+                acc += e
+        if in_speech:
+            segs.append((start, n, n - start, acc))
+        want[d] = [s for s in segs if s[2] >= VAD_MIN_FRAMES]
+    assert dict(got) == {d: s for d, s in want.items() if s}
+    for d, segs in got.items():
+        segs.sort()
+        for (s1, e1, *_), (s2, _, *_) in zip(segs, segs[1:]):
+            assert s2 >= e1   # no overlap
+        for s, e, n, _ in segs:
+            assert n == e - s >= VAD_MIN_FRAMES
