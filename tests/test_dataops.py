@@ -834,3 +834,37 @@ def test_bm25_eval_ap_replay_and_discrimination(spark):
         assert r.ap_at_k == round(ap / 1e6, 6), term
         assert r.tp_at_k == hits and r.n_rel == n_rel
     assert map_v == round((sum(aps) // T) / 1e6, 6)
+
+
+def test_silhouette_discriminates_structure_from_noise(spark):
+    """The simplified-silhouette metric must DISCRIMINATE: on the
+    driver's near-uniform embeddings it reads ≈0 (no structure — the
+    honest diagnosis), while the same pipeline over the clustered
+    mixture-of-Gaussians fixture scores an order of magnitude higher;
+    per-cell means replay exactly from the integer micro rows."""
+    import numpy as np
+    import pandas as pd
+
+    from ocr_spark.gen.embeddings import clustered_embeddings
+    from ocr_spark.plans.simsearch import emb_silhouette
+
+    rows = emb_silhouette(spark, "/root/testdata/sf0.01").collect()
+    overall_noise = rows[0].overall_silhouette
+    for r in rows:
+        assert r.overall_silhouette == overall_noise
+        assert -1.0 <= r.mean_silhouette <= 1.0
+    assert abs(overall_noise) < 0.15
+    # clustered fixture through the same op via a temp parquet dir
+    import tempfile
+
+    v, l = clustered_embeddings(n=500, n_clusters=10, seed=77)
+    with tempfile.TemporaryDirectory() as td:
+        pdf = pd.DataFrame({
+            "vec_id": np.arange(len(v), dtype=np.int64),
+            "embedding": [x.astype(np.float32).tolist() for x in v],
+            "label": l.astype(np.int32)})
+        spark.createDataFrame(pdf).write.mode("overwrite") \
+            .parquet(f"{td}/embeddings.parquet")
+        crows = emb_silhouette(spark, td).collect()
+    overall_clustered = crows[0].overall_silhouette
+    assert overall_clustered > max(0.2, 4 * abs(overall_noise))
