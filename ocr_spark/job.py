@@ -1423,3 +1423,126 @@ def verify_stats(spark: SparkSession, work_dir: str) -> dict:
         "cms_mismatches": n_diff(folded["cms"], _cms_frame(occ)),
         "kmv_mismatches": n_diff(folded["kmv"], _kmv_frame(occ, KMV_K)),
     }
+
+
+def labeling_root(work_dir: str) -> str:
+    return os.path.join(work_dir, "labeling")
+
+
+def _labeling_batch(spark: SparkSession, work_dir: str,
+                    k: int) -> tuple[list, dict[str, str]]:
+    """Pure batch computation shared by run_labeling_job (which
+    commits) and verify_labeling (which must NOT): returns the
+    rank-ordered batch rows and the per-language digests."""
+    import hashlib
+
+    from pyspark.sql.window import Window
+
+    from ocr_spark.plans.curation import (
+        SCORE_ROUND, _quality_model)
+    from ocr_spark.plans.dataops import langid_hit_cols, langid_pred_col
+
+    model = _quality_model()
+    vocab = spark.createDataFrame(
+        list(model["weights_x10"].items()), "tok string, w10 long")
+    out = (read_extracted(spark, work_dir)
+           .filter(F.col("error").isNull() & F.col("text").isNotNull()
+                   & (F.length("text") > 0))
+           .select("url", "text"))
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    with_lang = out.select(
+        "url", "text", *langid_hit_cols(toks)) \
+        .withColumn("lang", langid_pred_col()).select("url", "text", "lang")
+    exploded = with_lang.select(
+        "url", "lang", F.explode(toks).alias("tok"))
+    agg = (exploded.join(F.broadcast(vocab), "tok", "left")
+           .groupBy("url", "lang")
+           .agg(F.count("*").alias("n_tokens"),
+                F.sum(F.coalesce(F.col("w10"), F.lit(0))).alias("sw10")))
+    z = (F.col("sw10") / (F.col("n_tokens") * 10.0)
+         + F.lit(model["bias_x10"] / 10.0))
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), SCORE_ROUND)
+    scored = agg.select("url", "lang", score.alias("score")) \
+        .withColumn("margin",
+                    F.round(F.abs(F.col("score") - 0.5), SCORE_ROUND))
+    w = Window.partitionBy("lang").orderBy(F.asc("margin"), F.asc("url"))
+    batch = (scored.withColumn("rank_in_lang", F.row_number().over(w))
+             .filter(F.col("rank_in_lang") <= k)
+             .select("lang", "rank_in_lang", "url", "score", "margin"))
+    rows = sorted(batch.collect(),
+                  key=lambda r: (r.lang, r.rank_in_lang))
+    per_lang: dict[str, list] = {}
+    for r in rows:
+        per_lang.setdefault(r.lang, []).append(r.url)
+    digests = {lang: hashlib.md5("\x1e".join(urls).encode()).hexdigest()
+               for lang, urls in sorted(per_lang.items())}
+    return rows, digests
+
+
+def run_labeling_job(spark: SparkSession, work_dir: str, *,
+                     batch_per_lang: int | None = None) -> dict:
+    """Active-learning annotation-batch stage — the pipeline form of
+    the oracle-checked docs_uncertainty_sample: score EVERY committed
+    successfully-extracted document with the quality classifier
+    (broadcast weight table, the docs_classifier_score recipe; drops
+    as well as keeps sit near the boundary, so the batch draws from
+    the FULL extraction output, not the kept set), language-ID the
+    text with the shared langid kernel, and nominate each language's
+    ``batch_per_lang`` smallest-margin documents as the next human
+    annotation batch. The batch is committed under
+    ``labeling/run=<id>/`` with a per-language content digest (md5
+    over the rank-ordered url list), so the annotation vendor's
+    received batch is verifiable against lineage and a re-run on the
+    same snapshot is bit-reproducible — the same consumer-side
+    discipline as the export/sampling manifests.
+
+    Determinism: margins rank the SCORE_ROUND-rounded score (the
+    cross-engine convention), ties break on url; the digest is
+    derived from the ordered batch, never from partition order.
+
+    Scale shape: the classifier's broadcast-join + per-doc partial
+    aggregate (token volume touched once), a langid narrow map, ONE
+    lang-keyed top-k window, and a batch of |langs|·K rows — the
+    only driver-side data is that bounded batch."""
+    from ocr_spark.plans.curation import UNC_SAMPLE_K
+
+    k = batch_per_lang or UNC_SAMPLE_K
+    rows, digests = _labeling_batch(spark, work_dir, k)
+    run_id = uuid.uuid4().hex[:12]
+    report = spark.createDataFrame(
+        [(run_id, r.lang, int(r.rank_in_lang), r.url,
+          float(r.score), float(r.margin), digests[r.lang])
+         for r in rows],
+        "run_id string, lang string, rank_in_lang int, url string, "
+        "score double, margin double, lang_digest string")
+    dest = os.path.join(labeling_root(work_dir), f"run={run_id}")
+    report.coalesce(1).write.mode("overwrite").parquet(dest)
+    per_lang = {r.lang for r in rows}
+    return {"run_id": run_id, "batch_path": dest,
+            "n_langs": len(per_lang), "n_docs": len(rows),
+            "digests": digests}
+
+
+def verify_labeling(spark: SparkSession, work_dir: str,
+                    run_id: str) -> dict:
+    """Consumer-side check of a committed annotation batch: re-derive
+    the batch from the same committed extraction output and compare
+    the per-language digests — any drift (extraction re-run changed
+    text, classifier artifact changed, nondeterminism crept into the
+    ranking) shows up as a digest mismatch before a vendor labels a
+    single stale row."""
+    dest = os.path.join(labeling_root(work_dir), f"run={run_id}")
+    stored = spark.read.parquet(dest)
+    stored_digests = {r.lang: r.lang_digest
+                      for r in stored.select("lang", "lang_digest")
+                      .distinct().collect()}
+    k = stored.agg(F.max("rank_in_lang")).collect()[0][0]
+    _, fresh = _labeling_batch(spark, work_dir, int(k))
+    mismatches = {lang: (stored_digests.get(lang), d)
+                  for lang, d in fresh.items()
+                  if stored_digests.get(lang) != d}
+    mismatches.update({lang: (d, None)
+                       for lang, d in stored_digests.items()
+                       if lang not in fresh})
+    return {"run_id": run_id, "mismatches": mismatches,
+            "ok": not mismatches}

@@ -92,6 +92,13 @@ def main(argv: list[str] | None = None) -> int:
                          "text) via the token-F1 kernel, appending "
                          "per-doc + summary metrics tables; fails the "
                          "run when any gold url went unextracted")
+    ap.add_argument("--label", action="store_true",
+                    help="after extraction, commit an active-learning "
+                         "annotation batch (per-language smallest "
+                         "classifier margins over ALL extracted docs) "
+                         "under labeling/run=<id> with per-language "
+                         "digests, then verify the committed batch "
+                         "re-derives bit-identically")
     ap.add_argument("--validate", action="store_true",
                     help="after extraction, run the Deequ-style "
                          "constraint suite over the committed output "
@@ -155,6 +162,16 @@ def main(argv: list[str] | None = None) -> int:
             if any(check.values()):
                 print(f"sketch-store verification FAILED: {check}",
                       file=sys.stderr)
+                return 1
+        if args.label:
+            from ocr_spark.job import run_labeling_job, verify_labeling
+            summary["labeling"] = run_labeling_job(spark, args.work_dir)
+            check = verify_labeling(spark, args.work_dir,
+                                    summary["labeling"]["run_id"])
+            summary["labeling"]["verified"] = check["ok"]
+            if not check["ok"]:
+                print(f"labeling batch verification FAILED: "
+                      f"{check['mismatches']}", file=sys.stderr)
                 return 1
         if args.eval_gold:
             from ocr_spark.job import run_eval_job

@@ -1,0 +1,75 @@
+"""Active-learning annotation-batch job stage (job.py
+run_labeling_job / verify_labeling): extraction output → classifier
+margins → per-language batch committed with verifiable digests."""
+
+from __future__ import annotations
+
+import pytest
+
+from ocr_spark.job import (
+    run_extraction_job, run_labeling_job, verify_labeling,
+)
+from ocr_spark.sources import iceberg_shim as shim
+
+
+@pytest.fixture(scope="module")
+def labeled(spark, tmp_path_factory):
+    from ocr_spark.plans.extract_queries import pages_from_documents
+
+    input_root = str(tmp_path_factory.mktemp("lab_in"))
+    work = str(tmp_path_factory.mktemp("lab_work"))
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001")
+    shim.write_snapshot(pages, input_root)
+    run_extraction_job(spark, input_root, work, partitions=8,
+                       big_partitions=1, waves=2)
+    summary = run_labeling_job(spark, work)
+    return spark, work, summary
+
+
+def test_batch_committed_with_contiguous_ranks(labeled):
+    spark, work, summary = labeled
+    from ocr_spark.plans.curation import UNC_SAMPLE_K
+
+    batch = spark.read.parquet(summary["batch_path"])
+    rows = batch.collect()
+    assert len(rows) == summary["n_docs"] > 0
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert len(by_lang) == summary["n_langs"]
+    for lang, rs in by_lang.items():
+        ranks = sorted(r.rank_in_lang for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        assert len(rs) <= UNC_SAMPLE_K
+        for r in rs:
+            assert 0.0 <= r.margin <= 0.5
+            assert r.lang_digest == summary["digests"][lang]
+
+
+def test_batch_is_true_margin_topk(labeled):
+    """No document outside the batch has a strictly smaller
+    (margin, url) pair than a batch member of the same language —
+    the selection is the real boundary neighborhood."""
+    spark, work, summary = labeled
+    from ocr_spark.job import _labeling_batch
+
+    rows, digests = _labeling_batch(spark, work, 10**9)  # full ranking
+    full = {}
+    for r in rows:
+        full.setdefault(r.lang, []).append((r.margin, r.url))
+    batch = spark.read.parquet(summary["batch_path"]).collect()
+    chosen = {}
+    for r in batch:
+        chosen.setdefault(r.lang, []).append((r.margin, r.url))
+    for lang, sel in chosen.items():
+        want = sorted(full[lang])[:len(sel)]
+        assert sorted(sel) == want
+
+
+def test_verify_catches_nothing_on_clean_store_and_reruns_stably(labeled):
+    spark, work, summary = labeled
+    check = verify_labeling(spark, work, summary["run_id"])
+    assert check["ok"], check
+    # a second committed run on the same snapshot is bit-identical
+    again = run_labeling_job(spark, work)
+    assert again["digests"] == summary["digests"]
