@@ -1810,6 +1810,94 @@ FROM sig ORDER BY day
 """
 
 
+GINI_TOP_FRACS = (1, 10)   # top-N% share readouts
+
+
+def ev_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration readout over users — the Gini
+    coefficient plus top-1%/top-10% revenue shares (the whale-economy
+    numbers every monetization review opens with; the user-side
+    companion of hosts_concentration's HHI): users are ranked by
+    lifetime purchase cents ascending and
+    G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx), computed ENTIRELY in
+    BIGINT micro-units — rank sums, cent sums, and the final
+    division are exact integers, so the coefficient is bit-identical
+    across engines with no float aggregation anywhere. Users with
+    events but no purchases count as zeros (they are the inequality).
+
+    Scale shape: one user-keyed partial aggregate, then a
+    rank-by-revenue pass — written here as a window over the
+    user-cardinality frame (bounded at this SF); the production form
+    of the same plan is the standard two-pass range-partitioned
+    ranking (repartitionByRange on cents + per-partition offsets),
+    which preserves the exact same rank values this query pins."""
+    ev = t(spark, sf_dir, "events")
+    per_user = (ev.groupBy("user_id")
+                .agg(F.sum(F.when(F.col("event_type") == "purchase",
+                                  F.round(F.col("value") * 100)
+                                  .cast("long")).otherwise(0))
+                     .alias("cents")))
+    w = Window.orderBy(F.asc("cents"), F.asc("user_id"))
+    ranked = (per_user.withColumn("i", F.row_number().over(w))
+              .withColumn("n_all",
+                          F.count(F.lit(1)).over(Window.partitionBy())))
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s0"),
+        F.sum(F.col("i") * F.col("cents")).cast("long").alias("s1"),
+        *[F.sum(F.when(F.expr(f"i > ({100 - p} * n_all) DIV 100"),
+                       F.col("cents")).otherwise(0))
+          .cast("long").alias(f"top{p}_cents")
+          for p in GINI_TOP_FRACS])
+    g = F.expr("(2 * s1 - (n + 1) * s0) * 1000000 DIV (n * s0)")
+    out = agg.withColumn("gini_micro", g)
+    cols = [F.col("n").alias("n_users"),
+            F.round(F.col("s0") / 100.0, 2).alias("total_revenue"),
+            F.round(F.col("gini_micro") / 1e6, 6).alias("gini")]
+    for p in GINI_TOP_FRACS:
+        cols.append(F.round(F.col(f"top{p}_cents") / F.col("s0"), 6)
+                    .alias(f"top{p}pct_share"))
+    return out.select(*cols)
+
+
+def _gini_sql() -> str:
+    tops = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN i > ({100 - p} * n_all) // 100 "
+        f"THEN cents ELSE 0 END) AS BIGINT) AS top{p}_cents"
+        for p in GINI_TOP_FRACS)
+    shares = ",\n       ".join(
+        f"round(top{p}_cents / CAST(s0 AS DOUBLE), 6)"
+        f" AS top{p}pct_share" for p in GINI_TOP_FRACS)
+    return f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS cents
+  FROM events GROUP BY user_id
+), ranked AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents ASC, user_id ASC) AS i,
+         COUNT(*) OVER () AS n_all
+  FROM per_user
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS s0,
+         CAST(SUM(i * cents) AS BIGINT) AS s1,
+         {tops}
+  FROM ranked
+), g AS (
+  SELECT *, (2 * s1 - (n + 1) * s0) * 1000000 // (n * s0)
+           AS gini_micro
+  FROM agg
+)
+SELECT n AS n_users, round(s0 / 100.0, 2) AS total_revenue,
+       round(gini_micro / 1e6, 6) AS gini,
+       {shares}
+FROM g
+"""
+
+
 POWER_Z_ALPHA = 1.959964   # two-sided 5%
 POWER_Z_BETA = 0.841621    # 80% power
 POWER_MDES = (0.01, 0.02, 0.05, 0.10)   # relative minimum detectable effects
@@ -2280,6 +2368,7 @@ SPARK_QUERIES = {
     "ev_experiment_power": ev_experiment_power,
     "ev_changepoint_cusum": ev_changepoint_cusum,
     "ev_attribution_markov": ev_attribution_markov,
+    "ev_gini_revenue": ev_gini_revenue,
     "docs_lang_stats": docs_lang_stats,
     "docs_token_count": docs_token_count,
     "docs_exact_dedup": docs_exact_dedup,
@@ -2318,6 +2407,7 @@ ORACLE_SQL = {
     "ev_experiment_power": _power_sql(),
     "ev_changepoint_cusum": _cusum_sql(),
     "ev_attribution_markov": _markov_attr_sql(),
+    "ev_gini_revenue": _gini_sql(),
     "docs_lang_stats": DOCS_LANG_SQL,
     "docs_token_count": DOCS_TOKENS_SQL,
     "docs_exact_dedup": DOCS_DEDUP_SQL,

@@ -992,3 +992,44 @@ def test_shards_bloom_index_soundness_and_pruning(spark):
         assert r.avg_shards_per_lookup < r.n_shards / 2
     assert rows["present"].shards_containing == rows["present"].n_probes
     assert rows["absent"].shards_containing == 0
+
+
+def test_gini_replay_and_bounds(spark):
+    """Exact integer replay of the Gini and top-share arithmetic from
+    the per-user cents; 0 ≤ G < 1; shares nest (top1 ≤ top10 ≤ 1);
+    and a perfectly-equal synthetic check of the same formula gives
+    G = 0 while a single-whale distribution approaches 1 − 1/n."""
+    import duckdb
+
+    from ocr_spark.plans.queries import ev_gini_revenue
+
+    r = ev_gini_revenue(spark, "/root/testdata/sf0.01").collect()[0]
+    rows = duckdb.sql(
+        "SELECT user_id, CAST(SUM(CASE WHEN event_type='purchase' "
+        "THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS BIGINT) "
+        "FROM read_parquet('/root/testdata/sf0.01/events.parquet') "
+        "GROUP BY user_id").fetchall()
+    xs = sorted((c, u) for u, c in rows)
+    n = len(xs)
+    s0 = sum(c for c, _ in xs)
+    s1 = sum(i * c for i, (c, _) in enumerate(xs, start=1))
+    g_micro = (2 * s1 - (n + 1) * s0) * 1_000_000 // (n * s0)
+    assert r.n_users == n
+    assert r.gini == round(g_micro / 1e6, 6)
+    for p in (1, 10):
+        cut = ((100 - p) * n) // 100
+        share = sum(c for i, (c, _) in enumerate(xs, start=1)
+                    if i > cut) / s0
+        assert getattr(r, f"top{p}pct_share") == round(share, 6)
+    assert 0 <= r.gini < 1
+    assert r.top1pct_share <= r.top10pct_share <= 1.0
+
+    def gini_of(vals):
+        v = sorted(vals)
+        nn = len(v)
+        ss0 = sum(v)
+        ss1 = sum(i * x for i, x in enumerate(v, start=1))
+        return (2 * ss1 - (nn + 1) * ss0) * 1_000_000 // (nn * ss0)
+
+    assert gini_of([100] * 50) == 0
+    assert gini_of([0] * 99 + [10000]) >= 980_000
