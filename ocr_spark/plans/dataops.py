@@ -3183,6 +3183,61 @@ LIMIT {BM25_TOP_K}
 """
 
 
+def docs_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication — weight, don't drop: every near-dup
+    CLUSTER contributes unit training mass, split evenly over its
+    members (weight = 1/cluster-size; singletons keep 1.0). The
+    alternative to hard keeper-election (docs_dedup_keepers /
+    docs_near_dup_quality_keepers) when duplicates carry signal worth
+    keeping at reduced influence — the down-weighting form of dedup
+    several modern corpus recipes prefer for borderline tiers, and
+    the natural input to a weighted loss or weighted sampler.
+
+    Determinism: weights are exact integer micro-units
+    (10⁶ DIV cluster-size), so any downstream weighted aggregate
+    stays partition-order-proof; the cluster machinery is the same
+    verified LSH → exact-Jaccard → connected-components tail every
+    other dedup consumer uses.
+
+    Scale shape: the near-dup cluster subplan (bounded by the capped
+    candidate list), one cluster-keyed size window, and a doc_id
+    equi-join back to the corpus — no new corpus-volume shuffle."""
+    clusters = docs_near_dup_clusters(spark, sf_dir) \
+        .select("doc_id", "cluster_id")
+    w = Window.partitionBy("cluster_id")
+    sized = clusters.withColumn(
+        "cluster_size", F.count(F.lit(1)).over(w).cast("long"))
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    out = (docs.join(sized, "doc_id", "left")
+           .withColumn("cluster_size",
+                       F.coalesce("cluster_size", F.lit(1))
+                       .cast("long"))
+           .withColumn("in_cluster", F.col("cluster_id").isNotNull())
+           .withColumn("weight_micro",
+                       F.expr("1000000 DIV cluster_size")))
+    return out.select(
+        "doc_id", "in_cluster", "cluster_size",
+        F.round(F.col("weight_micro") / 1e6, 6).alias("weight"))
+
+
+_SOFT_DEDUP_SQL = f"""
+WITH clusters AS (
+  SELECT doc_id, cluster_id FROM ({_NEAR_DUP_CLUSTERS_SQL})
+), sized AS (
+  SELECT doc_id, cluster_id,
+         CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+           AS cluster_size
+  FROM clusters
+)
+SELECT d.doc_id,
+       s.cluster_id IS NOT NULL AS in_cluster,
+       COALESCE(s.cluster_size, 1) AS cluster_size,
+       round((1000000 // COALESCE(s.cluster_size, 1)) / 1e6, 6)
+         AS weight
+FROM documents d LEFT JOIN sized s ON s.doc_id = d.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # BM25 retrieval evaluation (ad-hoc topic retrieval, modeled cohort)
 # --------------------------------------------------------------------------
@@ -4797,6 +4852,7 @@ SPARK_QUERIES = {
     "docs_rouge_l": docs_rouge_l,
     "docs_license_detect": docs_license_detect,
     "docs_bm25_eval": docs_bm25_eval,
+    "docs_soft_dedup_weights": docs_soft_dedup_weights,
     "docs_fim_split": docs_fim_split,
     "docs_script_profile": docs_script_profile,
     "docs_lexical_diversity": docs_lexical_diversity,
@@ -4851,6 +4907,7 @@ ORACLE_SQL = {
     "docs_rouge_l": _rouge_l_sql(),
     "docs_license_detect": _license_detect_sql(),
     "docs_bm25_eval": _bm25_eval_sql(),
+    "docs_soft_dedup_weights": _SOFT_DEDUP_SQL,
     "docs_fim_split": _fim_split_sql(),
     "docs_script_profile": _script_profile_sql(),
     "docs_lexical_diversity": _LEXICAL_DIVERSITY_SQL,

@@ -939,6 +939,104 @@ ORDER BY t.community
 """
 
 
+def hosts_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the host graph (Newman 2002, eq. 4):
+    the weighted Pearson correlation of endpoint degrees over edges —
+    the one number that says whether big hosts link to big hosts
+    (assortative, r > 0: portal cliques) or big hosts harvest links
+    from small ones (disassortative, r < 0: hub-and-spoke, the usual
+    web shape and what the site→partner fixture graph should show).
+    Computed over the symmetrized edge list (each undirected edge
+    contributes both orientations — the standard trick that makes
+    the two endpoint marginals identical).
+
+    Determinism: degrees and edge weights are integers, so all six
+    correlation moments are exact BIGINT sums; the final Pearson is
+    one fixed float expression mirrored in the oracle, rounded once.
+
+    Scale shape: page volume dies at the edge groupBy; then a
+    host-keyed degree aggregate, one degree-join per endpoint, and a
+    1-row moment reduce. Nothing wider than host cardinality."""
+    edges = (_followed_host_edges(spark, sf_dir)
+             .groupBy("src", "dst").agg(F.count("*").alias("w")))
+    und = (edges.unionByName(
+               edges.select(F.col("dst").alias("src"),
+                            F.col("src").alias("dst"), "w"))
+           .groupBy("src", "dst").agg(F.sum("w").alias("w")))
+    deg = und.groupBy("src").agg(F.sum("w").alias("k")) \
+        .withColumnRenamed("src", "host")
+    j = (und.join(deg.select(F.col("host").alias("src"),
+                             F.col("k").alias("kx")), "src")
+         .join(deg.select(F.col("host").alias("dst"),
+                          F.col("k").alias("ky")), "dst"))
+    mom = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum("w").cast("long").alias("s"),
+        F.sum(F.col("w") * F.col("kx")).cast("long").alias("sx"),
+        F.sum(F.col("w") * F.col("ky")).cast("long").alias("sy"),
+        F.sum(F.col("w") * F.col("kx") * F.col("kx"))
+        .cast("long").alias("sxx"),
+        F.sum(F.col("w") * F.col("ky") * F.col("ky"))
+        .cast("long").alias("syy"),
+        F.sum(F.col("w") * F.col("kx") * F.col("ky"))
+        .cast("long").alias("sxy"))
+    sd = F.col("s").cast("double")
+    num = sd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = F.sqrt((sd * F.col("sxx")
+                  - F.col("sx").cast("double") * F.col("sx"))
+                 * (sd * F.col("syy")
+                    - F.col("sy").cast("double") * F.col("sy")))
+    return mom.select(
+        "n_edges", F.col("s").alias("edge_weight_total"),
+        F.round(num / den, 6).alias("assortativity"))
+
+
+HOSTS_ASSORTATIVITY_SQL = """
+WITH page_edges AS (
+  SELECT 'site' || CAST(doc_id % 13 AS VARCHAR) || '.example.com' AS src,
+         'partner' || CAST(CASE WHEN doc_id % 13 = 11 THEN 2
+                                ELSE doc_id % 5 END AS VARCHAR)
+           || '.example.org' AS dst
+  FROM documents
+  WHERE doc_id % 17 <> 3
+), edges0 AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM page_edges GROUP BY src, dst
+), und AS (
+  SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
+    SELECT src, dst, w FROM edges0
+    UNION ALL
+    SELECT dst AS src, src AS dst, w FROM edges0
+  ) GROUP BY src, dst
+), deg AS (
+  SELECT src AS host, CAST(SUM(w) AS BIGINT) AS k
+  FROM und GROUP BY src
+), j AS (
+  SELECT und.w, dx.k AS kx, dy.k AS ky
+  FROM und
+  JOIN deg dx ON dx.host = und.src
+  JOIN deg dy ON dy.host = und.dst
+), mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+         CAST(SUM(w) AS BIGINT) AS s,
+         CAST(SUM(w * kx) AS BIGINT) AS sx,
+         CAST(SUM(w * ky) AS BIGINT) AS sy,
+         CAST(SUM(w * kx * kx) AS BIGINT) AS sxx,
+         CAST(SUM(w * ky * ky) AS BIGINT) AS syy,
+         CAST(SUM(w * kx * ky) AS BIGINT) AS sxy
+  FROM j
+)
+SELECT n_edges, s AS edge_weight_total,
+       round((CAST(s AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / sqrt((CAST(s AS DOUBLE) * sxx
+                     - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(s AS DOUBLE) * syy
+                       - CAST(sy AS DOUBLE) * sy)), 6)
+         AS assortativity
+FROM mom
+"""
+
+
 LOUVAIN_COLORS = 2   # hash-parity move classes per sweep
 
 
@@ -5645,6 +5743,7 @@ SPARK_QUERIES = {
     "hosts_label_propagation": hosts_label_propagation,
     "hosts_modularity": hosts_modularity,
     "hosts_louvain_pass": hosts_louvain_pass,
+    "hosts_assortativity": hosts_assortativity,
     "hosts_pagerank_aged": hosts_pagerank_aged,
     "pages_content_sniff": pages_content_sniff,
     "docs_nfc_normalize": docs_nfc_normalize,
@@ -5714,6 +5813,7 @@ ORACLE_SQL = {
     "hosts_label_propagation": _lpa_sql(),
     "hosts_modularity": _modularity_sql(),
     "hosts_louvain_pass": _louvain_pass_sql(),
+    "hosts_assortativity": HOSTS_ASSORTATIVITY_SQL,
     "hosts_pagerank_aged": _pagerank_full_sql(
         redistribute_dangling=False, edges_cte=_PR_AGED_EDGES_CTE),
     "pages_content_sniff": PAGES_CONTENT_SNIFF_SQL,

@@ -868,3 +868,33 @@ def test_silhouette_discriminates_structure_from_noise(spark):
         crows = emb_silhouette(spark, td).collect()
     overall_clustered = crows[0].overall_silhouette
     assert overall_clustered > max(0.2, 4 * abs(overall_noise))
+
+
+def test_soft_dedup_weights_conserve_cluster_mass(spark):
+    """Every doc appears once; singleton weight is exactly 1; within
+    a cluster all members share 10⁶ DIV size micro-weight so cluster
+    mass is ≤ 1 and short of 1 only by integer truncation; the
+    effective corpus size (Σ weights) equals
+    n_singletons + Σ_clusters size·(10⁶ DIV size)/10⁶."""
+    from collections import Counter
+
+    from ocr_spark.plans.dataops import docs_soft_dedup_weights
+
+    rows = docs_soft_dedup_weights(spark, "/root/testdata/sf0.01") \
+        .collect()
+    assert len(rows) == len({r.doc_id for r in rows}) == 500
+    sizes = Counter()
+    for r in rows:
+        if r.in_cluster:
+            assert r.cluster_size >= 2
+            sizes[r.cluster_size] += 1
+        else:
+            assert r.cluster_size == 1 and r.weight == 1.0
+        assert r.weight == round((1_000_000 // r.cluster_size) / 1e6, 6)
+    assert sizes, "fixture must contain near-dup clusters"
+    for size, n_members in sizes.items():
+        assert n_members % size == 0   # whole clusters only
+    eff = sum(r.weight for r in rows)
+    n_docs_in_clusters = sum(sizes.values())
+    assert eff < 500 - n_docs_in_clusters + sum(
+        n / s for s, n in sizes.items()) + 1e-6
