@@ -1361,6 +1361,154 @@ FROM {_KM_FINAL} c JOIN cnt USING (cell),
 """
 
 
+NPROBE_SWEEP = (1, 2, 4)   # probe budgets evaluated by the sweep
+
+
+def emb_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-vs-probe-budget curve for the trained IVF index — the
+    tuning table an operator reads to pick IVF_NPROBE (the offline
+    BENCH/recall.json sweep promoted to an oracle-checked query, so
+    the curve ships with every corpus instead of living in a bench
+    artifact): for each probe budget, every demo query retrieves
+    top-K through its nearest cells and recall@K is measured against
+    the exact brute-force ranking. Monotone by construction (probe
+    sets nest), and the gap to 1.0 at the top budget is the recall
+    genuinely lost to quantization — the honest ceiling.
+
+    Determinism: per-query recalls are integer micro-units
+    (hits·10⁶ DIV K) summed as BIGINT and divided once; rankings tie-
+    break on neighbor id everywhere.
+
+    Scale shape: the Lloyd subplan, a broadcast probe list bounded by
+    queries × max-budget, cell-keyed equi-joins for candidates, and
+    (budget, query)-keyed ranking windows; the brute-force side
+    exists only for the eval and is bounded by queries × corpus —
+    the thing the IVF index exists to avoid paying per query."""
+    cent, assigned = _kmeans(spark, sf_dir)
+    emb = assigned.withColumn("nrm", _norm(F.col("v")))
+    q_base = (emb.filter(F.col("vec_id") < N_QUERIES)
+              .select(F.col("vec_id").alias("q_id"),
+                      F.col("v").alias("qv"), F.col("nrm").alias("qn")))
+    # exact brute-force top-K per query
+    jx = emb.join(F.broadcast(q_base), F.col("vec_id") != F.col("q_id"))
+    cosx = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    wx = Window.partitionBy("q_id").orderBy(
+        F.desc("cos6"), F.asc("neighbor_id"))
+    exact = (jx.select("q_id", F.col("vec_id").alias("neighbor_id"),
+                       F.round(cosx, 6).alias("cos6"))
+             .withColumn("rank", F.row_number().over(wx))
+             .filter(F.col("rank") <= IVF_TOPK)
+             .select("q_id", "neighbor_id"))
+    # probe ranks per (query, cell), then one row per (budget, q, cell)
+    centrow = cent.agg(F.array_sort(
+        F.collect_list(F.struct("cell", "cv"))).alias("cents"))
+    scored_cells = F.transform(
+        F.col("cents"), lambda c: F.struct(
+            _dist2(F.col("qv"), c["cv"]).alias("d"),
+            c["cell"].alias("cell")))
+    max_np = max(NPROBE_SWEEP)
+    pr = (q_base.crossJoin(F.broadcast(centrow))
+          .select("q_id", "qv", "qn",
+                  F.posexplode(F.transform(
+                      F.slice(F.array_sort(scored_cells), 1, max_np),
+                      lambda s: s["cell"])).alias("pr0", "q_cell")))
+    budgets = F.explode(F.array(*[F.lit(b) for b in NPROBE_SWEEP])) \
+        .alias("nprobe")
+    probed = (pr.select(budgets, "q_id", "qv", "qn", "pr0", "q_cell")
+              .filter(F.col("pr0") < F.col("nprobe")))
+    jc = emb.join(F.broadcast(probed),
+                  (F.col("cell") == F.col("q_cell"))
+                  & (F.col("vec_id") != F.col("q_id")))
+    cosc = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    wc = Window.partitionBy("nprobe", "q_id").orderBy(
+        F.desc("cos6"), F.asc("neighbor_id"))
+    got = (jc.select("nprobe", "q_id",
+                     F.col("vec_id").alias("neighbor_id"),
+                     F.round(cosc, 6).alias("cos6"))
+           .withColumn("rank", F.row_number().over(wc))
+           .filter(F.col("rank") <= IVF_TOPK)
+           .select("nprobe", "q_id", "neighbor_id"))
+    hits = (got.join(exact, ["q_id", "neighbor_id"])
+            .groupBy("nprobe", "q_id")
+            .agg(F.count(F.lit(1)).alias("n_hit")))
+    grid = (q_base.select("q_id")
+            .crossJoin(F.broadcast(
+                probed.select("nprobe").distinct())))
+    per_q = (grid.join(hits, ["nprobe", "q_id"], "left")
+             .select("nprobe", "q_id",
+                     F.expr(f"COALESCE(n_hit, 0) * 1000000 "
+                            f"DIV {IVF_TOPK}").alias("rec_micro")))
+    return (per_q.groupBy("nprobe")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_queries"),
+                 F.expr("CAST(SUM(rec_micro) AS BIGINT) DIV COUNT(*)")
+                 .alias("mr"))
+            .select("nprobe", "n_queries",
+                    F.round(F.col("mr") / 1e6, 6).alias("mean_recall"))
+            .orderBy("nprobe"))
+
+
+def _nprobe_sweep_sql() -> str:
+    budgets = ", ".join(f"({b})" for b in NPROBE_SWEEP)
+    max_np = max(NPROBE_SWEEP)
+    return f"""
+{_KM_CTES},
+n AS (
+  SELECT af.vec_id, af.cell, af.v, {_sql_norm('af.v')} AS nrm FROM af
+), qb AS (
+  SELECT vec_id AS q_id, v AS qv, nrm AS qn
+  FROM n WHERE vec_id < {N_QUERIES}
+), exact AS (
+  SELECT q_id, neighbor_id FROM (
+    SELECT qb.q_id, n.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY qb.q_id
+             ORDER BY ROUND({_sql_dot('qb.qv', 'n.v')}
+                            / (qb.qn * n.nrm), 6) DESC,
+                      n.vec_id ASC) AS rank
+    FROM qb CROSS JOIN n WHERE n.vec_id <> qb.q_id
+  ) WHERE rank <= {IVF_TOPK}
+), pr AS (
+  SELECT q_id, qv, qn, cell AS q_cell, pr0 FROM (
+    SELECT qb.q_id, qb.qv, qb.qn, c.cell,
+           row_number() OVER (
+             PARTITION BY qb.q_id
+             ORDER BY {_sql_dist2('qb.qv', 'c.cv')}, c.cell) - 1 AS pr0
+    FROM qb CROSS JOIN {_KM_FINAL} c
+  ) WHERE pr0 < {max_np}
+), budgets(nprobe) AS (VALUES {budgets}),
+probed AS (
+  SELECT b.nprobe, p.q_id, p.qv, p.qn, p.q_cell
+  FROM pr p CROSS JOIN budgets b
+  WHERE p.pr0 < b.nprobe
+), got AS (
+  SELECT nprobe, q_id, neighbor_id FROM (
+    SELECT p.nprobe, p.q_id, n.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY p.nprobe, p.q_id
+             ORDER BY ROUND({_sql_dot('p.qv', 'n.v')}
+                            / (p.qn * n.nrm), 6) DESC,
+                      n.vec_id ASC) AS rank
+    FROM probed p JOIN n ON n.cell = p.q_cell
+    WHERE n.vec_id <> p.q_id
+  ) WHERE rank <= {IVF_TOPK}
+), hits AS (
+  SELECT g.nprobe, g.q_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM got g JOIN exact e
+    ON e.q_id = g.q_id AND e.neighbor_id = g.neighbor_id
+  GROUP BY g.nprobe, g.q_id
+), per_q AS (
+  SELECT b.nprobe, q.q_id,
+         (COALESCE(h.n_hit, 0) * 1000000) // {IVF_TOPK} AS rec_micro
+  FROM qb q CROSS JOIN budgets b
+  LEFT JOIN hits h ON h.nprobe = b.nprobe AND h.q_id = q.q_id
+)
+SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS n_queries,
+       round((CAST(SUM(rec_micro) AS BIGINT) // COUNT(*)) / 1e6, 6)
+         AS mean_recall
+FROM per_q GROUP BY nprobe ORDER BY nprobe
+"""
+
+
 def emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Simplified-silhouette quality score for the trained quantizer
     (Kaufman & Rousseeuw's silhouette with centroid distances in
@@ -3041,6 +3189,7 @@ SPARK_QUERIES = {
     "emb_mmr_select": emb_mmr_select,
     "emb_kmeans_train": emb_kmeans_train,
     "emb_silhouette": emb_silhouette,
+    "emb_ivf_nprobe_sweep": emb_ivf_nprobe_sweep,
     "emb_pq_train": emb_pq_train,
     "emb_pq_train_residual": emb_pq_train_residual,
     "emb_cluster_balanced_sample": emb_cluster_balanced_sample,
@@ -3079,6 +3228,7 @@ ORACLE_SQL = {
     "emb_mmr_select": _mmr_sql(),
     "emb_kmeans_train": _KMEANS_TRAIN_SQL,
     "emb_silhouette": _SILHOUETTE_SQL,
+    "emb_ivf_nprobe_sweep": _nprobe_sweep_sql(),
     "emb_pq_train": _pq_train_sql(),
     "emb_pq_train_residual": _pq_train_residual_sql(),
     "emb_cluster_balanced_sample": _CLUSTER_SAMPLE_SQL,

@@ -898,3 +898,24 @@ def test_soft_dedup_weights_conserve_cluster_mass(spark):
     n_docs_in_clusters = sum(sizes.values())
     assert eff < 500 - n_docs_in_clusters + sum(
         n / s for s, n in sizes.items()) + 1e-6
+
+
+def test_nprobe_sweep_monotone_and_consistent_with_multiprobe(spark):
+    """The recall curve is monotone nondecreasing in the probe budget
+    (probe sets nest), strictly informative (recall@max > recall@1 on
+    the fixture), bounded in [0, 1], and the shipped IVF_NPROBE
+    operating point is one of the swept budgets so the curve actually
+    prices the production setting."""
+    from ocr_spark.plans.simsearch import (
+        IVF_NPROBE, NPROBE_SWEEP, emb_ivf_nprobe_sweep)
+
+    sf = "/root/testdata/sf0.01"
+    rows = sorted(emb_ivf_nprobe_sweep(spark, sf).collect(),
+                  key=lambda r: r.nprobe)
+    assert [r.nprobe for r in rows] == sorted(NPROBE_SWEEP)
+    recalls = [r.mean_recall for r in rows]
+    assert recalls == sorted(recalls)
+    assert recalls[-1] > recalls[0]
+    assert all(0.0 <= r <= 1.0 for r in recalls)
+    assert all(r.n_queries == rows[0].n_queries for r in rows)
+    assert IVF_NPROBE in NPROBE_SWEEP
