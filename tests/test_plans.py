@@ -2421,3 +2421,41 @@ def test_decision_ops_plan_shapes(spark):
     df.collect()
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in final
+
+
+def test_closing_batch_plan_shapes(spark):
+    """Exchange budgets for the closing-batch operators: broadcasts
+    where a small side exists (never a SortMergeJoin against a 1-row
+    or literal frame), bounded shuffle counts for the single-pass
+    scorecards, and the narrow-map ops stay narrow."""
+    from ocr_spark.plans.curation import (
+        docs_uncertainty_sample, shards_bloom_index,
+        shards_zorder_layout)
+    from ocr_spark.plans.dataops import (
+        docs_bm25_eval, docs_license_detect, docs_soft_dedup_weights)
+    from ocr_spark.plans.queries import ev_gini_revenue
+    from ocr_spark.plans.webops import hosts_assortativity
+
+    p = fmt(docs_license_detect(spark, SF))
+    # rollup + presentation sort; the scan itself stays narrow
+    assert n_shuffles(p) <= 2
+    p = fmt(ev_gini_revenue(spark, SF))
+    assert "SortMergeJoin" not in p
+    p = fmt(hosts_assortativity(spark, SF))
+    assert "SortMergeJoin" not in p or "BroadcastHashJoin" in p
+    p = fmt(shards_zorder_layout(spark, SF))
+    assert "BroadcastNestedLoopJoin" in p   # literal predicate frame
+    assert "SortMergeJoin" not in p
+    p = fmt(docs_bm25_eval(spark, SF))
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    p = fmt(shards_bloom_index(spark, SF))
+    assert "BroadcastHashJoin" in p         # shard-bit frame broadcast
+    p = fmt(docs_uncertainty_sample(spark, SF))
+    assert "BroadcastHashJoin" in p         # classifier vocab broadcast
+    # the cluster side is statically unsized (localCheckpoint), so the
+    # static plan shows SortMergeJoin — pin that AQE broadcasts the
+    # bounded cluster frame at runtime instead
+    df = docs_soft_dedup_weights(spark, SF)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in final
