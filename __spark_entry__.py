@@ -80,6 +80,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "hosts_louvain_pass", "mm_audio_vad", "docs_bm25_eval",
     "emb_silhouette", "ev_gini_revenue", "hosts_assortativity",
     "docs_soft_dedup_weights", "emb_ivf_nprobe_sweep",
+    "emb_kmeans_elbow",
     # this session's additions (never driver-checked by definition)
     "extract_eval_cer", "hosts_subdomain_explosion",
     "ev_markov_transitions", "emb_pq_train", "docs_quality_calibration",

@@ -1189,7 +1189,8 @@ def _km_argmin(v: Column, cents: Column) -> Column:
     return F.array_min(scored).getField("cell")
 
 
-def _kmeans(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+def _kmeans(spark: SparkSession, sf_dir: str,
+            k: int = KM_K) -> tuple[DataFrame, DataFrame]:
     """Lloyd's algorithm, KM_ITERS fixed rounds, init = the first KM_K
     vectors (deterministic, no RNG to ship). Returns (centroids(cell,
     cv array), final assignment(vec_id, v, cell)).
@@ -1203,7 +1204,7 @@ def _kmeans(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     all members drop out identically on both engines. The reference
     has no embedding stage (SURVEY §2 absent lists)."""
     emb = t(spark, sf_dir).select("vec_id", _vecd().alias("v"))
-    cent = (emb.filter(F.col("vec_id") < KM_K)
+    cent = (emb.filter(F.col("vec_id") < k)
             .select(F.col("vec_id").alias("cell"), F.col("v").alias("cv")))
     assigned = None
     for _ in range(KM_ITERS):
@@ -1310,18 +1311,24 @@ def emb_ivf_trained_multiprobe_topk(spark: SparkSession,
                     F.round("cos6", 4).alias("cos_sim"), "rank"))
 
 
-def _km_sql_ctes() -> str:
+def _km_sql_ctes(k: int = KM_K, prefix: str = "",
+                 with_e: bool = True) -> str:
     """Unrolled Lloyd iterations as a CTE chain (the oracle cannot
-    loop; KM_ITERS is fixed precisely so this stays finite)."""
-    parts = [
-        f"e AS (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings)",
-        f"c0 AS (SELECT vec_id AS cell, v AS cv FROM e "
-        f"WHERE vec_id < {KM_K})",
+    loop; KM_ITERS is fixed precisely so this stays finite).
+    ``k``/``prefix`` let consumers unroll SEVERAL independent Lloyd
+    chains (different K) in one statement — the elbow sweep's
+    device; ``with_e`` controls whether the shared ``e`` CTE is
+    emitted (only once per statement)."""
+    parts = ([f"e AS (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings)"]
+             if with_e else [])
+    parts += [
+        f"{prefix}c0 AS (SELECT vec_id AS cell, v AS cv FROM e "
+        f"WHERE vec_id < {k})",
     ]
-    prev = "c0"
+    prev = f"{prefix}c0"
     for it in range(1, KM_ITERS + 1):
         parts.append(
-            f"a{it} AS (\n"
+            f"{prefix}a{it} AS (\n"
             f"  SELECT vec_id, v, cell FROM (\n"
             f"    SELECT vec_id, v, cell, ROW_NUMBER() OVER (\n"
             f"      PARTITION BY vec_id ORDER BY d, cell) AS rn\n"
@@ -1330,16 +1337,16 @@ def _km_sql_ctes() -> str:
             f"          FROM e CROSS JOIN {prev} c))\n"
             f"  WHERE rn = 1)")
         parts.append(
-            f"c{it} AS (\n"
+            f"{prefix}c{it} AS (\n"
             f"  SELECT cell, list(cv ORDER BY pos) AS cv FROM (\n"
             f"    SELECT cell, u.i AS pos, ROUND(AVG(v[u.i]), {KM_ROUND})"
             f" AS cv\n"
-            f"    FROM a{it}, generate_series(1, {DIM}) AS u(i)\n"
+            f"    FROM {prefix}a{it}, generate_series(1, {DIM}) AS u(i)\n"
             f"    GROUP BY cell, u.i)\n"
             f"  GROUP BY cell)")
-        prev = f"c{it}"
+        prev = f"{prefix}c{it}"
     parts.append(
-        f"af AS (\n"
+        f"{prefix}af AS (\n"
         f"  SELECT vec_id, v, cell FROM (\n"
         f"    SELECT vec_id, v, cell, ROW_NUMBER() OVER (\n"
         f"      PARTITION BY vec_id ORDER BY d, cell) AS rn\n"
@@ -1347,7 +1354,8 @@ def _km_sql_ctes() -> str:
         f"                 {_sql_dist2('e.v', 'c.cv')} AS d\n"
         f"          FROM e CROSS JOIN {prev} c))\n"
         f"  WHERE rn = 1)")
-    return "WITH " + ",\n".join(parts), prev
+    return ("WITH " + ",\n".join(parts) if with_e
+            else ",\n".join(parts)), prev
 
 
 _KM_CTES, _KM_FINAL = _km_sql_ctes()
@@ -1358,6 +1366,84 @@ cnt AS (SELECT cell, COUNT(*) AS n_members FROM af GROUP BY cell)
 SELECT c.cell, u.i - 1 AS pos, c.cv[u.i] AS cv, cnt.n_members
 FROM {_KM_FINAL} c JOIN cnt USING (cell),
      generate_series(1, {DIM}) AS u(i)
+"""
+
+
+ELBOW_KS = (2, 4, 8, 16)   # cluster counts evaluated by the elbow
+
+
+def emb_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inertia-vs-K model-selection curve for the coarse quantizer —
+    the elbow plot that justifies (or indicts) KM_K: one full Lloyd
+    training per candidate K (same deterministic first-K init, same
+    fixed iterations), with the within-cluster sum of squares and
+    the per-vector mean reported per K. Monotone nonincreasing by
+    more-centroids-can-only-help; where the curve flattens is where
+    extra cells stop buying quantization fidelity — on the
+    measured-unclustered driver embeddings it flattens slowly
+    everywhere, which is the same "no structure" diagnosis
+    emb_silhouette reads, now visible as a curve.
+
+    Determinism: per-row squared distances round to integer
+    micro-units before the BIGINT sum (the silhouette convention),
+    so the inertia never touches float aggregation.
+
+    Scale shape: ELBOW_KS independent Lloyd subplans (each the
+    bounded-shuffle iterate-on-broadcast shape), then per K one
+    narrow map + 1-row reduce. The K sweep multiplies the training
+    cost by |ELBOW_KS| — the honest price of model selection, paid
+    on a sample in production."""
+    slices = []
+    for k in ELBOW_KS:
+        cent, assigned = _kmeans(spark, sf_dir, k)
+        centrow = cent.agg(F.array_sort(
+            F.collect_list(F.struct("cell", "cv"))).alias("cents"))
+        own = F.element_at(
+            F.filter("cents", lambda c: c["cell"] == F.col("cell")), 1)
+        a2 = _dist2(F.col("v"), own["cv"])
+        rowd = (assigned.crossJoin(F.broadcast(centrow))
+                .select("cell",
+                        F.round(a2 * 1e6).cast("long").alias("d_micro")))
+        slices.append(rowd.agg(
+            F.countDistinct("cell").cast("long").alias("n_cells_used"),
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.sum("d_micro").cast("long").alias("inertia_micro"))
+            .withColumn("k", F.lit(k)))
+    out = slices[0]
+    for s in slices[1:]:
+        out = out.unionByName(s)
+    return (out.select(
+        "k", "n_cells_used", "n_vectors",
+        F.round(F.col("inertia_micro") / 1e6, 6).alias("inertia"),
+        F.round(F.col("inertia_micro") / F.col("n_vectors") / 1e6, 6)
+        .alias("mean_inertia"))
+        .orderBy("k"))
+
+
+def _kmeans_elbow_sql() -> str:
+    chains = []
+    selects = []
+    for i, k in enumerate(ELBOW_KS):
+        pfx = f"k{k}_"
+        ctes, final = _km_sql_ctes(k, pfx, with_e=(i == 0))
+        chains.append(ctes)
+        selects.append(f"""
+SELECT {k} AS k,
+       CAST(COUNT(DISTINCT af.cell) AS BIGINT) AS n_cells_used,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(CAST(ROUND({_sql_dist2('af.v', 'c.cv')} * 1e6)
+                AS BIGINT)) AS BIGINT) AS inertia_micro
+FROM {pfx}af af JOIN {final} c ON c.cell = af.cell""")
+    union = " UNION ALL ".join(selects)
+    all_chains = ",\n".join(chains)
+    return f"""
+{all_chains},
+curve AS ({union})
+SELECT k, n_cells_used, n_vectors,
+       round(inertia_micro / 1e6, 6) AS inertia,
+       round(inertia_micro / CAST(n_vectors AS DOUBLE) / 1e6, 6)
+         AS mean_inertia
+FROM curve ORDER BY k
 """
 
 
@@ -3190,6 +3276,7 @@ SPARK_QUERIES = {
     "emb_kmeans_train": emb_kmeans_train,
     "emb_silhouette": emb_silhouette,
     "emb_ivf_nprobe_sweep": emb_ivf_nprobe_sweep,
+    "emb_kmeans_elbow": emb_kmeans_elbow,
     "emb_pq_train": emb_pq_train,
     "emb_pq_train_residual": emb_pq_train_residual,
     "emb_cluster_balanced_sample": emb_cluster_balanced_sample,
@@ -3229,6 +3316,7 @@ ORACLE_SQL = {
     "emb_kmeans_train": _KMEANS_TRAIN_SQL,
     "emb_silhouette": _SILHOUETTE_SQL,
     "emb_ivf_nprobe_sweep": _nprobe_sweep_sql(),
+    "emb_kmeans_elbow": _kmeans_elbow_sql(),
     "emb_pq_train": _pq_train_sql(),
     "emb_pq_train_residual": _pq_train_residual_sql(),
     "emb_cluster_balanced_sample": _CLUSTER_SAMPLE_SQL,

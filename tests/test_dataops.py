@@ -919,3 +919,25 @@ def test_nprobe_sweep_monotone_and_consistent_with_multiprobe(spark):
     assert all(0.0 <= r <= 1.0 for r in recalls)
     assert all(r.n_queries == rows[0].n_queries for r in rows)
     assert IVF_NPROBE in NPROBE_SWEEP
+
+
+def test_kmeans_elbow_monotone_and_full_cells(spark):
+    """Inertia is strictly decreasing in K on the fixture (more
+    centroids always help an unclustered cloud a little), every K
+    keeps all its cells populated (first-K init over a dense cloud),
+    mean = inertia/n exactly, and the flat-curve diagnosis matches
+    emb_silhouette: no K cuts inertia by even 15% over K=2 — there
+    is no elbow because there are no clusters."""
+    from ocr_spark.plans.simsearch import ELBOW_KS, emb_kmeans_elbow
+
+    rows = sorted(emb_kmeans_elbow(spark, "/root/testdata/sf0.01")
+                  .collect(), key=lambda r: r.k)
+    assert [r.k for r in rows] == sorted(ELBOW_KS)
+    inert = [r.inertia for r in rows]
+    assert inert == sorted(inert, reverse=True)
+    assert len(set(inert)) == len(inert)
+    for r in rows:
+        assert r.n_cells_used == r.k
+        assert r.n_vectors == 500
+        assert abs(r.mean_inertia - round(r.inertia / 500, 6)) < 2e-6
+    assert inert[-1] > 0.85 * inert[0]   # flat: no cluster structure
