@@ -1000,7 +1000,8 @@ def verify_all(spark: SparkSession, work_dir: str) -> dict:
     out: dict = {"stages": {}, "ok": True}
     for name, fn in (("export", verify_export),
                      ("sampling", verify_sampling),
-                     ("sft", verify_sft)):
+                     ("sft", verify_sft),
+                     ("labeling", verify_labeling_all)):
         try:
             res = fn(spark, work_dir)
         except FileNotFoundError:
@@ -1546,3 +1547,26 @@ def verify_labeling(spark: SparkSession, work_dir: str,
                        if lang not in fresh})
     return {"run_id": run_id, "mismatches": mismatches,
             "ok": not mismatches}
+
+
+def verify_labeling_all(spark: SparkSession, work_dir: str) -> dict:
+    """verify_all-shaped wrapper over every committed annotation
+    batch: re-derives each run's batch from the current extraction
+    output and aggregates digest mismatches (a mismatch after an
+    extraction re-run means the batch is stale — exactly what the
+    vendor handoff must catch). Raises FileNotFoundError when the
+    labeling stage never ran, matching the other stages' absent
+    semantics."""
+    import glob as _glob
+
+    root = labeling_root(work_dir)
+    runs = sorted(_glob.glob(os.path.join(root, "run=*")))
+    if not runs:
+        raise FileNotFoundError(root)
+    mismatches: dict = {}
+    for dest in runs:
+        run_id = os.path.basename(dest).split("=", 1)[1]
+        res = verify_labeling(spark, work_dir, run_id)
+        if res["mismatches"]:
+            mismatches[run_id] = res["mismatches"]
+    return {"runs": len(runs), "mismatches": mismatches}

@@ -73,3 +73,16 @@ def test_verify_catches_nothing_on_clean_store_and_reruns_stably(labeled):
     # a second committed run on the same snapshot is bit-identical
     again = run_labeling_job(spark, work)
     assert again["digests"] == summary["digests"]
+
+
+def test_verify_all_covers_labeling_stage(labeled):
+    """The one-call integrity check reports the labeling stage
+    present and clean when batches exist, and absent (not failed)
+    in a work dir where the stage never ran."""
+    spark, work, summary = labeled
+    from ocr_spark.job import verify_all
+
+    check = verify_all(spark, work)
+    assert check["stages"]["labeling"]["present"]
+    assert not check["stages"]["labeling"]["mismatches"]
+    assert check["stages"]["labeling"]["runs"] >= 1
