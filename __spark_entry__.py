@@ -38,145 +38,215 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Driver-exposure ordering: the driver samples ~50 queries() entries in
 # dict-insertion order, so dict order decides which queries get a
-# CORRECTNESS row each round. Front-load the families that have never
-# (or least recently) received a driver row — through round 3 that is
-# all of webops.py + curation.py + ev_retention_cohorts (never checked;
-# all green in the judge's full 97/97 oracle re-run) followed by the
-# relational_extra block that rotated out in r3 — plus anything new
-# this round. Everything else keeps module order after them.
+# CORRECTNESS row each round. Round-5 rule (the round-4 verdict's #1
+# ask): 3 flagship pins, then EVERY query that has never had a driver
+# CORRECTNESS row in rounds 1-4 (196 of 307), whole families first —
+# sketches (merge algebra is the likeliest place a silent engine
+# difference hides), then indexing / htmlfeat / linkrank / tpch_rest /
+# relational_extra, then the mid-round-4 simsearch/dataops/curation
+# additions, then webops/queries/extract/multimodal. Ever-checked
+# entries keep module order after the front, so a larger-than-expected
+# sample still lands on fresh rows first.
 _DRIVER_FRONT: tuple[str, ...] = (
-    # the flagship contract rows come first in EVERY round: the north
-    # rule's byte-identical extraction gate must always have a fresh
-    # CORRECTNESS row
-    "extract_roundtrip", "extract_block_stats", "document_graph_edges",
-    # the round-3 verdict's #1 ask: the never-driver-checked
-    # webops/curation/composed-verdict families MUST land inside the
-    # ~50-row sample window this round — they come directly after the
-    # flagship, ahead of everything else
-    "docs_fineweb_verdict", "docs_curation_verdict",
-    "docs_drop_reason_report",
-    "pages_para_dedup", "pages_span_dedup", "docs_substring_dedup",
-    "docs_decontaminate", "docs_classifier_score",
-    "docs_unigram_logprob", "docs_bigram_logprob",
-    "pages_pii_scan", "pages_url_dedup", "docs_repetition_profile",
-    "docs_blocklist_filter", "docs_data_card", "shards_manifest",
-    "docs_domain_mixture", "docs_sample_stratified", "docs_token_shards",
-    "docs_quality_percentile_gate", "docs_length_histogram",
-    "ev_retention_cohorts", "docs_new_vs_snapshot",
-    "docs_repetition_metrics", "docs_substring_dup_coverage",
-    # final-session EXTRACTION-tier additions: the north rule's core
-    # tier, so they take four slots inside the expected ~50 sample
-    # window ahead of analytics entries the judge's own full oracle
-    # re-runs already covered
-    "pages_structured_meta", "pages_date_extract", "pages_table_extract",
-    "pages_scd2_history", "pages_consent_banner",
-    # round-4 closing-session additions (never driver-checked)
-    "ev_attribution_markov", "ev_experiment_power",
-    "ev_changepoint_cusum", "hosts_label_propagation",
-    "docs_minhash_oph", "shards_zorder_layout",
-    "docs_uncertainty_sample", "docs_dawid_skene",
-    "shards_bloom_index", "docs_rouge_l",
-    "docs_license_detect", "hosts_modularity",
-    "hosts_louvain_pass", "mm_audio_vad", "docs_bm25_eval",
-    "emb_silhouette", "ev_gini_revenue", "hosts_assortativity",
-    "docs_soft_dedup_weights", "emb_ivf_nprobe_sweep",
-    "emb_kmeans_elbow",
-    # this session's additions (never driver-checked by definition)
-    "extract_eval_cer", "hosts_subdomain_explosion",
-    "ev_markov_transitions", "emb_pq_train", "docs_quality_calibration",
-    "docs_contrastive_batches", "docs_sft_format",
-    "docs_bbit_minhash", "docs_cdc_chunks", "emb_ivfpq_residual_topk",
-    "ev_top_paths", "docs_dp_lang_histogram", "docs_preference_pairs",
-    "emb_kcenter_init", "ev_rfm_segments",
-    "pages_paginate_stitch", "pages_thread_explode",
-    "ev_markov_stationary", "docs_stopword_induction",
-    "docs_dedup_method_agreement", "docs_canary_probe",
-    "docs_metric_correlations", "ev_stickiness", "docs_ct_langid",
-    "docs_prefix_filter_join", "emb_pq_train_residual",
-    "emb_mmr_select", "docs_extractive_summary", "mm_scene_cuts",
-    "ev_funnel_latency",
-    "ev_experiment_cuped", "ev_assoc_rules", "ev_attribution",
-    "ev_cohort_ltv", "ev_survival_km", "ev_experiment_srm",
-    "ev_experiment_ci", "ev_next_event_eval",
-    "ev_forecast_holt",
-    "docs_quality_constraints", "docs_keyphrases_rake",
-    "shards_compaction_plan", "docs_summary_coverage",
-    "docs_metric_bootstrap_ci", "docs_gate_mcnemar",
-    "pages_wrap_digest", "pages_html_features", "pages_extract_router",
-    "docs_quality_rrf", "emb_cell_drift", "docs_fim_split",
-    "pages_warc_export", "emb_mrl_recall",
-    "docs_lsh_eval", "docs_bm25_search", "docs_lang_segments",
-    "docs_snapshot_drift", "docs_bigram_kneser_ney",
-    "docs_span_corruption", "emb_quantization_error",
-    "emb_ann_recall_eval", "pages_recrawl_delta", "hosts_cocitation",
-    "emb_hard_negatives", "emb_label_retrieval_eval",
-    "docs_code_detect", "docs_toxicity_score", "shards_skew_report",
-    "pages_soft404", "emb_decontaminate_semantic", "docs_script_profile",
-    "pages_charset_detect", "pages_sitemap_parse", "mm_phash_near_dup",
-    "docs_lexical_diversity", "ev_bot_detection",
-    "pages_http_cache_headers", "emb_pca_power", "emb_abtt_postprocess",
-    "hosts_ip_colocation", "pages_hreflang_clusters",
-    # earlier round-4 additions, newest families first
-    "extract_eval_tokenf1", "hosts_pagerank_aged", "hosts_salsa",
-    "docs_near_dup_clusters_logstar", "docs_cluster_safe_split",
-    "docs_collocations_pmi", "shards_zone_map", "pages_redirect_resolve",
-    "pages_content_sniff", "emb_mutual_knn", "hosts_perplexity_buckets",
-    "docs_nfc_normalize", "hosts_registered_domain",
-    "docs_lsh_band_planner",
-    "emb_cluster_quota_sample",
-    "hosts_trustrank", "hosts_mirror_clusters",
-    "docs_bloom_snapshot_merge", "emb_cluster_balanced_sample",
-    "pages_cdx_index", "pages_wat_export",
-    "pages_revisit_records", "pages_cdx_merge",
-    "hosts_crawl_traps", "pages_url_templates",
-    "pages_recrawl_priority", "frontier_fetch_schedule",
-    "docs_hll_sketch", "docs_cms_heavy_hitters",
-    "docs_hll_snapshot_merge", "docs_cms_snapshot_merge",
-    "docs_length_quantile_sketch", "docs_kmv_distinct",
-    "docs_weighted_reservoir", "docs_kmv_resemblance",
-    "docs_hll_by_lang", "hosts_hits", "docs_kmv_diff",
-    "pages_pagerank", "pages_pagerank_incremental",
-    "docs_inverted_index", "emb_outlier_scan", "docs_char_entropy",
-    "emb_bitext_mine", "hosts_stats_kanon", "docs_containment_pairs",
-    "hosts_crawl_budget", "hosts_mirror_pairs", "docs_winnowing",
-    "docs_dsir_weights", "pages_host_boilerplate",
-    "docs_near_dup_vs_snapshot", "emb_ivfpq_topk",
-    "docs_bpe_train_merges", "docs_near_dup_quality_keepers",
-    "docs_training_order", "pages_anchor_texts",
-    "docs_tokenizer_fertility", "hosts_keep_rate",
-    "pages_line_corrections", "docs_bloom_probe",
-    "docs_encoding_repair", "docs_host_cap", "docs_zipf_profile",
-    "docs_lang_confusion", "docs_vocab_novelty",
-    "pages_robots_txt_gate", "docs_training_set",
-    "docs_chunk_spans", "docs_readability", "hosts_concentration",
-    "mm_frame_embed_pool", "docs_sample_holdout", "ev_anomaly_daily",
-    "docs_split_leakage_check", "pages_wet_export",
-    "docs_decontaminate_report", "docs_length_percentiles",
-    "docs_decontaminate_spans", "docs_mixture_realize",
-    "docs_curriculum_order",
-    "emb_kmeans_train", "emb_ivf_trained_topk",
-    "docs_gopher_line_filters", "docs_bpe_merges_token_count",
-    "hosts_pagerank_full",
-    # below the expected sample cutoff: remaining never-checked rows in
-    # priority order, so a larger-than-expected sample keeps helping
-    "pages_outlinks", "pages_host_outdegree", "hosts_pagerank",
-    "hosts_link_spam", "hosts_spam_mass", "pages_robots_filter",
-    "pages_outlinks_followed", "pages_spam_host_filter",
-    "hosts_pagerank_dangling", "emb_ivf_trained_multiprobe_topk",
-    "docs_tfidf_topk", "pages_line_dedup", "docs_seq_pack",
-    "q2_min_cost_supplier", "q9_product_type_profit",
-    "q11_important_stock", "q16_parts_supplier_relationship",
+    "extract_roundtrip",
+    "extract_block_stats",
+    "document_graph_edges",
+    "docs_hll_sketch",
+    "docs_cms_heavy_hitters",
+    "docs_hll_snapshot_merge",
+    "docs_cms_snapshot_merge",
+    "docs_length_quantile_sketch",
+    "docs_kmv_distinct",
+    "docs_weighted_reservoir",
+    "docs_kmv_resemblance",
+    "docs_hll_by_lang",
+    "docs_kmv_diff",
+    "pages_cdx_index",
+    "pages_wat_export",
+    "pages_revisit_records",
+    "pages_cdx_merge",
+    "pages_recrawl_priority",
+    "pages_recrawl_delta",
+    "pages_wrap_digest",
+    "pages_html_features",
+    "pages_extract_router",
+    "pages_pagerank",
+    "pages_pagerank_incremental",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q16_parts_supplier_relationship",
     "q20_potential_promotion",
-    "q7_volume_shipping", "q8_market_share", "q10_returned_items",
-    "q13_customer_distribution", "q15_top_supplier",
-    "q18_large_volume_customers", "q19_discounted_revenue",
-    # checked in r1/r2 only; rotated out of the r3 sample
-    "li_rollup", "li_cube", "li_grouping_sets", "li_approx_aggs",
-    "ev_funnel_conversion", "nations_set_ops",
-    "q17_small_quantity_revenue", "q21_exists_notexists",
-    "q22_idle_rich_customers", "q12_priority_class_counts",
-    "ev_asof_last_purchase", "li_quantity_percentiles",
-    "ev_session_window_native", "ev_pivot_type_counts",
+    "ev_bot_detection",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
+    "ev_funnel_latency",
+    "emb_decontaminate_semantic",
+    "emb_pca_power",
+    "emb_abtt_postprocess",
+    "emb_ivfpq_topk",
+    "emb_ivfpq_residual_topk",
+    "emb_kcenter_init",
+    "emb_mmr_select",
+    "emb_kmeans_train",
+    "emb_ivf_nprobe_sweep",
+    "emb_kmeans_elbow",
+    "emb_pq_train",
+    "emb_pq_train_residual",
+    "emb_cluster_balanced_sample",
+    "emb_cluster_quota_sample",
+    "emb_mutual_knn",
+    "emb_outlier_scan",
+    "emb_cell_drift",
+    "emb_mrl_recall",
+    "emb_bitext_mine",
+    "emb_ivf_trained_topk",
+    "emb_ivf_trained_multiprobe_topk",
+    "emb_quantization_error",
+    "emb_ann_recall_eval",
+    "emb_hard_negatives",
+    "emb_label_retrieval_eval",
+    "docs_keyphrases_rake",
+    "docs_summary_coverage",
+    "docs_soft_dedup_weights",
+    "docs_fim_split",
+    "docs_script_profile",
+    "docs_lexical_diversity",
+    "docs_near_dup_vs_snapshot",
+    "docs_near_dup_quality_keepers",
+    "docs_lsh_band_planner",
+    "docs_contrastive_batches",
+    "docs_stopword_induction",
+    "docs_dedup_method_agreement",
+    "docs_ct_langid",
+    "docs_prefix_filter_join",
+    "docs_extractive_summary",
+    "docs_bbit_minhash",
+    "docs_cdc_chunks",
+    "docs_near_dup_clusters_logstar",
+    "docs_lang_confusion",
+    "docs_bpe_merges_token_count",
+    "docs_bpe_train_merges",
+    "docs_tokenizer_fertility",
+    "docs_collocations_pmi",
+    "docs_tfidf_topk",
+    "docs_inverted_index",
+    "docs_char_entropy",
+    "docs_containment_pairs",
+    "docs_winnowing",
+    "docs_lsh_eval",
+    "docs_bm25_search",
+    "docs_lang_segments",
+    "docs_code_detect",
+    "docs_metric_bootstrap_ci",
+    "docs_gate_mcnemar",
+    "shards_compaction_plan",
+    "docs_quality_constraints",
+    "docs_quality_rrf",
+    "docs_quality_calibration",
+    "docs_sft_format",
+    "docs_dp_lang_histogram",
+    "docs_preference_pairs",
+    "docs_canary_probe",
+    "docs_metric_correlations",
+    "docs_dsir_weights",
+    "docs_training_order",
+    "hosts_perplexity_buckets",
+    "docs_bigram_kneser_ney",
+    "docs_span_corruption",
+    "shards_skew_report",
+    "docs_seq_pack",
+    "docs_decontaminate_spans",
+    "docs_decontaminate_report",
+    "docs_mixture_realize",
+    "docs_curriculum_order",
+    "shards_zone_map",
+    "docs_zipf_profile",
+    "docs_training_set",
+    "docs_chunk_spans",
+    "docs_readability",
+    "docs_length_percentiles",
+    "docs_sample_holdout",
+    "docs_split_leakage_check",
+    "docs_cluster_safe_split",
+    "hosts_concentration",
+    "pages_outlinks",
+    "pages_host_outdegree",
+    "hosts_pagerank",
+    "hosts_pagerank_full",
+    "hosts_hits",
+    "hosts_pagerank_dangling",
+    "hosts_link_spam",
+    "hosts_spam_mass",
+    "pages_robots_filter",
+    "pages_outlinks_followed",
+    "pages_spam_host_filter",
+    "hosts_keep_rate",
+    "pages_line_corrections",
+    "docs_bloom_probe",
+    "docs_encoding_repair",
+    "docs_host_cap",
+    "docs_vocab_novelty",
+    "docs_snapshot_drift",
+    "hosts_cocitation",
+    "docs_toxicity_score",
+    "pages_robots_txt_gate",
+    "pages_wet_export",
+    "pages_warc_export",
+    "pages_line_dedup",
+    "pages_host_boilerplate",
+    "pages_anchor_texts",
+    "pages_redirect_resolve",
+    "pages_soft404",
+    "pages_charset_detect",
+    "pages_sitemap_parse",
+    "pages_http_cache_headers",
+    "hosts_ip_colocation",
+    "pages_hreflang_clusters",
+    "hosts_crawl_traps",
+    "pages_url_templates",
+    "frontier_fetch_schedule",
+    "hosts_stats_kanon",
+    "hosts_crawl_budget",
+    "hosts_mirror_pairs",
+    "hosts_mirror_clusters",
+    "hosts_trustrank",
+    "hosts_salsa",
+    "hosts_assortativity",
+    "hosts_pagerank_aged",
+    "pages_content_sniff",
+    "docs_nfc_normalize",
+    "hosts_registered_domain",
+    "hosts_subdomain_explosion",
+    "docs_bloom_snapshot_merge",
+    "docs_gopher_line_filters",
+    "ev_anomaly_daily",
+    "ev_markov_transitions",
+    "ev_top_paths",
+    "ev_rfm_segments",
+    "ev_markov_stationary",
+    "ev_stickiness",
+    "ev_experiment_cuped",
+    "ev_assoc_rules",
+    "ev_attribution",
+    "ev_cohort_ltv",
+    "ev_experiment_srm",
+    "ev_experiment_ci",
+    "ev_next_event_eval",
+    "ev_forecast_holt",
+    "ev_survival_km",
+    "extract_eval_tokenf1",
+    "extract_eval_cer",
+    "pages_paginate_stitch",
+    "pages_thread_explode",
+    "mm_phash_near_dup",
+    "mm_frame_embed_pool",
+    "mm_scene_cuts",
 )
 
 
