@@ -1516,8 +1516,14 @@ def run_labeling_job(spark: SparkSession, work_dir: str, *,
          for r in rows],
         "run_id string, lang string, rank_in_lang int, url string, "
         "score double, margin double, lang_digest string")
+    # two-phase commit, same discipline as export/sampling/sft: stage
+    # under a _tmp name (invisible to verify_labeling_all's run=* glob),
+    # then os.replace into run=<id> — a crash mid-write leaves only the
+    # _tmp dir, never a partial run that a later verify would read
     dest = os.path.join(labeling_root(work_dir), f"run={run_id}")
-    report.coalesce(1).write.mode("overwrite").parquet(dest)
+    tmp = os.path.join(labeling_root(work_dir), f"_tmp_run={run_id}")
+    report.coalesce(1).write.mode("overwrite").parquet(tmp)
+    os.replace(tmp, dest)  # atomic on POSIX
     per_lang = {r.lang for r in rows}
     return {"run_id": run_id, "batch_path": dest,
             "n_langs": len(per_lang), "n_docs": len(rows),
@@ -1566,7 +1572,13 @@ def verify_labeling_all(spark: SparkSession, work_dir: str) -> dict:
     mismatches: dict = {}
     for dest in runs:
         run_id = os.path.basename(dest).split("=", 1)[1]
-        res = verify_labeling(spark, work_dir, run_id)
+        try:
+            res = verify_labeling(spark, work_dir, run_id)
+        except Exception as exc:  # unreadable/partial run dir → a
+            # mismatch to report, not a crash: verify_all's stage
+            # semantics are present/absent/failed, never raise
+            mismatches[run_id] = {"_unreadable": (type(exc).__name__, None)}
+            continue
         if res["mismatches"]:
             mismatches[run_id] = res["mismatches"]
     return {"runs": len(runs), "mismatches": mismatches}

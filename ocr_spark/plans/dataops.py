@@ -100,7 +100,11 @@ def minhash_vec_py(text: str | None) -> list[int] | None:
     toks = _re.split(r"\s+", (text or "").lower().strip())
     shingles = [" ".join(toks[i:i + SHINGLE_W])
                 for i in range(len(toks) - SHINGLE_W + 1)]
-    if not shingles or toks == [""]:
+    # sole exclusion rule: zero shingles (empty/whitespace text gives
+    # toks == [""] and hence no shingles at any SHINGLE_W >= 2) — the
+    # DuckDB oracles mirror exactly this len(shingles) > 0 filter, so
+    # no second clause may diverge from it
+    if not shingles:
         return None
     mins = [_KM_MOD] * MINHASH_K
     for sh in shingles:
@@ -204,7 +208,11 @@ def oph_vec_py(text: str | None) -> tuple[list[int], int] | None:
     toks = _re.split(r"\s+", (text or "").lower().strip())
     shingles = [" ".join(toks[i:i + SHINGLE_W])
                 for i in range(len(toks) - SHINGLE_W + 1)]
-    if not shingles or toks == [""]:
+    # sole exclusion rule: zero shingles (empty/whitespace text gives
+    # toks == [""] and hence no shingles at any SHINGLE_W >= 2) — the
+    # DuckDB oracles mirror exactly this len(shingles) > 0 filter, so
+    # no second clause may diverge from it
+    if not shingles:
         return None
     bins: list[int | None] = [None] * OPH_BINS
     for sh in shingles:
@@ -3332,9 +3340,13 @@ def docs_bm25_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
              .withColumn("ap_micro",
                          F.expr(f"sum_p DIV least(n_rel, "
                                 f"{BM25_EVAL_K})")))
+    # MAP divides by the OBSERVED distinct-topic count (mirrored in
+    # the oracle), not the BM25_EVAL_TOPICS constant — on a corpus
+    # whose doc_ids don't cover 0..30 the constant would silently
+    # deflate MAP while per-topic AP stayed correct
     total = per_q.agg(
-        F.expr(f"CAST(SUM(ap_micro) AS BIGINT) DIV "
-               f"{BM25_EVAL_TOPICS}").alias("map_micro"))
+        F.expr("CAST(SUM(ap_micro) AS BIGINT) DIV COUNT(*)")
+        .alias("map_micro"))
     return (per_q.crossJoin(F.broadcast(total))
             .select(F.col("term").alias("topic"), "n_rel", "tp_at_k",
                     F.round(F.col("tp_at_k") / BM25_EVAL_K, 6)
@@ -3409,7 +3421,8 @@ WITH base AS (
          c.sum_p // least(n.n_rel, {BM25_EVAL_K}) AS ap_micro
   FROM contrib c JOIN n_rel n ON n.term = c.term
 ), total AS (
-  SELECT CAST(SUM(ap_micro) AS BIGINT) // {tmod} AS map_micro
+  -- observed topic count, mirroring the Spark plan (not the constant)
+  SELECT CAST(SUM(ap_micro) AS BIGINT) // COUNT(*) AS map_micro
   FROM per_q
 )
 SELECT p.term AS topic, p.n_rel, p.tp_at_k,

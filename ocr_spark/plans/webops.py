@@ -380,15 +380,39 @@ def hosts_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
                           redistribute_dangling=True)
 
 
-_PR_FULL_EDGES_CTE = """
-WITH page_edges AS (
+# ONE shared oracle mirror of _followed_host_edges' host graph: the
+# community / assortativity oracles interpolate THESE constants
+# instead of inlining their own copies, so a change to the
+# followed-edge semantics is made in exactly one place for DuckDB
+# (and in _followed_host_edges for Spark) — the four hand-written
+# oracles can no longer silently diverge from each other.
+_PAGE_EDGES_CTE = """\
+page_edges AS (
   SELECT 'site' || CAST(doc_id % 13 AS VARCHAR) || '.example.com' AS src,
          'partner' || CAST(CASE WHEN doc_id % 13 = 11 THEN 2
                                 ELSE doc_id % 5 END AS VARCHAR)
            || '.example.org' AS dst
   FROM documents
   WHERE doc_id % 17 <> 3
-), edges AS (
+)"""
+
+# page_edges + dedup-to-weights + undirected symmetrization — the und
+# frame every undirected-host-graph oracle starts from
+_HOST_UND_CTES = _PAGE_EDGES_CTE + """\
+, edges0 AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM page_edges GROUP BY src, dst
+), und AS (
+  SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
+    SELECT src, dst, w FROM edges0
+    UNION ALL
+    SELECT dst AS src, src AS dst, w FROM edges0
+  ) GROUP BY src, dst
+)"""
+
+
+_PR_FULL_EDGES_CTE = f"""
+WITH {_PAGE_EDGES_CTE}, edges AS (
   SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
   FROM page_edges GROUP BY src, dst
 ), out_w AS (
@@ -781,24 +805,8 @@ def hosts_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lpa_sql() -> str:
-    steps = ["""
-WITH page_edges AS (
-  SELECT 'site' || CAST(doc_id % 13 AS VARCHAR) || '.example.com' AS src,
-         'partner' || CAST(CASE WHEN doc_id % 13 = 11 THEN 2
-                                ELSE doc_id % 5 END AS VARCHAR)
-           || '.example.org' AS dst
-  FROM documents
-  WHERE doc_id % 17 <> 3
-), edges0 AS (
-  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
-  FROM page_edges GROUP BY src, dst
-), und AS (
-  SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
-    SELECT src, dst, w FROM edges0
-    UNION ALL
-    SELECT dst AS src, src AS dst, w FROM edges0
-  ) GROUP BY src, dst
-), l0 AS (
+    steps = [f"""
+WITH {_HOST_UND_CTES}, l0 AS (
   SELECT DISTINCT src AS host, src AS label FROM und
 )"""]
     for i in range(LPA_ITERS):
@@ -883,23 +891,7 @@ def _modularity_sql() -> str:
     return f"""
 WITH lpa AS (
   SELECT host, community FROM ({lpa})
-), page_edges AS (
-  SELECT 'site' || CAST(doc_id % 13 AS VARCHAR) || '.example.com' AS src,
-         'partner' || CAST(CASE WHEN doc_id % 13 = 11 THEN 2
-                                ELSE doc_id % 5 END AS VARCHAR)
-           || '.example.org' AS dst
-  FROM documents
-  WHERE doc_id % 17 <> 3
-), edges0 AS (
-  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
-  FROM page_edges GROUP BY src, dst
-), und AS (
-  SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
-    SELECT src, dst, w FROM edges0
-    UNION ALL
-    SELECT dst AS src, src AS dst, w FROM edges0
-  ) GROUP BY src, dst
-), tagged AS (
+), {_HOST_UND_CTES}, tagged AS (
   SELECT und.w, ls.community AS c_src, ld.community AS c_dst
   FROM und
   JOIN lpa ls ON ls.host = und.src
@@ -991,24 +983,8 @@ def hosts_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(num / den, 6).alias("assortativity"))
 
 
-HOSTS_ASSORTATIVITY_SQL = """
-WITH page_edges AS (
-  SELECT 'site' || CAST(doc_id % 13 AS VARCHAR) || '.example.com' AS src,
-         'partner' || CAST(CASE WHEN doc_id % 13 = 11 THEN 2
-                                ELSE doc_id % 5 END AS VARCHAR)
-           || '.example.org' AS dst
-  FROM documents
-  WHERE doc_id % 17 <> 3
-), edges0 AS (
-  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
-  FROM page_edges GROUP BY src, dst
-), und AS (
-  SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
-    SELECT src, dst, w FROM edges0
-    UNION ALL
-    SELECT dst AS src, src AS dst, w FROM edges0
-  ) GROUP BY src, dst
-), deg AS (
+HOSTS_ASSORTATIVITY_SQL = f"""
+WITH {_HOST_UND_CTES}, deg AS (
   SELECT src AS host, CAST(SUM(w) AS BIGINT) AS k
   FROM und GROUP BY src
 ), j AS (
@@ -1234,23 +1210,7 @@ per_{tag} AS (
     return f"""
 WITH lpa AS (
   SELECT host, community FROM ({lpa})
-), page_edges AS (
-  SELECT 'site' || CAST(doc_id % 13 AS VARCHAR) || '.example.com' AS src,
-         'partner' || CAST(CASE WHEN doc_id % 13 = 11 THEN 2
-                                ELSE doc_id % 5 END AS VARCHAR)
-           || '.example.org' AS dst
-  FROM documents
-  WHERE doc_id % 17 <> 3
-), edges0 AS (
-  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
-  FROM page_edges GROUP BY src, dst
-), und AS (
-  SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
-    SELECT src, dst, w FROM edges0
-    UNION ALL
-    SELECT dst AS src, src AS dst, w FROM edges0
-  ) GROUP BY src, dst
-), deg AS (
+), {_HOST_UND_CTES}, deg AS (
   SELECT src AS host, CAST(SUM(w) AS BIGINT) AS k
   FROM und GROUP BY src
 ), s_tot AS (
@@ -5576,14 +5536,7 @@ def hosts_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 HOSTS_COCITATION_SQL = f"""
-WITH page_edges AS (
-  SELECT 'site' || CAST(doc_id % 13 AS VARCHAR) || '.example.com' AS src,
-         'partner' || CAST(CASE WHEN doc_id % 13 = 11 THEN 2
-                                ELSE doc_id % 5 END AS VARCHAR)
-           || '.example.org' AS dst
-  FROM documents
-  WHERE doc_id % 17 <> 3
-), edges AS (
+WITH {_PAGE_EDGES_CTE}, edges AS (
   SELECT DISTINCT src, dst FROM page_edges
 ), bounded AS (
   SELECT src, dst FROM edges

@@ -86,3 +86,38 @@ def test_verify_all_covers_labeling_stage(labeled):
     assert check["stages"]["labeling"]["present"]
     assert not check["stages"]["labeling"]["mismatches"]
     assert check["stages"]["labeling"]["runs"] >= 1
+
+
+def test_partial_run_dir_reports_mismatch_not_crash(labeled):
+    """A crash mid-write must never break the integrity sweep: the
+    writer stages under _tmp_run=<id> (invisible to the run=* glob)
+    and renames atomically, and verify_labeling_all reports an
+    unreadable/partial run dir as a mismatch instead of raising —
+    verify_all's stage semantics are present/absent/failed, never
+    crash."""
+    import os
+
+    from ocr_spark.job import labeling_root, verify_labeling_all
+
+    spark, work, summary = labeled
+    root = labeling_root(work)
+    # simulate a crash mid-write: a partial run dir with a garbage
+    # parquet part (what a torn direct write would have left behind)
+    bad = os.path.join(root, "run=deadbeef0000")
+    os.makedirs(bad, exist_ok=True)
+    with open(os.path.join(bad, "part-00000.parquet"), "wb") as f:
+        f.write(b"not a parquet file")
+    # and a staged-but-never-promoted tmp dir: must be ignored
+    tmp = os.path.join(root, "_tmp_run=cafecafe0000")
+    os.makedirs(tmp, exist_ok=True)
+    try:
+        res = verify_labeling_all(spark, work)
+        assert "deadbeef0000" in res["mismatches"]
+        assert "_unreadable" in res["mismatches"]["deadbeef0000"]
+        # the staged tmp dir is not counted as a run at all
+        assert "cafecafe0000" not in res["mismatches"]
+        assert res["runs"] >= 2  # clean run(s) + the partial one
+    finally:
+        import shutil
+        shutil.rmtree(bad, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
