@@ -51,6 +51,10 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "extract_roundtrip",
     "extract_block_stats",
     "document_graph_edges",
+    # round-5 additions (verdict #3): the trained-PQ flagships must
+    # get their first driver rows this round
+    "emb_ivfpq_trained_topk",
+    "emb_ivfpq_residual_trained_topk",
     "docs_hll_sketch",
     "docs_cms_heavy_hitters",
     "docs_hll_snapshot_merge",

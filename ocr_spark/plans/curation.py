@@ -132,6 +132,8 @@ def hosts_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.sum(F.col("avg_logprob") * F.col("n_tokens"))
                         / F.sum("n_tokens"), LOGPROB_ROUND)
                  .alias("host_avg_logprob")))
+    # host-aggregate frame: bounded by host cardinality (docstring
+    # above), so the global ntile window is metadata-sized
     w = Window.orderBy(F.desc("host_avg_logprob"), F.asc("host"))
     b = F.ntile(3).over(w)
     return agg.select(
@@ -2468,6 +2470,8 @@ def docs_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = docs_gopher_filters(spark, sf_dir) \
         .select("doc_id", F.col("keep").alias("keep_gopher"))
     j = s.join(g, "doc_id")
+    # global exact-decile window — the documented fixture-exact form;
+    # production swaps in approx_percentile cutpoints (docstring)
     w = Window.orderBy("score", "doc_id")
     binned = j.select(
         "score", "keep_gopher",
@@ -3047,6 +3051,7 @@ def docs_metric_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ests = (rep.groupBy("b")
             .agg((F.sum(F.col("w") * F.col("m"))
                   / F.sum("w")).alias("est")))
+    # BOOT_B-row replicate frame: plan-constant cardinality
     wo = Window.orderBy("est", "b")
     ranked = ests.withColumn("rk", F.row_number().over(wo))
     point = m.agg(
@@ -3316,6 +3321,10 @@ def shards_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("k2"))
     z = F.expr(_morton_expr("DIV"))
     keyed = docs.withColumn("z", z)
+    # layout PLANNER windows: global total orders are inherent to
+    # Z-order file assignment; the production writer realizes the
+    # same order via repartitionByRange(z) without a single-partition
+    # window (same note as ev_gini_revenue)
     w_z = Window.orderBy("z", "doc_id")
     w_lin = Window.orderBy("k1", "k2", "doc_id")
     filed = keyed.select(

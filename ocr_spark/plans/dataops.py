@@ -3147,6 +3147,8 @@ def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
               .filter(F.col("score_micro") > 0)
               .orderBy(F.desc("score_micro"), F.asc("doc_id"))
               .limit(BM25_TOP_K))
+    # frame already cut to BM25_TOP_K rows by the limit above —
+    # the unpartitioned rank window is constant-sized
     w_rank = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
     return scored.withColumn("rank", F.row_number().over(w_rank))
 

@@ -665,6 +665,8 @@ def ev_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.struct("rn", "event_type"))),
                      lambda s: s.event_type), ">").alias("path")))
     counts = paths.groupBy("path").agg(F.count("*").alias("n_sessions"))
+    # path-aggregate frame (distinct truncated paths), far below
+    # event volume; production cuts with a global TakeOrdered(limit)
     w_rank = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
     return (counts.withColumn("rank", F.row_number().over(w_rank))
             .filter(F.col("rank") <= EV_TOP_PATHS)
@@ -1331,6 +1333,7 @@ def ev_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_day = (users.groupBy("day")
                .agg(F.count(F.lit(1)).alias("n_at_day"),
                     F.sum("churned").alias("d_churn")))
+    # day-granularity frame: bounded by distinct active days
     wo = Window.orderBy("day")
     wcum = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     total = users.agg(F.count(F.lit(1)).alias("n_total"))
@@ -1756,6 +1759,7 @@ def ev_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("r.fitted").alias("fitted_raw"))
             .withColumn("residual_raw",
                         F.col("y") - F.col("fitted_raw")))
+    # day-granularity series frame: bounded by distinct days
     wall = (Window.orderBy("day")
             .rowsBetween(Window.unboundedPreceding,
                          Window.unboundedFollowing))

@@ -782,10 +782,11 @@ def emb_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq_train_from(_pq_subvectors(spark, sf_dir))
 
 
-def _pq_train_from(subs: DataFrame) -> DataFrame:
-    """Per-subspace Lloyd over any (vec_id, m, sv) frame — shared by
-    emb_pq_train (raw subvectors) and emb_pq_train_residual
-    (residual subvectors)."""
+def _pq_train_cent(subs: DataFrame):
+    """Per-subspace Lloyd core over any (vec_id, m, sv) frame:
+    returns (final codebook frame (m, cell, cv array), assign
+    function) — shared by the exploded-report wrapper below and by
+    emb_ivfpq_trained_topk, which consumes the codebooks directly."""
     cent = (subs.filter(F.col("vec_id") < PQ_K)
             .select("m", F.col("vec_id").alias("cell"),
                     F.col("sv").alias("cv")))
@@ -809,6 +810,14 @@ def _pq_train_from(subs: DataFrame) -> DataFrame:
                     F.array_sort(F.collect_list(F.struct("pos", "cv"))),
                     lambda s: s.cv).alias("cv"))
                 ).localCheckpoint(eager=False)
+    return cent, assign
+
+
+def _pq_train_from(subs: DataFrame) -> DataFrame:
+    """Per-subspace Lloyd over any (vec_id, m, sv) frame — shared by
+    emb_pq_train (raw subvectors) and emb_pq_train_residual
+    (residual subvectors)."""
+    cent, assign = _pq_train_cent(subs)
     final = assign(cent)
     counts = final.groupBy("m", "cell").agg(
         F.count("*").alias("n_members"))
@@ -846,11 +855,14 @@ def _pq_train_sql() -> str:
     ])
 
 
-def _pq_train_sql_from(base_parts: list[str], pfx: str = "c") -> str:
-    """The Lloyd CTE chain over any base providing s(vec_id, m, sv);
-    ``pfx`` namespaces the chain's CTEs so a caller can embed it
-    beside another iterative chain (the residual variant nests it
-    after _KM_CTES, whose own a1../c1.. names must stay untouched)."""
+def _pq_train_ctes(base_parts: list[str],
+                   pfx: str = "c") -> tuple[list[str], str]:
+    """The Lloyd CTE chain over any base providing s(vec_id, m, sv),
+    returned as (parts, final-codebook CTE name) so a composing query
+    (emb_ivfpq_trained_topk's oracle) can keep building; ``pfx``
+    namespaces the chain's CTEs so a caller can embed it beside
+    another iterative chain (the residual variant nests it after
+    _KM_CTES, whose own a1../c1.. names must stay untouched)."""
     parts = list(base_parts)
     parts.append(
         f"{pfx}0 AS (SELECT m, vec_id AS cell, sv AS cv FROM s "
@@ -884,6 +896,12 @@ def _pq_train_sql_from(base_parts: list[str], pfx: str = "c") -> str:
         f"                 {_sql_sub_dist2('s.sv', 'c.cv')} AS d\n"
         f"          FROM s JOIN {prev} c ON s.m = c.m))\n"
         f"  WHERE rn = 1)")
+    return parts, prev
+
+
+def _pq_train_sql_from(base_parts: list[str], pfx: str = "c") -> str:
+    """Complete trained-codebook report statement over the CTE chain."""
+    parts, prev = _pq_train_ctes(base_parts, pfx)
     ctes = ",\n".join(parts)
     return f"""
 WITH {ctes},
@@ -2259,9 +2277,10 @@ PQ_SHORTLIST = 32  # ADC survivors per query handed to exact re-rank.
                    # Measured on the clustered fixture (BENCH/recall.json
                    # ivfpq.recall_at_k_by_shortlist): 8→0.37, 16→0.53,
                    # 32→0.90, 64→1.0 recall@3 — 32 is the knee with the
-                   # seeded codebook; trained per-subspace codebooks
-                   # (_pq_codebooks' documented drop-in) shrink the
-                   # depth needed.
+                   # seeded codebook. Residual-TRAINED codebooks
+                   # (emb_ivfpq_residual_trained_topk) reach 1.0 at 32
+                   # and 0.83 already at 16 — the measured depth saving
+                   # the trained codebooks buy.
 
 
 def _pq_code_arr(v: Column) -> Column:
@@ -2551,6 +2570,351 @@ res AS (
          ROUND({adc_terms}, 6) AS adc6,
          n.v, n.nrm, qp.qv, qp.qn
   FROM qp JOIN n ON n.cell = qp.q_cell AND n.vec_id <> qp.q_id
+), short AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                 ORDER BY adc6 ASC, neighbor_id ASC)
+              AS srn
+    FROM scored
+  ) WHERE srn <= {PQ_SHORTLIST}
+), rer AS (
+  SELECT q_id, neighbor_id, adc6,
+         ROUND({_sql_dot('qv', 'v')} / (qn * nrm), 6) AS cos6
+  FROM short
+), ranked AS (
+  SELECT q_id, neighbor_id, adc6, cos6,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cos6 DESC, neighbor_id ASC) AS rank
+  FROM rer
+)
+SELECT q_id, neighbor_id, ROUND(adc6, 4) AS adc_dist,
+       ROUND(cos6, 4) AS cos_sim, rank
+FROM ranked WHERE rank <= {IVF_TOPK}
+"""
+
+
+def emb_ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with TRAINED per-subspace codebooks — the production
+    operating point (round-4 verdict #3): emb_ivfpq_topk's plan with
+    the seeded PQ_CODEBOOKS literals replaced by Lloyd-trained
+    codebooks from emb_pq_train's shared kernel, the same upgrade
+    emb_ivf_trained_topk made for the coarse cells. Measured honestly
+    (BENCH/recall.json ivfpq_trained): raw-vector trained codebooks
+    cut reconstruction error ~100x and produce MORE distinct codes
+    (261 vs 106 on the clustered fixture) but recall-at-depth is
+    mixed (+0.03 at 8, −0.13 at 32 — ±4 pairs on a 30-pair truth
+    set), because ADC ranks by L2 on RAW vectors whose cluster mean
+    dominates, while the final rank is cosine. The production
+    operating point is therefore emb_ivfpq_residual_trained_topk
+    below (codebooks trained on residuals), which wins at every
+    depth; this op remains the controlled middle cell of the
+    {seeded,trained}x{raw,residual} 2x2.
+
+    Scale shape: identical to emb_ivfpq_topk — the codebooks stop
+    being plan literals and become a broadcast M·K-row table (still
+    ≤ M·K·DSUB = 1024 doubles, one row after the per-m rollup);
+    corpus codes are a narrow map against that broadcast; the only
+    corpus-sized exchange remains the cell equi-join against the
+    broadcast probe list. In production the trained codebooks load
+    through the artifact seam exactly like the classifier weights.
+
+    Cross-engine determinism: codebook components round to KM_ROUND
+    per training round; per-subspace ADC terms fold j-ascending on
+    both engines (DuckDB: list_reduce over list(term ORDER BY m)),
+    then one ROUND(.., 6) — identical doubles in identical order."""
+    cent, assigned = _kmeans(spark, sf_dir)
+    pqcent, _ = _pq_train_cent(_pq_subvectors(spark, sf_dir))
+    # one-row broadcast: cbs[m+1] = this subspace's trained codebook,
+    # sorted struct(cell, cv) — the argmin/lookup shape _km_argmin_sub
+    # expects
+    cbrow = (pqcent.groupBy("m")
+             .agg(F.array_sort(
+                 F.collect_list(F.struct("cell", "cv"))).alias("cents"))
+             .agg(F.transform(
+                 F.array_sort(F.collect_list(F.struct("m", "cents"))),
+                 lambda s: s["cents"]).alias("cbs")))
+    emb = (assigned.crossJoin(F.broadcast(cbrow))
+           .withColumn("nrm", _norm(F.col("v")))
+           .withColumn("codes", F.array(*[
+               _km_argmin_sub(F.slice("v", j * PQ_DSUB + 1, PQ_DSUB),
+                              F.element_at("cbs", j + 1))
+               for j in range(PQ_M)])))
+    centrow = cent.agg(F.array_sort(
+        F.collect_list(F.struct("cell", "cv"))).alias("cents"))
+    scored_cells = F.transform(
+        F.col("cents"), lambda c: F.struct(
+            _dist2(F.col("v"), c["cv"]).alias("d"),
+            c["cell"].alias("cell")))
+    probes = F.transform(
+        F.slice(F.array_sort(scored_cells), 1, IVF_NPROBE),
+        lambda s: s["cell"])
+    q = (emb.filter(F.col("vec_id") < N_QUERIES)
+         .crossJoin(F.broadcast(centrow))
+         .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+                 F.col("nrm").alias("qn"),
+                 F.explode(probes).alias("q_cell")))
+    j = emb.join(F.broadcast(q), (F.col("cell") == F.col("q_cell"))
+                 & (F.col("vec_id") != F.col("q_id")))
+    # ADC against the TRAINED codebooks: the candidate's code selects
+    # its centroid by cell id from the broadcast cbs, j ascending
+    adc = None
+    for sj in range(PQ_M):
+        chosen = F.element_at(
+            F.filter(F.element_at("cbs", sj + 1),
+                     lambda c: c["cell"] == F.element_at("codes", sj + 1)),
+            1)["cv"]
+        term = _dist2(F.slice("qv", sj * PQ_DSUB + 1, PQ_DSUB), chosen)
+        adc = term if adc is None else adc + term
+    scored = j.select(
+        "q_id", F.col("vec_id").alias("neighbor_id"),
+        F.round(adc, 6).alias("adc6"), "v", "nrm", "qv", "qn")
+    ws = Window.partitionBy("q_id").orderBy(F.asc("adc6"),
+                                            F.asc("neighbor_id"))
+    short = (scored.withColumn("srn", F.row_number().over(ws))
+             .filter(F.col("srn") <= PQ_SHORTLIST))
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    rer = short.select("q_id", "neighbor_id", "adc6",
+                       F.round(cos, 6).alias("cos6"))
+    wr = Window.partitionBy("q_id").orderBy(F.desc("cos6"),
+                                            F.asc("neighbor_id"))
+    return (rer.withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= IVF_TOPK)
+            .select("q_id", "neighbor_id",
+                    F.round("adc6", 4).alias("adc_dist"),
+                    F.round("cos6", 4).alias("cos_sim"), "rank"))
+
+
+def _ivfpq_trained_sql() -> str:
+    parts, cbname = _pq_train_ctes([
+        f"s AS (SELECT vec_id, CAST(t.m AS INT) AS m,\n"
+        f"              list_transform(range(1, {PQ_DSUB + 1}),\n"
+        f"                  i -> v[t.m * {PQ_DSUB} + i]) AS sv\n"
+        f"       FROM e, range(0, {PQ_M}) AS t(m))",
+    ], pfx="tq")
+    pq_ctes = ",\n".join(parts)
+    return f"""
+{_KM_CTES},
+{pq_ctes},
+cb AS (
+  SELECT m, cell, cv FROM {cbname}
+), cd AS (
+  -- corpus PQ codes = the training chain's final assignment
+  SELECT vec_id, list(CAST(cell AS BIGINT) ORDER BY m) AS codes
+  FROM tqaf GROUP BY vec_id
+), n AS (
+  SELECT af.vec_id, af.cell, af.v, {_sql_norm('af.v')} AS nrm, cd.codes
+  FROM af JOIN cd ON cd.vec_id = af.vec_id
+), qp AS (
+  SELECT q_id, qv, qn, cell AS q_cell FROM (
+    SELECT e.vec_id AS q_id, e.v AS qv, {_sql_norm('e.v')} AS qn,
+           c.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_dist2('e.v', 'c.cv')}, c.cell) AS pr
+    FROM e CROSS JOIN {_KM_FINAL} c
+    WHERE e.vec_id < {N_QUERIES}
+  ) WHERE pr <= {IVF_NPROBE}
+), pairs AS (
+  SELECT qp.q_id, n.vec_id AS neighbor_id, qp.qv, qp.qn,
+         n.v, n.nrm, n.codes
+  FROM qp JOIN n ON n.cell = qp.q_cell AND n.vec_id <> qp.q_id
+), terms AS (
+  SELECT p.q_id, p.neighbor_id, t.m,
+         list_reduce(list_transform(range(1, {PQ_DSUB + 1}),
+           i -> (p.qv[t.m * {PQ_DSUB} + i] - c.cv[i])
+              * (p.qv[t.m * {PQ_DSUB} + i] - c.cv[i])),
+           (x, y) -> x + y) AS term
+  FROM pairs p CROSS JOIN range(0, {PQ_M}) AS t(m)
+  JOIN cb c ON c.m = t.m AND c.cell = p.codes[t.m + 1]
+), adc AS (
+  -- fold m-ascending, mirroring the Spark plan's j-ascending sum
+  SELECT q_id, neighbor_id,
+         ROUND(list_reduce(list(term ORDER BY m), (x, y) -> x + y), 6)
+           AS adc6
+  FROM terms GROUP BY q_id, neighbor_id
+), scored AS (
+  SELECT a.q_id, a.neighbor_id, a.adc6, p.v, p.nrm, p.qv, p.qn
+  FROM adc a JOIN pairs p
+    ON p.q_id = a.q_id AND p.neighbor_id = a.neighbor_id
+), short AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                 ORDER BY adc6 ASC, neighbor_id ASC)
+              AS srn
+    FROM scored
+  ) WHERE srn <= {PQ_SHORTLIST}
+), rer AS (
+  SELECT q_id, neighbor_id, adc6,
+         ROUND({_sql_dot('qv', 'v')} / (qn * nrm), 6) AS cos6
+  FROM short
+), ranked AS (
+  SELECT q_id, neighbor_id, adc6, cos6,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cos6 DESC, neighbor_id ASC) AS rank
+  FROM rer
+)
+SELECT q_id, neighbor_id, ROUND(adc6, 4) AS adc_dist,
+       ROUND(cos6, 4) AS cos_sim, rank
+FROM ranked WHERE rank <= {IVF_TOPK}
+"""
+
+
+def emb_ivfpq_residual_trained_topk(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """IVF-PQ, residual encoding, TRAINED residual codebooks — the
+    exact composition FAISS's IVFPQ ships (Jégou et al. 2011 §IV.B:
+    PQ codes the residual v − centroid(cell), with codebooks trained
+    on those residuals): the coarse quantizer removes the cluster
+    mean that dominates raw vectors on clustered corpora, and the
+    codebooks are placed where the residual mass actually is
+    (emb_pq_train_residual's measured lower reconstruction error).
+    Completes the 2×2 the recall bench measures: {seeded, trained} ×
+    {raw, residual} — and this cell WINS it at every shortlist depth
+    (BENCH/recall.json ivfpq_residual_trained: recall@3 of
+    0.63/0.83/1.0 at depths 8/16/32 vs the seeded-raw 0.37/0.53/0.9;
+    full recall at HALF the seeded re-rank depth) — the production
+    operating point.
+
+    Scale shape: identical to emb_ivfpq_residual_topk — residual
+    computation is a broadcast K-row join on both sides; the trained
+    codebooks are a broadcast M·K-row table; the one corpus-sized
+    exchange remains the cell equi-join against the broadcast probe
+    list. Cross-engine determinism: KM_ROUND-rounded trained
+    components, m-ascending ADC fold, one ROUND(.., 6)."""
+    cent, assigned = _kmeans(spark, sf_dir)
+    cent_b = cent.select(F.col("cell").alias("rcell"),
+                         F.col("cv").alias("rcv"))
+    res = (assigned
+           .join(F.broadcast(cent_b), F.col("cell") == F.col("rcell"))
+           .select("vec_id", "v", "cell",
+                   F.zip_with("v", "rcv", lambda a, b: a - b)
+                   .alias("rv")))
+    rsubs = F.array(*[
+        F.struct(F.lit(j).alias("m"),
+                 F.slice("rv", j * PQ_DSUB + 1, PQ_DSUB).alias("sv"))
+        for j in range(PQ_M)])
+    frame = (res.select("vec_id", F.explode(rsubs).alias("s"))
+             .select("vec_id", F.col("s.m").alias("m"),
+                     F.col("s.sv").alias("sv")))
+    pqcent, _ = _pq_train_cent(frame)
+    cbrow = (pqcent.groupBy("m")
+             .agg(F.array_sort(
+                 F.collect_list(F.struct("cell", "cv"))).alias("cents"))
+             .agg(F.transform(
+                 F.array_sort(F.collect_list(F.struct("m", "cents"))),
+                 lambda s: s["cents"]).alias("cbs")))
+    emb = (res.crossJoin(F.broadcast(cbrow))
+           .withColumn("nrm", _norm(F.col("v")))
+           .withColumn("codes", F.array(*[
+               _km_argmin_sub(F.slice("rv", j * PQ_DSUB + 1, PQ_DSUB),
+                              F.element_at("cbs", j + 1))
+               for j in range(PQ_M)])))
+    centrow = cent.agg(F.array_sort(
+        F.collect_list(F.struct("cell", "cv"))).alias("cents"))
+    scored_cells = F.transform(
+        F.col("cents"), lambda c: F.struct(
+            _dist2(F.col("v"), c["cv"]).alias("d"),
+            c["cell"].alias("cell"), c["cv"].alias("ccv")))
+    probe_structs = F.slice(F.array_sort(scored_cells), 1, IVF_NPROBE)
+    # per probe, the query residual is against THAT cell's centroid
+    q = (emb.filter(F.col("vec_id") < N_QUERIES)
+         .crossJoin(F.broadcast(centrow))
+         .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+                 F.col("nrm").alias("qn"),
+                 F.explode(probe_structs).alias("p"))
+         .select("q_id", "qv", "qn", F.col("p.cell").alias("q_cell"),
+                 F.zip_with("qv", F.col("p.ccv"), lambda a, b: a - b)
+                 .alias("qrv")))
+    j = emb.join(F.broadcast(q), (F.col("cell") == F.col("q_cell"))
+                 & (F.col("vec_id") != F.col("q_id")))
+    adc = None
+    for sj in range(PQ_M):
+        chosen = F.element_at(
+            F.filter(F.element_at("cbs", sj + 1),
+                     lambda c: c["cell"] == F.element_at("codes", sj + 1)),
+            1)["cv"]
+        term = _dist2(F.slice("qrv", sj * PQ_DSUB + 1, PQ_DSUB), chosen)
+        adc = term if adc is None else adc + term
+    scored = j.select(
+        "q_id", F.col("vec_id").alias("neighbor_id"),
+        F.round(adc, 6).alias("adc6"), "v", "nrm", "qv", "qn")
+    ws = Window.partitionBy("q_id").orderBy(F.asc("adc6"),
+                                            F.asc("neighbor_id"))
+    short = (scored.withColumn("srn", F.row_number().over(ws))
+             .filter(F.col("srn") <= PQ_SHORTLIST))
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    rer = short.select("q_id", "neighbor_id", "adc6",
+                       F.round(cos, 6).alias("cos6"))
+    wr = Window.partitionBy("q_id").orderBy(F.desc("cos6"),
+                                            F.asc("neighbor_id"))
+    return (rer.withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= IVF_TOPK)
+            .select("q_id", "neighbor_id",
+                    F.round("adc6", 4).alias("adc_dist"),
+                    F.round("cos6", 4).alias("cos_sim"), "rank"))
+
+
+def _ivfpq_residual_trained_sql() -> str:
+    parts, cbname = _pq_train_ctes([
+        f"res AS (\n"
+        f"  SELECT af.vec_id, af.cell, af.v,\n"
+        f"         list_transform(range(1, {DIM + 1}),\n"
+        f"                        i -> af.v[i] - c.cv[i]) AS rv\n"
+        f"  FROM af JOIN {_KM_FINAL} c ON c.cell = af.cell)",
+        f"s AS (SELECT vec_id, CAST(t.m AS INT) AS m,\n"
+        f"              list_transform(range(1, {PQ_DSUB + 1}),\n"
+        f"                  i -> rv[t.m * {PQ_DSUB} + i]) AS sv\n"
+        f"       FROM res, range(0, {PQ_M}) AS t(m))",
+    ], pfx="rq")
+    pq_ctes = ",\n".join(parts)
+    return f"""
+{_KM_CTES},
+{pq_ctes},
+cb AS (
+  SELECT m, cell, cv FROM {cbname}
+), cd AS (
+  SELECT vec_id, list(CAST(cell AS BIGINT) ORDER BY m) AS codes
+  FROM rqaf GROUP BY vec_id
+), n AS (
+  SELECT res.vec_id, res.cell, res.v, {_sql_norm('res.v')} AS nrm,
+         cd.codes
+  FROM res JOIN cd ON cd.vec_id = res.vec_id
+), qp AS (
+  SELECT q_id, qv, qn, q_cell,
+         list_transform(range(1, {DIM + 1}),
+                        i -> qv[i] - cv[i]) AS qrv
+  FROM (
+    SELECT q_id, qv, qn, cell AS q_cell, cv FROM (
+      SELECT e.vec_id AS q_id, e.v AS qv, {_sql_norm('e.v')} AS qn,
+             c.cell, c.cv,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_sql_dist2('e.v', 'c.cv')}, c.cell) AS pr
+      FROM e CROSS JOIN {_KM_FINAL} c
+      WHERE e.vec_id < {N_QUERIES}
+    ) WHERE pr <= {IVF_NPROBE}
+  )
+), pairs AS (
+  SELECT qp.q_id, n.vec_id AS neighbor_id, qp.qrv, qp.qv, qp.qn,
+         n.v, n.nrm, n.codes
+  FROM qp JOIN n ON n.cell = qp.q_cell AND n.vec_id <> qp.q_id
+), terms AS (
+  SELECT p.q_id, p.neighbor_id, t.m,
+         list_reduce(list_transform(range(1, {PQ_DSUB + 1}),
+           i -> (p.qrv[t.m * {PQ_DSUB} + i] - c.cv[i])
+              * (p.qrv[t.m * {PQ_DSUB} + i] - c.cv[i])),
+           (x, y) -> x + y) AS term
+  FROM pairs p CROSS JOIN range(0, {PQ_M}) AS t(m)
+  JOIN cb c ON c.m = t.m AND c.cell = p.codes[t.m + 1]
+), adc AS (
+  SELECT q_id, neighbor_id,
+         ROUND(list_reduce(list(term ORDER BY m), (x, y) -> x + y), 6)
+           AS adc6
+  FROM terms GROUP BY q_id, neighbor_id
+), scored AS (
+  SELECT a.q_id, a.neighbor_id, a.adc6, p.v, p.nrm, p.qv, p.qn
+  FROM adc a JOIN pairs p
+    ON p.q_id = a.q_id AND p.neighbor_id = a.neighbor_id
 ), short AS (
   SELECT * FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
@@ -3271,6 +3635,8 @@ SPARK_QUERIES = {
     "emb_abtt_postprocess": emb_abtt_postprocess,
     "emb_ivfpq_topk": emb_ivfpq_topk,
     "emb_ivfpq_residual_topk": emb_ivfpq_residual_topk,
+    "emb_ivfpq_trained_topk": emb_ivfpq_trained_topk,
+    "emb_ivfpq_residual_trained_topk": emb_ivfpq_residual_trained_topk,
     "emb_kcenter_init": emb_kcenter_init,
     "emb_mmr_select": emb_mmr_select,
     "emb_kmeans_train": emb_kmeans_train,
@@ -3311,6 +3677,8 @@ ORACLE_SQL = {
     "emb_abtt_postprocess": _abtt_sql(),
     "emb_ivfpq_topk": _ivfpq_sql(),
     "emb_ivfpq_residual_topk": _ivfpq_residual_sql(),
+    "emb_ivfpq_trained_topk": _ivfpq_trained_sql(),
+    "emb_ivfpq_residual_trained_topk": _ivfpq_residual_trained_sql(),
     "emb_kcenter_init": _kcenter_sql(),
     "emb_mmr_select": _mmr_sql(),
     "emb_kmeans_train": _KMEANS_TRAIN_SQL,

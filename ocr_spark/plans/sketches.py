@@ -881,6 +881,7 @@ def docs_length_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     cum = (hist
            .withColumn("cum", F.sum("cnt").over(
+               # ≤64 log2-bucket rows: plan-bounded frame
                Window.orderBy("b")
                .rowsBetween(Window.unboundedPreceding, 0)))
            .withColumn("n", F.sum("cnt").over(

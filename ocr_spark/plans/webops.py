@@ -4090,6 +4090,23 @@ FROM cells WHERE n_docs < {K_ANON_MIN} GROUP BY lang
 """
 
 
+# Eval-metric provenance inventory for the data card: which published
+# eval numbers derive from plan-synthesized modeled cohorts (latent
+# classes / annotators / topics / frame energies built determinstically
+# in-plan because the sandbox has no human labels) vs real driver
+# tables. Algorithms are cross-engine-checked either way; the card
+# discloses the DATA source per metric.
+DATA_CARD_EVAL_PROVENANCE = (
+    ("docs_dawid_skene", "modeled_cohort"),
+    ("docs_bm25_eval", "modeled_cohort"),
+    ("docs_ct_langid", "modeled_cohort"),
+    ("mm_audio_vad", "modeled_cohort"),
+    ("docs_rouge_l", "driver_tables"),
+    ("extract_eval_cer", "driver_tables"),
+    ("extract_eval_tokenf1", "driver_tables"),
+)
+
+
 def docs_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus datasheet (data card): per-language document/token
     inventory, token share, and post-curation survival rates — the
@@ -4101,7 +4118,12 @@ def docs_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the verdict's constituent subplans plus ONE extra
     groupBy(lang) — output cardinality is the language count, so the
     final aggregation collapses to dozens of rows at any corpus size;
-    the totals row broadcasts."""
+    the totals row broadcasts. The provenance column + the appended
+    _eval:* inventory rows (plan literals, zero data touched) keep
+    the honest-measurement discipline visible to a card consumer:
+    eval numbers published beside this corpus either derive from the
+    driver tables or from plan-synthesized modeled cohorts, and the
+    card says which (round-4 verdict #8)."""
     docs = _docs(spark, sf_dir)
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     base = docs.select("doc_id", "lang",
@@ -4116,22 +4138,49 @@ def docs_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.when(F.col("keep"), F.col("n")).otherwise(0))
                  .cast("long").alias("kept_tokens")))
     tot = per.agg(F.sum("n_tokens").alias("tot"))  # 1 row → broadcast
-    return (per.crossJoin(F.broadcast(tot))
-            .select(
-                "lang", "n_docs", "n_tokens",
-                F.round(F.col("n_tokens") / F.col("tot"), 6)
-                 .alias("token_share"),
-                F.round(F.col("n_tokens") / F.col("n_docs"), 2)
-                 .alias("mean_doc_tokens"),
-                "n_kept",
-                F.round(F.col("n_kept") / F.col("n_docs"), 4)
-                 .alias("keep_rate"),
-                "kept_tokens",
-                F.round(F.col("kept_tokens") / F.col("n_tokens"), 4)
-                 .alias("kept_token_frac")))
+    langs = (per.crossJoin(F.broadcast(tot))
+             .select(
+                 "lang", "n_docs", "n_tokens",
+                 F.round(F.col("n_tokens") / F.col("tot"), 6)
+                  .alias("token_share"),
+                 F.round(F.col("n_tokens") / F.col("n_docs"), 2)
+                  .alias("mean_doc_tokens"),
+                 "n_kept",
+                 F.round(F.col("n_kept") / F.col("n_docs"), 4)
+                  .alias("keep_rate"),
+                 "kept_tokens",
+                 F.round(F.col("kept_tokens") / F.col("n_tokens"), 4)
+                  .alias("kept_token_frac"),
+                 F.lit("driver_tables").alias("provenance")))
+    evals = spark.createDataFrame(
+        [(f"_eval:{m}", p) for m, p in DATA_CARD_EVAL_PROVENANCE],
+        "lang string, provenance string")
+    eval_rows = evals.select(
+        "lang",
+        F.lit(None).cast("long").alias("n_docs"),
+        F.lit(None).cast("long").alias("n_tokens"),
+        F.lit(None).cast("double").alias("token_share"),
+        F.lit(None).cast("double").alias("mean_doc_tokens"),
+        F.lit(None).cast("long").alias("n_kept"),
+        F.lit(None).cast("double").alias("keep_rate"),
+        F.lit(None).cast("long").alias("kept_tokens"),
+        F.lit(None).cast("double").alias("kept_token_frac"),
+        "provenance")
+    return langs.unionByName(eval_rows)
 
 
 def _data_card_sql() -> str:
+    eval_rows = "\nUNION ALL\n".join(
+        f"SELECT '_eval:{m}' AS lang, CAST(NULL AS BIGINT) AS n_docs,\n"
+        f"       CAST(NULL AS BIGINT) AS n_tokens,\n"
+        f"       CAST(NULL AS DOUBLE) AS token_share,\n"
+        f"       CAST(NULL AS DOUBLE) AS mean_doc_tokens,\n"
+        f"       CAST(NULL AS BIGINT) AS n_kept,\n"
+        f"       CAST(NULL AS DOUBLE) AS keep_rate,\n"
+        f"       CAST(NULL AS BIGINT) AS kept_tokens,\n"
+        f"       CAST(NULL AS DOUBLE) AS kept_token_frac,\n"
+        f"       '{p}' AS provenance"
+        for m, p in DATA_CARD_EVAL_PROVENANCE)
     return f"""
 WITH v AS (SELECT doc_id, keep FROM ({_curation_sql()})),
 base AS (
@@ -4159,8 +4208,11 @@ SELECT lang, n_docs, n_tokens,
        round(n_kept / CAST(n_docs AS DOUBLE), 4) AS keep_rate,
        kept_tokens,
        round(kept_tokens / CAST(n_tokens AS DOUBLE), 4)
-         AS kept_token_frac
+         AS kept_token_frac,
+       'driver_tables' AS provenance
 FROM per CROSS JOIN tot
+UNION ALL
+{eval_rows}
 """
 
 

@@ -224,6 +224,69 @@ def main() -> int:
                  "needed depth"),
     }
 
+    # ---- trained-PQ IVF-PQ: same sweep, Lloyd-trained codebooks -----
+    tpq_sweep = {}
+    saved_sl = simsearch.PQ_SHORTLIST
+    try:
+        for sl in (8, 16, 32, 64):
+            simsearch.PQ_SHORTLIST = sl
+            tpq = {(r.q_id, r.neighbor_id)
+                   for r in simsearch.emb_ivfpq_trained_topk(spark, cdir)
+                   .collect()}
+            tpq_sweep[str(sl)] = round(
+                len(tpq & ctruth3) / max(1, len(ctruth3)), 4)
+    finally:
+        simsearch.PQ_SHORTLIST = saved_sl
+    out["ann_clustered"]["ivfpq_trained"] = {
+        "k": simsearch.IVF_TOPK,
+        "nprobe": simsearch.IVF_NPROBE,
+        "pq_m": simsearch.PQ_M, "pq_k": simsearch.PQ_K,
+        "shortlist_default": simsearch.PQ_SHORTLIST,
+        "recall_at_k_by_shortlist": tpq_sweep,
+        "delta_vs_seeded_by_shortlist": {
+            sl: round(tpq_sweep[sl] - pq_sweep[sl], 4)
+            for sl in tpq_sweep},
+        "note": ("emb_ivfpq_trained_topk: per-subspace Lloyd-trained "
+                 "codebooks replacing the seeded literals, same probes "
+                 "and re-rank. The delta column is the verdict-#3 "
+                 "measurement: how much shortlist depth the trained "
+                 "codebooks buy back at fixed recall"),
+    }
+
+    # ---- residual-trained IVF-PQ: the FAISS-form operating point ----
+    rtq_sweep = {}
+    saved_sl = simsearch.PQ_SHORTLIST
+    try:
+        for sl in (8, 16, 32, 64):
+            simsearch.PQ_SHORTLIST = sl
+            rtq = {(r.q_id, r.neighbor_id)
+                   for r in simsearch
+                   .emb_ivfpq_residual_trained_topk(spark, cdir)
+                   .collect()}
+            rtq_sweep[str(sl)] = round(
+                len(rtq & ctruth3) / max(1, len(ctruth3)), 4)
+    finally:
+        simsearch.PQ_SHORTLIST = saved_sl
+    out["ann_clustered"]["ivfpq_residual_trained"] = {
+        "k": simsearch.IVF_TOPK,
+        "nprobe": simsearch.IVF_NPROBE,
+        "pq_m": simsearch.PQ_M, "pq_k": simsearch.PQ_K,
+        "shortlist_default": simsearch.PQ_SHORTLIST,
+        "recall_at_k_by_shortlist": rtq_sweep,
+        "delta_vs_seeded_by_shortlist": {
+            sl: round(rtq_sweep[sl] - pq_sweep[sl], 4)
+            for sl in rtq_sweep},
+        "delta_vs_trained_raw_by_shortlist": {
+            sl: round(rtq_sweep[sl] - tpq_sweep[sl], 4)
+            for sl in rtq_sweep},
+        "note": ("emb_ivfpq_residual_trained_topk: residual encoding "
+                 "with codebooks TRAINED on residuals — the FAISS "
+                 "IVFPQ composition and the recommended operating "
+                 "point. Completes the {seeded,trained}x{raw,residual} "
+                 "2x2 (seeded-residual measured neutral in "
+                 "BENCH/residual_adc.json)"),
+    }
+
     # ---- dedup recall: LSH candidates vs exhaustive high-Jaccard ----
     exact = {(r.doc_a, r.doc_b): r.jaccard
              for r in dataops.docs_ngram_jaccard_pairs(spark, sf_dir)

@@ -2459,3 +2459,55 @@ def test_closing_batch_plan_shapes(spark):
     df.collect()
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in final
+
+
+def test_ivfpq_trained_plan_and_contract(spark):
+    """Trained-codebook IVF-PQ (both raw and residual forms) keeps
+    the raw variant's plan discipline — probe list and codebook
+    tables broadcast, the one corpus-sized exchange is the cell
+    equi-join, never a corpus cross join — and the output contract:
+    bounded ranks, nonnegative ADC, exact-cosine order dominating."""
+    from ocr_spark.plans.simsearch import (
+        IVF_TOPK, N_QUERIES, emb_ivfpq_residual_trained_topk,
+        emb_ivfpq_trained_topk)
+
+    for fn in (emb_ivfpq_trained_topk, emb_ivfpq_residual_trained_topk):
+        df = fn(spark, SF)
+        plan = fmt(df)
+        assert "BroadcastHashJoin" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        rows = df.collect()
+        assert rows
+        by_q: dict = {}
+        for r in rows:
+            assert r["q_id"] < N_QUERIES
+            assert 1 <= r["rank"] <= IVF_TOPK
+            assert r["adc_dist"] >= 0.0
+            by_q.setdefault(r["q_id"], []).append(r)
+        for q, rs in by_q.items():
+            rs.sort(key=lambda r: r["rank"])
+            assert len(rs) == len({r["neighbor_id"] for r in rs})
+            for a, b in zip(rs, rs[1:]):
+                assert (a["cos_sim"], -a["neighbor_id"]) \
+                    >= (b["cos_sim"], -b["neighbor_id"])
+
+
+def test_data_card_provenance_column(spark):
+    """The data card discloses eval-metric provenance: every language
+    row is driver_tables; every _eval:* inventory row carries the
+    documented modeled-cohort vs driver-tables tag and no corpus
+    numbers (round-4 verdict #8)."""
+    from ocr_spark.plans.webops import (
+        DATA_CARD_EVAL_PROVENANCE, docs_data_card)
+
+    rows = docs_data_card(spark, SF).collect()
+    langs = [r for r in rows if not r["lang"].startswith("_eval:")]
+    evals = {r["lang"]: r for r in rows if r["lang"].startswith("_eval:")}
+    assert langs and all(r["provenance"] == "driver_tables"
+                         for r in langs)
+    assert set(evals) == {f"_eval:{m}"
+                          for m, _ in DATA_CARD_EVAL_PROVENANCE}
+    for m, p in DATA_CARD_EVAL_PROVENANCE:
+        r = evals[f"_eval:{m}"]
+        assert r["provenance"] == p
+        assert r["n_docs"] is None and r["kept_token_frac"] is None
