@@ -1158,6 +1158,45 @@ def validation_root(work_dir: str) -> str:
     return os.path.join(work_dir, "validation")
 
 
+def constraint_suite(out: DataFrame,
+                     max_error_frac: float = VALIDATION_MAX_ERROR_FRAC,
+                     ) -> list[tuple[str, int, int]]:
+    """The Deequ-style shared-scan constraint suite over an extraction
+    output frame: ONE aggregate pass, one driver row, returns
+    [(constraint, checked, violations)]. Shared by the batch
+    validation job below AND the streaming per-micro-batch gate
+    (streaming/ingest.py validation_gate_sink), so a batch failing
+    the streaming gate is EXACTLY a table the batch gate would block
+    — one suite, two triggers."""
+    ok = F.col("error").isNull()
+    row = out.agg(
+        F.count(F.lit(1)).alias("checked"),
+        F.count_distinct(F.col("url")).alias("n_urls"),
+        F.sum((F.col("url").isNull() | (F.length("url") == 0))
+              .cast("long")).alias("url_bad"),
+        F.sum((ok & (F.col("text").isNull() | (F.length("text") == 0)))
+              .cast("long")).alias("text_missing"),
+        F.sum((ok & (F.col("n_blocks").isNull() | (F.col("n_blocks") <= 0)))
+              .cast("long")).alias("blocks_bad"),
+        F.sum((F.col("bytes_in").isNull() | (F.col("bytes_in") <= 0))
+              .cast("long")).alias("bytes_bad"),
+        F.sum((~ok).cast("long")).alias("n_errors"),
+    ).collect()[0]
+    checked = row["checked"] or 0
+    n_success = checked - (row["n_errors"] or 0)
+    err_over = ((row["n_errors"] or 0)
+                if (row["n_errors"] or 0) > max_error_frac * checked
+                else 0)
+    return [
+        ("url_complete", checked, row["url_bad"] or 0),
+        ("url_unique", checked, checked - (row["n_urls"] or 0)),
+        ("text_present_on_success", n_success, row["text_missing"] or 0),
+        ("blocks_positive_on_success", n_success, row["blocks_bad"] or 0),
+        ("bytes_in_positive", checked, row["bytes_bad"] or 0),
+        ("error_rate_bounded", checked, err_over),
+    ]
+
+
 def run_validation_job(spark: SparkSession, work_dir: str, *,
                        max_error_frac: float = VALIDATION_MAX_ERROR_FRAC,
                        gate: bool = False) -> dict:
@@ -1188,32 +1227,8 @@ def run_validation_job(spark: SparkSession, work_dir: str, *,
     — the mode a scheduled pipeline runs between extract and
     curate/export."""
     out = read_extracted(spark, work_dir)
-    ok = F.col("error").isNull()
-    row = out.agg(
-        F.count(F.lit(1)).alias("checked"),
-        F.count_distinct(F.col("url")).alias("n_urls"),
-        F.sum((F.col("url").isNull() | (F.length("url") == 0))
-              .cast("long")).alias("url_bad"),
-        F.sum((ok & (F.col("text").isNull() | (F.length("text") == 0)))
-              .cast("long")).alias("text_missing"),
-        F.sum((ok & (F.col("n_blocks").isNull() | (F.col("n_blocks") <= 0)))
-              .cast("long")).alias("blocks_bad"),
-        F.sum((F.col("bytes_in").isNull() | (F.col("bytes_in") <= 0))
-              .cast("long")).alias("bytes_bad"),
-        F.sum((~ok).cast("long")).alias("n_errors"),
-    ).collect()[0]
-    checked = row["checked"]
-    n_success = checked - row["n_errors"]
-    err_over = (row["n_errors"]
-                if row["n_errors"] > max_error_frac * checked else 0)
-    constraints = [
-        ("url_complete", checked, row["url_bad"]),
-        ("url_unique", checked, checked - row["n_urls"]),
-        ("text_present_on_success", n_success, row["text_missing"]),
-        ("blocks_positive_on_success", n_success, row["blocks_bad"]),
-        ("bytes_in_positive", checked, row["bytes_bad"]),
-        ("error_rate_bounded", checked, err_over),
-    ]
+    constraints = constraint_suite(out, max_error_frac)
+    checked = constraints[0][1]  # url_complete checks every row
     run_id = uuid.uuid4().hex[:12]
     report = spark.createDataFrame(
         [(run_id, name, int(n), int(v), v == 0)

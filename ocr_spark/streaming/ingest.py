@@ -695,6 +695,82 @@ def stream_extract_dlq(spark: SparkSession, input_dir: str,
             .start())
 
 
+def validation_gate_sink(output_dir: str, lineage_dir: str,
+                         max_error_frac: float | None = None):
+    """foreachBatch body of stream_extract_validated: run the batch
+    job's FULL Deequ-style constraint suite (job.constraint_suite —
+    literally the same function run_validation_job commits reports
+    from) over each micro-batch, with a FAIL-THE-BATCH policy: a
+    batch with any violated constraint is NOT committed to the output
+    table at all (vs dlq_sink's row routing) — its rows stay
+    replayable at the source, and the gate decision itself is
+    lineage: every batch writes a per-constraint report row set under
+    ``lineage_dir/batch_id=<id>`` with a ``batch_committed`` flag.
+
+    Exactly-once: both sides are batch_id-keyed overwrites and the
+    suite is deterministic, so crash re-delivery of an epoch
+    re-evaluates to the identical verdict and replaces both the data
+    partition (if committed) and the lineage partition with identical
+    content."""
+    import os as _os
+
+    from ocr_spark.job import VALIDATION_MAX_ERROR_FRAC, constraint_suite
+
+    frac = (VALIDATION_MAX_ERROR_FRAC
+            if max_error_frac is None else max_error_frac)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            constraints = constraint_suite(batch_df, frac)
+            failed = {n: int(v) for n, _c, v in constraints if v}
+            if not failed:
+                batch_df.write.mode("overwrite").parquet(
+                    _os.path.join(output_dir, f"batch_id={batch_id}"))
+            rows = [(name, int(checked), int(viol), viol == 0,
+                     not failed)
+                    for name, checked, viol in constraints]
+            (batch_df.sparkSession.createDataFrame(
+                rows, "constraint string, checked long, "
+                      "violations long, passed boolean, "
+                      "batch_committed boolean")
+             .coalesce(1).write.mode("overwrite")
+             .parquet(_os.path.join(lineage_dir,
+                                    f"batch_id={batch_id}")))
+        finally:
+            batch_df.unpersist()
+
+    return sink
+
+
+def stream_extract_validated(spark: SparkSession, input_dir: str,
+                             output_dir: str, lineage_dir: str,
+                             checkpoint_dir: str,
+                             max_error_frac: float | None = None) -> Any:
+    """Incremental extraction behind the promotion gate: every
+    micro-batch extracts, then the batch validation job's constraint
+    suite decides whether the WHOLE batch commits (round-4 verdict
+    #6 — the streaming twin of run_validation_job(gate=True), closing
+    the loop that dlq_sink's per-row routing leaves open: a
+    systemically bad batch must not promote even one row). Gate
+    verdicts land in the lineage table either way; exactly-once on
+    both sides via batch_id-keyed overwrite commits."""
+    from ocr_spark.operators.extraction import (
+        EXTRACT_RESULT_SCHEMA, _extract_batches_fn,
+    )
+
+    pages = read_pages_stream(spark, input_dir)
+    extracted = pages.select("url", "html").withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(64)).cast("int")
+    ).mapInPandas(_extract_batches_fn("full"), schema=EXTRACT_RESULT_SCHEMA)
+    return (extracted.writeStream
+            .foreachBatch(validation_gate_sink(output_dir, lineage_dir,
+                                               max_error_frac))
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
 def stream_hll_sketch(spark: SparkSession, input_dir: str,
                       store_dir: str, checkpoint_dir: str) -> Any:
     """Streaming corpus-stat sketch sink: each micro-batch extracts
