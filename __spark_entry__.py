@@ -55,6 +55,8 @@ _DRIVER_FRONT: tuple[str, ...] = (
     # get their first driver rows this round
     "emb_ivfpq_trained_topk",
     "emb_ivfpq_residual_trained_topk",
+    # round-5 extraction-tier additions (north-rule DOM heuristics)
+    "pages_block_density", "pages_dom_depth",
     "docs_hll_sketch",
     "docs_cms_heavy_hitters",
     "docs_hll_snapshot_merge",

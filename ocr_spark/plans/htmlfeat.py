@@ -35,6 +35,7 @@ Iceberg scan.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from ocr_spark.plans.extract_queries import pages_from_documents
 
@@ -564,6 +565,218 @@ FROM feat
 """
 
 
+# ---------------------------------------------------------------------------
+# pages_block_density — JusText-style per-block classification
+# ---------------------------------------------------------------------------
+
+# The page generator's block-level segments in document order (each
+# occurs at most once per page; regexes are RE2-safe — no
+# backreferences — so Spark's Java regex and DuckDB agree).
+BLOCK_SEGMENTS = (
+    ("nav", r'<nav class="navbar">(.*?)</nav>'),
+    ("header", r'<header class="masthead">(.*?)</header>'),
+    ("ad", r'<div class="ad-banner">(.*?)</div>'),
+    ("cookie", r'<div class="cookie-banner">(.*?)</div>'),
+    ("article", r"<main><article>(.*?)</article></main>"),
+    ("appendix", r'<section class="widget data-appendix">(.*?)</section>'),
+    ("aside", r'<aside class="sidebar">(.*?)</aside>'),
+    ("footer", r"<footer>(.*?)</footer>"),
+)
+
+# JusText context-free classification thresholds (Pomikálek 2011 §4.1:
+# length + link density + stopword density decide, no trained model).
+# Cuts sit inside the corpus's observed spread so every class fires.
+JUSTEXT_SHORT = 60      # chars: below this a block can't be judged good
+JUSTEXT_LD_MAX = 0.30   # link_density above → 'bad' (boilerplate)
+JUSTEXT_STOP_HI = 0.08  # stop_density at/above → 'good' (full text)
+_STOPLIST = ("the", "of", "and", "to", "a", "in", "is", "for")
+
+
+def pages_block_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-LEVEL text/link/stopword-density classification — the
+    actual granularity boilerplate strippers work at (JusText's
+    context-free pass; Boilerpipe's per-block densitometry; the same
+    family as core/html_extract.py's container scoring, exposed as an
+    oracle-checkable feature table): segment each page into its
+    block-level elements in document order, compute per-block visible
+    chars, anchor chars/count, link density and stopword density, and
+    assign the JusText context-free label — 'short' (too little text
+    to judge), 'bad' (link-dense boilerplate), 'good' (stopword-dense
+    running text), 'near_good' (the in-between the context-sensitive
+    second pass would resolve).
+
+    Scale shape: one narrow JVM map — fixed per-segment regexp
+    extracts over the decoded page, an inline struct-array explode
+    (8 structs per row, no join), zero shuffles at any corpus size.
+
+    Reference parity note: the reference's block filtering
+    (service/core/pre.py) is score/geometry-based over OCR boxes;
+    this is the HTML-side densitometric equivalent the north rule's
+    'text-density + link-density DOM heuristics' names."""
+    pages = pages_from_documents(spark, sf_dir)
+    h = F.decode(F.col("html"), "UTF-8")
+    segs = F.array(*[
+        F.struct(F.lit(i).alias("seg_idx"), F.lit(name).alias("segment"),
+                 F.regexp_extract(h, pat, 1).alias("inner"))
+        for i, (name, pat) in enumerate(BLOCK_SEGMENTS)])
+    ex = (pages.select("url", F.explode(segs).alias("s"))
+          .select("url", F.col("s.seg_idx").alias("seg_idx"),
+                  F.col("s.segment").alias("segment"),
+                  F.col("s.inner").alias("inner"))
+          .filter(F.col("inner") != ""))
+    text = F.regexp_replace(F.col("inner"), _TAG, "")
+    atexts = F.regexp_extract_all(F.col("inner"), F.lit(_ANCHOR_TEXT), 1)
+    anchor_chars = F.aggregate(atexts, F.lit(0).cast("long"),
+                               lambda acc, x: acc + F.length(x))
+    words = F.split(F.trim(text), r"\s+")
+    n_words = F.size(F.filter(words, lambda w: w != ""))
+    n_stop = F.size(F.filter(words,
+                             lambda w: F.lower(w).isin(*_STOPLIST)))
+    feat = ex.select(
+        "url", "seg_idx", "segment",
+        F.length(text).cast("long").alias("text_chars"),
+        anchor_chars.alias("anchor_chars"),
+        F.size(atexts).cast("long").alias("n_anchors"),
+        n_words.cast("long").alias("n_words"),
+        F.round(anchor_chars / F.greatest(F.length(text), F.lit(1)),
+                FEAT_ROUND).alias("link_density"),
+        F.round(n_stop / F.greatest(n_words, F.lit(1)),
+                FEAT_ROUND).alias("stop_density"))
+    label = (
+        F.when(F.col("text_chars") < JUSTEXT_SHORT, F.lit("short"))
+        .when(F.col("link_density") > JUSTEXT_LD_MAX, F.lit("bad"))
+        .when(F.col("stop_density") >= JUSTEXT_STOP_HI, F.lit("good"))
+        .otherwise(F.lit("near_good")))
+    return feat.select("*", label.alias("label"))
+
+
+def _block_density_sql() -> str:
+    seg_selects = []
+    for i, (name, pat) in enumerate(BLOCK_SEGMENTS):
+        p = pat.replace("'", "''")
+        seg_selects.append(
+            f"SELECT url, {i} AS seg_idx, '{name}' AS segment,\n"
+            f"       regexp_extract(html_str, '{p}', 1) AS seg_html\n"
+            f"FROM page")
+    segs = "\nUNION ALL\n".join(seg_selects)
+    stop_in = ", ".join(f"'{w}'" for w in _STOPLIST)
+    return _HTML_CTE + f"""
+, seg AS (
+{segs}
+), nonempty AS (
+  SELECT * FROM seg WHERE seg_html <> ''
+), feat AS (
+  SELECT url, seg_idx, segment,
+         regexp_replace(seg_html, '{_TAG}', '', 'g') AS txt,
+         regexp_extract_all(seg_html, '{_ANCHOR_TEXT}', 1) AS atexts,
+         list_filter(string_split_regex(
+             trim(regexp_replace(seg_html, '{_TAG}', '', 'g')), '\\s+'),
+             w -> w <> '') AS words
+  FROM nonempty
+), m AS (
+  SELECT url, seg_idx, segment,
+         CAST(length(txt) AS BIGINT) AS text_chars,
+         CAST(COALESCE(list_sum(list_transform(atexts,
+              x -> length(x))), 0) AS BIGINT) AS anchor_chars,
+         CAST(len(atexts) AS BIGINT) AS n_anchors,
+         CAST(len(words) AS BIGINT) AS n_words,
+         round(COALESCE(list_sum(list_transform(atexts,
+               x -> length(x))), 0)
+               / CAST(GREATEST(length(txt), 1) AS DOUBLE),
+               {FEAT_ROUND}) AS link_density,
+         round(len(list_filter(words, w -> lower(w) IN ({stop_in})))
+               / CAST(GREATEST(len(words), 1) AS DOUBLE),
+               {FEAT_ROUND}) AS stop_density
+  FROM feat
+)
+SELECT *,
+       CASE WHEN text_chars < {JUSTEXT_SHORT} THEN 'short'
+            WHEN link_density > {JUSTEXT_LD_MAX} THEN 'bad'
+            WHEN stop_density >= {JUSTEXT_STOP_HI} THEN 'good'
+            ELSE 'near_good' END AS label
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# pages_dom_depth — tag-nesting depth profile
+# ---------------------------------------------------------------------------
+
+# void (self-closing) elements in the generator's vocabulary: depth-
+# neutral in the running open/close balance
+_VOID_TAGS = ("meta", "link", "br", "img", "input", "hr")
+
+
+def pages_dom_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOM nesting-depth profile per page — the structural-complexity
+    heuristic crawl QA uses beside the density features (template
+    pages nest shallow and uniform; scraped/generated spam nests
+    erratically deep): tokenize the tag stream in document order,
+    treat void elements as depth-neutral, run the open/close balance,
+    and report max depth, tag counts, and the final balance (non-zero
+    = malformed markup, itself a routing signal).
+
+    Scale shape: tag extraction is a narrow map; the running balance
+    is ONE url-keyed window over the page's own tag stream (rows =
+    tag volume, keyed url, no global ordering anywhere)."""
+    pages = pages_from_documents(spark, sf_dir)
+    h = F.decode(F.col("html"), "UTF-8")
+    tags = F.regexp_extract_all(h, F.lit(r"</?([a-zA-Z][a-zA-Z0-9]*)"), 0)
+    ex = (pages.select("url", F.posexplode(tags).alias("pos", "tag")))
+    name = F.lower(F.regexp_replace("tag", r"[</]", ""))
+    is_close = F.col("tag").startswith("</")
+    delta = (F.when(name.isin(*_VOID_TAGS), F.lit(0))
+             .when(is_close, F.lit(-1)).otherwise(F.lit(1)))
+    w = (Window.partitionBy("url").orderBy("pos")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    per_tag = (ex.select("url", "pos", delta.alias("delta"),
+                         name.alias("name"))
+               .withColumn("depth", F.sum("delta").over(w)))
+    return (per_tag.groupBy("url")
+            .agg(F.max("depth").cast("long").alias("max_depth"),
+                 F.count(F.lit(1)).cast("long").alias("n_tags"),
+                 F.sum((F.col("delta") == 0).cast("long"))
+                 .alias("n_void"),
+                 F.sum("delta").cast("long").alias("final_balance"))
+            .orderBy("url"))
+
+
+def _dom_depth_sql() -> str:
+    void_in = ", ".join(f"'{t}'" for t in _VOID_TAGS)
+    return _HTML_CTE + f"""
+, tag AS (
+  -- unnest + generate_subscripts zip to (token, 1-based position)
+  SELECT url,
+         unnest(regexp_extract_all(html_str,
+                '</?[a-zA-Z][a-zA-Z0-9]*')) AS tagtok,
+         CAST(generate_subscripts(regexp_extract_all(html_str,
+              '</?[a-zA-Z][a-zA-Z0-9]*'), 1) AS BIGINT) AS pos
+  FROM page
+), d AS (
+  SELECT url, pos,
+         CASE WHEN lower(regexp_replace(tagtok, '[</]', '', 'g'))
+                   IN ({void_in}) THEN 0
+              WHEN tagtok LIKE '</%' THEN -1 ELSE 1 END AS delta
+  FROM tag
+), run AS (
+  SELECT url, delta,
+         SUM(delta) OVER (PARTITION BY url ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS depth
+  FROM d
+)
+SELECT url,
+       CAST(MAX(depth) AS BIGINT) AS max_depth,
+       CAST(COUNT(*) AS BIGINT) AS n_tags,
+       CAST(SUM(CASE WHEN delta = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_void,
+       CAST(SUM(delta) AS BIGINT) AS final_balance
+FROM run
+GROUP BY url
+ORDER BY url
+"""
+
+
 SPARK_QUERIES = {
     "pages_structured_meta": pages_structured_meta,
     "pages_consent_banner": pages_consent_banner,
@@ -572,6 +785,8 @@ SPARK_QUERIES = {
     "pages_wrap_digest": pages_wrap_digest,
     "pages_html_features": pages_html_features,
     "pages_extract_router": pages_extract_router,
+    "pages_block_density": pages_block_density,
+    "pages_dom_depth": pages_dom_depth,
 }
 
 ORACLE_SQL = {
@@ -582,4 +797,6 @@ ORACLE_SQL = {
     "pages_wrap_digest": PAGES_WRAP_DIGEST_SQL,
     "pages_html_features": PAGES_HTML_FEATURES_SQL,
     "pages_extract_router": _router_sql(),
+    "pages_block_density": _block_density_sql(),
+    "pages_dom_depth": _dom_depth_sql(),
 }

@@ -2511,3 +2511,45 @@ def test_data_card_provenance_column(spark):
         r = evals[f"_eval:{m}"]
         assert r["provenance"] == p
         assert r["n_docs"] is None and r["kept_token_frac"] is None
+
+
+def test_block_density_zero_shuffle_and_justext_classes(spark):
+    """The per-block densitometric classifier is a pure narrow map
+    (struct-array explode, no join, no exchange) and every JusText
+    context-free class genuinely fires on the corpus; article blocks
+    are stopword-dense running text ('good'), nav/aside are
+    link-dense ('bad' or too short)."""
+    from ocr_spark.plans.htmlfeat import pages_block_density
+
+    df = pages_block_density(spark, SF)
+    plan = fmt(df)
+    assert n_shuffles(plan) == 0, plan
+    rows = df.collect()
+    by_label: dict = {}
+    by_seg: dict = {}
+    for r in rows:
+        by_label.setdefault(r["label"], 0)
+        by_label[r["label"]] += 1
+        by_seg.setdefault(r["segment"], set()).add(r["label"])
+    assert {"short", "bad", "good"} <= set(by_label)
+    # articles are running text: never link-dense, never too short —
+    # word-salad docs with few stopwords legitimately land near_good
+    assert by_seg["article"] <= {"good", "near_good"}
+    assert "good" in by_seg["article"]
+    assert by_seg["nav"] <= {"bad", "short"}
+
+
+def test_dom_depth_single_url_exchange_and_balance(spark):
+    """Depth profile: one url-keyed window exchange, every page's tag
+    stream balances to zero (the generator emits well-formed markup),
+    and max depth is positive and bounded."""
+    from ocr_spark.plans.htmlfeat import pages_dom_depth
+
+    df = pages_dom_depth(spark, SF)
+    plan = fmt(df)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r["final_balance"] == 0, r
+        assert 3 <= r["max_depth"] <= 12
+        assert r["n_void"] >= 2  # meta + link at minimum
