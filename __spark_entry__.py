@@ -57,6 +57,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "emb_ivfpq_residual_trained_topk",
     # round-5 extraction-tier additions (north-rule DOM heuristics)
     "pages_block_density", "pages_dom_depth",
+    "pages_extract_method_agreement",
     "docs_hll_sketch",
     "docs_cms_heavy_hitters",
     "docs_hll_snapshot_merge",

@@ -65,6 +65,7 @@ def run_extraction_job(spark: SparkSession, input_table_root: str,
                        n_buckets: int = DEFAULT_BUCKETS,
                        waves: int = 4,
                        respect_robots: bool = False,
+                       route_filter: bool = False,
                        fail_after_waves: int | None = None,
                        fail_point: str = "after_wave") -> dict:
     """Run (or resume) extraction of the input table's full logical
@@ -80,6 +81,14 @@ def run_extraction_job(spark: SparkSession, input_table_root: str,
     kernel CPU. Default off: the driver-contract corpora are extracted
     in full, and the robots signal stays queryable via
     plans/webops.py::pages_robots_filter.
+
+    ``route_filter=True`` applies the pages_extract_router decision
+    (plans/htmlfeat.py::route_for_html — the SAME expression the query
+    table publishes) as a pre-Arrow JVM filter: link-farm and
+    low-text-density pages are dropped before costing kernel CPU, the
+    oversized and normal routes proceed. At 100 TB this is the router
+    table acting as the job planner it documents. Default off — the
+    driver-contract corpora extract in full.
 
     ``fail_after_waves``/``fail_point`` are test hooks simulating a
     mid-job crash for the resume tests (SURVEY.md §5.2.5): raise after N
@@ -104,7 +113,7 @@ def run_extraction_job(spark: SparkSession, input_table_root: str,
         spark, input_table_root, work_dir, shim.history(input_table_root),
         input_sid, partitions=partitions, big_partitions=big_partitions,
         big_threshold=big_threshold, n_buckets=n_buckets, waves=waves,
-        respect_robots=respect_robots,
+        respect_robots=respect_robots, route_filter=route_filter,
         fail_after_waves=fail_after_waves, fail_point=fail_point)
 
 
@@ -112,6 +121,7 @@ def _run_chain(spark: SparkSession, input_table_root: str, work_dir: str,
                sids: list[str], input_sid: str, *, partitions: int,
                big_partitions: int, big_threshold: int, n_buckets: int,
                waves: int, respect_robots: bool = False,
+               route_filter: bool = False,
                fail_after_waves: int | None = None,
                fail_point: str = "after_wave") -> dict:
     """Process ``sids`` (oldest → newest), each snapshot's own data dir
@@ -136,12 +146,18 @@ def _run_chain(spark: SparkSession, input_table_root: str, work_dir: str,
                       "snapshots_processed": 0}
     if respect_robots:
         combined["respect_robots"] = True
+    if route_filter:
+        combined["route_filter"] = True
     for sid in sids:
         data_dir = shim.read_manifest(input_table_root, sid)["data_dir"]
         pages = spark.read.schema(PAGES_SCHEMA).parquet(data_dir)
         if respect_robots:
             pages = pages.filter(
                 ~F.col("html").cast("string").rlike(_ROBOTS_NOINDEX))
+        if route_filter:
+            from ocr_spark.plans.htmlfeat import route_for_html
+            pages = pages.filter(route_for_html(F.col("html"))
+                                 .isin("extract", "oversized"))
         s = _run_waves(
             spark, pages, work_dir, sid, [data_dir],
             run_id=run_id, done=done_by_sid.get(sid, set()),

@@ -313,6 +313,30 @@ ROUTER_LINK_HEAVY = 0.35
 ROUTER_LOW_TEXT = 0.33
 
 
+def route_for_html(html) -> F.Column:
+    """The pages_extract_router decision as ONE JVM expression tree
+    over a raw html BINARY column — factored so the extraction job
+    can apply the identical routing as a pre-Arrow filter
+    (job.run_extraction_job(route_filter=True)) without re-deriving
+    the feature queries: the query table and the job filter cannot
+    diverge because they are the same expression."""
+    h = F.decode(html, "UTF-8")
+    visible = F.regexp_replace(F.regexp_replace(h, _SCRIPT_STYLE, ""),
+                               _TAG, "")
+    atexts = F.regexp_extract_all(h, F.lit(_ANCHOR_TEXT), 1)
+    anchor_chars = F.aggregate(atexts, F.lit(0).cast("long"),
+                               lambda acc, x: acc + F.length(x))
+    text_density = (F.length(visible)
+                    / F.greatest(F.length(h), F.lit(1)))
+    link_density = (anchor_chars
+                    / F.greatest(F.length(visible), F.lit(1)))
+    return (
+        F.when(F.length(html) > ROUTER_BIG_BYTES, F.lit("oversized"))
+        .when(link_density >= ROUTER_LINK_HEAVY, F.lit("link_heavy"))
+        .when(text_density < ROUTER_LOW_TEXT, F.lit("low_text"))
+        .otherwise(F.lit("extract")))
+
+
 def pages_extract_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-extraction routing gate composed over the DOM-heuristic
     features: oversized pages go to the isolated big route (the same
@@ -613,6 +637,13 @@ def pages_block_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     (service/core/pre.py) is score/geometry-based over OCR boxes;
     this is the HTML-side densitometric equivalent the north rule's
     'text-density + link-density DOM heuristics' names."""
+    return _block_frame(spark, sf_dir).drop("txt")
+
+
+def _block_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(url, seg_idx, segment, txt, features..., label) — the JusText
+    frame WITH block text, shared by pages_block_density (drops txt)
+    and pages_extract_method_agreement (consumes it)."""
     pages = pages_from_documents(spark, sf_dir)
     h = F.decode(F.col("html"), "UTF-8")
     segs = F.array(*[
@@ -633,7 +664,7 @@ def pages_block_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_stop = F.size(F.filter(words,
                              lambda w: F.lower(w).isin(*_STOPLIST)))
     feat = ex.select(
-        "url", "seg_idx", "segment",
+        "url", "seg_idx", "segment", text.alias("txt"),
         F.length(text).cast("long").alias("text_chars"),
         anchor_chars.alias("anchor_chars"),
         F.size(atexts).cast("long").alias("n_anchors"),
@@ -650,7 +681,11 @@ def pages_block_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feat.select("*", label.alias("label"))
 
 
-def _block_density_sql() -> str:
+def _block_ctes() -> str:
+    """The seg → labeled CTE chain over an in-scope ``page`` CTE —
+    shared by _block_density_sql and the method-agreement oracle.
+    Final CTE ``lab`` has (url, seg_idx, segment, txt, features,
+    label)."""
     seg_selects = []
     for i, (name, pat) in enumerate(BLOCK_SEGMENTS):
         p = pat.replace("'", "''")
@@ -660,7 +695,7 @@ def _block_density_sql() -> str:
             f"FROM page")
     segs = "\nUNION ALL\n".join(seg_selects)
     stop_in = ", ".join(f"'{w}'" for w in _STOPLIST)
-    return _HTML_CTE + f"""
+    return f"""
 , seg AS (
 {segs}
 ), nonempty AS (
@@ -674,7 +709,7 @@ def _block_density_sql() -> str:
              w -> w <> '') AS words
   FROM nonempty
 ), m AS (
-  SELECT url, seg_idx, segment,
+  SELECT url, seg_idx, segment, txt,
          CAST(length(txt) AS BIGINT) AS text_chars,
          CAST(COALESCE(list_sum(list_transform(atexts,
               x -> length(x))), 0) AS BIGINT) AS anchor_chars,
@@ -688,13 +723,21 @@ def _block_density_sql() -> str:
                / CAST(GREATEST(len(words), 1) AS DOUBLE),
                {FEAT_ROUND}) AS stop_density
   FROM feat
-)
-SELECT *,
-       CASE WHEN text_chars < {JUSTEXT_SHORT} THEN 'short'
-            WHEN link_density > {JUSTEXT_LD_MAX} THEN 'bad'
-            WHEN stop_density >= {JUSTEXT_STOP_HI} THEN 'good'
-            ELSE 'near_good' END AS label
-FROM m
+), lab AS (
+  SELECT *,
+         CASE WHEN text_chars < {JUSTEXT_SHORT} THEN 'short'
+              WHEN link_density > {JUSTEXT_LD_MAX} THEN 'bad'
+              WHEN stop_density >= {JUSTEXT_STOP_HI} THEN 'good'
+              ELSE 'near_good' END AS label
+  FROM m
+)"""
+
+
+def _block_density_sql() -> str:
+    return _HTML_CTE + _block_ctes() + """
+SELECT url, seg_idx, segment, text_chars, anchor_chars, n_anchors,
+       n_words, link_density, stop_density, label
+FROM lab
 """
 
 
@@ -777,6 +820,102 @@ ORDER BY url
 """
 
 
+# ---------------------------------------------------------------------------
+# pages_extract_method_agreement — kernel vs JusText cross-check
+# ---------------------------------------------------------------------------
+
+def pages_extract_method_agreement(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Two-extractor agreement scorecard: the container-scoring kernel
+    (the flagship mapInPandas extraction, byte-identity-pinned) vs an
+    INDEPENDENT JusText reconstruction (good/near_good blocks of
+    pages_block_density, concatenated in document order) — per page,
+    distinct-token Jaccard overlap and char-length ratio between the
+    two methods' extracted text. This is the extractor-QA dashboard a
+    production crawl runs after any heuristic change: systematic
+    divergence (e.g. a stopword-dense cookie banner classified
+    'good' — the classic JusText false positive, present in this
+    corpus by design) shows up as a per-page agreement drop
+    attributable to a block class, without any gold labels.
+
+    Scale shape: the kernel side is the extraction job's own
+    plan; the JusText side is the zero-shuffle block frame + one
+    url-keyed concat aggregate; the comparison is a url equi-join and
+    JVM array ops — no token-level shuffle (token sets stay inside
+    per-row arrays)."""
+    from ocr_spark.plans.extract_queries import extract_roundtrip
+
+    kernel = extract_roundtrip(spark, sf_dir) \
+        .select("url", F.col("text").alias("ktext"))
+    blocks = _block_frame(spark, sf_dir) \
+        .filter(F.col("label").isin("good", "near_good"))
+    jt = (blocks.groupBy("url")
+          .agg(F.concat_ws(" ", F.transform(
+              F.array_sort(F.collect_list(F.struct("seg_idx", "txt"))),
+              lambda s: s["txt"])).alias("jtext")))
+
+    def toks(col):
+        return F.array_distinct(
+            F.filter(F.split(F.lower(F.trim(col)), r"\s+"),
+                     lambda w: w != ""))
+
+    j = kernel.join(jt, "url")
+    ka, jb = toks(F.col("ktext")), toks(F.col("jtext"))
+    n_common = F.size(F.array_intersect(ka, jb))
+    return (j.select(
+        "url",
+        F.size(ka).cast("long").alias("n_tok_kernel"),
+        F.size(jb).cast("long").alias("n_tok_justext"),
+        n_common.cast("long").alias("n_common"),
+        F.round(n_common / (F.size(ka) + F.size(jb) - n_common),
+                FEAT_ROUND).alias("token_jaccard"),
+        F.round(F.length("jtext")
+                / F.greatest(F.length("ktext"), F.lit(1)),
+                FEAT_ROUND).alias("len_ratio"))
+        .orderBy("url"))
+
+
+def _method_agreement_sql() -> str:
+    from ocr_spark.plans.extract_queries import _BLOCKS_CTE
+
+    return (_BLOCKS_CTE.rstrip()
+            + ", " + _HTML_CTE.removeprefix("WITH ")
+            + _block_ctes() + """
+, kernel AS (
+  SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+         string_agg(btext, chr(10) || chr(10) ORDER BY block_id)
+           AS ktext
+  FROM seq GROUP BY doc_id
+), jt AS (
+  SELECT url, string_agg(txt, ' ' ORDER BY seg_idx) AS jtext
+  FROM lab WHERE label IN ('good', 'near_good')
+  GROUP BY url
+), pairs AS (
+  SELECT k.url,
+         list_distinct(list_filter(string_split_regex(
+             lower(trim(k.ktext)), '\\s+'), w -> w <> '')) AS ka,
+         list_distinct(list_filter(string_split_regex(
+             lower(trim(j.jtext)), '\\s+'), w -> w <> '')) AS jb,
+         length(j.jtext) AS jlen, length(k.ktext) AS klen
+  FROM kernel k JOIN jt j ON j.url = k.url
+)
+SELECT url,
+       CAST(len(ka) AS BIGINT) AS n_tok_kernel,
+       CAST(len(jb) AS BIGINT) AS n_tok_justext,
+       CAST(len(list_filter(ka, x -> list_contains(jb, x)))
+            AS BIGINT) AS n_common,
+       round(len(list_filter(ka, x -> list_contains(jb, x)))
+             / CAST(len(ka) + len(jb)
+                    - len(list_filter(ka, x -> list_contains(jb, x)))
+                    AS DOUBLE), """ + str(FEAT_ROUND) + """)
+         AS token_jaccard,
+       round(jlen / CAST(GREATEST(klen, 1) AS DOUBLE), """
+            + str(FEAT_ROUND) + """) AS len_ratio
+FROM pairs
+ORDER BY url
+""")
+
+
 SPARK_QUERIES = {
     "pages_structured_meta": pages_structured_meta,
     "pages_consent_banner": pages_consent_banner,
@@ -787,6 +926,7 @@ SPARK_QUERIES = {
     "pages_extract_router": pages_extract_router,
     "pages_block_density": pages_block_density,
     "pages_dom_depth": pages_dom_depth,
+    "pages_extract_method_agreement": pages_extract_method_agreement,
 }
 
 ORACLE_SQL = {
@@ -799,4 +939,5 @@ ORACLE_SQL = {
     "pages_extract_router": _router_sql(),
     "pages_block_density": _block_density_sql(),
     "pages_dom_depth": _dom_depth_sql(),
+    "pages_extract_method_agreement": _method_agreement_sql(),
 }

@@ -56,6 +56,11 @@ QUERIES = [
 
 
 def _force(df) -> int:
+    """noop-sink force (the bench.py discipline): count() lets Spark
+    prune computed columns down to the scan, under-measuring queries
+    whose cost lives in projections; the noop write materializes every
+    expression. Row count comes from a cheap second count()."""
+    df.write.format("noop").mode("overwrite").save()
     return df.count()
 
 
@@ -89,11 +94,15 @@ def main() -> int:
     for name in names:
         fn = qs[name]
         t0 = time.perf_counter()
-        n01 = _force(fn(spark, SF01))
+        df01 = fn(spark, SF01)
+        df01.write.format("noop").mode("overwrite").save()
         t01 = time.perf_counter() - t0
+        n01 = df01.count()
         t0 = time.perf_counter()
-        n1 = _force(fn(spark, SF1))
+        df1 = fn(spark, SF1)
+        df1.write.format("noop").mode("overwrite").save()
         t1 = time.perf_counter() - t0
+        n1 = df1.count()
         factor = round(t1 / t01, 2) if t01 > 0 else None
         rec = {"sf01_sec": round(t01, 3), "sf1_sec": round(t1, 3),
                "rows_sf01": n01, "rows_sf1": n1, "factor": factor}

@@ -229,3 +229,28 @@ def test_consent_banner_detectors_and_isolation(spark):
     text, _ = extract_html(html_for_document(
         14, "the probe body text with enough words here").decode())
     assert "cookies" not in text
+
+
+def test_method_agreement_high_overlap_and_banner_leak(spark):
+    """The two independent extractors (container-scoring kernel vs
+    JusText block reconstruction) must agree strongly on this corpus
+    (the article IS the main content), and the known JusText false
+    positive — the stopword-dense cookie banner on doc_id%9==5 pages
+    — must surface as a measurable len_ratio excess on exactly those
+    pages, not as random noise."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.plans.htmlfeat import pages_extract_method_agreement
+
+    rows = pages_extract_method_agreement(
+        spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 500
+    jac = [r["token_jaccard"] for r in rows]
+    assert sum(jac) / len(jac) > 0.7         # strong overall agreement
+    banner = [r for r in rows
+              if int(r["url"].rsplit("/", 1)[1]) % 9 == 5]
+    clean = [r for r in rows
+             if int(r["url"].rsplit("/", 1)[1]) % 9 != 5]
+    mean_b = sum(r["len_ratio"] for r in banner) / len(banner)
+    mean_c = sum(r["len_ratio"] for r in clean) / len(clean)
+    assert mean_b > mean_c  # banner text leaks into the JusText side

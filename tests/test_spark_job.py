@@ -635,3 +635,41 @@ def test_validation_job_gate(spark, pages_table, tmp_path):
     assert res2["failed"].get("url_unique") == 1
     with pytest.raises(ValidationError, match="url_unique"):
         run_validation_job(spark, work, gate=True)
+
+
+def test_route_filter_drops_condemned_pages_only(spark, tmp_path):
+    """route_filter=True: the job drops EXACTLY the pages the
+    published pages_extract_router table condemns (link_heavy /
+    low_text) before the Arrow boundary — same expression, no drift —
+    and every surviving page's extracted text is byte-identical to
+    the unrouted run's."""
+    from ocr_spark.job import read_extracted, run_extraction_job
+    from ocr_spark.plans.extract_queries import pages_from_documents
+    from ocr_spark.plans.htmlfeat import pages_extract_router
+    from ocr_spark.sources import iceberg_shim as shim
+
+    sf = "/root/testdata/sf0.001"
+    in_root = str(tmp_path / "in")
+    shim.write_snapshot(pages_from_documents(spark, sf), in_root)
+
+    work_full = str(tmp_path / "work_full")
+    work_routed = str(tmp_path / "work_routed")
+    run_extraction_job(spark, in_root, work_full, partitions=8,
+                       big_partitions=1, waves=2)
+    run_extraction_job(spark, in_root, work_routed, partitions=8,
+                       big_partitions=1, waves=2, route_filter=True)
+
+    routes = {r.url: r.route
+              for r in pages_extract_router(spark, sf).collect()}
+    keep = {u for u, r in routes.items() if r in ("extract", "oversized")}
+    drop = set(routes) - keep
+    assert drop, "fixture must exercise the condemned routes"
+
+    full = {r.url: r.text for r in
+            read_extracted(spark, work_full).collect()}
+    routed = {r.url: r.text for r in
+              read_extracted(spark, work_routed).collect()}
+    assert set(routed) == keep
+    assert set(full) == set(routes)
+    for u in routed:
+        assert routed[u] == full[u]  # byte-identical survivors
