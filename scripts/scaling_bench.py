@@ -145,88 +145,18 @@ def kernel_calibration() -> dict:
     return out
 
 
-def main() -> int:
-    if len(sys.argv) >= 2 and sys.argv[1] == "--measure":
-        measure(int(sys.argv[2]), sys.argv[3])
-        return 0
-
-    build_corpus()
-    env = {**os.environ, "OCR_SPARK_ARROW_BATCH": ARROW_BATCH,
-           "SCALING_BENCH_REPEATS": "1"}
-
-    # Interleaved cycles: this host's throughput drifts +-20% on
-    # minute scales (shared box), so levels measured minutes apart are
-    # not comparable. Each cycle measures EVERY level (Spark + raw-mp
-    # kernel) back-to-back; efficiency is computed WITHIN a cycle and
-    # the median across cycles is reported — slow periods hit all
-    # levels of a cycle together and cancel in the ratio.
-    cycles: list[dict] = []
-    for c in range(CYCLES):
-        cyc = {"spark": {}, "mp": {}}
-        for p in LEVELS:
-            out = subprocess.run(
-                [sys.executable, __file__, "--measure", str(p), CORPUS_DIR],
-                capture_output=True, text=True, cwd=REPO, check=True, env=env)
-            line = [ln for ln in out.stdout.splitlines()
-                    if ln.startswith("{")][-1]
-            cyc["spark"][p] = json.loads(line)["docs_per_sec"]
-        cyc["mp"] = kernel_calibration()
-        cycles.append(cyc)
-        print(f"cycle {c}: spark={cyc['spark']} mp={cyc['mp']}")
-
-    def med(xs):
-        return round(statistics.median(xs), 3)
-
-    pair_rows = []
-    for lo, hi in PAIRS:
-        se = [cy["spark"][hi] / ((hi / lo) * cy["spark"][lo])
-              for cy in cycles]
-        he = [cy["mp"][hi] / ((hi / lo) * cy["mp"][lo]) for cy in cycles]
-        pair_rows.append({
-            "pair": f"local[{lo}] -> local[{hi}]",
-            "spark_eff_median": med(se),
-            "spark_eff_cycles": [round(x, 3) for x in se],
-            "hw_eff_median_no_spark": med(he),
-            "hw_eff_cycles": [round(x, 3) for x in he],
-            "spark_vs_hw": round(med(se) / med(he), 3),
-        })
-
-    level_rows = {}
-    for p in LEVELS:
-        sp = [cy["spark"][p] for cy in cycles]
-        mpv = [cy["mp"][p] for cy in cycles]
-        level_rows[p] = {
-            "spark_docs_per_sec_median": med(sp),
-            "spark_cycles": sp,
-            "mp_docs_per_sec_median": med(mpv),
-            "spark_over_mp": round(med(sp) / med(mpv), 3),
-        }
-
-    summary = {
-        "docs": N_DOCS,
-        "cycles": CYCLES,
-        "levels": level_rows,
-        "pairs": pair_rows,
-        "criterion": ">= 0.8 between N and 4N parallelism",
-        "primary_pair_raw": pair_rows[0]["spark_eff_median"],
-        "primary_pair_vs_hardware": pair_rows[0]["spark_vs_hw"],
-        # the criterion models 4N EXECUTORS = 4x silicon; in-sandbox the
-        # judgeable quantity is Spark's efficiency relative to what the
-        # silicon itself delivers for the same kernel without Spark
-        "primary_pair_passes_vs_hardware": pair_rows[0]["spark_vs_hw"] >= 0.8,
-    }
-    print(json.dumps(summary))
-
-    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
-        json.dump(summary, f, indent=2)
-
+def _write_report(summary: dict, level_rows: dict,
+                  pair_rows: list) -> None:
+    """Render BENCH/BASELINE.md from the session summary plus the
+    frozen BENCH/*.json evidence files (sf1, skew, persist,
+    offsets, cross-session history)."""
     lines = [
         "# BENCH/BASELINE.md — scaling-efficiency evidence",
         "",
         "North rule: throughput scaling efficiency >= 0.8 between N and",
         "4N executors. Evidence protocol (no real cluster in this",
-        f"sandbox): the SAME extraction job on the SAME {N_DOCS}-doc",
+        f"sandbox): the SAME extraction job on the SAME "
+        f"{summary['docs']}-doc",
         "corpus (deterministic generator, seeded; skewed hot host ~50% of",
         "rows; 2 oversized ~10 MB pages) at parallelism levels "
         + str(list(LEVELS)) + ",",
@@ -349,6 +279,82 @@ def main() -> int:
             "criterion number; the vs-ceiling column is a rough floor.",
         ]
 
+    # round-5 scale evidence: regenerate from the frozen JSONs so this
+    # section survives BASELINE.md regeneration
+    sf1_path = os.path.join(REPO, "BENCH", "sf1.json")
+    if os.path.exists(sf1_path):
+        with open(sf1_path) as f:
+            s1 = json.load(f)
+        worst = sorted(((v["factor"], k) for k, v in s1["queries"].items()
+                        if v.get("factor")), reverse=True)[:4]
+        lines += [
+            "",
+            "## sf-scaling point (10x data, BENCH/sf1.json)",
+            "",
+            f"The {len(s1['queries'])} most expensive queries at sf0.1 AND",
+            "a shape-preserving 10x corpus (scripts/make_sf1.py — token",
+            "redraw, not row replication, so the pair-generating queries'",
+            "candidate structure is not quadratically distorted), noop-sink",
+            f"forced, same local[32] session. Flag threshold x"
+            f"{s1['flag_factor']}; queries flagged super-linear:"
+            f" **{len(s1['flagged'])}**.",
+            "Worst factors: "
+            + ", ".join(f"{k} x{f}" for f, k in worst)
+            + " — all at-or-below the 10x data ratio; the cap-protected",
+            "pair generators (minhash x"
+            + str(s1["queries"]["docs_minhash_lsh_pairs"]["factor"])
+            + ", jaccard-verify x"
+            + str(s1["queries"]["docs_jaccard_verify_candidates"]["factor"])
+            + ") stay bounded by design.",
+        ]
+    skew_path = os.path.join(REPO, "BENCH", "skew_240k.json")
+    if os.path.exists(skew_path):
+        with open(skew_path) as f:
+            sk = json.load(f)
+        lines += [
+            "",
+            "## Skew smoke at steady-state size (BENCH/skew_240k.json)",
+            "",
+            f"{sk['n_docs']}-doc corpus, hot host carrying "
+            f"{round(sk['hot_host_share'] * 100, 1)}% of rows plus the",
+            "~10 MB oversized pages. Salted two-level route "
+            f"({sk['partitions']} normal + {sk['big_partitions']} big",
+            "partitions): normal-route per-partition wall p99/median "
+            f"**{sk['salted']['p99_over_median']}**, max/median "
+            f"**{sk['salted']['max_over_median']}** vs the design bound "
+            f"{sk['bound_max_over_median']} — bound "
+            + ("HELD" if sk["bound_held"] else "VIOLATED") + ".",
+            "The big route isolates the oversized rows (route max "
+            f"{sk['salted']['big_route_max_ms']} ms ≈ one oversized doc;",
+            "inside a ~1 s normal partition the same row would be a ~10x",
+            "straggler). Honest note: the unsalted arm also holds its",
+            f"ratio ({sk['unsalted']['max_over_median']}) because at",
+            f"{sk['unsalted']['n_partitions_normal']} coarse file-layout",
+            "partitions the oversized cost hides inside ~8 s walls, and",
+            "it skips the explicit repartition "
+            f"({sk['unsalted']['job_wall_sec']} s vs "
+            f"{sk['salted']['job_wall_sec']} s whole-job) — the shuffle",
+            "is the price of bucket-keyed resumability + fine-grained",
+            "stragglerless partitions, not a free win.",
+        ]
+    persist_path = os.path.join(REPO, "BENCH", "persist.json")
+    if os.path.exists(persist_path):
+        with open(persist_path) as f:
+            pj = json.load(f)
+        meds = {k: v["median_speedup"]
+                for k, v in pj.get("queries", {}).items()}
+        lines += [
+            "",
+            "## Shared-subtree persist at 10x (BENCH/persist.json)",
+            "",
+            f"Re-measured at {pj['sf_dir']} (round-4 verdict #4): median",
+            "per-cycle speedups "
+            + ", ".join(f"{k} {v}x" for k, v in meds.items())
+            + f" — {pj['verdict'].split(':')[0]} holds at 10x: the zstd",
+            "parquet re-scan stays within noise of the cache round-trip,",
+            "so the composed verdicts keep the stateless plan.",
+        ]
+
     # preserve the offsets-mode before/after section across regenerations
     offs_path = os.path.join(REPO, "BENCH", "offsets.json")
     if os.path.exists(offs_path):
@@ -389,6 +395,97 @@ def main() -> int:
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write("\n".join(lines))
     print("wrote BENCH/BASELINE.md")
+
+
+
+def main() -> int:
+    if len(sys.argv) >= 2 and sys.argv[1] == "--measure":
+        measure(int(sys.argv[2]), sys.argv[3])
+        return 0
+
+    if len(sys.argv) >= 2 and sys.argv[1] == "--report-only":
+        # regenerate BENCH/BASELINE.md from the frozen BENCH/*.json
+        # (scaling.json = the latest session) without re-measuring —
+        # used after adding report sections so the doc can refresh
+        with open(os.path.join(REPO, "BENCH", "scaling.json")) as f:
+            summary = json.load(f)
+        _write_report(summary,
+                      {int(k): v for k, v in summary["levels"].items()},
+                      summary["pairs"])
+        return 0
+
+    build_corpus()
+    env = {**os.environ, "OCR_SPARK_ARROW_BATCH": ARROW_BATCH,
+           "SCALING_BENCH_REPEATS": "1"}
+
+    # Interleaved cycles: this host's throughput drifts +-20% on
+    # minute scales (shared box), so levels measured minutes apart are
+    # not comparable. Each cycle measures EVERY level (Spark + raw-mp
+    # kernel) back-to-back; efficiency is computed WITHIN a cycle and
+    # the median across cycles is reported — slow periods hit all
+    # levels of a cycle together and cancel in the ratio.
+    cycles: list[dict] = []
+    for c in range(CYCLES):
+        cyc = {"spark": {}, "mp": {}}
+        for p in LEVELS:
+            out = subprocess.run(
+                [sys.executable, __file__, "--measure", str(p), CORPUS_DIR],
+                capture_output=True, text=True, cwd=REPO, check=True, env=env)
+            line = [ln for ln in out.stdout.splitlines()
+                    if ln.startswith("{")][-1]
+            cyc["spark"][p] = json.loads(line)["docs_per_sec"]
+        cyc["mp"] = kernel_calibration()
+        cycles.append(cyc)
+        print(f"cycle {c}: spark={cyc['spark']} mp={cyc['mp']}")
+
+    def med(xs):
+        return round(statistics.median(xs), 3)
+
+    pair_rows = []
+    for lo, hi in PAIRS:
+        se = [cy["spark"][hi] / ((hi / lo) * cy["spark"][lo])
+              for cy in cycles]
+        he = [cy["mp"][hi] / ((hi / lo) * cy["mp"][lo]) for cy in cycles]
+        pair_rows.append({
+            "pair": f"local[{lo}] -> local[{hi}]",
+            "spark_eff_median": med(se),
+            "spark_eff_cycles": [round(x, 3) for x in se],
+            "hw_eff_median_no_spark": med(he),
+            "hw_eff_cycles": [round(x, 3) for x in he],
+            "spark_vs_hw": round(med(se) / med(he), 3),
+        })
+
+    level_rows = {}
+    for p in LEVELS:
+        sp = [cy["spark"][p] for cy in cycles]
+        mpv = [cy["mp"][p] for cy in cycles]
+        level_rows[p] = {
+            "spark_docs_per_sec_median": med(sp),
+            "spark_cycles": sp,
+            "mp_docs_per_sec_median": med(mpv),
+            "spark_over_mp": round(med(sp) / med(mpv), 3),
+        }
+
+    summary = {
+        "docs": N_DOCS,
+        "cycles": CYCLES,
+        "levels": level_rows,
+        "pairs": pair_rows,
+        "criterion": ">= 0.8 between N and 4N parallelism",
+        "primary_pair_raw": pair_rows[0]["spark_eff_median"],
+        "primary_pair_vs_hardware": pair_rows[0]["spark_vs_hw"],
+        # the criterion models 4N EXECUTORS = 4x silicon; in-sandbox the
+        # judgeable quantity is Spark's efficiency relative to what the
+        # silicon itself delivers for the same kernel without Spark
+        "primary_pair_passes_vs_hardware": pair_rows[0]["spark_vs_hw"] >= 0.8,
+    }
+    print(json.dumps(summary))
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+
+    _write_report(summary, level_rows, pair_rows)
     return 0
 
 
