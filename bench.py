@@ -124,6 +124,14 @@ HEADLINE = [
     "hosts_label_propagation",
     "docs_minhash_oph",
     "shards_zorder_layout",
+    # round 5: FAISS-form trained-residual IVF-PQ (the measured 2x2
+    # winner), JusText per-block densitometry (zero-shuffle narrow
+    # map), DOM depth profile (url-keyed running balance), kernel-vs-
+    # JusText cross-method agreement (extractor-QA dashboard)
+    "emb_ivfpq_residual_trained_topk",
+    "pages_block_density",
+    "pages_dom_depth",
+    "pages_extract_method_agreement",
 ]
 
 
