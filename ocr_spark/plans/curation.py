@@ -2441,6 +2441,108 @@ FROM sc
 CAL_BINS = 10   # score deciles
 
 
+PSI_BINS = 10
+
+
+def docs_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-Stability-Index drift monitor over the quality
+    classifier's score distribution — the standard model-monitoring
+    metric (PSI = Σ (q−p)·ln(q/p) over score bins; rule of thumb:
+    <0.1 stable, 0.1–0.25 watch, >0.25 investigate) between the prior
+    snapshot and the new crawl's arrivals (doc_id % 3 == 2, the same
+    role split as docs_new_vs_snapshot / docs_snapshot_drift). The
+    vocabulary watches docs_vocab_novelty, the metadata watches
+    docs_snapshot_drift — this watches the MODEL's view of the crawl,
+    catching a quality-mix shift even when language shares and vocab
+    are stable.
+
+    Determinism: counts are exact integers; Laplace +1 smoothing per
+    OBSERVED bin (bins empty in BOTH roles drop out identically on
+    both engines); each PSI term is computed in integer MICRO-units
+    (round(term·1e6)) so the cross-bin total is an exact integer sum
+    — no float fold order anywhere.
+
+    Scale shape: the classifier subplan + ONE conditional partial-agg
+    groupBy(bin) (≤ PSI_BINS rows out), 1-row totals broadcast — the
+    docs_snapshot_drift shape with the score as the dimension."""
+    s = docs_classifier_score(spark, sf_dir).select("doc_id", "score")
+    is_new = F.col("doc_id") % 3 == 2
+    b = F.least(F.lit(PSI_BINS - 1),
+                F.floor(F.col("score") * PSI_BINS)).cast("int")
+    per = (s.select(b.alias("bin"), is_new.alias("is_new"))
+           .groupBy("bin")
+           .agg(F.sum((~F.col("is_new")).cast("long")).alias("n_prior"),
+                F.sum(F.col("is_new").cast("long")).alias("n_new")))
+    tot = per.agg(F.sum("n_prior").cast("long").alias("tp"),
+                  F.sum("n_new").cast("long").alias("tn"),
+                  F.count(F.lit(1)).cast("long").alias("nb"))
+    j = per.crossJoin(F.broadcast(tot))
+    p = (F.col("n_prior") + 1) / (F.col("tp") + F.col("nb"))
+    q = (F.col("n_new") + 1) / (F.col("tn") + F.col("nb"))
+    term_micro = F.round((q - p) * F.log(q / p) * 1e6).cast("long")
+    terms = j.select("bin", "n_prior", "n_new",
+                     F.round(p, 6).alias("share_prior"),
+                     F.round(q, 6).alias("share_new"),
+                     term_micro.alias("psi_term_micro"))
+    total = terms.agg(F.sum("psi_term_micro").cast("long")
+                      .alias("psi_micro"))
+    return (terms.crossJoin(F.broadcast(total))
+            .select("bin", "n_prior", "n_new", "share_prior",
+                    "share_new",
+                    F.round(F.col("psi_term_micro") / 1e6, 6)
+                    .alias("psi_term"),
+                    F.round(F.col("psi_micro") / 1e6, 6)
+                    .alias("psi_total"))
+            .orderBy("bin"))
+
+
+def _quality_psi_sql() -> str:
+    return f"""
+WITH cls AS (
+{_classifier_sql()}
+), binned AS (
+  SELECT CAST(LEAST({PSI_BINS} - 1,
+                    CAST(FLOOR(score * {PSI_BINS}) AS BIGINT))
+              AS INT) AS bin,
+         doc_id % 3 = 2 AS is_new
+  FROM cls
+), per AS (
+  SELECT bin,
+         CAST(SUM(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_prior,
+         CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new
+  FROM binned GROUP BY bin
+), tot AS (
+  SELECT CAST(SUM(n_prior) AS BIGINT) AS tp,
+         CAST(SUM(n_new) AS BIGINT) AS tn,
+         CAST(COUNT(*) AS BIGINT) AS nb
+  FROM per
+), terms AS (
+  SELECT per.bin, per.n_prior, per.n_new,
+         round((per.n_prior + 1) / CAST(tot.tp + tot.nb AS DOUBLE), 6)
+           AS share_prior,
+         round((per.n_new + 1) / CAST(tot.tn + tot.nb AS DOUBLE), 6)
+           AS share_new,
+         CAST(round(
+           ((per.n_new + 1) / CAST(tot.tn + tot.nb AS DOUBLE)
+            - (per.n_prior + 1) / CAST(tot.tp + tot.nb AS DOUBLE))
+           * ln(((per.n_new + 1) / CAST(tot.tn + tot.nb AS DOUBLE))
+                / ((per.n_prior + 1)
+                   / CAST(tot.tp + tot.nb AS DOUBLE))) * 1e6)
+           AS BIGINT) AS psi_term_micro
+  FROM per CROSS JOIN tot
+), total AS (
+  SELECT CAST(SUM(psi_term_micro) AS BIGINT) AS psi_micro FROM terms
+)
+SELECT bin, n_prior, n_new, share_prior, share_new,
+       round(psi_term_micro / 1e6, 6) AS psi_term,
+       round(t.psi_micro / 1e6, 6) AS psi_total
+FROM terms CROSS JOIN total t
+ORDER BY bin
+"""
+
+
 def docs_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier-calibration table — the QA artifact published
     before a model-based quality filter is trusted (the reliability-
@@ -3845,6 +3947,7 @@ SPARK_QUERIES = {
     "docs_quality_constraints": docs_quality_constraints,
     "docs_quality_rrf": docs_quality_rrf,
     "docs_quality_calibration": docs_quality_calibration,
+    "docs_quality_psi": docs_quality_psi,
     "docs_sft_format": docs_sft_format,
     "docs_dp_lang_histogram": docs_dp_lang_histogram,
     "docs_preference_pairs": docs_preference_pairs,
@@ -3894,6 +3997,7 @@ ORACLE_SQL = {
     "shards_compaction_plan": SHARDS_COMPACTION_SQL,
     "docs_quality_rrf": _quality_rrf_sql(),
     "docs_quality_calibration": _quality_calibration_sql(),
+    "docs_quality_psi": _quality_psi_sql(),
     "docs_sft_format": _sft_format_sql(),
     "docs_dp_lang_histogram": _DP_HIST_SQL,
     "docs_preference_pairs": _preference_pairs_sql(),

@@ -961,6 +961,104 @@ JOIN nz b ON b.doc_id = c.doc_b
 """
 
 
+YIELD_THRESHOLDS = (0.3, 0.5, 0.7, 0.8, 0.9)
+
+
+def docs_dedup_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aggressiveness knob-tuning curve: for each candidate
+    Jaccard threshold, how many documents (and how many TOKENS — the
+    quantity a training budget is priced in) survive pairwise near-dup
+    removal. This is the table an operator reads before picking
+    NEAR_DUP_JACCARD: every production dedup paper reports exactly
+    this trade (dedup harder → cleaner but smaller corpus), and
+    without it the threshold is folklore. Drop rule matches the
+    pairwise convention used corpus-wide: in a verified pair
+    (doc_a < doc_b) at-or-above threshold, the LATER copy (doc_b)
+    drops — no transitive closure, so the curve prices the PAIRWISE
+    rule; the clustering rule's yield at the shipped threshold is
+    docs_near_dup_clusters' keeper count.
+
+    Scale shape: the pair list is the LSH-capped verified set; the
+    threshold grid is a plan literal exploded against it (|pairs|x5,
+    still candidate-bounded); dropped-id sets join the per-doc token
+    counts doc_id-keyed; corpus totals ride a broadcast 1-row frame.
+    """
+    pairs = docs_jaccard_verify_candidates(spark, sf_dir) \
+        .select("doc_a", "doc_b", "jaccard")
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id",
+                       F.size(_tokens()).cast("long").alias("n_tokens"))
+    totals = toks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tokens_total"))
+    grid = F.explode(F.array(*[F.lit(float(t_)) for t_ in
+                               YIELD_THRESHOLDS])).alias("threshold")
+    dropped = (pairs.select(grid, "doc_b", "jaccard")
+               .filter(F.col("jaccard") >= F.col("threshold"))
+               .select("threshold", F.col("doc_b").alias("doc_id"))
+               .distinct())
+    per = (dropped.join(toks, "doc_id")
+           .groupBy("threshold")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_dropped"),
+                F.sum("n_tokens").cast("long").alias("tokens_dropped")))
+    # thresholds that drop nothing still need a row: re-join the grid
+    base = (docs.limit(1).select(grid)
+            .join(per, "threshold", "left")
+            .select("threshold",
+                    F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+                    F.coalesce("tokens_dropped", F.lit(0))
+                    .alias("tokens_dropped")))
+    return (base.crossJoin(F.broadcast(totals))
+            .select("threshold", "n_dropped",
+                    (F.col("n_docs") - F.col("n_dropped"))
+                    .alias("docs_kept"),
+                    "tokens_total", "tokens_dropped",
+                    (F.col("tokens_total") - F.col("tokens_dropped"))
+                    .alias("tokens_kept"),
+                    F.round((F.col("tokens_total")
+                             - F.col("tokens_dropped"))
+                            / F.col("tokens_total"), 6)
+                    .alias("token_yield"))
+            .orderBy("threshold"))
+
+
+def _yield_curve_sql() -> str:
+    grid = ", ".join(f"(CAST({t} AS DOUBLE))" for t in YIELD_THRESHOLDS)
+    return f"""
+WITH pairs AS (
+{_JACCARD_VERIFY_SQL}
+), toks AS (
+  SELECT doc_id, CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens
+  FROM documents
+), totals AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS tokens_total
+  FROM toks
+), grid(threshold) AS (VALUES {grid}
+), dropped AS (
+  SELECT DISTINCT g.threshold, p.doc_b AS doc_id
+  FROM grid g JOIN pairs p ON p.jaccard >= g.threshold
+), per AS (
+  SELECT d.threshold,
+         CAST(COUNT(*) AS BIGINT) AS n_dropped,
+         CAST(SUM(t.n_tokens) AS BIGINT) AS tokens_dropped
+  FROM dropped d JOIN toks t USING (doc_id)
+  GROUP BY d.threshold
+)
+SELECT g.threshold,
+       COALESCE(p.n_dropped, 0) AS n_dropped,
+       tt.n_docs - COALESCE(p.n_dropped, 0) AS docs_kept,
+       tt.tokens_total,
+       COALESCE(p.tokens_dropped, 0) AS tokens_dropped,
+       tt.tokens_total - COALESCE(p.tokens_dropped, 0) AS tokens_kept,
+       round((tt.tokens_total - COALESCE(p.tokens_dropped, 0))
+             / CAST(tt.tokens_total AS DOUBLE), 6) AS token_yield
+FROM grid g LEFT JOIN per p ON p.threshold = g.threshold
+CROSS JOIN totals tt
+ORDER BY g.threshold
+"""
+
+
 # --------------------------------------------------------------------------
 # Near-duplicate clustering (connected components over verified pairs)
 # --------------------------------------------------------------------------
@@ -4883,6 +4981,7 @@ SPARK_QUERIES = {
     "docs_simhash_dropped_buckets": docs_simhash_dropped_buckets,
     "docs_ngram_jaccard_pairs": docs_ngram_jaccard_pairs,
     "docs_jaccard_verify_candidates": docs_jaccard_verify_candidates,
+    "docs_dedup_yield_curve": docs_dedup_yield_curve,
     "docs_near_dup_clusters": docs_near_dup_clusters,
     "docs_contrastive_batches": docs_contrastive_batches,
     "docs_stopword_induction": docs_stopword_induction,
@@ -4938,6 +5037,7 @@ ORACLE_SQL = {
     "docs_simhash_dropped_buckets": _SIMHASH_DROPPED_SQL,
     "docs_ngram_jaccard_pairs": _JACCARD_SQL,
     "docs_jaccard_verify_candidates": _JACCARD_VERIFY_SQL,
+    "docs_dedup_yield_curve": _yield_curve_sql(),
     "docs_near_dup_clusters": _NEAR_DUP_CLUSTERS_SQL,
     "docs_contrastive_batches": _CONTRASTIVE_BATCHES_SQL,
     "docs_stopword_induction": _stopword_induction_sql(),

@@ -771,6 +771,71 @@ def stream_extract_validated(spark: SparkSession, input_dir: str,
             .start())
 
 
+def router_sink(output_dir: str, lineage_dir: str):
+    """foreachBatch body of stream_extract_routed: apply the published
+    pre-extraction router (plans/htmlfeat.py::route_for_html — the
+    SAME Column expression the batch job's route_filter and the
+    pages_extract_router query table use, so the three surfaces
+    cannot drift) to each micro-batch BEFORE extraction: only
+    'extract' and 'oversized' pages proceed through the kernel and
+    commit; condemned pages ('link_heavy' / 'low_text') are not
+    extracted at all — the whole point: at crawl scale the router
+    must refuse to pay Arrow + Python for pages a JVM regexp already
+    condemned — and their counts land in a per-batch route-census
+    lineage row so corpus mass stays accounted (the dlq_sink
+    nothing-silently-vanishes discipline, at the routing stage).
+
+    Exactly-once: extraction output and lineage are batch_id-keyed
+    overwrites; the router expression is deterministic, so epoch
+    re-delivery reproduces both partitions byte-identically."""
+    import os as _os
+
+    from ocr_spark.operators.extraction import (
+        EXTRACT_RESULT_SCHEMA, _extract_batches_fn,
+    )
+    from ocr_spark.plans.htmlfeat import route_for_html
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        routed = batch_df.withColumn(
+            "route", route_for_html(F.col("html"))).persist()
+        try:
+            census = (routed.groupBy("route")
+                      .agg(F.count("*").cast("long").alias("n_pages"),
+                           F.sum(F.length("html")).cast("long")
+                           .alias("bytes_in")))
+            keep = routed.filter(F.col("route")
+                                 .isin("extract", "oversized"))
+            extracted = keep.select("url", "html").withColumn(
+                "bucket",
+                F.pmod(F.xxhash64("url"), F.lit(64)).cast("int")
+            ).mapInPandas(_extract_batches_fn("full"),
+                          schema=EXTRACT_RESULT_SCHEMA)
+            extracted.write.mode("overwrite").parquet(
+                _os.path.join(output_dir, f"batch_id={batch_id}"))
+            census.coalesce(1).write.mode("overwrite").parquet(
+                _os.path.join(lineage_dir, f"batch_id={batch_id}"))
+        finally:
+            routed.unpersist()
+
+    return sink
+
+
+def stream_extract_routed(spark: SparkSession, input_dir: str,
+                          output_dir: str, lineage_dir: str,
+                          checkpoint_dir: str) -> Any:
+    """Incremental extraction behind the pre-extraction router: the
+    streaming twin of run_extraction_job(route_filter=True), with the
+    per-batch route census committed as lineage. Note the routing
+    runs INSIDE foreachBatch so the census and the kept-set are
+    computed from the same epoch's rows under one persist."""
+    pages = read_pages_stream(spark, input_dir)
+    return (pages.writeStream
+            .foreachBatch(router_sink(output_dir, lineage_dir))
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
 def stream_hll_sketch(spark: SparkSession, input_dir: str,
                       store_dir: str, checkpoint_dir: str) -> Any:
     """Streaming corpus-stat sketch sink: each micro-batch extracts

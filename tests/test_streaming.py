@@ -1063,3 +1063,39 @@ def test_stream_validation_gate_fails_batch_and_resumes(spark, stream_dirs):
     assert after == before
     assert {int(d.split("=")[1]) for d in os.listdir(out)
             if d.startswith("batch_id=")} == {0, 2}
+
+
+def test_stream_routed_matches_batch_router_and_censuses(spark, stream_dirs):
+    """The streaming router commits extraction output for EXACTLY the
+    pages the published batch router keeps, never extracts condemned
+    pages, and the per-batch route census accounts for every input
+    page (nothing silently vanishes at the routing stage)."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.plans.htmlfeat import route_for_html
+    from ocr_spark.streaming.ingest import stream_extract_routed
+
+    rows = generate_pages(40, oversized_rows=1)
+    _write_pages_batch(spark, rows, stream_dirs["in"])
+    out = stream_dirs["out"]
+    lineage = str(os.path.join(os.path.dirname(out), "route_census"))
+
+    q = stream_extract_routed(spark, stream_dirs["in"], out, lineage,
+                              stream_dirs["ckpt1"])
+    q.awaitTermination()
+
+    pages = spark.createDataFrame(
+        [(r["url"], bytearray(r["html"])) for r in rows],
+        "url string, html binary")
+    expect = {r.url: r.route for r in pages.select(
+        "url", route_for_html(F.col("html")).alias("route")).collect()}
+    keep = {u for u, r in expect.items() if r in ("extract", "oversized")}
+
+    got = {r.url for r in spark.read.parquet(out).select("url").collect()}
+    assert got == keep
+
+    census = spark.read.parquet(lineage).collect()
+    assert sum(r.n_pages for r in census) == len(rows)  # full accounting
+    by_route = {r.route: r.n_pages for r in census}
+    from collections import Counter
+    assert by_route == dict(Counter(expect.values()))
