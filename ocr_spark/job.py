@@ -1471,12 +1471,9 @@ def _labeling_batch(spark: SparkSession, work_dir: str,
     from pyspark.sql.window import Window
 
     from ocr_spark.plans.curation import (
-        SCORE_ROUND, _quality_model)
+        SCORE_ROUND, classifier_score_frame)
     from ocr_spark.plans.dataops import langid_hit_cols, langid_pred_col
 
-    model = _quality_model()
-    vocab = spark.createDataFrame(
-        list(model["weights_x10"].items()), "tok string, w10 long")
     out = (read_extracted(spark, work_dir)
            .filter(F.col("error").isNull() & F.col("text").isNotNull()
                    & (F.length("text") > 0))
@@ -1485,18 +1482,15 @@ def _labeling_batch(spark: SparkSession, work_dir: str,
     with_lang = out.select(
         "url", "text", *langid_hit_cols(toks)) \
         .withColumn("lang", langid_pred_col()).select("url", "text", "lang")
-    exploded = with_lang.select(
-        "url", "lang", F.explode(toks).alias("tok"))
-    agg = (exploded.join(F.broadcast(vocab), "tok", "left")
-           .groupBy("url", "lang")
-           .agg(F.count("*").alias("n_tokens"),
-                F.sum(F.coalesce(F.col("w10"), F.lit(0))).alias("sw10")))
-    z = (F.col("sw10") / (F.col("n_tokens") * 10.0)
-         + F.lit(model["bias_x10"] / 10.0))
-    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), SCORE_ROUND)
-    scored = agg.select("url", "lang", score.alias("score")) \
-        .withColumn("margin",
-                    F.round(F.abs(F.col("score") - 0.5), SCORE_ROUND))
+    # THE classifier score, via the shared recipe (lang is
+    # url-functional, so joining it back preserves the ranking)
+    scored = (with_lang.select("url", "lang")
+              .join(classifier_score_frame(with_lang.select("url", "text")),
+                    "url")
+              .select("url", "lang", "score")
+              .withColumn("margin",
+                          F.round(F.abs(F.col("score") - 0.5),
+                                  SCORE_ROUND)))
     w = Window.partitionBy("lang").orderBy(F.asc("margin"), F.asc("url"))
     batch = (scored.withColumn("rank_in_lang", F.row_number().over(w))
              .filter(F.col("rank_in_lang") <= k)

@@ -2441,6 +2441,31 @@ FROM sc
 CAL_BINS = 10   # score deciles
 
 
+def classifier_score_frame(df: DataFrame, key: str = "url") -> DataFrame:
+    """(key, n_tokens, score) from ANY frame carrying ``text`` — the
+    docs_classifier_score recipe (broadcast weight table, per-doc
+    partial agg, SCORE_ROUND-rounded sigmoid) over an arbitrary
+    input: shared by the labeling job's batch ranking and the
+    streaming PSI monitor, so a score computed anywhere in the
+    pipeline is THE classifier's score, never a parallel copy."""
+    model = _quality_model()
+    spark = df.sparkSession
+    vocab = spark.createDataFrame(
+        list(model["weights_x10"].items()), "tok string, w10 long")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    exploded = df.select(key, F.explode(toks).alias("tok"))
+    agg = (exploded.join(F.broadcast(vocab), "tok", "left")
+           .groupBy(key)
+           .agg(F.count("*").alias("n_tokens"),
+                F.sum(F.coalesce(F.col("w10"), F.lit(0))).alias("sw10")))
+    z = (F.col("sw10") / (F.col("n_tokens") * 10.0)
+         + F.lit(model["bias_x10"] / 10.0))
+    return agg.select(
+        key, "n_tokens",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), SCORE_ROUND)
+        .alias("score"))
+
+
 PSI_BINS = 10
 
 

@@ -622,6 +622,110 @@ def stream_quality_gate(spark: SparkSession, input_dir: str,
             .start())
 
 
+PSI_FLAG = 0.25   # the standard PSI rule of thumb: >0.25 = investigate
+
+
+def quality_reference_counts(extracted: DataFrame) -> DataFrame:
+    """(bin, n_ref): the quality classifier's score histogram over a
+    reference extraction output — the committed yardstick
+    stream_quality_psi monitors drift against. Counts, not shares, so
+    the streaming side can apply the same Laplace smoothing as
+    docs_quality_psi with exact integers."""
+    from ocr_spark.plans.curation import (
+        PSI_BINS, classifier_score_frame,
+    )
+
+    ok = extracted.filter(F.col("error").isNull()
+                          & F.col("text").isNotNull()
+                          & (F.length("text") > 0))
+    scored = classifier_score_frame(ok.select("url", "text"))
+    b = F.least(F.lit(PSI_BINS - 1),
+                F.floor(F.col("score") * PSI_BINS)).cast("int")
+    return (scored.select(b.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_ref")))
+
+
+def psi_sink(reference_dir: str, out_dir: str):
+    """foreachBatch body of stream_quality_psi: extract the batch,
+    score it with the SHARED classifier recipe
+    (curation.classifier_score_frame — the same scores the batch
+    queries and the labeling job see), histogram the scores into
+    PSI_BINS, and compute the Population Stability Index against the
+    committed reference histogram with docs_quality_psi's exact
+    discipline (Laplace +1 over the union of observed bins, integer
+    micro-unit terms). One row per micro-batch (batch_id-keyed
+    overwrite): doc count, bin count, PSI, and the >0.25 flag — the
+    alarm that tells an operator the CRAWL changed before a bad batch
+    trains anything."""
+    import os as _os
+
+    from ocr_spark.operators.extraction import (
+        EXTRACT_RESULT_SCHEMA, _extract_batches_fn,
+    )
+    from ocr_spark.plans.curation import (
+        PSI_BINS, classifier_score_frame,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ref = spark.read.parquet(reference_dir)  # ≤ PSI_BINS rows
+        extracted = batch_df.select("url", "html").withColumn(
+            "bucket", F.pmod(F.xxhash64("url"), F.lit(64)).cast("int")
+        ).mapInPandas(_extract_batches_fn("full"),
+                      schema=EXTRACT_RESULT_SCHEMA)
+        ok = extracted.filter(F.col("error").isNull()
+                              & F.col("text").isNotNull()
+                              & (F.length("text") > 0))
+        scored = classifier_score_frame(ok.select("url", "text"))
+        b = F.least(F.lit(PSI_BINS - 1),
+                    F.floor(F.col("score") * PSI_BINS)).cast("int")
+        per = (scored.select(b.alias("bin"))
+               .groupBy("bin")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_new")))
+        u = (ref.join(per, "bin", "full_outer")
+             .select("bin",
+                     F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+                     F.coalesce("n_new", F.lit(0)).alias("n_new")))
+        tot = u.agg(F.sum("n_ref").cast("long").alias("tr"),
+                    F.sum("n_new").cast("long").alias("tn"),
+                    F.count(F.lit(1)).cast("long").alias("nb"))
+        j = u.crossJoin(F.broadcast(tot))
+        p = (F.col("n_ref") + 1) / (F.col("tr") + F.col("nb"))
+        q = (F.col("n_new") + 1) / (F.col("tn") + F.col("nb"))
+        term_micro = F.round((q - p) * F.log(q / p) * 1e6).cast("long")
+        row = (j.select(term_micro.alias("tm"),
+                        F.col("tn").alias("n_docs"),
+                        F.col("nb").alias("n_bins"))
+               .groupBy("n_docs", "n_bins")
+               .agg(F.sum("tm").cast("long").alias("psi_micro")))
+        out = row.select(
+            "n_docs", "n_bins",
+            F.round(F.col("psi_micro") / 1e6, 6).alias("psi"),
+            (F.col("psi_micro") > int(PSI_FLAG * 1e6)).alias("flagged"))
+        (out.coalesce(1).write.mode("overwrite")
+         .parquet(_os.path.join(out_dir, f"batch_id={batch_id}")))
+
+    return sink
+
+
+def stream_quality_psi(spark: SparkSession, input_dir: str,
+                       reference_dir: str, out_dir: str,
+                       checkpoint_dir: str) -> Any:
+    """Per-micro-batch score-distribution drift monitor — the
+    streaming twin of docs_quality_psi: every arriving batch is
+    extracted, scored with the shared classifier, and PSI'd against
+    the committed reference histogram (quality_reference_counts).
+    Exactly-once via batch_id-keyed overwrite; deterministic, so
+    epoch re-delivery reproduces the identical verdict row."""
+    pages = read_pages_stream(spark, input_dir)
+    return (pages.writeStream
+            .foreachBatch(psi_sink(reference_dir, out_dir))
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
 def dlq_reason_col() -> Column:
     """FIRST-failing-constraint classifier over extraction output rows
     — the row-level form of job.run_validation_job's table-level suite

@@ -1099,3 +1099,72 @@ def test_stream_routed_matches_batch_router_and_censuses(spark, stream_dirs):
     by_route = {r.route: r.n_pages for r in census}
     from collections import Counter
     assert by_route == dict(Counter(expect.values()))
+
+
+def test_stream_quality_psi_flags_distribution_shift(spark, stream_dirs,
+                                                     tmp_path):
+    """The streaming PSI monitor stays quiet on a batch drawn from the
+    reference distribution and flags (>0.25) a batch whose score
+    distribution collapsed (OOV-only spam pages all score
+    sigmoid(bias)); exactly-once under re-delivery."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.gen.wrap import html_for_document
+    from ocr_spark.operators.extraction import run_extraction
+    from ocr_spark.streaming.ingest import (
+        quality_reference_counts, stream_quality_psi)
+
+    ref_dir = str(tmp_path / "ref")
+    out = stream_dirs["out"]
+
+    # committed reference: the standard corpus's score histogram
+    rows = generate_pages(60, oversized_rows=0)
+    pages = spark.createDataFrame(
+        [(r["url"], r["warc_ts"], bytearray(r["html"]), r["text"],
+          r["lang"]) for r in rows],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string")
+    extracted = run_extraction(pages, partitions=4, big_partitions=1)
+    quality_reference_counts(extracted).write.parquet(ref_dir)
+
+    # batch 0: more standard pages -> in-distribution
+    _write_pages_batch(spark, generate_pages(30, seed=5,
+                                             oversized_rows=0),
+                       stream_dirs["in"])
+    q = stream_quality_psi(spark, stream_dirs["in"], ref_dir, out,
+                           stream_dirs["ckpt1"])
+    q.awaitTermination()
+
+    # batch 1: low-quality wave — text drawn from the classifier's
+    # NEGATIVE vocabulary (mean weight ~-4.4 -> score ~0.34, a lower
+    # bin than the standard corpus's ~0.45-0.55 mass)
+    import datetime
+    spam = [{"url": f"spam://{i}",
+             "warc_ts": datetime.datetime(2025, 1, 1),
+             "html": html_for_document(
+                 i, "slow a the big slow row a the slow slow " * 20),
+             "text": "", "lang": "en"} for i in range(25)]
+    _write_pages_batch(spark, spam, stream_dirs["in"])
+    q = stream_quality_psi(spark, stream_dirs["in"], ref_dir, out,
+                           stream_dirs["ckpt1"])
+    q.awaitTermination()
+
+    got = {int(d.split("=")[1]):
+           spark.read.parquet(os.path.join(out, d)).collect()[0]
+           for d in sorted(os.listdir(out)) if d.startswith("batch_id=")}
+    assert set(got) == {0, 1}
+    assert not got[0].flagged, got[0]
+    assert got[1].flagged and got[1].psi > 0.25, got[1]
+
+    # exactly-once: re-delivering the spam epoch reproduces the row
+    from ocr_spark.streaming.ingest import psi_sink
+    frame = spark.createDataFrame(
+        [(r["url"], r["warc_ts"], bytearray(r["html"]), r["text"],
+          r["lang"]) for r in spam],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string").localCheckpoint()
+    before = got[1].asDict()
+    psi_sink(ref_dir, out)(frame, 1)
+    after = spark.read.parquet(
+        os.path.join(out, "batch_id=1")).collect()[0].asDict()
+    assert after == before
