@@ -156,6 +156,19 @@ def _run_chain(spark: SparkSession, input_table_root: str, work_dir: str,
                 ~F.col("html").cast("string").rlike(_ROBOTS_NOINDEX))
         if route_filter:
             from ocr_spark.plans.htmlfeat import route_for_html
+            # route census FIRST (the streaming router_sink's
+            # nothing-silently-vanishes discipline): condemned pages
+            # never reach the kernel, but their counts are committed
+            # per snapshot — idempotent overwrite keyed on sid
+            census = (pages
+                      .groupBy(route_for_html(F.col("html"))
+                               .alias("route"))
+                      .agg(F.count("*").cast("long").alias("n_pages"),
+                           F.sum(F.length("html")).cast("long")
+                           .alias("bytes_in")))
+            census.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(work_dir, "route_census",
+                             f"snapshot={sid}"))
             pages = pages.filter(route_for_html(F.col("html"))
                                  .isin("extract", "oversized"))
         s = _run_waves(

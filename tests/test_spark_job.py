@@ -673,3 +673,15 @@ def test_route_filter_drops_condemned_pages_only(spark, tmp_path):
     assert set(full) == set(routes)
     for u in routed:
         assert routed[u] == full[u]  # byte-identical survivors
+
+    # route census committed per snapshot: condemned pages are
+    # accounted, not silently vanished
+    import glob
+    import os as _os
+    census_dirs = glob.glob(_os.path.join(work_routed, "route_census",
+                                          "snapshot=*"))
+    assert len(census_dirs) == 1
+    census = {r.route: r.n_pages for r in
+              spark.read.parquet(census_dirs[0]).collect()}
+    from collections import Counter
+    assert census == dict(Counter(routes.values()))
