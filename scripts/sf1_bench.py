@@ -114,7 +114,17 @@ def main() -> int:
               f"(rows {n01} -> {n1})", flush=True)
     out["flagged"] = flagged
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "sf1.json"), "w") as f:
+    dest = os.path.join(REPO, "BENCH", "sf1.json")
+    if only and os.path.exists(dest):
+        # subset run: MERGE into the existing record instead of
+        # clobbering the full sweep's rows
+        with open(dest) as f:
+            prev = json.load(f)
+        prev["queries"].update(out["queries"])
+        prev["flagged"] = sorted(
+            set(prev.get("flagged", [])) | set(flagged))
+        out = prev
+    with open(dest, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps({"flagged": flagged}))
     spark.stop()
