@@ -2759,8 +2759,8 @@ FROM ranked WHERE rank <= {IVF_TOPK}
 """
 
 
-def emb_ivfpq_residual_trained_topk(spark: SparkSession,
-                                    sf_dir: str) -> DataFrame:
+def emb_ivfpq_residual_trained_topk(spark: SparkSession, sf_dir: str,
+                                    *, k: int = KM_K) -> DataFrame:
     """IVF-PQ, residual encoding, TRAINED residual codebooks — the
     exact composition FAISS's IVFPQ ships (Jégou et al. 2011 §IV.B:
     PQ codes the residual v − centroid(cell), with codebooks trained
@@ -2781,7 +2781,9 @@ def emb_ivfpq_residual_trained_topk(spark: SparkSession,
     exchange remains the cell equi-join against the broadcast probe
     list. Cross-engine determinism: KM_ROUND-rounded trained
     components, m-ascending ADC fold, one ROUND(.., 6)."""
-    cent, assigned = _kmeans(spark, sf_dir)
+    cent, assigned = _kmeans(spark, sf_dir, k=k)  # nlist = k: the dial
+    # the 10x recall measurement says must scale with corpus size
+    # (BENCH/recall.json ann_clustered_10x)
     cent_b = cent.select(F.col("cell").alias("rcell"),
                          F.col("cv").alias("rcv"))
     res = (assigned
