@@ -59,6 +59,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "pages_block_density", "pages_dom_depth",
     "pages_extract_method_agreement",
     "docs_quality_psi", "docs_dedup_yield_curve",
+    "hosts_sitemap_coverage",
     "docs_hll_sketch",
     "docs_cms_heavy_hitters",
     "docs_hll_snapshot_merge",

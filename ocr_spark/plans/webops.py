@@ -4714,6 +4714,96 @@ FROM parsed p LEFT JOIN crawled c ON p.url = c.url
 """
 
 
+def hosts_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-vs-crawl reconciliation per host — the crawl-ops
+    dashboard built on pages_sitemap_parse's output: how much of each
+    host's ADVERTISED url set the crawl actually covered
+    (sitemap_coverage — low means the scheduler starves the host or
+    the sitemap advertises junk), and how many CRAWLED urls the
+    sitemap never advertised (orphan_frac — link-discovered pages;
+    high means the host's sitemap is stale and the frontier should
+    not trust it for completeness). Both directions matter and they
+    fail independently, which is why the row carries both.
+
+    Scale shape: the sitemap side is sitemap-file-bounded; the crawl
+    side is one DISTINCT-url shuffle; membership both ways is a url
+    equi-join (AQE broadcasts the parsed-sitemap side); the rollup is
+    host-cardinality."""
+    parsed = pages_sitemap_parse(spark, sf_dir)
+    adv = parsed.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_advertised"),
+        F.sum(F.col("already_crawled").cast("long"))
+        .alias("n_crawled_advertised"))
+    docs = _docs(spark, sf_dir).select("doc_id")
+    crawled = (docs.select(
+        F.concat(F.lit("site"),
+                 (F.col("doc_id") % SITEMAP_HOSTS).cast("string"),
+                 F.lit(".example.com")).alias("host"),
+        F.concat(F.lit("https://site"),
+                 (F.col("doc_id") % SITEMAP_HOSTS).cast("string"),
+                 F.lit(".example.com/page/"),
+                 (F.floor(F.col("doc_id") / SITEMAP_HOSTS).cast("long")
+                  % 50).cast("string")).alias("url"))
+        .distinct())
+    orphans = (crawled.join(parsed.select("url")
+                            .withColumn("adv", F.lit(True)),
+                            "url", "left")
+               .groupBy("host")
+               .agg(F.count(F.lit(1)).cast("long")
+                    .alias("n_crawled_total"),
+                    F.sum(F.when(F.col("adv").isNull(), 1).otherwise(0))
+                    .cast("long").alias("n_orphans")))
+    return (adv.join(orphans, "host")
+            .select("host", "n_advertised", "n_crawled_advertised",
+                    F.round(F.col("n_crawled_advertised")
+                            / F.col("n_advertised"), 6)
+                    .alias("sitemap_coverage"),
+                    "n_crawled_total", "n_orphans",
+                    F.round(F.col("n_orphans")
+                            / F.col("n_crawled_total"), 6)
+                    .alias("orphan_frac"))
+            .orderBy("host"))
+
+
+def _sitemap_coverage_sql() -> str:
+    parse = _sitemap_parse_sql().strip()
+    return f"""
+WITH parsed_all AS (
+{parse}
+), adv AS (
+  SELECT host,
+         CAST(COUNT(*) AS BIGINT) AS n_advertised,
+         CAST(SUM(CASE WHEN already_crawled THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_crawled_advertised
+  FROM parsed_all GROUP BY host
+), crawled AS (
+  SELECT DISTINCT
+         'site' || CAST(doc_id % {SITEMAP_HOSTS} AS VARCHAR)
+         || '.example.com' AS host,
+         'https://site' || CAST(doc_id % {SITEMAP_HOSTS} AS VARCHAR)
+         || '.example.com/page/'
+         || CAST((doc_id // {SITEMAP_HOSTS}) % 50 AS VARCHAR) AS url
+  FROM documents
+), orph AS (
+  SELECT c.host,
+         CAST(COUNT(*) AS BIGINT) AS n_crawled_total,
+         CAST(SUM(CASE WHEN p.url IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_orphans
+  FROM crawled c
+  LEFT JOIN (SELECT DISTINCT url FROM parsed_all) p ON p.url = c.url
+  GROUP BY c.host
+)
+SELECT a.host, a.n_advertised, a.n_crawled_advertised,
+       round(a.n_crawled_advertised / CAST(a.n_advertised AS DOUBLE), 6)
+         AS sitemap_coverage,
+       o.n_crawled_total, o.n_orphans,
+       round(o.n_orphans / CAST(o.n_crawled_total AS DOUBLE), 6)
+         AS orphan_frac
+FROM adv a JOIN orph o ON o.host = a.host
+ORDER BY a.host
+"""
+
+
 def pages_charset_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Charset resolution for raw captures — the decode step every
     HTML pipeline runs before parsing, with the WHATWG-encoding-spec
@@ -5730,6 +5820,7 @@ SPARK_QUERIES = {
     "pages_soft404": pages_soft404,
     "pages_charset_detect": pages_charset_detect,
     "pages_sitemap_parse": pages_sitemap_parse,
+    "hosts_sitemap_coverage": hosts_sitemap_coverage,
     "pages_http_cache_headers": pages_http_cache_headers,
     "hosts_ip_colocation": hosts_ip_colocation,
     "pages_hreflang_clusters": pages_hreflang_clusters,
@@ -5800,6 +5891,7 @@ ORACLE_SQL = {
     "pages_soft404": PAGES_SOFT404_SQL,
     "pages_charset_detect": PAGES_CHARSET_DETECT_SQL,
     "pages_sitemap_parse": _sitemap_parse_sql(),
+    "hosts_sitemap_coverage": _sitemap_coverage_sql(),
     "pages_http_cache_headers": PAGES_CACHE_HEADERS_SQL,
     "hosts_ip_colocation": HOSTS_IP_COLOCATION_SQL,
     "pages_hreflang_clusters": PAGES_HREFLANG_SQL,

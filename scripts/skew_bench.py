@@ -45,8 +45,7 @@ def _walls(df, big_partitions: int) -> dict:
     rows = (df.withColumn("pid", F.spark_partition_id())
             .groupBy("pid")
             .agg(F.sum("extract_ms").alias("wall"),
-                 F.count("*").alias("docs"),
-                 F.sum((F.length("text") >= 0).cast("long")).alias("ok"))
+                 F.count("*").alias("docs"))
             .collect())
     normal = sorted(r.wall for r in rows
                     if r.pid >= big_partitions and r.wall and r.wall > 0)
