@@ -121,3 +121,24 @@ def test_partial_run_dir_reports_mismatch_not_crash(labeled):
         import shutil
         shutil.rmtree(bad, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_shared_scorer_equals_contract_classifier(spark):
+    """curation.classifier_score_frame IS the docs_classifier_score
+    recipe: over the same documents table the shared helper's scores
+    equal the oracle-checked contract query's, doc for doc — the
+    one-implementation claim the labeling job and the streaming PSI
+    monitor lean on."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.plans.curation import (
+        classifier_score_frame, docs_classifier_score)
+
+    sf = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf}/documents.parquet") \
+        .select(F.col("doc_id").cast("string").alias("url"), "text")
+    helper = {r.url: r.score
+              for r in classifier_score_frame(docs).collect()}
+    contract = {str(r.doc_id): r.score
+                for r in docs_classifier_score(spark, sf).collect()}
+    assert helper == contract
